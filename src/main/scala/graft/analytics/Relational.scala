@@ -1,0 +1,65 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.util.Tables
+
+/** Relational/analytics sanity queries — prove the engine's scan→agg→join
+  * path is Catalyst-clean (pushdown, broadcast, whole-stage codegen).
+  */
+object Relational {
+
+  /** TPC-H Q1-style pricing summary. Single scan + hash agg; partial
+    * (map-side) aggregation makes this shuffle only |groups| rows.
+    */
+  def pricingSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir)
+      .select("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 4).as("sum_qty"),
+        round(sum("l_extendedprice"), 4).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 4).as("sum_charge"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_extendedprice"), 4).as("avg_price"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+  }
+
+  /** Star join: fact lineitem joined to small dims. Dims are broadcast —
+    * no shuffle of the fact side; at 100 TB only the final group-by
+    * shuffles |nations| rows per partition (map-side partial agg).
+    */
+  def revenueByNation(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_extendedprice", "l_discount")
+    val o = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
+    val c = Tables.customer(spark, sfDir).select("c_custkey", "c_nationkey")
+    val n = Tables.nation(spark, sfDir).select("n_nationkey", "n_name", "n_regionkey")
+    val r = Tables.region(spark, sfDir).select("r_regionkey", "r_name")
+    li
+      .join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"),
+           count(lit(1)).as("n_items"))
+  }
+
+  /** Top-N per group via rank window — the standard scalable pattern
+    * (shuffle once on the partition key, no global sort).
+    */
+  def topCustomersPerSegment(spark: SparkSession, sfDir: String, topN: Int = 3): DataFrame = {
+    val o = Tables.orders(spark, sfDir).select("o_custkey", "o_totalprice")
+    val c = Tables.customer(spark, sfDir).select("c_custkey", "c_name", "c_mktsegment")
+    val spend = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy("c_mktsegment", "c_custkey", "c_name")
+      .agg(round(sum("o_totalprice"), 4).as("total_spend"))
+    val w = Window.partitionBy("c_mktsegment").orderBy(col("total_spend").desc, col("c_custkey"))
+    spend.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topN)
+      .select("c_mktsegment", "rnk", "c_custkey", "c_name", "total_spend")
+  }
+}
