@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.analytics.Relational
+import graft.timeseries.{TsOracle, TsQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   * Every implemented operator registers a `queries` entry; every
@@ -18,23 +19,31 @@ object SparkEntry {
     "qa1_pricing_summary" -> ((s, d) => Relational.pricingSummary(s, d)),
     "qa2_revenue_join" -> ((s, d) => Relational.revenueByNation(s, d)),
     "qa3_top_n" -> ((s, d) => Relational.topCustomersPerSegment(s, d)),
+    "q01_resample" -> ((s, d) => TsQueries.q01Resample(s, d)),
+    "q02_fill_forward" -> ((s, d) => TsQueries.q02FillForward(s, d)),
+    "q03_sliding_window" -> ((s, d) => TsQueries.q03SlidingWindow(s, d)),
+    "q04_quantile_scale" -> ((s, d) => TsQueries.q04QuantileScale(s, d)),
+    "q05_anomaly_inject" -> ((s, d) => TsQueries.q05AnomalyInject(s, d)),
+    "q06_ewma" -> ((s, d) => TsQueries.q06Ewma(s, d)),
+    "q07_patch_std" -> ((s, d) => TsQueries.q07PatchStd(s, d)),
+    "q08_patchify" -> ((s, d) => TsQueries.q08Patchify(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
     "qa1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-         round(sum(l_quantity), 4) AS sum_qty,
-         round(sum(l_extendedprice), 4) AS sum_base_price,
-         round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
-         round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 4) AS sum_charge,
-         round(avg(l_quantity), 4) AS avg_qty,
-         round(avg(l_extendedprice), 4) AS avg_price,
-         round(avg(l_discount), 4) AS avg_disc,
+         floor((sum(l_quantity))*10000 + 0.5)/10000 AS sum_qty,
+         floor((sum(l_extendedprice))*10000 + 0.5)/10000 AS sum_base_price,
+         floor((sum(l_extendedprice * (1.0 - l_discount)))*10000 + 0.5)/10000 AS sum_disc_price,
+         floor((sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)))*10000 + 0.5)/10000 AS sum_charge,
+         floor((avg(l_quantity))*10000 + 0.5)/10000 AS avg_qty,
+         floor((avg(l_extendedprice))*10000 + 0.5)/10000 AS avg_price,
+         floor((avg(l_discount))*10000 + 0.5)/10000 AS avg_disc,
          count(*) AS count_order
          FROM lineitem GROUP BY l_returnflag, l_linestatus""",
     "qa2_revenue_join" ->
       """SELECT r_name, n_name,
-         round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+         floor((sum(l_extendedprice * (1.0 - l_discount)))*10000 + 0.5)/10000 AS revenue,
          count(*) AS n_items
          FROM lineitem
          JOIN orders   ON l_orderkey = o_orderkey
@@ -45,11 +54,19 @@ object SparkEntry {
     "qa3_top_n" ->
       """SELECT c_mktsegment, rnk, c_custkey, c_name, total_spend FROM (
            SELECT c_mktsegment, c_custkey, c_name,
-                  round(sum(o_totalprice), 4) AS total_spend,
+                  floor((sum(o_totalprice))*10000 + 0.5)/10000 AS total_spend,
                   row_number() OVER (PARTITION BY c_mktsegment
-                                     ORDER BY round(sum(o_totalprice), 4) DESC, c_custkey) AS rnk
+                                     ORDER BY floor((sum(o_totalprice))*10000 + 0.5)/10000 DESC, c_custkey) AS rnk
            FROM orders JOIN customer ON o_custkey = c_custkey
            GROUP BY c_mktsegment, c_custkey, c_name
          ) WHERE rnk <= 3""",
+    "q01_resample" -> TsOracle.q01,
+    "q02_fill_forward" -> TsOracle.q02,
+    "q03_sliding_window" -> TsOracle.q03(48, 24),
+    "q04_quantile_scale" -> TsOracle.q04,
+    "q05_anomaly_inject" -> TsOracle.q05,
+    "q06_ewma" -> TsOracle.q06,
+    "q07_patch_std" -> TsOracle.q07,
+    "q08_patchify" -> TsOracle.q08,
   )
 }

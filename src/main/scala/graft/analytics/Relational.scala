@@ -3,7 +3,7 @@ package graft.analytics
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.util.Tables
+import graft.util.{Num, Tables}
 
 /** Relational/analytics sanity queries — prove the engine's scan→agg→join
   * path is Catalyst-clean (pushdown, broadcast, whole-stage codegen).
@@ -18,13 +18,13 @@ object Relational {
       .select("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_tax")
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        round(sum("l_quantity"), 4).as("sum_qty"),
-        round(sum("l_extendedprice"), 4).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 4).as("sum_charge"),
-        round(avg("l_quantity"), 4).as("avg_qty"),
-        round(avg("l_extendedprice"), 4).as("avg_price"),
-        round(avg("l_discount"), 4).as("avg_disc"),
+        Num.r4(sum("l_quantity")).as("sum_qty"),
+        Num.r4(sum("l_extendedprice")).as("sum_base_price"),
+        Num.r4(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("sum_disc_price"),
+        Num.r4(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))).as("sum_charge"),
+        Num.r4(avg("l_quantity")).as("avg_qty"),
+        Num.r4(avg("l_extendedprice")).as("avg_price"),
+        Num.r4(avg("l_discount")).as("avg_disc"),
         count(lit(1)).as("count_order"))
   }
 
@@ -44,7 +44,7 @@ object Relational {
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"),
+      .agg(Num.r4(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"),
            count(lit(1)).as("n_items"))
   }
 
@@ -56,7 +56,7 @@ object Relational {
     val c = Tables.customer(spark, sfDir).select("c_custkey", "c_name", "c_mktsegment")
     val spend = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .groupBy("c_mktsegment", "c_custkey", "c_name")
-      .agg(round(sum("o_totalprice"), 4).as("total_spend"))
+      .agg(Num.r4(sum("o_totalprice")).as("total_spend"))
     val w = Window.partitionBy("c_mktsegment").orderBy(col("total_spend").desc, col("c_custkey"))
     spend.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= topN)
