@@ -27,6 +27,10 @@ object SparkEntry {
     "q06_ewma" -> ((s, d) => TsQueries.q06Ewma(s, d)),
     "q07_patch_std" -> ((s, d) => TsQueries.q07PatchStd(s, d)),
     "q08_patchify" -> ((s, d) => TsQueries.q08Patchify(s, d)),
+    "q09_knn_score" -> ((s, d) => graft.timeseries.Detect.knnScore(s, d)),
+    "q10_gaussian_score" -> ((s, d) => graft.timeseries.Detect.gaussianScore(s, d)),
+    "q11_lof_weight" -> ((s, d) => graft.timeseries.Detect.lofWeight(s, d)),
+    "q12_knn_dist_weight" -> ((s, d) => graft.timeseries.Detect.nearestDistWeight(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -68,5 +72,9 @@ object SparkEntry {
     "q06_ewma" -> TsOracle.q06,
     "q07_patch_std" -> TsOracle.q07,
     "q08_patchify" -> TsOracle.q08,
+    "q09_knn_score" -> TsOracle.q09,
+    "q10_gaussian_score" -> TsOracle.q10,
+    "q11_lof_weight" -> TsOracle.q11(),
+    "q12_knn_dist_weight" -> TsOracle.q12,
   )
 }

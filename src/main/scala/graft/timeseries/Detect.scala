@@ -1,0 +1,133 @@
+package graft.timeseries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.util.Num
+
+/** Memory-bank anomaly detection operators (reference:
+  * src/anomaly_detection/softpatch.py, common.py NearestNeighbourScorer,
+  * multi_variate_gaussian.py).
+  *
+  * Scale design: the memory bank (train patches, later denoised +
+  * coreset'd) is small relative to the scored stream and is broadcast;
+  * scoring is a broadcast join + per-row min-reduce — the big side never
+  * shuffles. The patch-weight ops partition by patch position, the
+  * reference's "batch per patch" axis.
+  */
+object Detect {
+  val FeatCols: Seq[String] = (0 to 8).map(i => s"f$i")
+
+  /** Squared L2 distance between two patch-feature rows (prefixed cols). */
+  private def dist2(l: String, r: String): Column =
+    FeatCols.map(f => (col(s"$l$f") - col(s"$r$f")) * (col(s"$l$f") - col(s"$r$f")))
+      .reduce(_ + _)
+
+  private def renamed(df: DataFrame, p: String): DataFrame =
+    df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, s"$p$c"))
+
+  /** q09: kNN (k=1) anomaly score — distance from each test patch to its
+    * nearest bank patch; window score = max over patches (ref
+    * softpatch.py _predict + PatchMaker.score). Bank is broadcast: the
+    * scored side streams map-side.
+    */
+  def knnScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val (bank, test) = TsCore.bankAndTest(spark, sfDir)
+    val b = renamed(bank.select(FeatCols.map(col): _*), "b_")
+    val t = test.select((Seq("series", "win", "pos").map(col) ++ FeatCols.map(col)): _*)
+    val scored = t.crossJoin(broadcast(b))
+      .groupBy("series", "win", "pos")
+      .agg(min(sqrt(dist2("", "b_"))).as("pscore"))
+    scored.groupBy("series", "win")
+      .agg(Num.r4(max("pscore")).as("score"))
+  }
+
+  /** Per-patch-position Gaussian stats over the bank, 2-d (vs=f1, ewma=f7)
+    * with explicit 2x2 inverse (+0.01 I regularization, ref
+    * multi_variate_gaussian.py). Single-pass sufficient statistics —
+    * fully distributed, no iteration.
+    */
+  private def gaussianStats(bank: DataFrame): DataFrame = {
+    val stats = bank.groupBy("pos").agg(
+      avg("f1").as("m1"), avg("f7").as("m2"),
+      // population covariance (torch.cov default is sample; the reference
+      // MultiVariateGaussian uses N-1 — use sample covariance)
+      covar_samp("f1", "f1").as("c11"),
+      covar_samp("f1", "f7").as("c12"),
+      covar_samp("f7", "f7").as("c22"))
+    stats.select(col("pos"), col("m1"), col("m2"),
+      (col("c11") + 0.01).as("s11"), col("c12").as("s12"), (col("c22") + 0.01).as("s22"))
+      .withColumn("det", col("s11") * col("s22") - col("s12") * col("s12"))
+      .select(col("pos"), col("m1"), col("m2"),
+        (col("s22") / col("det")).as("i11"),
+        (-col("s12") / col("det")).as("i12"),
+        (col("s11") / col("det")).as("i22"))
+  }
+
+  /** q10: Mahalanobis distance of each test patch to the per-position
+    * Gaussian fit on the bank (ref softpatch.py
+    * _compute_distance_with_gaussian).
+    */
+  def gaussianScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val (bank, test) = TsCore.bankAndTest(spark, sfDir)
+    val g = gaussianStats(bank)
+    val d1 = col("f1") - col("m1")
+    val d2 = col("f7") - col("m2")
+    test.join(broadcast(g), "pos")
+      .select(col("series"), col("win"), col("pos"),
+        Num.r4(sqrt(d1 * d1 * col("i11") + lit(2.0) * d1 * d2 * col("i12") + d2 * d2 * col("i22")))
+          .as("mdist"))
+  }
+
+  /** Pairwise distances within a patch position over the bank.
+    * At scale: per-position sampling caps bound the quadratic term; the
+    * position axis itself is the parallelism (partition key).
+    */
+  private def pairwise(bank: DataFrame): DataFrame = {
+    val pid = concat_ws("#", col("series"), col("win"))
+    val a = renamed(bank.withColumn("id", pid), "a_")
+    val b = renamed(bank.withColumn("id", pid), "b_")
+    a.join(b, col("a_pos") === col("b_pos") && col("a_id") =!= col("b_id"))
+      .select(col("a_pos").as("pos"), col("a_id").as("id"), col("b_id").as("nid"),
+        sqrt(dist2("a_", "b_")).as("d"))
+  }
+
+  /** q12: nearest-neighbour distance patch weight ("nearest" method, ref
+    * softpatch.py _compute_nearest_distance: topk(2, smallest) over a
+    * self-inclusive distance matrix = 0 + d(nearest other)).
+    */
+  def nearestDistWeight(spark: SparkSession, sfDir: String): DataFrame = {
+    val (bank, _) = TsCore.bankAndTest(spark, sfDir)
+    pairwise(bank)
+      .groupBy("pos", "id")
+      .agg(Num.r4(min("d")).as("w_nearest"))
+      .select(col("id"), col("pos"), col("w_nearest"))
+  }
+
+  /** q11: Local Outlier Factor (k=6) per patch position over the bank
+    * (ref softpatch.py _compute_lof_gpu):
+    * kdist(a) = d to k-th NN; reach(a,b) = max(d(a,b), kdist(b));
+    * lrd(a) = k / Σ_{b∈kNN(a)} reach(a,b); lof(a) = mean lrd(b)/lrd(a).
+    * The reference adds 1e-6 to all distances before the top-k.
+    */
+  def lofWeight(spark: SparkSession, sfDir: String, k: Int = 6): DataFrame = {
+    val (bank, _) = TsCore.bankAndTest(spark, sfDir)
+    val pw = pairwise(bank).withColumn("d", col("d") + 1e-6)
+    val wNbr = Window.partitionBy("pos", "id").orderBy(col("d"), col("nid"))
+    val knn = pw.withColumn("rn", row_number().over(wNbr)).filter(col("rn") <= k)
+    val kdist = knn.groupBy("pos", "id").agg(max("d").as("kdist"))
+    // reach(a,b) = max(d(a,b), kdist(b)); lrd(a) = k / sum_b reach(a,b)
+    val lrd = knn
+      .join(kdist.select(col("pos"), col("id").as("nid"), col("kdist").as("kdist_b")),
+        Seq("pos", "nid"))
+      .groupBy("pos", "id")
+      .agg((lit(k.toDouble) / sum(greatest(col("d"), col("kdist_b")))).as("lrd"))
+    val lof = knn
+      .join(lrd.select(col("pos"), col("id").as("nid"), col("lrd").as("lrd_b")), Seq("pos", "nid"))
+      .groupBy("pos", "id")
+      .agg((sum("lrd_b") / lit(k.toDouble)).as("sum_lrd_b"))
+      .join(lrd, Seq("pos", "id"))
+      .select(col("id"), col("pos"), Num.r4(col("sum_lrd_b") / col("lrd")).as("lof"))
+    lof
+  }
+}

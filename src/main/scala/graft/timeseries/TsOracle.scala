@@ -153,6 +153,14 @@ testp AS (
 )
 """
 
+  private def r4(e: String): String = s"floor(($e)*10000 + 0.5)/10000"
+
+  /** Squared L2 over f0..f8 with fixed left-to-right addition order —
+    * must match Detect.dist2's fold order for bit parity.
+    */
+  private def dist2(l: String, r: String): String =
+    (0 to 8).map(i => s"($l.f$i - $r.f$i)*($l.f$i - $r.f$i)").mkString(" + ")
+
   def q01: String = prefix + "SELECT series, t, n, v FROM grid"
 
   def q02: String = prefix + "SELECT series, t, floor((v_filled)*10000 + 0.5)/10000 AS v_filled, src FROM filled"
@@ -182,6 +190,65 @@ FROM filled f JOIN bounds b USING (series) WHERE f.v_filled IS NOT NULL"""
   def q06: String = prefix + "SELECT series, win, pos, ewma FROM feats"
 
   def q07: String = prefix + "SELECT series, win, pos, pstd FROM feats"
+
+  def q09: String = prefix + s"""
+, scored AS (
+  SELECT t.series, t.win, t.pos, min(sqrt(${dist2("t", "b")})) AS pscore
+  FROM testp t CROSS JOIN bank b
+  GROUP BY t.series, t.win, t.pos
+)
+SELECT series, win, ${r4("max(pscore)")} AS score FROM scored GROUP BY series, win"""
+
+  def q10: String = prefix + s"""
+, gstats AS (
+  SELECT pos, avg(f1) AS m1, avg(f7) AS m2,
+         covar_samp(f1, f1) + 0.01 AS s11, covar_samp(f1, f7) AS s12,
+         covar_samp(f7, f7) + 0.01 AS s22
+  FROM bank GROUP BY pos
+), ginv AS (
+  SELECT pos, m1, m2,
+         s22 / (s11*s22 - s12*s12) AS i11,
+         -s12 / (s11*s22 - s12*s12) AS i12,
+         s11 / (s11*s22 - s12*s12) AS i22
+  FROM gstats
+)
+SELECT t.series, t.win, t.pos,
+       ${r4("sqrt((t.f1-g.m1)*(t.f1-g.m1)*g.i11 + 2.0*(t.f1-g.m1)*(t.f7-g.m2)*g.i12 + (t.f7-g.m2)*(t.f7-g.m2)*g.i22)")} AS mdist
+FROM testp t JOIN ginv g USING (pos)"""
+
+  private val pairwiseCte: String = s"""
+, bid AS (
+  SELECT series || '#' || CAST(win AS VARCHAR) AS id, * FROM bank
+), pw AS (
+  SELECT a.pos AS pos, a.id AS id, b.id AS nid, sqrt(${dist2("a", "b")}) AS d
+  FROM bid a JOIN bid b ON a.pos = b.pos AND a.id <> b.id
+)"""
+
+  def q12: String = prefix + pairwiseCte + s"""
+SELECT id, pos, ${r4("min(d)")} AS w_nearest FROM pw GROUP BY id, pos"""
+
+  def q11(k: Int = 6): String = prefix + pairwiseCte + s"""
+, pwe AS (SELECT pos, id, nid, d + 1e-6 AS d FROM pw),
+knn AS (
+  SELECT * FROM (
+    SELECT pos, id, nid, d,
+           row_number() OVER (PARTITION BY pos, id ORDER BY d, nid) AS rn
+    FROM pwe
+  ) WHERE rn <= $k
+),
+kdist AS (SELECT pos, id, max(d) AS kdist FROM knn GROUP BY pos, id),
+lrd AS (
+  SELECT k.pos, k.id, $k.0 / sum(greatest(k.d, kb.kdist)) AS lrd
+  FROM knn k JOIN kdist kb ON k.pos = kb.pos AND k.nid = kb.id
+  GROUP BY k.pos, k.id
+),
+lofn AS (
+  SELECT k.pos, k.id, sum(lb.lrd) / $k.0 AS sum_lrd_b
+  FROM knn k JOIN lrd lb ON k.pos = lb.pos AND k.nid = lb.id
+  GROUP BY k.pos, k.id
+)
+SELECT n.id, n.pos, ${r4("n.sum_lrd_b / l.lrd")} AS lof
+FROM lofn n JOIN lrd l ON n.pos = l.pos AND n.id = l.id"""
 
   def q08: String = prefix +
     "SELECT series, win, pos, floor((f0)*10000 + 0.5)/10000 AS f0, floor((f1)*10000 + 0.5)/10000 AS f1, floor((f2)*10000 + 0.5)/10000 AS f2, " +
