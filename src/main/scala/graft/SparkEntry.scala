@@ -31,6 +31,12 @@ object SparkEntry {
     "q10_gaussian_score" -> ((s, d) => graft.timeseries.Detect.gaussianScore(s, d)),
     "q11_lof_weight" -> ((s, d) => graft.timeseries.Detect.lofWeight(s, d)),
     "q12_knn_dist_weight" -> ((s, d) => graft.timeseries.Detect.nearestDistWeight(s, d)),
+    "q13_coreset" -> ((s, d) => graft.timeseries.Coreset.coreset(s, d)),
+    "q14_consec_runs" -> ((s, d) => graft.timeseries.Postprocess.consecRuns(s, d)),
+    "q15_zscore_outliers" -> ((s, d) => graft.timeseries.Postprocess.zscoreOutliers(s, d)),
+    "q16_threshold_metrics" -> ((s, d) => graft.timeseries.Metrics.thresholdMetrics(s, d)),
+    "q17_auroc" -> ((s, d) => graft.timeseries.Metrics.auroc(s, d)),
+    "q23_detect_pipeline" -> ((s, d) => graft.timeseries.Detect.pipeline(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -76,5 +82,10 @@ object SparkEntry {
     "q10_gaussian_score" -> TsOracle.q10,
     "q11_lof_weight" -> TsOracle.q11(),
     "q12_knn_dist_weight" -> TsOracle.q12,
+    "q14_consec_runs" -> TsOracle.q14(),
+    "q15_zscore_outliers" -> TsOracle.q15(),
+    "q16_threshold_metrics" -> TsOracle.q16(),
+    "q17_auroc" -> TsOracle.q17,
+    "q23_detect_pipeline" -> TsOracle.q23(),
   )
 }

@@ -104,6 +104,37 @@ object Detect {
       .select(col("id"), col("pos"), col("w_nearest"))
   }
 
+  /** q23: end-to-end SoftPatch pipeline (ref softpatch.py fit + predict):
+    * nearest-dist patch weights (+1) on the bank → denoise (drop the top
+    * `denoiseThr` weight quantile) → score test patches against the kept
+    * bank → soft re-weight by the matched bank patch's weight → window
+    * score = max → flag windows above the (1−contam) score quantile.
+    * The kept bank stays broadcast; ties on distance break by bank id.
+    */
+  def pipeline(spark: SparkSession, sfDir: String,
+               denoiseThr: Double = 0.15, contamRate: Double = 0.1): DataFrame = {
+    val (bank, test) = TsCore.bankAndTest(spark, sfDir)
+    val w = nearestDistWeight(spark, sfDir).withColumn("wgt", col("w_nearest") + 1.0)
+    val thrW = w.agg(expr(s"percentile(wgt, ${1.0 - denoiseThr})").as("thrw"))
+    val bid = bank.withColumn("id", concat_ws("#", col("series"), col("win")))
+    val kept = bid.join(w.select("id", "pos", "wgt"), Seq("id", "pos"))
+      .crossJoin(broadcast(thrW)).filter(col("wgt") <= col("thrw"))
+    val b = renamed(kept.select((Seq("id", "wgt").map(col) ++ FeatCols.map(col)): _*), "b_")
+    val t = test.select((Seq("series", "win", "pos").map(col) ++ FeatCols.map(col)): _*)
+    val wNear = Window.partitionBy("series", "win", "pos")
+      .orderBy(col("d"), col("b_id"))
+    val pscores = t.crossJoin(broadcast(b))
+      .withColumn("d", sqrt(dist2("", "b_")))
+      .withColumn("rn", row_number().over(wNear))
+      .filter(col("rn") === 1)
+      .select(col("series"), col("win"), (col("d") * col("b_wgt")).as("pscore"))
+    val winScores = pscores.groupBy("series", "win").agg(max("pscore").as("score"))
+    val thrS = winScores.agg(expr(s"percentile(score, ${1.0 - contamRate})").as("thrs"))
+    winScores.crossJoin(broadcast(thrS))
+      .select(col("series"), col("win"), Num.r4(col("score")).as("score"),
+        when(col("score") > col("thrs"), 1).otherwise(0).as("pred"))
+  }
+
   /** q11: Local Outlier Factor (k=6) per patch position over the bank
     * (ref softpatch.py _compute_lof_gpu):
     * kdist(a) = d to k-th NN; reach(a,b) = max(d(a,b), kdist(b));

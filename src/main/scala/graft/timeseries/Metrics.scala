@@ -1,0 +1,66 @@
+package graft.timeseries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.util.Num
+
+/** Detection quality metrics (reference: src/anomaly_detection/metrics.py
+  * compute_timeseriewise_retrieval_metrics). Single-pass aggregations —
+  * scores never leave the cluster.
+  */
+object Metrics {
+
+  /** Window-level scores (q09) joined with window-level ground truth
+    * (any injected point in the window).
+    */
+  def scoredWithGt(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, test) = TsCore.bankAndTest(spark, sfDir)
+    val gt = test.groupBy("series", "win").agg(max("is_anom").as("gt"))
+    Detect.knnScore(spark, sfDir).join(gt, Seq("series", "win"))
+  }
+
+  /** q16: percentile-threshold confusion matrix + P/R/F1 (ref metrics.py:
+    * threshold = percentile(scores, 100 − contam_rate·100), here
+    * contam 10% → 0.9 quantile; pred = score > threshold).
+    */
+  def thresholdMetrics(spark: SparkSession, sfDir: String, contamRate: Double = 0.1): DataFrame = {
+    val sg = scoredWithGt(spark, sfDir)
+    val q = 1.0 - contamRate
+    sg.agg(expr(s"percentile(score, $q)").as("thr")).crossJoin(sg)
+      .select(col("thr"), col("score"), col("gt"))
+      .withColumn("pred", when(col("score") > col("thr"), 1).otherwise(0))
+      .agg(
+        sum(when(col("pred") === 0 && col("gt") === 0, 1).otherwise(0)).as("tn"),
+        sum(when(col("pred") === 1 && col("gt") === 0, 1).otherwise(0)).as("fp"),
+        sum(when(col("pred") === 0 && col("gt") === 1, 1).otherwise(0)).as("fn"),
+        sum(when(col("pred") === 1 && col("gt") === 1, 1).otherwise(0)).as("tp"),
+        Num.r4(max("thr")).as("thr"))
+      .withColumn("precision", Num.r4(
+        when(col("tp") + col("fp") === 0, 0.0).otherwise(col("tp") / (col("tp") + col("fp")))))
+      .withColumn("recall", Num.r4(
+        when(col("tp") + col("fn") === 0, 0.0).otherwise(col("tp") / (col("tp") + col("fn")))))
+      .withColumn("f1", Num.r4(
+        when(col("precision") + col("recall") === 0.0, 0.0)
+          .otherwise(lit(2.0) * col("precision") * col("recall") / (col("precision") + col("recall")))))
+  }
+
+  /** q17: AUROC via the rank-sum (Mann–Whitney U) identity with average
+    * ranks for ties — exactly sklearn's roc_auc_score, one shuffle.
+    */
+  def auroc(spark: SparkSession, sfDir: String): DataFrame = {
+    val sg = scoredWithGt(spark, sfDir)
+    val ranked = sg
+      .withColumn("r", rank().over(Window.orderBy("score")))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("score")))
+      .withColumn("avgr", col("r") + (col("cnt") - 1) / 2.0)
+    ranked.agg(
+        sum(when(col("gt") === 1, col("avgr"))).as("rpos"),
+        sum(when(col("gt") === 1, 1).otherwise(0)).cast("double").as("npos"),
+        sum(when(col("gt") === 0, 1).otherwise(0)).cast("double").as("nneg"))
+      .select(
+        Num.r4((col("rpos") - col("npos") * (col("npos") + 1) / 2.0) / (col("npos") * col("nneg")))
+          .as("auroc"),
+        col("npos").cast("long").as("npos"), col("nneg").cast("long").as("nneg"))
+  }
+}

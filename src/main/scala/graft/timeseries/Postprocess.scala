@@ -1,0 +1,48 @@
+package graft.timeseries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.util.Num
+
+/** Score/series postprocessing (reference: src/anomaly_detection/
+  * postprocessing.py) — turning window heatmaps into point flags.
+  * All ops partition by (series, win): embarrassingly parallel.
+  */
+object Postprocess {
+
+  /** q14: flag runs of ≥`minRun` consecutive equal values, padded by
+    * `pad` on both sides (ref find_consec_values: anomaly types 1/2
+    * leave runs of zeros). Gaps-and-islands via pos − row_number.
+    */
+  def consecRuns(spark: SparkSession, sfDir: String, minRun: Int = 2, pad: Int = TsCore.FeatPatch / 2): DataFrame = {
+    val s = TsCore.scaled(spark, sfDir)
+    val wv = Window.partitionBy("series", "win", "vs").orderBy("pos")
+    val runs = s
+      .withColumn("runid", col("pos") - row_number().over(wv))
+      .groupBy("series", "win", "vs", "runid")
+      .agg(min("pos").as("rstart"), max("pos").as("rend"), count(lit(1)).as("rlen"))
+      .filter(col("rlen") >= minRun)
+      .select(col("series"), col("win"),
+        greatest(col("rstart") - pad, lit(0)).as("fstart"),
+        least(col("rend") + pad, lit(TsCore.DaySize - 1)).as("fend"))
+    s.select("series", "win", "pos").distinct()
+      .join(runs, Seq("series", "win"))
+      .filter(col("pos") >= col("fstart") && col("pos") <= col("fend"))
+      .select("series", "win", "pos").distinct()
+      .withColumn("flag_consec", lit(1))
+  }
+
+  /** q15: z-score spike flags within each window (ref heatmap_postprocess
+    * flag_outliers: standardized |z| > 2.5).
+    */
+  def zscoreOutliers(spark: SparkSession, sfDir: String, thr: Double = 2.5): DataFrame = {
+    val w = Window.partitionBy("series", "win")
+    TsCore.scaled(spark, sfDir)
+      .withColumn("mu", avg("vs").over(w))
+      .withColumn("sd", stddev_samp("vs").over(w))
+      .withColumn("z", (col("vs") - col("mu")) / col("sd"))
+      .select(col("series"), col("win"), col("pos"), Num.r4(col("z")).as("z"),
+        when(col("z") > thr || col("z") < -thr, 1).otherwise(0).as("flag_spike"))
+  }
+}

@@ -250,6 +250,87 @@ lofn AS (
 SELECT n.id, n.pos, ${r4("n.sum_lrd_b / l.lrd")} AS lof
 FROM lofn n JOIN lrd l ON n.pos = l.pos AND n.id = l.id"""
 
+  def q14(minRun: Int = 2, pad: Int = TsCore.FeatPatch / 2): String = prefix + s"""
+, runs AS (
+  SELECT series, win, vs, pos,
+         pos - row_number() OVER (PARTITION BY series, win, vs ORDER BY pos) AS runid
+  FROM scaled
+), runagg AS (
+  SELECT series, win, min(pos) AS rstart, max(pos) AS rend
+  FROM runs GROUP BY series, win, vs, runid HAVING count(*) >= $minRun
+)
+SELECT DISTINCT s.series, s.win, s.pos, 1 AS flag_consec
+FROM scaled s JOIN runagg r ON s.series = r.series AND s.win = r.win
+WHERE s.pos >= greatest(r.rstart - $pad, 0) AND s.pos <= least(r.rend + $pad, ${TsCore.DaySize - 1})"""
+
+  def q15(thr: Double = 2.5): String = prefix + s"""
+SELECT series, win, pos, ${r4("(vs - mu)/sd")} AS z,
+       CASE WHEN (vs - mu)/sd > $thr OR (vs - mu)/sd < -$thr THEN 1 ELSE 0 END AS flag_spike
+FROM (SELECT series, win, pos, vs,
+             avg(vs) OVER (PARTITION BY series, win) AS mu,
+             stddev_samp(vs) OVER (PARTITION BY series, win) AS sd
+      FROM scaled)"""
+
+  private val scoredGtCte: String = s"""
+, scoredp AS (
+  SELECT t.series, t.win, t.pos, min(sqrt(${dist2("t", "b")})) AS pscore
+  FROM testp t CROSS JOIN bank b GROUP BY t.series, t.win, t.pos
+), winscore AS (
+  SELECT series, win, ${r4("max(pscore)")} AS score FROM scoredp GROUP BY series, win
+), gtw AS (
+  SELECT series, win, max(is_anom) AS gt FROM testp GROUP BY series, win
+), sg AS (
+  SELECT w.series, w.win, w.score, g.gt FROM winscore w JOIN gtw g USING (series, win)
+)"""
+
+  def q16(contamRate: Double = 0.1): String = prefix + scoredGtCte + s"""
+, thr AS (SELECT quantile_cont(score, ${1.0 - contamRate}) AS thr FROM sg),
+pr AS (SELECT sg.*, thr.thr, CASE WHEN score > thr.thr THEN 1 ELSE 0 END AS pred FROM sg, thr),
+cm AS (
+  SELECT sum(CASE WHEN pred = 0 AND gt = 0 THEN 1 ELSE 0 END) AS tn,
+         sum(CASE WHEN pred = 1 AND gt = 0 THEN 1 ELSE 0 END) AS fp,
+         sum(CASE WHEN pred = 0 AND gt = 1 THEN 1 ELSE 0 END) AS fn,
+         sum(CASE WHEN pred = 1 AND gt = 1 THEN 1 ELSE 0 END) AS tp,
+         ${r4("max(thr)")} AS thr
+  FROM pr
+), pm AS (
+  SELECT *, ${r4("CASE WHEN tp + fp = 0 THEN 0.0 ELSE tp / (tp + fp) END")} AS precision,
+            ${r4("CASE WHEN tp + fn = 0 THEN 0.0 ELSE tp / (tp + fn) END")} AS recall
+  FROM cm
+)
+SELECT tn, fp, fn, tp, thr, precision, recall,
+       ${r4("CASE WHEN precision + recall = 0.0 THEN 0.0 ELSE 2.0 * precision * recall / (precision + recall) END")} AS f1
+FROM pm"""
+
+  def q17: String = prefix + scoredGtCte + s"""
+, ranked AS (
+  SELECT gt, rank() OVER (ORDER BY score) + (count(*) OVER (PARTITION BY score) - 1) / 2.0 AS avgr
+  FROM sg
+)
+SELECT ${r4("(sum(CASE WHEN gt = 1 THEN avgr END) - (sum(CASE WHEN gt = 1 THEN 1 ELSE 0 END)::DOUBLE) * ((sum(CASE WHEN gt = 1 THEN 1 ELSE 0 END)::DOUBLE) + 1) / 2.0) / ((sum(CASE WHEN gt = 1 THEN 1 ELSE 0 END)::DOUBLE) * (sum(CASE WHEN gt = 0 THEN 1 ELSE 0 END)::DOUBLE))")} AS auroc,
+       sum(CASE WHEN gt = 1 THEN 1 ELSE 0 END) AS npos,
+       sum(CASE WHEN gt = 0 THEN 1 ELSE 0 END) AS nneg
+FROM ranked"""
+
+  def q23(denoiseThr: Double = 0.15, contamRate: Double = 0.1): String = prefix + pairwiseCte + s"""
+, bw AS (SELECT id, pos, ${r4("min(d)")} + 1.0 AS wgt FROM pw GROUP BY id, pos),
+thrw AS (SELECT quantile_cont(wgt, ${1.0 - denoiseThr}) AS thrw FROM bw),
+keptb AS (
+  SELECT b.*, w.wgt FROM bid b JOIN bw w USING (id, pos), thrw WHERE w.wgt <= thrw.thrw
+), near AS (
+  SELECT t.series, t.win, t.pos, sqrt(${dist2("t", "k")}) AS d, k.wgt,
+         row_number() OVER (PARTITION BY t.series, t.win, t.pos
+                            ORDER BY sqrt(${dist2("t", "k")}), k.id) AS rn
+  FROM testp t CROSS JOIN keptb k
+), psc AS (
+  SELECT series, win, d * wgt AS pscore FROM near WHERE rn = 1
+), ws AS (
+  SELECT series, win, max(pscore) AS score FROM psc GROUP BY series, win
+), thrs AS (SELECT quantile_cont(score, ${1.0 - contamRate}) AS thrs FROM ws)
+SELECT series, win, ${r4("score")} AS score,
+       CASE WHEN score > thrs.thrs THEN 1 ELSE 0 END AS pred
+FROM ws, thrs"""
+
   def q08: String = prefix +
     "SELECT series, win, pos, floor((f0)*10000 + 0.5)/10000 AS f0, floor((f1)*10000 + 0.5)/10000 AS f1, floor((f2)*10000 + 0.5)/10000 AS f2, " +
     "floor((f3)*10000 + 0.5)/10000 AS f3, floor((f4)*10000 + 0.5)/10000 AS f4, floor((f5)*10000 + 0.5)/10000 AS f5, " +
