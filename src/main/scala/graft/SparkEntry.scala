@@ -37,6 +37,12 @@ object SparkEntry {
     "q16_threshold_metrics" -> ((s, d) => graft.timeseries.Metrics.thresholdMetrics(s, d)),
     "q17_auroc" -> ((s, d) => graft.timeseries.Metrics.auroc(s, d)),
     "q23_detect_pipeline" -> ((s, d) => graft.timeseries.Detect.pipeline(s, d)),
+    "q18_impute_linear" -> ((s, d) => graft.timeseries.Impute.imputeLinear(s, d)),
+    "q19_impute_seasonal" -> ((s, d) => graft.timeseries.Impute.imputeSeasonal(s, d)),
+    "q20_impute_knn" -> ((s, d) => graft.timeseries.Impute.imputeKnn(s, d)),
+    "q21_seasonal_naive" -> ((s, d) => graft.timeseries.Forecast.seasonalNaive(s, d)),
+    "q22_linreg_forecast" -> ((s, d) => graft.timeseries.Forecast.olsForecast(s, d)),
+    "q24_stl_seasonal" -> ((s, d) => graft.timeseries.Forecast.seasonalProfile(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -87,5 +93,11 @@ object SparkEntry {
     "q16_threshold_metrics" -> TsOracle.q16(),
     "q17_auroc" -> TsOracle.q17,
     "q23_detect_pipeline" -> TsOracle.q23(),
+    "q18_impute_linear" -> TsOracle.q18,
+    "q19_impute_seasonal" -> TsOracle.q19,
+    "q20_impute_knn" -> TsOracle.q20(),
+    "q21_seasonal_naive" -> TsOracle.q21,
+    "q22_linreg_forecast" -> TsOracle.q22,
+    "q24_stl_seasonal" -> TsOracle.q24,
   )
 }

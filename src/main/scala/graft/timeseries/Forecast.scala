@@ -1,0 +1,110 @@
+package graft.timeseries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.util.Num
+
+/** Load forecasting capability (reference: src/forecasting/ seq2seq GRU /
+  * SCINet). Re-expressed Spark-first: a seasonal-naive baseline and a
+  * closed-form OLS on lag features solved by normal equations — a single
+  * pass of sufficient statistics per series, no iteration, no driver
+  * data movement, unlike gradient training. Forecast-accuracy metrics
+  * (MAE/RMSE/MAPE) match the reference's evaluation.
+  */
+object Forecast {
+
+  private def withLags(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("series").orderBy("t")
+    TsCore.filled(spark, sfDir)
+      .select(col("series"), col("t"), col("v_filled").as("y"))
+      .withColumn("x1", lag("y", 1).over(w))
+      .withColumn("x2", lag("y", TsCore.DaySize).over(w))
+      .withColumn("x3", lag("y", TsCore.WeekLag).over(w))
+  }
+
+  private def boundaryT(spark: SparkSession, sfDir: String): DataFrame =
+    TsCore.splitBoundary(spark, sfDir)
+      .select(col("series"), (col("mwin") * TsCore.DaySize).as("tsplit"))
+
+  /** q21: seasonal-naive forecast (pred = value one week earlier) over
+    * the test region, with per-series MAE/RMSE/MAPE.
+    */
+  def seasonalNaive(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("series").orderBy("t")
+    val pred = TsCore.filled(spark, sfDir)
+      .select(col("series"), col("t"), col("v_filled").as("y"))
+      .withColumn("p", lag("y", TsCore.WeekLag).over(w))
+      .join(broadcast(boundaryT(spark, sfDir)), "series")
+      .filter(col("t") >= col("tsplit") && col("y").isNotNull && col("p").isNotNull)
+    pred.groupBy("series").agg(
+      count(lit(1)).as("n"),
+      Num.r4(avg(abs(col("y") - col("p")))).as("mae"),
+      Num.r4(sqrt(avg((col("y") - col("p")) * (col("y") - col("p"))))).as("rmse"),
+      Num.r4(avg(when(col("y") =!= 0.0, abs(col("y") - col("p")) / abs(col("y"))))).as("mape"))
+  }
+
+  /** q22: closed-form OLS forecast on (lag1, lag24, lag168): centered
+    * normal equations solved per series by Cramer's rule — one
+    * sufficient-statistics aggregation over the train split, then a
+    * broadcast join applies the coefficients to the test split.
+    */
+  def olsForecast(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = withLags(spark, sfDir)
+      .join(broadcast(boundaryT(spark, sfDir)), "series")
+      .filter(col("y").isNotNull && col("x1").isNotNull &&
+              col("x2").isNotNull && col("x3").isNotNull)
+    val train = base.filter(col("t") < col("tsplit"))
+    val means = train.groupBy("series").agg(
+      avg("y").as("my"), avg("x1").as("m1"), avg("x2").as("m2"), avg("x3").as("m3"))
+    def c(a: String, ma: String, b: String, mb: String) =
+      sum((col(a) - col(ma)) * (col(b) - col(mb)))
+    val stats = train.join(broadcast(means), "series").groupBy("series").agg(
+      c("x1", "m1", "x1", "m1").as("s11"), c("x1", "m1", "x2", "m2").as("s12"),
+      c("x1", "m1", "x3", "m3").as("s13"), c("x2", "m2", "x2", "m2").as("s22"),
+      c("x2", "m2", "x3", "m3").as("s23"), c("x3", "m3", "x3", "m3").as("s33"),
+      c("x1", "m1", "y", "my").as("sy1"), c("x2", "m2", "y", "my").as("sy2"),
+      c("x3", "m3", "y", "my").as("sy3"))
+    // Cramer's rule for the 3x3 system S b = sy (identical expression
+    // structure in TsOracle.q22 for bit parity)
+    val det = col("s11") * (col("s22") * col("s33") - col("s23") * col("s23")) -
+      col("s12") * (col("s12") * col("s33") - col("s23") * col("s13")) +
+      col("s13") * (col("s12") * col("s23") - col("s22") * col("s13"))
+    val b1 = (col("sy1") * (col("s22") * col("s33") - col("s23") * col("s23")) -
+      col("s12") * (col("sy2") * col("s33") - col("s23") * col("sy3")) +
+      col("s13") * (col("sy2") * col("s23") - col("s22") * col("sy3"))) / det
+    val b2 = (col("s11") * (col("sy2") * col("s33") - col("sy3") * col("s23")) -
+      col("sy1") * (col("s12") * col("s33") - col("s23") * col("s13")) +
+      col("s13") * (col("s12") * col("sy3") - col("sy2") * col("s13"))) / det
+    val b3 = (col("s11") * (col("s22") * col("sy3") - col("s23") * col("sy2")) -
+      col("s12") * (col("s12") * col("sy3") - col("sy2") * col("s13")) +
+      col("sy1") * (col("s12") * col("s23") - col("s22") * col("s13"))) / det
+    val coefs = stats.join(broadcast(means), "series")
+      .select(col("series"), b1.as("b1"), b2.as("b2"), b3.as("b3"),
+        (col("my") - b1 * col("m1") - b2 * col("m2") - b3 * col("m3")).as("b0"))
+    val test = base.filter(col("t") >= col("tsplit"))
+      .join(broadcast(coefs), "series")
+      .withColumn("p", col("b0") + col("b1") * col("x1") + col("b2") * col("x2") + col("b3") * col("x3"))
+    test.groupBy("series").agg(
+      count(lit(1)).as("n"),
+      Num.r4(max("b0")).as("b0"), Num.r4(max("b1")).as("b1"),
+      Num.r4(max("b2")).as("b2"), Num.r4(max("b3")).as("b3"),
+      Num.r4(avg(abs(col("y") - col("p")))).as("mae"),
+      Num.r4(sqrt(avg((col("y") - col("p")) * (col("y") - col("p"))))).as("rmse"))
+  }
+
+  /** q24: additive seasonal profile per (series, hour-of-day) over the
+    * train region (capability of feature_extractor.py
+    * seasonal_decomposition): per-pos mean of the series minus the
+    * overall mean.
+    */
+  def seasonalProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val train = TsCore.dayWindows(spark, sfDir)
+      .join(broadcast(TsCore.splitBoundary(spark, sfDir)), "series")
+      .filter(col("win") < col("mwin"))
+    val overall = train.groupBy("series").agg(avg("v").as("mu"))
+    train.groupBy("series", "pos").agg(avg("v").as("posmean"))
+      .join(broadcast(overall), "series")
+      .select(col("series"), col("pos"), Num.r4(col("posmean") - col("mu")).as("seasonal"))
+  }
+}

@@ -331,6 +331,145 @@ SELECT series, win, ${r4("score")} AS score,
        CASE WHEN score > thrs.thrs THEN 1 ELSE 0 END AS pred
 FROM ws, thrs"""
 
+  private val flaggedCte: String = s"""
+, flg AS (
+  SELECT series, win * ${TsCore.DaySize} + pos AS t, win, pos, v_anom, is_anom FROM inject
+)"""
+
+  def q18: String = prefix + flaggedCte + s"""
+, nbr AS (
+  SELECT series, t, is_anom, v_anom,
+    last_value(CASE WHEN is_anom = 0 THEN v_anom END IGNORE NULLS)
+      OVER (PARTITION BY series ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vp,
+    last_value(CASE WHEN is_anom = 0 THEN t END IGNORE NULLS)
+      OVER (PARTITION BY series ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+    first_value(CASE WHEN is_anom = 0 THEN v_anom END IGNORE NULLS)
+      OVER (PARTITION BY series ORDER BY t ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS vn,
+    first_value(CASE WHEN is_anom = 0 THEN t END IGNORE NULLS)
+      OVER (PARTITION BY series ORDER BY t ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS tn
+  FROM flg
+)
+SELECT series, t, is_anom AS was_anom,
+  ${r4("CASE WHEN is_anom = 0 THEN v_anom WHEN vp IS NOT NULL AND vn IS NOT NULL THEN vp + (vn - vp) * (t - tp) / (tn - tp) ELSE coalesce(vp, vn) END")} AS v_imp
+FROM nbr"""
+
+  def q19: String = prefix + flaggedCte + s"""
+, seas AS (
+  SELECT series, t, is_anom, v_anom,
+    coalesce(
+      lag(CASE WHEN is_anom = 0 THEN v_anom END, ${TsCore.WeekLag}) OVER w,
+      lead(CASE WHEN is_anom = 0 THEN v_anom END, ${TsCore.WeekLag}) OVER w,
+      lag(CASE WHEN is_anom = 0 THEN v_anom END, ${2 * TsCore.WeekLag}) OVER w,
+      lead(CASE WHEN is_anom = 0 THEN v_anom END, ${2 * TsCore.WeekLag}) OVER w) AS imp
+  FROM flg
+  WINDOW w AS (PARTITION BY series ORDER BY t)
+)
+SELECT series, t, is_anom AS was_anom,
+  ${r4("CASE WHEN is_anom = 0 THEN v_anom ELSE imp END")} AS v_imp
+FROM seas"""
+
+  def q20(k: Int = 3): String = prefix + s"""
+, winflag AS (
+  SELECT series, win, max(is_anom) AS anyanom FROM inject GROUP BY series, win
+), anomw AS (
+  SELECT i.* FROM inject i JOIN winflag f USING (series, win) WHERE f.anyanom = 1
+), cleanw AS (
+  SELECT i.series, i.win AS cwin, i.pos, i.v_anom AS cv
+  FROM inject i JOIN winflag f USING (series, win) WHERE f.anyanom = 0
+), dists AS (
+  SELECT a.series, a.win, c.cwin,
+         sqrt(${TsCore.DaySize}.0 / count(*) * sum((a.v_anom - c.cv) * (a.v_anom - c.cv))) AS d
+  FROM anomw a JOIN cleanw c ON a.series = c.series AND a.pos = c.pos
+  WHERE a.is_anom = 0
+  GROUP BY a.series, a.win, c.cwin
+), nbrs AS (
+  SELECT * FROM (
+    SELECT series, win, cwin, row_number() OVER (PARTITION BY series, win ORDER BY d, cwin) AS rn
+    FROM dists
+  ) WHERE rn <= $k
+)
+SELECT a.series, a.win, a.pos, ${r4("avg(c.cv)")} AS v_imp
+FROM anomw a
+JOIN nbrs n ON a.series = n.series AND a.win = n.win
+JOIN cleanw c ON a.series = c.series AND n.cwin = c.cwin AND a.pos = c.pos
+WHERE a.is_anom = 1
+GROUP BY a.series, a.win, a.pos"""
+
+  private val splitTCte: String = s"""
+, boundt AS (
+  SELECT series, mwin * ${TsCore.DaySize} AS tsplit FROM boundary
+)"""
+
+  def q21: String = prefix + splitTCte + s"""
+, sn AS (
+  SELECT f.series, f.t, f.v_filled AS y,
+         lag(f.v_filled, ${TsCore.WeekLag}) OVER (PARTITION BY f.series ORDER BY f.t) AS p,
+         b.tsplit
+  FROM filled f JOIN boundt b USING (series)
+)
+SELECT series, count(*) AS n,
+  ${r4("avg(abs(y - p))")} AS mae,
+  ${r4("sqrt(avg((y - p) * (y - p)))")} AS rmse,
+  ${r4("avg(CASE WHEN y <> 0.0 THEN abs(y - p) / abs(y) END)")} AS mape
+FROM sn WHERE t >= tsplit AND y IS NOT NULL AND p IS NOT NULL
+GROUP BY series"""
+
+  def q22: String = prefix + splitTCte + s"""
+, lagged AS (
+  SELECT f.series, f.t, f.v_filled AS y,
+         lag(f.v_filled, 1) OVER w AS x1,
+         lag(f.v_filled, ${TsCore.DaySize}) OVER w AS x2,
+         lag(f.v_filled, ${TsCore.WeekLag}) OVER w AS x3,
+         b.tsplit
+  FROM filled f JOIN boundt b USING (series)
+  WINDOW w AS (PARTITION BY f.series ORDER BY f.t)
+), basef AS (
+  SELECT * FROM lagged
+  WHERE y IS NOT NULL AND x1 IS NOT NULL AND x2 IS NOT NULL AND x3 IS NOT NULL
+), train AS (SELECT * FROM basef WHERE t < tsplit),
+means AS (
+  SELECT series, avg(y) AS my, avg(x1) AS m1, avg(x2) AS m2, avg(x3) AS m3
+  FROM train GROUP BY series
+), stats AS (
+  SELECT t.series,
+    sum((x1 - m1) * (x1 - m1)) AS s11, sum((x1 - m1) * (x2 - m2)) AS s12,
+    sum((x1 - m1) * (x3 - m3)) AS s13, sum((x2 - m2) * (x2 - m2)) AS s22,
+    sum((x2 - m2) * (x3 - m3)) AS s23, sum((x3 - m3) * (x3 - m3)) AS s33,
+    sum((x1 - m1) * (y - my)) AS sy1, sum((x2 - m2) * (y - my)) AS sy2,
+    sum((x3 - m3) * (y - my)) AS sy3
+  FROM train t JOIN means USING (series) GROUP BY t.series
+), coefs AS (
+  SELECT s.series,
+    (sy1 * (s22 * s33 - s23 * s23) - s12 * (sy2 * s33 - s23 * sy3) + s13 * (sy2 * s23 - s22 * sy3))
+      / (s11 * (s22 * s33 - s23 * s23) - s12 * (s12 * s33 - s23 * s13) + s13 * (s12 * s23 - s22 * s13)) AS b1,
+    (s11 * (sy2 * s33 - sy3 * s23) - sy1 * (s12 * s33 - s23 * s13) + s13 * (s12 * sy3 - sy2 * s13))
+      / (s11 * (s22 * s33 - s23 * s23) - s12 * (s12 * s33 - s23 * s13) + s13 * (s12 * s23 - s22 * s13)) AS b2,
+    (s11 * (s22 * sy3 - s23 * sy2) - s12 * (s12 * sy3 - sy2 * s13) + sy1 * (s12 * s23 - s22 * s13))
+      / (s11 * (s22 * s33 - s23 * s23) - s12 * (s12 * s33 - s23 * s13) + s13 * (s12 * s23 - s22 * s13)) AS b3,
+    m.my, m.m1, m.m2, m.m3
+  FROM stats s JOIN means m USING (series)
+), coefs2 AS (
+  SELECT series, b1, b2, b3, my - b1 * m1 - b2 * m2 - b3 * m3 AS b0 FROM coefs
+), testf AS (
+  SELECT f.series, f.y, c.b0 + c.b1 * f.x1 + c.b2 * f.x2 + c.b3 * f.x3 AS p,
+         c.b0, c.b1, c.b2, c.b3
+  FROM basef f JOIN coefs2 c USING (series) WHERE f.t >= f.tsplit
+)
+SELECT series, count(*) AS n,
+  ${r4("max(b0)")} AS b0, ${r4("max(b1)")} AS b1, ${r4("max(b2)")} AS b2, ${r4("max(b3)")} AS b3,
+  ${r4("avg(abs(y - p))")} AS mae, ${r4("sqrt(avg((y - p) * (y - p)))")} AS rmse
+FROM testf GROUP BY series"""
+
+  def q24: String = prefix + s"""
+, trainw AS (
+  SELECT d.* FROM daywin d JOIN boundary b USING (series) WHERE d.win < b.mwin
+), overallm AS (
+  SELECT series, avg(v) AS mu FROM trainw GROUP BY series
+)
+SELECT t.series, t.pos, ${r4("avg(t.v) - max(o.mu)")} AS seasonal
+FROM trainw t JOIN overallm o USING (series)
+GROUP BY t.series, t.pos"""
+
   def q08: String = prefix +
     "SELECT series, win, pos, floor((f0)*10000 + 0.5)/10000 AS f0, floor((f1)*10000 + 0.5)/10000 AS f1, floor((f2)*10000 + 0.5)/10000 AS f2, " +
     "floor((f3)*10000 + 0.5)/10000 AS f3, floor((f4)*10000 + 0.5)/10000 AS f4, floor((f5)*10000 + 0.5)/10000 AS f5, " +
