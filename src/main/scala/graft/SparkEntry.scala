@@ -43,6 +43,18 @@ object SparkEntry {
     "q21_seasonal_naive" -> ((s, d) => graft.timeseries.Forecast.seasonalNaive(s, d)),
     "q22_linreg_forecast" -> ((s, d) => graft.timeseries.Forecast.olsForecast(s, d)),
     "q24_stl_seasonal" -> ((s, d) => graft.timeseries.Forecast.seasonalProfile(s, d)),
+    "qd1_dedup_exact" -> ((s, d) => graft.text.Dedup.exact(s, d)),
+    "qd2_minhash_lsh" -> ((s, d) => graft.text.Dedup.minhashLsh(s, d)),
+    "qd3_simhash" -> ((s, d) => graft.text.Dedup.simhash(s, d)),
+    "qd4_ngram_jaccard" -> ((s, d) => graft.text.Dedup.ngramJaccard(s, d)),
+    "qd5_embed_neardup" -> ((s, d) => graft.vector.Similarity.embedNearDup(s, d)),
+    "qv1_cosine_topk" -> ((s, d) => graft.vector.Similarity.cosineTopK(s, d)),
+    "qv2_lsh_ann" -> ((s, d) => graft.vector.Similarity.lshAnn(s, d)),
+    "qv3_ivf_ann" -> ((s, d) => graft.vector.Similarity.ivfAnn(s, d)),
+    "qt1_token_count" -> ((s, d) => graft.text.TextOps.tokenCount(s, d)),
+    "qt2_quality_score" -> ((s, d) => graft.text.TextOps.qualityScore(s, d)),
+    "qt3_lang_id" -> ((s, d) => graft.text.TextOps.langId(s, d)),
+    "qt4_fingerprint" -> ((s, d) => graft.text.TextOps.fingerprint(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -99,5 +111,17 @@ object SparkEntry {
     "q21_seasonal_naive" -> TsOracle.q21,
     "q22_linreg_forecast" -> TsOracle.q22,
     "q24_stl_seasonal" -> TsOracle.q24,
+    "qd1_dedup_exact" -> graft.text.DocOracle.qd1,
+    "qd2_minhash_lsh" -> graft.text.DocOracle.qd2(),
+    "qd3_simhash" -> graft.text.DocOracle.qd3(),
+    "qd4_ngram_jaccard" -> graft.text.DocOracle.qd4,
+    "qd5_embed_neardup" -> graft.text.DocOracle.qd5(),
+    "qv1_cosine_topk" -> graft.text.DocOracle.qv1(),
+    "qv2_lsh_ann" -> graft.text.DocOracle.qv2(),
+    "qv3_ivf_ann" -> graft.text.DocOracle.qv3(),
+    "qt1_token_count" -> graft.text.DocOracle.qt1,
+    "qt2_quality_score" -> graft.text.DocOracle.qt2,
+    "qt3_lang_id" -> graft.text.DocOracle.qt3,
+    "qt4_fingerprint" -> graft.text.DocOracle.qt4(),
   )
 }

@@ -1,0 +1,97 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.util.{Num, Tables}
+import graft.text.TextCore._
+
+/** Document deduplication operators for large-scale training-data
+  * pipelines: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+  *
+  * Scale design: no operator materializes an unblocked pairwise join —
+  * candidates always come from an equi-join on a banded signature /
+  * hash chunk / blocking key, so the shuffle volume is O(tokens), not
+  * O(docs²).
+  */
+object Dedup {
+
+  /** qd1: exact dedup via content hash; keeper = lowest doc_id. */
+  def exact(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("n_dups"), min("doc_id").as("keeper"))
+
+  /** Polynomial band signature weights (31^(j mod r)) — exact int64. */
+  private val bandPw = Seq(1L, 31L, 961L, 29791L)
+
+  /** qd2: MinHash + LSH candidate pairs — 16 permutations (md5-derived),
+    * 4 bands × 4 rows; pairs share ≥1 band. Shuffles only
+    * (band, signature) tuples.
+    */
+  def minhashLsh(spark: SparkSession, sfDir: String, nPerm: Int = 16, bandRows: Int = 4): DataFrame = {
+    val sh = shingles(spark, sfDir, 3).select("doc_id", "sh").distinct()
+    val perms = sh.withColumn("j", explode(sequence(lit(0), lit(nPerm - 1))))
+      .withColumn("h", strHash(concat(col("j").cast("string"), lit("|"), col("sh"))))
+    val minh = perms.groupBy("doc_id", "j").agg(min("h").as("mh"))
+    val pw = bandPw.zipWithIndex.foldLeft(lit(0L)) { case (acc, (p, idx)) =>
+      when(col("j") % bandRows === idx, lit(p)).otherwise(acc)
+    }
+    val bands = minh
+      .withColumn("band", floor(col("j") / bandRows))
+      .withColumn("term", col("mh") * pw)
+      .groupBy("doc_id", "band").agg(sum("term").as("sig"))
+    val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("sig"))
+    a.join(b, Seq("band", "sig")).filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_bands"))
+  }
+
+  /** qd3: 32-bit SimHash fingerprints; candidates share ≥1 of 4 hash
+    * bytes (pigeonhole: hamming ≤ 3 guarantees a shared byte), emit
+    * pairs with hamming ≤ maxHam.
+    */
+  def simhash(spark: SparkSession, sfDir: String, maxHam: Int = 12): DataFrame = {
+    val th = tokens(spark, sfDir).withColumn("th", strHash(col("tok")))
+    val bits = th.withColumn("b", explode(sequence(lit(0), lit(31))))
+      .withColumn("contrib",
+        when(expr("shiftright(th, cast(b as int)) & 1") === 1, 1).otherwise(-1))
+    val sh = bits.groupBy("doc_id", "b")
+      .agg(sum("contrib").as("s"))
+      .withColumn("bit", when(col("s") > 0, 1L).otherwise(0L))
+      .groupBy("doc_id")
+      .agg(sum(expr("shiftleft(bit, cast(b as int))")).as("sh"))
+    val chunks = sh.withColumn("c", explode(sequence(lit(0), lit(3))))
+      .withColumn("cv", expr("shiftright(sh, cast(8 * c as int)) & 255"))
+    val a = chunks.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("c"), col("cv"))
+    val b = chunks.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("c"), col("cv"))
+    a.join(b, Seq("c", "cv")).filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sh_a", "sh_b").distinct()
+      .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)"))
+      .filter(col("hamming") <= maxHam)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  /** qd4: 3-gram Jaccard similarity over blocked candidate pairs
+    * (block = (lang, n_chars/20) — cheap recall-oriented blocking).
+    */
+  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), floor(col("n_chars") / 20).as("blk"))
+    val cand = docs.select(col("doc_id").as("doc_a"), col("lang"), col("blk"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("lang"), col("blk")), Seq("lang", "blk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+    val sh = shingles(spark, sfDir, 3).select("doc_id", "sh").distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        Num.r4(col("inter") / (col("sza") + col("szb") - col("inter"))).as("jaccard"))
+  }
+}

@@ -1,0 +1,247 @@
+package graft.text
+
+/** DuckDB oracle SQL for the document (dedup/text/vector) operators,
+  * mirroring Dedup/TextOps/Similarity stage-for-stage. Hashes are
+  * md5-prefix based so both engines agree exactly; floats are quantized
+  * with the shared floor(x·1e4+0.5)/1e4 form.
+  */
+object DocOracle {
+  private def r4(e: String): String = s"floor(($e)*10000 + 0.5)/10000"
+
+  /** 32-bit hash identical to TextCore.strHash. */
+  private def h(e: String): String = s"CAST('0x' || substr(md5($e), 1, 8) AS BIGINT)"
+
+  /** Tokens with original index (empties dropped). */
+  private val toksCte: String = """
+WITH tk AS (
+  SELECT doc_id, unnest(range(len(string_split(text, ' ')))) AS i,
+         unnest(string_split(text, ' ')) AS tok
+  FROM documents
+), toks AS (SELECT * FROM tk WHERE tok <> '')"""
+
+  private def shinglesCte(n: Int, name: String): String = {
+    val parts = (0 until n).map {
+      case 0 => "tok"
+      case k => s"lead(tok, $k) OVER w"
+    }.mkString(" || ' ' || ")
+    s""",
+${name}_raw AS (
+  SELECT doc_id, i, $parts AS sh, lead(tok, ${n - 1}) OVER w AS lastTok
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+), $name AS (SELECT doc_id, i, sh FROM ${name}_raw WHERE lastTok IS NOT NULL)"""
+  }
+
+  val qd1: String =
+    "SELECT md5(text) AS h, count(*) AS n_dups, min(doc_id) AS keeper FROM documents GROUP BY md5(text)"
+
+  def qd2(nPerm: Int = 16, bandRows: Int = 4): String = toksCte + shinglesCte(3, "sh3") + s"""
+, shd AS (SELECT DISTINCT doc_id, sh FROM sh3),
+perms AS (
+  SELECT doc_id, sh, unnest(range($nPerm)) AS j FROM shd
+), hashed AS (
+  SELECT doc_id, j, ${h("CAST(j AS VARCHAR) || '|' || sh")} AS hh FROM perms
+), minh AS (
+  SELECT doc_id, j, min(hh) AS mh FROM hashed GROUP BY doc_id, j
+), bands AS (
+  SELECT doc_id, CAST(floor(j / $bandRows) AS BIGINT) AS band,
+         sum(mh * (CASE j % $bandRows WHEN 0 THEN 1 WHEN 1 THEN 31 WHEN 2 THEN 961 ELSE 29791 END)) AS sig
+  FROM minh GROUP BY doc_id, CAST(floor(j / $bandRows) AS BIGINT)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
+FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id"""
+
+  def qd3(maxHam: Int = 12): String = toksCte + s"""
+, th AS (SELECT doc_id, ${h("tok")} AS th FROM toks),
+bits AS (
+  SELECT doc_id, unnest(range(32)) AS b, th FROM th
+), contribs AS (
+  SELECT doc_id, b, CASE WHEN ((th >> CAST(b AS INT)) & 1) = 1 THEN 1 ELSE -1 END AS contrib
+  FROM bits
+), bitsum AS (
+  SELECT doc_id, b, sum(contrib) AS s FROM contribs GROUP BY doc_id, b
+), shash AS (
+  SELECT doc_id, sum((CASE WHEN s > 0 THEN 1::BIGINT ELSE 0::BIGINT END) << CAST(b AS INT)) AS sh
+  FROM bitsum GROUP BY doc_id
+), chunks AS (
+  SELECT doc_id, sh, unnest(range(4)) AS c FROM shash
+), chunkv AS (
+  SELECT doc_id, sh, c, (sh >> CAST(8 * c AS INT)) & 255 AS cv FROM chunks
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh AS sh_a, b.sh AS sh_b
+  FROM chunkv a JOIN chunkv b ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b)) AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= $maxHam"""
+
+  val qd4: String = toksCte + shinglesCte(3, "sh3") + s"""
+, shd AS (SELECT DISTINCT doc_id, sh FROM sh3),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY doc_id),
+blocks AS (
+  SELECT doc_id, lang, CAST(floor(n_chars / 20) AS BIGINT) AS blk FROM documents
+), cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM blocks a JOIN blocks b ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+), inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS inter
+  FROM cand c
+  JOIN shd sa ON sa.doc_id = c.doc_a
+  JOIN shd sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b, ${r4("i.inter / (za.sz + zb.sz - i.inter)")} AS jaccard
+FROM inter i JOIN sizes za ON za.doc_id = i.doc_a JOIN sizes zb ON zb.doc_id = i.doc_b"""
+
+  /** Vectors with norms (double math). */
+  private val vecsCte: String = """
+WITH vecs AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings
+)"""
+
+  def qd5(thr: Double = 0.25): String = vecsCte + s"""
+, pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+  FROM vecs a JOIN vecs b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, ${r4("cos")} AS cos FROM pairs WHERE cos >= $thr"""
+
+  def qv1(k: Int = 10): String = vecsCte + s"""
+, q AS (SELECT vec_id AS qid, v, nrm FROM vecs WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT q.qid, b.vec_id, list_dot_product(q.v, b.v) / (q.nrm * b.nrm) AS cos
+  FROM q JOIN vecs b ON q.qid <> b.vec_id
+), ranked AS (
+  SELECT qid, vec_id, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+  FROM scored
+)
+SELECT qid, vec_id, ${r4("cos")} AS cos, rnk FROM ranked WHERE rnk <= $k"""
+
+  def qv2(nPlanes: Int = 8, k: Int = 5): String = vecsCte + s"""
+, pos AS (
+  SELECT vec_id, unnest(range(len(v))) AS d, unnest(v) AS x FROM vecs
+), planes AS (
+  SELECT p.p, d.d,
+         (((1 + (p.p * 64 + d.d) * 2654435761) % 2147483648)::DOUBLE / 2147483648.0) - 0.5 AS w
+  FROM (SELECT unnest(range($nPlanes)) AS p) p, (SELECT unnest(range(64)) AS d) d
+), proj AS (
+  SELECT pos.vec_id, pl.p, sum(pl.w * pos.x) AS proj
+  FROM pos JOIN planes pl ON pos.d = pl.d
+  GROUP BY pos.vec_id, pl.p
+), bkt AS (
+  SELECT vec_id, sum((CASE WHEN proj > 0 THEN 1::BIGINT ELSE 0::BIGINT END) << CAST(p AS INT)) AS bucket
+  FROM proj GROUP BY vec_id
+), ev AS (
+  SELECT v.*, b.bucket FROM vecs v JOIN bkt b USING (vec_id)
+), q AS (SELECT vec_id AS qid, bucket, v, nrm FROM ev WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT q.qid, b.vec_id, list_dot_product(q.v, b.v) / (q.nrm * b.nrm) AS cos
+  FROM q JOIN ev b ON q.bucket = b.bucket AND q.qid <> b.vec_id
+), ranked AS (
+  SELECT qid, vec_id, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+  FROM scored
+)
+SELECT qid, vec_id, ${r4("cos")} AS cos, rnk FROM ranked WHERE rnk <= $k"""
+
+  def qv3(nCells: Int = 16, nProbe: Int = 2, k: Int = 5): String = vecsCte + s"""
+, pos AS (
+  SELECT vec_id, unnest(range(len(v))) AS d, unnest(v) AS x FROM vecs
+), seedids AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cell
+  FROM (SELECT vec_id FROM vecs ORDER BY vec_id LIMIT $nCells)
+), seeds AS (
+  SELECT s.cell, p.d, p.x AS sx FROM pos p JOIN seedids s USING (vec_id)
+), assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT p.vec_id, s.cell,
+           row_number() OVER (PARTITION BY p.vec_id
+                              ORDER BY sum((p.x - s.sx) * (p.x - s.sx)), s.cell) AS rn
+    FROM pos p JOIN seeds s ON p.d = s.d
+    GROUP BY p.vec_id, s.cell
+  ) WHERE rn = 1
+), centroids AS (
+  SELECT a.cell, p.d, avg(p.x) AS c
+  FROM pos p JOIN assigned a USING (vec_id) GROUP BY a.cell, p.d
+), qpos AS (
+  SELECT vec_id AS qid, d, x FROM pos WHERE vec_id % 100 = 0
+), probes AS (
+  SELECT qid, cell FROM (
+    SELECT qp.qid, c.cell,
+           row_number() OVER (PARTITION BY qp.qid
+                              ORDER BY sum((qp.x - c.c) * (qp.x - c.c)), c.cell) AS rn
+    FROM qpos qp JOIN centroids c ON qp.d = c.d
+    GROUP BY qp.qid, c.cell
+  ) WHERE rn <= $nProbe
+), cands AS (
+  SELECT pr.qid, a.vec_id FROM probes pr JOIN assigned a USING (cell)
+  WHERE pr.qid <> a.vec_id
+), scored AS (
+  SELECT cd.qid, cd.vec_id,
+         list_dot_product(q.v, b.v) / (q.nrm * b.nrm) AS cos
+  FROM cands cd
+  JOIN vecs q ON q.vec_id = cd.qid
+  JOIN vecs b ON b.vec_id = cd.vec_id
+), ranked AS (
+  SELECT qid, vec_id, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+  FROM scored
+)
+SELECT qid, vec_id, ${r4("cos")} AS cos, rnk FROM ranked WHERE rnk <= $k"""
+
+  val qt1: String = s"""
+SELECT doc_id,
+  len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_ws,
+  len(regexp_extract_all(text, '${TextOps.TokenPat}')) AS n_tok,
+  length(text) AS len
+FROM documents"""
+
+  private def inList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  val qt2: String = toksCte + s"""
+, stopHits AS (
+  SELECT doc_id, sum(CASE WHEN tok IN ${inList(TextOps.Stopwords("en"))} THEN 1 ELSE 0 END) AS n_stop,
+         count(*) AS n_ws, avg(length(tok)) AS mean_wlen
+  FROM toks GROUP BY doc_id
+), base AS (
+  SELECT doc_id, length(text) AS len,
+         length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS n_punct,
+         length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit
+  FROM documents
+)
+SELECT b.doc_id,
+  ${r4("b.n_punct / b.len")} AS punct_ratio,
+  ${r4("b.n_digit / b.len")} AS digit_ratio,
+  ${r4("coalesce(s.n_stop / s.n_ws, 0.0)")} AS stop_ratio,
+  ${r4("coalesce(s.mean_wlen, 0.0)")} AS mean_wlen,
+  ${r4("least(1.0, coalesce(s.n_ws, 0) / 100.0) * 0.3 + least(1.0, coalesce(s.n_stop / s.n_ws, 0.0) * 5.0) * 0.4 + (1.0 - least(1.0, b.n_punct / b.len * 10.0)) * 0.3")} AS quality
+FROM base b LEFT JOIN stopHits s USING (doc_id)"""
+
+  val qt3: String = {
+    val unions = TextOps.LangPrio.zipWithIndex.map { case (lg, prio) =>
+      s"""SELECT doc_id, '$lg' AS cand, $prio AS prio,
+          sum(CASE WHEN tok IN ${inList(TextOps.Stopwords(lg))} THEN 1 ELSE 0 END) AS hits
+          FROM toks GROUP BY doc_id"""
+    }.mkString(" UNION ALL ")
+    toksCte + s"""
+, marker AS ($unions)
+SELECT doc_id, cand AS pred_lang, hits FROM (
+  SELECT doc_id, cand, hits,
+         row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, prio) AS rn
+  FROM marker
+) WHERE rn = 1"""
+  }
+
+  def qt4(n: Int = 5, k: Int = 3): String = toksCte + shinglesCte(n, "sh5") + s"""
+, shd AS (SELECT DISTINCT doc_id, sh FROM sh5),
+hashed AS (SELECT doc_id, sh, ${h("sh")} AS hh FROM shd)
+SELECT doc_id, rnk, h FROM (
+  SELECT doc_id, hh AS h,
+         row_number() OVER (PARTITION BY doc_id ORDER BY hh, sh) AS rnk
+  FROM hashed
+) WHERE rnk <= $k"""
+}

@@ -1,0 +1,38 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.util.Tables
+
+/** Shared text primitives for the LLM-data-pipeline operators.
+  * Tokenization = whitespace split (empties dropped, original order
+  * kept); all hashes derive from md5 prefixes so the DuckDB oracle can
+  * reproduce them exactly (`conv(substr(md5(x),1,8),16,10)` ==
+  * `CAST('0x' || substr(md5(x),1,8) AS BIGINT)`).
+  */
+object TextCore {
+
+  /** 32-bit integer hash of a string, identical in Spark and DuckDB. */
+  def strHash(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** (doc_id, i, tok) — whitespace tokens with their original index. */
+  def tokens(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("i", "tok")))
+      .filter(col("tok") =!= "")
+
+  /** (doc_id, i, sh) — word n-gram shingles via window lead. */
+  def shingles(spark: SparkSession, sfDir: String, n: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("i")
+    val parts = (0 until n).map {
+      case 0 => col("tok")
+      case k => lead("tok", k).over(w)
+    }
+    tokens(spark, sfDir)
+      .withColumn("sh", concat_ws(" ", parts: _*))
+      .withColumn("lastTok", lead("tok", n - 1).over(w))
+      .filter(col("lastTok").isNotNull)
+      .select("doc_id", "i", "sh")
+  }
+}

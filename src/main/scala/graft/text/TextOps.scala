@@ -1,0 +1,85 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.util.{Num, Tables}
+import graft.text.TextCore._
+
+/** Text analysis operators: token counting, quality scoring, language
+  * ID, and rolling-hash fingerprints. All are per-document map/agg work
+  * — embarrassingly parallel, no cross-document shuffles.
+  */
+object TextOps {
+
+  /** BPE-ish pre-tokenizer: letter runs, single digits, single symbols. */
+  val TokenPat = "[a-z]+|[0-9]|[^a-z0-9 ]"
+
+  val Stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "for", "on", "with"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "une", "du", "dans", "est"),
+    "es" -> Seq("el", "los", "las", "y", "una", "del", "por", "con", "para", "es"),
+    "de" -> Seq("der", "die", "das", "und", "ein", "eine", "mit", "von", "zu", "ist"),
+    "zh" -> Seq("的", "是", "了", "在", "有", "和", "人", "这", "中", "大"))
+
+  /** Language priority for deterministic argmax ties. */
+  val LangPrio: Seq[String] = Seq("en", "fr", "es", "de", "zh")
+
+  /** qt1: token counts — whitespace tokens and BPE-ish regex tokens. */
+  def tokenCount(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select(col("doc_id"),
+      size(filter(split(col("text"), " "), t => t =!= "")).as("n_ws"),
+      size(expr(s"regexp_extract_all(text, '$TokenPat', 0)")).as("n_tok"),
+      length(col("text")).as("len"))
+
+  /** qt2: heuristic quality score from length, punctuation/digit ratios,
+    * and English stopword density.
+    */
+  def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val stopHits = tokens(spark, sfDir)
+      .withColumn("hit", when(col("tok").isInCollection(Stopwords("en")), 1).otherwise(0))
+      .groupBy("doc_id")
+      .agg(sum("hit").as("n_stop"), count(lit(1)).as("n_ws"), avg(length(col("tok"))).as("mean_wlen"))
+    val base = Tables.documents(spark, sfDir).select(col("doc_id"),
+      length(col("text")).as("len"),
+      (length(col("text")) - length(regexp_replace(col("text"), "[^a-z0-9 ]", ""))).as("n_punct"),
+      (length(col("text")) - length(regexp_replace(col("text"), "[0-9]", ""))).as("n_digit"))
+    base.join(stopHits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        Num.r4(col("n_punct") / col("len")).as("punct_ratio"),
+        Num.r4(col("n_digit") / col("len")).as("digit_ratio"),
+        Num.r4(coalesce(col("n_stop") / col("n_ws"), lit(0.0))).as("stop_ratio"),
+        Num.r4(coalesce(col("mean_wlen"), lit(0.0))).as("mean_wlen"),
+        Num.r4(least(lit(1.0), coalesce(col("n_ws"), lit(0L)) / 100.0) * 0.3 +
+          least(lit(1.0), coalesce(col("n_stop") / col("n_ws"), lit(0.0)) * 5.0) * 0.4 +
+          (lit(1.0) - least(lit(1.0), col("n_punct") / col("len") * 10.0)) * 0.3).as("quality"))
+  }
+
+  /** qt3: stopword-profile language ID — argmax marker hits with a
+    * deterministic priority order on ties.
+    */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val markerHits = LangPrio.zipWithIndex.map { case (lg, prio) =>
+      tokens(spark, sfDir)
+        .withColumn("hit", when(col("tok").isInCollection(Stopwords(lg)), 1).otherwise(0))
+        .groupBy("doc_id").agg(sum("hit").as("hits"))
+        .select(col("doc_id"), lit(lg).as("cand"), lit(prio).as("prio"), col("hits"))
+    }.reduce(_ unionByName _)
+    val w = Window.partitionBy("doc_id").orderBy(col("hits").desc, col("prio"))
+    markerHits.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("cand").as("pred_lang"), col("hits"))
+  }
+
+  /** qt4: winnowing-style fingerprint — the 3 smallest 5-gram rolling
+    * hashes per document (bottom-k sketch).
+    */
+  def fingerprint(spark: SparkSession, sfDir: String, n: Int = 5, k: Int = 3): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy(col("h"), col("sh"))
+    shingles(spark, sfDir, n)
+      .select(col("doc_id"), col("sh")).distinct()
+      .withColumn("h", strHash(col("sh")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("doc_id", "rnk", "h")
+  }
+}

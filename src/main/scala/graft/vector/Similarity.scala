@@ -1,0 +1,129 @@
+package graft.vector
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.util.{Num, Tables}
+
+/** Embedding similarity search: brute-force cosine top-k baseline, a
+  * random-hyperplane LSH bucketed variant, and an IVF-style
+  * centroid-probe variant (the 100 TB scale paths: LSH/IVF turn the
+  * all-pairs problem into equi-joins on bucket / cell keys).
+  *
+  * Dot products use `zip_with` + `aggregate` higher-order functions —
+  * codegen'd, array-local, no explode of the big side.
+  */
+object Similarity {
+
+  /** Embeddings with double-cast vectors and precomputed norms. */
+  private def vecs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(expr(
+        "aggregate(zip_with(v, v, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)")))
+
+  private val dotAB: Column = expr(
+    "aggregate(zip_with(av, bv, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)")
+
+  /** qd5: embedding-cosine near-duplicate pairs, blocked by label. */
+  def embedNearDup(spark: SparkSession, sfDir: String, thr: Double = 0.25): DataFrame = {
+    val e = vecs(spark, sfDir)
+    val a = e.select(col("vec_id").as("vec_a"), col("label"), col("v").as("av"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("vec_b"), col("label"), col("v").as("bv"), col("nrm").as("nb"))
+    a.join(b, Seq("label")).filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", dotAB / (col("na") * col("nb")))
+      .filter(col("cos") >= thr)
+      .select(col("vec_a"), col("vec_b"), Num.r4(col("cos")).as("cos"))
+  }
+
+  /** qv1: brute-force cosine top-k — every 100th vector is a query; the
+    * query side is broadcast against the full collection.
+    */
+  def cosineTopK(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame = {
+    val e = vecs(spark, sfDir)
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("v").as("av"), col("nrm").as("na"))
+    val b = e.select(col("vec_id"), col("v").as("bv"), col("nrm").as("nb"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    b.crossJoin(broadcast(q)).filter(col("qid") =!= col("vec_id"))
+      .withColumn("cos", dotAB / (col("na") * col("nb")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("vec_id"), Num.r4(col("cos")).as("cos"), col("rnk"))
+  }
+
+  /** Deterministic pseudo-random hyperplane weight for (plane, dim) —
+    * pure int64 arithmetic, mirrored in the oracle.
+    */
+  private def planeW(p: Column, d: Column): Column =
+    (((lit(1L) + (p * 64L + d) * 2654435761L) % 2147483648L).cast("double") / 2147483648.0) - 0.5
+
+  /** Per-vector LSH bucket id from sign bits of nPlanes projections. */
+  private def buckets(spark: SparkSession, sfDir: String, nPlanes: Int): DataFrame = {
+    val e = vecs(spark, sfDir)
+    e.select(col("vec_id"), posexplode(col("v")).as(Seq("d", "x")))
+      .withColumn("p", explode(sequence(lit(0), lit(nPlanes - 1))))
+      .withColumn("w", planeW(col("p"), col("d")))
+      .groupBy("vec_id", "p").agg(sum(col("w") * col("x")).as("proj"))
+      .withColumn("bit", when(col("proj") > 0, 1L).otherwise(0L))
+      .groupBy("vec_id")
+      .agg(sum(expr("shiftleft(bit, cast(p as int))")).as("bucket"))
+  }
+
+  /** qv2: LSH-bucketed ANN — candidates share the full bucket id; at
+    * scale the bucket join replaces the quadratic scan entirely.
+    */
+  def lshAnn(spark: SparkSession, sfDir: String, nPlanes: Int = 8, k: Int = 5): DataFrame = {
+    val e = vecs(spark, sfDir).join(buckets(spark, sfDir, nPlanes), "vec_id")
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("bucket"), col("v").as("av"), col("nrm").as("na"))
+    val b = e.select(col("vec_id"), col("bucket"), col("v").as("bv"), col("nrm").as("nb"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    b.join(broadcast(q), Seq("bucket")).filter(col("qid") =!= col("vec_id"))
+      .withColumn("cos", dotAB / (col("na") * col("nb")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("vec_id"), Num.r4(col("cos")).as("cos"), col("rnk"))
+  }
+
+  /** qv3: IVF-style ANN — cells seeded by the first nCells vec_ids, one
+    * assignment pass, centroid = cell mean, queries probe the nProbe
+    * nearest centroids and rank candidates in those cells. The cell
+    * equi-join is the scale path; the centroid table broadcasts.
+    */
+  def ivfAnn(spark: SparkSession, sfDir: String, nCells: Int = 16, nProbe: Int = 2, k: Int = 5): DataFrame = {
+    val e = vecs(spark, sfDir)
+    val pos = e.select(col("vec_id"), posexplode(col("v")).as(Seq("d", "x")))
+    val seedIds = e.select("vec_id").orderBy("vec_id").limit(nCells)
+      .withColumn("cell", row_number().over(Window.orderBy("vec_id")) - 1)
+    val seeds = pos.join(broadcast(seedIds), "vec_id")
+      .select(col("cell"), col("d"), col("x").as("s"))
+    // assign every vector to its nearest seed (L2, ties → lower cell)
+    val wA = Window.partitionBy("vec_id").orderBy(col("d2"), col("cell"))
+    val assign = pos.join(broadcast(seeds), "d")
+      .groupBy("vec_id", "cell")
+      .agg(sum((col("x") - col("s")) * (col("x") - col("s"))).as("d2"))
+      .withColumn("rn", row_number().over(wA)).filter(col("rn") === 1)
+      .select("vec_id", "cell")
+    val centroids = pos.join(assign, "vec_id")
+      .groupBy("cell", "d").agg(avg("x").as("c"))
+    // probe: nearest nProbe centroids per query
+    val q = e.filter(col("vec_id") % 100 === 0)
+    val qpos = q.select(col("vec_id").as("qid"), posexplode(col("v")).as(Seq("d", "x")))
+    val wP = Window.partitionBy("qid").orderBy(col("d2"), col("cell"))
+    val probes = qpos.join(broadcast(centroids), "d")
+      .groupBy("qid", "cell")
+      .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d2"))
+      .withColumn("rn", row_number().over(wP)).filter(col("rn") <= nProbe)
+      .select("qid", "cell")
+    val cands = probes.join(assign, "cell").filter(col("qid") =!= col("vec_id"))
+    val qv = q.select(col("vec_id").as("qid"), col("v").as("av"), col("nrm").as("na"))
+    val bv = e.select(col("vec_id"), col("v").as("bv"), col("nrm").as("nb"))
+    val wR = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    cands.join(broadcast(qv), "qid").join(bv, "vec_id")
+      .withColumn("cos", dotAB / (col("na") * col("nb")))
+      .withColumn("rnk", row_number().over(wR))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("vec_id"), Num.r4(col("cos")).as("cos"), col("rnk"))
+  }
+}
