@@ -55,6 +55,7 @@ object SparkEntry {
     "qt2_quality_score" -> ((s, d) => graft.text.TextOps.qualityScore(s, d)),
     "qt3_lang_id" -> ((s, d) => graft.text.TextOps.langId(s, d)),
     "qt4_fingerprint" -> ((s, d) => graft.text.TextOps.fingerprint(s, d)),
+    "qm1_binary_meta" -> ((s, d) => graft.multimodal.BinaryMeta.mediaFeatures(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(

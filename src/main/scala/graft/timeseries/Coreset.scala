@@ -21,7 +21,7 @@ object Coreset {
   /** Local greedy k-center over an indexed feature array; returns selected
     * indices in selection order.
     */
-  private[timeseries] def greedy(feats: Array[Array[Double]], k: Int): Array[Int] = {
+  private[graft] def greedy(feats: Array[Array[Double]], k: Int): Array[Int] = {
     val n = feats.length
     if (n == 0 || k <= 0) return Array.empty
     val dim = feats(0).length

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.timeseries._
+
+class ForecastImputeSpec extends SparkSuite {
+
+  test("linear imputation leaves clean points untouched") {
+    val li = Impute.imputeLinear(spark, Sf01).cache()
+    val orig = TsCore.injected(spark, Sf01)
+      .select(col("series"), (col("win") * TsCore.DaySize + col("pos")).as("t"),
+        col("v_anom"), col("is_anom"))
+    val j = li.join(orig, Seq("series", "t"))
+    val clean = j.filter(col("is_anom") === 0)
+    assert(clean.filter(abs(col("v_imp") - col("v_anom")) > 1e-3).count() === 0)
+    // flagged points are actually imputed (finite values)
+    assert(li.filter(col("was_anom") === 1 && col("v_imp").isNull).count() === 0)
+  }
+
+  test("imputation brings contaminated series closer to the original") {
+    val inj = TsCore.injected(spark, Sf01)
+      .select(col("series"), (col("win") * TsCore.DaySize + col("pos")).as("t"),
+        col("v_orig"), col("v_anom"), col("is_anom"))
+    val li = Impute.imputeLinear(spark, Sf01)
+    val j = inj.join(li, Seq("series", "t")).filter(col("is_anom") === 1).cache()
+    val errContam = j.agg(avg(abs(col("v_anom") - col("v_orig")))).head.getDouble(0)
+    val errImp = j.agg(avg(abs(col("v_imp") - col("v_orig")))).head.getDouble(0)
+    assert(errImp < errContam, s"imputed err $errImp should beat contaminated err $errContam")
+  }
+
+  test("knn window imputer fills every flagged point of anomalous windows") {
+    val k = Impute.imputeKnn(spark, Sf01).cache()
+    assert(k.count() > 0)
+    assert(k.filter(col("v_imp").isNull).count() === 0)
+  }
+
+  test("seasonal naive forecast beats nothing but is finite") {
+    val f = Forecast.seasonalNaive(spark, Sf01).cache()
+    assert(f.count() === 5)
+    assert(f.filter(col("rmse") <= 0 || col("mae") <= 0).count() === 0)
+  }
+
+  test("ols forecast coefficients are finite and errors positive") {
+    val o = Forecast.olsForecast(spark, Sf01).cache()
+    assert(o.count() === 5)
+    assert(o.filter(isnan(col("b1")) || isnan(col("b2")) || isnan(col("b3"))).count() === 0)
+    assert(o.filter(col("rmse") <= 0).count() === 0)
+  }
+
+  test("seasonal profile centers to ~zero mean per series") {
+    val p = Forecast.seasonalProfile(spark, Sf01)
+    val m = p.groupBy("series").agg(abs(avg("seasonal")).as("m"))
+    assert(m.filter(col("m") > 1.0).count() === 0)
+  }
+}

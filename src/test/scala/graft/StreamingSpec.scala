@@ -1,0 +1,48 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.ScoreStream
+
+class StreamingSpec extends SparkSuite {
+
+  case class Ev(ts: Timestamp, event_type: String, value: Double)
+
+  test("streaming score pipeline emits windowed scores against the bank") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val bank = Seq(("click", 50.0, 10.0)).toDF("series", "mu", "sd")
+    val out = ScoreStream.scoreStream(mem.toDF(), bank)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("scored").start()
+    try {
+      val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+      def at(min: Int) = new Timestamp(t0.getTime + min * 60000L)
+      mem.addData(
+        Ev(at(5), "click", 40.0), Ev(at(20), "click", 60.0),
+        Ev(at(35), "click", 55.0), Ev(at(65), "click", 300.0))
+      q.processAllAvailable()
+      // advance watermark far enough to close the first windows
+      mem.addData(Ev(at(600), "click", 50.0))
+      q.processAllAvailable()
+      val rows = spark.table("scored").collect()
+      assert(rows.nonEmpty, "expected closed windows after watermark advance")
+      val scored = spark.table("scored")
+      assert(scored.filter(col("score") < 0).count() === 0)
+      // the 300.0 spike window must score much higher than the calm ones
+      val maxScore = scored.agg(max("score")).head.getDouble(0)
+      assert(maxScore > 1.0, s"spike window score $maxScore")
+    } finally q.stop()
+  }
+
+  test("streaming plan survives a static-bank broadcast join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val bank = ScoreStream.staticBank(spark, Sf001)
+    val out = ScoreStream.scoreStream(mem.toDF(), bank)
+    assert(out.isStreaming)
+  }
+}

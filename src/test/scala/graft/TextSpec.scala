@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text._
+import graft.vector.Similarity
+
+class TextSpec extends SparkSuite {
+
+  test("exact dedup covers every document once") {
+    val d = Dedup.exact(spark, Sf001)
+    val docs = spark.read.parquet(s"$Sf001/documents.parquet").count()
+    assert(d.agg(sum("n_dups")).head.getLong(0) === docs)
+  }
+
+  test("minhash lsh finds candidates with bands in range") {
+    val m = Dedup.minhashLsh(spark, Sf001).cache()
+    assert(m.filter(col("n_bands") < 1 || col("n_bands") > 4).count() === 0)
+  }
+
+  test("simhash hamming bounded by fingerprint width") {
+    val s = Dedup.simhash(spark, Sf001, maxHam = 16).cache()
+    assert(s.count() > 0)
+    assert(s.filter(col("hamming") < 0 || col("hamming") > 32).count() === 0)
+  }
+
+  test("jaccard in [0,1]") {
+    val j = Dedup.ngramJaccard(spark, Sf001).cache()
+    assert(j.count() > 0)
+    assert(j.filter(col("jaccard") < 0 || col("jaccard") > 1).count() === 0)
+  }
+
+  test("token counts consistent with text") {
+    val t = TextOps.tokenCount(spark, Sf001).cache()
+    assert(t.filter(col("n_ws") <= 0).count() === 0)
+    assert(t.filter(col("n_tok") < col("n_ws")).count() === 0, "regex tokens ≥ ws tokens")
+  }
+
+  test("quality score in [0,1]") {
+    val q = TextOps.qualityScore(spark, Sf001).cache()
+    assert(q.filter(col("quality") < 0 || col("quality") > 1).count() === 0)
+  }
+
+  test("langid emits one prediction per doc") {
+    val l = TextOps.langId(spark, Sf001).cache()
+    val docs = spark.read.parquet(s"$Sf001/documents.parquet").count()
+    assert(l.count() === docs)
+  }
+
+  test("fingerprint emits at most k hashes per doc, ranked") {
+    val f = TextOps.fingerprint(spark, Sf001).cache()
+    assert(f.groupBy("doc_id").count().filter(col("count") > 3).count() === 0)
+  }
+
+  test("cosine topk is correctly ranked") {
+    val t = Similarity.cosineTopK(spark, Sf001, k = 5).cache()
+    assert(t.count() > 0)
+    // within each query, cos must be non-increasing with rank
+    val bad = t.as("a").join(t.as("b"),
+      col("a.qid") === col("b.qid") && col("a.rnk") === col("b.rnk") - 1)
+      .filter(col("a.cos") < col("b.cos"))
+    assert(bad.count() === 0)
+  }
+
+  test("lsh ann returns subset consistent with brute force top ranks") {
+    val brute = Similarity.cosineTopK(spark, Sf001, k = 10)
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshAnn(spark, Sf001, k = 5)
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(lsh.nonEmpty)
+    // LSH candidates are genuine vectors, ranked by true cosine — sanity only
+    assert(lsh.toSet.size === lsh.length)
+  }
+
+  test("multimodal media features are deterministic over bytes") {
+    val f = graft.multimodal.BinaryMeta.mediaFeatures(spark, Sf001).cache()
+    val docs = spark.read.parquet(s"$Sf001/documents.parquet")
+      .select(col("doc_id"), length(col("text")).as("len"))
+    val joined = f.join(docs, "doc_id")
+    assert(joined.filter(col("n_bytes") =!= col("len")).count() === 0)
+    assert(f.filter(col("f0") < 0 || col("f0") > 1).count() === 0)
+  }
+}
