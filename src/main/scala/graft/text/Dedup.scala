@@ -30,9 +30,13 @@ object Dedup {
     * (band, signature) tuples.
     */
   def minhashLsh(spark: SparkSession, sfDir: String, nPerm: Int = 16, bandRows: Int = 4): DataFrame = {
+    // One md5 per shingle; permutations are affine integer mixes of the
+    // base hash (classic minhash) — exact int64, far cheaper than a hash
+    // per (shingle, perm) at scale. (j*31+17) keeps products < 2^63.
     val sh = shingles(spark, sfDir, 3).select("doc_id", "sh").distinct()
+      .withColumn("bh", strHash(col("sh")))
     val perms = sh.withColumn("j", explode(sequence(lit(0), lit(nPerm - 1))))
-      .withColumn("h", strHash(concat(col("j").cast("string"), lit("|"), col("sh"))))
+      .withColumn("h", ((col("j") * 31L + 17L) * col("bh") + col("j") * 7919L) % 2147483647L)
     val minh = perms.groupBy("doc_id", "j").agg(min("h").as("mh"))
     val pw = bandPw.zipWithIndex.foldLeft(lit(0L)) { case (acc, (p, idx)) =>
       when(col("j") % bandRows === idx, lit(p)).otherwise(acc)
@@ -52,15 +56,16 @@ object Dedup {
     * pairs with hamming ≤ maxHam.
     */
   def simhash(spark: SparkSession, sfDir: String, maxHam: Int = 12): DataFrame = {
+    // Single pass: 32 conditional sums per token row instead of a 32×
+    // row explosion — the shuffle carries one row per doc.
     val th = tokens(spark, sfDir).withColumn("th", strHash(col("tok")))
-    val bits = th.withColumn("b", explode(sequence(lit(0), lit(31))))
-      .withColumn("contrib",
-        when(expr("shiftright(th, cast(b as int)) & 1") === 1, 1).otherwise(-1))
-    val sh = bits.groupBy("doc_id", "b")
-      .agg(sum("contrib").as("s"))
-      .withColumn("bit", when(col("s") > 0, 1L).otherwise(0L))
-      .groupBy("doc_id")
-      .agg(sum(expr("shiftleft(bit, cast(b as int))")).as("sh"))
+    val bitSums = (0 until 32).map(b =>
+      sum(when(expr(s"shiftright(th, $b) & 1") === 1, 1).otherwise(-1)).as(s"s$b"))
+    val sh = th.groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .withColumn("sh", (0 until 32).map(b =>
+        when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _))
+      .select("doc_id", "sh")
     val chunks = sh.withColumn("c", explode(sequence(lit(0), lit(3))))
       .withColumn("cv", expr("shiftright(sh, cast(8 * c as int)) & 255"))
     val a = chunks.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("c"), col("cv"))

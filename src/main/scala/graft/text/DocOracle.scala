@@ -35,11 +35,11 @@ ${name}_raw AS (
     "SELECT md5(text) AS h, count(*) AS n_dups, min(doc_id) AS keeper FROM documents GROUP BY md5(text)"
 
   def qd2(nPerm: Int = 16, bandRows: Int = 4): String = toksCte + shinglesCte(3, "sh3") + s"""
-, shd AS (SELECT DISTINCT doc_id, sh FROM sh3),
+, shd AS (SELECT DISTINCT doc_id, sh, ${h("sh")} AS bh FROM sh3),
 perms AS (
-  SELECT doc_id, sh, unnest(range($nPerm)) AS j FROM shd
+  SELECT doc_id, bh, unnest(range($nPerm)) AS j FROM shd
 ), hashed AS (
-  SELECT doc_id, j, ${h("CAST(j AS VARCHAR) || '|' || sh")} AS hh FROM perms
+  SELECT doc_id, j, ((j * 31 + 17) * bh + j * 7919) % 2147483647 AS hh FROM perms
 ), minh AS (
   SELECT doc_id, j, min(hh) AS mh FROM hashed GROUP BY doc_id, j
 ), bands AS (

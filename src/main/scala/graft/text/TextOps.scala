@@ -59,15 +59,23 @@ object TextOps {
     * deterministic priority order on ties.
     */
   def langId(spark: SparkSession, sfDir: String): DataFrame = {
-    val markerHits = LangPrio.zipWithIndex.map { case (lg, prio) =>
-      tokens(spark, sfDir)
-        .withColumn("hit", when(col("tok").isInCollection(Stopwords(lg)), 1).otherwise(0))
-        .groupBy("doc_id").agg(sum("hit").as("hits"))
-        .select(col("doc_id"), lit(lg).as("cand"), lit(prio).as("prio"), col("hits"))
-    }.reduce(_ unionByName _)
-    val w = Window.partitionBy("doc_id").orderBy(col("hits").desc, col("prio"))
-    markerHits.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("doc_id"), col("cand").as("pred_lang"), col("hits"))
+    // Single pass over tokens: one conditional-sum column per language,
+    // then an in-row argmax (greatest-with-tiebreak) — no unions, no
+    // second shuffle.
+    val hitCols = LangPrio.map(lg =>
+      sum(when(col("tok").isInCollection(Stopwords(lg)), 1).otherwise(0)).as(s"h_$lg"))
+    val hits = tokens(spark, sfDir).groupBy("doc_id").agg(hitCols.head, hitCols.tail: _*)
+    // encode (hits desc, prio asc) into one comparable: hits*8 + (7−prio);
+    // the max is unique because priorities are distinct.
+    val packed = hits.select(col("doc_id") +: LangPrio.zipWithIndex.map {
+      case (lg, prio) => (col(s"h_$lg") * 8 + (7 - prio)).as(s"p_$lg")
+    }: _*)
+    val withBest = packed.withColumn("best", greatest(LangPrio.map(lg => col(s"p_$lg")): _*))
+    val pred = LangPrio.foldRight(lit("??")) { case (lg, acc) =>
+      when(col(s"p_$lg") === col("best"), lit(lg)).otherwise(acc)
+    }
+    withBest.select(col("doc_id"), pred.as("pred_lang"),
+      floor(col("best") / 8).cast("long").as("hits"))
   }
 
   /** qt4: winnowing-style fingerprint — the 3 smallest 5-gram rolling

@@ -96,13 +96,14 @@ object Detect {
     * softpatch.py _compute_nearest_distance: topk(2, smallest) over a
     * self-inclusive distance matrix = 0 + d(nearest other)).
     */
-  def nearestDistWeight(spark: SparkSession, sfDir: String): DataFrame = {
-    val (bank, _) = TsCore.bankAndTest(spark, sfDir)
-    pairwise(bank)
-      .groupBy("pos", "id")
-      .agg(Num.r4(min("d")).as("w_nearest"))
-      .select(col("id"), col("pos"), col("w_nearest"))
-  }
+  def nearestDistWeight(spark: SparkSession, sfDir: String): DataFrame =
+    TsCore.cached(spark, sfDir, "nnweight") {
+      val (bank, _) = TsCore.bankAndTest(spark, sfDir)
+      pairwise(bank)
+        .groupBy("pos", "id")
+        .agg(Num.r4(min("d")).as("w_nearest"))
+        .select(col("id"), col("pos"), col("w_nearest"))
+    }
 
   /** q23: end-to-end SoftPatch pipeline (ref softpatch.py fit + predict):
     * nearest-dist patch weights (+1) on the bank → denoise (drop the top

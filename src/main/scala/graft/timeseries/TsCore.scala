@@ -23,6 +23,37 @@ import graft.util.{Num, Tables}
   * Num.r4(…).
   */
 object TsCore {
+
+  /** Session-scoped cache of shared chain stages. Queries compose the
+    * same grid→fill→window→inject→feature stages; materializing each
+    * stage once per (session, sfDir) turns the multi-pass pipelines
+    * (bank build + threshold + score) from repeated full recomputes into
+    * cache hits — the DataFrame analogue of a materialized intermediate
+    * table. Entries are grid-cell sized (orders of magnitude below the
+    * raw event scan), so MEMORY_AND_DISK is safe at cluster scale.
+    */
+  private val stageCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
+
+  private[graft] def cached(spark: SparkSession, sfDir: String, name: String)
+                           (build: => DataFrame): DataFrame = {
+    // get/putIfAbsent (not computeIfAbsent): stage builders nest, and
+    // computeIfAbsent forbids reentrant updates.
+    val key = (System.identityHashCode(spark), sfDir, name)
+    val hit = stageCache.get(key)
+    if (hit != null) hit
+    else {
+      // localCheckpoint (not persist): materializes the stage AND
+      // truncates lineage, so downstream plans reference a flat
+      // LogicalRDD instead of re-embedding the whole upstream tree —
+      // without this, multi-self-join queries (pipeline, LOF) blow up
+      // Catalyst plan size (explainString OOMs before any task runs).
+      // On a cluster this would be a reliable checkpoint / staged table.
+      stageCache.putIfAbsent(key, build.localCheckpoint())
+      stageCache.get(key)
+    }
+  }
+
   val DaySize = 24          // points per day window (hourly grid)
   val WeekLag = 168         // 7 * 24, seasonal fill lag (ref process_aemo.py:64-66)
   val Alpha = 0.2           // EWMA alpha (ref feature_extractor.py moving_average)
@@ -36,7 +67,7 @@ object TsCore {
   /** q01: regularize irregular events onto a fixed hourly grid per series.
     * Scan → single shuffle on (series, t) with map-side partial agg.
     */
-  def hourlyGrid(spark: SparkSession, sfDir: String): DataFrame = {
+  def hourlyGrid(spark: SparkSession, sfDir: String): DataFrame = cached(spark, sfDir, "grid") {
     val raw = Tables.events(spark, sfDir)
     // ts arrives as TimestampType or, with nanosAsLong, as raw nanos.
     val hr = raw.schema("ts").dataType match {
@@ -54,7 +85,7 @@ object TsCore {
   /** Complete (series, t) spine with observed values left-joined in.
     * Missing hours surface as null v — required for positional lag fill.
     */
-  def spine(spark: SparkSession, sfDir: String): DataFrame = {
+  def spine(spark: SparkSession, sfDir: String): DataFrame = cached(spark, sfDir, "spine") {
     val grid = hourlyGrid(spark, sfDir)
     val tmax = grid.agg(max("t").as("tmax"))
     val seriesList = grid.select("series").distinct()
@@ -68,7 +99,7 @@ object TsCore {
     * still missing after the shift stay null and their windows are later
     * dropped (ref process_aemo.py:219 `if np.isnan(sample).any(): continue`).
     */
-  def filled(spark: SparkSession, sfDir: String): DataFrame = {
+  def filled(spark: SparkSession, sfDir: String): DataFrame = cached(spark, sfDir, "filled") {
     val w = Window.partitionBy("series").orderBy("t")
     spine(spark, sfDir)
       .withColumn("v_filled", coalesce(col("v"), lag("v", WeekLag).over(w)))
@@ -82,7 +113,7 @@ object TsCore {
     * any null are dropped. Partition key (series, win) — embarrassingly
     * parallel downstream.
     */
-  def dayWindows(spark: SparkSession, sfDir: String): DataFrame = {
+  def dayWindows(spark: SparkSession, sfDir: String): DataFrame = cached(spark, sfDir, "daywin") {
     val d = filled(spark, sfDir)
       .select(col("series"), (col("t") / DaySize).cast("long").as("win"),
               (col("t") % DaySize).as("pos"), col("v_filled").as("v"))
@@ -107,7 +138,7 @@ object TsCore {
     * per reference's randint ranges for n=24; softstart/extreme 50/50;
     * r ~ U(0.01, 3.99).
     */
-  def injectParams(spark: SparkSession, sfDir: String): DataFrame = {
+  def injectParams(spark: SparkSession, sfDir: String): DataFrame = cached(spark, sfDir, "params") {
     val wins = dayWindows(spark, sfDir).select("series", "win").distinct()
     val sidx = wins.select("series").distinct()
       .withColumn("sidx", dense_rank().over(Window.orderBy("series")) - 1)
@@ -138,7 +169,7 @@ object TsCore {
     * (ref synth_anomaly.py _anomaly_type1-4). Window prefix sums give the
     * "energy" terms; everything else is a CASE over (pos, apos, alen).
     */
-  def injected(spark: SparkSession, sfDir: String): DataFrame = {
+  def injected(spark: SparkSession, sfDir: String): DataFrame = cached(spark, sfDir, "inject") {
     val wseq = Window.partitionBy("series", "win").orderBy("pos")
     val wall = Window.partitionBy("series", "win")
     val base = dayWindows(spark, sfDir)
@@ -175,24 +206,28 @@ object TsCore {
     * (ref process_aemo.py:178-192). Exact interpolated percentiles.
     */
   def scaleBounds(spark: SparkSession, sfDir: String): DataFrame =
-    filled(spark, sfDir).filter(col("v_filled").isNotNull)
-      .groupBy("series")
-      .agg(expr(s"percentile(v_filled, $QLo)").as("lo"),
-           expr(s"percentile(v_filled, $QHi)").as("hi"))
+    cached(spark, sfDir, "bounds") {
+      filled(spark, sfDir).filter(col("v_filled").isNotNull)
+        .groupBy("series")
+        .agg(expr(s"percentile(v_filled, $QLo)").as("lo"),
+             expr(s"percentile(v_filled, $QHi)").as("hi"))
+    }
 
   /** Injected windows quantile-scaled: vs = (v_anom - lo) / (hi - lo). */
   def scaled(spark: SparkSession, sfDir: String): DataFrame =
-    injected(spark, sfDir)
-      .join(broadcast(scaleBounds(spark, sfDir)), "series")
-      .withColumn("vs", Num.r4((col("v_anom") - col("lo")) / (col("hi") - col("lo"))))
-      .select("series", "win", "pos", "vs", "is_anom")
+    cached(spark, sfDir, "scaled") {
+      injected(spark, sfDir)
+        .join(broadcast(scaleBounds(spark, sfDir)), "series")
+        .withColumn("vs", Num.r4((col("v_anom") - col("lo")) / (col("hi") - col("lo"))))
+        .select("series", "win", "pos", "vs", "is_anom")
+    }
 
   /** Feature channels per point (ref feature_extractor.py gen_ts_features):
     * c0 = scaled value, c1 = non-overlapping patch stddev (patch=8),
     * c2 = EWMA(alpha=0.2) in closed form
     * (m_p = (1-a)^p * (x_0 + Σ_{i=1..p} a x_i (1-a)^{-i})).
     */
-  def features(spark: SparkSession, sfDir: String): DataFrame = {
+  def features(spark: SparkSession, sfDir: String): DataFrame = cached(spark, sfDir, "feats") {
     val wseq = Window.partitionBy("series", "win").orderBy("pos")
     val wpatch = Window.partitionBy("series", "win", "fpatch")
     val a = Alpha
@@ -211,7 +246,7 @@ object TsCore {
     * PatchMaker.patchify / torch Unfold(padding=1)): for each pos,
     * 3 channels × offsets {-1,0,+1} → f0..f8 (channel-major).
     */
-  def patches(spark: SparkSession, sfDir: String): DataFrame = {
+  def patches(spark: SparkSession, sfDir: String): DataFrame = cached(spark, sfDir, "patches") {
     val wseq = Window.partitionBy("series", "win").orderBy("pos")
     def off(c: String, o: Int): Column = o match {
       case -1 => coalesce(lag(c, 1).over(wseq), lit(0.0))
@@ -229,16 +264,18 @@ object TsCore {
     * Uses the per-series max win so the boundary is data-derived.
     */
   def splitBoundary(spark: SparkSession, sfDir: String): DataFrame =
-    dayWindows(spark, sfDir).groupBy("series")
-      .agg(floor((max("win") + 1) * TrainFrac).as("mwin"))
+    cached(spark, sfDir, "boundary") {
+      dayWindows(spark, sfDir).groupBy("series")
+        .agg(floor((max("win") + 1) * TrainFrac).as("mwin"))
+    }
 
   /** Memory bank = train-split patches (denoising/coreset applied in the
     * dedicated operators). Small after coreset → broadcast at scale.
     */
   def bankAndTest(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
-    val p = patches(spark, sfDir)
+    def p = patches(spark, sfDir)
       .join(broadcast(splitBoundary(spark, sfDir)), "series")
-    (p.filter(col("win") < col("mwin")).drop("mwin"),
-     p.filter(col("win") >= col("mwin")).drop("mwin"))
+    (cached(spark, sfDir, "bank") { p.filter(col("win") < col("mwin")).drop("mwin") },
+     cached(spark, sfDir, "test") { p.filter(col("win") >= col("mwin")).drop("mwin") })
   }
 }
