@@ -56,6 +56,8 @@ object SparkEntry {
     "qt3_lang_id" -> ((s, d) => graft.text.TextOps.langId(s, d)),
     "qt4_fingerprint" -> ((s, d) => graft.text.TextOps.fingerprint(s, d)),
     "qm1_binary_meta" -> ((s, d) => graft.multimodal.BinaryMeta.mediaFeatures(s, d)),
+    "q25_pointwise_metrics" -> ((s, d) => graft.timeseries.PointwiseMetrics.pointwiseMetrics(s, d)),
+    "q26_mllib_forecast" -> ((s, d) => graft.timeseries.MllibForecast.mllibForecast(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -124,5 +126,6 @@ object SparkEntry {
     "qt2_quality_score" -> graft.text.DocOracle.qt2,
     "qt3_lang_id" -> graft.text.DocOracle.qt3,
     "qt4_fingerprint" -> graft.text.DocOracle.qt4(),
+    "q25_pointwise_metrics" -> TsOracle.q25(),
   )
 }

@@ -470,6 +470,54 @@ SELECT t.series, t.pos, ${r4("avg(t.v) - max(o.mu)")} AS seasonal
 FROM trainw t JOIN overallm o USING (series)
 GROUP BY t.series, t.pos"""
 
+  def q25(patchSize: Int = TsCore.FeatPatch, minRun: Int = 2, pad: Int = TsCore.FeatPatch / 2,
+          zthr: Double = 2.5): String = prefix + s"""
+, runs AS (
+  SELECT series, win, vs, pos,
+         pos - row_number() OVER (PARTITION BY series, win, vs ORDER BY pos) AS runid
+  FROM scaled
+), runagg AS (
+  SELECT series, win, min(pos) AS rstart, max(pos) AS rend
+  FROM runs GROUP BY series, win, vs, runid HAVING count(*) >= $minRun
+), consecflag AS (
+  SELECT DISTINCT s.series, s.win, s.pos, 1 AS fc
+  FROM scaled s JOIN runagg r ON s.series = r.series AND s.win = r.win
+  WHERE s.pos >= greatest(r.rstart - $pad, 0) AND s.pos <= least(r.rend + $pad, ${TsCore.DaySize - 1})
+), zflag AS (
+  SELECT series, win, pos,
+         CASE WHEN (vs - mu)/sd > $zthr OR (vs - mu)/sd < -$zthr THEN 1 ELSE 0 END AS fs
+  FROM (SELECT series, win, pos, vs,
+               avg(vs) OVER (PARTITION BY series, win) AS mu,
+               stddev_samp(vs) OVER (PARTITION BY series, win) AS sd
+        FROM scaled)
+), testpts AS (
+  SELECT s.series, s.win, s.pos, s.is_anom FROM scaled s
+  JOIN boundary b USING (series) WHERE s.win >= b.mwin
+), flagged AS (
+  SELECT t.series, t.win, t.pos, t.is_anom,
+         CASE WHEN coalesce(c.fc, 0) = 1 OR coalesce(z.fs, 0) = 1 THEN 1 ELSE 0 END AS pred_pt
+  FROM testpts t
+  LEFT JOIN consecflag c ON t.series = c.series AND t.win = c.win AND t.pos = c.pos
+  LEFT JOIN zflag z ON t.series = z.series AND t.win = z.win AND t.pos = z.pos
+), patched AS (
+  SELECT series, win, CAST(floor(pos / $patchSize) AS BIGINT) AS patch,
+         max(pred_pt) AS pred, max(is_anom) AS gt
+  FROM flagged GROUP BY series, win, CAST(floor(pos / $patchSize) AS BIGINT)
+), cm AS (
+  SELECT sum(CASE WHEN pred = 0 AND gt = 0 THEN 1 ELSE 0 END) AS tn,
+         sum(CASE WHEN pred = 1 AND gt = 0 THEN 1 ELSE 0 END) AS fp,
+         sum(CASE WHEN pred = 0 AND gt = 1 THEN 1 ELSE 0 END) AS fn,
+         sum(CASE WHEN pred = 1 AND gt = 1 THEN 1 ELSE 0 END) AS tp
+  FROM patched
+), pm AS (
+  SELECT *, ${r4("CASE WHEN tp + fp = 0 THEN 0.0 ELSE tp / (tp + fp) END")} AS precision,
+            ${r4("CASE WHEN tp + fn = 0 THEN 0.0 ELSE tp / (tp + fn) END")} AS recall
+  FROM cm
+)
+SELECT tn, fp, fn, tp, precision, recall,
+       ${r4("CASE WHEN precision + recall = 0.0 THEN 0.0 ELSE 2.0 * precision * recall / (precision + recall) END")} AS f1
+FROM pm"""
+
   def q08: String = prefix +
     "SELECT series, win, pos, floor((f0)*10000 + 0.5)/10000 AS f0, floor((f1)*10000 + 0.5)/10000 AS f1, floor((f2)*10000 + 0.5)/10000 AS f2, " +
     "floor((f3)*10000 + 0.5)/10000 AS f3, floor((f4)*10000 + 0.5)/10000 AS f4, floor((f5)*10000 + 0.5)/10000 AS f5, " +

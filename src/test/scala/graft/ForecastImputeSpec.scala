@@ -47,6 +47,30 @@ class ForecastImputeSpec extends SparkSuite {
     assert(o.filter(col("rmse") <= 0).count() === 0)
   }
 
+  test("mllib forecast agrees with the closed-form normal equations") {
+    val ols = Forecast.olsForecast(spark, Sf01)
+      .select("series", "b1", "b2", "b3").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val ml = MllibForecast.mllibForecast(spark, Sf01)
+      .select("series", "b1", "b2", "b3").collect()
+    assert(ml.nonEmpty)
+    ml.foreach { r =>
+      val (b1, b2, b3) = ols(r.getString(0))
+      assert(math.abs(r.getDouble(1) - b1) < 1e-3, s"${r.getString(0)} b1")
+      assert(math.abs(r.getDouble(2) - b2) < 1e-3, s"${r.getString(0)} b2")
+      assert(math.abs(r.getDouble(3) - b3) < 1e-3, s"${r.getString(0)} b3")
+    }
+  }
+
+  test("pointwise patched metrics are a consistent confusion matrix") {
+    val m = PointwiseMetrics.pointwiseMetrics(spark, Sf01).head()
+    val total = m.getLong(m.fieldIndex("tn")) + m.getLong(m.fieldIndex("fp")) +
+      m.getLong(m.fieldIndex("fn")) + m.getLong(m.fieldIndex("tp"))
+    assert(total > 0)
+    val f1 = m.getDouble(m.fieldIndex("f1"))
+    assert(f1 >= 0.0 && f1 <= 1.0)
+  }
+
   test("seasonal profile centers to ~zero mean per series") {
     val p = Forecast.seasonalProfile(spark, Sf01)
     val m = p.groupBy("series").agg(abs(avg("seasonal")).as("m"))
