@@ -15,15 +15,18 @@ import graft.util.{Num, Tables}
   */
 object Similarity {
 
-  /** Embeddings with double-cast vectors and precomputed norms. */
-  private def vecs(spark: SparkSession, sfDir: String): DataFrame =
+  /** Embeddings with double-cast vectors and precomputed norms. Dots go
+    * through the native codegen'd kernel (graft.functions.DotProduct) —
+    * same ascending-index summation as the DuckDB oracle.
+    */
+  private def vecs(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.VectorExprs.register(spark)
     Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("nrm", sqrt(expr(
-        "aggregate(zip_with(v, v, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)")))
+      .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
+  }
 
-  private val dotAB: Column = expr(
-    "aggregate(zip_with(av, bv, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)")
+  private val dotAB: Column = expr("graft_dot(av, bv)")
 
   /** qd5: embedding-cosine near-duplicate pairs, blocked by label. */
   def embedNearDup(spark: SparkSession, sfDir: String, thr: Double = 0.25): DataFrame = {
