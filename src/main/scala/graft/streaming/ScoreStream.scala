@@ -21,6 +21,39 @@ object ScoreStream {
     graft.timeseries.TsCore.hourlyGrid(spark, sfDir)
       .groupBy("series").agg(avg("v").as("mu"), stddev_samp("v").as("sd"))
 
+  case class SeriesState(n: Long, mean: Double, m2: Double)
+  case class Scored(series: String, value: Double, score: Double, nSeen: Long)
+
+  /** Stateful streaming scorer: per-series running mean/variance
+    * (Welford) kept in `GroupState`, each event scored as a z-score
+    * against the state *before* it is absorbed. The
+    * `mapGroupsWithState`-family operator is the Structured Streaming
+    * path for custom incremental state the built-in windowed aggs can't
+    * express (here: an evolving per-series profile rather than a static
+    * broadcast bank).
+    */
+  def statefulScore(events: org.apache.spark.sql.Dataset[(String, Double)])
+      : org.apache.spark.sql.Dataset[Scored] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (series: String, rows: Iterator[(String, Double)], state: GroupState[SeriesState]) =>
+          var st = state.getOption.getOrElse(SeriesState(0L, 0.0, 0.0))
+          val out = rows.map { case (_, v) =>
+            val sd = if (st.n > 1) math.sqrt(st.m2 / (st.n - 1)) else 0.0
+            val score = if (sd > 0) math.abs(v - st.mean) / sd else 0.0
+            val n1 = st.n + 1
+            val d = v - st.mean
+            val mean1 = st.mean + d / n1
+            st = SeriesState(n1, mean1, st.m2 + d * (v - mean1))
+            Scored(series, v, score, n1)
+          }.toVector
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Wire a streaming DataFrame of raw events (ts: timestamp,
     * event_type, value) into watermarked sliding windows scored against
     * the bank. Returns the streaming result (score = |window mean − μ|/σ).

@@ -37,6 +37,28 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stateful scorer accumulates per-series state across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Double)]
+    val out = ScoreStream.statefulScore(mem.toDS())
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("stateful").start()
+    try {
+      mem.addData(("a", 10.0), ("a", 12.0), ("a", 11.0))
+      q.processAllAvailable()
+      mem.addData(("a", 100.0)) // outlier vs accumulated state
+      q.processAllAvailable()
+      val rows = spark.table("stateful").as[ScoreStream.Scored].collect()
+      assert(rows.length === 4)
+      assert(rows.map(_.nSeen).max === 4, "state must persist across batches")
+      val outlier = rows.find(_.value === 100.0).get
+      val calm = rows.filter(r => r.value < 50 && r.nSeen > 2)
+      assert(outlier.score > 10, s"outlier score ${outlier.score}")
+      assert(calm.forall(_.score < 5))
+    } finally q.stop()
+  }
+
   test("streaming plan survives a static-bank broadcast join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
