@@ -58,6 +58,8 @@ object SparkEntry {
     "qm1_binary_meta" -> ((s, d) => graft.multimodal.BinaryMeta.mediaFeatures(s, d)),
     "q25_pointwise_metrics" -> ((s, d) => graft.timeseries.PointwiseMetrics.pointwiseMetrics(s, d)),
     "q26_mllib_forecast" -> ((s, d) => graft.timeseries.MllibForecast.mllibForecast(s, d)),
+    "q27_threshold_sweep" -> ((s, d) => graft.timeseries.Metrics.thresholdSweep(s, d)),
+    "q28_window_labels" -> ((s, d) => TsQueries.q28WindowLabels(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -127,5 +129,7 @@ object SparkEntry {
     "qt3_lang_id" -> graft.text.DocOracle.qt3,
     "qt4_fingerprint" -> graft.text.DocOracle.qt4(),
     "q25_pointwise_metrics" -> TsOracle.q25(),
+    "q27_threshold_sweep" -> TsOracle.q27(),
+    "q28_window_labels" -> TsOracle.q28,
   )
 }

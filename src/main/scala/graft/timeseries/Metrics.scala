@@ -45,6 +45,38 @@ object Metrics {
           .otherwise(lit(2.0) * col("precision") * col("recall") / (col("precision") + col("recall")))))
   }
 
+  /** q27: threshold sweep — the reference's experiment grid
+    * (run_parallel_experiments.py) over contamination-rate thresholds,
+    * evaluated in ONE query: each candidate threshold becomes a row,
+    * metrics computed per row. One pass over scores per sweep, not one
+    * job per experiment.
+    */
+  def thresholdSweep(spark: SparkSession, sfDir: String,
+                     rates: Seq[Double] = Seq(0.05, 0.1, 0.2)): DataFrame = {
+    val sg = scoredWithGt(spark, sfDir)
+    val thrAgg = sg.agg(
+      rates.zipWithIndex.map { case (r, i) =>
+        expr(s"percentile(score, ${1.0 - r})").as(s"t$i")
+      }.head, rates.zipWithIndex.tail.map { case (r, i) =>
+        expr(s"percentile(score, ${1.0 - r})").as(s"t$i")
+      }: _*)
+    val stacked = thrAgg.select(explode(array(
+      rates.zipWithIndex.map { case (r, i) =>
+        struct(lit(r).as("contam"), col(s"t$i").as("thr"))
+      }: _*)).as("x")).select(col("x.contam"), col("x.thr"))
+    stacked.crossJoin(sg)
+      .withColumn("pred", when(col("score") > col("thr"), 1).otherwise(0))
+      .groupBy("contam")
+      .agg(Num.r4(max("thr")).as("thr"),
+        sum(when(col("pred") === 1 && col("gt") === 1, 1).otherwise(0)).as("tp"),
+        sum(when(col("pred") === 1 && col("gt") === 0, 1).otherwise(0)).as("fp"),
+        sum(when(col("pred") === 0 && col("gt") === 1, 1).otherwise(0)).as("fn"))
+      .withColumn("precision", Num.r4(
+        when(col("tp") + col("fp") === 0, 0.0).otherwise(col("tp") / (col("tp") + col("fp")))))
+      .withColumn("recall", Num.r4(
+        when(col("tp") + col("fn") === 0, 0.0).otherwise(col("tp") / (col("tp") + col("fn")))))
+  }
+
   /** q17: AUROC via the rank-sum (Mann–Whitney U) identity with average
     * ranks for ties — exactly sklearn's roc_auc_score, one shuffle.
     */

@@ -312,6 +312,35 @@ SELECT ${r4("(sum(CASE WHEN gt = 1 THEN avgr END) - (sum(CASE WHEN gt = 1 THEN 1
        sum(CASE WHEN gt = 0 THEN 1 ELSE 0 END) AS nneg
 FROM ranked"""
 
+  def q27(rates: Seq[Double] = Seq(0.05, 0.1, 0.2)): String = prefix + scoredGtCte + s"""
+, thrt AS (
+  ${rates.map(r => s"SELECT ${r}::DOUBLE AS contam, (SELECT quantile_cont(score, ${1.0 - r}) FROM sg) AS thr")
+         .mkString("\n  UNION ALL ")}
+), pr AS (
+  SELECT t.contam, t.thr, s.score, s.gt,
+         CASE WHEN s.score > t.thr THEN 1 ELSE 0 END AS pred
+  FROM thrt t CROSS JOIN sg s
+), cm AS (
+  SELECT contam, ${r4("max(thr)")} AS thr,
+         sum(CASE WHEN pred = 1 AND gt = 1 THEN 1 ELSE 0 END) AS tp,
+         sum(CASE WHEN pred = 1 AND gt = 0 THEN 1 ELSE 0 END) AS fp,
+         sum(CASE WHEN pred = 0 AND gt = 1 THEN 1 ELSE 0 END) AS fn
+  FROM pr GROUP BY contam
+)
+SELECT contam, thr, tp, fp, fn,
+  ${r4("CASE WHEN tp + fp = 0 THEN 0.0 ELSE tp / (tp + fp) END")} AS precision,
+  ${r4("CASE WHEN tp + fn = 0 THEN 0.0 ELSE tp / (tp + fn) END")} AS recall
+FROM cm"""
+
+  def q28: String = prefix + s"""
+, t0e AS (SELECT min(hr) AS t0 FROM ev)
+SELECT w.series, w.win,
+  strftime(make_timestamp((t0e.t0 + w.win * ${TsCore.DaySize}) * 3600 * 1000000), '%Y-%m-%d %H:%M:%S')
+  || ' - ' ||
+  strftime(make_timestamp(((t0e.t0 + (w.win + 1) * ${TsCore.DaySize}) * 3600 - 3600) * 1000000), '%Y-%m-%d %H:%M:%S')
+  AS label
+FROM (SELECT DISTINCT series, win FROM daywin) w, t0e"""
+
   def q23(denoiseThr: Double = 0.15, contamRate: Double = 0.1): String = prefix + pairwiseCte + s"""
 , bw AS (SELECT id, pos, ${r4("min(d)")} + 1.0 AS wgt FROM pw GROUP BY id, pos),
 thrw AS (SELECT quantile_cont(wgt, ${1.0 - denoiseThr}) AS thrw FROM bw),
