@@ -33,6 +33,7 @@ object Coreset {
       s
     }
     val minDist = Array.fill(n)(Double.MaxValue)
+    val chosen = Array.fill(n)(false)
     var cur = 0
     var best = -1.0
     for (i <- 0 until n) { val d = d2(feats(i), mean); if (d > best) { best = d; cur = i } }
@@ -40,13 +41,16 @@ object Coreset {
     var s = 0
     while (s < out.length) {
       out(s) = cur
-      var nxt = 0; var bd = -1.0
+      chosen(cur) = true
+      var nxt = -1; var bd = -1.0
       for (i <- 0 until n) {
         val d = d2(feats(i), feats(cur))
         if (d < minDist(i)) minDist(i) = d
-        if (minDist(i) > bd) { bd = minDist(i); nxt = i }
+        if (!chosen(i) && minDist(i) > bd) { bd = minDist(i); nxt = i }
       }
-      cur = nxt
+      // all remaining are duplicates of selected points → take the first
+      if (nxt < 0) nxt = chosen.indexOf(false)
+      cur = if (nxt >= 0) nxt else cur
       s += 1
     }
     out
