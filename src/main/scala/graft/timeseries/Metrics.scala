@@ -45,6 +45,31 @@ object Metrics {
           .otherwise(lit(2.0) * col("precision") * col("recall") / (col("precision") + col("recall")))))
   }
 
+  /** Histogram-approximate AUROC — the 100 TB path. The exact AUROC
+    * (q17) ranks every score in one global window; at billions of scored
+    * windows that sort is the bottleneck. Binning scores into `bins`
+    * equi-width buckets reduces the problem to a `bins`-row cumulative
+    * sum (ties-within-bin handled as 0.5, the trapezoid rule), with
+    * error O(1/bins).
+    */
+  def aurocApprox(spark: SparkSession, sfDir: String, bins: Int = 1000): DataFrame = {
+    val sg = scoredWithGt(spark, sfDir)
+    val rng = sg.agg(min("score").as("lo"), max("score").as("hi"))
+    val binned = sg.crossJoin(broadcast(rng))
+      .withColumn("bin", least(lit(bins - 1),
+        floor((col("score") - col("lo")) / (col("hi") - col("lo") + 1e-12) * bins)))
+      .groupBy("bin")
+      .agg(sum(when(col("gt") === 1, 1).otherwise(0)).as("npos"),
+           sum(when(col("gt") === 0, 1).otherwise(0)).as("nneg"))
+    val w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    binned
+      .withColumn("nneg_below", coalesce(sum("nneg").over(w), lit(0L)))
+      .agg((sum(col("npos") * col("nneg_below")) + sum(col("npos") * col("nneg")) / 2.0).as("u"),
+           sum("npos").as("tp"), sum("nneg").as("tn"))
+      .select(Num.r4(col("u") / (col("tp") * col("tn"))).as("auroc_approx"),
+        col("tp").as("npos"), col("tn").as("nneg"))
+  }
+
   /** q27: threshold sweep — the reference's experiment grid
     * (run_parallel_experiments.py) over contamination-rate thresholds,
     * evaluated in ONE query: each candidate threshold becomes a row,
