@@ -60,6 +60,7 @@ object SparkEntry {
     "q26_mllib_forecast" -> ((s, d) => graft.timeseries.MllibForecast.mllibForecast(s, d)),
     "q27_threshold_sweep" -> ((s, d) => graft.timeseries.Metrics.thresholdSweep(s, d)),
     "q28_window_labels" -> ((s, d) => TsQueries.q28WindowLabels(s, d)),
+    "q29_highest_patch" -> ((s, d) => graft.timeseries.Postprocess.highestPatchFlags(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -131,5 +132,6 @@ object SparkEntry {
     "q25_pointwise_metrics" -> TsOracle.q25(),
     "q27_threshold_sweep" -> TsOracle.q27(),
     "q28_window_labels" -> TsOracle.q28,
+    "q29_highest_patch" -> TsOracle.q29(),
   )
 }

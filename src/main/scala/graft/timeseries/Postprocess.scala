@@ -33,6 +33,24 @@ object Postprocess {
       .withColumn("flag_consec", lit(1))
   }
 
+  /** q29: highest-scoring-patch flags (ref heatmap_postprocess
+    * flag_highest_patch): per test window, the position with the top
+    * Mahalanobis heatmap score anchors a flagged patch of
+    * `patchSize` points.
+    */
+  def highestPatchFlags(spark: SparkSession, sfDir: String,
+                        patchSize: Int = TsCore.FeatPatch): DataFrame = {
+    val w = Window.partitionBy("series", "win").orderBy(col("mdist").desc, col("pos"))
+    val top = Detect.gaussianScore(spark, sfDir)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("series"), col("win"),
+        (floor(col("pos") / patchSize) * patchSize).as("fstart"))
+    TsCore.scaled(spark, sfDir).select("series", "win", "pos")
+      .join(top, Seq("series", "win"))
+      .filter(col("pos") >= col("fstart") && col("pos") < col("fstart") + patchSize)
+      .select(col("series"), col("win"), col("pos"), lit(1).as("flag_top_patch"))
+  }
+
   /** q15: z-score spike flags within each window (ref heatmap_postprocess
     * flag_outliers: standardized |z| > 2.5).
     */

@@ -341,6 +341,33 @@ SELECT w.series, w.win,
   AS label
 FROM (SELECT DISTINCT series, win FROM daywin) w, t0e"""
 
+  def q29(patchSize: Int = TsCore.FeatPatch): String = prefix + s"""
+, gstats AS (
+  SELECT pos, avg(f1) AS m1, avg(f7) AS m2,
+         covar_samp(f1, f1) + 0.01 AS s11, covar_samp(f1, f7) AS s12,
+         covar_samp(f7, f7) + 0.01 AS s22
+  FROM bank GROUP BY pos
+), ginv AS (
+  SELECT pos, m1, m2,
+         s22 / (s11*s22 - s12*s12) AS i11,
+         -s12 / (s11*s22 - s12*s12) AS i12,
+         s11 / (s11*s22 - s12*s12) AS i22
+  FROM gstats
+), heat AS (
+  SELECT t.series, t.win, t.pos,
+         ${r4("sqrt((t.f1-g.m1)*(t.f1-g.m1)*g.i11 + 2.0*(t.f1-g.m1)*(t.f7-g.m2)*g.i12 + (t.f7-g.m2)*(t.f7-g.m2)*g.i22)")} AS mdist
+  FROM testp t JOIN ginv g USING (pos)
+), top AS (
+  SELECT series, win, CAST(floor(pos / $patchSize) AS BIGINT) * $patchSize AS fstart
+  FROM (SELECT series, win, pos,
+               row_number() OVER (PARTITION BY series, win ORDER BY mdist DESC, pos) AS rn
+        FROM heat)
+  WHERE rn = 1
+)
+SELECT s.series, s.win, s.pos, 1 AS flag_top_patch
+FROM scaled s JOIN top t ON s.series = t.series AND s.win = t.win
+WHERE s.pos >= t.fstart AND s.pos < t.fstart + $patchSize"""
+
   def q23(denoiseThr: Double = 0.15, contamRate: Double = 0.1): String = prefix + pairwiseCte + s"""
 , bw AS (SELECT id, pos, ${r4("min(d)")} + 1.0 AS wgt FROM pw GROUP BY id, pos),
 thrw AS (SELECT quantile_cont(wgt, ${1.0 - denoiseThr}) AS thrw FROM bw),
