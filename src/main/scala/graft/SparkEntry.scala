@@ -61,6 +61,9 @@ object SparkEntry {
     "q27_threshold_sweep" -> ((s, d) => graft.timeseries.Metrics.thresholdSweep(s, d)),
     "q28_window_labels" -> ((s, d) => TsQueries.q28WindowLabels(s, d)),
     "q29_highest_patch" -> ((s, d) => graft.timeseries.Postprocess.highestPatchFlags(s, d)),
+    "qa4_rollup" -> ((s, d) => Relational.revenueRollup(s, d)),
+    "qa5_semi_join" -> ((s, d) => Relational.bigSpenderSegments(s, d)),
+    "qa6_running_window" -> ((s, d) => Relational.runningRevenue(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -133,5 +136,24 @@ object SparkEntry {
     "q27_threshold_sweep" -> TsOracle.q27(),
     "q28_window_labels" -> TsOracle.q28,
     "q29_highest_patch" -> TsOracle.q29(),
+    "qa4_rollup" -> """
+      SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+             floor((sum(l_extendedprice * (1.0 - l_discount)))*10000 + 0.5)/10000 AS revenue,
+             count(*) AS n
+      FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "qa5_semi_join" -> """
+      SELECT c_mktsegment, count(*) AS n_customers
+      FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey AND o_totalprice > 100000.0)
+      GROUP BY c_mktsegment""",
+    "qa6_running_window" -> """
+      SELECT l_suppkey, l_orderkey, l_linenumber,
+             CAST(floor(epoch(l_shipdate)) AS BIGINT) AS ship_epoch,
+             floor((sum(l_extendedprice * (1.0 - l_discount))
+                    OVER (PARTITION BY l_suppkey
+                          ORDER BY l_shipdate, l_orderkey, l_linenumber
+                          ROWS UNBOUNDED PRECEDING))*10000 + 0.5)/10000 AS running_rev
+      FROM lineitem""",
   )
 }

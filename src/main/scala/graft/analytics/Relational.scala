@@ -48,6 +48,43 @@ object Relational {
            count(lit(1)).as("n_items"))
   }
 
+  /** qa4: ROLLUP aggregation — subtotal hierarchy in one pass (Catalyst
+    * expands grouping sets; no per-level re-scan).
+    */
+  def revenueRollup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .select("l_returnflag", "l_linestatus", "l_extendedprice", "l_discount")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(Num.r4(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"),
+           count(lit(1)).as("n"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"), col("revenue"), col("n"))
+
+  /** qa5: semi-join — customers with any high-value order, counted per
+    * segment (left_semi: no duplication, right side only probed).
+    */
+  def bigSpenderSegments(spark: SparkSession, sfDir: String, minPrice: Double = 100000.0): DataFrame = {
+    val c = Tables.customer(spark, sfDir).select("c_custkey", "c_mktsegment")
+    val o = Tables.orders(spark, sfDir).filter(col("o_totalprice") > minPrice).select("o_custkey")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_customers"))
+  }
+
+  /** qa6: per-supplier running revenue over ship date — the ordered
+    * analytic pattern (one shuffle on the partition key, in-partition
+    * sort only).
+    */
+  def runningRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("l_suppkey").orderBy("ship_epoch", "l_orderkey", "l_linenumber")
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate").cast("timestamp").cast("long").as("ship_epoch"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      .withColumn("running_rev", Num.r4(sum("rev").over(
+        w.rowsBetween(Window.unboundedPreceding, 0))))
+      .select("l_suppkey", "l_orderkey", "l_linenumber", "ship_epoch", "running_rev")
+  }
+
   /** Top-N per group via rank window — the standard scalable pattern
     * (shuffle once on the partition key, no global sort).
     */

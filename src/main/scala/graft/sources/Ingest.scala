@@ -45,6 +45,13 @@ object Ingest {
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
 
+  /** ORC round-trip (second columnar format; schema carried by files). */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** File-based streaming ingestion of an events directory — the
     * batch-compatible entry into streaming/ScoreStream.
     */

@@ -1,0 +1,49 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.timeseries.{Detect, ModelStore, TsCore}
+import graft.sources.Ingest
+
+class ModelStoreSpec extends SparkSuite {
+
+  test("model save/load round-trip reproduces the pipeline's scores") {
+    val path = Files.createTempDirectory("graft-model").toString
+    ModelStore.save(spark, Sf01, path)
+    val (_, test) = TsCore.bankAndTest(spark, Sf01)
+    val reloaded = ModelStore.loadAndScore(spark, path, test)
+    val direct = Detect.pipeline(spark, Sf01)
+    val joined = reloaded.as("a").join(direct.as("b"),
+      col("a.series") === col("b.series") && col("a.win") === col("b.win"))
+    assert(reloaded.count() === direct.count())
+    assert(joined.filter(abs(col("a.score") - col("b.score")) > 1e-9).count() === 0,
+      "reloaded-bank scores must equal in-session pipeline scores")
+    assert(joined.filter(col("a.pred") =!= col("b.pred")).count() === 0)
+  }
+
+  test("orc round-trip preserves the grid") {
+    val path = Files.createTempDirectory("graft-orc").toString
+    val grid = TsCore.hourlyGrid(spark, Sf001)
+    Ingest.writeOrc(grid, path)
+    val back = Ingest.readOrc(spark, path)
+    assert(back.count() === grid.count())
+    assert(back.agg(sum("n")).head.getLong(0) === grid.agg(sum("n")).head.getLong(0))
+  }
+
+  test("bucketed tables co-locate the join: no exchange on either side") {
+    val wh = Files.createTempDirectory("graft-wh").toString
+    val o = spark.read.parquet(s"$Sf001/orders.parquet")
+    val c = spark.read.parquet(s"$Sf001/customer.parquet")
+    o.write.mode("overwrite").bucketBy(4, "o_custkey").sortBy("o_custkey")
+      .option("path", s"$wh/ob").saveAsTable("orders_b")
+    c.selectExpr("cast(c_custkey as bigint) c_custkey", "c_mktsegment")
+      .write.mode("overwrite").bucketBy(4, "c_custkey").sortBy("c_custkey")
+      .option("path", s"$wh/cb").saveAsTable("customer_b")
+    val j = spark.table("orders_b").join(spark.table("customer_b"),
+      col("o_custkey") === col("c_custkey"))
+    val plan = j.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join must not shuffle:\n${plan.take(800)}")
+    assert(j.count() > 0)
+  }
+}
