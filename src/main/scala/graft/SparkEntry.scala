@@ -64,6 +64,7 @@ object SparkEntry {
     "qa4_rollup" -> ((s, d) => Relational.revenueRollup(s, d)),
     "qa5_semi_join" -> ((s, d) => Relational.bigSpenderSegments(s, d)),
     "qa6_running_window" -> ((s, d) => Relational.runningRevenue(s, d)),
+    "qt5_json_extract" -> ((s, d) => graft.text.TextOps.jsonExtract(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -155,5 +156,13 @@ object SparkEntry {
                           ORDER BY l_shipdate, l_orderkey, l_linenumber
                           ROWS UNBOUNDED PRECEDING))*10000 + 0.5)/10000 AS running_rev
       FROM lineitem""",
+    "qt5_json_extract" -> """
+      SELECT event_type, count(k) AS n,
+             floor((avg(k))*10000 + 0.5)/10000 AS avg_k,
+             min(k) AS min_k, max(k) AS max_k
+      FROM (SELECT event_type,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+            FROM events)
+      GROUP BY event_type""",
   )
 }

@@ -78,6 +78,18 @@ object TextOps {
       floor(col("best") / 8).cast("long").as("hits"))
   }
 
+  /** qt5: semi-structured extraction — parse the events.props JSON
+    * payload and aggregate the extracted field per event type
+    * (get_json_object is codegen'd; no UDF, no schema inference pass).
+    */
+  def jsonExtract(spark: SparkSession, sfDir: String): DataFrame =
+    graft.util.Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count("k").as("n"), Num.r4(avg("k")).as("avg_k"),
+        min("k").as("min_k"), max("k").as("max_k"))
+
   /** qt4: winnowing-style fingerprint — the 3 smallest 5-gram rolling
     * hashes per document (bottom-k sketch).
     */
