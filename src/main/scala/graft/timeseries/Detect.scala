@@ -35,9 +35,11 @@ object Detect {
     val (bank, test) = TsCore.bankAndTest(spark, sfDir)
     val b = renamed(bank.select(FeatCols.map(col): _*), "b_")
     val t = test.select((Seq("series", "win", "pos").map(col) ++ FeatCols.map(col)): _*)
+    // min over squared distances, sqrt once per patch: sqrt is monotone,
+    // so sqrt(min(d2)) == min(sqrt(d2)) exactly — matches the oracle.
     val scored = t.crossJoin(broadcast(b))
       .groupBy("series", "win", "pos")
-      .agg(min(sqrt(dist2("", "b_"))).as("pscore"))
+      .agg(sqrt(min(dist2("", "b_"))).as("pscore"))
     scored.groupBy("series", "win")
       .agg(Num.r4(max("pscore")).as("score"))
   }
@@ -142,9 +144,31 @@ object Detect {
     * lrd(a) = k / Σ_{b∈kNN(a)} reach(a,b); lof(a) = mean lrd(b)/lrd(a).
     * The reference adds 1e-6 to all distances before the top-k.
     */
-  def lofWeight(spark: SparkSession, sfDir: String, k: Int = 6): DataFrame = {
+  def lofWeight(spark: SparkSession, sfDir: String, k: Int = 6): DataFrame =
+    lofWeightCapped(spark, sfDir, k, maxRef = Int.MaxValue)
+
+  /** LOF with a per-position reference cap — the 100 TB path. When the
+    * windows-per-position count makes the per-position pairwise
+    * quadratic too wide, the *reference* set (neighbour candidates) is
+    * capped to the first `maxRef` window ids per position
+    * (deterministic), while every patch is still scored. With
+    * maxRef ≥ bank size this is exactly the uncapped LOF (the oracle
+    * path); capped results are approximate but bounded O(n·maxRef).
+    */
+  def lofWeightCapped(spark: SparkSession, sfDir: String, k: Int = 6,
+                      maxRef: Int = 10000): DataFrame = {
     val (bank, _) = TsCore.bankAndTest(spark, sfDir)
-    val pw = pairwise(bank).withColumn("d", col("d") + 1e-6)
+    val pwAll = pairwise(bank)
+    val pwRef =
+      if (maxRef == Int.MaxValue) pwAll
+      else {
+        val wRef = Window.partitionBy("pos").orderBy("nid")
+        val refIds = pwAll.select("pos", "nid").distinct()
+          .withColumn("rr", row_number().over(wRef)).filter(col("rr") <= maxRef)
+          .select("pos", "nid")
+        pwAll.join(refIds, Seq("pos", "nid"))
+      }
+    val pw = pwRef.withColumn("d", col("d") + 1e-6)
     val wNbr = Window.partitionBy("pos", "id").orderBy(col("d"), col("nid"))
     val knn = pw.withColumn("rn", row_number().over(wNbr)).filter(col("rn") <= k)
     val kdist = knn.groupBy("pos", "id").agg(max("d").as("kdist"))

@@ -24,6 +24,17 @@ class DetectSpec extends SparkSuite {
     assert(med > 0.8 && med < 1.5, s"median LOF $med")
   }
 
+  test("capped LOF approximates uncapped and bounds the reference set") {
+    val full = Detect.lofWeight(spark, Sf01)
+    val capped = Detect.lofWeightCapped(spark, Sf01, maxRef = 40)
+    assert(capped.count() === full.count(), "every patch still scored under the cap")
+    val joined = full.withColumnRenamed("lof", "lof_full")
+      .join(capped, Seq("id", "pos"))
+    val corrPairs = joined.agg(org.apache.spark.sql.functions.corr("lof_full", "lof"))
+      .head.getDouble(0)
+    assert(corrPairs > 0.5, s"capped LOF should track uncapped (corr=$corrPairs)")
+  }
+
   test("greedy coreset picks spread-out points") {
     // 2 tight clusters + 1 outlier: k=2 must include the outlier
     val pts = Array(
