@@ -46,6 +46,7 @@ object SparkEntry {
     "qd1_dedup_exact" -> ((s, d) => graft.text.Dedup.exact(s, d)),
     "qd2_minhash_lsh" -> ((s, d) => graft.text.Dedup.minhashLsh(s, d)),
     "qd3_simhash" -> ((s, d) => graft.text.Dedup.simhash(s, d)),
+    "qd6_dup_clusters" -> ((s, d) => graft.text.Dedup.dupClusters(s, d)),
     "qd4_ngram_jaccard" -> ((s, d) => graft.text.Dedup.ngramJaccard(s, d)),
     "qd5_embed_neardup" -> ((s, d) => graft.vector.Similarity.embedNearDup(s, d)),
     "qv1_cosine_topk" -> ((s, d) => graft.vector.Similarity.cosineTopK(s, d)),
@@ -65,6 +66,8 @@ object SparkEntry {
     "qa5_semi_join" -> ((s, d) => Relational.bigSpenderSegments(s, d)),
     "qa6_running_window" -> ((s, d) => Relational.runningRevenue(s, d)),
     "qt5_json_extract" -> ((s, d) => graft.text.TextOps.jsonExtract(s, d)),
+    "qt6_top_bigrams" -> ((s, d) => graft.text.TextOps.topBigrams(s, d)),
+    "qa7_anti_join" -> ((s, d) => Relational.partsNeverOrdered(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -124,6 +127,7 @@ object SparkEntry {
     "qd1_dedup_exact" -> graft.text.DocOracle.qd1,
     "qd2_minhash_lsh" -> graft.text.DocOracle.qd2(),
     "qd3_simhash" -> graft.text.DocOracle.qd3(),
+    "qd6_dup_clusters" -> graft.text.DocOracle.qd6(),
     "qd4_ngram_jaccard" -> graft.text.DocOracle.qd4,
     "qd5_embed_neardup" -> graft.text.DocOracle.qd5(),
     "qv1_cosine_topk" -> graft.text.DocOracle.qv1(),
@@ -164,5 +168,31 @@ object SparkEntry {
                    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
             FROM events)
       GROUP BY event_type""",
+    "qt6_top_bigrams" -> """
+      WITH tk AS (
+        SELECT doc_id, unnest(range(len(string_split(text, ' ')))) AS i,
+               unnest(string_split(text, ' ')) AS tok
+        FROM documents
+      ), toks AS (SELECT * FROM tk WHERE tok <> ''),
+      bg AS (
+        SELECT t.doc_id, t.tok || ' ' || lead(t.tok, 1) OVER (PARTITION BY t.doc_id ORDER BY t.i) AS bigram,
+               lead(t.tok, 1) OVER (PARTITION BY t.doc_id ORDER BY t.i) AS nxt
+        FROM toks t
+      ), counts AS (
+        SELECT d.lang, b.bigram, count(*) AS n
+        FROM bg b JOIN documents d USING (doc_id)
+        WHERE b.nxt IS NOT NULL
+        GROUP BY d.lang, b.bigram
+      )
+      SELECT lang, rnk, bigram, n FROM (
+        SELECT lang, bigram, n,
+               row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS rnk
+        FROM counts
+      ) WHERE rnk <= 5""",
+    "qa7_anti_join" -> """
+      SELECT p_brand, count(*) AS n_unsold
+      FROM part
+      WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+      GROUP BY p_brand""",
   )
 }

@@ -85,6 +85,16 @@ object Relational {
       .select("l_suppkey", "l_orderkey", "l_linenumber", "ship_epoch", "running_rev")
   }
 
+  /** qa7: anti-join — parts never ordered (NOT EXISTS; left_anti streams
+    * the big side against a broadcast probe set).
+    */
+  def partsNeverOrdered(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = Tables.part(spark, sfDir).select("p_partkey", "p_brand")
+    val li = Tables.lineitem(spark, sfDir).select("l_partkey")
+    p.join(li, p("p_partkey") === li("l_partkey"), "left_anti")
+      .groupBy("p_brand").agg(count(lit(1)).as("n_unsold"))
+  }
+
   /** Top-N per group via rank window — the standard scalable pattern
     * (shuffle once on the partition key, no global sort).
     */

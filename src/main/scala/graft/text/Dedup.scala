@@ -77,6 +77,40 @@ object Dedup {
       .select("doc_a", "doc_b", "hamming")
   }
 
+  /** qd6: duplicate-cluster resolution — connected components over the
+    * MinHash-LSH candidate graph via iterative min-label propagation
+    * (each doc converges to the smallest doc_id reachable through
+    * near-dup edges). The loop is a handful of broadcast-free
+    * self-joins; iterations ≤ graph diameter, checked by an exact
+    * convergence test each round. The scalable alternative to
+    * driver-side union-find.
+    */
+  def dupClusters(spark: SparkSession, sfDir: String, maxIter: Int = 20): DataFrame = {
+    val pairs = minhashLsh(spark, sfDir).select("doc_a", "doc_b")
+    val edges = pairs
+      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .distinct().cache()
+    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id")).cache()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("doc_b"), col("cluster_id").as("nl")), "doc_b")
+        .groupBy("doc_a").agg(min("nl").as("nbr_min"))
+      val next = labels
+        .join(nbrMin.select(col("doc_a").as("doc_id"), col("nbr_min")), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
+        .cache()
+      converged = next.join(labels.select(col("doc_id"), col("cluster_id").as("old")), "doc_id")
+        .filter(col("cluster_id") =!= col("old")).isEmpty
+      labels = next
+      iter += 1
+    }
+    labels.select("doc_id", "cluster_id")
+  }
+
   /** qd4: 3-gram Jaccard similarity over blocked candidate pairs
     * (block = (lang, n_chars/20) — cheap recall-oriented blocking).
     */

@@ -92,6 +92,38 @@ blocks AS (
 SELECT i.doc_a, i.doc_b, ${r4("i.inter / (za.sz + zb.sz - i.inter)")} AS jaccard
 FROM inter i JOIN sizes za ON za.doc_id = i.doc_a JOIN sizes zb ON zb.doc_id = i.doc_b"""
 
+  /** qd6: duplicate clusters — transitive closure over the LSH candidate
+    * graph via recursive CTE; cluster id = min reachable doc_id. Must
+    * agree with Spark's iterative min-label propagation fixpoint.
+    */
+  def qd6(nPerm: Int = 16, bandRows: Int = 4): String = {
+    val base = (toksCte + shinglesCte(3, "sh3") + s"""
+, shd AS (SELECT DISTINCT doc_id, sh, ${h("sh")} AS bh FROM sh3),
+perms AS (
+  SELECT doc_id, bh, unnest(range($nPerm)) AS j FROM shd
+), hashed AS (
+  SELECT doc_id, j, ((j * 31 + 17) * bh + j * 7919) % 2147483647 AS hh FROM perms
+), minh AS (
+  SELECT doc_id, j, min(hh) AS mh FROM hashed GROUP BY doc_id, j
+), bands AS (
+  SELECT doc_id, CAST(floor(j / $bandRows) AS BIGINT) AS band,
+         sum(mh * (CASE j % $bandRows WHEN 0 THEN 1 WHEN 1 THEN 31 WHEN 2 THEN 961 ELSE 29791 END)) AS sig
+  FROM minh GROUP BY doc_id, CAST(floor(j / $bandRows) AS BIGINT)
+), cpairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+), edges AS (
+  SELECT doc_a, doc_b FROM cpairs
+  UNION SELECT doc_b, doc_a FROM cpairs
+), reach AS (
+  SELECT doc_a AS src, doc_a AS dst FROM (SELECT DISTINCT doc_a FROM edges)
+  UNION
+  SELECT r.src, e.doc_b AS dst FROM reach r JOIN edges e ON r.dst = e.doc_a
+)
+SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src""")
+    base.replaceFirst("^\nWITH ", "\nWITH RECURSIVE ")
+  }
+
   /** Vectors with norms (double math). */
   private val vecsCte: String = """
 WITH vecs AS (

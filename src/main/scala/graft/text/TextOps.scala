@@ -78,6 +78,23 @@ object TextOps {
       floor(col("best") / 8).cast("long").as("hits"))
   }
 
+  /** qt6: corpus n-gram frequency table — top bigrams per language
+    * (count → rank, the vocabulary-building primitive).
+    */
+  def topBigrams(spark: SparkSession, sfDir: String, topN: Int = 5): DataFrame = {
+    val docs = graft.util.Tables.documents(spark, sfDir).select("doc_id", "lang")
+    val w = Window.partitionBy("doc_id").orderBy("i")
+    val bigrams = tokens(spark, sfDir)
+      .withColumn("nxt", lead("tok", 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .withColumn("bigram", concat_ws(" ", col("tok"), col("nxt")))
+      .join(docs, "doc_id")
+    val counts = bigrams.groupBy("lang", "bigram").agg(count(lit(1)).as("n"))
+    val wr = Window.partitionBy("lang").orderBy(col("n").desc, col("bigram"))
+    counts.withColumn("rnk", row_number().over(wr)).filter(col("rnk") <= topN)
+      .select("lang", "rnk", "bigram", "n")
+  }
+
   /** qt5: semi-structured extraction — parse the events.props JSON
     * payload and aggregate the extracted field per event type
     * (get_json_object is codegen'd; no UDF, no schema inference pass).

@@ -17,6 +17,16 @@ class TextSpec extends SparkSuite {
     assert(m.filter(col("n_bands") < 1 || col("n_bands") > 4).count() === 0)
   }
 
+  test("dup clusters: members of one cluster are connected, ids are minima") {
+    val cl = Dedup.dupClusters(spark, Sf001).cache()
+    assert(cl.count() > 0)
+    // cluster_id must be ≤ every member id and itself a member
+    assert(cl.filter(col("cluster_id") > col("doc_id")).count() === 0)
+    val ids = cl.select("cluster_id").distinct()
+    val members = cl.select(col("doc_id").as("cluster_id")).distinct()
+    assert(ids.join(members, Seq("cluster_id"), "left_anti").count() === 0)
+  }
+
   test("simhash hamming bounded by fingerprint width") {
     val s = Dedup.simhash(spark, Sf001, maxHam = 16).cache()
     assert(s.count() > 0)
