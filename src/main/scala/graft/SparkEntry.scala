@@ -68,6 +68,8 @@ object SparkEntry {
     "qt5_json_extract" -> ((s, d) => graft.text.TextOps.jsonExtract(s, d)),
     "qt6_top_bigrams" -> ((s, d) => graft.text.TextOps.topBigrams(s, d)),
     "qa7_anti_join" -> ((s, d) => Relational.partsNeverOrdered(s, d)),
+    "qe1_sessionize" -> ((s, d) => graft.analytics.Events.sessionize(s, d)),
+    "qe2_funnel" -> ((s, d) => graft.analytics.Events.funnel(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -194,5 +196,39 @@ object SparkEntry {
       FROM part
       WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
       GROUP BY p_brand""",
+    "qe1_sessionize" -> """
+      WITH ev AS (
+        SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec FROM events
+      ), lagd AS (
+        SELECT user_id, event_id, tsec,
+               lag(tsec) OVER (PARTITION BY user_id ORDER BY tsec, event_id) AS prev
+        FROM ev
+      ), flagged AS (
+        SELECT *, CASE WHEN prev IS NULL OR tsec - prev > 1800 THEN 1 ELSE 0 END AS ns
+        FROM lagd
+      ), sess AS (
+        SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY tsec, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+      )
+      SELECT user_id, session_id, count(*) AS n_events,
+             min(tsec) AS start_epoch, max(tsec) AS end_epoch,
+             max(tsec) - min(tsec) AS duration_s
+      FROM sess GROUP BY user_id, session_id""",
+    "qe2_funnel" -> """
+      WITH ev AS (
+        SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS tsec FROM events
+      ),
+      s1 AS (SELECT user_id, min(tsec) AS t0 FROM ev WHERE event_type = 'signup' GROUP BY user_id),
+      s2 AS (SELECT e.user_id, min(e.tsec) AS t0 FROM ev e JOIN s1 USING (user_id)
+             WHERE e.event_type = 'view' AND e.tsec > s1.t0 GROUP BY e.user_id),
+      s3 AS (SELECT e.user_id, min(e.tsec) AS t0 FROM ev e JOIN s2 USING (user_id)
+             WHERE e.event_type = 'click' AND e.tsec > s2.t0 GROUP BY e.user_id),
+      s4 AS (SELECT e.user_id, min(e.tsec) AS t0 FROM ev e JOIN s3 USING (user_id)
+             WHERE e.event_type = 'purchase' AND e.tsec > s3.t0 GROUP BY e.user_id)
+      SELECT 1 AS stage, 'signup' AS event_type, (SELECT count(*) FROM s1) AS n_users
+      UNION ALL SELECT 2, 'view', (SELECT count(*) FROM s2)
+      UNION ALL SELECT 3, 'click', (SELECT count(*) FROM s3)
+      UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM s4)""",
   )
 }
