@@ -70,6 +70,7 @@ object SparkEntry {
     "qa7_anti_join" -> ((s, d) => Relational.partsNeverOrdered(s, d)),
     "qe1_sessionize" -> ((s, d) => graft.analytics.Events.sessionize(s, d)),
     "qe2_funnel" -> ((s, d) => graft.analytics.Events.funnel(s, d)),
+    "qp1_profile" -> ((s, d) => graft.analytics.Events.profile(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -230,5 +231,26 @@ object SparkEntry {
       UNION ALL SELECT 2, 'view', (SELECT count(*) FROM s2)
       UNION ALL SELECT 3, 'click', (SELECT count(*) FROM s3)
       UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM s4)""",
+    "qp1_profile" -> ("""
+      SELECT 'l_quantity' AS column_name,
+             sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+             count(DISTINCT l_quantity) AS n_distinct,
+             floor((min(l_quantity))*10000 + 0.5)/10000 AS min_v,
+             floor((max(l_quantity))*10000 + 0.5)/10000 AS max_v FROM lineitem
+      UNION ALL SELECT 'l_extendedprice',
+             sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END),
+             count(DISTINCT l_extendedprice),
+             floor((min(l_extendedprice))*10000 + 0.5)/10000,
+             floor((max(l_extendedprice))*10000 + 0.5)/10000 FROM lineitem
+      UNION ALL SELECT 'l_discount',
+             sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END),
+             count(DISTINCT l_discount),
+             floor((min(l_discount))*10000 + 0.5)/10000,
+             floor((max(l_discount))*10000 + 0.5)/10000 FROM lineitem
+      UNION ALL SELECT 'l_tax',
+             sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END),
+             count(DISTINCT l_tax),
+             floor((min(l_tax))*10000 + 0.5)/10000,
+             floor((max(l_tax))*10000 + 0.5)/10000 FROM lineitem"""),
   )
 }

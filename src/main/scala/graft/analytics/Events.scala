@@ -38,6 +38,27 @@ object Events {
         (max("tsec") - min("tsec")).as("duration_s"))
   }
 
+  /** qp1: column profiling — per-column null count, distinct count,
+    * min/max in ONE pass over the table (conditional aggregates, no
+    * per-column re-scan; the lake-health primitive).
+    */
+  def profile(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.util.Num
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val li = Tables.lineitem(spark, sfDir).select(cols.map(col): _*)
+    val aggs = cols.flatMap { c =>
+      Seq(sum(when(col(c).isNull, 1).otherwise(0)).as(s"${c}_nulls"),
+        countDistinct(col(c)).as(s"${c}_distinct"),
+        Num.r4(min(col(c))).as(s"${c}_min"), Num.r4(max(col(c))).as(s"${c}_max"))
+    }
+    val wide = li.agg(aggs.head, aggs.tail: _*)
+    wide.select(explode(array(cols.map(c =>
+      struct(lit(c).as("column_name"), col(s"${c}_nulls").as("n_nulls"),
+        col(s"${c}_distinct").as("n_distinct"),
+        col(s"${c}_min").as("min_v"), col(s"${c}_max").as("max_v"))): _*)).as("p"))
+      .select("p.*")
+  }
+
   /** qe2: ordered funnel — users reaching each stage strictly after the
     * previous stage's first occurrence. Each stage is one conditional
     * aggregation; the stage chain is a sequence of per-user joins on an
