@@ -208,8 +208,8 @@ object SparkEntry {
         SELECT *, CASE WHEN prev IS NULL OR tsec - prev > 1800 THEN 1 ELSE 0 END AS ns
         FROM lagd
       ), sess AS (
-        SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY tsec, event_id
-                                ROWS UNBOUNDED PRECEDING) AS session_id
+        SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY tsec, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         FROM flagged
       )
       SELECT user_id, session_id, count(*) AS n_events,
@@ -233,22 +233,22 @@ object SparkEntry {
       UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM s4)""",
     "qp1_profile" -> ("""
       SELECT 'l_quantity' AS column_name,
-             sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+             CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
              count(DISTINCT l_quantity) AS n_distinct,
              floor((min(l_quantity))*10000 + 0.5)/10000 AS min_v,
              floor((max(l_quantity))*10000 + 0.5)/10000 AS max_v FROM lineitem
       UNION ALL SELECT 'l_extendedprice',
-             sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END),
+             CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
              count(DISTINCT l_extendedprice),
              floor((min(l_extendedprice))*10000 + 0.5)/10000,
              floor((max(l_extendedprice))*10000 + 0.5)/10000 FROM lineitem
       UNION ALL SELECT 'l_discount',
-             sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END),
+             CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT),
              count(DISTINCT l_discount),
              floor((min(l_discount))*10000 + 0.5)/10000,
              floor((max(l_discount))*10000 + 0.5)/10000 FROM lineitem
       UNION ALL SELECT 'l_tax',
-             sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END),
+             CAST(sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS BIGINT),
              count(DISTINCT l_tax),
              floor((min(l_tax))*10000 + 0.5)/10000,
              floor((max(l_tax))*10000 + 0.5)/10000 FROM lineitem"""),

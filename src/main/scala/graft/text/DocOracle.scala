@@ -261,7 +261,7 @@ FROM base b LEFT JOIN stopHits s USING (doc_id)"""
     }.mkString(" UNION ALL ")
     toksCte + s"""
 , marker AS ($unions)
-SELECT doc_id, cand AS pred_lang, hits FROM (
+SELECT doc_id, cand AS pred_lang, CAST(hits AS BIGINT) AS hits FROM (
   SELECT doc_id, cand, hits,
          row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, prio) AS rn
   FROM marker

@@ -287,10 +287,10 @@ FROM (SELECT series, win, pos, vs,
 , thr AS (SELECT quantile_cont(score, ${1.0 - contamRate}) AS thr FROM sg),
 pr AS (SELECT sg.*, thr.thr, CASE WHEN score > thr.thr THEN 1 ELSE 0 END AS pred FROM sg, thr),
 cm AS (
-  SELECT sum(CASE WHEN pred = 0 AND gt = 0 THEN 1 ELSE 0 END) AS tn,
-         sum(CASE WHEN pred = 1 AND gt = 0 THEN 1 ELSE 0 END) AS fp,
-         sum(CASE WHEN pred = 0 AND gt = 1 THEN 1 ELSE 0 END) AS fn,
-         sum(CASE WHEN pred = 1 AND gt = 1 THEN 1 ELSE 0 END) AS tp,
+  SELECT CAST(sum(CASE WHEN pred = 0 AND gt = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+         CAST(sum(CASE WHEN pred = 1 AND gt = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(sum(CASE WHEN pred = 0 AND gt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         CAST(sum(CASE WHEN pred = 1 AND gt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
          ${r4("max(thr)")} AS thr
   FROM pr
 ), pm AS (
@@ -308,8 +308,8 @@ FROM pm"""
   FROM sg
 )
 SELECT ${r4("(sum(CASE WHEN gt = 1 THEN avgr END) - (sum(CASE WHEN gt = 1 THEN 1 ELSE 0 END)::DOUBLE) * ((sum(CASE WHEN gt = 1 THEN 1 ELSE 0 END)::DOUBLE) + 1) / 2.0) / ((sum(CASE WHEN gt = 1 THEN 1 ELSE 0 END)::DOUBLE) * (sum(CASE WHEN gt = 0 THEN 1 ELSE 0 END)::DOUBLE))")} AS auroc,
-       sum(CASE WHEN gt = 1 THEN 1 ELSE 0 END) AS npos,
-       sum(CASE WHEN gt = 0 THEN 1 ELSE 0 END) AS nneg
+       CAST(sum(CASE WHEN gt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS npos,
+       CAST(sum(CASE WHEN gt = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nneg
 FROM ranked"""
 
   def q27(rates: Seq[Double] = Seq(0.05, 0.1, 0.2)): String = prefix + scoredGtCte + s"""
@@ -322,9 +322,9 @@ FROM ranked"""
   FROM thrt t CROSS JOIN sg s
 ), cm AS (
   SELECT contam, ${r4("max(thr)")} AS thr,
-         sum(CASE WHEN pred = 1 AND gt = 1 THEN 1 ELSE 0 END) AS tp,
-         sum(CASE WHEN pred = 1 AND gt = 0 THEN 1 ELSE 0 END) AS fp,
-         sum(CASE WHEN pred = 0 AND gt = 1 THEN 1 ELSE 0 END) AS fn
+         CAST(sum(CASE WHEN pred = 1 AND gt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(sum(CASE WHEN pred = 1 AND gt = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(sum(CASE WHEN pred = 0 AND gt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn
   FROM pr GROUP BY contam
 )
 SELECT contam, thr, tp, fp, fn,
@@ -560,10 +560,10 @@ GROUP BY t.series, t.pos"""
          max(pred_pt) AS pred, max(is_anom) AS gt
   FROM flagged GROUP BY series, win, CAST(floor(pos / $patchSize) AS BIGINT)
 ), cm AS (
-  SELECT sum(CASE WHEN pred = 0 AND gt = 0 THEN 1 ELSE 0 END) AS tn,
-         sum(CASE WHEN pred = 1 AND gt = 0 THEN 1 ELSE 0 END) AS fp,
-         sum(CASE WHEN pred = 0 AND gt = 1 THEN 1 ELSE 0 END) AS fn,
-         sum(CASE WHEN pred = 1 AND gt = 1 THEN 1 ELSE 0 END) AS tp
+  SELECT CAST(sum(CASE WHEN pred = 0 AND gt = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+         CAST(sum(CASE WHEN pred = 1 AND gt = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(sum(CASE WHEN pred = 0 AND gt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         CAST(sum(CASE WHEN pred = 1 AND gt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp
   FROM patched
 ), pm AS (
   SELECT *, ${r4("CASE WHEN tp + fp = 0 THEN 0.0 ELSE tp / (tp + fp) END")} AS precision,

@@ -26,11 +26,18 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def cells_equal(a, b) -> bool:
-    if isinstance(a, float) or isinstance(b, float):
-        fa, fb = float(a), float(b)
-        if math.isnan(fa) and math.isnan(fb):
+    # STRICT, driver-style: the driver hashes stringified values, so an
+    # int64 "5" vs a float64 "5.0" (e.g. DuckDB SUM->HUGEINT->float64)
+    # is a mismatch even though the numbers are equal. Mirror that.
+    import numpy as np
+    fa = isinstance(a, (float, np.floating))
+    fb = isinstance(b, (float, np.floating))
+    if fa != fb:
+        return False
+    if fa:
+        if math.isnan(a) and math.isnan(b):
             return True
-        return abs(fa - fb) < 1e-9
+        return repr(float(a)) == repr(float(b))
     return str(a) == str(b)
 
 
