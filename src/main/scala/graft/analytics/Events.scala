@@ -60,26 +60,31 @@ object Events {
   }
 
   /** qe2: ordered funnel — users reaching each stage strictly after the
-    * previous stage's first occurrence. Each stage is one conditional
-    * aggregation; the stage chain is a sequence of per-user joins on an
-    * already-partitioned frame.
+    * previous stage's first occurrence. ONE shuffle: events group to a
+    * per-user array, and the stage chain is a per-row scalar fold
+    * (filter/min HOFs referencing the previous stage's time) — no
+    * per-stage join or action. Funnel events per user are bounded, so
+    * the array is safe at 100 TB; other event types are filtered before
+    * the shuffle.
     */
   def funnel(spark: SparkSession, sfDir: String,
              stages: Seq[String] = Seq("signup", "view", "click", "purchase")): DataFrame = {
-    val ev = epochSec(spark, sfDir).cache()
-    var reached = ev.filter(col("event_type") === stages.head)
-      .groupBy("user_id").agg(min("tsec").as("t0"))
-    val counts = scala.collection.mutable.ArrayBuffer[(String, Long)]()
-    counts += stages.head -> reached.count()
-    for (st <- stages.tail) {
-      reached = ev.filter(col("event_type") === st)
-        .join(reached, "user_id")
-        .filter(col("tsec") > col("t0"))
-        .groupBy("user_id").agg(min("tsec").as("t0"))
-      counts += st -> reached.count()
+    val perUser = epochSec(spark, sfDir)
+      .filter(col("event_type").isin(stages: _*))
+      .groupBy("user_id")
+      .agg(collect_list(struct(col("tsec"), col("event_type"))).as("evs"))
+    val withTimes = stages.zipWithIndex.foldLeft(perUser) { case (acc, (st, i)) =>
+      val cond =
+        if (i == 0) s"x.event_type = '$st'"
+        else s"x.event_type = '$st' AND t${i - 1} IS NOT NULL AND x.tsec > t${i - 1}"
+      acc.withColumn(s"t$i",
+        expr(s"array_min(transform(filter(evs, x -> $cond), x -> x.tsec))"))
     }
-    import ev.sparkSession.implicits._
-    counts.zipWithIndex.map { case ((st, n), i) => (i + 1, st, n) }.toSeq
-      .toDF("stage", "event_type", "n_users")
+    val aggs = stages.indices.map(i => count(col(s"t$i")).as(s"n$i"))
+    withTimes.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(stages.zipWithIndex.map { case (st, i) =>
+        struct(lit(i + 1).as("stage"), lit(st).as("event_type"), col(s"n$i").as("n_users"))
+      }: _*)).as("r"))
+      .select("r.*")
   }
 }

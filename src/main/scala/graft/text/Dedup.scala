@@ -29,7 +29,12 @@ object Dedup {
     * 4 bands × 4 rows; pairs share ≥1 band. Shuffles only
     * (band, signature) tuples.
     */
-  def minhashLsh(spark: SparkSession, sfDir: String, nPerm: Int = 16, bandRows: Int = 4): DataFrame = {
+  def minhashLsh(spark: SparkSession, sfDir: String, nPerm: Int = 16, bandRows: Int = 4): DataFrame =
+    graft.util.StageCache.cached(spark, sfDir, s"lshpairs_${nPerm}_$bandRows") {
+      minhashLshBuild(spark, sfDir, nPerm, bandRows)
+    }
+
+  private def minhashLshBuild(spark: SparkSession, sfDir: String, nPerm: Int, bandRows: Int): DataFrame = {
     // One md5 per shingle; permutations are affine integer mixes of the
     // base hash (classic minhash) — exact int64, far cheaper than a hash
     // per (shingle, perm) at scale. (j*31+17) keeps products < 2^63.
@@ -79,36 +84,46 @@ object Dedup {
 
   /** qd6: duplicate-cluster resolution — connected components over the
     * MinHash-LSH candidate graph via iterative min-label propagation
-    * (each doc converges to the smallest doc_id reachable through
-    * near-dup edges). The loop is a handful of broadcast-free
-    * self-joins; iterations ≤ graph diameter, checked by an exact
-    * convergence test each round. The scalable alternative to
-    * driver-side union-find.
+    * with pointer doubling: each round a node takes the min of its own
+    * label, its neighbours' labels, AND its label's label (path
+    * shortcutting), so convergence is O(log diameter) rounds instead of
+    * O(diameter). Each round is one materializing job (localCheckpoint)
+    * plus a cheap count on the materialized result. The scalable
+    * alternative to driver-side union-find.
     */
   def dupClusters(spark: SparkSession, sfDir: String, maxIter: Int = 20): DataFrame = {
     val pairs = minhashLsh(spark, sfDir).select("doc_a", "doc_b")
-    val edges = pairs
-      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .distinct().cache()
+    val edges = graft.util.StageCache.cached(spark, sfDir, "ccedges") {
+      pairs.unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        .distinct()
+    }
     var labels = edges.select(col("doc_a").as("doc_id")).distinct()
-      .withColumn("cluster_id", col("doc_id")).cache()
+      .withColumn("cluster_id", col("doc_id")).localCheckpoint()
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
       val nbrMin = edges
         .join(labels.select(col("doc_id").as("doc_b"), col("cluster_id").as("nl")), "doc_b")
         .groupBy("doc_a").agg(min("nl").as("nbr_min"))
+        .select(col("doc_a").as("doc_id"), col("nbr_min"))
+      // pointer doubling: label(label(v)) — cluster_id is itself a doc_id
+      val lol = labels.join(
+        labels.select(col("doc_id").as("cluster_id"), col("cluster_id").as("ll")),
+        Seq("cluster_id"))
+        .select(col("doc_id"), col("ll"))
       val next = labels
-        .join(nbrMin.select(col("doc_a").as("doc_id"), col("nbr_min")), Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
-        .cache()
-      converged = next.join(labels.select(col("doc_id"), col("cluster_id").as("old")), "doc_id")
-        .filter(col("cluster_id") =!= col("old")).isEmpty
-      labels = next
+        .join(nbrMin, Seq("doc_id"), "left")
+        .join(lol, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("cluster_id").as("old"),
+          least(col("cluster_id"),
+                coalesce(col("nbr_min"), col("cluster_id")),
+                coalesce(col("ll"), col("cluster_id"))).as("cluster_id"))
+        .localCheckpoint() // one job; the convergence count below is free
+      converged = next.filter(col("cluster_id") =!= col("old")).isEmpty
+      labels = next.select("doc_id", "cluster_id")
       iter += 1
     }
-    labels.select("doc_id", "cluster_id")
+    labels
   }
 
   /** qd4: 3-gram Jaccard similarity over blocked candidate pairs

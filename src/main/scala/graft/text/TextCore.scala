@@ -16,23 +16,28 @@ object TextCore {
   def strHash(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
-  /** (doc_id, i, tok) — whitespace tokens with their original index. */
+  /** (doc_id, i, tok) — whitespace tokens with their original index.
+    * Session-cached: six text operators start from this explode.
+    */
   def tokens(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("i", "tok")))
-      .filter(col("tok") =!= "")
+    graft.util.StageCache.cached(spark, sfDir, "tokens") {
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("i", "tok")))
+        .filter(col("tok") =!= "")
+    }
 
   /** (doc_id, i, sh) — word n-gram shingles via window lead. */
-  def shingles(spark: SparkSession, sfDir: String, n: Int = 3): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("i")
-    val parts = (0 until n).map {
-      case 0 => col("tok")
-      case k => lead("tok", k).over(w)
+  def shingles(spark: SparkSession, sfDir: String, n: Int = 3): DataFrame =
+    graft.util.StageCache.cached(spark, sfDir, s"shingles$n") {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("i")
+      val parts = (0 until n).map {
+        case 0 => col("tok")
+        case k => lead("tok", k).over(w)
+      }
+      tokens(spark, sfDir)
+        .withColumn("sh", concat_ws(" ", parts: _*))
+        .withColumn("lastTok", lead("tok", n - 1).over(w))
+        .filter(col("lastTok").isNotNull)
+        .select("doc_id", "i", "sh")
     }
-    tokens(spark, sfDir)
-      .withColumn("sh", concat_ws(" ", parts: _*))
-      .withColumn("lastTok", lead("tok", n - 1).over(w))
-      .filter(col("lastTok").isNotNull)
-      .select("doc_id", "i", "sh")
-  }
 }

@@ -32,15 +32,22 @@ object Detect {
     * scored side streams map-side.
     */
   def knnScore(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.VectorExprs.register(spark)
     val (bank, test) = TsCore.bankAndTest(spark, sfDir)
-    val b = renamed(bank.select(FeatCols.map(col): _*), "b_")
-    val t = test.select((Seq("series", "win", "pos").map(col) ++ FeatCols.map(col)): _*)
+    // The whole bank broadcasts as ONE flattened array row; each test
+    // patch runs the codegen'd graft_min_dist2 scan (min is
+    // order-independent, so collect_list order doesn't matter). This
+    // replaces a |test|×|bank|-row broadcast join + hash-agg with one
+    // tight loop per test row — the scored side never widens or
+    // shuffles, which is the 100 TB contract.
     // min over squared distances, sqrt once per patch: sqrt is monotone,
     // so sqrt(min(d2)) == min(sqrt(d2)) exactly — matches the oracle.
-    val scored = t.crossJoin(broadcast(b))
-      .groupBy("series", "win", "pos")
-      .agg(sqrt(min(dist2("", "b_"))).as("pscore"))
-    scored.groupBy("series", "win")
+    val bankRow = bank.agg(flatten(collect_list(array(FeatCols.map(col): _*))).as("bf"))
+    test.select(col("series"), col("win"), col("pos"), array(FeatCols.map(col): _*).as("p"))
+      .crossJoin(broadcast(bankRow))
+      .select(col("series"), col("win"), col("pos"),
+        sqrt(expr("graft_min_dist2(bf, p)")).as("pscore"))
+      .groupBy("series", "win")
       .agg(Num.r4(max("pscore")).as("score"))
   }
 
@@ -116,21 +123,30 @@ object Detect {
     */
   def pipeline(spark: SparkSession, sfDir: String,
                denoiseThr: Double = 0.15, contamRate: Double = 0.1): DataFrame = {
+    graft.functions.VectorExprs.register(spark)
     val (bank, test) = TsCore.bankAndTest(spark, sfDir)
     val w = nearestDistWeight(spark, sfDir).withColumn("wgt", col("w_nearest") + 1.0)
     val thrW = w.agg(expr(s"percentile(wgt, ${1.0 - denoiseThr})").as("thrw"))
     val bid = bank.withColumn("id", concat_ws("#", col("series"), col("win")))
     val kept = bid.join(w.select("id", "pos", "wgt"), Seq("id", "pos"))
       .crossJoin(broadcast(thrW)).filter(col("wgt") <= col("thrw"))
-    val b = renamed(kept.select((Seq("id", "wgt").map(col) ++ FeatCols.map(col)): _*), "b_")
-    val t = test.select((Seq("series", "win", "pos").map(col) ++ FeatCols.map(col)): _*)
-    val wNear = Window.partitionBy("series", "win", "pos")
-      .orderBy(col("d"), col("b_id"))
-    val pscores = t.crossJoin(broadcast(b))
-      .withColumn("d", sqrt(dist2("", "b_")))
-      .withColumn("rn", row_number().over(wNear))
-      .filter(col("rn") === 1)
-      .select(col("series"), col("win"), (col("d") * col("b_wgt")).as("pscore"))
+    // Kept bank broadcasts as ONE row: features flattened sorted by
+    // (id, pos) + the parallel weight array. graft_argmin_dist2 keeps
+    // the FIRST index on exact distance ties, so the sorted packing
+    // reproduces the oracle's `ORDER BY d, id` nearest-patch choice.
+    val packed = kept
+      .select(struct(col("id"), col("pos"), col("wgt"),
+        array(FeatCols.map(col): _*).as("fs")).as("s"))
+      .agg(array_sort(collect_list(col("s"))).as("ps"))
+      .select(flatten(expr("transform(ps, x -> x.fs)")).as("bf"),
+              expr("transform(ps, x -> x.wgt)").as("ws"))
+    val pscores = test
+      .select(col("series"), col("win"), col("pos"), array(FeatCols.map(col): _*).as("p"))
+      .crossJoin(broadcast(packed))
+      .withColumn("idx", expr("graft_argmin_dist2(bf, p)"))
+      .select(col("series"), col("win"),
+        (sqrt(expr("graft_min_dist2(bf, p)")) *
+          expr("ws[int(idx)]")).as("pscore"))
     val winScores = pscores.groupBy("series", "win").agg(max("pscore").as("score"))
     val thrS = winScores.agg(expr(s"percentile(score, ${1.0 - contamRate})").as("thrs"))
     winScores.crossJoin(broadcast(thrS))

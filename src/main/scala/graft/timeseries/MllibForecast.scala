@@ -32,25 +32,34 @@ object MllibForecast {
         .select(col("series"), (col("mwin") * TsCore.DaySize).as("tsplit"))), "series")
       .filter(col("y").isNotNull && col("x1").isNotNull &&
               col("x2").isNotNull && col("x3").isNotNull)
-      .cache()
+      .localCheckpoint() // materialize once, up front, for the concurrent fits
     val assembler = new VectorAssembler()
       .setInputCols(Array("x1", "x2", "x3")).setOutputCol("features")
     val lr = new LinearRegression()
       .setFeaturesCol("features").setLabelCol("y")
       .setSolver("normal").setRegParam(0.0).setStandardization(false)
     val seriesList = base.select("series").distinct().as[String].collect().sorted
+    // Concurrent driver loop: each per-series fit is an independent set
+    // of Spark jobs over the checkpointed base — running them in
+    // parallel overlaps their scheduling + aggregation latency (the
+    // normal-solver fit is 2-3 small jobs each).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
     val rows = seriesList.map { s =>
-      val train = assembler.transform(base.filter(col("series") === s && col("t") < col("tsplit")))
-      val test = assembler.transform(base.filter(col("series") === s && col("t") >= col("tsplit")))
-      val model = lr.fit(train)
-      val pred = model.transform(test)
-      val err = pred.agg(
-        avg(abs(col("y") - col("prediction"))).as("mae"),
-        sqrt(avg((col("y") - col("prediction")) * (col("y") - col("prediction")))).as("rmse"))
-        .head()
-      (s, model.intercept, model.coefficients(0), model.coefficients(1), model.coefficients(2),
-        err.getDouble(0), err.getDouble(1))
-    }
+      Future {
+        val train = assembler.transform(base.filter(col("series") === s && col("t") < col("tsplit")))
+        val test = assembler.transform(base.filter(col("series") === s && col("t") >= col("tsplit")))
+        val model = lr.fit(train)
+        val pred = model.transform(test)
+        val err = pred.agg(
+          avg(abs(col("y") - col("prediction"))).as("mae"),
+          sqrt(avg((col("y") - col("prediction")) * (col("y") - col("prediction")))).as("rmse"))
+          .head()
+        (s, model.intercept, model.coefficients(0), model.coefficients(1), model.coefficients(2),
+          err.getDouble(0), err.getDouble(1))
+      }
+    }.map(Await.result(_, Duration.Inf))
     rows.toSeq.toDF("series", "b0", "b1", "b2", "b3", "mae", "rmse")
       .select(col("series"), Num.r4(col("b0")).as("b0"), Num.r4(col("b1")).as("b1"),
         Num.r4(col("b2")).as("b2"), Num.r4(col("b3")).as("b3"),

@@ -24,35 +24,13 @@ import graft.util.{Num, Tables}
   */
 object TsCore {
 
-  /** Session-scoped cache of shared chain stages. Queries compose the
-    * same grid→fill→window→inject→feature stages; materializing each
-    * stage once per (session, sfDir) turns the multi-pass pipelines
-    * (bank build + threshold + score) from repeated full recomputes into
-    * cache hits — the DataFrame analogue of a materialized intermediate
-    * table. Entries are grid-cell sized (orders of magnitude below the
-    * raw event scan), so MEMORY_AND_DISK is safe at cluster scale.
+  /** Session-scoped cache of shared chain stages (see util.StageCache).
+    * Entries are grid-cell sized — orders of magnitude below the raw
+    * event scan.
     */
-  private val stageCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
-
   private[graft] def cached(spark: SparkSession, sfDir: String, name: String)
-                           (build: => DataFrame): DataFrame = {
-    // get/putIfAbsent (not computeIfAbsent): stage builders nest, and
-    // computeIfAbsent forbids reentrant updates.
-    val key = (System.identityHashCode(spark), sfDir, name)
-    val hit = stageCache.get(key)
-    if (hit != null) hit
-    else {
-      // localCheckpoint (not persist): materializes the stage AND
-      // truncates lineage, so downstream plans reference a flat
-      // LogicalRDD instead of re-embedding the whole upstream tree —
-      // without this, multi-self-join queries (pipeline, LOF) blow up
-      // Catalyst plan size (explainString OOMs before any task runs).
-      // On a cluster this would be a reliable checkpoint / staged table.
-      stageCache.putIfAbsent(key, build.localCheckpoint())
-      stageCache.get(key)
-    }
-  }
+                           (build: => DataFrame): DataFrame =
+    graft.util.StageCache.cached(spark, sfDir, name)(build)
 
   val DaySize = 24          // points per day window (hourly grid)
   val WeekLag = 168         // 7 * 24, seasonal fill lag (ref process_aemo.py:64-66)

@@ -1,0 +1,35 @@
+package graft.util
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session-scoped cache of shared pipeline stages, keyed by
+  * (session, input dir, stage name). Queries compose the same upstream
+  * stages (grid→fill→inject→features for time series, shingle→minhash
+  * for dedup); materializing each stage once per session turns the
+  * multi-pass pipelines into cache hits — the DataFrame analogue of a
+  * staged intermediate table.
+  */
+object StageCache {
+
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
+
+  def cached(spark: SparkSession, sfDir: String, name: String)
+            (build: => DataFrame): DataFrame = {
+    // get/putIfAbsent (not computeIfAbsent): stage builders nest, and
+    // computeIfAbsent forbids reentrant updates.
+    val key = (System.identityHashCode(spark), sfDir, name)
+    val hit = cache.get(key)
+    if (hit != null) hit
+    else {
+      // localCheckpoint (not persist): materializes the stage AND
+      // truncates lineage, so downstream plans reference a flat
+      // LogicalRDD instead of re-embedding the whole upstream tree —
+      // without this, multi-self-join queries (pipeline, LOF) blow up
+      // Catalyst plan size (explainString OOMs before any task runs).
+      // On a cluster this would be a reliable checkpoint / staged table.
+      cache.putIfAbsent(key, build.localCheckpoint())
+      cache.get(key)
+    }
+  }
+}

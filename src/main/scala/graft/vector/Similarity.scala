@@ -96,27 +96,31 @@ object Similarity {
     */
   def ivfAnn(spark: SparkSession, sfDir: String, nCells: Int = 16, nProbe: Int = 2, k: Int = 5): DataFrame = {
     val e = vecs(spark, sfDir)
-    val pos = e.select(col("vec_id"), posexplode(col("v")).as(Seq("d", "x")))
     val seedIds = e.select("vec_id").orderBy("vec_id").limit(nCells)
       .withColumn("cell", row_number().over(Window.orderBy("vec_id")) - 1)
-    val seeds = pos.join(broadcast(seedIds), "vec_id")
-      .select(col("cell"), col("d"), col("x").as("s"))
-    // assign every vector to its nearest seed (L2, ties → lower cell)
-    val wA = Window.partitionBy("vec_id").orderBy(col("d2"), col("cell"))
-    val assign = pos.join(broadcast(seeds), "d")
-      .groupBy("vec_id", "cell")
-      .agg(sum((col("x") - col("s")) * (col("x") - col("s"))).as("d2"))
-      .withColumn("rn", row_number().over(wA)).filter(col("rn") === 1)
-      .select("vec_id", "cell")
-    val centroids = pos.join(assign, "vec_id")
+    val seeds = e.join(broadcast(seedIds), "vec_id").select(col("cell"), col("v").as("sv"))
+    // assign every vector to its nearest seed (L2, ties → lower cell):
+    // a broadcast nested-loop over nCells array rows with the codegen'd
+    // graft_l2 kernel — one row per (vector, cell), no per-dimension
+    // explode (which would be nCells× the collection in shuffle volume).
+    // min(struct(d2, cell)) = lexicographic min → nearest, ties to the
+    // lower cell, with map-side partial aggregation.
+    val assign = e.select(col("vec_id"), col("v")).crossJoin(broadcast(seeds))
+      .withColumn("d2", expr("graft_l2(v, sv)"))
+      .groupBy("vec_id").agg(min(struct(col("d2"), col("cell"))).as("m"))
+      .select(col("vec_id"), col("m.cell").as("cell"))
+    val pos = e.select(col("vec_id"), posexplode(col("v")).as(Seq("d", "x")))
+    val centroids = pos.join(broadcast(assign), "vec_id")
       .groupBy("cell", "d").agg(avg("x").as("c"))
-    // probe: nearest nProbe centroids per query
+    // probe: nearest nProbe centroids per query, same kernel shape
+    val centArr = centroids.groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("d"), col("c")))).as("dc"))
+      .select(col("cell"), expr("transform(dc, s -> s.c)").as("cv"))
     val q = e.filter(col("vec_id") % 100 === 0)
-    val qpos = q.select(col("vec_id").as("qid"), posexplode(col("v")).as(Seq("d", "x")))
     val wP = Window.partitionBy("qid").orderBy(col("d2"), col("cell"))
-    val probes = qpos.join(broadcast(centroids), "d")
-      .groupBy("qid", "cell")
-      .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d2"))
+    val probes = q.select(col("vec_id").as("qid"), col("v"))
+      .crossJoin(broadcast(centArr))
+      .withColumn("d2", expr("graft_l2(v, cv)"))
       .withColumn("rn", row_number().over(wP)).filter(col("rn") <= nProbe)
       .select("qid", "cell")
     val cands = probes.join(assign, "cell").filter(col("qid") =!= col("vec_id"))
