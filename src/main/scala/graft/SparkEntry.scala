@@ -71,6 +71,15 @@ object SparkEntry {
     "qe1_sessionize" -> ((s, d) => graft.analytics.Events.sessionize(s, d)),
     "qe2_funnel" -> ((s, d) => graft.analytics.Events.funnel(s, d)),
     "qp1_profile" -> ((s, d) => graft.analytics.Events.profile(s, d)),
+    "qe3_retention" -> ((s, d) => graft.analytics.Events.retention(s, d)),
+    "qe4_asof_join" -> ((s, d) => graft.analytics.Events.asofJoin(s, d)),
+    "qp2_approx_distinct" -> ((s, d) => graft.analytics.Events.approxDistinct(s, d)),
+    "qa8_latest_row" -> ((s, d) => Relational.latestRow(s, d)),
+    "q31_range_join" -> ((s, d) => graft.timeseries.Intervals.rangeJoin(s, d)),
+    "q32_acf" -> ((s, d) => graft.timeseries.Forecast.acf(s, d)),
+    "q33_level_shift" -> ((s, d) => graft.timeseries.Intervals.levelShift(s, d)),
+    "q34_mad_outliers" -> ((s, d) => graft.timeseries.Intervals.madOutliers(s, d)),
+    "qt7_tfidf" -> ((s, d) => graft.text.TextOps.tfidf(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -252,5 +261,52 @@ object SparkEntry {
              count(DISTINCT l_tax),
              floor((min(l_tax))*10000 + 0.5)/10000,
              floor((max(l_tax))*10000 + 0.5)/10000 FROM lineitem"""),
+    "qe3_retention" -> """
+      WITH ev AS (
+        SELECT user_id,
+               CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 604800) AS BIGINT) AS week
+        FROM events
+      ), coh AS (SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY user_id)
+      SELECT c.cohort_week, e.week - c.cohort_week AS week_offset,
+             count(DISTINCT e.user_id) AS n_users
+      FROM ev e JOIN coh c USING (user_id)
+      GROUP BY c.cohort_week, e.week - c.cohort_week""",
+    "qe4_asof_join" -> """
+      WITH ev AS (
+        SELECT event_id, user_id, event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) AS tsec, value FROM events
+      ), b0 AS (
+        SELECT user_id, tsec, event_id, value,
+               row_number() OVER (PARTITION BY user_id, tsec ORDER BY event_id DESC) AS rn
+        FROM ev WHERE event_type = 'view'
+      ), b AS (
+        SELECT user_id, tsec AS view_tsec, event_id AS view_event_id, value AS view_value
+        FROM b0 WHERE rn = 1
+      ), a AS (SELECT user_id, event_id, tsec FROM ev WHERE event_type = 'purchase')
+      SELECT a.user_id, a.event_id, a.tsec, b.view_event_id, b.view_tsec,
+             a.tsec - b.view_tsec AS gap_s,
+             floor((b.view_value)*10000 + 0.5)/10000 AS view_value
+      FROM a ASOF LEFT JOIN b ON a.user_id = b.user_id AND a.tsec > b.view_tsec""",
+    "qp2_approx_distinct" -> """
+      SELECT 'l_partkey' AS column_name, count(DISTINCT l_partkey) AS n_exact,
+             CAST(1 AS INT) AS approx_ok FROM lineitem
+      UNION ALL SELECT 'l_suppkey', count(DISTINCT l_suppkey), 1 FROM lineitem
+      UNION ALL SELECT 'l_quantity', count(DISTINCT l_quantity), 1 FROM lineitem
+      UNION ALL SELECT 'l_extendedprice', count(DISTINCT l_extendedprice), 1 FROM lineitem""",
+    "qa8_latest_row" -> """
+      WITH ev AS (
+        SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+               event_type, value FROM events
+      )
+      SELECT user_id, event_id, tsec, event_type,
+             floor((value)*10000 + 0.5)/10000 AS value
+      FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                         ORDER BY tsec DESC, event_id DESC) AS rn FROM ev)
+      WHERE rn = 1""",
+    "q31_range_join" -> TsOracle.q31(),
+    "q32_acf" -> TsOracle.q32(),
+    "q33_level_shift" -> TsOracle.q33(),
+    "q34_mad_outliers" -> TsOracle.q34(),
+    "qt7_tfidf" -> graft.text.DocOracle.qt7(),
   )
 }

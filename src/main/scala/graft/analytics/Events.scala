@@ -18,7 +18,82 @@ object Events {
       case org.apache.spark.sql.types.LongType => expr("ts div 1000000000")
       case _ => col("ts").cast("long")
     }
-    raw.select(col("event_id"), col("user_id"), col("event_type"), sec.as("tsec"))
+    raw.select(col("event_id"), col("user_id"), col("event_type"), sec.as("tsec"), col("value"))
+  }
+
+  /** qe4: AS-OF join — for every `aType` event, the user's most recent
+    * STRICTLY earlier `bType` event (the operator Spark lacks natively).
+    * Implemented as a union-marker ordered window: both sides shuffle
+    * once on user_id, the probe side carries the last-seen build row via
+    * `last(ignoreNulls)` — no range join, no per-row lookup, O(n log n)
+    * in the partition. The b side is first deduped per (user, tsec)
+    * (keep max event_id) so the as-of pick is deterministic in both
+    * engines. At 100 TB this is the canonical "enrich stream A with
+    * latest state from stream B" pattern.
+    */
+  def asofJoin(spark: SparkSession, sfDir: String,
+               aType: String = "purchase", bType: String = "view"): DataFrame = {
+    import graft.util.Num
+    val ev = epochSec(spark, sfDir)
+    val wB = Window.partitionBy("user_id", "tsec").orderBy(col("event_id").desc)
+    val b = ev.filter(col("event_type") === bType)
+      .withColumn("rn", row_number().over(wB)).filter(col("rn") === 1)
+      .select(col("user_id"), col("tsec"),
+        col("event_id").as("b_id"), col("value").as("b_val"))
+    val a = ev.filter(col("event_type") === aType)
+      .select("user_id", "event_id", "tsec")
+    // marker 0 sorts probe rows BEFORE same-tsec build rows → strict "<"
+    val aM = a.select(col("user_id"), col("tsec"), lit(0).as("mk"), col("event_id"),
+      lit(null).cast("long").as("b_id"), lit(null).cast("long").as("b_t"),
+      lit(null).cast("double").as("b_val"))
+    val bM = b.select(col("user_id"), col("tsec"), lit(1).as("mk"),
+      lit(null).cast("long").as("event_id"), col("b_id"), col("tsec").as("b_t"), col("b_val"))
+    val wU = Window.partitionBy("user_id").orderBy("tsec", "mk")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    aM.unionByName(bM)
+      .withColumn("view_event_id", last("b_id", ignoreNulls = true).over(wU))
+      .withColumn("view_tsec", last("b_t", ignoreNulls = true).over(wU))
+      .withColumn("view_value", last("b_val", ignoreNulls = true).over(wU))
+      .filter(col("mk") === 0)
+      .select(col("user_id"), col("event_id"), col("tsec"),
+        col("view_event_id"), col("view_tsec"),
+        (col("tsec") - col("view_tsec")).as("gap_s"),
+        Num.r4(col("view_value")).as("view_value"))
+  }
+
+  /** qe3: cohort retention — users bucketed by first-activity week,
+    * counted per (cohort, week offset). Two shuffles total (per-user
+    * min, then distinct-count per cohort cell).
+    */
+  def retention(spark: SparkSession, sfDir: String, weekSec: Long = 604800L): DataFrame = {
+    val ev = epochSec(spark, sfDir)
+      .select(col("user_id"), floor(col("tsec") / weekSec).as("week"))
+    val cohort = ev.groupBy("user_id").agg(min("week").as("cohort_week"))
+    ev.join(cohort, "user_id")
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(countDistinct("user_id").as("n_users"))
+  }
+
+  /** qp2: approximate distinct-count profiling — HyperLogLog++
+    * (approx_count_distinct) next to the exact count, one pass each.
+    * The `approx_ok` flag asserts the sketch lands within 5% — the
+    * 100 TB profiling path where exact distinct is a full shuffle but
+    * the sketch is a fixed-size mergeable register set.
+    */
+  def approxDistinct(spark: SparkSession, sfDir: String, tol: Double = 0.05): DataFrame = {
+    val cols = Seq("l_partkey", "l_suppkey", "l_quantity", "l_extendedprice")
+    val li = Tables.lineitem(spark, sfDir).select(cols.map(col): _*)
+    val aggs = cols.flatMap { c =>
+      Seq(countDistinct(col(c)).as(s"${c}_exact"),
+        // rsd 1%: the sketch stays a few KB and the 5% gate has margin
+        approx_count_distinct(col(c), 0.01).as(s"${c}_approx"))
+    }
+    val wide = li.agg(aggs.head, aggs.tail: _*)
+    wide.select(explode(array(cols.map(c =>
+      struct(lit(c).as("column_name"), col(s"${c}_exact").as("n_exact"),
+        when(abs(col(s"${c}_approx") - col(s"${c}_exact")) <= col(s"${c}_exact") * tol, 1)
+          .otherwise(0).as("approx_ok"))): _*)).as("p"))
+      .select("p.*")
   }
 
   /** qe1: sessionization — gaps-and-islands: a new session starts after

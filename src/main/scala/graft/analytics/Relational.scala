@@ -95,6 +95,24 @@ object Relational {
       .groupBy("p_brand").agg(count(lit(1)).as("n_unsold"))
   }
 
+  /** qa8: latest-row-per-key compaction (CDC/upsert dedup): keep each
+    * user's most recent event (ties → max event_id). One shuffle on the
+    * key; at 100 TB this is the snapshot-from-changelog primitive.
+    */
+  def latestRow(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = Tables.events(spark, sfDir)
+    val sec = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000000000")
+      case _ => col("ts").cast("long")
+    }
+    val ev = raw.select(col("user_id"), col("event_id"), sec.as("tsec"),
+      col("event_type"), col("value"))
+    val w = Window.partitionBy("user_id").orderBy(col("tsec").desc, col("event_id").desc)
+    ev.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("tsec"), col("event_type"),
+        Num.r4(col("value")).as("value"))
+  }
+
   /** Top-N per group via rank window — the standard scalable pattern
     * (shuffle once on the partition key, no global sort).
     */

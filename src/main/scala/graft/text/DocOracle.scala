@@ -268,6 +268,21 @@ SELECT doc_id, cand AS pred_lang, CAST(hits AS BIGINT) AS hits FROM (
 ) WHERE rn = 1"""
   }
 
+  def qt7(topN: Int = 5): String = toksCte + s"""
+, tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+dlen AS (SELECT doc_id, sum(tf) AS dlen FROM tf GROUP BY doc_id),
+dfr AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+sc AS (
+  SELECT t.doc_id, t.tok, ${r4("t.tf / d.dlen * ln(n.n_docs / f.df)")} AS tfidf
+  FROM tf t JOIN dlen d USING (doc_id) JOIN dfr f USING (tok) CROSS JOIN nd n
+)
+SELECT doc_id, rnk, tok, tfidf FROM (
+  SELECT doc_id, tok, tfidf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rnk
+  FROM sc
+) WHERE rnk <= $topN"""
+
   def qt4(n: Int = 5, k: Int = 3): String = toksCte + shinglesCte(n, "sh5") + s"""
 , shd AS (SELECT DISTINCT doc_id, sh FROM sh5),
 hashed AS (SELECT doc_id, sh, ${h("sh")} AS hh FROM shd)

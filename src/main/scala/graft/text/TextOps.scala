@@ -119,4 +119,23 @@ object TextOps {
       .filter(col("rnk") <= k)
       .select("doc_id", "rnk", "h")
   }
+
+  /** qt7: TF-IDF top terms per document — tf = term freq / doc length,
+    * idf = ln(N / df). Ranking uses the QUANTIZED score (ties → token
+    * asc) so both engines' libm ln() ulp differences can't flip ranks.
+    * Three shuffles: (doc, tok) counts, per-tok df, top-k window.
+    */
+  def tfidf(spark: SparkSession, sfDir: String, topN: Int = 5): DataFrame = {
+    val tf = tokens(spark, sfDir).groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dlen = tf.groupBy("doc_id").agg(sum("tf").as("dlen"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val nRow = Tables.documents(spark, sfDir).agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("tok"))
+    tf.join(dlen, "doc_id").join(df, "tok").crossJoin(broadcast(nRow))
+      .withColumn("tfidf",
+        Num.r4(col("tf") / col("dlen") * log(col("n_docs") / col("df"))))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topN)
+      .select("doc_id", "rnk", "tok", "tfidf")
+  }
 }

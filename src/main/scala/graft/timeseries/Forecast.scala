@@ -107,4 +107,21 @@ object Forecast {
       .join(broadcast(overall), "series")
       .select(col("series"), col("pos"), Num.r4(col("posmean") - col("mu")).as("seasonal"))
   }
+
+  /** q32: autocorrelation function at the forecasting-relevant lags
+    * (1 = persistence, 24 = daily, 168 = weekly): Pearson correlation of
+    * the series with its lagged self, one window pass + one agg per lag,
+    * all lags in a single plan (union of conditional frames).
+    */
+  def acf(spark: SparkSession, sfDir: String, lags: Seq[Int] = Seq(1, 24, 168)): DataFrame = {
+    val w = Window.partitionBy("series").orderBy("t")
+    val f = TsCore.filled(spark, sfDir).select(col("series"), col("t"), col("v_filled"))
+    lags.map { l =>
+      f.withColumn("vl", lag("v_filled", l).over(w))
+        .filter(col("v_filled").isNotNull && col("vl").isNotNull)
+        .groupBy("series")
+        .agg(count(lit(1)).as("n"), corr("v_filled", "vl").as("c"))
+        .select(col("series"), lit(l).as("lag_h"), col("n"), Num.r4(col("c")).as("acf"))
+    }.reduce(_ unionByName _)
+  }
 }

@@ -1,0 +1,84 @@
+package graft.timeseries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.util.Num
+
+/** Interval/robust-statistics analytics over the regularized series —
+  * range join, level-shift changepoints, MAD outliers. Everything
+  * partitions by series (and window), the 100 TB parallel axis.
+  */
+object Intervals {
+
+  /** q31: range join — grid points falling inside (padded) anomaly
+    * intervals. Intervals come from gaps-and-islands over the injected
+    * flags; the join is bucketed: intervals explode to the coarse
+    * day-buckets they span and match points by (series, bucket) equi-key
+    * first, then the t-range predicate — shuffle O(intervals × span/24 +
+    * points), never the quadratic inequality join a naive plan picks.
+    */
+  def rangeJoin(spark: SparkSession, sfDir: String, pad: Int = 2): DataFrame = {
+    val n = TsCore.DaySize
+    val wr = Window.partitionBy("series", "win").orderBy("pos")
+    val iv = TsCore.injected(spark, sfDir).filter(col("is_anom") === 1)
+      .withColumn("rid", col("pos") - row_number().over(wr))
+      .groupBy("series", "win", "rid")
+      .agg((col("win") * n + min("pos") - pad).as("t_lo"),
+           (col("win") * n + max("pos") + pad).as("t_hi"))
+      .select("series", "t_lo", "t_hi")
+    val ivB = iv.withColumn("bucket",
+      explode(sequence(floor(col("t_lo") / n), floor(col("t_hi") / n))))
+    val pts = TsCore.filled(spark, sfDir).filter(col("v_filled").isNotNull)
+      .withColumn("bucket", floor(col("t") / n))
+    ivB.join(pts, Seq("series", "bucket"))
+      .filter(col("t") >= col("t_lo") && col("t") <= col("t_hi"))
+      .groupBy("series", "t_lo", "t_hi")
+      .agg(count(lit(1)).as("n_pts"), Num.r4(avg("v_filled")).as("avg_v"))
+  }
+
+  /** q33: level-shift changepoint — |mean(next w) − mean(prev w)| in
+    * units of the per-series stddev; flags where the standardized shift
+    * exceeds `thr` and both frames are complete. Frame means come from
+    * RUNNING prefix sums (lag/lead differences), not framed averages:
+    * the running cumulative is summed in identical sequential order by
+    * every engine, whereas framed aggregates use engine-specific
+    * (segment-tree vs recompute) orders that differ in ulps. One
+    * shuffle on series.
+    */
+  def levelShift(spark: SparkSession, sfDir: String, w: Int = 24, thr: Double = 3.0): DataFrame = {
+    val ws = Window.partitionBy("series").orderBy("t")
+    val cumW = ws.rowsBetween(Window.unboundedPreceding, 0)
+    TsCore.filled(spark, sfDir)
+      .withColumn("sd", stddev_samp("v_filled").over(Window.partitionBy("series")))
+      .withColumn("cum", sum(coalesce(col("v_filled"), lit(0.0))).over(cumW))
+      .withColumn("cnt", count("v_filled").over(cumW))
+      .withColumn("pre_sum", lag("cum", 1).over(ws) - coalesce(lag("cum", w + 1).over(ws), lit(0.0)))
+      .withColumn("pre_n", lag("cnt", 1).over(ws) - coalesce(lag("cnt", w + 1).over(ws), lit(0L)))
+      .withColumn("post_sum", lead("cum", w - 1).over(ws) - coalesce(lag("cum", 1).over(ws), lit(0.0)))
+      .withColumn("post_n", lead("cnt", w - 1).over(ws) - coalesce(lag("cnt", 1).over(ws), lit(0L)))
+      .filter(col("pre_n") === w && col("post_n") === w)
+      .withColumn("shift_z", (col("post_sum") / w - col("pre_sum") / w) / col("sd"))
+      .filter(col("shift_z") > thr || col("shift_z") < -thr)
+      .select(col("series"), col("t"), Num.r4(col("shift_z")).as("shift_z"))
+  }
+
+  /** q34: MAD (median-absolute-deviation) robust outliers per window —
+    * the reference's z-score spike flags (postprocessing.py) hardened
+    * against the outliers themselves. Two exact-median passes per
+    * (series, win); constant windows (mad = 0) produce no flags.
+    */
+  def madOutliers(spark: SparkSession, sfDir: String, thr: Double = 3.0): DataFrame = {
+    val s = TsCore.scaled(spark, sfDir)
+    val med = s.groupBy("series", "win")
+      .agg(expr("percentile(vs, 0.5)").as("med"))
+    val withMed = s.join(med, Seq("series", "win"))
+    val mad = withMed.groupBy("series", "win")
+      .agg(expr("percentile(abs(vs - med), 0.5)").as("mad"))
+    withMed.join(mad, Seq("series", "win"))
+      .filter(col("mad") > 0.0)
+      .withColumn("robust_z", (col("vs") - col("med")) / (col("mad") * 1.4826))
+      .filter(col("robust_z") > thr || col("robust_z") < -thr)
+      .select(col("series"), col("win"), col("pos"), Num.r4(col("robust_z")).as("robust_z"))
+  }
+}

@@ -574,6 +574,70 @@ SELECT tn, fp, fn, tp, precision, recall,
        ${r4("CASE WHEN precision + recall = 0.0 THEN 0.0 ELSE 2.0 * precision * recall / (precision + recall) END")} AS f1
 FROM pm"""
 
+  def q31(pad: Int = 2): String = prefix + s"""
+, ivruns AS (
+  SELECT series, win, pos,
+         pos - row_number() OVER (PARTITION BY series, win ORDER BY pos) AS rid
+  FROM inject WHERE is_anom = 1
+), iv AS (
+  SELECT series, win * $DaySize + min(pos) - $pad AS t_lo,
+         win * $DaySize + max(pos) + $pad AS t_hi
+  FROM ivruns GROUP BY series, win, rid
+)
+SELECT i.series, i.t_lo, i.t_hi, count(*) AS n_pts,
+       ${r4("avg(f.v_filled)")} AS avg_v
+FROM iv i JOIN filled f ON f.series = i.series AND f.t >= i.t_lo AND f.t <= i.t_hi
+WHERE f.v_filled IS NOT NULL
+GROUP BY i.series, i.t_lo, i.t_hi"""
+
+  def q32(lags: Seq[Int] = Seq(1, 24, 168)): String = prefix + s"""
+, lagd AS (
+  SELECT series, t, v_filled,
+  ${lags.map(l => s"lag(v_filled, $l) OVER w AS v$l").mkString(",\n  ")}
+  FROM filled WINDOW w AS (PARTITION BY series ORDER BY t)
+)
+${lags.map(l =>
+    s"""SELECT series, $l AS lag_h, count(*) AS n, ${r4(s"corr(v_filled, v$l)")} AS acf
+FROM lagd WHERE v_filled IS NOT NULL AND v$l IS NOT NULL GROUP BY series""")
+    .mkString("\nUNION ALL ")}"""
+
+  /** Level-shift via running prefix sums (NOT framed avg): the running
+    * cumulative is summed in identical sequential order by both engines,
+    * whereas framed aggregates use engine-specific (segment-tree vs
+    * recompute) summation orders that differ in ulps.
+    */
+  def q33(w: Int = 24, thr: Double = 3.0): String = prefix + s"""
+, cums AS (
+  SELECT series, t,
+    sum(coalesce(v_filled, 0.0)) OVER wc AS cum,
+    count(v_filled) OVER wc AS cnt,
+    stddev_samp(v_filled) OVER (PARTITION BY series) AS sd
+  FROM filled
+  WINDOW wc AS (PARTITION BY series ORDER BY t ROWS UNBOUNDED PRECEDING)
+), frames AS (
+  SELECT series, t, sd,
+    lag(cum, 1) OVER ws - coalesce(lag(cum, ${w + 1}) OVER ws, 0.0) AS pre_sum,
+    lag(cnt, 1) OVER ws - coalesce(lag(cnt, ${w + 1}) OVER ws, 0) AS pre_n,
+    lead(cum, ${w - 1}) OVER ws - coalesce(lag(cum, 1) OVER ws, 0.0) AS post_sum,
+    lead(cnt, ${w - 1}) OVER ws - coalesce(lag(cnt, 1) OVER ws, 0) AS post_n
+  FROM cums
+  WINDOW ws AS (PARTITION BY series ORDER BY t)
+)
+SELECT series, t, ${r4(s"(post_sum / $w.0 - pre_sum / $w.0) / sd")} AS shift_z
+FROM frames
+WHERE pre_n = $w AND post_n = $w
+  AND ((post_sum / $w.0 - pre_sum / $w.0) / sd > $thr
+       OR (post_sum / $w.0 - pre_sum / $w.0) / sd < -$thr)"""
+
+  def q34(thr: Double = 3.0): String = prefix + s"""
+, med AS (SELECT series, win, quantile_cont(vs, 0.5) AS med FROM scaled GROUP BY series, win),
+wm AS (SELECT s.series, s.win, s.pos, s.vs, m.med FROM scaled s JOIN med m USING (series, win)),
+madt AS (SELECT series, win, quantile_cont(abs(vs - med), 0.5) AS mad FROM wm GROUP BY series, win)
+SELECT w.series, w.win, w.pos, ${r4("(w.vs - w.med) / (m.mad * 1.4826)")} AS robust_z
+FROM wm w JOIN madt m USING (series, win)
+WHERE m.mad > 0.0 AND ((w.vs - w.med) / (m.mad * 1.4826) > $thr
+                       OR (w.vs - w.med) / (m.mad * 1.4826) < -$thr)"""
+
   def q08: String = prefix +
     "SELECT series, win, pos, floor((f0)*10000 + 0.5)/10000 AS f0, floor((f1)*10000 + 0.5)/10000 AS f1, floor((f2)*10000 + 0.5)/10000 AS f2, " +
     "floor((f3)*10000 + 0.5)/10000 AS f3, floor((f4)*10000 + 0.5)/10000 AS f4, floor((f5)*10000 + 0.5)/10000 AS f5, " +
