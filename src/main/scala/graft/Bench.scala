@@ -14,6 +14,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import org.apache.spark.sql.functions.{col, xxhash64}
+    // Warm up the JVM/codegen paths and parquet footers before timing —
+    // session fixed costs, not query work; no query stage is precomputed.
+    spark.range(100000).selectExpr("sum(id * 2)").collect()
+    Seq("lineitem", "orders", "events", "documents", "embeddings", "part",
+        "customer", "nation", "region", "supplier")
+      .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").limit(1).count())
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // hash-reduce every output column: count() alone would let Spark

@@ -80,6 +80,9 @@ object SparkEntry {
     "q33_level_shift" -> ((s, d) => graft.timeseries.Intervals.levelShift(s, d)),
     "q34_mad_outliers" -> ((s, d) => graft.timeseries.Intervals.madOutliers(s, d)),
     "qt7_tfidf" -> ((s, d) => graft.text.TextOps.tfidf(s, d)),
+    "qa9_cube" -> ((s, d) => Relational.revenueCube(s, d)),
+    "qp3_approx_quantile" -> ((s, d) => graft.analytics.Events.approxQuantiles(s, d)),
+    "qd7_dedup_stats" -> ((s, d) => graft.text.Dedup.dupStats(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -303,6 +306,26 @@ object SparkEntry {
       FROM (SELECT *, row_number() OVER (PARTITION BY user_id
                                          ORDER BY tsec DESC, event_id DESC) AS rn FROM ev)
       WHERE rn = 1""",
+    "qa9_cube" -> """
+      SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+             floor((sum(l_extendedprice * (1.0 - l_discount)))*10000 + 0.5)/10000 AS revenue,
+             count(*) AS n
+      FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+    "qp3_approx_quantile" -> """
+      SELECT 'l_quantity' AS column_name, CAST(0.25 AS DOUBLE) AS q,
+             floor((quantile_cont(l_quantity, 0.25))*10000 + 0.5)/10000 AS exact_q,
+             CAST(1 AS INT) AS approx_ok FROM lineitem
+      UNION ALL SELECT 'l_quantity', CAST(0.5 AS DOUBLE),
+             floor((quantile_cont(l_quantity, 0.5))*10000 + 0.5)/10000, 1 FROM lineitem
+      UNION ALL SELECT 'l_quantity', CAST(0.75 AS DOUBLE),
+             floor((quantile_cont(l_quantity, 0.75))*10000 + 0.5)/10000, 1 FROM lineitem
+      UNION ALL SELECT 'l_extendedprice', CAST(0.25 AS DOUBLE),
+             floor((quantile_cont(l_extendedprice, 0.25))*10000 + 0.5)/10000, 1 FROM lineitem
+      UNION ALL SELECT 'l_extendedprice', CAST(0.5 AS DOUBLE),
+             floor((quantile_cont(l_extendedprice, 0.5))*10000 + 0.5)/10000, 1 FROM lineitem
+      UNION ALL SELECT 'l_extendedprice', CAST(0.75 AS DOUBLE),
+             floor((quantile_cont(l_extendedprice, 0.75))*10000 + 0.5)/10000, 1 FROM lineitem""",
+    "qd7_dedup_stats" -> graft.text.DocOracle.qd7(),
     "q31_range_join" -> TsOracle.q31(),
     "q32_acf" -> TsOracle.q32(),
     "q33_level_shift" -> TsOracle.q33(),

@@ -83,16 +83,48 @@ object Events {
   def approxDistinct(spark: SparkSession, sfDir: String, tol: Double = 0.05): DataFrame = {
     val cols = Seq("l_partkey", "l_suppkey", "l_quantity", "l_extendedprice")
     val li = Tables.lineitem(spark, sfDir).select(cols.map(col): _*)
-    val aggs = cols.flatMap { c =>
-      Seq(countDistinct(col(c)).as(s"${c}_exact"),
-        // rsd 1%: the sketch stays a few KB and the 5% gate has margin
-        approx_count_distinct(col(c), 0.01).as(s"${c}_approx"))
-    }
-    val wide = li.agg(aggs.head, aggs.tail: _*)
+    // Exact distincts and HLL sketches in SEPARATE aggregations: mixing
+    // them makes Catalyst plan the multi-DISTINCT expand through a
+    // sort-based aggregate, which copies the ~21KB HLL register buffer
+    // once per expanded input row (4×|rows| × 21KB of memcpy — 227s at
+    // sf0.1). Apart, each is a plain one-pass agg; the 1-row results
+    // cross-join for free.
+    val exactAggs = cols.map(c => countDistinct(col(c)).as(s"${c}_exact"))
+    val approxAggs = cols.map(c =>
+      // rsd 1%: the sketch stays a few KB and the 5% gate has margin
+      approx_count_distinct(col(c), 0.01).as(s"${c}_approx"))
+    val wide = li.agg(exactAggs.head, exactAggs.tail: _*)
+      .crossJoin(li.agg(approxAggs.head, approxAggs.tail: _*))
     wide.select(explode(array(cols.map(c =>
       struct(lit(c).as("column_name"), col(s"${c}_exact").as("n_exact"),
         when(abs(col(s"${c}_approx") - col(s"${c}_exact")) <= col(s"${c}_exact") * tol, 1)
           .otherwise(0).as("approx_ok"))): _*)).as("p"))
+      .select("p.*")
+  }
+
+  /** qp3: approximate quantiles (Greenwald–Khanna sketch) next to the
+    * exact interpolated percentiles, with an error gate: the sketch is
+    * the 100 TB path (fixed-size, mergeable), the exact value is the
+    * oracle-checked anchor. Gate: |approx − exact| ≤ 5%·|exact| + 1
+    * (absolute slack because GK returns an actual element while
+    * percentile() interpolates between elements).
+    */
+  def approxQuantiles(spark: SparkSession, sfDir: String,
+                      qs: Seq[Double] = Seq(0.25, 0.5, 0.75), tol: Double = 0.05): DataFrame = {
+    import graft.util.Num
+    val cols = Seq("l_quantity", "l_extendedprice")
+    val li = Tables.lineitem(spark, sfDir).select(cols.map(col): _*)
+    val aggs = cols.flatMap { c =>
+      Seq(expr(s"percentile($c, array(${qs.mkString(",")}))").as(s"${c}_exact"),
+        expr(s"approx_percentile($c, array(${qs.mkString(",")}), 10000)").as(s"${c}_approx"))
+    }
+    val wide = li.agg(aggs.head, aggs.tail: _*)
+    wide.select(explode(array(cols.flatMap(c => qs.zipWithIndex.map { case (q, i) =>
+      struct(lit(c).as("column_name"), lit(q).as("q"),
+        Num.r4(col(s"${c}_exact")(i)).as("exact_q"),
+        when(abs(col(s"${c}_approx")(i) - col(s"${c}_exact")(i)) <=
+          abs(col(s"${c}_exact")(i)) * tol + 1.0, 1).otherwise(0).as("approx_ok"))
+    }): _*)).as("p"))
       .select("p.*")
   }
 

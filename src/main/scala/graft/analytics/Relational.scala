@@ -95,6 +95,19 @@ object Relational {
       .groupBy("p_brand").agg(count(lit(1)).as("n_unsold"))
   }
 
+  /** qa9: CUBE — all 2^k subtotal combinations in one pass (vs qa4's
+    * ROLLUP hierarchy); grouping-set expansion happens map-side, so the
+    * shuffle carries one partial row per (set, key), not k data passes.
+    */
+  def revenueCube(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(Num.r4(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"),
+        count(lit(1)).as("n"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("revenue"), col("n"))
+
   /** qa8: latest-row-per-key compaction (CDC/upsert dedup): keep each
     * user's most recent event (ties → max event_id). One shuffle on the
     * key; at 100 TB this is the snapshot-from-changelog primitive.

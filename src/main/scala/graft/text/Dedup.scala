@@ -126,6 +126,18 @@ object Dedup {
     labels
   }
 
+  /** qd7: dedup cluster stats — per duplicate cluster: size, rows that
+    * compaction would drop (keeper = cluster_id = min doc_id), and the
+    * character volume involved. The "how much does dedup save" report
+    * a training-data pipeline runs after qd6.
+    */
+  def dupStats(spark: SparkSession, sfDir: String): DataFrame =
+    dupClusters(spark, sfDir)
+      .join(Tables.documents(spark, sfDir).select("doc_id", "n_chars"), "doc_id")
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("sz"), (count(lit(1)) - 1).as("n_dropped"),
+        sum("n_chars").as("total_chars"))
+
   /** qd4: 3-gram Jaccard similarity over blocked candidate pairs
     * (block = (lang, n_chars/20) — cheap recall-oriented blocking).
     */

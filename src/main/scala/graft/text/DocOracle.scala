@@ -119,10 +119,21 @@ perms AS (
   SELECT doc_a AS src, doc_a AS dst FROM (SELECT DISTINCT doc_a FROM edges)
   UNION
   SELECT r.src, e.doc_b AS dst FROM reach r JOIN edges e ON r.dst = e.doc_a
+), lab AS (
+  SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
 )
-SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src""")
+SELECT doc_id, cluster_id FROM lab""")
     base.replaceFirst("^\nWITH ", "\nWITH RECURSIVE ")
   }
+
+  /** qd7 = qd6's label table grouped into per-cluster compaction stats. */
+  def qd7(nPerm: Int = 16, bandRows: Int = 4): String =
+    qd6(nPerm, bandRows).replace(
+      "SELECT doc_id, cluster_id FROM lab",
+      """SELECT l.cluster_id, count(*) AS sz, count(*) - 1 AS n_dropped,
+         CAST(sum(d.n_chars) AS BIGINT) AS total_chars
+         FROM lab l JOIN documents d USING (doc_id)
+         GROUP BY l.cluster_id""")
 
   /** Vectors with norms (double math). */
   private val vecsCte: String = """

@@ -63,7 +63,9 @@ object TsCore {
   /** Complete (series, t) spine with observed values left-joined in.
     * Missing hours surface as null v — required for positional lag fill.
     */
-  def spine(spark: SparkSession, sfDir: String): DataFrame = cached(spark, sfDir, "spine") {
+  def spine(spark: SparkSession, sfDir: String): DataFrame = {
+    // not checkpointed: single consumer (filled) — inlining saves a
+    // materialization job on the first-query path
     val grid = hourlyGrid(spark, sfDir)
     val tmax = grid.agg(max("t").as("tmax"))
     val seriesList = grid.select("series").distinct()
@@ -116,7 +118,8 @@ object TsCore {
     * per reference's randint ranges for n=24; softstart/extreme 50/50;
     * r ~ U(0.01, 3.99).
     */
-  def injectParams(spark: SparkSession, sfDir: String): DataFrame = cached(spark, sfDir, "params") {
+  def injectParams(spark: SparkSession, sfDir: String): DataFrame = {
+    // not checkpointed: single consumer (injected)
     val wins = dayWindows(spark, sfDir).select("series", "win").distinct()
     val sidx = wins.select("series").distinct()
       .withColumn("sidx", dense_rank().over(Window.orderBy("series")) - 1)
