@@ -109,23 +109,54 @@ object Events {
     * (absolute slack because GK returns an actual element while
     * percentile() interpolates between elements).
     */
+  /** Exact interpolated quantiles via DISTRIBUTED sort + zipWithIndex —
+    * not the single-group `percentile()` aggregate, whose buffer holds
+    * every value on one reducer. The sort is range-partitioned across
+    * the cluster; only the 2·|qs| boundary elements come back.
+    * Interpolation = lower + (upper − lower)·frac at rank (n−1)·q,
+    * matching both Spark `percentile` and DuckDB `quantile_cont`.
+    */
+  private def exactQuantiles(df: org.apache.spark.sql.DataFrame, c: String,
+                             qs: Seq[Double]): Map[Double, Double] = {
+    val vals = df.select(col(c).cast("double").as("v")).na.drop()
+    val n = vals.count()
+    val targets = qs.flatMap { q =>
+      val r = (n - 1) * q
+      Seq(math.floor(r).toLong, math.ceil(r).toLong)
+    }.toSet
+    val picked = vals.orderBy("v").rdd.map(_.getDouble(0)).zipWithIndex()
+      .filter { case (_, i) => targets.contains(i) }
+      .map(_.swap).collect().toMap
+    qs.map { q =>
+      val r = (n - 1) * q
+      val lo = math.floor(r).toLong
+      val hi = math.ceil(r).toLong
+      q -> (picked(lo) + (picked(hi) - picked(lo)) * (r - lo))
+    }.toMap
+  }
+
   def approxQuantiles(spark: SparkSession, sfDir: String,
                       qs: Seq[Double] = Seq(0.25, 0.5, 0.75), tol: Double = 0.05): DataFrame = {
-    import graft.util.Num
+    import spark.implicits._
     val cols = Seq("l_quantity", "l_extendedprice")
     val li = Tables.lineitem(spark, sfDir).select(cols.map(col): _*)
-    val aggs = cols.flatMap { c =>
-      Seq(expr(s"percentile($c, array(${qs.mkString(",")}))").as(s"${c}_exact"),
-        expr(s"approx_percentile($c, array(${qs.mkString(",")}), 10000)").as(s"${c}_approx"))
+    val approxAggs = cols.map(c =>
+      expr(s"approx_percentile($c, array(${qs.mkString(",")}), 10000)").as(s"${c}_approx"))
+    val approxRow = li.agg(approxAggs.head, approxAggs.tail: _*).head()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val exact = cols.map(c => c -> Future(exactQuantiles(li, c, qs))).toMap
+      .map { case (c, f) => c -> Await.result(f, Duration.Inf) }
+    val rows = cols.flatMap { c =>
+      val ap = approxRow.getAs[scala.collection.Seq[Double]](s"${c}_approx")
+      qs.zipWithIndex.map { case (q, i) =>
+        val e = exact(c)(q)
+        val ok = if (math.abs(ap(i) - e) <= math.abs(e) * tol + 1.0) 1 else 0
+        (c, q, math.floor(e * 10000d + 0.5d) / 10000d, ok)
+      }
     }
-    val wide = li.agg(aggs.head, aggs.tail: _*)
-    wide.select(explode(array(cols.flatMap(c => qs.zipWithIndex.map { case (q, i) =>
-      struct(lit(c).as("column_name"), lit(q).as("q"),
-        Num.r4(col(s"${c}_exact")(i)).as("exact_q"),
-        when(abs(col(s"${c}_approx")(i) - col(s"${c}_exact")(i)) <=
-          abs(col(s"${c}_exact")(i)) * tol + 1.0, 1).otherwise(0).as("approx_ok"))
-    }): _*)).as("p"))
-      .select("p.*")
+    rows.toDF("column_name", "q", "exact_q", "approx_ok")
   }
 
   /** qe1: sessionization — gaps-and-islands: a new session starts after

@@ -54,6 +54,36 @@ object ScoreStream {
       }
   }
 
+  /** Streaming sessionization — the streaming twin of batch qe1, using
+    * Spark's NATIVE session_window (merging event-time windows with a
+    * gap timeout): state is bounded by the watermark, sessions close
+    * and emit when the watermark passes their gap. No custom state
+    * code needed — this is the built-in operator the batch
+    * gaps-and-islands formulation maps onto in flight.
+    */
+  def sessionStream(events: DataFrame, gap: String = "30 minutes",
+                    watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"),
+        col("n_events"))
+
+  /** Streaming exact dedup — the streaming twin of batch qd1:
+    * content-hash dedup with WATERMARK-BOUNDED state
+    * (dropDuplicatesWithinWatermark), so the dedup set never grows
+    * beyond the watermark horizon — the only formulation that survives
+    * an unbounded stream.
+    */
+  def dedupStream(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("h", md5(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("h")
+
   /** Wire a streaming DataFrame of raw events (ts: timestamp,
     * event_type, value) into watermarked sliding windows scored against
     * the bank. Returns the streaming result (score = |window mean − μ|/σ).

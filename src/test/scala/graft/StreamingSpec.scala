@@ -59,6 +59,49 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  case class UEv(ts: Timestamp, user_id: Long)
+  case class Doc(ts: Timestamp, doc_id: Long, text: String)
+
+  test("streaming session windows merge within gap and split across it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[UEv]
+    val out = ScoreStream.sessionStream(mem.toDF(), gap = "30 minutes")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sessions").start()
+    try {
+      val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+      def at(min: Int) = new Timestamp(t0.getTime + min * 60000L)
+      // user 1: events at 0,10,20 (one session) then 120 (new session)
+      mem.addData(UEv(at(0), 1L), UEv(at(10), 1L), UEv(at(20), 1L), UEv(at(120), 1L))
+      q.processAllAvailable()
+      mem.addData(UEv(at(600), 2L)) // advance watermark to close sessions
+      q.processAllAvailable()
+      val rows = spark.table("sessions").where(col("user_id") === 1L).collect()
+      assert(rows.length === 2, s"expected 2 closed sessions, got ${rows.toSeq}")
+      assert(rows.map(_.getAs[Long]("n_events")).sorted.toSeq === Seq(1L, 3L))
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops repeated content within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    val out = ScoreStream.dedupStream(mem.toDF())
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("deduped").start()
+    try {
+      val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+      def at(min: Int) = new Timestamp(t0.getTime + min * 60000L)
+      mem.addData(Doc(at(0), 1L, "aa"), Doc(at(1), 2L, "aa"), Doc(at(2), 3L, "bb"))
+      q.processAllAvailable()
+      mem.addData(Doc(at(3), 4L, "aa"))
+      q.processAllAvailable()
+      val texts = spark.table("deduped").collect().map(_.getAs[String]("text"))
+      assert(texts.sorted.toSeq === Seq("aa", "bb"), s"got ${texts.toSeq}")
+    } finally q.stop()
+  }
+
   test("streaming plan survives a static-bank broadcast join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
