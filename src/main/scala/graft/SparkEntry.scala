@@ -83,6 +83,8 @@ object SparkEntry {
     "qa9_cube" -> ((s, d) => Relational.revenueCube(s, d)),
     "qp3_approx_quantile" -> ((s, d) => graft.analytics.Events.approxQuantiles(s, d)),
     "qd7_dedup_stats" -> ((s, d) => graft.text.Dedup.dupStats(s, d)),
+    "q35_horizon_backtest" -> ((s, d) => graft.timeseries.Forecast.horizonBacktest(s, d)),
+    "qm2_frame_sample" -> ((s, d) => graft.multimodal.BinaryMeta.frameSample(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -327,6 +329,7 @@ object SparkEntry {
              floor((quantile_cont(l_extendedprice, 0.75))*10000 + 0.5)/10000, 1 FROM lineitem""",
     "qd7_dedup_stats" -> graft.text.DocOracle.qd7(),
     "q31_range_join" -> TsOracle.q31(),
+    "q35_horizon_backtest" -> TsOracle.q35(),
     "q32_acf" -> TsOracle.q32(),
     "q33_level_shift" -> TsOracle.q33(),
     "q34_mad_outliers" -> TsOracle.q34(),

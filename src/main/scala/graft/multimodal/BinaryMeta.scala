@@ -52,4 +52,30 @@ object BinaryMeta {
       .mapPartitions(_.grouped(batchSize).flatMap(decodeBatch))
       .toDF()
   }
+
+  case class Frame(doc_id: Long, frame_idx: Int, n_bytes: Int, frame_hash: Long)
+
+  /** qm2: deterministic frame sampling — the video-column shape: each
+    * payload is treated as a sequence of fixed-size frames; at most `k`
+    * evenly-strided frames are emitted per row (bounded fan-out, so the
+    * exploded side stays O(k·rows) at 100 TB). The per-frame decode is
+    * the same stub seam as qm1 — a real codec slots into the frame loop
+    * without changing schema or plan.
+    */
+  def frameSample(spark: SparkSession, sfDir: String,
+                  frameSize: Int = 256, k: Int = 4): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, sfDir).flatMap { r =>
+      val nFrames = math.max(1, r.payload.length / frameSize)
+      val stride = math.max(1, nFrames / k)
+      Range(0, nFrames, stride).take(k).map { fi =>
+        val from = fi * frameSize
+        val until = math.min(from + frameSize, r.payload.length)
+        var h = 1125899906842597L
+        var i = from
+        while (i < until) { h = 31 * h + (r.payload(i) & 0xff); i += 1 }
+        Frame(r.doc_id, fi, until - from, h)
+      }
+    }.toDF()
+  }
 }

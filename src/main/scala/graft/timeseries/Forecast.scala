@@ -113,6 +113,30 @@ object Forecast {
     * the series with its lagged self, one window pass + one agg per lag,
     * all lags in a single plan (union of conditional frames).
     */
+  /** q35: multi-horizon persistence backtest — forecast error of the
+    * h-step persistence baseline (pred[t] = v[t−h]) over the test
+    * region, per (series, horizon). The error-vs-horizon curve is the
+    * evaluation the reference runs for its multi-step forecasters
+    * (src/forecasting, MSE/MAE per horizon); one window pass per horizon,
+    * all horizons in one plan.
+    */
+  def horizonBacktest(spark: SparkSession, sfDir: String,
+                      horizons: Seq[Int] = Seq(1, 6, 12, 24)): DataFrame = {
+    val w = Window.partitionBy("series").orderBy("t")
+    val f = TsCore.filled(spark, sfDir)
+      .join(broadcast(TsCore.splitBoundary(spark, sfDir)
+        .select(col("series"), (col("mwin") * TsCore.DaySize).as("tsplit"))), "series")
+    horizons.map { h =>
+      f.withColumn("p", lag("v_filled", h).over(w))
+        .filter(col("t") >= col("tsplit") && col("v_filled").isNotNull && col("p").isNotNull)
+        .groupBy("series")
+        .agg(count(lit(1)).as("n"),
+          Num.r4(avg(abs(col("v_filled") - col("p")))).as("mae"),
+          Num.r4(sqrt(avg((col("v_filled") - col("p")) * (col("v_filled") - col("p"))))).as("rmse"))
+        .select(col("series"), lit(h).as("horizon"), col("n"), col("mae"), col("rmse"))
+    }.reduce(_ unionByName _)
+  }
+
   def acf(spark: SparkSession, sfDir: String, lags: Seq[Int] = Seq(1, 24, 168)): DataFrame = {
     val w = Window.partitionBy("series").orderBy("t")
     val f = TsCore.filled(spark, sfDir).select(col("series"), col("t"), col("v_filled"))

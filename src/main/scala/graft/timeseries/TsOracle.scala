@@ -629,6 +629,21 @@ WHERE pre_n = $w AND post_n = $w
   AND ((post_sum / $w.0 - pre_sum / $w.0) / sd > $thr
        OR (post_sum / $w.0 - pre_sum / $w.0) / sd < -$thr)"""
 
+  def q35(horizons: Seq[Int] = Seq(1, 6, 12, 24)): String = prefix + s"""
+, boundt35 AS (SELECT series, mwin * $DaySize AS tsplit FROM boundary),
+lag35 AS (
+  SELECT f.series, f.t, f.v_filled, b.tsplit,
+  ${horizons.map(h => s"lag(f.v_filled, $h) OVER w AS p$h").mkString(",\n  ")}
+  FROM filled f JOIN boundt35 b USING (series)
+  WINDOW w AS (PARTITION BY f.series ORDER BY f.t)
+)
+${horizons.map(h =>
+    s"""SELECT series, $h AS horizon, count(*) AS n,
+  ${r4(s"avg(abs(v_filled - p$h))")} AS mae,
+  ${r4(s"sqrt(avg((v_filled - p$h) * (v_filled - p$h)))")} AS rmse
+FROM lag35 WHERE t >= tsplit AND v_filled IS NOT NULL AND p$h IS NOT NULL GROUP BY series""")
+    .mkString("\nUNION ALL ")}"""
+
   def q34(thr: Double = 3.0): String = prefix + s"""
 , med AS (SELECT series, win, quantile_cont(vs, 0.5) AS med FROM scaled GROUP BY series, win),
 wm AS (SELECT s.series, s.win, s.pos, s.vs, m.med FROM scaled s JOIN med m USING (series, win)),
