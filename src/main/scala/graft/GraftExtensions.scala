@@ -31,5 +31,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       VectorExprs.ArgMinDist2Info,
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         ArgMinDist2(exprs(0), exprs(1))))
+    // rewrite the idiomatic HOF dot product into the codegen kernel
+    ext.injectOptimizerRule(_ => graft.functions.DotRewrite)
   }
 }

@@ -64,6 +64,21 @@ class IntervalsAsofSpec extends SparkSuite {
     assert(d.filter(col("approx_ok") === 0).count() === 0)
   }
 
+  test("horizon backtest: one row per (series, horizon), rmse >= mae > 0") {
+    val b = Forecast.horizonBacktest(spark, Sf01).cache()
+    val series = graft.timeseries.TsCore.hourlyGrid(spark, Sf01)
+      .select("series").distinct().count()
+    assert(b.count() === series * 4)
+    assert(b.filter(col("mae") <= 0 || col("rmse") < col("mae")).count() === 0)
+  }
+
+  test("frame sampling emits at most k bounded frames per doc") {
+    val f = graft.multimodal.BinaryMeta.frameSample(spark, Sf01).cache()
+    assert(f.count() > 0)
+    assert(f.groupBy("doc_id").count().filter(col("count") > 4).count() === 0)
+    assert(f.filter(col("n_bytes") > 256 || col("n_bytes") <= 0).count() === 0)
+  }
+
   test("tfidf: rare tokens outrank common ones within a doc") {
     val t = graft.text.TextOps.tfidf(spark, Sf01).cache()
     assert(t.count() > 0)

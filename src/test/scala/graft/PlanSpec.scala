@@ -35,6 +35,25 @@ class PlanSpec extends SparkSuite {
       s"expected pushdown in:\n$p")
   }
 
+  test("HOF dot product rewrites to the codegen kernel, value-preserving") {
+    import spark.implicits._
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0))).toDF("a", "b")
+      .selectExpr("aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (s, v) -> s + v) AS d")
+    val rewritten = graft.functions.DotRewrite(df.queryExecution.analyzed)
+    assert(rewritten.toString.contains("graft_dot"),
+      s"rule did not fire on:\n${df.queryExecution.analyzed}")
+    spark.experimental.extraOptimizations = Seq(graft.functions.DotRewrite)
+    try {
+      assert(df.head().getDouble(0) === 32.0)
+      // on a non-local source the optimized plan keeps the kernel visible
+      val pq = Tables.embeddings(spark, Sf01)
+        .selectExpr("cast(embedding as array<double>) AS v")
+        .selectExpr("aggregate(zip_with(v, v, (x, y) -> x * y), 0D, (s, w) -> s + w) AS n2")
+      assert(pq.queryExecution.optimizedPlan.toString.contains("graft_dot"),
+        pq.queryExecution.optimizedPlan.toString)
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
   test("grouped aggregation is whole-stage codegen'd with partial agg") {
     val df = Tables.lineitem(spark, Sf01)
       .groupBy("l_returnflag").agg(sum("l_quantity"))
