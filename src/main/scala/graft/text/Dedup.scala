@@ -60,7 +60,7 @@ object Dedup {
     * bytes (pigeonhole: hamming ≤ 3 guarantees a shared byte), emit
     * pairs with hamming ≤ maxHam.
     */
-  def simhash(spark: SparkSession, sfDir: String, maxHam: Int = 12): DataFrame = {
+  def simhash(spark: SparkSession, sfDir: String, maxHam: Int = 8): DataFrame = {
     // Single pass: 32 conditional sums per token row instead of a 32×
     // row explosion — the shuffle carries one row per doc.
     val th = tokens(spark, sfDir).withColumn("th", strHash(col("tok")))

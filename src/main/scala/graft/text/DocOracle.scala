@@ -51,7 +51,7 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
 FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id"""
 
-  def qd3(maxHam: Int = 12): String = toksCte + s"""
+  def qd3(maxHam: Int = 8): String = toksCte + s"""
 , th AS (SELECT doc_id, ${h("tok")} AS th FROM toks),
 bits AS (
   SELECT doc_id, unnest(range(32)) AS b, th FROM th

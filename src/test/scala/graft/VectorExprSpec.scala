@@ -32,4 +32,54 @@ class VectorExprSpec extends SparkSuite {
     // structural smoke: applying to a fresh extensions object must not throw
     ext.apply(new org.apache.spark.sql.SparkSessionExtensions)
   }
+
+  test("graft_l2 equals the zip_with fold exactly") {
+    VectorExprs.register(spark)
+    val e = spark.read.parquet(s"$Sf001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val shifted = e.selectExpr("v", "transform(v, x -> x + 0.5d) AS w")
+    val both = shifted.select(
+      expr("graft_l2(v, w)").as("native"),
+      expr("aggregate(zip_with(v, w, (x, y) -> (x - y) * (x - y)), cast(0.0 as double), (a, x) -> a + x)").as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() === 0)
+  }
+
+  test("bank-scan kernels: min/argmin vs brute force, first-index ties (200 random instances)") {
+    VectorExprs.register(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val cases = (1 to 200).map { _ =>
+      val dim = 1 + rnd.nextInt(5)
+      val m = 1 + rnd.nextInt(8)
+      // small integer coordinates force frequent exact distance ties
+      val bank = Array.fill(m * dim)(rnd.nextInt(3).toDouble)
+      val p = Array.fill(dim)(rnd.nextInt(3).toDouble)
+      (bank, p, dim)
+    }
+    val df = cases.toDF("bank", "p", "dim")
+      .selectExpr("bank", "p", "dim",
+        "graft_min_dist2(bank, p) AS kmin", "graft_argmin_dist2(bank, p) AS kidx")
+      .collect()
+    df.foreach { r =>
+      val bank = r.getAs[scala.collection.Seq[Double]]("bank")
+      val p = r.getAs[scala.collection.Seq[Double]]("p")
+      val dim = r.getAs[Int]("dim")
+      val d2s = bank.grouped(dim).map(b =>
+        b.zip(p).map { case (x, y) => (y - x) * (y - x) }.sum).toVector
+      val bruteMin = d2s.min
+      val bruteIdx = d2s.indexWhere(_ == bruteMin) // FIRST index on ties
+      assert(r.getAs[Double]("kmin") === bruteMin)
+      assert(r.getAs[Long]("kidx") === bruteIdx.toLong)
+    }
+  }
+
+  test("bank-scan kernels return null on an empty bank") {
+    VectorExprs.register(spark)
+    import spark.implicits._
+    val df = Seq((Array.empty[Double], Array(1.0, 2.0)))
+      .toDF("bank", "p")
+      .selectExpr("graft_min_dist2(bank, p) AS m", "graft_argmin_dist2(bank, p) AS i")
+      .collect()
+    assert(df.head.isNullAt(0) && df.head.isNullAt(1))
+  }
 }
