@@ -85,6 +85,8 @@ object SparkEntry {
     "qd7_dedup_stats" -> ((s, d) => graft.text.Dedup.dupStats(s, d)),
     "q35_horizon_backtest" -> ((s, d) => graft.timeseries.Forecast.horizonBacktest(s, d)),
     "qm2_frame_sample" -> ((s, d) => graft.multimodal.BinaryMeta.frameSample(s, d)),
+    "qa10_stratified_sample" -> ((s, d) => Relational.stratifiedSample(s, d)),
+    "qa11_salted_agg" -> ((s, d) => Relational.saltedAgg(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -328,6 +330,15 @@ object SparkEntry {
       UNION ALL SELECT 'l_extendedprice', CAST(0.75 AS DOUBLE),
              floor((quantile_cont(l_extendedprice, 0.75))*10000 + 0.5)/10000, 1 FROM lineitem""",
     "qd7_dedup_stats" -> graft.text.DocOracle.qd7(),
+    "qa10_stratified_sample" -> """
+      SELECT lang, count(*) AS n_total,
+             CAST(sum(CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                                % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+      FROM documents GROUP BY lang""",
+    "qa11_salted_agg" -> """
+      SELECT event_type, count(*) AS n_events,
+             CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_floor_v
+      FROM events GROUP BY event_type""",
     "q31_range_join" -> TsOracle.q31(),
     "q35_horizon_backtest" -> TsOracle.q35(),
     "q32_acf" -> TsOracle.q32(),

@@ -95,6 +95,36 @@ object Relational {
       .groupBy("p_brand").agg(count(lit(1)).as("n_unsold"))
   }
 
+  /** qa10: deterministic stratified sampling — hash-bernoulli selection
+    * (md5(doc_id) % mod == 0) per language stratum, reported as
+    * sampled/total counts per stratum. The train/eval-split primitive:
+    * reproducible on any cluster, no rand(), map-side only.
+    */
+  def stratifiedSample(spark: SparkSession, sfDir: String, mod: Int = 10): DataFrame = {
+    val picked = graft.text.TextCore.strHash(col("doc_id").cast("string")) % mod === 0
+    Tables.documents(spark, sfDir)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(picked, 1).otherwise(0)).as("n_sampled"))
+  }
+
+  /** qa11: salted two-phase aggregation — the skew-safe form of a
+    * grouped agg when a handful of hot keys would overload single
+    * reducers: phase 1 partial-aggregates on (key, salt) spreading each
+    * hot key over `salts` reducers, phase 2 combines the partials.
+    * Integer measures keep the two-phase sum bit-exact vs the plain
+    * one-phase oracle.
+    */
+  def saltedAgg(spark: SparkSession, sfDir: String, salts: Int = 8): DataFrame = {
+    val raw = Tables.events(spark, sfDir)
+    raw.select(col("event_type"), pmod(col("event_id"), lit(salts)).as("salt"),
+        floor(col("value")).cast("long").as("fv"))
+      .groupBy("event_type", "salt")
+      .agg(count(lit(1)).as("pn"), sum("fv").as("ps"))
+      .groupBy("event_type")
+      .agg(sum("pn").as("n_events"), sum("ps").as("sum_floor_v"))
+  }
+
   /** qa9: CUBE — all 2^k subtotal combinations in one pass (vs qa4's
     * ROLLUP hierarchy); grouping-set expansion happens map-side, so the
     * shuffle carries one partial row per (set, key), not k data passes.
