@@ -53,11 +53,14 @@ object TsCore {
       case _ => floor(col("ts").cast("long") / 3600L).cast("long")
     }
     val ev = raw.select(col("event_type").as("series"), hr.as("hr"), col("value"))
-    val t0 = ev.agg(min("hr").as("t0"))
-    ev.crossJoin(broadcast(t0))
-      .select(col("series"), (col("hr") - col("t0")).as("t"), col("value"))
-      .groupBy("series", "t")
+    // aggregate FIRST (one scan of the raw events), then rebase hr onto
+    // the origin computed from the small aggregated table — min(hr) over
+    // buckets equals min over events, and this halves the big-table I/O
+    val g = ev.groupBy("series", "hr")
       .agg(count(lit(1)).as("n"), Num.r4(avg("value")).as("v"))
+    val t0 = g.agg(min("hr").as("t0"))
+    g.crossJoin(broadcast(t0))
+      .select(col("series"), (col("hr") - col("t0")).as("t"), col("n"), col("v"))
   }
 
   /** Complete (series, t) spine with observed values left-joined in.
