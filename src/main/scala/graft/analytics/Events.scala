@@ -81,25 +81,30 @@ object Events {
     * the sketch is a fixed-size mergeable register set.
     */
   def approxDistinct(spark: SparkSession, sfDir: String, tol: Double = 0.05): DataFrame = {
+    import spark.implicits._
     val cols = Seq("l_partkey", "l_suppkey", "l_quantity", "l_extendedprice")
-    val li = Tables.lineitem(spark, sfDir).select(cols.map(col): _*)
-    // Exact distincts and HLL sketches in SEPARATE aggregations: mixing
-    // them makes Catalyst plan the multi-DISTINCT expand through a
+    // Exact distincts and HLL sketches in SEPARATE plans: mixing them
+    // makes Catalyst plan the multi-DISTINCT expand through a
     // sort-based aggregate, which copies the ~21KB HLL register buffer
     // once per expanded input row (4×|rows| × 21KB of memcpy — 227s at
-    // sf0.1). Apart, each is a plain one-pass agg; the 1-row results
-    // cross-join for free.
-    val exactAggs = cols.map(c => countDistinct(col(c)).as(s"${c}_exact"))
+    // sf0.1). The sketches share one hash-agg pass; each exact distinct
+    // is its own two-phase (partial distinct → global) job, run
+    // concurrently — no expand, no wide buffers anywhere.
+    val li = Tables.lineitem(spark, sfDir).select(cols.map(col): _*).localCheckpoint()
     val approxAggs = cols.map(c =>
       // rsd 1%: the sketch stays a few KB and the 5% gate has margin
       approx_count_distinct(col(c), 0.01).as(s"${c}_approx"))
-    val wide = li.agg(exactAggs.head, exactAggs.tail: _*)
-      .crossJoin(li.agg(approxAggs.head, approxAggs.tail: _*))
-    wide.select(explode(array(cols.map(c =>
-      struct(lit(c).as("column_name"), col(s"${c}_exact").as("n_exact"),
-        when(abs(col(s"${c}_approx") - col(s"${c}_exact")) <= col(s"${c}_exact") * tol, 1)
-          .otherwise(0).as("approx_ok"))): _*)).as("p"))
-      .select("p.*")
+    val approxRow = li.agg(approxAggs.head, approxAggs.tail: _*).head()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val exact = cols.map(c => c -> Future(li.select(c).distinct().count()))
+      .map { case (c, f) => c -> Await.result(f, Duration.Inf) }.toMap
+    cols.map { c =>
+      val e = exact(c)
+      val a = approxRow.getAs[Long](s"${c}_approx")
+      (c, e, if (math.abs(a - e) <= e * tol) 1 else 0)
+    }.toDF("column_name", "n_exact", "approx_ok")
   }
 
   /** qp3: approximate quantiles (Greenwald–Khanna sketch) next to the
