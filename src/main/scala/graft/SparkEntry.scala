@@ -87,6 +87,9 @@ object SparkEntry {
     "qm2_frame_sample" -> ((s, d) => graft.multimodal.BinaryMeta.frameSample(s, d)),
     "qa10_stratified_sample" -> ((s, d) => Relational.stratifiedSample(s, d)),
     "qa11_salted_agg" -> ((s, d) => Relational.saltedAgg(s, d)),
+    "qa12_pivot" -> ((s, d) => Relational.eventPivot(s, d)),
+    "qp4_group_quantiles" -> ((s, d) => graft.analytics.Events.groupQuantiles(s, d)),
+    "q36_xcorr" -> ((s, d) => graft.timeseries.Intervals.crossCorr(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -339,6 +342,30 @@ object SparkEntry {
       SELECT event_type, count(*) AS n_events,
              CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_floor_v
       FROM events GROUP BY event_type""",
+    "qa12_pivot" -> """
+      WITH ev AS (
+        SELECT event_type,
+               CAST(floor(floor(CAST(floor(epoch(ts)) AS BIGINT) / 3600) % 24 / 4) AS INT) AS slot
+        FROM events
+      )
+      SELECT event_type,
+             count(*) FILTER (WHERE slot = 0) AS h0,
+             count(*) FILTER (WHERE slot = 1) AS h1,
+             count(*) FILTER (WHERE slot = 2) AS h2,
+             count(*) FILTER (WHERE slot = 3) AS h3,
+             count(*) FILTER (WHERE slot = 4) AS h4,
+             count(*) FILTER (WHERE slot = 5) AS h5
+      FROM ev GROUP BY event_type""",
+    "qp4_group_quantiles" -> """
+      SELECT event_type, CAST(0.25 AS DOUBLE) AS q,
+             floor((quantile_cont(value, 0.25))*10000 + 0.5)/10000 AS v FROM events GROUP BY event_type
+      UNION ALL SELECT event_type, CAST(0.5 AS DOUBLE),
+             floor((quantile_cont(value, 0.5))*10000 + 0.5)/10000 FROM events GROUP BY event_type
+      UNION ALL SELECT event_type, CAST(0.75 AS DOUBLE),
+             floor((quantile_cont(value, 0.75))*10000 + 0.5)/10000 FROM events GROUP BY event_type
+      UNION ALL SELECT event_type, CAST(0.95 AS DOUBLE),
+             floor((quantile_cont(value, 0.95))*10000 + 0.5)/10000 FROM events GROUP BY event_type""",
+    "q36_xcorr" -> TsOracle.q36(),
     "q31_range_join" -> TsOracle.q31(),
     "q35_horizon_backtest" -> TsOracle.q35(),
     "q32_acf" -> TsOracle.q32(),

@@ -107,6 +107,23 @@ object Events {
     }.toDF("column_name", "n_exact", "approx_ok")
   }
 
+  /** qp4: per-group quantile profile — exact interpolated quartiles +
+    * p95 of the value distribution per event type. Grouped percentile
+    * is the scale-safe shape (each group's buffer holds only its own
+    * values, groups spread across reducers).
+    */
+  def groupQuantiles(spark: SparkSession, sfDir: String,
+                     qs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95)): DataFrame = {
+    import graft.util.Num
+    val agg = Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(expr(s"percentile(value, array(${qs.mkString(",")}))").as("qv"))
+    agg.select(col("event_type"), explode(array(qs.zipWithIndex.map { case (q, i) =>
+      struct(lit(q).as("q"), Num.r4(col("qv")(i)).as("v"))
+    }: _*)).as("p"))
+      .select(col("event_type"), col("p.q"), col("p.v"))
+  }
+
   /** qp3: approximate quantiles (Greenwald–Khanna sketch) next to the
     * exact interpolated percentiles, with an error gate: the sketch is
     * the 100 TB path (fixed-size, mergeable), the exact value is the

@@ -95,6 +95,28 @@ object Relational {
       .groupBy("p_brand").agg(count(lit(1)).as("n_unsold"))
   }
 
+  /** qa12: pivot — long→wide reshape: events per (type, 4-hour slot)
+    * as columns. Spark's pivot with an explicit value list stays a
+    * single hash aggregation (no second pass to discover columns).
+    */
+  def eventPivot(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = Tables.events(spark, sfDir)
+    val sec = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000000000")
+      case _ => col("ts").cast("long")
+    }
+    val slots = 0 until 6
+    // floor-only integer math: DuckDB CAST(double→int) rounds while
+    // Spark truncates, so every division goes through floor() first
+    val wide = raw.select(col("event_type"),
+        floor(floor(sec / 3600L) % 24L / 4L).cast("int").as("slot"))
+      .groupBy("event_type")
+      .pivot("slot", slots)
+      .agg(count(lit(1)))
+    wide.select(col("event_type") +: slots.map(s =>
+      coalesce(col(s.toString), lit(0L)).as(s"h$s")): _*)
+  }
+
   /** qa10: deterministic stratified sampling — hash-bernoulli selection
     * (md5(doc_id) % mod == 0) per language stratum, reported as
     * sampled/total counts per stratum. The train/eval-split primitive:

@@ -63,6 +63,23 @@ object Intervals {
       .select(col("series"), col("t"), Num.r4(col("shift_z")).as("shift_z"))
   }
 
+  /** q36: cross-series correlation — Pearson correlation between every
+    * pair of series over tumbling-bucket means. Bucketing first makes
+    * the correlation a small grouped agg (and keeps summation
+    * group-local, not frame-ordered); the pair join is over the tiny
+    * (series, bucket) table, never the raw points.
+    */
+  def crossCorr(spark: SparkSession, sfDir: String, bucket: Int = 48): DataFrame = {
+    val b = TsCore.filled(spark, sfDir).filter(col("v_filled").isNotNull)
+      .groupBy(col("series"), floor(col("t") / bucket).as("b"))
+      .agg(avg("v_filled").as("m"))
+    val l = b.select(col("series").as("series_a"), col("b"), col("m").as("ma"))
+    val r = b.select(col("series").as("series_b"), col("b"), col("m").as("mb"))
+    l.join(r, Seq("b")).filter(col("series_a") < col("series_b"))
+      .groupBy("series_a", "series_b")
+      .agg(count(lit(1)).as("n"), Num.r4(corr("ma", "mb")).as("xcorr"))
+  }
+
   /** q34: MAD (median-absolute-deviation) robust outliers per window —
     * the reference's z-score spike flags (postprocessing.py) hardened
     * against the outliers themselves. Two exact-median passes per

@@ -644,6 +644,17 @@ ${horizons.map(h =>
 FROM lag35 WHERE t >= tsplit AND v_filled IS NOT NULL AND p$h IS NOT NULL GROUP BY series""")
     .mkString("\nUNION ALL ")}"""
 
+  def q36(bucket: Int = 48): String = prefix + s"""
+, bmeans AS (
+  SELECT series, CAST(floor(t / $bucket) AS BIGINT) AS b, avg(v_filled) AS m
+  FROM filled WHERE v_filled IS NOT NULL
+  GROUP BY series, CAST(floor(t / $bucket) AS BIGINT)
+)
+SELECT a.series AS series_a, b2.series AS series_b, count(*) AS n,
+       ${r4("corr(a.m, b2.m)")} AS xcorr
+FROM bmeans a JOIN bmeans b2 ON a.b = b2.b AND a.series < b2.series
+GROUP BY a.series, b2.series"""
+
   def q34(thr: Double = 3.0): String = prefix + s"""
 , med AS (SELECT series, win, quantile_cont(vs, 0.5) AS med FROM scaled GROUP BY series, win),
 wm AS (SELECT s.series, s.win, s.pos, s.vs, m.med FROM scaled s JOIN med m USING (series, win)),
