@@ -90,6 +90,7 @@ object SparkEntry {
     "qa12_pivot" -> ((s, d) => Relational.eventPivot(s, d)),
     "qp4_group_quantiles" -> ((s, d) => graft.analytics.Events.groupQuantiles(s, d)),
     "q36_xcorr" -> ((s, d) => graft.timeseries.Intervals.crossCorr(s, d)),
+    "q37_seasonal_residual" -> ((s, d) => graft.timeseries.Intervals.seasonalResidual(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -366,6 +367,7 @@ object SparkEntry {
       UNION ALL SELECT event_type, CAST(0.95 AS DOUBLE),
              floor((quantile_cont(value, 0.95))*10000 + 0.5)/10000 FROM events GROUP BY event_type""",
     "q36_xcorr" -> TsOracle.q36(),
+    "q37_seasonal_residual" -> TsOracle.q37(),
     "q31_range_join" -> TsOracle.q31(),
     "q35_horizon_backtest" -> TsOracle.q35(),
     "q32_acf" -> TsOracle.q32(),

@@ -63,6 +63,28 @@ object Intervals {
       .select(col("series"), col("t"), Num.r4(col("shift_z")).as("shift_z"))
   }
 
+  /** q37: seasonal-residual anomaly flags — subtract the train-region
+    * hour-of-day profile (the q24 decomposition) from every point and
+    * flag residuals beyond `thr` train-region residual stddevs. The
+    * decomposition-based detection path of the reference
+    * (feature_extractor.py seasonal_decomposition variant): two grouped
+    * aggs over the train split, one broadcast-joined scoring pass.
+    */
+  def seasonalResidual(spark: SparkSession, sfDir: String, thr: Double = 3.0): DataFrame = {
+    val train = TsCore.dayWindows(spark, sfDir)
+      .join(broadcast(TsCore.splitBoundary(spark, sfDir)), "series")
+      .filter(col("win") < col("mwin"))
+    val prof = train.groupBy("series", "pos").agg(avg("v").as("posmean"))
+    val sdr = train.join(prof, Seq("series", "pos"))
+      .groupBy("series").agg(stddev_samp(col("v") - col("posmean")).as("sdr"))
+    TsCore.dayWindows(spark, sfDir)
+      .join(broadcast(prof), Seq("series", "pos"))
+      .join(broadcast(sdr), "series")
+      .withColumn("resid_z", (col("v") - col("posmean")) / col("sdr"))
+      .filter(col("resid_z") > thr || col("resid_z") < -thr)
+      .select(col("series"), col("win"), col("pos"), Num.r4(col("resid_z")).as("resid_z"))
+  }
+
   /** q36: cross-series correlation — Pearson correlation between every
     * pair of series over tumbling-bucket means. Bucketing first makes
     * the correlation a small grouped agg (and keeps summation

@@ -14,11 +14,12 @@ object Metrics {
   /** Window-level scores (q09) joined with window-level ground truth
     * (any injected point in the window).
     */
-  def scoredWithGt(spark: SparkSession, sfDir: String): DataFrame = {
-    val (_, test) = TsCore.bankAndTest(spark, sfDir)
-    val gt = test.groupBy("series", "win").agg(max("is_anom").as("gt"))
-    Detect.knnScore(spark, sfDir).join(gt, Seq("series", "win"))
-  }
+  def scoredWithGt(spark: SparkSession, sfDir: String): DataFrame =
+    TsCore.cached(spark, sfDir, "scoredgt") {
+      val (_, test) = TsCore.bankAndTest(spark, sfDir)
+      val gt = test.groupBy("series", "win").agg(max("is_anom").as("gt"))
+      Detect.knnScore(spark, sfDir).join(gt, Seq("series", "win"))
+    }
 
   /** q16: percentile-threshold confusion matrix + P/R/F1 (ref metrics.py:
     * threshold = percentile(scores, 100 − contam_rate·100), here

@@ -644,6 +644,19 @@ ${horizons.map(h =>
 FROM lag35 WHERE t >= tsplit AND v_filled IS NOT NULL AND p$h IS NOT NULL GROUP BY series""")
     .mkString("\nUNION ALL ")}"""
 
+  def q37(thr: Double = 3.0): String = prefix + s"""
+, trainw37 AS (
+  SELECT d.* FROM daywin d JOIN boundary b USING (series) WHERE d.win < b.mwin
+), prof37 AS (
+  SELECT series, pos, avg(v) AS posmean FROM trainw37 GROUP BY series, pos
+), sdr37 AS (
+  SELECT t.series, stddev_samp(t.v - p.posmean) AS sdr
+  FROM trainw37 t JOIN prof37 p USING (series, pos) GROUP BY t.series
+)
+SELECT d.series, d.win, d.pos, ${r4("(d.v - p.posmean) / s.sdr")} AS resid_z
+FROM daywin d JOIN prof37 p USING (series, pos) JOIN sdr37 s USING (series)
+WHERE (d.v - p.posmean) / s.sdr > $thr OR (d.v - p.posmean) / s.sdr < -$thr"""
+
   def q36(bucket: Int = 48): String = prefix + s"""
 , bmeans AS (
   SELECT series, CAST(floor(t / $bucket) AS BIGINT) AS b, avg(v_filled) AS m
