@@ -91,6 +91,7 @@ object SparkEntry {
     "qp4_group_quantiles" -> ((s, d) => graft.analytics.Events.groupQuantiles(s, d)),
     "q36_xcorr" -> ((s, d) => graft.timeseries.Intervals.crossCorr(s, d)),
     "q37_seasonal_residual" -> ((s, d) => graft.timeseries.Intervals.seasonalResidual(s, d)),
+    "q38_cleaning_impact" -> ((s, d) => graft.timeseries.Forecast.cleaningImpact(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -368,6 +369,7 @@ object SparkEntry {
              floor((quantile_cont(value, 0.95))*10000 + 0.5)/10000 FROM events GROUP BY event_type""",
     "q36_xcorr" -> TsOracle.q36(),
     "q37_seasonal_residual" -> TsOracle.q37(),
+    "q38_cleaning_impact" -> TsOracle.q38,
     "q31_range_join" -> TsOracle.q31(),
     "q35_horizon_backtest" -> TsOracle.q35(),
     "q32_acf" -> TsOracle.q32(),

@@ -108,6 +108,35 @@ object Forecast {
       .select(col("series"), col("pos"), Num.r4(col("posmean") - col("mu")).as("seasonal"))
   }
 
+  /** q38: the reference pipeline's headline experiment (ref pipeline.py:
+    * forecast quality on contaminated vs anomaly-cleaned data) —
+    * seasonal-naive error per (series, variant) over the test region,
+    * where 'contam' is the injected series and 'cleaned' is the
+    * linear-imputed repair. The week-lag predictor aligns by an exact
+    * (series, t−168) self-join (window-drop gaps make row-lag wrong),
+    * and the whole comparison is two grouped passes over the union.
+    */
+  def cleaningImpact(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = TsCore.DaySize
+    val contam = TsCore.injected(spark, sfDir)
+      .select(col("series"), (col("win") * n + col("pos")).as("t"),
+        col("v_anom").as("v"), lit("contam").as("variant"))
+    val cleaned = Impute.imputeLinear(spark, sfDir)
+      .select(col("series"), col("t"), col("v_imp").as("v"), lit("cleaned").as("variant"))
+    val all = contam.unionByName(cleaned)
+    val pred = all.select(col("series"), col("variant"),
+      (col("t") + TsCore.WeekLag).as("t"), col("v").as("p"))
+    val boundt = TsCore.splitBoundary(spark, sfDir)
+      .select(col("series"), (col("mwin") * n).as("tsplit"))
+    all.join(pred, Seq("series", "variant", "t"))
+      .join(broadcast(boundt), "series")
+      .filter(col("t") >= col("tsplit"))
+      .groupBy("series", "variant")
+      .agg(count(lit(1)).as("n"),
+        Num.r4(avg(abs(col("v") - col("p")))).as("mae"),
+        Num.r4(sqrt(avg((col("v") - col("p")) * (col("v") - col("p"))))).as("rmse"))
+  }
+
   /** q32: autocorrelation function at the forecasting-relevant lags
     * (1 = persistence, 24 = daily, 168 = weekly): Pearson correlation of
     * the series with its lagged self, one window pass + one agg per lag,

@@ -392,7 +392,7 @@ FROM ws, thrs"""
   SELECT series, win * ${TsCore.DaySize} + pos AS t, win, pos, v_anom, is_anom FROM inject
 )"""
 
-  def q18: String = prefix + flaggedCte + s"""
+  private val imputeLinearCte: String = flaggedCte + s"""
 , nbr AS (
   SELECT series, t, is_anom, v_anom,
     last_value(CASE WHEN is_anom = 0 THEN v_anom END IGNORE NULLS)
@@ -404,10 +404,33 @@ FROM ws, thrs"""
     first_value(CASE WHEN is_anom = 0 THEN t END IGNORE NULLS)
       OVER (PARTITION BY series ORDER BY t ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS tn
   FROM flg
-)
-SELECT series, t, is_anom AS was_anom,
-  ${r4("CASE WHEN is_anom = 0 THEN v_anom WHEN vp IS NOT NULL AND vn IS NOT NULL THEN vp + (vn - vp) * (t - tp) / (tn - tp) ELSE coalesce(vp, vn) END")} AS v_imp
-FROM nbr"""
+), imp AS (
+  SELECT series, t, is_anom AS was_anom,
+    ${r4("CASE WHEN is_anom = 0 THEN v_anom WHEN vp IS NOT NULL AND vn IS NOT NULL THEN vp + (vn - vp) * (t - tp) / (tn - tp) ELSE coalesce(vp, vn) END")} AS v_imp
+  FROM nbr
+)"""
+
+  def q18: String = prefix + imputeLinearCte +
+    "SELECT series, t, was_anom, v_imp FROM imp"
+
+  /** q38: the reference pipeline's headline experiment (pipeline.py:
+    * forecast quality trained on contaminated vs cleaned data) — here
+    * as seasonal-naive error per series on the contaminated series vs
+    * the anomaly-imputed one, over the test region.
+    */
+  def q38: String = prefix + imputeLinearCte + s"""
+, contamv AS (SELECT series, t, v_anom AS v, 'contam' AS variant FROM flg),
+cleanv AS (SELECT series, t, v_imp AS v, 'cleaned' AS variant FROM imp),
+allv AS (SELECT * FROM contamv UNION ALL SELECT * FROM cleanv),
+boundt38 AS (SELECT series, mwin * $DaySize AS tsplit FROM boundary)
+SELECT a.series, a.variant, count(*) AS n,
+  ${r4("avg(abs(a.v - p.v))")} AS mae,
+  ${r4("sqrt(avg((a.v - p.v) * (a.v - p.v)))")} AS rmse
+FROM allv a
+JOIN allv p ON p.series = a.series AND p.variant = a.variant AND p.t = a.t - $WeekLag
+JOIN boundt38 b ON b.series = a.series
+WHERE a.t >= b.tsplit
+GROUP BY a.series, a.variant"""
 
   def q19: String = prefix + flaggedCte + s"""
 , seas AS (

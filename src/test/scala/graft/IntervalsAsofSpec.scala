@@ -79,6 +79,14 @@ class IntervalsAsofSpec extends SparkSuite {
     assert(f.filter(col("n_bytes") > 256 || col("n_bytes") <= 0).count() === 0)
   }
 
+  test("cleaning impact: imputed series forecasts better than contaminated (the reference's headline claim)") {
+    val ci = Forecast.cleaningImpact(spark, Sf01).cache()
+    val wide = ci.groupBy("series")
+      .pivot("variant", Seq("cleaned", "contam")).agg(first("mae"))
+    assert(wide.filter(col("cleaned") >= col("contam")).count() === 0,
+      "anomaly imputation must reduce forecast error on every series")
+  }
+
   test("tfidf: rare tokens outrank common ones within a doc") {
     val t = graft.text.TextOps.tfidf(spark, Sf01).cache()
     assert(t.count() > 0)
