@@ -92,6 +92,7 @@ object SparkEntry {
     "q36_xcorr" -> ((s, d) => graft.timeseries.Intervals.crossCorr(s, d)),
     "q37_seasonal_residual" -> ((s, d) => graft.timeseries.Intervals.seasonalResidual(s, d)),
     "q38_cleaning_impact" -> ((s, d) => graft.timeseries.Forecast.cleaningImpact(s, d)),
+    "qv4_ann_eval" -> ((s, d) => graft.vector.Similarity.annEval(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -157,6 +158,7 @@ object SparkEntry {
     "qv1_cosine_topk" -> graft.text.DocOracle.qv1(),
     "qv2_lsh_ann" -> graft.text.DocOracle.qv2(),
     "qv3_ivf_ann" -> graft.text.DocOracle.qv3(),
+    "qv4_ann_eval" -> graft.text.DocOracle.qv4(),
     "qt1_token_count" -> graft.text.DocOracle.qt1,
     "qt2_quality_score" -> graft.text.DocOracle.qt2,
     "qt3_lang_id" -> graft.text.DocOracle.qt3,

@@ -232,8 +232,29 @@ SELECT qid, vec_id, ${r4("cos")} AS cos, rnk FROM ranked WHERE rnk <= $k"""
   SELECT qid, vec_id, cos,
          row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
   FROM scored
+), ivfk AS (
+  SELECT qid, vec_id, cos, rnk FROM ranked WHERE rnk <= $k
 )
-SELECT qid, vec_id, ${r4("cos")} AS cos, rnk FROM ranked WHERE rnk <= $k"""
+SELECT qid, vec_id, ${r4("cos")} AS cos, rnk FROM ivfk"""
+
+  /** qv4 = qv3's IVF result joined against the exact top-k → recall. */
+  def qv4(nCells: Int = 16, nProbe: Int = 2, k: Int = 5): String =
+    qv3(nCells, nProbe, k).replace(
+      s"SELECT qid, vec_id, ${r4("cos")} AS cos, rnk FROM ivfk",
+      s""", exact AS (
+  SELECT qid, vec_id FROM (
+    SELECT q.qid, b.vec_id,
+           row_number() OVER (PARTITION BY q.qid
+                              ORDER BY list_dot_product(q.v, b.v) / (q.nrm * b.nrm) DESC,
+                                       b.vec_id) AS rnk
+    FROM (SELECT vec_id AS qid, v, nrm FROM vecs WHERE vec_id % 100 = 0) q
+    JOIN vecs b ON b.vec_id <> q.qid
+  ) WHERE rnk <= $k
+)
+SELECT count(*) AS n_exact,
+       CAST(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       ${r4("sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END) / count(*)")} AS recall
+FROM exact e LEFT JOIN ivfk i ON i.qid = e.qid AND i.vec_id = e.vec_id""")
 
   val qt1: String = s"""
 SELECT doc_id,

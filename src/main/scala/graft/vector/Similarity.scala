@@ -89,6 +89,20 @@ object Similarity {
       .select(col("qid"), col("vec_id"), Num.r4(col("cos")).as("cos"), col("rnk"))
   }
 
+  /** qv4: ANN quality evaluation — recall@k of the IVF index against
+    * the exact top-k baseline, in one query. The evaluation harness a
+    * production ANN deployment runs before trusting the index at scale.
+    */
+  def annEval(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
+    val exact = cosineTopK(spark, sfDir, k).select(col("qid"), col("vec_id"))
+    val approx = ivfAnn(spark, sfDir, k = k)
+      .select(col("qid"), col("vec_id"), lit(1).as("hit"))
+    exact.join(approx, Seq("qid", "vec_id"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+      .withColumn("recall", Num.r4(col("n_hit") / col("n_exact")))
+  }
+
   /** qv3: IVF-style ANN — cells seeded by the first nCells vec_ids, one
     * assignment pass, centroid = cell mean, queries probe the nProbe
     * nearest centroids and rank candidates in those cells. The cell
