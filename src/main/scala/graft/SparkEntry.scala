@@ -93,6 +93,7 @@ object SparkEntry {
     "q37_seasonal_residual" -> ((s, d) => graft.timeseries.Intervals.seasonalResidual(s, d)),
     "q38_cleaning_impact" -> ((s, d) => graft.timeseries.Forecast.cleaningImpact(s, d)),
     "qv4_ann_eval" -> ((s, d) => graft.vector.Similarity.annEval(s, d)),
+    "qt8_langid_eval" -> ((s, d) => graft.text.TextOps.langIdEval(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -162,6 +163,7 @@ object SparkEntry {
     "qt1_token_count" -> graft.text.DocOracle.qt1,
     "qt2_quality_score" -> graft.text.DocOracle.qt2,
     "qt3_lang_id" -> graft.text.DocOracle.qt3,
+    "qt8_langid_eval" -> graft.text.DocOracle.qt8,
     "qt4_fingerprint" -> graft.text.DocOracle.qt4(),
     "q25_pointwise_metrics" -> TsOracle.q25(),
     "q27_threshold_sweep" -> TsOracle.q27(),

@@ -292,13 +292,23 @@ FROM base b LEFT JOIN stopHits s USING (doc_id)"""
           FROM toks GROUP BY doc_id"""
     }.mkString(" UNION ALL ")
     toksCte + s"""
-, marker AS ($unions)
-SELECT doc_id, cand AS pred_lang, CAST(hits AS BIGINT) AS hits FROM (
-  SELECT doc_id, cand, hits,
-         row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, prio) AS rn
-  FROM marker
-) WHERE rn = 1"""
+, marker AS ($unions),
+pred AS (
+  SELECT doc_id, cand AS pred_lang, CAST(hits AS BIGINT) AS hits FROM (
+    SELECT doc_id, cand, hits,
+           row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, prio) AS rn
+    FROM marker
+  ) WHERE rn = 1
+)
+SELECT doc_id, pred_lang, hits FROM pred"""
   }
+
+  /** qt8 = qt3's prediction joined against the gold label → confusion. */
+  val qt8: String = qt3.replace(
+    "SELECT doc_id, pred_lang, hits FROM pred",
+    """SELECT d.lang, p.pred_lang, count(*) AS n
+       FROM pred p JOIN documents d USING (doc_id)
+       GROUP BY d.lang, p.pred_lang""")
 
   def qt7(topN: Int = 5): String = toksCte + s"""
 , tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),

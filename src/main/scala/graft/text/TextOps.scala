@@ -120,6 +120,16 @@ object TextOps {
       .select("doc_id", "rnk", "h")
   }
 
+  /** qt8: language-ID evaluation — confusion matrix of the heuristic
+    * classifier (qt3) against the gold label. The model-quality report
+    * a filtering pipeline checks before trusting lang-based routing.
+    */
+  def langIdEval(spark: SparkSession, sfDir: String): DataFrame =
+    langId(spark, sfDir)
+      .join(Tables.documents(spark, sfDir).select("doc_id", "lang"), "doc_id")
+      .groupBy("lang", "pred_lang")
+      .agg(count(lit(1)).as("n"))
+
   /** qt7: TF-IDF top terms per document — tf = term freq / doc length,
     * idf = ln(N / df). Ranking uses the QUANTIZED score (ties → token
     * asc) so both engines' libm ln() ulp differences can't flip ranks.

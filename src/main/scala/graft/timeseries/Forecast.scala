@@ -37,11 +37,22 @@ object Forecast {
       .withColumn("p", lag("y", TsCore.WeekLag).over(w))
       .join(broadcast(boundaryT(spark, sfDir)), "series")
       .filter(col("t") >= col("tsplit") && col("y").isNotNull && col("p").isNotNull)
+    // y/p are r4-quantized upstream → per-element errors are
+    // bit-identical in both engines; scaled-integer sums make the
+    // aggregates order-independent (raw avg() flips the 4th decimal
+    // when the partition-order float sum lands on an r4 boundary)
+    val aeInt = floor(abs(col("y") - col("p")) * 10000d + 0.5d).cast("long")
+    val seInt = floor((col("y") - col("p")) * (col("y") - col("p")) * 10000d + 0.5d).cast("long")
+    val apeInt = when(col("y") =!= 0.0,
+      floor(abs(col("y") - col("p")) / abs(col("y")) * 10000d + 0.5d).cast("long"))
     pred.groupBy("series").agg(
       count(lit(1)).as("n"),
-      Num.r4(avg(abs(col("y") - col("p")))).as("mae"),
-      Num.r4(sqrt(avg((col("y") - col("p")) * (col("y") - col("p"))))).as("rmse"),
-      Num.r4(avg(when(col("y") =!= 0.0, abs(col("y") - col("p")) / abs(col("y"))))).as("mape"))
+      sum(aeInt).as("sae"), sum(seInt).as("sse"),
+      sum(apeInt).as("sape"), count(apeInt).as("nape"))
+      .select(col("series"), col("n"),
+        Num.r4(col("sae") / 10000d / col("n")).as("mae"),
+        Num.r4(sqrt(col("sse") / 10000d / col("n"))).as("rmse"),
+        Num.r4(col("sape") / 10000d / col("nape")).as("mape"))
   }
 
   /** q22: closed-form OLS forecast on (lag1, lag24, lag168): centered
@@ -128,13 +139,21 @@ object Forecast {
       (col("t") + TsCore.WeekLag).as("t"), col("v").as("p"))
     val boundt = TsCore.splitBoundary(spark, sfDir)
       .select(col("series"), (col("mwin") * n).as("tsplit"))
+    // v and p are r4-quantized upstream → bit-identical per element in
+    // both engines. Summing per-element errors as SCALED INTEGERS makes
+    // the aggregate order-independent and therefore exactly
+    // deterministic — a raw avg() flips the 4th decimal run-to-run when
+    // the partition-order float sum lands on an r4 boundary.
+    val aeInt = floor(abs(col("v") - col("p")) * 10000d + 0.5d).cast("long")
+    val seInt = floor((col("v") - col("p")) * (col("v") - col("p")) * 10000d + 0.5d).cast("long")
     all.join(pred, Seq("series", "variant", "t"))
       .join(broadcast(boundt), "series")
       .filter(col("t") >= col("tsplit"))
       .groupBy("series", "variant")
-      .agg(count(lit(1)).as("n"),
-        Num.r4(avg(abs(col("v") - col("p")))).as("mae"),
-        Num.r4(sqrt(avg((col("v") - col("p")) * (col("v") - col("p"))))).as("rmse"))
+      .agg(count(lit(1)).as("n"), sum(aeInt).as("sae"), sum(seInt).as("sse"))
+      .select(col("series"), col("variant"), col("n"),
+        Num.r4(col("sae") / 10000d / col("n")).as("mae"),
+        Num.r4(sqrt(col("sse") / 10000d / col("n"))).as("rmse"))
   }
 
   /** q32: autocorrelation function at the forecasting-relevant lags
@@ -156,13 +175,17 @@ object Forecast {
       .join(broadcast(TsCore.splitBoundary(spark, sfDir)
         .select(col("series"), (col("mwin") * TsCore.DaySize).as("tsplit"))), "series")
     horizons.map { h =>
+      // scaled-integer error sums: order-independent, exactly
+      // deterministic (inputs are r4-quantized upstream)
+      val aeInt = floor(abs(col("v_filled") - col("p")) * 10000d + 0.5d).cast("long")
+      val seInt = floor((col("v_filled") - col("p")) * (col("v_filled") - col("p")) * 10000d + 0.5d).cast("long")
       f.withColumn("p", lag("v_filled", h).over(w))
         .filter(col("t") >= col("tsplit") && col("v_filled").isNotNull && col("p").isNotNull)
         .groupBy("series")
-        .agg(count(lit(1)).as("n"),
-          Num.r4(avg(abs(col("v_filled") - col("p")))).as("mae"),
-          Num.r4(sqrt(avg((col("v_filled") - col("p")) * (col("v_filled") - col("p"))))).as("rmse"))
-        .select(col("series"), lit(h).as("horizon"), col("n"), col("mae"), col("rmse"))
+        .agg(count(lit(1)).as("n"), sum(aeInt).as("sae"), sum(seInt).as("sse"))
+        .select(col("series"), lit(h).as("horizon"), col("n"),
+          Num.r4(col("sae") / 10000d / col("n")).as("mae"),
+          Num.r4(sqrt(col("sse") / 10000d / col("n"))).as("rmse"))
     }.reduce(_ unionByName _)
   }
 

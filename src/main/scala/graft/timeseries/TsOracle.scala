@@ -424,8 +424,8 @@ cleanv AS (SELECT series, t, v_imp AS v, 'cleaned' AS variant FROM imp),
 allv AS (SELECT * FROM contamv UNION ALL SELECT * FROM cleanv),
 boundt38 AS (SELECT series, mwin * $DaySize AS tsplit FROM boundary)
 SELECT a.series, a.variant, count(*) AS n,
-  ${r4("avg(abs(a.v - p.v))")} AS mae,
-  ${r4("sqrt(avg((a.v - p.v) * (a.v - p.v)))")} AS rmse
+  ${r4("sum(CAST(floor(abs(a.v - p.v)*10000 + 0.5) AS BIGINT)) / 10000.0 / count(*)")} AS mae,
+  ${r4("sqrt(sum(CAST(floor((a.v - p.v)*(a.v - p.v)*10000 + 0.5) AS BIGINT)) / 10000.0 / count(*))")} AS rmse
 FROM allv a
 JOIN allv p ON p.series = a.series AND p.variant = a.variant AND p.t = a.t - $WeekLag
 JOIN boundt38 b ON b.series = a.series
@@ -487,9 +487,9 @@ GROUP BY a.series, a.win, a.pos"""
   FROM filled f JOIN boundt b USING (series)
 )
 SELECT series, count(*) AS n,
-  ${r4("avg(abs(y - p))")} AS mae,
-  ${r4("sqrt(avg((y - p) * (y - p)))")} AS rmse,
-  ${r4("avg(CASE WHEN y <> 0.0 THEN abs(y - p) / abs(y) END)")} AS mape
+  ${r4("sum(CAST(floor(abs(y - p)*10000 + 0.5) AS BIGINT)) / 10000.0 / count(*)")} AS mae,
+  ${r4("sqrt(sum(CAST(floor((y - p)*(y - p)*10000 + 0.5) AS BIGINT)) / 10000.0 / count(*))")} AS rmse,
+  ${r4("sum(CASE WHEN y <> 0.0 THEN CAST(floor(abs(y - p) / abs(y)*10000 + 0.5) AS BIGINT) END) / 10000.0 / count(CASE WHEN y <> 0.0 THEN 1 END)")} AS mape
 FROM sn WHERE t >= tsplit AND y IS NOT NULL AND p IS NOT NULL
 GROUP BY series"""
 
@@ -662,8 +662,8 @@ lag35 AS (
 )
 ${horizons.map(h =>
     s"""SELECT series, $h AS horizon, count(*) AS n,
-  ${r4(s"avg(abs(v_filled - p$h))")} AS mae,
-  ${r4(s"sqrt(avg((v_filled - p$h) * (v_filled - p$h)))")} AS rmse
+  ${r4(s"sum(CAST(floor(abs(v_filled - p$h)*10000 + 0.5) AS BIGINT)) / 10000.0 / count(*)")} AS mae,
+  ${r4(s"sqrt(sum(CAST(floor((v_filled - p$h)*(v_filled - p$h)*10000 + 0.5) AS BIGINT)) / 10000.0 / count(*))")} AS rmse
 FROM lag35 WHERE t >= tsplit AND v_filled IS NOT NULL AND p$h IS NOT NULL GROUP BY series""")
     .mkString("\nUNION ALL ")}"""
 

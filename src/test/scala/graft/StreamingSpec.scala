@@ -102,6 +102,30 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming scores append to a real parquet sink with checkpointing") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val mem = MemoryStream[Ev]
+    val bank = Seq(("click", 50.0, 10.0)).toDF("series", "mu", "sd")
+    val q = ScoreStream.scoreStream(mem.toDF(), bank).writeStream
+      .outputMode("append").format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/cp")
+      .start()
+    try {
+      val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+      def at(min: Int) = new Timestamp(t0.getTime + min * 60000L)
+      mem.addData(Ev(at(5), "click", 40.0), Ev(at(20), "click", 60.0))
+      q.processAllAvailable()
+      mem.addData(Ev(at(600), "click", 50.0)) // advance watermark
+      q.processAllAvailable()
+      val back = spark.read.parquet(s"$dir/out")
+      assert(back.count() > 0, "closed windows must land in the parquet sink")
+      assert(back.columns.toSet === Set("series", "wstart", "wmean", "n", "score"))
+    } finally q.stop()
+  }
+
   test("streaming plan survives a static-bank broadcast join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
