@@ -99,18 +99,18 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "qa1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-         floor((sum(l_quantity))*10000 + 0.5)/10000 AS sum_qty,
-         floor((sum(l_extendedprice))*10000 + 0.5)/10000 AS sum_base_price,
-         floor((sum(l_extendedprice * (1.0 - l_discount)))*10000 + 0.5)/10000 AS sum_disc_price,
-         floor((sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)))*10000 + 0.5)/10000 AS sum_charge,
-         floor((avg(l_quantity))*10000 + 0.5)/10000 AS avg_qty,
-         floor((avg(l_extendedprice))*10000 + 0.5)/10000 AS avg_price,
-         floor((avg(l_discount))*10000 + 0.5)/10000 AS avg_disc,
+         floor((sum(CAST(floor((l_quantity)*10000 + 0.5) AS BIGINT)) / 10000.0)*10000 + 0.5)/10000 AS sum_qty,
+         floor((sum(CAST(floor((l_extendedprice)*10000 + 0.5) AS BIGINT)) / 10000.0)*10000 + 0.5)/10000 AS sum_base_price,
+         floor((sum(CAST(floor((l_extendedprice * (1.0 - l_discount))*10000 + 0.5) AS BIGINT)) / 10000.0)*10000 + 0.5)/10000 AS sum_disc_price,
+         floor((sum(CAST(floor((l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax))*10000 + 0.5) AS BIGINT)) / 10000.0)*10000 + 0.5)/10000 AS sum_charge,
+         floor((sum(CAST(floor((l_quantity)*10000 + 0.5) AS BIGINT)) / 10000.0 / count(*))*10000 + 0.5)/10000 AS avg_qty,
+         floor((sum(CAST(floor((l_extendedprice)*10000 + 0.5) AS BIGINT)) / 10000.0 / count(*))*10000 + 0.5)/10000 AS avg_price,
+         floor((sum(CAST(floor((l_discount)*10000 + 0.5) AS BIGINT)) / 10000.0 / count(*))*10000 + 0.5)/10000 AS avg_disc,
          count(*) AS count_order
          FROM lineitem GROUP BY l_returnflag, l_linestatus""",
     "qa2_revenue_join" ->
       """SELECT r_name, n_name,
-         floor((sum(l_extendedprice * (1.0 - l_discount)))*10000 + 0.5)/10000 AS revenue,
+         floor((sum(CAST(floor((l_extendedprice * (1.0 - l_discount))*10000 + 0.5) AS BIGINT)) / 10000.0)*10000 + 0.5)/10000 AS revenue,
          count(*) AS n_items
          FROM lineitem
          JOIN orders   ON l_orderkey = o_orderkey
@@ -121,9 +121,9 @@ object SparkEntry {
     "qa3_top_n" ->
       """SELECT c_mktsegment, rnk, c_custkey, c_name, total_spend FROM (
            SELECT c_mktsegment, c_custkey, c_name,
-                  floor((sum(o_totalprice))*10000 + 0.5)/10000 AS total_spend,
+                  floor((sum(CAST(floor((o_totalprice)*10000 + 0.5) AS BIGINT)) / 10000.0)*10000 + 0.5)/10000 AS total_spend,
                   row_number() OVER (PARTITION BY c_mktsegment
-                                     ORDER BY floor((sum(o_totalprice))*10000 + 0.5)/10000 DESC, c_custkey) AS rnk
+                                     ORDER BY floor((sum(CAST(floor((o_totalprice)*10000 + 0.5) AS BIGINT)) / 10000.0)*10000 + 0.5)/10000 DESC, c_custkey) AS rnk
            FROM orders JOIN customer ON o_custkey = c_custkey
            GROUP BY c_mktsegment, c_custkey, c_name
          ) WHERE rnk <= 3""",
@@ -171,7 +171,7 @@ object SparkEntry {
     "q29_highest_patch" -> TsOracle.q29(),
     "qa4_rollup" -> """
       SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
-             floor((sum(l_extendedprice * (1.0 - l_discount)))*10000 + 0.5)/10000 AS revenue,
+             floor((sum(CAST(floor((l_extendedprice * (1.0 - l_discount))*10000 + 0.5) AS BIGINT)) / 10000.0)*10000 + 0.5)/10000 AS revenue,
              count(*) AS n
       FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
     "qa5_semi_join" -> """
@@ -321,7 +321,7 @@ object SparkEntry {
       WHERE rn = 1""",
     "qa9_cube" -> """
       SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
-             floor((sum(l_extendedprice * (1.0 - l_discount)))*10000 + 0.5)/10000 AS revenue,
+             floor((sum(CAST(floor((l_extendedprice * (1.0 - l_discount))*10000 + 0.5) AS BIGINT)) / 10000.0)*10000 + 0.5)/10000 AS revenue,
              count(*) AS n
       FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
     "qp3_approx_quantile" -> """

@@ -17,14 +17,18 @@ object Relational {
     Tables.lineitem(spark, sfDir)
       .select("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_tax")
       .groupBy("l_returnflag", "l_linestatus")
+      // sums/avgs via per-element-quantized integer accumulation
+      // (Num.sumQ4): order-independent, so deterministic across engines
+      // and runs — raw float sums of this magnitude flip the 4th
+      // decimal with accumulation order
       .agg(
-        Num.r4(sum("l_quantity")).as("sum_qty"),
-        Num.r4(sum("l_extendedprice")).as("sum_base_price"),
-        Num.r4(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("sum_disc_price"),
-        Num.r4(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))).as("sum_charge"),
-        Num.r4(avg("l_quantity")).as("avg_qty"),
-        Num.r4(avg("l_extendedprice")).as("avg_price"),
-        Num.r4(avg("l_discount")).as("avg_disc"),
+        Num.r4(Num.sumQ4(col("l_quantity"))).as("sum_qty"),
+        Num.r4(Num.sumQ4(col("l_extendedprice"))).as("sum_base_price"),
+        Num.r4(Num.sumQ4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("sum_disc_price"),
+        Num.r4(Num.sumQ4(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))).as("sum_charge"),
+        Num.r4(Num.sumQ4(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        Num.r4(Num.sumQ4(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+        Num.r4(Num.sumQ4(col("l_discount")) / count(lit(1))).as("avg_disc"),
         count(lit(1)).as("count_order"))
   }
 
@@ -44,7 +48,7 @@ object Relational {
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
-      .agg(Num.r4(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"),
+      .agg(Num.r4(Num.sumQ4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"),
            count(lit(1)).as("n_items"))
   }
 
@@ -55,7 +59,7 @@ object Relational {
     Tables.lineitem(spark, sfDir)
       .select("l_returnflag", "l_linestatus", "l_extendedprice", "l_discount")
       .rollup("l_returnflag", "l_linestatus")
-      .agg(Num.r4(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"),
+      .agg(Num.r4(Num.sumQ4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"),
            count(lit(1)).as("n"))
       .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
         coalesce(col("l_linestatus"), lit("ALL")).as("ls"), col("revenue"), col("n"))
@@ -154,7 +158,7 @@ object Relational {
   def revenueCube(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)
       .cube(col("l_returnflag"), col("l_linestatus"))
-      .agg(Num.r4(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"),
+      .agg(Num.r4(Num.sumQ4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"),
         count(lit(1)).as("n"))
       .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
         coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
@@ -186,7 +190,9 @@ object Relational {
     val c = Tables.customer(spark, sfDir).select("c_custkey", "c_name", "c_mktsegment")
     val spend = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .groupBy("c_mktsegment", "c_custkey", "c_name")
-      .agg(Num.r4(sum("o_totalprice")).as("total_spend"))
+      // deterministic sum: the rank below orders by this value, so an
+      // order-dependent float sum would make the WHOLE row set unstable
+      .agg(Num.r4(Num.sumQ4(col("o_totalprice"))).as("total_spend"))
     val w = Window.partitionBy("c_mktsegment").orderBy(col("total_spend").desc, col("c_custkey"))
     spend.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= topN)

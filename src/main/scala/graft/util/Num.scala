@@ -14,4 +14,20 @@ object Num {
 
   /** SQL form for the DuckDB oracle — must mirror r4 exactly. */
   def r4sql(e: String): String = s"floor(($e)*10000 + 0.5)/10000"
+
+  /** Order-independent float sum: quantize each element to the 1e-4
+    * grid, accumulate as exact integers, scale back. A raw float
+    * `sum()` depends on partition/accumulation order and can flip the
+    * 4th decimal between engines or between identical runs; this form
+    * is bit-deterministic whenever the per-element values are
+    * (fixed-point money arithmetic, in effect). Keep |Σ|·1e4 < 2^63.
+    */
+  def sumQ4(c: Column): Column =
+    org.apache.spark.sql.functions.sum(floor(c * 10000d + 0.5d).cast("long")) / 10000d
+
+  /** SQL form for the DuckDB oracle — must mirror sumQ4 exactly
+    * (the BIGINT cast also defuses DuckDB's SUM→HUGEINT widening).
+    */
+  def sumQ4sql(e: String): String =
+    s"sum(CAST(floor(($e)*10000 + 0.5) AS BIGINT)) / 10000.0"
 }
