@@ -113,8 +113,13 @@ object Forecast {
     val train = TsCore.dayWindows(spark, sfDir)
       .join(broadcast(TsCore.splitBoundary(spark, sfDir)), "series")
       .filter(col("win") < col("mwin"))
-    val overall = train.groupBy("series").agg(avg("v").as("mu"))
-    train.groupBy("series", "pos").agg(avg("v").as("posmean"))
+    // means over r4-quantized v via integer sums: quantized inputs put
+    // Σ/n exactly on rounding boundaries ~1/n of the time, where a raw
+    // float avg's order-dependent epsilon decides the flip
+    val overall = train.groupBy("series")
+      .agg((Num.sumQ4(col("v")) / count(lit(1))).as("mu"))
+    train.groupBy("series", "pos")
+      .agg((Num.sumQ4(col("v")) / count(lit(1))).as("posmean"))
       .join(broadcast(overall), "series")
       .select(col("series"), col("pos"), Num.r4(col("posmean") - col("mu")).as("seasonal"))
   }

@@ -74,7 +74,10 @@ object Intervals {
     val train = TsCore.dayWindows(spark, sfDir)
       .join(broadcast(TsCore.splitBoundary(spark, sfDir)), "series")
       .filter(col("win") < col("mwin"))
-    val prof = train.groupBy("series", "pos").agg(avg("v").as("posmean"))
+    // quantized-integer mean (see seasonalProfile): avg over r4 inputs
+    // lands on rounding boundaries ~1/n of the time
+    val prof = train.groupBy("series", "pos")
+      .agg((Num.sumQ4(col("v")) / count(lit(1))).as("posmean"))
     val sdr = train.join(prof, Seq("series", "pos"))
       .groupBy("series").agg(stddev_samp(col("v") - col("posmean")).as("sdr"))
     TsCore.dayWindows(spark, sfDir)

@@ -543,9 +543,11 @@ FROM testf GROUP BY series"""
 , trainw AS (
   SELECT d.* FROM daywin d JOIN boundary b USING (series) WHERE d.win < b.mwin
 ), overallm AS (
-  SELECT series, avg(v) AS mu FROM trainw GROUP BY series
+  SELECT series, sum(CAST(floor((v)*10000 + 0.5) AS BIGINT)) / 10000.0 / count(*) AS mu
+  FROM trainw GROUP BY series
 )
-SELECT t.series, t.pos, ${r4("avg(t.v) - max(o.mu)")} AS seasonal
+SELECT t.series, t.pos,
+  ${r4("sum(CAST(floor((t.v)*10000 + 0.5) AS BIGINT)) / 10000.0 / count(*) - max(o.mu)")} AS seasonal
 FROM trainw t JOIN overallm o USING (series)
 GROUP BY t.series, t.pos"""
 
@@ -671,7 +673,8 @@ FROM lag35 WHERE t >= tsplit AND v_filled IS NOT NULL AND p$h IS NOT NULL GROUP 
 , trainw37 AS (
   SELECT d.* FROM daywin d JOIN boundary b USING (series) WHERE d.win < b.mwin
 ), prof37 AS (
-  SELECT series, pos, avg(v) AS posmean FROM trainw37 GROUP BY series, pos
+  SELECT series, pos, sum(CAST(floor((v)*10000 + 0.5) AS BIGINT)) / 10000.0 / count(*) AS posmean
+  FROM trainw37 GROUP BY series, pos
 ), sdr37 AS (
   SELECT t.series, stddev_samp(t.v - p.posmean) AS sdr
   FROM trainw37 t JOIN prof37 p USING (series, pos) GROUP BY t.series
