@@ -34,7 +34,11 @@ object Intervals {
     ivB.join(pts, Seq("series", "bucket"))
       .filter(col("t") >= col("t_lo") && col("t") <= col("t_hi"))
       .groupBy("series", "t_lo", "t_hi")
-      .agg(count(lit(1)).as("n_pts"), Num.r4(avg("v_filled")).as("avg_v"))
+      // quantized-integer mean: the bucketed join reorders rows run-to-
+      // run, and avg over r4-quantized values lands on rounding
+      // boundaries ~1/n of the time (the q38 flake class)
+      .agg(count(lit(1)).as("n_pts"),
+        Num.r4(Num.sumQ4(col("v_filled")) / count(lit(1))).as("avg_v"))
   }
 
   /** q33: level-shift changepoint — |mean(next w) − mean(prev w)| in

@@ -172,7 +172,8 @@ testp AS (
   FROM filled
 ), swindows AS (
   SELECT series, swin, count(v) AS nv, count(*) AS np,
-         floor((avg(v))*10000 + 0.5)/10000 AS mean_v, floor((stddev_samp(v))*10000 + 0.5)/10000 AS std_v,
+         floor((sum(CAST(floor((v)*10000 + 0.5) AS BIGINT)) / 10000.0 / count(v))*10000 + 0.5)/10000 AS mean_v,
+         floor((stddev_samp(v))*10000 + 0.5)/10000 AS std_v,
          floor((min(v))*10000 + 0.5)/10000 AS min_v, floor((max(v))*10000 + 0.5)/10000 AS max_v
   FROM memb
   WHERE t >= swin * $stride AND t < swin * $stride + $size AND swin >= 0
@@ -610,7 +611,7 @@ FROM pm"""
   FROM ivruns GROUP BY series, win, rid
 )
 SELECT i.series, i.t_lo, i.t_hi, count(*) AS n_pts,
-       ${r4("avg(f.v_filled)")} AS avg_v
+       ${r4("sum(CAST(floor((f.v_filled)*10000 + 0.5) AS BIGINT)) / 10000.0 / count(*)")} AS avg_v
 FROM iv i JOIN filled f ON f.series = i.series AND f.t >= i.t_lo AND f.t <= i.t_hi
 WHERE f.v_filled IS NOT NULL
 GROUP BY i.series, i.t_lo, i.t_hi"""
