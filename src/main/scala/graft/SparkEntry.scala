@@ -94,6 +94,7 @@ object SparkEntry {
     "q38_cleaning_impact" -> ((s, d) => graft.timeseries.Forecast.cleaningImpact(s, d)),
     "qv4_ann_eval" -> ((s, d) => graft.vector.Similarity.annEval(s, d)),
     "qt8_langid_eval" -> ((s, d) => graft.text.TextOps.langIdEval(s, d)),
+    "qd8_minhash_est" -> ((s, d) => graft.text.Dedup.minhashEstimate(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -339,6 +340,7 @@ object SparkEntry {
       UNION ALL SELECT 'l_extendedprice', CAST(0.75 AS DOUBLE),
              floor((quantile_cont(l_extendedprice, 0.75))*10000 + 0.5)/10000, 1 FROM lineitem""",
     "qd7_dedup_stats" -> graft.text.DocOracle.qd7(),
+    "qd8_minhash_est" -> graft.text.DocOracle.qd8(),
     "qa10_stratified_sample" -> """
       SELECT lang, count(*) AS n_total,
              CAST(sum(CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)

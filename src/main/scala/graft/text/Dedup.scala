@@ -34,15 +34,22 @@ object Dedup {
       minhashLshBuild(spark, sfDir, nPerm, bandRows)
     }
 
+  /** Per-(doc, permutation) MinHash signatures. One md5 per shingle;
+    * permutations are affine integer mixes of the base hash (classic
+    * minhash) — exact int64, far cheaper than a hash per
+    * (shingle, perm) at scale. (j*31+17) keeps products < 2^63.
+    */
+  private def minhashSignatures(spark: SparkSession, sfDir: String, nPerm: Int): DataFrame =
+    graft.util.StageCache.cached(spark, sfDir, s"minhsig_$nPerm") {
+      val sh = shingles(spark, sfDir, 3).select("doc_id", "sh").distinct()
+        .withColumn("bh", strHash(col("sh")))
+      sh.withColumn("j", explode(sequence(lit(0), lit(nPerm - 1))))
+        .withColumn("h", ((col("j") * 31L + 17L) * col("bh") + col("j") * 7919L) % 2147483647L)
+        .groupBy("doc_id", "j").agg(min("h").as("mh"))
+    }
+
   private def minhashLshBuild(spark: SparkSession, sfDir: String, nPerm: Int, bandRows: Int): DataFrame = {
-    // One md5 per shingle; permutations are affine integer mixes of the
-    // base hash (classic minhash) — exact int64, far cheaper than a hash
-    // per (shingle, perm) at scale. (j*31+17) keeps products < 2^63.
-    val sh = shingles(spark, sfDir, 3).select("doc_id", "sh").distinct()
-      .withColumn("bh", strHash(col("sh")))
-    val perms = sh.withColumn("j", explode(sequence(lit(0), lit(nPerm - 1))))
-      .withColumn("h", ((col("j") * 31L + 17L) * col("bh") + col("j") * 7919L) % 2147483647L)
-    val minh = perms.groupBy("doc_id", "j").agg(min("h").as("mh"))
+    val minh = minhashSignatures(spark, sfDir, nPerm)
     val pw = bandPw.zipWithIndex.foldLeft(lit(0L)) { case (acc, (p, idx)) =>
       when(col("j") % bandRows === idx, lit(p)).otherwise(acc)
     }
@@ -137,6 +144,36 @@ object Dedup {
       .groupBy("cluster_id")
       .agg(count(lit(1)).as("sz"), (count(lit(1)) - 1).as("n_dropped"),
         sum("n_chars").as("total_chars"))
+
+  /** qd8: sketch-accuracy evaluation — the MinHash Jaccard ESTIMATE
+    * (matching permutations / nPerm) next to the exact shingle-set
+    * Jaccard for every LSH candidate pair. The report that justifies
+    * trusting the sketch at 100 TB, where exact Jaccard is unaffordable
+    * beyond a sampled audit exactly like this one.
+    */
+  def minhashEstimate(spark: SparkSession, sfDir: String, nPerm: Int = 16): DataFrame = {
+    val pairs = minhashLsh(spark, sfDir).select("doc_a", "doc_b")
+    val minh = minhashSignatures(spark, sfDir, nPerm)
+    val est = pairs
+      .join(minh.select(col("doc_id").as("doc_a"), col("j"), col("mh").as("mh_a")), Seq("doc_a"))
+      .join(minh.select(col("doc_id").as("doc_b"), col("j"), col("mh").as("mh_b")), Seq("doc_b", "j"))
+      .groupBy("doc_a", "doc_b")
+      .agg(sum(when(col("mh_a") === col("mh_b"), 1).otherwise(0)).as("n_match"))
+    val sh = shingles(spark, sfDir, 3).select("doc_id", "sh").distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    est
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_match"),
+        Num.r4(col("n_match") / lit(nPerm.toDouble)).as("est_jaccard"),
+        Num.r4(coalesce(col("inter"), lit(0L)) /
+          (col("sza") + col("szb") - coalesce(col("inter"), lit(0L)))).as("exact_jaccard"))
+  }
 
   /** qd4: 3-gram Jaccard similarity over blocked candidate pairs
     * (block = (lang, n_chars/20) — cheap recall-oriented blocking).

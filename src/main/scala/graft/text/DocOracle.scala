@@ -92,6 +92,43 @@ blocks AS (
 SELECT i.doc_a, i.doc_b, ${r4("i.inter / (za.sz + zb.sz - i.inter)")} AS jaccard
 FROM inter i JOIN sizes za ON za.doc_id = i.doc_a JOIN sizes zb ON zb.doc_id = i.doc_b"""
 
+  /** qd8: MinHash estimate vs exact Jaccard for LSH candidate pairs. */
+  def qd8(nPerm: Int = 16, bandRows: Int = 4): String = toksCte + shinglesCte(3, "sh3") + s"""
+, shd AS (SELECT DISTINCT doc_id, sh, ${h("sh")} AS bh FROM sh3),
+perms AS (SELECT doc_id, bh, unnest(range($nPerm)) AS j FROM shd),
+hashed AS (SELECT doc_id, j, ((j * 31 + 17) * bh + j * 7919) % 2147483647 AS hh FROM perms),
+minh AS (SELECT doc_id, j, min(hh) AS mh FROM hashed GROUP BY doc_id, j),
+bands AS (
+  SELECT doc_id, CAST(floor(j / $bandRows) AS BIGINT) AS band,
+         sum(mh * (CASE j % $bandRows WHEN 0 THEN 1 WHEN 1 THEN 31 WHEN 2 THEN 961 ELSE 29791 END)) AS sig
+  FROM minh GROUP BY doc_id, CAST(floor(j / $bandRows) AS BIGINT)
+), cpairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+), est AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(sum(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+  FROM cpairs c
+  JOIN minh ma ON ma.doc_id = c.doc_a
+  JOIN minh mb ON mb.doc_id = c.doc_b AND mb.j = ma.j
+  GROUP BY c.doc_a, c.doc_b
+), shdd AS (SELECT DISTINCT doc_id, sh FROM sh3),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shdd GROUP BY doc_id),
+inters AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS inter
+  FROM cpairs c
+  JOIN shdd sa ON sa.doc_id = c.doc_a
+  JOIN shdd sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT e.doc_a, e.doc_b, e.n_match,
+  ${r4(s"e.n_match / $nPerm.0")} AS est_jaccard,
+  ${r4("coalesce(i.inter, 0) / (za.sz + zb.sz - coalesce(i.inter, 0))")} AS exact_jaccard
+FROM est e
+LEFT JOIN inters i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+JOIN sizes za ON za.doc_id = e.doc_a
+JOIN sizes zb ON zb.doc_id = e.doc_b"""
+
   /** qd6: duplicate clusters — transitive closure over the LSH candidate
     * graph via recursive CTE; cluster id = min reachable doc_id. Must
     * agree with Spark's iterative min-label propagation fixpoint.
