@@ -89,4 +89,28 @@ class TextSpec extends SparkSuite {
     assert(joined.filter(col("n_bytes") =!= col("len")).count() === 0)
     assert(f.filter(col("f0") < 0 || col("f0") > 1).count() === 0)
   }
+
+  test("minhash estimate tracks exact jaccard on candidate pairs") {
+    import org.apache.spark.sql.functions._
+    val e = Dedup.minhashEstimate(spark, Sf01).cache()
+    assert(e.count() > 0)
+    // estimates are valid probabilities and unbiased enough on average:
+    // mean absolute deviation from exact jaccard well under one band
+    assert(e.filter(col("est_jaccard") < 0 || col("est_jaccard") > 1).count() === 0)
+    val mad = e.agg(avg(abs(col("est_jaccard") - col("exact_jaccard")))).head.getDouble(0)
+    assert(mad < 0.35, s"minhash estimate MAD $mad")
+  }
+
+  test("language-ID confusion matrix is diagonal-dominant") {
+    import org.apache.spark.sql.functions._
+    val cm = graft.text.TextOps.langIdEval(spark, Sf01).cache()
+    val total = cm.agg(sum("n")).head.getLong(0)
+    val correct = cm.filter(col("lang") === col("pred_lang"))
+      .agg(sum("n")).head.getLong(0)
+    // synthetic docs share most vocabulary across langs, so the
+    // stopword heuristic is weak here — assert clearly better than the
+    // 5-class chance rate (0.2), not production-grade accuracy
+    assert(correct.toDouble / total > 0.3,
+      s"langid accuracy ${correct.toDouble / total}")
+  }
 }
