@@ -90,7 +90,10 @@ object Events {
     // sf0.1). The sketches share one hash-agg pass; each exact distinct
     // is its own two-phase (partial distinct → global) job, run
     // concurrently — no expand, no wide buffers anywhere.
-    val li = Tables.lineitem(spark, sfDir).select(cols.map(col): _*).localCheckpoint()
+    // no checkpoint: columnar parquet re-scans are cheaper than a
+    // 4-column materialization, and the concurrent jobs share the
+    // OS page cache
+    val li = Tables.lineitem(spark, sfDir).select(cols.map(col): _*)
     val approxAggs = cols.map(c =>
       // rsd 1%: the sketch stays a few KB and the 5% gate has margin
       approx_count_distinct(col(c), 0.01).as(s"${c}_approx"))

@@ -111,13 +111,16 @@ object TextOps {
     * hashes per document (bottom-k sketch).
     */
   def fingerprint(spark: SparkSession, sfDir: String, n: Int = 5, k: Int = 3): DataFrame = {
-    val w = Window.partitionBy("doc_id").orderBy(col("h"), col("sh"))
+    // bottom-k per doc via a bounded array sort, not a full window
+    // sort: the groupBy carries one array per doc (shingles/doc is
+    // bounded), where row_number would sort-shuffle every shingle row
     shingles(spark, sfDir, n)
       .select(col("doc_id"), col("sh")).distinct()
       .withColumn("h", strHash(col("sh")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select("doc_id", "rnk", "h")
+      .groupBy("doc_id")
+      .agg(slice(array_sort(collect_list(col("h"))), 1, k).as("hs"))
+      .select(col("doc_id"), posexplode(col("hs")).as(Seq("i", "h")))
+      .select(col("doc_id"), (col("i") + 1).as("rnk"), col("h"))
   }
 
   /** qt8: language-ID evaluation — confusion matrix of the heuristic

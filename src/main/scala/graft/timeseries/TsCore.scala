@@ -190,12 +190,12 @@ object TsCore {
     * (ref process_aemo.py:178-192). Exact interpolated percentiles.
     */
   def scaleBounds(spark: SparkSession, sfDir: String): DataFrame =
-    cached(spark, sfDir, "bounds") {
-      filled(spark, sfDir).filter(col("v_filled").isNotNull)
-        .groupBy("series")
-        .agg(expr(s"percentile(v_filled, $QLo)").as("lo"),
-             expr(s"percentile(v_filled, $QHi)").as("hi"))
-    }
+    // not checkpointed: a tiny per-series agg over the checkpointed
+    // filled stage — cheaper to recompute than to materialize
+    filled(spark, sfDir).filter(col("v_filled").isNotNull)
+      .groupBy("series")
+      .agg(expr(s"percentile(v_filled, $QLo)").as("lo"),
+           expr(s"percentile(v_filled, $QHi)").as("hi"))
 
   /** Injected windows quantile-scaled: vs = (v_anom - lo) / (hi - lo). */
   def scaled(spark: SparkSession, sfDir: String): DataFrame =
@@ -211,7 +211,9 @@ object TsCore {
     * c2 = EWMA(alpha=0.2) in closed form
     * (m_p = (1-a)^p * (x_0 + Σ_{i=1..p} a x_i (1-a)^{-i})).
     */
-  def features(spark: SparkSession, sfDir: String): DataFrame = cached(spark, sfDir, "feats") {
+  def features(spark: SparkSession, sfDir: String): DataFrame = {
+    // not checkpointed: window passes over the checkpointed scaled
+    // stage — patches (the heavy consumer) checkpoints right after
     val wseq = Window.partitionBy("series", "win").orderBy("pos")
     val wpatch = Window.partitionBy("series", "win", "fpatch")
     val a = Alpha
