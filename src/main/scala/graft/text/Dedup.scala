@@ -185,11 +185,15 @@ object Dedup {
       .join(docs.select(col("doc_id").as("doc_b"), col("lang"), col("blk")), Seq("lang", "blk"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
-    val sh = shingles(spark, sfDir, 3).select("doc_id", "sh").distinct()
+    // join on the 64-bit shingle hash, not the shingle string: the
+    // pair×shingle shuffle carries a long instead of a ~30-char string
+    // (hash collisions conflate shingles identically in both engines)
+    val sh = shingles(spark, sfDir, 3)
+      .select(col("doc_id"), strHash(col("sh")).as("shh")).distinct()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .join(sh.select(col("doc_id").as("doc_a"), col("shh")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shh")), Seq("doc_b", "shh"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")), Seq("doc_a"))

@@ -75,7 +75,7 @@ SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b)) AS hamming
 FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= $maxHam"""
 
   val qd4: String = toksCte + shinglesCte(3, "sh3") + s"""
-, shd AS (SELECT DISTINCT doc_id, sh FROM sh3),
+, shd AS (SELECT DISTINCT doc_id, ${h("sh")} AS shh FROM sh3),
 sizes AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY doc_id),
 blocks AS (
   SELECT doc_id, lang, CAST(floor(n_chars / 20) AS BIGINT) AS blk FROM documents
@@ -86,7 +86,7 @@ blocks AS (
   SELECT c.doc_a, c.doc_b, count(*) AS inter
   FROM cand c
   JOIN shd sa ON sa.doc_id = c.doc_a
-  JOIN shd sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+  JOIN shd sb ON sb.doc_id = c.doc_b AND sb.shh = sa.shh
   GROUP BY c.doc_a, c.doc_b
 )
 SELECT i.doc_a, i.doc_b, ${r4("i.inter / (za.sz + zb.sz - i.inter)")} AS jaccard
