@@ -14,8 +14,11 @@ import org.apache.spark.sql.types.DoubleType
   * is what users naturally write; it evaluates a lambda frame per
   * element and resists whole-stage codegen. The kernel is a tight
   * primitive loop with identical ascending-index summation, so the
-  * rewrite is value-preserving bit-for-bit. Registered via
-  * `GraftExtensions` (`injectOptimizerRule`).
+  * rewrite is value-preserving bit-for-bit — including the NULL edges:
+  * [[DotProduct]] returns NULL on length mismatch and on NULL elements,
+  * exactly as zip_with's null-padding + the null-propagating fold do,
+  * so the rule is safe on arbitrary user arrays (containsNull=true
+  * included). Registered via `GraftExtensions` (`injectOptimizerRule`).
   */
 object DotRewrite extends Rule[LogicalPlan] {
 

@@ -17,6 +17,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * millions of candidate pairs. Summation is in ascending index order,
   * matching both the HOF fold and the DuckDB oracle's list_dot_product,
   * so results are value-identical.
+  *
+  * NULL semantics mirror the HOF form exactly (so [[DotRewrite]] is
+  * value-preserving on arbitrary user queries): NULL if either array is
+  * NULL, if lengths differ (zip_with pads the shorter side with nulls),
+  * or if a paired element is NULL. The element-null branch is emitted
+  * only when the input type admits null elements — the engine's own
+  * containsNull=false vectors keep the tight two-load loop.
   */
 case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
 
@@ -31,14 +38,28 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
+  override def nullable: Boolean = true
+
+  private def elemNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  })
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) return null
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    if (elemNullable) {
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        s += x.getDouble(i) * y.getDouble(i); i += 1
+      }
+    } else {
+      while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    }
     s
   }
 
@@ -47,13 +68,21 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
+      val nullGuard =
+        if (elemNullable) s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullGuard
+         |    $s += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $s; }
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 
@@ -63,7 +92,9 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
 
 /** Squared L2 distance Σ(a_i - b_i)² between two double arrays, summed in
   * ascending index order — value-identical to the oracle's per-dimension
-  * `sum((x - s)*(x - s))` and to the HOF fold.
+  * `sum((x - s)*(x - s))` and to the HOF fold. NULL on length mismatch
+  * (same contract as graft_dot; a silent truncation would hide a
+  * malformed-input bug as a wrong distance).
   */
 case class L2Dist2(left: Expression, right: Expression) extends BinaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = {
@@ -77,11 +108,13 @@ case class L2Dist2(left: Expression, right: Expression) extends BinaryExpression
   }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_l2"
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) return null
     var s = 0.0
     var i = 0
     while (i < n) { val d = x.getDouble(i) - y.getDouble(i); s += d * d; i += 1 }
@@ -95,13 +128,17 @@ case class L2Dist2(left: Expression, right: Expression) extends BinaryExpression
       val s = ctx.freshName("s")
       val d = ctx.freshName("d")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $d = $a.getDouble($i) - $b.getDouble($i);
-         |  $s += $d * $d;
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $d = $a.getDouble($i) - $b.getDouble($i);
+         |    $s += $d * $d;
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

@@ -176,20 +176,29 @@ object Dedup {
   }
 
   /** qd4: 3-gram Jaccard similarity over blocked candidate pairs
-    * (block = (lang, n_chars/20) — cheap recall-oriented blocking).
+    * (block = (lang, n_chars/20), widened to the neighbouring blocks so
+    * a near-dup pair straddling a 20-char boundary is not missed).
+    *
+    * The ±1 widening stays an equi-join: the probe side emits keys
+    * blk-1, blk, blk+1 (a 3× explode of a 3-column projection) and the
+    * build side keeps its single blk, so each qualifying pair meets on
+    * exactly one key — no theta-join, no post-hoc distinct.
     */
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("lang"), floor(col("n_chars") / 20).as("blk"))
+    val probes = docs
+      .withColumn("blk", explode(array(col("blk") - 1, col("blk"), col("blk") + 1)))
     val cand = docs.select(col("doc_id").as("doc_a"), col("lang"), col("blk"))
-      .join(docs.select(col("doc_id").as("doc_b"), col("lang"), col("blk")), Seq("lang", "blk"))
+      .join(probes.select(col("doc_id").as("doc_b"), col("lang"), col("blk")), Seq("lang", "blk"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
-    // join on the 64-bit shingle hash, not the shingle string: the
+    // join on a 60-bit shingle hash, not the shingle string: the
     // pair×shingle shuffle carries a long instead of a ~30-char string
-    // (hash collisions conflate shingles identically in both engines)
+    // (hash collisions conflate shingles identically in both engines;
+    // 60 bits keeps the collision rate negligible at 100 TB)
     val sh = shingles(spark, sfDir, 3)
-      .select(col("doc_id"), strHash(col("sh")).as("shh")).distinct()
+      .select(col("doc_id"), strHash60(col("sh")).as("shh")).distinct()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = cand
       .join(sh.select(col("doc_id").as("doc_a"), col("shh")), Seq("doc_a"))

@@ -11,6 +11,9 @@ object DocOracle {
   /** 32-bit hash identical to TextCore.strHash. */
   private def h(e: String): String = s"CAST('0x' || substr(md5($e), 1, 8) AS BIGINT)"
 
+  /** 60-bit hash identical to TextCore.strHash60 (qd4 identity joins). */
+  private def h60(e: String): String = s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
+
   /** Tokens with original index (empties dropped). */
   private val toksCte: String = """
 WITH tk AS (
@@ -75,13 +78,14 @@ SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b)) AS hamming
 FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= $maxHam"""
 
   val qd4: String = toksCte + shinglesCte(3, "sh3") + s"""
-, shd AS (SELECT DISTINCT doc_id, ${h("sh")} AS shh FROM sh3),
+, shd AS (SELECT DISTINCT doc_id, ${h60("sh")} AS shh FROM sh3),
 sizes AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY doc_id),
 blocks AS (
   SELECT doc_id, lang, CAST(floor(n_chars / 20) AS BIGINT) AS blk FROM documents
 ), cand AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM blocks a JOIN blocks b ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+  FROM blocks a JOIN blocks b
+    ON a.lang = b.lang AND b.blk BETWEEN a.blk - 1 AND a.blk + 1 AND a.doc_id < b.doc_id
 ), inter AS (
   SELECT c.doc_a, c.doc_b, count(*) AS inter
   FROM cand c
@@ -188,8 +192,9 @@ WITH vecs AS (
 )
 SELECT vec_a, vec_b, ${r4("cos")} AS cos FROM pairs WHERE cos >= $thr"""
 
-  def qv1(k: Int = 10): String = vecsCte + s"""
-, q AS (SELECT vec_id AS qid, v, nrm FROM vecs WHERE vec_id % 100 = 0),
+  def qv1(k: Int = 10, maxQueries: Int = 1000): String = vecsCte + s"""
+, q AS (SELECT vec_id AS qid, v, nrm FROM vecs
+        WHERE vec_id % 100 = 0 AND vec_id < ${100L * maxQueries}),
 scored AS (
   SELECT q.qid, b.vec_id, list_dot_product(q.v, b.v) / (q.nrm * b.nrm) AS cos
   FROM q JOIN vecs b ON q.qid <> b.vec_id

@@ -12,9 +12,22 @@ import graft.util.Tables
   */
 object TextCore {
 
-  /** 32-bit integer hash of a string, identical in Spark and DuckDB. */
+  /** 32-bit integer hash of a string, identical in Spark and DuckDB.
+    * Deliberately 32-bit where the value feeds further integer mixing
+    * (minhash's (j*31+17)*h + j*7919, simhash's bit extraction): the
+    * products must stay below 2^63 — DuckDB raises on int64 overflow
+    * while Spark wraps, so a wider hash would break oracle parity.
+    */
   def strHash(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** 60-bit integer hash (15 hex chars < 2^60 < 2^63) for identity
+    * joins where collision rate matters at scale (qd4's shingle
+    * intersection): no downstream arithmetic, so the full width is
+    * safe in both engines.
+    */
+  def strHash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** (doc_id, i, tok) — whitespace tokens with their original index.
     * Session-cached: six text operators start from this explode.

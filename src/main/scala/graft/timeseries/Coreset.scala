@@ -56,25 +56,27 @@ object Coreset {
     out
   }
 
-  /** q13: coreset over the denoised bank (patches whose nearest-distance
-    * weight is below the 1−threshold quantile; ref softpatch.py
-    * _fill_memory_bank denoising, threshold=0.15). Returns the selected
-    * patches with selection order. Driver-side greedy over candidates;
-    * two-level pre-reduction when candidates exceed `driverCap`.
-    */
-  def coreset(spark: SparkSession, sfDir: String, frac: Double = 0.1,
-              denoiseThr: Double = 0.15, driverCap: Int = 200000): DataFrame = {
-    import spark.implicits._
+  /** Denoised bank candidates: (id, pos, f0..f8) sorted by (id, pos). */
+  private[graft] def keptBank(spark: SparkSession, sfDir: String,
+                              denoiseThr: Double): DataFrame = {
     val (bank, _) = TsCore.bankAndTest(spark, sfDir)
     val w = Detect.nearestDistWeight(spark, sfDir)
       .withColumn("wgt", col("w_nearest") + 1.0)
     val thr = w.agg(expr(s"percentile(wgt, ${1.0 - denoiseThr})").as("thr"))
     val bid = bank.withColumn("id", concat_ws("#", col("series"), col("win")))
-    val kept = bid.join(w, Seq("id", "pos")).crossJoin(broadcast(thr))
+    bid.join(w, Seq("id", "pos")).crossJoin(broadcast(thr))
       .filter(col("wgt") <= col("thr"))
       .select((Seq("id", "pos").map(col) ++ Detect.FeatCols.map(col)): _*)
       .orderBy("id", "pos")
+  }
 
+  /** Two-level greedy over a (id, pos, <dim feature cols>) frame:
+    * per-partition local greedy down to `driverCap` candidates, then
+    * the final driver-side greedy. Selection runs on columns 2..dim+1.
+    */
+  private def greedySelect(spark: SparkSession, kept: DataFrame, dim: Int,
+                           frac: Double, driverCap: Int): DataFrame = {
+    import spark.implicits._
     val nKept = kept.count()
     val candidates: Array[Row] =
       if (nKept <= driverCap) kept.collect()
@@ -83,16 +85,61 @@ object Coreset {
         val perPart = math.max(1, driverCap / kept.rdd.getNumPartitions)
         kept.rdd.mapPartitions { it =>
           val rows = it.toArray
-          val feats = rows.map(r => Detect.FeatCols.indices.map(i => r.getDouble(2 + i)).toArray)
+          val feats = rows.map(r => (0 until dim).map(i => r.getDouble(2 + i)).toArray)
           greedy(feats, math.min(perPart, rows.length)).iterator.map(rows)
         }.collect()
       }
-    val feats = candidates.map(r => Detect.FeatCols.indices.map(i => r.getDouble(2 + i)).toArray)
+    val feats = candidates.map(r => (0 until dim).map(i => r.getDouble(2 + i)).toArray)
     val k = math.max(1, math.ceil(candidates.length * frac).toInt)
     val sel = greedy(feats, k)
     val out = sel.zipWithIndex.map { case (idx, ord) =>
       (candidates(idx).getString(0), candidates(idx).getLong(1), ord)
     }
     out.toSeq.toDF("id", "pos", "sel_order")
+  }
+
+  /** q13: coreset over the denoised bank (patches whose nearest-distance
+    * weight is below the 1−threshold quantile; ref softpatch.py
+    * _fill_memory_bank denoising, threshold=0.15). Returns the selected
+    * patches with selection order. Driver-side greedy over candidates;
+    * two-level pre-reduction when candidates exceed `driverCap`.
+    */
+  def coreset(spark: SparkSession, sfDir: String, frac: Double = 0.1,
+              denoiseThr: Double = 0.15, driverCap: Int = 200000): DataFrame =
+    greedySelect(spark, keptBank(spark, sfDir, denoiseThr),
+      Detect.FeatCols.length, frac, driverCap)
+
+  /** Deterministic JL projection weight for (component p, input dim d):
+    * the same hashed-uniform family as the LSH planes, scaled by
+    * √(12/projDim) so E‖Px−Py‖² = ‖x−y‖² (uniform[−.5,.5) has variance
+    * 1/12). Pure int64 arithmetic — reproducible everywhere.
+    */
+  private[graft] def jlWeight(p: Int, d: Int, projDim: Int): Double =
+    (((1L + (p.toLong * 256L + d.toLong) * 2654435761L) % 2147483648L).toDouble
+      / 2147483648.0 - 0.5) * math.sqrt(12.0 / projDim)
+
+  /** q13 approximate variant (ref sampler.py:44-56
+    * ApproximateGreedyCoresetSampler: random-project features before the
+    * greedy pass): each candidate's feature vector is mapped through a
+    * projDim×dim JL matrix of deterministic hashed weights — one
+    * codegen'd `graft_dot` per output component, map-side, no shuffle —
+    * and both greedy levels run in the projected space. Irrelevant at
+    * 9 dims but essential for wide banks: greedy's O(n·k) distance work
+    * drops by dim/projDim while k-center structure is preserved within
+    * the JL distortion (≈2-approx; asserted in DetectSpec).
+    */
+  def coresetProjected(spark: SparkSession, sfDir: String, projDim: Int = 8,
+                       frac: Double = 0.1, denoiseThr: Double = 0.15,
+                       driverCap: Int = 200000): DataFrame = {
+    graft.functions.VectorExprs.register(spark)
+    val dim = Detect.FeatCols.length
+    val kept = keptBank(spark, sfDir, denoiseThr)
+      .withColumn("farr", array(Detect.FeatCols.map(col): _*))
+    val projCols = (0 until projDim).map { p =>
+      val pw = array((0 until dim).map(d => lit(jlWeight(p, d, projDim))): _*)
+      call_function("graft_dot", col("farr"), pw).as(s"p$p")
+    }
+    val projected = kept.select((Seq(col("id"), col("pos")) ++ projCols): _*)
+    greedySelect(spark, projected, projDim, frac, driverCap)
   }
 }

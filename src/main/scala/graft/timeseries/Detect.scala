@@ -51,41 +51,86 @@ object Detect {
       .agg(Num.r4(max("pscore")).as("score"))
   }
 
-  /** Per-patch-position Gaussian stats over the bank, 2-d (vs=f1, ewma=f7)
-    * with explicit 2x2 inverse (+0.01 I regularization, ref
-    * multi_variate_gaussian.py). Single-pass sufficient statistics —
-    * fully distributed, no iteration.
+  /** Fixed-order Gauss-Jordan inverse (no pivoting — the regularized
+    * covariance is SPD, so the pivot a(k)(k) is always positive). Step
+    * k maps a'(k,j) = a(k,j)/p and a'(i,j) = a(i,j) − a(i,k)·a(k,j)/p
+    * — the EXACT expression the oracle's unrolled CTE chain evaluates,
+    * so driver-side and DuckDB inverses agree on identical inputs
+    * bit-for-bit (same IEEE operation sequence).
     */
-  private def gaussianStats(bank: DataFrame): DataFrame = {
-    val stats = bank.groupBy("pos").agg(
-      avg("f1").as("m1"), avg("f7").as("m2"),
-      // population covariance (torch.cov default is sample; the reference
-      // MultiVariateGaussian uses N-1 — use sample covariance)
-      covar_samp("f1", "f1").as("c11"),
-      covar_samp("f1", "f7").as("c12"),
-      covar_samp("f7", "f7").as("c22"))
-    stats.select(col("pos"), col("m1"), col("m2"),
-      (col("c11") + 0.01).as("s11"), col("c12").as("s12"), (col("c22") + 0.01).as("s22"))
-      .withColumn("det", col("s11") * col("s22") - col("s12") * col("s12"))
-      .select(col("pos"), col("m1"), col("m2"),
-        (col("s22") / col("det")).as("i11"),
-        (-col("s12") / col("det")).as("i12"),
-        (col("s11") / col("det")).as("i22"))
+  private[graft] def invertGaussJordan(sig: Array[Array[Double]]): Array[Array[Double]] = {
+    val n = sig.length
+    var a = Array.tabulate(n, 2 * n) { (i, j) =>
+      if (j < n) sig(i)(j) else if (j - n == i) 1.0 else 0.0
+    }
+    for (k <- 0 until n) {
+      val prev = a
+      val p = prev(k)(k)
+      a = Array.tabulate(n, 2 * n) { (i, j) =>
+        if (i == k) prev(k)(j) / p
+        else prev(i)(j) - prev(i)(k) * prev(k)(j) / p
+      }
+    }
+    Array.tabulate(n, n)((i, j) => a(i)(j + n))
   }
 
-  /** q10: Mahalanobis distance of each test patch to the per-position
-    * Gaussian fit on the bank (ref softpatch.py
-    * _compute_distance_with_gaussian).
+  /** All (i, j) with i ≤ j — the upper-triangle traversal both engines
+    * use for covariance columns and quadratic-form terms.
+    */
+  private val UpperIdx: Seq[(Int, Int)] =
+    for { i <- 0 to 8; j <- i to 8 } yield (i, j)
+
+  /** Per-patch-position full 9-dim Gaussian fit over the bank: means +
+    * sample covariance (+0.01·I regularization) via one single-pass
+    * groupBy (9 avg + 45 covar_samp sufficient statistics — fully
+    * distributed), then the tiny ≤24 position × 9×9 matrices are
+    * collected, inverted driver-side (scale-safe: the driver holds
+    * 24×81 doubles regardless of bank size) and broadcast back.
+    * (ref multi_variate_gaussian.py:15-84: torch _cov ddof=1 per patch
+    * position + 0.01·eye, then linalg.inv.)
+    */
+  private def gaussianInv(spark: SparkSession, bank: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    val meanAggs = (0 to 8).map(i => avg(s"f$i").as(s"m$i"))
+    val covAggs = UpperIdx.map { case (i, j) => covar_samp(col(s"f$i"), col(s"f$j")).as(s"c${i}_$j") }
+    val aggs = meanAggs ++ covAggs
+    val stats = bank.groupBy("pos").agg(aggs.head, aggs.tail: _*).collect()
+    val rows = stats.map { r =>
+      val sig = Array.tabulate(9, 9) { (i, j) =>
+        val (a, b) = if (i <= j) (i, j) else (j, i)
+        r.getDouble(r.fieldIndex(s"c${a}_$b")) + (if (i == j) 0.01 else 0.0)
+      }
+      val inv = invertGaussJordan(sig)
+      Row.fromSeq(
+        r.getLong(r.fieldIndex("pos")) +:
+        ((0 to 8).map(i => r.getDouble(r.fieldIndex(s"m$i"))) ++
+         UpperIdx.map { case (i, j) => inv(i)(j) }))
+    }
+    val schema = StructType(
+      StructField("pos", LongType) +:
+      ((0 to 8).map(i => StructField(s"m$i", DoubleType)) ++
+       UpperIdx.map { case (i, j) => StructField(s"i${i}_$j", DoubleType) }))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1), schema)
+  }
+
+  /** q10: full 9-dim Mahalanobis distance of each test patch to the
+    * per-position Gaussian fit on the bank (ref softpatch.py
+    * _compute_distance_with_gaussian + multi_variate_gaussian.py).
+    * Quadratic form unrolled over the upper triangle in fixed fold
+    * order (i00, i01·2, …, i88) — mirrored term-for-term in the oracle.
     */
   def gaussianScore(spark: SparkSession, sfDir: String): DataFrame = {
     val (bank, test) = TsCore.bankAndTest(spark, sfDir)
-    val g = gaussianStats(bank)
-    val d1 = col("f1") - col("m1")
-    val d2 = col("f7") - col("m2")
+    val g = gaussianInv(spark, bank)
+    val d = (0 to 8).map(i => col(s"f$i") - col(s"m$i"))
+    val form = UpperIdx.map { case (i, j) =>
+      if (i == j) d(i) * d(j) * col(s"i${i}_$j")
+      else lit(2.0) * d(i) * d(j) * col(s"i${i}_$j")
+    }.reduce(_ + _)
     test.join(broadcast(g), "pos")
       .select(col("series"), col("win"), col("pos"),
-        Num.r4(sqrt(d1 * d1 * col("i11") + lit(2.0) * d1 * d2 * col("i12") + d2 * d2 * col("i22")))
-          .as("mdist"))
+        Num.r4(sqrt(form)).as("mdist"))
   }
 
   /** Pairwise distances within a patch position over the bank.

@@ -55,16 +55,35 @@ object Forecast {
         Num.r4(col("sape") / 10000d / col("nape")).as("mape"))
   }
 
+  /** Lag-feature base with the train/test boundary attached — the input
+    * shape olsSolve expects. Shared with q26's grouped fallback path.
+    */
+  private[timeseries] def lagBase(spark: SparkSession, sfDir: String): DataFrame =
+    withLags(spark, sfDir)
+      .join(broadcast(boundaryT(spark, sfDir)), "series")
+      .filter(col("y").isNotNull && col("x1").isNotNull &&
+              col("x2").isNotNull && col("x3").isNotNull)
+
   /** q22: closed-form OLS forecast on (lag1, lag24, lag168): centered
     * normal equations solved per series by Cramer's rule — one
     * sufficient-statistics aggregation over the train split, then a
     * broadcast join applies the coefficients to the test split.
     */
   def olsForecast(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = withLags(spark, sfDir)
-      .join(broadcast(boundaryT(spark, sfDir)), "series")
-      .filter(col("y").isNotNull && col("x1").isNotNull &&
-              col("x2").isNotNull && col("x3").isNotNull)
+    val raw = olsSolve(lagBase(spark, sfDir))
+    raw.select(col("series"), col("n"),
+      Num.r4(col("b0")).as("b0"), Num.r4(col("b1")).as("b1"),
+      Num.r4(col("b2")).as("b2"), Num.r4(col("b3")).as("b3"),
+      Num.r4(col("mae")).as("mae"), Num.r4(col("rmse")).as("rmse"))
+  }
+
+  /** The grouped per-series normal-equations solve over a lagBase-shaped
+    * frame — one shuffle for the sufficient statistics, a broadcast of
+    * the per-series coefficients, one shuffle for the error aggregates.
+    * Returns raw (un-quantized) columns; callers round. This is the
+    * 100 TB path for fitting millions of per-series linear models.
+    */
+  private[timeseries] def olsSolve(base: DataFrame): DataFrame = {
     val train = base.filter(col("t") < col("tsplit"))
     val means = train.groupBy("series").agg(
       avg("y").as("my"), avg("x1").as("m1"), avg("x2").as("m2"), avg("x3").as("m3"))
@@ -98,10 +117,42 @@ object Forecast {
       .withColumn("p", col("b0") + col("b1") * col("x1") + col("b2") * col("x2") + col("b3") * col("x3"))
     test.groupBy("series").agg(
       count(lit(1)).as("n"),
-      Num.r4(max("b0")).as("b0"), Num.r4(max("b1")).as("b1"),
-      Num.r4(max("b2")).as("b2"), Num.r4(max("b3")).as("b3"),
-      Num.r4(avg(abs(col("y") - col("p")))).as("mae"),
-      Num.r4(sqrt(avg((col("y") - col("p")) * (col("y") - col("p"))))).as("rmse"))
+      max("b0").as("b0"), max("b1").as("b1"),
+      max("b2").as("b2"), max("b3").as("b3"),
+      avg(abs(col("y") - col("p"))).as("mae"),
+      sqrt(avg((col("y") - col("p")) * (col("y") - col("p")))).as("rmse"))
+  }
+
+  /** q39: model-based multi-horizon forecast via the DIRECT strategy —
+    * one OLS model per horizon h, regressing y_t on the lags available
+    * at the forecast origin t−h: (h, h+23, h+167) — i.e. q22's
+    * (1, 24, 168) feature set shifted to the origin, so h=1 IS q22
+    * (asserted in ForecastImputeSpec). This is the closed-form analogue
+    * of the reference's H-step forecasters (seq2seq/wrapper.py:129
+    * predict emits a horizon vector; dataset_f.py:14 splits
+    * input/horizon): per (series, horizon), coefficients + test-region
+    * MAE/RMSE. All horizons share one plan; each is a sufficient-
+    * statistics solve — no iteration, no driver data movement.
+    */
+  def directHorizonForecast(spark: SparkSession, sfDir: String,
+                            horizons: Seq[Int] = Seq(1, 6, 12, 24)): DataFrame = {
+    val w = Window.partitionBy("series").orderBy("t")
+    val f = TsCore.filled(spark, sfDir)
+      .select(col("series"), col("t"), col("v_filled").as("y"))
+    val bt = broadcast(boundaryT(spark, sfDir))
+    horizons.map { h =>
+      val base = f
+        .withColumn("x1", lag("y", h).over(w))
+        .withColumn("x2", lag("y", h + TsCore.DaySize - 1).over(w))
+        .withColumn("x3", lag("y", h + TsCore.WeekLag - 1).over(w))
+        .join(bt, "series")
+        .filter(col("y").isNotNull && col("x1").isNotNull &&
+                col("x2").isNotNull && col("x3").isNotNull)
+      olsSolve(base).select(col("series"), lit(h).as("horizon"), col("n"),
+        Num.r4(col("b0")).as("b0"), Num.r4(col("b1")).as("b1"),
+        Num.r4(col("b2")).as("b2"), Num.r4(col("b3")).as("b3"),
+        Num.r4(col("mae")).as("mae"), Num.r4(col("rmse")).as("rmse"))
+    }.reduce(_ unionByName _)
   }
 
   /** q24: additive seasonal profile per (series, hour-of-day) over the

@@ -77,19 +77,35 @@ object TsCore {
       .join(grid.select("series", "t", "v"), Seq("series", "t"), "left")
   }
 
-  /** q02: gap fill by the value one week earlier (ref process_aemo.py:66
-    * `load.fillna(load.shift(day_size*7))`). One positional lag — values
-    * still missing after the shift stay null and their windows are later
-    * dropped (ref process_aemo.py:219 `if np.isnan(sample).any(): continue`).
+  /** q02 core: gap fill by the same hour-of-week from the nearest
+    * earlier week, falling back to the nearest later week (ref
+    * process_aemo.py:66 `load.fillna(load.shift(day_size*7))` plus
+    * fill_missing_values.py:14-46 `fill_empty_days`, which walks
+    * previous weeks then next weeks until a value is found). Partition
+    * by (series, t mod 168) and one IGNORE NULLS window pass per
+    * direction performs the entire multi-week walk — no iterative
+    * lag chain, still a single per-series-phase shuffle at scale.
+    * Values with no same-phase observation at all stay null and their
+    * windows are later dropped (ref process_aemo.py:219).
     */
-  def filled(spark: SparkSession, sfDir: String): DataFrame = cached(spark, sfDir, "filled") {
-    val w = Window.partitionBy("series").orderBy("t")
-    spine(spark, sfDir)
-      .withColumn("v_filled", coalesce(col("v"), lag("v", WeekLag).over(w)))
+  def fillWeekWalk(sp: DataFrame): DataFrame = {
+    val wPhase = Window.partitionBy("series", "phase").orderBy("t")
+    sp.withColumn("phase", col("t") % WeekLag)
+      .withColumn("pv", last("v", ignoreNulls = true)
+        .over(wPhase.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("nv", first("v", ignoreNulls = true)
+        .over(wPhase.rowsBetween(1, Window.unboundedFollowing)))
+      .withColumn("v_filled", coalesce(col("v"), col("pv"), col("nv")))
       .withColumn("src", when(col("v").isNotNull, lit("obs"))
-                          .when(col("v_filled").isNotNull, lit("lag"))
+                          .when(col("pv").isNotNull, lit("lag"))
+                          .when(col("nv").isNotNull, lit("lead"))
                           .otherwise(lit("missing")))
       .select("series", "t", "v_filled", "src")
+  }
+
+  /** q02: the week-walk fill over the event spine. */
+  def filled(spark: SparkSession, sfDir: String): DataFrame = cached(spark, sfDir, "filled") {
+    fillWeekWalk(spine(spark, sfDir))
   }
 
   /** Complete day windows (win = t/24, pos = t%24); windows containing

@@ -31,13 +31,17 @@ sp AS (
 ),
 filledsrc AS (
   SELECT series, t, v,
-         coalesce(v, lag(v, $WeekLag) OVER (PARTITION BY series ORDER BY t)) AS v_filled
+         last_value(v IGNORE NULLS) OVER (PARTITION BY series, t % $WeekLag ORDER BY t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+         first_value(v IGNORE NULLS) OVER (PARTITION BY series, t % $WeekLag ORDER BY t
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv
   FROM sp
 ),
 filled AS (
-  SELECT series, t, v_filled,
+  SELECT series, t, coalesce(v, pv, nv) AS v_filled,
          CASE WHEN v IS NOT NULL THEN 'obs'
-              WHEN v_filled IS NOT NULL THEN 'lag' ELSE 'missing' END AS src
+              WHEN pv IS NOT NULL THEN 'lag'
+              WHEN nv IS NOT NULL THEN 'lead' ELSE 'missing' END AS src
   FROM filledsrc
 ),
 day AS (
@@ -200,21 +204,68 @@ FROM filled f JOIN bounds b USING (series) WHERE f.v_filled IS NOT NULL"""
 )
 SELECT series, win, ${r4("max(pscore)")} AS score FROM scored GROUP BY series, win"""
 
-  def q10: String = prefix + s"""
+  /** Upper-triangle (i ≤ j) traversal shared with Detect. */
+  private val upperIdx: Seq[(Int, Int)] = for { i <- 0 to 8; j <- i to 8 } yield (i, j)
+
+  /** q10: full 9-dim Mahalanobis, mirroring Detect.gaussianScore. The
+    * 9×9 inverse is computed by nine unrolled Gauss-Jordan CTE steps on
+    * a [9×18] augmented list matrix — the same fixed-order expression
+    * a'(i,j) = a(i,j) − a(i,k)·a(k,j)/a(k,k) (row k: a(k,j)/a(k,k)) the
+    * Scala driver evaluates, so both engines run the identical IEEE
+    * operation sequence.
+    */
+  /** CTE chain computing the per-position 9-dim Gaussian inverse
+    * (gstats → g0 → … → g9 → ginv); shared by q10 and q29.
+    */
+  private def gauss9Cte: String = {
+    val means = (0 to 8).map(i => s"avg(f$i) AS m$i").mkString(", ")
+    val covs = upperIdx.map { case (i, j) => s"covar_samp(f$i, f$j) AS c${i}_$j" }
+      .mkString(",\n         ")
+    def sig(i: Int, j: Int): String = {
+      val (a, b) = if (i <= j) (i, j) else (j, i)
+      if (i == j) s"c${a}_$b + 0.01" else s"c${a}_$b"
+    }
+    val g0 = (0 to 8).map { i =>
+      val aug = (0 to 8).map(j => sig(i, j)) ++ (0 to 8).map(j => if (i == j) "1.0" else "0.0")
+      aug.mkString("[", ", ", "]")
+    }.mkString("[\n    ", ",\n    ", "]")
+    val steps = (0 until 9).map { k =>
+      s""", g${k + 1} AS (
+  SELECT pos, list_transform(range(9), i -> list_transform(range(18), j ->
+    CASE WHEN i = $k THEN a[${k + 1}][j+1] / a[${k + 1}][${k + 1}]
+         ELSE a[i+1][j+1] - a[i+1][${k + 1}] * a[${k + 1}][j+1] / a[${k + 1}][${k + 1}] END)) AS a
+  FROM g$k
+)"""
+    }.mkString
+    val invCols = upperIdx.map { case (i, j) => s"a[${i + 1}][${j + 10}] AS i${i}_$j" }
+      .mkString(",\n         ")
+    s"""
 , gstats AS (
-  SELECT pos, avg(f1) AS m1, avg(f7) AS m2,
-         covar_samp(f1, f1) + 0.01 AS s11, covar_samp(f1, f7) AS s12,
-         covar_samp(f7, f7) + 0.01 AS s22
+  SELECT pos, $means,
+         $covs
   FROM bank GROUP BY pos
-), ginv AS (
-  SELECT pos, m1, m2,
-         s22 / (s11*s22 - s12*s12) AS i11,
-         -s12 / (s11*s22 - s12*s12) AS i12,
-         s11 / (s11*s22 - s12*s12) AS i22
+), g0 AS (
+  SELECT pos, $g0 AS a
   FROM gstats
-)
+)$steps, ginv AS (
+  SELECT g9.pos, ${(0 to 8).map(i => s"s.m$i").mkString(", ")},
+         $invCols
+  FROM g9 JOIN gstats s USING (pos)
+)"""
+  }
+
+  /** 9-dim quadratic form over ginv's upper triangle — the same fixed
+    * fold order as Detect.gaussianScore's expression.
+    */
+  private def mdist9(t: String, g: String): String =
+    upperIdx.map { case (i, j) =>
+      val term = s"($t.f$i - $g.m$i)*($t.f$j - $g.m$j)*$g.i${i}_$j"
+      if (i == j) term else s"2.0*$term"
+    }.mkString(" + ")
+
+  def q10: String = prefix + gauss9Cte + s"""
 SELECT t.series, t.win, t.pos,
-       ${r4("sqrt((t.f1-g.m1)*(t.f1-g.m1)*g.i11 + 2.0*(t.f1-g.m1)*(t.f7-g.m2)*g.i12 + (t.f7-g.m2)*(t.f7-g.m2)*g.i22)")} AS mdist
+       ${r4(s"sqrt(${mdist9("t", "g")})")} AS mdist
 FROM testp t JOIN ginv g USING (pos)"""
 
   private val pairwiseCte: String = s"""
@@ -342,21 +393,10 @@ SELECT w.series, w.win,
   AS label
 FROM (SELECT DISTINCT series, win FROM daywin) w, t0e"""
 
-  def q29(patchSize: Int = TsCore.FeatPatch): String = prefix + s"""
-, gstats AS (
-  SELECT pos, avg(f1) AS m1, avg(f7) AS m2,
-         covar_samp(f1, f1) + 0.01 AS s11, covar_samp(f1, f7) AS s12,
-         covar_samp(f7, f7) + 0.01 AS s22
-  FROM bank GROUP BY pos
-), ginv AS (
-  SELECT pos, m1, m2,
-         s22 / (s11*s22 - s12*s12) AS i11,
-         -s12 / (s11*s22 - s12*s12) AS i12,
-         s11 / (s11*s22 - s12*s12) AS i22
-  FROM gstats
-), heat AS (
+  def q29(patchSize: Int = TsCore.FeatPatch): String = prefix + gauss9Cte + s"""
+, heat AS (
   SELECT t.series, t.win, t.pos,
-         ${r4("sqrt((t.f1-g.m1)*(t.f1-g.m1)*g.i11 + 2.0*(t.f1-g.m1)*(t.f7-g.m2)*g.i12 + (t.f7-g.m2)*(t.f7-g.m2)*g.i22)")} AS mdist
+         ${r4(s"sqrt(${mdist9("t", "g")})")} AS mdist
   FROM testp t JOIN ginv g USING (pos)
 ), top AS (
   SELECT series, win, CAST(floor(pos / $patchSize) AS BIGINT) * $patchSize AS fstart
@@ -377,7 +417,7 @@ keptb AS (
 ), near AS (
   SELECT t.series, t.win, t.pos, sqrt(${dist2("t", "k")}) AS d, k.wgt,
          row_number() OVER (PARTITION BY t.series, t.win, t.pos
-                            ORDER BY sqrt(${dist2("t", "k")}), k.id) AS rn
+                            ORDER BY sqrt(${dist2("t", "k")}), k.id, k.pos) AS rn
   FROM testp t CROSS JOIN keptb k
 ), psc AS (
   SELECT series, win, d * wgt AS pscore FROM near WHERE rn = 1
@@ -539,6 +579,62 @@ SELECT series, count(*) AS n,
   ${r4("max(b0)")} AS b0, ${r4("max(b1)")} AS b1, ${r4("max(b2)")} AS b2, ${r4("max(b3)")} AS b3,
   ${r4("avg(abs(y - p))")} AS mae, ${r4("sqrt(avg((y - p) * (y - p)))")} AS rmse
 FROM testf GROUP BY series"""
+
+  /** q39: q22's chain instantiated once per horizon with origin-shifted
+    * lags (h, h+23, h+167); identical Cramer expressions for bit parity.
+    */
+  def q39(horizons: Seq[Int] = Seq(1, 6, 12, 24)): String = {
+    val chains = horizons.map { h =>
+      s"""
+, lagged_$h AS (
+  SELECT f.series, f.t, f.v_filled AS y,
+         lag(f.v_filled, $h) OVER w AS x1,
+         lag(f.v_filled, ${h + TsCore.DaySize - 1}) OVER w AS x2,
+         lag(f.v_filled, ${h + TsCore.WeekLag - 1}) OVER w AS x3,
+         b.tsplit
+  FROM filled f JOIN boundt b USING (series)
+  WINDOW w AS (PARTITION BY f.series ORDER BY f.t)
+), basef_$h AS (
+  SELECT * FROM lagged_$h
+  WHERE y IS NOT NULL AND x1 IS NOT NULL AND x2 IS NOT NULL AND x3 IS NOT NULL
+), train_$h AS (SELECT * FROM basef_$h WHERE t < tsplit),
+means_$h AS (
+  SELECT series, avg(y) AS my, avg(x1) AS m1, avg(x2) AS m2, avg(x3) AS m3
+  FROM train_$h GROUP BY series
+), stats_$h AS (
+  SELECT t.series,
+    sum((x1 - m1) * (x1 - m1)) AS s11, sum((x1 - m1) * (x2 - m2)) AS s12,
+    sum((x1 - m1) * (x3 - m3)) AS s13, sum((x2 - m2) * (x2 - m2)) AS s22,
+    sum((x2 - m2) * (x3 - m3)) AS s23, sum((x3 - m3) * (x3 - m3)) AS s33,
+    sum((x1 - m1) * (y - my)) AS sy1, sum((x2 - m2) * (y - my)) AS sy2,
+    sum((x3 - m3) * (y - my)) AS sy3
+  FROM train_$h t JOIN means_$h USING (series) GROUP BY t.series
+), coefs_$h AS (
+  SELECT s.series,
+    (sy1 * (s22 * s33 - s23 * s23) - s12 * (sy2 * s33 - s23 * sy3) + s13 * (sy2 * s23 - s22 * sy3))
+      / (s11 * (s22 * s33 - s23 * s23) - s12 * (s12 * s33 - s23 * s13) + s13 * (s12 * s23 - s22 * s13)) AS b1,
+    (s11 * (sy2 * s33 - sy3 * s23) - sy1 * (s12 * s33 - s23 * s13) + s13 * (s12 * sy3 - sy2 * s13))
+      / (s11 * (s22 * s33 - s23 * s23) - s12 * (s12 * s33 - s23 * s13) + s13 * (s12 * s23 - s22 * s13)) AS b2,
+    (s11 * (s22 * sy3 - s23 * sy2) - s12 * (s12 * sy3 - sy2 * s13) + sy1 * (s12 * s23 - s22 * s13))
+      / (s11 * (s22 * s33 - s23 * s23) - s12 * (s12 * s33 - s23 * s13) + s13 * (s12 * s23 - s22 * s13)) AS b3,
+    m.my, m.m1, m.m2, m.m3
+  FROM stats_$h s JOIN means_$h m USING (series)
+), coefs2_$h AS (
+  SELECT series, b1, b2, b3, my - b1 * m1 - b2 * m2 - b3 * m3 AS b0 FROM coefs_$h
+), testf_$h AS (
+  SELECT f.series, f.y, c.b0 + c.b1 * f.x1 + c.b2 * f.x2 + c.b3 * f.x3 AS p,
+         c.b0, c.b1, c.b2, c.b3
+  FROM basef_$h f JOIN coefs2_$h c USING (series) WHERE f.t >= f.tsplit
+)"""
+    }.mkString
+    val selects = horizons.map { h =>
+      s"""SELECT series, $h AS horizon, count(*) AS n,
+  ${r4("max(b0)")} AS b0, ${r4("max(b1)")} AS b1, ${r4("max(b2)")} AS b2, ${r4("max(b3)")} AS b3,
+  ${r4("avg(abs(y - p))")} AS mae, ${r4("sqrt(avg((y - p) * (y - p)))")} AS rmse
+FROM testf_$h GROUP BY series"""
+    }.mkString("\nUNION ALL\n")
+    prefix + splitTCte + chains + "\n" + selects
+  }
 
   def q24: String = prefix + s"""
 , trainw AS (

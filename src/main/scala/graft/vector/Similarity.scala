@@ -41,10 +41,17 @@ object Similarity {
 
   /** qv1: brute-force cosine top-k — every 100th vector is a query; the
     * query side is broadcast against the full collection.
+    *
+    * `maxQueries` bounds the broadcast: the 1%-sample query side grows
+    * with the collection (1 TB of queries at 100 TB), so the baseline
+    * caps it at maxQueries × 64 dims × 8 B ≈ 0.5 MB — deterministic
+    * (lowest qids), mirrored in the oracle, and non-binding at test
+    * scales. A production brute-force pass over more queries should
+    * flip the join: broadcast nothing, shuffle queries instead.
     */
-  def cosineTopK(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame = {
+  def cosineTopK(spark: SparkSession, sfDir: String, k: Int = 10, maxQueries: Int = 1000): DataFrame = {
     val e = vecs(spark, sfDir)
-    val q = e.filter(col("vec_id") % 100 === 0)
+    val q = e.filter(col("vec_id") % 100 === 0 && col("vec_id") < lit(100L * maxQueries))
       .select(col("vec_id").as("qid"), col("v").as("av"), col("nrm").as("na"))
     val b = e.select(col("vec_id"), col("v").as("bv"), col("nrm").as("nb"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
@@ -56,21 +63,30 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane weight for (plane, dim) —
-    * pure int64 arithmetic, mirrored in the oracle.
+    * pure int64 arithmetic, mirrored in the oracle. Exact dyadic
+    * rationals (k/2^31 - 1/2), so the driver-side Double equals the
+    * engine-side formula bit-for-bit.
     */
-  private def planeW(p: Column, d: Column): Column =
-    (((lit(1L) + (p * 64L + d) * 2654435761L) % 2147483648L).cast("double") / 2147483648.0) - 0.5
+  private def planeW(p: Int, d: Int): Double =
+    ((1L + (p.toLong * 64L + d.toLong) * 2654435761L) % 2147483648L).toDouble / 2147483648.0 - 0.5
 
-  /** Per-vector LSH bucket id from sign bits of nPlanes projections. */
-  private def buckets(spark: SparkSession, sfDir: String, nPlanes: Int): DataFrame = {
+  /** Per-vector LSH bucket id from sign bits of nPlanes projections.
+    *
+    * The nPlanes×64 plane weights are a few KB of constants — they ride
+    * along as literal arrays inside the projection expressions (no
+    * broadcast join, no shuffle), and each projection is one codegen'd
+    * `graft_dot` pass over the vector. One narrow map-side select per
+    * vector; at 100 TB this is embarrassingly parallel with zero
+    * shuffle. (The naive alternative — posexplode(v) × explode(planes)
+    * → two groupBys — pushes 512 rows/vector through two shuffles.)
+    */
+  private def buckets(spark: SparkSession, sfDir: String, nPlanes: Int, dim: Int = 64): DataFrame = {
     val e = vecs(spark, sfDir)
-    e.select(col("vec_id"), posexplode(col("v")).as(Seq("d", "x")))
-      .withColumn("p", explode(sequence(lit(0), lit(nPlanes - 1))))
-      .withColumn("w", planeW(col("p"), col("d")))
-      .groupBy("vec_id", "p").agg(sum(col("w") * col("x")).as("proj"))
-      .withColumn("bit", when(col("proj") > 0, 1L).otherwise(0L))
-      .groupBy("vec_id")
-      .agg(sum(expr("shiftleft(bit, cast(p as int))")).as("bucket"))
+    val bucket = (0 until nPlanes).map { p =>
+      val pw = array((0 until dim).map(d => lit(planeW(p, d))): _*)
+      when(call_function("graft_dot", col("v"), pw) > 0, lit(1L << p)).otherwise(0L)
+    }.reduce(_ + _)
+    e.select(col("vec_id"), bucket.as("bucket"))
   }
 
   /** qv2: LSH-bucketed ANN — candidates share the full bucket id; at

@@ -17,6 +17,21 @@ class DetectSpec extends SparkSuite {
     assert(g.filter(col("mdist") < 0).count() === 0)
   }
 
+  test("gauss-jordan inverse: A·A⁻¹ = I on a random SPD matrix") {
+    val rnd = new scala.util.Random(11)
+    val b = Array.fill(9, 9)(rnd.nextDouble() - 0.5)
+    // A = BᵀB + 0.01 I is SPD like the regularized covariance
+    val a = Array.tabulate(9, 9) { (i, j) =>
+      (0 until 9).map(k => b(k)(i) * b(k)(j)).sum + (if (i == j) 0.01 else 0.0)
+    }
+    val inv = Detect.invertGaussJordan(a)
+    for (i <- 0 until 9; j <- 0 until 9) {
+      val prod = (0 until 9).map(k => a(i)(k) * inv(k)(j)).sum
+      val expect = if (i == j) 1.0 else 0.0
+      assert(math.abs(prod - expect) < 1e-8, s"($i,$j): $prod")
+    }
+  }
+
   test("lof weights hover around 1 for inliers") {
     val l = Detect.lofWeight(spark, Sf01).cache()
     assert(l.count() > 0)
@@ -52,6 +67,27 @@ class DetectSpec extends SparkSuite {
     val (bank, _) = TsCore.bankAndTest(spark, Sf01)
     val bn = bank.count()
     assert(n <= bn * 0.15 && n >= bn * 0.05, s"coreset $n of bank $bn")
+  }
+
+  test("JL-projected coreset preserves k-center structure (~2-approx coverage radius)") {
+    def key(r: org.apache.spark.sql.Row) = (r.getString(0), r.getLong(1))
+    // sf0.01: sf0.001's spine has no complete day windows → empty bank
+    val kept = Coreset.keptBank(spark, Sf01, 0.15).collect()
+    val feats = kept.map(r => key(r) -> (0 until 9).map(i => r.getDouble(2 + i)).toArray).toMap
+    def d(a: Array[Double], b: Array[Double]): Double =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    // coverage radius of a selected set, measured in the ORIGINAL space
+    def radius(sel: Set[(String, Long)]): Double = {
+      val selF = sel.toArray.map(feats)
+      feats.values.map(f => selF.map(s => d(f, s)).min).max
+    }
+    val exact = Coreset.coreset(spark, Sf01).collect().map(key).toSet
+    val proj = Coreset.coresetProjected(spark, Sf01, projDim = 8).collect().map(key).toSet
+    assert(proj.size === exact.size, "same coreset budget")
+    val (r0, rp) = (radius(exact), radius(proj))
+    // greedy in JL-projected space stays within the distortion bound of
+    // the exact greedy's 2-approx coverage (small slack for the 9→8 map)
+    assert(rp <= 2.5 * r0 + 1e-9, s"projected radius $rp vs exact $r0")
   }
 
   test("pipeline flags roughly the contamination share of windows") {

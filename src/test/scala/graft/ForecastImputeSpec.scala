@@ -62,6 +62,37 @@ class ForecastImputeSpec extends SparkSuite {
     }
   }
 
+  test("mllib forecast overflow path (cap < series count) matches the full result") {
+    // cap of 2 forces 3 of the 5 series through the grouped olsSolve path;
+    // coefficients must agree with the all-MLlib result (same normal equations)
+    val full = MllibForecast.mllibForecast(spark, Sf01)
+      .select("series", "b1", "b2", "b3").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val mixed = MllibForecast.mllibForecast(spark, Sf01, maxMllibSeries = 2)
+      .select("series", "b1", "b2", "b3").collect()
+    assert(mixed.length === full.size, "every series still solved under the cap")
+    mixed.foreach { r =>
+      val (b1, b2, b3) = full(r.getString(0))
+      assert(math.abs(r.getDouble(1) - b1) < 1e-3, s"${r.getString(0)} b1")
+      assert(math.abs(r.getDouble(2) - b2) < 1e-3, s"${r.getString(0)} b2")
+      assert(math.abs(r.getDouble(3) - b3) < 1e-3, s"${r.getString(0)} b3")
+    }
+  }
+
+  test("direct multi-horizon forecast at h=1 is exactly q22") {
+    val q22 = Forecast.olsForecast(spark, Sf01)
+      .select("series", "n", "b0", "b1", "b2", "b3", "mae", "rmse").collect()
+      .map(r => r.getString(0) -> r.toSeq.tail).toMap
+    val h1 = Forecast.directHorizonForecast(spark, Sf01, horizons = Seq(1))
+      .select("series", "n", "b0", "b1", "b2", "b3", "mae", "rmse").collect()
+    assert(h1.length === q22.size)
+    h1.foreach { r => assert(r.toSeq.tail === q22(r.getString(0)), r.getString(0)) }
+    // all four horizons solve for every series with finite positive errors
+    val multi = Forecast.directHorizonForecast(spark, Sf01).cache()
+    assert(multi.count() === 4 * q22.size)
+    assert(multi.filter(isnan(col("b1")) || col("rmse") <= 0).count() === 0)
+  }
+
   test("pointwise patched metrics are a consistent confusion matrix") {
     val m = PointwiseMetrics.pointwiseMetrics(spark, Sf01).head()
     val total = m.getLong(m.fieldIndex("tn")) + m.getLong(m.fieldIndex("fp")) +

@@ -21,6 +21,28 @@ class TsCoreSpec extends SparkSuite {
     assert(bySrc.getOrElse("lag", 0L) > 0, "expected some lag-filled points at sf0.01")
   }
 
+  test("week-walk fill repairs a first-week gap from the NEXT week (and prefers nearest prev)") {
+    import spark.implicits._
+    // phase 5 of week 0 missing → only later weeks can fill it;
+    // phase 6 missing in weeks 1 and 2 → filled from week 0 (lag), not week 3
+    val wl = TsCore.WeekLag
+    val rows = (0L until 4L * wl).map { t =>
+      val v: Option[Double] =
+        if (t == 5L) None
+        else if (t % wl == 6L && (t / wl == 1L || t / wl == 2L)) None
+        else Some((t % wl).toDouble + 100.0 * (t / wl))
+      ("s1", t, v)
+    }
+    val f = TsCore.fillWeekWalk(rows.toDF("series", "t", "v")).cache()
+    val firstGap = f.filter(col("t") === 5L).head()
+    assert(firstGap.getString(3) === "lead", "first-week gap must fill forward")
+    assert(firstGap.getDouble(2) === 5.0 + 100.0, "from week 1, same hour-of-week")
+    val midGap = f.filter(col("t") === wl + 6L).head()
+    assert(midGap.getString(3) === "lag")
+    assert(midGap.getDouble(2) === 6.0, "nearest PREVIOUS week wins over next")
+    assert(f.filter(col("src") === "missing").count() === 0)
+  }
+
   test("day windows are complete and correctly indexed") {
     val d = TsCore.dayWindows(spark, Sf01).cache()
     val sizes = d.groupBy("series", "win").count().select("count").distinct().collect()

@@ -96,6 +96,32 @@ class VectorExprSpec extends SparkSuite {
     }
   }
 
+  test("qv1 bounds its broadcast query side (deterministic lowest qids)") {
+    import graft.vector.Similarity
+    val q = Similarity.cosineTopK(spark, Sf001, k = 3, maxQueries = 2)
+      .select("qid").distinct().collect().map(_.getLong(0))
+    assert(q.length <= 2, s"cap of 2 queries, got ${q.length}")
+    assert(q.forall(_ < 200), "cap keeps the lowest qids")
+  }
+
+  test("graft_dot NULL edges match the HOF fold (mismatched lengths, null elements)") {
+    VectorExprs.register(spark)
+    // length mismatch → zip_with pads with null → null product → null sum;
+    // a null element propagates the same way. The kernel must agree so
+    // DotRewrite stays value-preserving on arbitrary user arrays.
+    val df = spark.sql(
+      """SELECT
+        |  graft_dot(array(1d, 2d), array(3d)) AS mism,
+        |  aggregate(zip_with(array(1d, 2d), array(3d), (x, y) -> x * y), 0d, (s, v) -> s + v) AS mism_hof,
+        |  graft_dot(array(1d, cast(null as double)), array(3d, 4d)) AS nel,
+        |  aggregate(zip_with(array(1d, cast(null as double)), array(3d, 4d), (x, y) -> x * y), 0d, (s, v) -> s + v) AS nel_hof,
+        |  graft_l2(array(1d, 2d), array(3d)) AS l2m
+        |""".stripMargin).head()
+    assert(df.isNullAt(0) && df.isNullAt(1), "length mismatch: both NULL")
+    assert(df.isNullAt(2) && df.isNullAt(3), "null element: both NULL")
+    assert(df.isNullAt(4), "graft_l2 length mismatch: NULL")
+  }
+
   test("bank-scan kernels return null on an empty bank") {
     VectorExprs.register(spark)
     import spark.implicits._
