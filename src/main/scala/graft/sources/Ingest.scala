@@ -59,4 +59,60 @@ object Ingest {
     spark.readStream.schema(eventsSchema)
       .option("maxFilesPerTrigger", 4)
       .parquet(dir)
+
+  // ----- Reference dataset loaders -------------------------------------
+  // (reference: process_park.py, process_INPG.py,
+  // process_yahoo_benchmark.py). Each normalizes a raw CSV layout to the
+  // canonical long frame (series, ts, value[, is_anom]) that feeds the
+  // hourly-grid chain (TsCore.hourlyGrid shape). Name-based column
+  // selection (header row), never positional schema application — the
+  // raw exports carry extra columns in dataset-specific orders. The
+  // per-file series id comes from the file name, matching the
+  // one-CSV-per-building/series layout of the raw datasets.
+
+  private def seriesFromFile: org.apache.spark.sql.Column =
+    regexp_extract(input_file_name(), "([^/]+)\\.csv$", 1)
+
+  /** Park smart-meter export: one CSV per building under `root`, columns
+    * "Time" + "Power (kW)" (process_park.py:20-22 defaults).
+    */
+  def readParkCsv(spark: SparkSession, root: String,
+                  dateCol: String = "Time",
+                  loadCol: String = "Power (kW)"): DataFrame =
+    spark.read.option("header", "true").option("mode", "DROPMALFORMED")
+      .csv(s"$root/*.csv")
+      .select(seriesFromFile.as("series"),
+        try_to_timestamp(col(dateCol)).as("ts"),
+        expr(s"try_cast(`$loadCol` AS DOUBLE)").as("value"))
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+
+  /** INPG predis-mhi export: a single CSV, columns "date_time" +
+    * "conso_global" (process_INPG.py:18-21 defaults); series fixed.
+    */
+  def readInpgCsv(spark: SparkSession, path: String,
+                  dateCol: String = "date_time",
+                  loadCol: String = "conso_global",
+                  series: String = "INPG"): DataFrame =
+    spark.read.option("header", "true").option("mode", "DROPMALFORMED")
+      .csv(path)
+      .select(lit(series).as("series"),
+        try_to_timestamp(col(dateCol)).as("ts"),
+        expr(s"try_cast(`$loadCol` AS DOUBLE)").as("value"))
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+
+  /** Yahoo anomaly benchmark: one CSV per series under `root`, columns
+    * "timestamp" (epoch seconds) + "value" + "is_anomaly" ground truth
+    * (process_yahoo_benchmark.py:17-20 defaults).
+    */
+  def readYahooCsv(spark: SparkSession, root: String,
+                   dateCol: String = "timestamp",
+                   valueCol: String = "value",
+                   gtCol: String = "is_anomaly"): DataFrame =
+    spark.read.option("header", "true").option("mode", "DROPMALFORMED")
+      .csv(s"$root/*.csv")
+      .select(seriesFromFile.as("series"),
+        timestamp_seconds(expr(s"try_cast($dateCol AS BIGINT)")).as("ts"),
+        expr(s"try_cast(`$valueCol` AS DOUBLE)").as("value"),
+        expr(s"try_cast(`$gtCol` AS INT)").as("is_anom"))
+      .filter(col("ts").isNotNull && col("value").isNotNull)
 }

@@ -137,15 +137,25 @@ object Forecast {
   def directHorizonForecast(spark: SparkSession, sfDir: String,
                             horizons: Seq[Int] = Seq(1, 6, 12, 24)): DataFrame = {
     val w = Window.partitionBy("series").orderBy("t")
-    val f = TsCore.filled(spark, sfDir)
-      .select(col("series"), col("t"), col("v_filled").as("y"))
-    val bt = broadcast(boundaryT(spark, sfDir))
+    // All 3×|horizons| lags come out of ONE per-series window sort, and
+    // the combined frame materializes once (localCheckpoint) — each
+    // horizon's solve then reads the flat result instead of re-sorting
+    // the series. At millions of series this is 1 shuffle, not |h|.
+    val lagCols = horizons.flatMap { h =>
+      Seq(lag("y", h).over(w).as(s"x1_$h"),
+          lag("y", h + TsCore.DaySize - 1).over(w).as(s"x2_$h"),
+          lag("y", h + TsCore.WeekLag - 1).over(w).as(s"x3_$h"))
+    }
+    val combined = TsCore.cached(spark, sfDir, s"q39lags_${horizons.mkString("_")}") {
+      TsCore.filled(spark, sfDir)
+        .select(col("series"), col("t"), col("v_filled").as("y"))
+        .select(Seq(col("series"), col("t"), col("y")) ++ lagCols: _*)
+        .join(broadcast(boundaryT(spark, sfDir)), "series")
+    }
     horizons.map { h =>
-      val base = f
-        .withColumn("x1", lag("y", h).over(w))
-        .withColumn("x2", lag("y", h + TsCore.DaySize - 1).over(w))
-        .withColumn("x3", lag("y", h + TsCore.WeekLag - 1).over(w))
-        .join(bt, "series")
+      val base = combined
+        .select(col("series"), col("t"), col("y"), col("tsplit"),
+          col(s"x1_$h").as("x1"), col(s"x2_$h").as("x2"), col(s"x3_$h").as("x3"))
         .filter(col("y").isNotNull && col("x1").isNotNull &&
                 col("x2").isNotNull && col("x3").isNotNull)
       olsSolve(base).select(col("series"), lit(h).as("horizon"), col("n"),

@@ -43,4 +43,38 @@ class IngestSpec extends SparkSuite {
     val out = Ingest.streamEvents(spark, s"$Sf001")
     assert(out.isStreaming)
   }
+
+  test("reference dataset loaders normalize park/INPG/yahoo layouts") {
+    def writeCsv(dir: java.nio.file.Path, name: String, lines: Seq[String]): Unit =
+      Files.write(dir.resolve(name), String.join("\n", lines: _*).getBytes)
+
+    // Park: one CSV per building, extra columns, (Time, Power (kW))
+    val park = Files.createTempDirectory("graft-park")
+    writeCsv(park, "bldg_a.csv", Seq(
+      "Time,Power (kW),Site", "2021-01-01 00:30:00,12.5,x", "2021-01-01 01:00:00,13.0,x"))
+    writeCsv(park, "bldg_b.csv", Seq(
+      "Time,Power (kW),Site", "2021-01-01 00:30:00,7.25,y", "bogus,notanumber,y"))
+    val p = Ingest.readParkCsv(spark, park.toString).cache()
+    assert(p.count() === 3, "malformed row dropped")
+    assert(p.select("series").distinct().collect().map(_.getString(0)).sorted
+      === Array("bldg_a", "bldg_b"))
+    assert(p.schema.fieldNames === Array("series", "ts", "value"))
+
+    // INPG: single CSV, (date_time, conso_global)
+    val inpg = Files.createTempDirectory("graft-inpg")
+    writeCsv(inpg, "predis-mhi.csv", Seq(
+      "date_time,conso_global", "2019-03-01 10:00:00,101.5", "2019-03-01 11:00:00,99.0"))
+    val i = Ingest.readInpgCsv(spark, inpg.resolve("predis-mhi.csv").toString).cache()
+    assert(i.count() === 2)
+    assert(i.select("series").distinct().head.getString(0) === "INPG")
+
+    // Yahoo: epoch-second timestamps + ground-truth label
+    val yahoo = Files.createTempDirectory("graft-yahoo")
+    writeCsv(yahoo, "synthetic_1.csv", Seq(
+      "timestamp,value,is_anomaly", "1609459200,5.5,0", "1609462800,50.0,1"))
+    val y = Ingest.readYahooCsv(spark, yahoo.toString).cache()
+    assert(y.count() === 2)
+    assert(y.filter(col("is_anom") === 1).count() === 1)
+    assert(y.schema("ts").dataType.typeName === "timestamp")
+  }
 }
