@@ -184,8 +184,17 @@ object Dedup {
     * build side keeps its single blk, so each qualifying pair meets on
     * exactly one key — no theta-join, no post-hoc distinct.
     */
-  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
+  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame =
+    ngramJaccardFrom(
+      Tables.documents(spark, sfDir),
+      shingles(spark, sfDir, 3))
+
+  /** qd4 core over explicit inputs (docs: doc_id/lang/n_chars/…;
+    * shingleRows: doc_id/sh) — separated so specs can drive synthetic
+    * corpora through the exact operator plan.
+    */
+  private[graft] def ngramJaccardFrom(docsIn: DataFrame, shingleRows: DataFrame): DataFrame = {
+    val docs = docsIn
       .select(col("doc_id"), col("lang"), floor(col("n_chars") / 20).as("blk"))
     val probes = docs
       .withColumn("blk", explode(array(col("blk") - 1, col("blk"), col("blk") + 1)))
@@ -197,7 +206,7 @@ object Dedup {
     // pair×shingle shuffle carries a long instead of a ~30-char string
     // (hash collisions conflate shingles identically in both engines;
     // 60 bits keeps the collision rate negligible at 100 TB)
-    val sh = shingles(spark, sfDir, 3)
+    val sh = shingleRows
       .select(col("doc_id"), strHash60(col("sh")).as("shh")).distinct()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = cand

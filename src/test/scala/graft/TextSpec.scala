@@ -39,6 +39,26 @@ class TextSpec extends SparkSuite {
     assert(j.filter(col("jaccard") < 0 || col("jaccard") > 1).count() === 0)
   }
 
+  test("qd4 blocking catches near-dups straddling a 20-char block boundary") {
+    import spark.implicits._
+    // docs 1/2: near-identical but n_chars 19 vs 21 → blocks 0 vs 1 —
+    // invisible to exact-block candidates, caught by the ±1 widening;
+    // doc 3: same lang, block 5 → must NOT pair with 1 or 2
+    val docs = Seq(
+      (1L, "en", 19L), (2L, "en", 21L), (3L, "en", 101L)
+    ).toDF("doc_id", "lang", "n_chars")
+    val shingleRows = Seq(
+      (1L, "a b c"), (1L, "b c d"), (1L, "c d e"),
+      (2L, "a b c"), (2L, "b c d"), (2L, "c d e"), (2L, "d e f"),
+      (3L, "x y z")
+    ).toDF("doc_id", "sh")
+    val j = Dedup.ngramJaccardFrom(docs, shingleRows).collect()
+    assert(j.length === 1, s"exactly the straddling pair: ${j.mkString(";")}")
+    val r = j.head
+    assert(r.getLong(0) === 1L && r.getLong(1) === 2L)
+    assert(math.abs(r.getDouble(2) - 0.75) < 1e-9, "3 shared / 4 union")
+  }
+
   test("token counts consistent with text") {
     val t = TextOps.tokenCount(spark, Sf001).cache()
     assert(t.filter(col("n_ws") <= 0).count() === 0)
