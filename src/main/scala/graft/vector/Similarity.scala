@@ -70,30 +70,29 @@ object Similarity {
   private def planeW(p: Int, d: Int): Double =
     ((1L + (p.toLong * 64L + d.toLong) * 2654435761L) % 2147483648L).toDouble / 2147483648.0 - 0.5
 
-  /** Per-vector LSH bucket id from sign bits of nPlanes projections.
+  /** Per-vector LSH bucket id from sign bits of nPlanes projections —
+    * a pure COLUMN over the vector, not a separate table.
     *
     * The nPlanes×64 plane weights are a few KB of constants — they ride
     * along as literal arrays inside the projection expressions (no
     * broadcast join, no shuffle), and each projection is one codegen'd
-    * `graft_dot` pass over the vector. One narrow map-side select per
-    * vector; at 100 TB this is embarrassingly parallel with zero
-    * shuffle. (The naive alternative — posexplode(v) × explode(planes)
+    * `graft_dot` pass over the vector. The bucket id is computed inline
+    * on the scan (no self-join to a bucket table); at 100 TB this is
+    * embarrassingly parallel with zero shuffle before the bucket join
+    * itself. (The naive alternative — posexplode(v) × explode(planes)
     * → two groupBys — pushes 512 rows/vector through two shuffles.)
     */
-  private def buckets(spark: SparkSession, sfDir: String, nPlanes: Int, dim: Int = 64): DataFrame = {
-    val e = vecs(spark, sfDir)
-    val bucket = (0 until nPlanes).map { p =>
+  private def bucketCol(nPlanes: Int, dim: Int = 64): Column =
+    (0 until nPlanes).map { p =>
       val pw = array((0 until dim).map(d => lit(planeW(p, d))): _*)
       when(call_function("graft_dot", col("v"), pw) > 0, lit(1L << p)).otherwise(0L)
     }.reduce(_ + _)
-    e.select(col("vec_id"), bucket.as("bucket"))
-  }
 
   /** qv2: LSH-bucketed ANN — candidates share the full bucket id; at
     * scale the bucket join replaces the quadratic scan entirely.
     */
   def lshAnn(spark: SparkSession, sfDir: String, nPlanes: Int = 8, k: Int = 5): DataFrame = {
-    val e = vecs(spark, sfDir).join(buckets(spark, sfDir, nPlanes), "vec_id")
+    val e = vecs(spark, sfDir).withColumn("bucket", bucketCol(nPlanes))
     val q = e.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("qid"), col("bucket"), col("v").as("av"), col("nrm").as("na"))
     val b = e.select(col("vec_id"), col("bucket"), col("v").as("bv"), col("nrm").as("nb"))
