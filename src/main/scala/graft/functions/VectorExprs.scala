@@ -40,7 +40,9 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   override def prettyName: String = "graft_dot"
   override def nullable: Boolean = true
 
-  private def elemNullable: Boolean = Seq(left, right).exists(_.dataType match {
+  // fixed for the expression's lifetime — lazy val, not a def, so the
+  // interpreted path doesn't re-derive it per row
+  private lazy val elemNullable: Boolean = Seq(left, right).exists(_.dataType match {
     case ArrayType(_, cn) => cn
     case _ => true
   })
@@ -93,8 +95,10 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
 /** Squared L2 distance Σ(a_i - b_i)² between two double arrays, summed in
   * ascending index order — value-identical to the oracle's per-dimension
   * `sum((x - s)*(x - s))` and to the HOF fold. NULL on length mismatch
-  * (same contract as graft_dot; a silent truncation would hide a
-  * malformed-input bug as a wrong distance).
+  * and on NULL elements (same contract as graft_dot; a silent
+  * truncation or a null slot read as 0 would hide a malformed-input
+  * bug as a wrong distance). As in graft_dot, the element-null branch
+  * is emitted only when the input type admits null elements.
   */
 case class L2Dist2(left: Expression, right: Expression) extends BinaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = {
@@ -110,6 +114,11 @@ case class L2Dist2(left: Expression, right: Expression) extends BinaryExpression
   override def prettyName: String = "graft_l2"
   override def nullable: Boolean = true
 
+  private lazy val elemNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  })
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -117,7 +126,14 @@ case class L2Dist2(left: Expression, right: Expression) extends BinaryExpression
     if (y.numElements() != n) return null
     var s = 0.0
     var i = 0
-    while (i < n) { val d = x.getDouble(i) - y.getDouble(i); s += d * d; i += 1 }
+    if (elemNullable) {
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        val d = x.getDouble(i) - y.getDouble(i); s += d * d; i += 1
+      }
+    } else {
+      while (i < n) { val d = x.getDouble(i) - y.getDouble(i); s += d * d; i += 1 }
+    }
     s
   }
 
@@ -127,6 +143,9 @@ case class L2Dist2(left: Expression, right: Expression) extends BinaryExpression
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
       val d = ctx.freshName("d")
+      val nullGuard =
+        if (elemNullable) s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |int $n = $a.numElements();
          |if ($b.numElements() != $n) {
@@ -134,10 +153,11 @@ case class L2Dist2(left: Expression, right: Expression) extends BinaryExpression
          |} else {
          |  double $s = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullGuard
          |    double $d = $a.getDouble($i) - $b.getDouble($i);
          |    $s += $d * $d;
          |  }
-         |  ${ev.value} = $s;
+         |  if (!${ev.isNull}) { ${ev.value} = $s; }
          |}
        """.stripMargin
     })

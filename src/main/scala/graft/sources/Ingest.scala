@@ -70,8 +70,13 @@ object Ingest {
   // per-file series id comes from the file name, matching the
   // one-CSV-per-building/series layout of the raw datasets.
 
-  private def seriesFromFile: org.apache.spark.sql.Column =
-    regexp_extract(input_file_name(), "([^/]+)\\.csv$", 1)
+  private def seriesFromFile: org.apache.spark.sql.Column = {
+    // input_file_name() is a percent-encoded file URI — decode it so
+    // "bldg a.csv" yields series "bldg a", not "bldg%20a"; fall back to
+    // the raw name if the URI contains a stray malformed % escape
+    val decoded = coalesce(expr("try_url_decode(input_file_name())"), input_file_name())
+    regexp_extract(decoded, "([^/]+)\\.csv$", 1)
+  }
 
   /** Park smart-meter export: one CSV per building under `root`, columns
     * "Time" + "Power (kW)" (process_park.py:20-22 defaults).
@@ -111,7 +116,7 @@ object Ingest {
     spark.read.option("header", "true").option("mode", "DROPMALFORMED")
       .csv(s"$root/*.csv")
       .select(seriesFromFile.as("series"),
-        timestamp_seconds(expr(s"try_cast($dateCol AS BIGINT)")).as("ts"),
+        timestamp_seconds(expr(s"try_cast(`$dateCol` AS BIGINT)")).as("ts"),
         expr(s"try_cast(`$valueCol` AS DOUBLE)").as("value"),
         expr(s"try_cast(`$gtCol` AS INT)").as("is_anom"))
       .filter(col("ts").isNotNull && col("value").isNotNull)

@@ -110,13 +110,13 @@ object Coreset {
       Detect.FeatCols.length, frac, driverCap)
 
   /** Deterministic JL projection weight for (component p, input dim d):
-    * the same hashed-uniform family as the LSH planes, scaled by
-    * √(12/projDim) so E‖Px−Py‖² = ‖x−y‖² (uniform[−.5,.5) has variance
-    * 1/12). Pure int64 arithmetic — reproducible everywhere.
+    * the shared hashed-uniform family (util.Num.hashedUniform) over key
+    * p·256+d (a different stride than the LSH planes' p·64+d, so the
+    * families don't alias), scaled by √(12/projDim) so E‖Px−Py‖² =
+    * ‖x−y‖² (uniform[−.5,.5) has variance 1/12).
     */
   private[graft] def jlWeight(p: Int, d: Int, projDim: Int): Double =
-    (((1L + (p.toLong * 256L + d.toLong) * 2654435761L) % 2147483648L).toDouble
-      / 2147483648.0 - 0.5) * math.sqrt(12.0 / projDim)
+    graft.util.Num.hashedUniform(p.toLong * 256L + d.toLong) * math.sqrt(12.0 / projDim)
 
   /** q13 approximate variant (ref sampler.py:44-56
     * ApproximateGreedyCoresetSampler: random-project features before the

@@ -75,9 +75,10 @@ object Detect {
   }
 
   /** All (i, j) with i ≤ j — the upper-triangle traversal both engines
-    * use for covariance columns and quadratic-form terms.
+    * use for covariance columns and quadratic-form terms (TsOracle
+    * references this same value so the orders can never diverge).
     */
-  private val UpperIdx: Seq[(Int, Int)] =
+  private[timeseries] val UpperIdx: Seq[(Int, Int)] =
     for { i <- 0 to 8; j <- i to 8 } yield (i, j)
 
   /** Per-patch-position full 9-dim Gaussian fit over the bank: means +
@@ -97,15 +98,24 @@ object Detect {
     val aggs = meanAggs ++ covAggs
     val stats = bank.groupBy("pos").agg(aggs.head, aggs.tail: _*).collect()
     val rows = stats.map { r =>
-      val sig = Array.tabulate(9, 9) { (i, j) =>
-        val (a, b) = if (i <= j) (i, j) else (j, i)
-        r.getDouble(r.fieldIndex(s"c${a}_$b")) + (if (i == j) 0.01 else 0.0)
+      // covar_samp is NULL for a single-patch position (n−1 = 0); the
+      // oracle's CTE chain propagates those NULLs through to a NULL
+      // mdist, so mirror that with an all-null stats row instead of
+      // crashing the driver on getDouble(null).
+      val degenerate = (1 until r.length).exists(r.isNullAt)
+      if (degenerate)
+        Row.fromSeq(r.getLong(r.fieldIndex("pos")) +: Seq.fill(9 + UpperIdx.length)(null))
+      else {
+        val sig = Array.tabulate(9, 9) { (i, j) =>
+          val (a, b) = if (i <= j) (i, j) else (j, i)
+          r.getDouble(r.fieldIndex(s"c${a}_$b")) + (if (i == j) 0.01 else 0.0)
+        }
+        val inv = invertGaussJordan(sig)
+        Row.fromSeq(
+          r.getLong(r.fieldIndex("pos")) +:
+          ((0 to 8).map(i => r.getDouble(r.fieldIndex(s"m$i"))) ++
+           UpperIdx.map { case (i, j) => inv(i)(j) }))
       }
-      val inv = invertGaussJordan(sig)
-      Row.fromSeq(
-        r.getLong(r.fieldIndex("pos")) +:
-        ((0 to 8).map(i => r.getDouble(r.fieldIndex(s"m$i"))) ++
-         UpperIdx.map { case (i, j) => inv(i)(j) }))
     }
     val schema = StructType(
       StructField("pos", LongType) +:

@@ -30,8 +30,10 @@ object MllibForecast {
     import spark.implicits._
     val base = Forecast.lagBase(spark, sfDir)
       .localCheckpoint() // materialize once, up front, for the concurrent fits
+    // already ordered by Spark's UTF-8 binary collation — no driver-side
+    // re-sort (Scala's UTF-16 ordering can disagree on non-BMP strings)
     val headSeries = base.select("series").distinct().orderBy("series")
-      .limit(maxMllibSeries + 1).as[String].collect().sorted
+      .limit(maxMllibSeries + 1).as[String].collect()
     val mlSeries = headSeries.take(maxMllibSeries)
     val hasOverflow = headSeries.length > maxMllibSeries
 

@@ -204,8 +204,10 @@ FROM filled f JOIN bounds b USING (series) WHERE f.v_filled IS NOT NULL"""
 )
 SELECT series, win, ${r4("max(pscore)")} AS score FROM scored GROUP BY series, win"""
 
-  /** Upper-triangle (i ≤ j) traversal shared with Detect. */
-  private val upperIdx: Seq[(Int, Int)] = for { i <- 0 to 8; j <- i to 8 } yield (i, j)
+  /** Upper-triangle (i ≤ j) traversal — THE Detect value, not a copy,
+    * so the Spark and oracle term orders can never diverge.
+    */
+  private def upperIdx: Seq[(Int, Int)] = Detect.UpperIdx
 
   /** q10: full 9-dim Mahalanobis, mirroring Detect.gaussianScore. The
     * 9×9 inverse is computed by nine unrolled Gauss-Jordan CTE steps on

@@ -30,4 +30,15 @@ object Num {
     */
   def sumQ4sql(e: String): String =
     s"sum(CAST(floor(($e)*10000 + 0.5) AS BIGINT)) / 10000.0"
+
+  /** Deterministic hashed uniform in [−0.5, 0.5): Knuth multiplicative
+    * hash of an integer key, scaled. Pure int64 arithmetic with the
+    * product kept < 2^63 for any |key| < 2^31, so the DuckDB mirror
+    * `(((1 + key*2654435761) % 2147483648)::DOUBLE / 2147483648.0) - 0.5`
+    * is exact. Every pseudo-random weight family in the engine (LSH
+    * hyperplanes, JL projections) derives from this ONE formula —
+    * change it here and in the oracle together.
+    */
+  def hashedUniform(key: Long): Double =
+    ((1L + key * 2654435761L) % 2147483648L).toDouble / 2147483648.0 - 0.5
 }

@@ -9,32 +9,35 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * multi-pass pipelines into cache hits — the DataFrame analogue of a
   * staged intermediate table.
   *
-  * The outer map holds the SparkSession weakly: when a session is
-  * GC'd its stage entries (and their localCheckpoint RDDs) go with it,
-  * and a fresh session can never collide with a dead one's key — the
-  * two failure modes of an identityHashCode-keyed flat map.
+  * Lifecycle: the key holds the SparkSession REFERENCE (identity
+  * equality — unlike a bare identityHashCode, two live sessions can
+  * never collide), and every `cached` call sweeps entries whose
+  * SparkContext has stopped, releasing their localCheckpoint RDD
+  * graphs. A cached DataFrame strongly references its own session, so
+  * weak-reference schemes cannot reclaim anything while entries are
+  * held — explicit eviction on session stop is the only correct
+  * collection point. Sessions abandoned without stop() keep their
+  * entries until the JVM exits; that is the cost of caching their
+  * frames at all.
   */
 object StageCache {
 
-  private val sessions =
-    new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]()
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
-  private def forSession(spark: SparkSession) = sessions.synchronized {
-    var m = sessions.get(spark)
-    if (m == null) {
-      m = new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
-      sessions.put(spark, m)
+  private def sweepStopped(): Unit = {
+    val it = cache.keySet().iterator()
+    while (it.hasNext) {
+      if (it.next()._1.sparkContext.isStopped) it.remove()
     }
-    m
   }
 
   def cached(spark: SparkSession, sfDir: String, name: String)
             (build: => DataFrame): DataFrame = {
-    val cache = forSession(spark)
+    sweepStopped()
     // get/putIfAbsent (not computeIfAbsent): stage builders nest, and
     // computeIfAbsent forbids reentrant updates.
-    val key = (sfDir, name)
+    val key = (spark, sfDir, name)
     val hit = cache.get(key)
     if (hit != null) hit
     else {

@@ -62,13 +62,13 @@ object Similarity {
       .select(col("qid"), col("vec_id"), Num.r4(col("cos")).as("cos"), col("rnk"))
   }
 
-  /** Deterministic pseudo-random hyperplane weight for (plane, dim) —
-    * pure int64 arithmetic, mirrored in the oracle. Exact dyadic
-    * rationals (k/2^31 - 1/2), so the driver-side Double equals the
-    * engine-side formula bit-for-bit.
+  /** Deterministic pseudo-random hyperplane weight for (plane, dim):
+    * the shared hashed-uniform family over key p·64+d, mirrored in the
+    * oracle. Exact dyadic rationals (k/2^31 − 1/2), so the driver-side
+    * Double equals the engine-side formula bit-for-bit.
     */
   private def planeW(p: Int, d: Int): Double =
-    ((1L + (p.toLong * 64L + d.toLong) * 2654435761L) % 2147483648L).toDouble / 2147483648.0 - 0.5
+    Num.hashedUniform(p.toLong * 64L + d.toLong)
 
   /** Per-vector LSH bucket id from sign bits of nPlanes projections —
     * a pure COLUMN over the vector, not a separate table.

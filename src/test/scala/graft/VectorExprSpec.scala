@@ -115,11 +115,13 @@ class VectorExprSpec extends SparkSuite {
         |  aggregate(zip_with(array(1d, 2d), array(3d), (x, y) -> x * y), 0d, (s, v) -> s + v) AS mism_hof,
         |  graft_dot(array(1d, cast(null as double)), array(3d, 4d)) AS nel,
         |  aggregate(zip_with(array(1d, cast(null as double)), array(3d, 4d), (x, y) -> x * y), 0d, (s, v) -> s + v) AS nel_hof,
-        |  graft_l2(array(1d, 2d), array(3d)) AS l2m
+        |  graft_l2(array(1d, 2d), array(3d)) AS l2m,
+        |  graft_l2(array(1d, cast(null as double)), array(3d, 4d)) AS l2n
         |""".stripMargin).head()
     assert(df.isNullAt(0) && df.isNullAt(1), "length mismatch: both NULL")
     assert(df.isNullAt(2) && df.isNullAt(3), "null element: both NULL")
     assert(df.isNullAt(4), "graft_l2 length mismatch: NULL")
+    assert(df.isNullAt(5), "graft_l2 null element: NULL")
   }
 
   test("bank-scan kernels return null on an empty bank") {
