@@ -205,9 +205,14 @@ object Dedup {
     // join on a 60-bit shingle hash, not the shingle string: the
     // pair×shingle shuffle carries a long instead of a ~30-char string
     // (hash collisions conflate shingles identically in both engines;
-    // 60 bits keeps the collision rate negligible at 100 TB)
+    // 60 bits keeps the collision rate negligible at 100 TB).
+    // localCheckpoint: the distinct hashed table feeds THREE consumers
+    // (sizes + both sides of the intersection join) — materialize once
+    // instead of recomputing the distinct per consumer (a staged table
+    // on a cluster).
     val sh = shingleRows
       .select(col("doc_id"), strHash60(col("sh")).as("shh")).distinct()
+      .localCheckpoint()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = cand
       .join(sh.select(col("doc_id").as("doc_a"), col("shh")), Seq("doc_a"))

@@ -54,6 +54,30 @@ class PlanSpec extends SparkSuite {
     } finally spark.experimental.extraOptimizations = Nil
   }
 
+  test("qv2 bucket build stays explode-free (literal-plane projections only)") {
+    val p = plan(graft.vector.Similarity.lshAnn(spark, Sf01))
+    // the r2 regression was posexplode(v) × explode(planes) → two
+    // groupBys: 512 rows/vector through two shuffles. The fixed plan
+    // computes buckets as a map-side projection — no Generate operator
+    // anywhere in qv2.
+    assert(!p.contains("Generate"), s"explode crept back into qv2:\n${p.take(2000)}")
+    assert(p.contains("graft_dot"), "bucket projections must use the codegen kernel")
+  }
+
+  test("JL-projected coreset candidate build is explode-free and uses the kernel") {
+    val kept = graft.timeseries.Coreset.keptBank(spark, Sf01, 0.15)
+      .withColumn("farr", org.apache.spark.sql.functions.array(
+        graft.timeseries.Detect.FeatCols.map(col): _*))
+    graft.functions.VectorExprs.register(spark)
+    val projected = kept.select(col("id"), col("pos"),
+      org.apache.spark.sql.functions.call_function("graft_dot", col("farr"),
+        org.apache.spark.sql.functions.array((0 until 9).map(d =>
+          org.apache.spark.sql.functions.lit(graft.timeseries.Coreset.jlWeight(0, d, 8))): _*)).as("p0"))
+    val p = plan(projected)
+    assert(!p.contains("Generate"), p.take(1000))
+    assert(p.contains("graft_dot"), p.take(1000))
+  }
+
   test("grouped aggregation is whole-stage codegen'd with partial agg") {
     val df = Tables.lineitem(spark, Sf01)
       .groupBy("l_returnflag").agg(sum("l_quantity"))
