@@ -45,6 +45,23 @@ object Ingest {
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
 
+  /** Bucketed + sorted table sink: pre-hash-partitions rows into
+    * `nBuckets` files per partition on `bucketCol` so downstream joins
+    * and aggregations on that key read co-located data and skip their
+    * Exchange entirely (verified in IngestSpec: a join of two tables
+    * bucketed on the same key by the same count plans with zero
+    * shuffles). The 100 TB pattern for fact-fact joins too big to
+    * broadcast: pay the shuffle once at write time, amortize it over
+    * every subsequent join. Requires a catalog table (bucket metadata
+    * lives in the metastore, not the files).
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    nBuckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(table)
+
   /** ORC round-trip (second columnar format; schema carried by files). */
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").orc(path)

@@ -44,6 +44,26 @@ class IngestSpec extends SparkSuite {
     assert(out.isStreaming)
   }
 
+  test("bucketed tables join with zero exchanges (co-located fact-fact join)") {
+    val orders = spark.read.parquet(s"$Sf001/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+    val li = spark.read.parquet(s"$Sf001/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    Ingest.writeBucketed(orders, "b_orders", "o_orderkey", 4)
+    Ingest.writeBucketed(li.withColumnRenamed("l_orderkey", "o_orderkey"),
+      "b_lineitem", "o_orderkey", 4)
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
+    try {
+      val j = spark.table("b_orders").join(spark.table("b_lineitem"), "o_orderkey")
+      assert(j.count() === li.count(), "join result intact")
+      val p = j.queryExecution.executedPlan.toString
+      // both sides bucketed on the join key with equal counts → the
+      // sort-merge join reads co-located buckets, no shuffle anywhere
+      assert(!p.contains("Exchange"), s"bucketed join must not shuffle:\n${p.take(1500)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+  }
+
   test("reference dataset loaders normalize park/INPG/yahoo layouts") {
     def writeCsv(dir: java.nio.file.Path, name: String, lines: Seq[String]): Unit =
       Files.write(dir.resolve(name), String.join("\n", lines: _*).getBytes)
