@@ -98,11 +98,16 @@ object Events {
       // rsd 1%: the sketch stays a few KB and the 5% gate has margin
       approx_count_distinct(col(c), 0.01).as(s"${c}_approx"))
     val approxRow = li.agg(approxAggs.head, approxAggs.tail: _*).head()
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val exact = cols.map(c => c -> Future(li.select(c).distinct().count()))
-      .map { case (c, f) => c -> Await.result(f, Duration.Inf) }.toMap
+    // One unioned pass for ALL exact distincts: tag each value with its
+    // column name and distinct-count the (name, value) pairs — a single
+    // partial-distinct → shuffle → count job instead of one
+    // scan+distinct job per column. All four columns cast losslessly to
+    // double (keys < 2^53), so per-column distinct counts are preserved.
+    val unioned = cols.map(c =>
+        li.select(lit(c).as("column_name"), col(c).cast("double").as("v")))
+      .reduce(_ unionByName _)
+    val exact = unioned.distinct().groupBy("column_name").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     cols.map { c =>
       val e = exact(c)
       val a = approxRow.getAs[Long](s"${c}_approx")
