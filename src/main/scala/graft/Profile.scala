@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: per-stage wall times for the shared TS chain (the cost a
+  * first-touching query like q09 pays). Each stage is forced through
+  * its StageCache materialization in order, so the printed delta is
+  * that stage's own build cost. Usage:
+  *   sbt "runMain graft.Profile /root/testdata/sf0.1 32"
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val cpus = if (args.length > 1) args(1) else "32"
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.maxPlanStringLength", "1048576")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.timeseries._
+    def t(name: String)(body: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = body
+      println(f"$name%-12s ${(System.nanoTime() - t0) / 1e9}%6.2f s  ($n rows)")
+    }
+    t("grid") { TsCore.hourlyGrid(spark, sfDir).count() }
+    t("filled") { TsCore.filled(spark, sfDir).count() }
+    t("daywin") { TsCore.dayWindows(spark, sfDir).count() }
+    t("inject") { TsCore.injected(spark, sfDir).count() }
+    t("scaled") { TsCore.scaled(spark, sfDir).count() }
+    t("patches") { TsCore.patches(spark, sfDir).count() }
+    t("bank+test") { val (b, te) = TsCore.bankAndTest(spark, sfDir); b.count() + te.count() }
+    t("q09 score") { Detect.knnScore(spark, sfDir).count() }
+    spark.stop()
+  }
+}

@@ -140,6 +140,13 @@ object TsCore {
   def injectParams(spark: SparkSession, sfDir: String): DataFrame = {
     // not checkpointed: single consumer (injected)
     val wins = dayWindows(spark, sfDir).select("series", "win").distinct()
+    // dense_rank over an UNPARTITIONED window: a deliberate, bounded
+    // single-task sort — the input is one narrow row per DISTINCT
+    // series (not per data row), and the injector's LCG keying needs a
+    // globally consistent dense index that the oracle can reproduce
+    // with the same dense_rank. At millions of series this is one sort
+    // of millions of short strings on one task (~seconds), paid once
+    // per session; the result broadcasts.
     val sidx = wins.select("series").distinct()
       .withColumn("sidx", dense_rank().over(Window.orderBy("series")) - 1)
     val key = col("sidx") * 100L + col("win")
