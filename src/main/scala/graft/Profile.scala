@@ -35,6 +35,10 @@ object Profile {
     t("patches") { TsCore.patches(spark, sfDir).count() }
     t("bank+test") { val (b, te) = TsCore.bankAndTest(spark, sfDir); b.count() + te.count() }
     t("q09 score") { Detect.knnScore(spark, sfDir).count() }
+    import graft.text._
+    t("tokens") { TextCore.tokens(spark, sfDir).count() }
+    t("shingles") { TextCore.shingles(spark, sfDir, 3).count() }
+    t("qd4") { Dedup.ngramJaccard(spark, sfDir).count() }
     spark.stop()
   }
 }

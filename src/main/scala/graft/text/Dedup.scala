@@ -202,25 +202,28 @@ object Dedup {
       .join(probes.select(col("doc_id").as("doc_b"), col("lang"), col("blk")), Seq("lang", "blk"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
-    // join on a 60-bit shingle hash, not the shingle string: the
-    // pair×shingle shuffle carries a long instead of a ~30-char string
-    // (hash collisions conflate shingles identically in both engines;
-    // 60 bits keeps the collision rate negligible at 100 TB).
-    // localCheckpoint: the distinct hashed table feeds THREE consumers
-    // (sizes + both sides of the intersection join) — materialize once
-    // instead of recomputing the distinct per consumer (a staged table
-    // on a cluster).
-    val sh = shingleRows
+    // Intersect on a 60-bit shingle hash, not the shingle string (hash
+    // collisions conflate shingles identically in both engines; 60 bits
+    // keeps the collision rate negligible at 100 TB). Each doc's
+    // distinct hashes pack into ONE sorted array row, and the
+    // intersection is a map-side array_intersect per candidate pair —
+    // two narrow joins on doc ids instead of shuffling |pairs|×|doc
+    // shingles| exploded rows through an equi-join + count groupBy
+    // (~50M rows × 2 shuffles at sf0.1; the array form moves each
+    // pair's two ~0.4 KB arrays exactly once, and the per-doc array
+    // table is small enough to broadcast until the corpus is huge).
+    val shArr = shingleRows
       .select(col("doc_id"), strHash60(col("sh")).as("shh")).distinct()
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list("shh")).as("shs"), count(lit(1)).as("sz"))
       .localCheckpoint()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("shh")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("shh")), Seq("doc_b", "shh"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")), Seq("doc_b"))
+    cand
+      .join(shArr.select(col("doc_id").as("doc_a"), col("shs").as("sa"), col("sz").as("sza")), Seq("doc_a"))
+      .join(shArr.select(col("doc_id").as("doc_b"), col("shs").as("sb"), col("sz").as("szb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sa"), col("sb"))).as("inter"),
+        col("sza"), col("szb"))
+      .filter(col("inter") > 0)
       .select(col("doc_a"), col("doc_b"),
         Num.r4(col("inter") / (col("sza") + col("szb") - col("inter"))).as("jaccard"))
   }

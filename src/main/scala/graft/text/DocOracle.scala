@@ -79,22 +79,23 @@ FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= $maxHam"""
 
   val qd4: String = toksCte + shinglesCte(3, "sh3") + s"""
 , shd AS (SELECT DISTINCT doc_id, ${h60("sh")} AS shh FROM sh3),
-sizes AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY doc_id),
-blocks AS (
+sharr AS (
+  SELECT doc_id, list_sort(list(shh)) AS shs, count(*) AS sz FROM shd GROUP BY doc_id
+), blocks AS (
   SELECT doc_id, lang, CAST(floor(n_chars / 20) AS BIGINT) AS blk FROM documents
 ), cand AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM blocks a JOIN blocks b
     ON a.lang = b.lang AND b.blk BETWEEN a.blk - 1 AND a.blk + 1 AND a.doc_id < b.doc_id
 ), inter AS (
-  SELECT c.doc_a, c.doc_b, count(*) AS inter
+  SELECT c.doc_a, c.doc_b, len(list_intersect(sa.shs, sb.shs)) AS inter,
+         sa.sz AS sza, sb.sz AS szb
   FROM cand c
-  JOIN shd sa ON sa.doc_id = c.doc_a
-  JOIN shd sb ON sb.doc_id = c.doc_b AND sb.shh = sa.shh
-  GROUP BY c.doc_a, c.doc_b
+  JOIN sharr sa ON sa.doc_id = c.doc_a
+  JOIN sharr sb ON sb.doc_id = c.doc_b
 )
-SELECT i.doc_a, i.doc_b, ${r4("i.inter / (za.sz + zb.sz - i.inter)")} AS jaccard
-FROM inter i JOIN sizes za ON za.doc_id = i.doc_a JOIN sizes zb ON zb.doc_id = i.doc_b"""
+SELECT doc_a, doc_b, ${r4("inter / (sza + szb - inter)")} AS jaccard
+FROM inter WHERE inter > 0"""
 
   /** qd8: MinHash estimate vs exact Jaccard for LSH candidate pairs. */
   def qd8(nPerm: Int = 16, bandRows: Int = 4): String = toksCte + shinglesCte(3, "sh3") + s"""
