@@ -39,6 +39,21 @@ object Profile {
     t("tokens") { TextCore.tokens(spark, sfDir).count() }
     t("shingles") { TextCore.shingles(spark, sfDir, 3).count() }
     t("qd4") { Dedup.ngramJaccard(spark, sfDir).count() }
+    // qp2 phases: HLL sketch pass vs unioned exact-distinct pass
+    import org.apache.spark.sql.functions.{approx_count_distinct, lit}
+    val li = graft.util.Tables.lineitem(spark, sfDir)
+      .select(Seq("l_partkey", "l_suppkey", "l_quantity", "l_extendedprice").map(c => org.apache.spark.sql.functions.col(c)): _*)
+    t("qp2-hll") {
+      li.agg(approx_count_distinct(org.apache.spark.sql.functions.col("l_partkey"), 0.01),
+        approx_count_distinct(org.apache.spark.sql.functions.col("l_suppkey"), 0.01),
+        approx_count_distinct(org.apache.spark.sql.functions.col("l_quantity"), 0.01),
+        approx_count_distinct(org.apache.spark.sql.functions.col("l_extendedprice"), 0.01)).count()
+    }
+    t("qp2-exact") {
+      Seq("l_partkey", "l_suppkey", "l_quantity", "l_extendedprice").map(c =>
+          li.select(lit(c).as("column_name"), org.apache.spark.sql.functions.col(c).cast("double").as("v")))
+        .reduce(_ unionByName _).distinct().groupBy("column_name").count().count()
+    }
     spark.stop()
   }
 }
