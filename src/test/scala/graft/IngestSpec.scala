@@ -45,6 +45,18 @@ class IngestSpec extends SparkSuite {
   }
 
   test("bucketed tables join with zero exchanges (co-located fact-fact join)") {
+    // idempotence across JVMs: a fresh derby metastore doesn't know
+    // about tables whose warehouse directories survived a previous
+    // run, and saveAsTable refuses to reuse the orphan location
+    Seq("b_orders", "b_lineitem").foreach { tbl =>
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      def del(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(del)
+        f.delete(): Unit
+      }
+      val loc = new java.io.File(s"spark-warehouse/$tbl")
+      if (loc.exists) del(loc)
+    }
     val orders = spark.read.parquet(s"$Sf001/orders.parquet")
       .select("o_orderkey", "o_totalprice")
     val li = spark.read.parquet(s"$Sf001/lineitem.parquet")
