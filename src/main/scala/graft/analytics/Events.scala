@@ -109,7 +109,9 @@ object Events {
     val exact = unioned.distinct().groupBy("column_name").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     cols.map { c =>
-      val e = exact(c)
+      // empty table → no (column_name) groups at all; distinct of
+      // nothing is 0, not a missing-key crash
+      val e = exact.getOrElse(c, 0L)
       val a = approxRow.getAs[Long](s"${c}_approx")
       (c, e, if (math.abs(a - e) <= e * tol) 1 else 0)
     }.toDF("column_name", "n_exact", "approx_ok")
@@ -139,32 +141,6 @@ object Events {
     * (absolute slack because GK returns an actual element while
     * percentile() interpolates between elements).
     */
-  /** Exact interpolated quantiles via DISTRIBUTED sort + zipWithIndex —
-    * not the single-group `percentile()` aggregate, whose buffer holds
-    * every value on one reducer. The sort is range-partitioned across
-    * the cluster; only the 2·|qs| boundary elements come back.
-    * Interpolation = lower + (upper − lower)·frac at rank (n−1)·q,
-    * matching both Spark `percentile` and DuckDB `quantile_cont`.
-    */
-  private def exactQuantiles(df: org.apache.spark.sql.DataFrame, c: String,
-                             qs: Seq[Double]): Map[Double, Double] = {
-    val vals = df.select(col(c).cast("double").as("v")).na.drop()
-    val n = vals.count()
-    val targets = qs.flatMap { q =>
-      val r = (n - 1) * q
-      Seq(math.floor(r).toLong, math.ceil(r).toLong)
-    }.toSet
-    val picked = vals.orderBy("v").rdd.map(_.getDouble(0)).zipWithIndex()
-      .filter { case (_, i) => targets.contains(i) }
-      .map(_.swap).collect().toMap
-    qs.map { q =>
-      val r = (n - 1) * q
-      val lo = math.floor(r).toLong
-      val hi = math.ceil(r).toLong
-      q -> (picked(lo) + (picked(hi) - picked(lo)) * (r - lo))
-    }.toMap
-  }
-
   def approxQuantiles(spark: SparkSession, sfDir: String,
                       qs: Seq[Double] = Seq(0.25, 0.5, 0.75), tol: Double = 0.05): DataFrame = {
     import spark.implicits._
@@ -176,12 +152,14 @@ object Events {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    val exact = cols.map(c => c -> Future(exactQuantiles(li, c, qs))).toMap
+    // exact values via the shared distributed range-sort + zipWithIndex
+    // (util.Quantiles) — only boundary order statistics reach the driver
+    val exact = cols.map(c => c -> Future(graft.util.Quantiles.exact(li, c, qs))).toMap
       .map { case (c, f) => c -> Await.result(f, Duration.Inf) }
     val rows = cols.flatMap { c =>
       val ap = approxRow.getAs[scala.collection.Seq[Double]](s"${c}_approx")
       qs.zipWithIndex.map { case (q, i) =>
-        val e = exact(c)(q)
+        val e = exact(c)(q).getOrElse(Double.NaN)
         val ok = if (math.abs(ap(i) - e) <= math.abs(e) * tol + 1.0) 1 else 0
         (c, q, math.floor(e * 10000d + 0.5d) / 10000d, ok)
       }

@@ -62,10 +62,12 @@ object Coreset {
     val (bank, _) = TsCore.bankAndTest(spark, sfDir)
     val w = Detect.nearestDistWeight(spark, sfDir)
       .withColumn("wgt", col("w_nearest") + 1.0)
-    val thr = w.agg(expr(s"percentile(wgt, ${1.0 - denoiseThr})").as("thr"))
+    // denoise cut from the distributed range-sort — no single-group
+    // percentile buffer over the bank-sized weight table
+    val thr = graft.util.Quantiles.exactLit(w, "wgt", 1.0 - denoiseThr)
     val bid = bank.withColumn("id", concat_ws("#", col("series"), col("win")))
-    bid.join(w, Seq("id", "pos")).crossJoin(broadcast(thr))
-      .filter(col("wgt") <= col("thr"))
+    bid.join(w, Seq("id", "pos"))
+      .filter(col("wgt") <= thr)
       .select((Seq("id", "pos").map(col) ++ Detect.FeatCols.map(col)): _*)
       .orderBy("id", "pos")
   }

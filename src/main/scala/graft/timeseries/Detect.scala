@@ -181,10 +181,13 @@ object Detect {
     graft.functions.VectorExprs.register(spark)
     val (bank, test) = TsCore.bankAndTest(spark, sfDir)
     val w = nearestDistWeight(spark, sfDir).withColumn("wgt", col("w_nearest") + 1.0)
-    val thrW = w.agg(expr(s"percentile(wgt, ${1.0 - denoiseThr})").as("thrw"))
+    // denoise threshold via the distributed range-sort (util.Quantiles),
+    // embedded as a plan literal — at billions of bank patches the old
+    // single-group percentile() buffer was the one non-distributed step
+    val thrW = graft.util.Quantiles.exactLit(w, "wgt", 1.0 - denoiseThr)
     val bid = bank.withColumn("id", concat_ws("#", col("series"), col("win")))
     val kept = bid.join(w.select("id", "pos", "wgt"), Seq("id", "pos"))
-      .crossJoin(broadcast(thrW)).filter(col("wgt") <= col("thrw"))
+      .filter(col("wgt") <= thrW)
     // Kept bank broadcasts as ONE row: features flattened sorted by
     // (id, pos) + the parallel weight array. graft_argmin_dist2 keeps
     // the FIRST index on exact distance ties, so the sorted packing
@@ -202,11 +205,15 @@ object Detect {
       .select(col("series"), col("win"),
         (sqrt(expr("graft_min_dist2(bf, p)")) *
           expr("ws[int(idx)]")).as("pscore"))
-    val winScores = pscores.groupBy("series", "win").agg(max("pscore").as("score"))
-    val thrS = winScores.agg(expr(s"percentile(score, ${1.0 - contamRate})").as("thrs"))
-    winScores.crossJoin(broadcast(thrS))
+    // window scores materialize once (the threshold pass and the final
+    // select would otherwise each recompute the broadcast-kernel scan)
+    val winScores = TsCore.cached(spark, sfDir, s"q23ws_$denoiseThr") {
+      pscores.groupBy("series", "win").agg(max("pscore").as("score"))
+    }
+    val thrS = graft.util.Quantiles.exactLit(winScores, "score", 1.0 - contamRate)
+    winScores
       .select(col("series"), col("win"), Num.r4(col("score")).as("score"),
-        when(col("score") > col("thrs"), 1).otherwise(0).as("pred"))
+        when(col("score") > thrS, 1).otherwise(0).as("pred"))
   }
 
   /** q11: Local Outlier Factor (k=6) per patch position over the bank

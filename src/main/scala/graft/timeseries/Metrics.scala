@@ -27,9 +27,11 @@ object Metrics {
     */
   def thresholdMetrics(spark: SparkSession, sfDir: String, contamRate: Double = 0.1): DataFrame = {
     val sg = scoredWithGt(spark, sfDir)
-    val q = 1.0 - contamRate
-    sg.agg(expr(s"percentile(score, $q)").as("thr")).crossJoin(sg)
-      .select(col("thr"), col("score"), col("gt"))
+    // threshold via the distributed range-sort (util.Quantiles), embedded
+    // as a plan literal — not a single-group percentile() whose buffer
+    // holds every window score on one reducer
+    val thr = graft.util.Quantiles.exactLit(sg, "score", 1.0 - contamRate)
+    sg.select(thr.as("thr"), col("score"), col("gt"))
       .withColumn("pred", when(col("score") > col("thr"), 1).otherwise(0))
       .agg(
         sum(when(col("pred") === 0 && col("gt") === 0, 1).otherwise(0)).as("tn"),
@@ -79,17 +81,13 @@ object Metrics {
     */
   def thresholdSweep(spark: SparkSession, sfDir: String,
                      rates: Seq[Double] = Seq(0.05, 0.1, 0.2)): DataFrame = {
+    import spark.implicits._
     val sg = scoredWithGt(spark, sfDir)
-    val thrAgg = sg.agg(
-      rates.zipWithIndex.map { case (r, i) =>
-        expr(s"percentile(score, ${1.0 - r})").as(s"t$i")
-      }.head, rates.zipWithIndex.tail.map { case (r, i) =>
-        expr(s"percentile(score, ${1.0 - r})").as(s"t$i")
-      }: _*)
-    val stacked = thrAgg.select(explode(array(
-      rates.zipWithIndex.map { case (r, i) =>
-        struct(lit(r).as("contam"), col(s"t$i").as("thr"))
-      }: _*)).as("x")).select(col("x.contam"), col("x.thr"))
+    // all sweep thresholds from ONE distributed range-sort pass (boundary
+    // order statistics only), stacked as a literal frame — no
+    // single-group multi-percentile buffer
+    val thrMap = graft.util.Quantiles.exact(sg, "score", rates.map(1.0 - _))
+    val stacked = rates.map(r => (r, thrMap(1.0 - r))).toDF("contam", "thr")
     stacked.crossJoin(sg)
       .withColumn("pred", when(col("score") > col("thr"), 1).otherwise(0))
       .groupBy("contam")

@@ -2,7 +2,6 @@ package graft.timeseries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.util.Num
 
 /** Detection-model persistence (reference: softpatch.py save_to_path /
@@ -14,37 +13,55 @@ import graft.util.Num
   */
 object ModelStore {
 
-  /** Fit on the train split and persist all scoring artifacts. */
+  /** Fit on the train split and persist all scoring artifacts. Both
+    * quantile artifacts (denoise cut, score threshold) come from the
+    * distributed range-sort (util.Quantiles) — nothing funnels the
+    * bank or the score stream into a one-reducer percentile buffer.
+    */
   def save(spark: SparkSession, sfDir: String, path: String,
            denoiseThr: Double = 0.15, contamRate: Double = 0.1): Unit = {
+    import spark.implicits._
     val (bank, _) = TsCore.bankAndTest(spark, sfDir)
     val w = Detect.nearestDistWeight(spark, sfDir).withColumn("wgt", col("w_nearest") + 1.0)
-    val thrW = w.agg(expr(s"percentile(wgt, ${1.0 - denoiseThr})").as("thrw"))
+    val thrW = graft.util.Quantiles.exactLit(w, "wgt", 1.0 - denoiseThr)
     val kept = bank.withColumn("id", concat_ws("#", col("series"), col("win")))
       .join(w.select("id", "pos", "wgt"), Seq("id", "pos"))
-      .crossJoin(broadcast(thrW)).filter(col("wgt") <= col("thrw"))
+      .filter(col("wgt") <= thrW)
       .select((Seq("id", "pos", "wgt").map(col) ++ Detect.FeatCols.map(col)): _*)
     kept.write.mode("overwrite").parquet(s"$path/bank")
     TsCore.scaleBounds(spark, sfDir).write.mode("overwrite").parquet(s"$path/bounds")
     val scores = Detect.pipeline(spark, sfDir, denoiseThr, contamRate)
-    scores.agg(expr(s"percentile(score, ${1.0 - contamRate})").as("threshold"))
-      .write.mode("overwrite").parquet(s"$path/threshold")
+    Seq(graft.util.Quantiles.exactOne(scores, "score", 1.0 - contamRate))
+      .toDF("threshold").write.mode("overwrite").parquet(s"$path/threshold")
   }
 
   /** Reload artifacts and score the given patch table (same f0..f8
-    * schema) against the saved bank — no refit, bank broadcast.
+    * schema) against the saved bank — no refit. The bank broadcasts as
+    * ONE packed row (features flattened sorted by (id, pos) + the
+    * parallel weight array) and each probe patch runs the codegen
+    * graft_min_dist2 / graft_argmin_dist2 scan — the same shape as
+    * Detect.pipeline, NOT a |patches|×|bank|-row join: the scored side
+    * never widens or shuffles before its (series, win) reduce.
+    * graft_argmin_dist2 keeps the FIRST index on exact distance ties,
+    * so the (id, pos)-sorted packing reproduces the pipeline's
+    * `ORDER BY d, id` nearest-patch choice.
     */
   def loadAndScore(spark: SparkSession, path: String, patches: DataFrame): DataFrame = {
+    graft.functions.VectorExprs.register(spark)
     val bank = spark.read.parquet(s"$path/bank")
     val thr = spark.read.parquet(s"$path/threshold")
-    val b = bank.columns.foldLeft(bank)((d, c) => d.withColumnRenamed(c, s"b_$c"))
-    val dist2 = Detect.FeatCols.map(f =>
-      (col(f) - col(s"b_$f")) * (col(f) - col(s"b_$f"))).reduce(_ + _)
-    val wNear = Window.partitionBy("series", "win", "pos").orderBy(col("d"), col("b_id"))
-    patches.crossJoin(broadcast(b))
-      .withColumn("d", sqrt(dist2))
-      .withColumn("rn", row_number().over(wNear)).filter(col("rn") === 1)
-      .select(col("series"), col("win"), (col("d") * col("b_wgt")).as("pscore"))
+    val packed = bank
+      .select(struct(col("id"), col("pos"), col("wgt"),
+        array(Detect.FeatCols.map(col): _*).as("fs")).as("s"))
+      .agg(array_sort(collect_list(col("s"))).as("ps"))
+      .select(flatten(expr("transform(ps, x -> x.fs)")).as("bf"),
+              expr("transform(ps, x -> x.wgt)").as("ws"))
+    patches
+      .select(col("series"), col("win"), col("pos"), array(Detect.FeatCols.map(col): _*).as("p"))
+      .crossJoin(broadcast(packed))
+      .withColumn("idx", expr("graft_argmin_dist2(bf, p)"))
+      .select(col("series"), col("win"),
+        (sqrt(expr("graft_min_dist2(bf, p)")) * expr("ws[int(idx)]")).as("pscore"))
       .groupBy("series", "win").agg(max("pscore").as("score"))
       .crossJoin(broadcast(thr))
       .select(col("series"), col("win"), Num.r4(col("score")).as("score"),

@@ -19,6 +19,11 @@ class ModelStoreSpec extends SparkSuite {
     assert(joined.filter(abs(col("a.score") - col("b.score")) > 1e-9).count() === 0,
       "reloaded-bank scores must equal in-session pipeline scores")
     assert(joined.filter(col("a.pred") =!= col("b.pred")).count() === 0)
+    // scoring must run the packed-bank codegen kernel, not a
+    // |patches|×|bank|-row join + per-(series,win,pos) rank
+    val p = reloaded.queryExecution.executedPlan.toString
+    assert(p.contains("graft_argmin_dist2"), s"kernel missing:\n${p.take(1200)}")
+    assert(!p.contains("row_number"), "pairwise-join rank shape crept back")
   }
 
   test("orc round-trip preserves the grid") {

@@ -78,6 +78,20 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("graft_dot"), p.take(1000))
   }
 
+  test("threshold queries embed quantiles as literals — no single-group percentile agg") {
+    // q16/q23/q27 thresholds come from util.Quantiles' distributed
+    // range-sort; their plans must not contain a percentile() aggregate
+    // (whose buffer funnels every score onto one reducer at 100 TB)
+    for ((nm, df) <- Seq(
+      "q16" -> graft.timeseries.Metrics.thresholdMetrics(spark, Sf01),
+      "q27" -> graft.timeseries.Metrics.thresholdSweep(spark, Sf01),
+      "q23" -> graft.timeseries.Detect.pipeline(spark, Sf01))) {
+      val p = plan(df)
+      assert(!p.contains("percentile"),
+        s"$nm still aggregates percentile on one reducer:\n${p.take(1200)}")
+    }
+  }
+
   test("grouped aggregation is whole-stage codegen'd with partial agg") {
     val df = Tables.lineitem(spark, Sf01)
       .groupBy("l_returnflag").agg(sum("l_quantity"))
