@@ -29,13 +29,14 @@ object SparkEntry {
     "q08_patchify" -> ((s, d) => TsQueries.q08Patchify(s, d)),
     "q09_knn_score" -> ((s, d) => graft.timeseries.Detect.knnScore(s, d)),
     "q10_gaussian_score" -> ((s, d) => graft.timeseries.Detect.gaussianScore(s, d)),
-    "q11_lof_weight" -> ((s, d) => graft.timeseries.Detect.lofWeight(s, d)),
+    "q11_lof_weight" -> ((s, d) => graft.timeseries.Detect.lofWeightExact(s, d)),
     "q12_knn_dist_weight" -> ((s, d) => graft.timeseries.Detect.nearestDistWeight(s, d)),
     "q13_coreset" -> ((s, d) => graft.timeseries.Coreset.coreset(s, d)),
     "q14_consec_runs" -> ((s, d) => graft.timeseries.Postprocess.consecRuns(s, d)),
     "q15_zscore_outliers" -> ((s, d) => graft.timeseries.Postprocess.zscoreOutliers(s, d)),
     "q16_threshold_metrics" -> ((s, d) => graft.timeseries.Metrics.thresholdMetrics(s, d)),
     "q17_auroc" -> ((s, d) => graft.timeseries.Metrics.auroc(s, d)),
+    "q40_auroc_approx" -> ((s, d) => graft.timeseries.Metrics.aurocApprox(s, d)),
     "q23_detect_pipeline" -> ((s, d) => graft.timeseries.Detect.pipeline(s, d)),
     "q18_impute_linear" -> ((s, d) => graft.timeseries.Impute.imputeLinear(s, d)),
     "q19_impute_seasonal" -> ((s, d) => graft.timeseries.Impute.imputeSeasonal(s, d)),
@@ -145,6 +146,7 @@ object SparkEntry {
     "q15_zscore_outliers" -> TsOracle.q15(),
     "q16_threshold_metrics" -> TsOracle.q16(),
     "q17_auroc" -> TsOracle.q17,
+    "q40_auroc_approx" -> TsOracle.q40(),
     "q23_detect_pipeline" -> TsOracle.q23(),
     "q18_impute_linear" -> TsOracle.q18,
     "q19_impute_seasonal" -> TsOracle.q19,

@@ -113,12 +113,16 @@ object Coreset {
 
   /** Deterministic JL projection weight for (component p, input dim d):
     * the shared hashed-uniform family (util.Num.hashedUniform) over key
-    * p·256+d (a different stride than the LSH planes' p·64+d, so the
-    * families don't alias), scaled by √(12/projDim) so E‖Px−Py‖² =
-    * ‖x−y‖² (uniform[−.5,.5) has variance 1/12).
+    * 2²⁰ + p·256 + d. The 2²⁰ offset makes the JL key space DISJOINT
+    * from the LSH hyperplanes' p·64+d keys (all < 2¹¹) — without it the
+    * two families alias (JL p=1 would reuse LSH plane-4 weights) — while
+    * keeping key < 2³¹ so the hash product stays < 2⁶³
+    * (Num.hashedUniform's overflow contract). Scaled by √(12/projDim)
+    * so E‖Px−Py‖² = ‖x−y‖² (uniform[−.5,.5) has variance 1/12).
     */
   private[graft] def jlWeight(p: Int, d: Int, projDim: Int): Double =
-    graft.util.Num.hashedUniform(p.toLong * 256L + d.toLong) * math.sqrt(12.0 / projDim)
+    graft.util.Num.hashedUniform((1L << 20) + p.toLong * 256L + d.toLong) *
+      math.sqrt(12.0 / projDim)
 
   /** q13 approximate variant (ref sampler.py:44-56
     * ApproximateGreedyCoresetSampler: random-project features before the

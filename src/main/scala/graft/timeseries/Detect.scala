@@ -216,13 +216,27 @@ object Detect {
         when(col("score") > thrS, 1).otherwise(0).as("pred"))
   }
 
-  /** q11: Local Outlier Factor (k=6) per patch position over the bank
+  /** Local Outlier Factor (k=6) per patch position over the bank
     * (ref softpatch.py _compute_lof_gpu):
     * kdist(a) = d to k-th NN; reach(a,b) = max(d(a,b), kdist(b));
     * lrd(a) = k / Σ_{b∈kNN(a)} reach(a,b); lof(a) = mean lrd(b)/lrd(a).
     * The reference adds 1e-6 to all distances before the top-k.
+    *
+    * The PUBLIC default is the CAPPED path (maxRef = 10000): per-position
+    * pairwise LOF is O(n²) in windows-per-position — the quadratic term a
+    * 100 TB bank cannot pay. Whenever the position has ≤ maxRef windows
+    * the cap is EXACTLY the uncapped LOF (DetectSpec asserts
+    * bit-equality), so local results are unchanged; only beyond the cap
+    * does the reference set truncate. The registered q11 query pins the
+    * exact uncapped semantics via [[lofWeightExact]] (the oracle anchor).
     */
   def lofWeight(spark: SparkSession, sfDir: String, k: Int = 6): DataFrame =
+    lofWeightCapped(spark, sfDir, k)
+
+  /** Exact (uncapped) LOF — the q11 oracle anchor; O(n²) per position,
+    * reserve for oracle parity and small banks.
+    */
+  def lofWeightExact(spark: SparkSession, sfDir: String, k: Int = 6): DataFrame =
     lofWeightCapped(spark, sfDir, k, maxRef = Int.MaxValue)
 
   /** LOF with a per-position reference cap — the 100 TB path. When the

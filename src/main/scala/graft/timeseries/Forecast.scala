@@ -165,6 +165,81 @@ object Forecast {
     }.reduce(_ unionByName _)
   }
 
+  /** q41: forecast-dataset window-pair build (ref process_LF.py:52-80
+    * build_dataset + dataset_f.py:10-16): sliding windows of nDays·24
+    * hourly points at a dayStride-day stride, each split into the INPUT
+    * prefix ((nDays−1)·24 points) and the HORIZON day (the final 24) —
+    * the (X, y) pair both reference forecasters train on — with the
+    * window's date-range label (process_LF.py:78 keeps first/last dates
+    * per window). Only complete windows survive (the reference drops
+    * windows containing NaNs). Explode-by-membership: each grid point
+    * lands in ≤ nDays windows and shuffles once on (series, wid) — no
+    * range join, no skew; at millions of series the windows are
+    * embarrassingly parallel.
+    */
+  def windowPairs(spark: SparkSession, sfDir: String,
+                  nDays: Int = 3, dayStride: Int = 1): DataFrame = {
+    val n = TsCore.DaySize
+    val span = nDays * n
+    val base = TsCore.filled(spark, sfDir)
+      .withColumn("d", floor(col("t") / n).cast("long"))
+      // window wid covers days wid..wid+nDays-1 → point of day d belongs
+      // to windows starting at wid ∈ {d-nDays+1, …, d}
+      .withColumn("wid", explode(array((0 until nDays).map(o => col("d") - o): _*)))
+      .filter(col("wid") >= 0 && col("wid") % dayStride === 0)
+    val complete = base.groupBy("series", "wid")
+      .agg(count("v_filled").as("nv"), count(lit(1)).as("np"))
+      .filter(col("nv") === span && col("np") === span)
+      .select("series", "wid")
+    base.join(complete, Seq("series", "wid"))
+      .crossJoin(broadcast(TsCore.gridOrigin(spark, sfDir)))
+      .select(col("series"), col("wid"),
+        (col("t") - col("wid") * n).as("seq"),
+        col("t"),
+        Num.r4(col("v_filled")).as("v"),
+        when(col("t") - col("wid") * n < (nDays - 1) * n, lit("input"))
+          .otherwise(lit("horizon")).as("part"),
+        concat(
+          from_unixtime((col("t0") + col("wid") * n) * 3600L, "yyyy-MM-dd HH:mm:ss"),
+          lit(" - "),
+          from_unixtime((col("t0") + (col("wid") + nDays) * n - 1) * 3600L,
+            "yyyy-MM-dd HH:mm:ss")).as("label"))
+  }
+
+  /** q42: inverse-scaling metric rescale (ref process_LF.py:14 — the
+    * scaling quantiles are "saved to later scale back metrics"; the
+    * forecasting wrappers evaluate on the SCALED series and map errors
+    * back to load units): the week-lag persistence forecast evaluated in
+    * scaled space over the test region, with each error metric also
+    * rescaled to original units via the saved q01/q99 bounds — min-max
+    * scaling is affine, so absolute/squared errors rescale by (hi−lo)
+    * (the additive lo cancels in differences). One window pass + one
+    * grouped agg per series; bounds broadcast.
+    */
+  def rescaledMetrics(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("series").orderBy("t")
+    val scaled = TsCore.filled(spark, sfDir)
+      .join(broadcast(TsCore.scaleBounds(spark, sfDir)), "series")
+      .select(col("series"), col("t"),
+        Num.r4((col("v_filled") - col("lo")) / (col("hi") - col("lo"))).as("vs"),
+        col("lo"), col("hi"))
+    val pred = scaled
+      .withColumn("p", lag("vs", TsCore.WeekLag).over(w))
+      .join(broadcast(boundaryT(spark, sfDir)), "series")
+      .filter(col("t") >= col("tsplit") && col("vs").isNotNull && col("p").isNotNull)
+    // scaled-integer error sums (order-independent; vs is r4-quantized)
+    val aeInt = floor(abs(col("vs") - col("p")) * 10000d + 0.5d).cast("long")
+    val seInt = floor((col("vs") - col("p")) * (col("vs") - col("p")) * 10000d + 0.5d).cast("long")
+    pred.groupBy("series").agg(
+        count(lit(1)).as("n"), sum(aeInt).as("sae"), sum(seInt).as("sse"),
+        max("lo").as("lo"), max("hi").as("hi"))
+      .select(col("series"), col("n"),
+        Num.r4(col("sae") / 10000d / col("n")).as("mae_scaled"),
+        Num.r4(sqrt(col("sse") / 10000d / col("n"))).as("rmse_scaled"),
+        Num.r4(col("sae") / 10000d / col("n") * (col("hi") - col("lo"))).as("mae_orig"),
+        Num.r4(sqrt(col("sse") / 10000d / col("n")) * (col("hi") - col("lo"))).as("rmse_orig"))
+  }
+
   /** q24: additive seasonal profile per (series, hour-of-day) over the
     * train region (capability of feature_extractor.py
     * seasonal_decomposition): per-pos mean of the series minus the

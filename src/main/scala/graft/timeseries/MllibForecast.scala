@@ -18,9 +18,13 @@ import graft.util.Num
   * job per model, so the per-series loop is bounded by `maxMllibSeries`
   * (deterministic: the lexicographically first series). Every series
   * beyond the cap is solved by the grouped normal-equations path shared
-  * with q22 (Forecast.olsSolve) — identical coefficients (both solve the
-  * same centered normal equations), zero driver iteration, so the
-  * operator stays well-defined at millions of series. The only
+  * with q22 (Forecast.olsSolve) — numerically equal up to solver
+  * round-off (both solve the same centered normal equations, but MLlib's
+  * WLS/Cholesky and Cramer's rule run different IEEE sequences; the r4
+  * quantization absorbs the difference except exactly at rounding
+  * boundaries — the spec asserts 1e-3 agreement), zero driver
+  * iteration, so the operator stays well-defined at millions of series.
+  * The only
   * driver-side collect is limit(cap+1) — bounded regardless of scale.
   */
 object MllibForecast {

@@ -42,24 +42,37 @@ object TsCore {
   val QLo = 0.01            // scaling quantiles (ref process_aemo.py:178-180)
   val QHi = 0.99
 
+  /** Raw events aggregated to (series, ABSOLUTE hour) — the ONE scan of
+    * the raw table every grid consumer shares: the rebased grid (q01
+    * chain) and the grid origin (q28 labels) both derive from this
+    * cached stage, so no query pays a second raw-events scan.
+    */
+  private[timeseries] def hourlyAgg(spark: SparkSession, sfDir: String): DataFrame =
+    cached(spark, sfDir, "gridraw") {
+      val raw = Tables.events(spark, sfDir)
+      // ts arrives as TimestampType or, with nanosAsLong, as raw nanos.
+      val hr = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => expr("ts div 3600000000000")
+        case _ => floor(col("ts").cast("long") / 3600L).cast("long")
+      }
+      raw.select(col("event_type").as("series"), hr.as("hr"), col("value"))
+        // aggregate FIRST (one scan of the raw events); everything
+        // downstream reads grid cells, orders of magnitude smaller
+        .groupBy("series", "hr")
+        .agg(count(lit(1)).as("n"), Num.r4(avg("value")).as("v"))
+    }
+
+  /** Grid origin (absolute hour of t = 0), from the cached hourly agg —
+    * min(hr) over buckets equals min over events, no raw re-scan.
+    */
+  private[graft] def gridOrigin(spark: SparkSession, sfDir: String): DataFrame =
+    hourlyAgg(spark, sfDir).agg(min("hr").as("t0"))
+
   /** q01: regularize irregular events onto a fixed hourly grid per series.
     * Scan → single shuffle on (series, t) with map-side partial agg.
     */
   def hourlyGrid(spark: SparkSession, sfDir: String): DataFrame = cached(spark, sfDir, "grid") {
-    val raw = Tables.events(spark, sfDir)
-    // ts arrives as TimestampType or, with nanosAsLong, as raw nanos.
-    val hr = raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => expr("ts div 3600000000000")
-      case _ => floor(col("ts").cast("long") / 3600L).cast("long")
-    }
-    val ev = raw.select(col("event_type").as("series"), hr.as("hr"), col("value"))
-    // aggregate FIRST (one scan of the raw events), then rebase hr onto
-    // the origin computed from the small aggregated table — min(hr) over
-    // buckets equals min over events, and this halves the big-table I/O
-    val g = ev.groupBy("series", "hr")
-      .agg(count(lit(1)).as("n"), Num.r4(avg("value")).as("v"))
-    val t0 = g.agg(min("hr").as("t0"))
-    g.crossJoin(broadcast(t0))
+    hourlyAgg(spark, sfDir).crossJoin(broadcast(gridOrigin(spark, sfDir)))
       .select(col("series"), (col("hr") - col("t0")).as("t"), col("n"), col("v"))
   }
 

@@ -366,6 +366,27 @@ SELECT ${r4("(sum(CASE WHEN gt = 1 THEN avgr END) - (sum(CASE WHEN gt = 1 THEN 1
        CAST(sum(CASE WHEN gt = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nneg
 FROM ranked"""
 
+  /** q40: histogram-approximate AUROC mirroring Metrics.aurocApprox —
+    * equi-width bins over [min, max], Mann–Whitney U from the per-bin
+    * positive/negative counts with within-bin ties at 0.5.
+    */
+  def q40(bins: Int = 1000): String = prefix + scoredGtCte + s"""
+, rng AS (SELECT min(score) AS lo, max(score) AS hi FROM sg),
+binned AS (
+  SELECT least(${bins - 1}, CAST(floor((score - lo) / (hi - lo + 1e-12) * $bins) AS BIGINT)) AS bin,
+         sum(CASE WHEN gt = 1 THEN 1 ELSE 0 END) AS npos,
+         sum(CASE WHEN gt = 0 THEN 1 ELSE 0 END) AS nneg
+  FROM sg, rng GROUP BY 1
+), cum AS (
+  SELECT npos, nneg,
+         coalesce(sum(nneg) OVER (ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nneg_below
+  FROM binned
+)
+SELECT ${r4("(CAST(sum(npos * nneg_below) AS DOUBLE) + CAST(sum(npos * nneg) AS DOUBLE) / 2.0) / (CAST(sum(npos) AS DOUBLE) * CAST(sum(nneg) AS DOUBLE))")} AS auroc_approx,
+       CAST(sum(npos) AS BIGINT) AS npos, CAST(sum(nneg) AS BIGINT) AS nneg
+FROM cum"""
+
   def q27(rates: Seq[Double] = Seq(0.05, 0.1, 0.2)): String = prefix + scoredGtCte + s"""
 , thrt AS (
   ${rates.map(r => s"SELECT ${r}::DOUBLE AS contam, (SELECT quantile_cont(score, ${1.0 - r}) FROM sg) AS thr")

@@ -39,8 +39,20 @@ class DetectSpec extends SparkSuite {
     assert(med > 0.8 && med < 1.5, s"median LOF $med")
   }
 
+  test("default (capped) LOF is bit-identical to exact LOF when maxRef >= n") {
+    // the public default caps the reference set at 10000; the local bank
+    // is far below that, so the default must EQUAL the uncapped oracle
+    // path bit-for-bit
+    val exact = Detect.lofWeightExact(spark, Sf01).withColumnRenamed("lof", "lof_exact")
+    val default = Detect.lofWeight(spark, Sf01)
+    val j = exact.join(default, Seq("id", "pos"))
+    assert(j.count() === exact.count())
+    assert(j.filter(col("lof") =!= col("lof_exact")).count() === 0,
+      "capped(maxRef >= n) must be exactly the uncapped LOF")
+  }
+
   test("capped LOF approximates uncapped and bounds the reference set") {
-    val full = Detect.lofWeight(spark, Sf01)
+    val full = Detect.lofWeightExact(spark, Sf01)
     val capped = Detect.lofWeightCapped(spark, Sf01, maxRef = 40)
     assert(capped.count() === full.count(), "every patch still scored under the cap")
     val joined = full.withColumnRenamed("lof", "lof_full")

@@ -92,6 +92,11 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("q28 labels derive from the cached grid origin — no raw events scan") {
+    val p = plan(graft.timeseries.TsQueries.q28WindowLabels(spark, Sf01))
+    assert(!p.contains("events.parquet"), s"q28 re-scans raw events:\n${p.take(800)}")
+  }
+
   test("grouped aggregation is whole-stage codegen'd with partial agg") {
     val df = Tables.lineitem(spark, Sf01)
       .groupBy("l_returnflag").agg(sum("l_quantity"))

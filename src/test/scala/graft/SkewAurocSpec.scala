@@ -24,12 +24,13 @@ class SkewAurocSpec extends SparkSuite {
     }
   }
 
-  test("approximate auroc tracks the exact rank-based auroc") {
+  test("approximate auroc is within the 1/bins histogram error of exact q17") {
+    val bins = 1000
     val exact = Metrics.auroc(spark, Sf01).head()
-    val approx = Metrics.aurocApprox(spark, Sf01).head()
+    val approx = Metrics.aurocApprox(spark, Sf01, bins).head()
     val e = exact.getDouble(exact.fieldIndex("auroc"))
     val a = approx.getDouble(approx.fieldIndex("auroc_approx"))
-    assert(math.abs(e - a) < 0.02, s"exact $e vs approx $a")
+    assert(math.abs(e - a) <= 1.0 / bins, s"exact $e vs approx $a (bound ${1.0 / bins})")
     assert(exact.getLong(exact.fieldIndex("npos")) === approx.getLong(approx.fieldIndex("npos")))
   }
 }
