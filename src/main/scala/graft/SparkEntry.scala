@@ -86,6 +86,8 @@ object SparkEntry {
     "qd7_dedup_stats" -> ((s, d) => graft.text.Dedup.dupStats(s, d)),
     "q35_horizon_backtest" -> ((s, d) => graft.timeseries.Forecast.horizonBacktest(s, d)),
     "q39_direct_horizon" -> ((s, d) => graft.timeseries.Forecast.directHorizonForecast(s, d)),
+    "q41_window_pairs" -> ((s, d) => graft.timeseries.Forecast.windowPairs(s, d)),
+    "q42_rescaled_metrics" -> ((s, d) => graft.timeseries.Forecast.rescaledMetrics(s, d)),
     "qm2_frame_sample" -> ((s, d) => graft.multimodal.BinaryMeta.frameSample(s, d)),
     "qa10_stratified_sample" -> ((s, d) => Relational.stratifiedSample(s, d)),
     "qa11_salted_agg" -> ((s, d) => Relational.saltedAgg(s, d)),
@@ -382,6 +384,8 @@ object SparkEntry {
     "q31_range_join" -> TsOracle.q31(),
     "q35_horizon_backtest" -> TsOracle.q35(),
     "q39_direct_horizon" -> TsOracle.q39(),
+    "q41_window_pairs" -> TsOracle.q41(),
+    "q42_rescaled_metrics" -> TsOracle.q42,
     "q32_acf" -> TsOracle.q32(),
     "q33_level_shift" -> TsOracle.q33(),
     "q34_mad_outliers" -> TsOracle.q34(),

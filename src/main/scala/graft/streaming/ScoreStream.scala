@@ -84,6 +84,42 @@ object ScoreStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("h")
 
+  /** Streaming twin of the BATCH detection scorer, wired to a
+    * ModelStore artifact: patch-feature rows stream in (series, win,
+    * pos, f0..f8 + event-time ts), each patch is scored against the
+    * SAVED packed memory bank with the same codegen
+    * graft_min_dist2/graft_argmin_dist2 kernels the batch path uses
+    * (one broadcast bank row — a stream-static join, so the stream side
+    * never shuffles before its windowed reduce), and per-(series, win)
+    * max scores emit once the watermark closes the window, flagged
+    * against the saved threshold. Score values are BIT-IDENTICAL to
+    * Detect.pipeline / ModelStore.loadAndScore on the same patches
+    * (StreamingSpec asserts this) — the model trains in batch, scores
+    * in flight.
+    */
+  def bankScoreStream(spark: SparkSession, modelPath: String,
+                      patches: DataFrame, windowDur: String = "1 day",
+                      watermark: String = "2 hours"): DataFrame = {
+    import graft.timeseries.{Detect, ModelStore}
+    graft.functions.VectorExprs.register(spark)
+    val packed = ModelStore.packedBank(spark, modelPath)
+    val thr = ModelStore.threshold(spark, modelPath)
+    patches
+      .withWatermark("ts", watermark)
+      .select(col("ts"), col("series"), col("win"),
+        array(Detect.FeatCols.map(col): _*).as("p"))
+      .crossJoin(broadcast(packed))
+      .withColumn("idx", expr("graft_argmin_dist2(bf, p)"))
+      .withColumn("pscore",
+        sqrt(expr("graft_min_dist2(bf, p)")) * expr("ws[int(idx)]"))
+      .groupBy(window(col("ts"), windowDur), col("series"), col("win"))
+      .agg(max("pscore").as("score"))
+      .crossJoin(broadcast(thr))
+      .select(col("series"), col("win"),
+        graft.util.Num.r4(col("score")).as("score"),
+        when(col("score") > col("threshold"), 1).otherwise(0).as("pred"))
+  }
+
   /** Wire a streaming DataFrame of raw events (ts: timestamp,
     * event_type, value) into watermarked sliding windows scored against
     * the bank. Returns the streaming result (score = |window mean − μ|/σ).

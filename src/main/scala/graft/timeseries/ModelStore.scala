@@ -46,16 +46,28 @@ object ModelStore {
     * so the (id, pos)-sorted packing reproduces the pipeline's
     * `ORDER BY d, id` nearest-patch choice.
     */
-  def loadAndScore(spark: SparkSession, path: String, patches: DataFrame): DataFrame = {
-    graft.functions.VectorExprs.register(spark)
-    val bank = spark.read.parquet(s"$path/bank")
-    val thr = spark.read.parquet(s"$path/threshold")
-    val packed = bank
+  /** The saved bank packed into ONE broadcastable row: features
+    * flattened sorted by (id, pos) plus the parallel weight array —
+    * the input shape of the codegen scan kernels. Shared by the batch
+    * scorer below and the streaming scorer
+    * (streaming.ScoreStream.bankScoreStream).
+    */
+  def packedBank(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/bank")
       .select(struct(col("id"), col("pos"), col("wgt"),
         array(Detect.FeatCols.map(col): _*).as("fs")).as("s"))
       .agg(array_sort(collect_list(col("s"))).as("ps"))
       .select(flatten(expr("transform(ps, x -> x.fs)")).as("bf"),
               expr("transform(ps, x -> x.wgt)").as("ws"))
+
+  /** The saved score threshold (single row, column `threshold`). */
+  def threshold(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/threshold")
+
+  def loadAndScore(spark: SparkSession, path: String, patches: DataFrame): DataFrame = {
+    graft.functions.VectorExprs.register(spark)
+    val packed = packedBank(spark, path)
+    val thr = threshold(spark, path)
     patches
       .select(col("series"), col("win"), col("pos"), array(Detect.FeatCols.map(col): _*).as("p"))
       .crossJoin(broadcast(packed))

@@ -387,6 +387,61 @@ SELECT ${r4("(CAST(sum(npos * nneg_below) AS DOUBLE) + CAST(sum(npos * nneg) AS 
        CAST(sum(npos) AS BIGINT) AS npos, CAST(sum(nneg) AS BIGINT) AS nneg
 FROM cum"""
 
+  /** q41: forecast-dataset window pairs mirroring Forecast.windowPairs —
+    * explode each filled point into its ≤ nDays member windows, keep
+    * complete all-non-null windows, split input prefix vs horizon day,
+    * label with the window's absolute date range.
+    */
+  def q41(nDays: Int = 3, dayStride: Int = 1): String = prefix + s"""
+, wpts AS (
+  SELECT series, t, v_filled, CAST(floor(t / $DaySize) AS BIGINT) AS d
+  FROM filled
+), wexp AS (
+  SELECT series, t, v_filled, d - offs.o AS wid
+  FROM wpts CROSS JOIN (SELECT unnest(generate_series(0, ${nDays - 1})) AS o) offs
+  WHERE d - offs.o >= 0 AND (d - offs.o) % $dayStride = 0
+), wcomplete AS (
+  SELECT series, wid FROM wexp GROUP BY series, wid
+  HAVING count(*) = ${nDays * DaySize} AND count(v_filled) = ${nDays * DaySize}
+), t0w AS (SELECT min(hr) AS t0 FROM ev)
+SELECT e.series, e.wid, e.t - e.wid * $DaySize AS seq, e.t,
+  floor((e.v_filled)*10000 + 0.5)/10000 AS v,
+  CASE WHEN e.t - e.wid * $DaySize < ${(nDays - 1) * DaySize} THEN 'input' ELSE 'horizon' END AS part,
+  strftime(make_timestamp((t0w.t0 + e.wid * $DaySize) * 3600 * 1000000), '%Y-%m-%d %H:%M:%S')
+  || ' - ' ||
+  strftime(make_timestamp((t0w.t0 + (e.wid + $nDays) * $DaySize - 1) * 3600 * 1000000), '%Y-%m-%d %H:%M:%S') AS label
+FROM wexp e JOIN wcomplete USING (series, wid), t0w"""
+
+  /** q42: inverse-scaling metric rescale mirroring Forecast.rescaledMetrics —
+    * week-lag persistence errors on the min-max-scaled series over the test
+    * region, each metric also mapped back to original units by (hi − lo).
+    */
+  def q42: String = prefix + splitTCte + s"""
+, svs AS (
+  SELECT f.series, f.t,
+         floor(((f.v_filled - b.lo) / (b.hi - b.lo))*10000 + 0.5)/10000 AS vs,
+         b.lo, b.hi
+  FROM filled f JOIN bounds b USING (series)
+), spred AS (
+  SELECT s.series, s.t, s.vs, s.lo, s.hi,
+         lag(s.vs, $WeekLag) OVER (PARTITION BY s.series ORDER BY s.t) AS p,
+         bt.tsplit
+  FROM svs s JOIN boundt bt USING (series)
+), sagg AS (
+  SELECT series, count(*) AS n,
+         sum(CAST(floor(abs(vs - p)*10000 + 0.5) AS BIGINT)) AS sae,
+         sum(CAST(floor((vs - p)*(vs - p)*10000 + 0.5) AS BIGINT)) AS sse,
+         max(lo) AS lo, max(hi) AS hi
+  FROM spred WHERE t >= tsplit AND vs IS NOT NULL AND p IS NOT NULL
+  GROUP BY series
+)
+SELECT series, n,
+  ${r4("sae / 10000.0 / n")} AS mae_scaled,
+  ${r4("sqrt(sse / 10000.0 / n)")} AS rmse_scaled,
+  ${r4("sae / 10000.0 / n * (hi - lo)")} AS mae_orig,
+  ${r4("sqrt(sse / 10000.0 / n) * (hi - lo)")} AS rmse_orig
+FROM sagg"""
+
   def q27(rates: Seq[Double] = Seq(0.05, 0.1, 0.2)): String = prefix + scoredGtCte + s"""
 , thrt AS (
   ${rates.map(r => s"SELECT ${r}::DOUBLE AS contam, (SELECT quantile_cont(score, ${1.0 - r}) FROM sg) AS thr")

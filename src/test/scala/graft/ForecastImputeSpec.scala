@@ -107,4 +107,53 @@ class ForecastImputeSpec extends SparkSuite {
     val m = p.groupBy("series").agg(abs(avg("seasonal")).as("m"))
     assert(m.filter(col("m") > 1.0).count() === 0)
   }
+
+  test("q41 window pairs: complete windows split into input prefix + horizon day") {
+    val wp = Forecast.windowPairs(spark, Sf01).cache()
+    val span = 3 * TsCore.DaySize
+    val perWin = wp.groupBy("series", "wid").agg(
+      count(lit(1)).as("n"),
+      sum(when(col("part") === "input", 1).otherwise(0)).as("ni"),
+      sum(when(col("part") === "horizon", 1).otherwise(0)).as("nh"),
+      countDistinct("label").as("nl"))
+    assert(perWin.filter(col("n") =!= span || col("ni") =!= span - TsCore.DaySize ||
+      col("nh") =!= TsCore.DaySize || col("nl") =!= 1).count() === 0)
+    // values come straight from the filled grid at the same (series, t)
+    val f = TsCore.filled(spark, Sf01)
+      .select(col("series"), col("t"), col("v_filled"))
+    assert(wp.join(f, Seq("series", "t"))
+      .filter(abs(col("v") - col("v_filled")) > 1e-9).count() === 0)
+  }
+
+  test("q41 window pairs derive q39's lag features (8-day windows cover lag 168)") {
+    val wp = Forecast.windowPairs(spark, Sf01, nDays = 8).cache()
+    val horizon = wp.filter(col("part") === "horizon")
+      .select(col("series"), col("wid"), col("seq"), col("t"), col("v").as("y"))
+    val lagged = wp.select(col("series"), col("wid"),
+      (col("seq") + TsCore.WeekLag).as("seq"), col("v").as("x_lag168"))
+    val j = horizon.join(lagged, Seq("series", "wid", "seq")).cache()
+    // every horizon point finds its week-lag input inside the SAME window
+    assert(j.count() === horizon.count())
+    // and it equals the series' true lag-168 value (q39's x3 feature)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("series").orderBy("t")
+    val truth = TsCore.filled(spark, Sf01)
+      .select(col("series"), col("t"),
+        lag("v_filled", TsCore.WeekLag).over(w).as("x_true"))
+    assert(j.join(truth, Seq("series", "t"))
+      .filter(abs(col("x_lag168") - col("x_true")) > 1e-9).count() === 0)
+  }
+
+  test("q42 rescaled metrics agree with unscaled q21 errors up to quantization") {
+    val r = Forecast.rescaledMetrics(spark, Sf01)
+    val q21 = Forecast.seasonalNaive(spark, Sf01)
+      .select(col("series"), col("mae").as("mae_q21"), col("rmse").as("rmse_q21"))
+    val j = r.join(q21, "series").cache()
+    assert(j.count() === 5)
+    // min-max scaling is affine: errors rescale by (hi - lo) exactly, so
+    // mapping scaled-space MAE back to load units must land within the
+    // 1e-4-grid quantization noise of the directly-computed q21 MAE
+    assert(j.filter(abs(col("mae_orig") - col("mae_q21")) >
+      lit(0.01) * col("mae_q21") + lit(0.01)).count() === 0)
+    assert(j.filter(col("rmse_orig") < col("mae_orig")).count() === 0)
+  }
 }

@@ -61,6 +61,48 @@ class StreamingSpec extends SparkSuite {
 
   case class UEv(ts: Timestamp, user_id: Long)
   case class Doc(ts: Timestamp, doc_id: Long, text: String)
+  case class PatchRow(ts: Timestamp, series: String, win: Long, pos: Long,
+                      f0: Double, f1: Double, f2: Double, f3: Double, f4: Double,
+                      f5: Double, f6: Double, f7: Double, f8: Double)
+
+  test("streaming scorer over a saved ModelStore bank matches batch pipeline scores") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val path = java.nio.file.Files.createTempDirectory("graft-model-stream").toString
+    graft.timeseries.ModelStore.save(spark, Sf01, path)
+    val (_, testP) = graft.timeseries.TsCore.bankAndTest(spark, Sf01)
+    val rows = testP
+      .select((Seq("series", "win", "pos") ++ graft.timeseries.Detect.FeatCols).map(col): _*)
+      .collect().map { r =>
+        PatchRow(new Timestamp(86400000L * (30 + r.getLong(1))),
+          r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6),
+          r.getDouble(7), r.getDouble(8), r.getDouble(9), r.getDouble(10),
+          r.getDouble(11))
+      }
+    val mem = MemoryStream[PatchRow]
+    val out = ScoreStream.bankScoreStream(spark, path, mem.toDF(), watermark = "1 hour")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("bankscored").start()
+    try {
+      mem.addData(rows.toIndexedSeq)
+      q.processAllAvailable()
+      // watermark sentinel: a far-future patch closes every real window
+      mem.addData(rows.head.copy(ts = new Timestamp(86400000L * 10000),
+        series = "zz_sentinel"))
+      q.processAllAvailable()
+      val stream = spark.table("bankscored").filter(col("series") =!= "zz_sentinel")
+      val batch = graft.timeseries.Detect.pipeline(spark, Sf01)
+      assert(stream.count() === batch.count(),
+        "every closed (series, win) must emit exactly once")
+      val j = stream.as("s").join(batch.as("b"),
+        col("s.series") === col("b.series") && col("s.win") === col("b.win"))
+      assert(j.count() === batch.count())
+      assert(j.filter(abs(col("s.score") - col("b.score")) > 1e-9).count() === 0,
+        "stream scores must equal batch pipeline scores")
+      assert(j.filter(col("s.pred") =!= col("b.pred")).count() === 0)
+    } finally q.stop()
+  }
 
   test("streaming session windows merge within gap and split across it") {
     import spark.implicits._
