@@ -27,7 +27,11 @@ object Profile {
       val n = body
       println(f"$name%-12s ${(System.nanoTime() - t0) / 1e9}%6.2f s  ($n rows)")
     }
+    t("warm") { spark.range(1000).selectExpr("sum(id)").count() }
+    t("evscan") { graft.util.Tables.events(spark, sfDir).select("event_type").limit(1).count() }
+    t("hourlyAgg") { TsCore.hourlyAgg(spark, sfDir).count() }
     t("grid") { TsCore.hourlyGrid(spark, sfDir).count() }
+    t("grid2") { TsCore.hourlyGrid(spark, sfDir).count() }
     t("filled") { TsCore.filled(spark, sfDir).count() }
     t("daywin") { TsCore.dayWindows(spark, sfDir).count() }
     t("inject") { TsCore.injected(spark, sfDir).count() }

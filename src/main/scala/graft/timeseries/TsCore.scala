@@ -47,7 +47,7 @@ object TsCore {
     * chain) and the grid origin (q28 labels) both derive from this
     * cached stage, so no query pays a second raw-events scan.
     */
-  private[timeseries] def hourlyAgg(spark: SparkSession, sfDir: String): DataFrame =
+  private[graft] def hourlyAgg(spark: SparkSession, sfDir: String): DataFrame =
     cached(spark, sfDir, "gridraw") {
       val raw = Tables.events(spark, sfDir)
       // ts arrives as TimestampType or, with nanosAsLong, as raw nanos.

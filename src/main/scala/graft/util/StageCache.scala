@@ -46,8 +46,13 @@ object StageCache {
       // LogicalRDD instead of re-embedding the whole upstream tree —
       // without this, multi-self-join queries (pipeline, LOF) blow up
       // Catalyst plan size (explainString OOMs before any task runs).
-      // On a cluster this would be a reliable checkpoint / staged table.
-      cache.putIfAbsent(key, build.localCheckpoint())
+      // LAZY (eager = false): the first consumer's job computes and
+      // persists the stage inline instead of each stage launching its
+      // own materialization job — one scheduler round-trip per stage
+      // saved, same total compute, and the plan is a flat LogicalRDD
+      // either way. On a cluster this would be a reliable checkpoint /
+      // staged table.
+      cache.putIfAbsent(key, build.localCheckpoint(eager = false))
       cache.get(key)
     }
   }
