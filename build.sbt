@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default: local[32] runs 32 concurrent tasks in ONE JVM — at 8g
+  // the suite's working set (task buffers + broadcasts + checkpointed
+  // stage RDDs) keeps G1 collecting mid-query, adding multi-second
+  // run-to-run jitter on a 128 GiB box that has the headroom.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -42,6 +42,22 @@ object Profile {
     import graft.text._
     t("tokens") { TextCore.tokens(spark, sfDir).count() }
     t("shingles") { TextCore.shingles(spark, sfDir, 3).count() }
+    t("qd4-sharr") {
+      import org.apache.spark.sql.functions.{col, floor, lit, count => cnt, collect_list, sort_array}
+      TextCore.shingles(spark, sfDir, 3)
+        .select(col("doc_id"), TextCore.strHash60(col("sh")).as("shh")).distinct()
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list("shh")).as("shs"), cnt(lit(1)).as("sz")).count()
+    }
+    t("qd4-cand") {
+      import org.apache.spark.sql.functions.{col, floor, explode, array}
+      val docs = graft.util.Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("lang"), floor(col("n_chars") / 20).as("blk"))
+      val probes = docs.withColumn("blk", explode(array(col("blk") - 1, col("blk"), col("blk") + 1)))
+      docs.select(col("doc_id").as("doc_a"), col("lang"), col("blk"))
+        .join(probes.select(col("doc_id").as("doc_b"), col("lang"), col("blk")), Seq("lang", "blk"))
+        .filter(col("doc_a") < col("doc_b")).count()
+    }
     t("qd4") { Dedup.ngramJaccard(spark, sfDir).count() }
     // qp2 phases: HLL sketch pass vs unioned exact-distinct pass
     import org.apache.spark.sql.functions.{approx_count_distinct, lit}

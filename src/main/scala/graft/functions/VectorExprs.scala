@@ -285,6 +285,79 @@ case class ArgMinDist2(left: Expression, right: Expression) extends BankScanDist
     copy(left = newLeft, right = newRight)
 }
 
+/** Count of common elements between two SORTED, duplicate-free long
+  * arrays (graft_sorted_inter) — the set-intersection cardinality kernel
+  * behind qd4's n-gram Jaccard. A single merge walk over the two arrays:
+  * zero per-row allocation, where `size(array_intersect(a, b))` builds a
+  * hash set PER CANDIDATE PAIR (~100k pairs × ~300-element arrays at
+  * sf0.1 made array_intersect qd4's dominant cost). Value-identical to
+  * array_intersect's cardinality on sorted distinct null-free inputs —
+  * the only shape the dedup pipeline produces (sort_array ∘ collect_list
+  * ∘ distinct over 60-bit hashes). NULL if either array is NULL; a NULL
+  * element (impossible upstream) yields NULL rather than a silent count.
+  */
+case class SortedInterCount(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(org.apache.spark.sql.types.LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_sorted_inter requires array<bigint> inputs, got ${left.dataType} / ${right.dataType}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "graft_sorted_inter"
+  override def nullable: Boolean = true
+
+  private lazy val elemNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  })
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements(); val m = y.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < n && j < m) {
+      if (elemNullable && (x.isNullAt(i) || y.isNullAt(j))) return null
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv < yv) i += 1
+      else if (xv > yv) j += 1
+      else { c += 1; i += 1; j += 1 }
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val m = ctx.freshName("m")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      val nullGuard =
+        if (elemNullable) s"if ($a.isNullAt($i) || $b.isNullAt($j)) { ${ev.isNull} = true; break; }"
+        else ""
+      s"""
+         |int $n = $a.numElements();
+         |int $m = $b.numElements();
+         |int $i = 0, $j = 0, $c = 0;
+         |while ($i < $n && $j < $m) {
+         |  $nullGuard
+         |  long $xv = $a.getLong($i);
+         |  long $yv = $b.getLong($j);
+         |  if ($xv < $yv) { $i++; } else if ($xv > $yv) { $j++; } else { $c++; $i++; $j++; }
+         |}
+         |if (!${ev.isNull}) { ${ev.value} = $c; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExprs {
   val DotInfo = new ExpressionInfo(classOf[DotProduct].getName, "graft_dot")
   val L2Info = new ExpressionInfo(classOf[L2Dist2].getName, "graft_l2")
@@ -302,5 +375,7 @@ object VectorExprs {
       "graft_min_dist2", exprs => MinDist2(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction(
       "graft_argmin_dist2", exprs => ArgMinDist2(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "graft_sorted_inter", exprs => SortedInterCount(exprs(0), exprs(1)), "scala_udf")
   }
 }

@@ -194,6 +194,7 @@ object Dedup {
     * corpora through the exact operator plan.
     */
   private[graft] def ngramJaccardFrom(docsIn: DataFrame, shingleRows: DataFrame): DataFrame = {
+    graft.functions.VectorExprs.register(shingleRows.sparkSession)
     val docs = docsIn
       .select(col("doc_id"), col("lang"), floor(col("n_chars") / 20).as("blk"))
     val probes = docs
@@ -216,12 +217,14 @@ object Dedup {
       .select(col("doc_id"), strHash60(col("sh")).as("shh")).distinct()
       .groupBy("doc_id")
       .agg(sort_array(collect_list("shh")).as("shs"), count(lit(1)).as("sz"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     cand
       .join(shArr.select(col("doc_id").as("doc_a"), col("shs").as("sa"), col("sz").as("sza")), Seq("doc_a"))
       .join(shArr.select(col("doc_id").as("doc_b"), col("shs").as("sb"), col("sz").as("szb")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("sa"), col("sb"))).as("inter"),
+        // merge-walk kernel over the sorted hash arrays — see
+        // functions.SortedInterCount for why not array_intersect
+        expr("graft_sorted_inter(sa, sb)").as("inter"),
         col("sza"), col("szb"))
       .filter(col("inter") > 0)
       .select(col("doc_a"), col("doc_b"),
