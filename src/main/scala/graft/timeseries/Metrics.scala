@@ -87,14 +87,35 @@ object Metrics {
     // order statistics only), stacked as a literal frame — no
     // single-group multi-percentile buffer
     val thrMap = graft.util.Quantiles.exact(sg, "score", rates.map(1.0 - _))
-    val stacked = rates.map(r => (r, thrMap(1.0 - r))).toDF("contam", "thr")
-    stacked.crossJoin(sg)
-      .withColumn("pred", when(col("score") > col("thr"), 1).otherwise(0))
-      .groupBy("contam")
-      .agg(Num.r4(max("thr")).as("thr"),
-        sum(when(col("pred") === 1 && col("gt") === 1, 1).otherwise(0)).as("tp"),
-        sum(when(col("pred") === 1 && col("gt") === 0, 1).otherwise(0)).as("fp"),
-        sum(when(col("pred") === 0 && col("gt") === 1, 1).otherwise(0)).as("fn"))
+    // empty scored set (sparse-SF edge): the old sweep×data join
+    // produced zero rows — preserve that, not a 3-row all-zero frame
+    if (thrMap.values.forall(_.isEmpty))
+      return sg.sparkSession.emptyDataFrame
+        .select(lit(0.0).as("contam"), lit(0.0).as("thr"),
+          lit(0L).as("tp"), lit(0L).as("fp"), lit(0L).as("fn"),
+          lit(0.0).as("precision"), lit(0.0).as("recall"))
+        .limit(0)
+    // every threshold is now a plan LITERAL, so all |rates| confusion
+    // matrices come from ONE conditional-aggregation scan — no
+    // crossJoin(sweep × data) row amplification (at billions of scored
+    // windows a 3-rate sweep would otherwise shuffle 3× the data)
+    val cells = sg.agg(
+      count(lit(1)).as("_n"), // anchor so flatMap'd aggs can't be empty
+      rates.zipWithIndex.flatMap { case (r, i) =>
+        val t = thrMap(1.0 - r).getOrElse(Double.NaN)
+        val pred = when(col("score") > t, 1).otherwise(0)
+        Seq(
+          sum(when(pred === 1 && col("gt") === 1, 1).otherwise(0)).as(s"tp_$i"),
+          sum(when(pred === 1 && col("gt") === 0, 1).otherwise(0)).as(s"fp_$i"),
+          sum(when(pred === 0 && col("gt") === 1, 1).otherwise(0)).as(s"fn_$i"))
+      }: _*)
+    cells.select(explode(array(rates.zipWithIndex.map { case (r, i) =>
+        struct(lit(r).as("contam"), Num.r4(lit(thrMap(1.0 - r).getOrElse(Double.NaN))).as("thr"),
+          coalesce(col(s"tp_$i"), lit(0L)).as("tp"),
+          coalesce(col(s"fp_$i"), lit(0L)).as("fp"),
+          coalesce(col(s"fn_$i"), lit(0L)).as("fn"))
+      }: _*)).as("s"))
+      .select("s.contam", "s.thr", "s.tp", "s.fp", "s.fn")
       .withColumn("precision", Num.r4(
         when(col("tp") + col("fp") === 0, 0.0).otherwise(col("tp") / (col("tp") + col("fp")))))
       .withColumn("recall", Num.r4(

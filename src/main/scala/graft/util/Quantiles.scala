@@ -21,29 +21,66 @@ import org.apache.spark.sql.functions.{col, lit}
   */
 object Quantiles {
 
+  /** Memo of computed quantiles, keyed by (session, canonicalized
+    * logical plan of the input, column). The detection family asks for
+    * the SAME thresholds over the SAME cached stages repeatedly (the
+    * denoise cut in Detect.pipeline / ModelStore.save / Coreset.keptBank,
+    * the contamination cut in q16/q23) — each recomputation is a full
+    * range-sort job chain. Entries are a handful of doubles; stopped
+    * sessions are swept like util.StageCache.
+    */
+  private val memo = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+     String, Double), Option[Double]]()
+
+  private def sweepStopped(): Unit = {
+    val it = memo.keySet().iterator()
+    while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
+  }
+
   /** Exact interpolated quantiles of `df(c)` (nulls ignored, like
     * `percentile()`); `None` per quantile on empty input (mirroring the
     * aggregate's NULL so the sparse-SF edge behaves identically).
     */
   def exact(df: DataFrame, c: String, qs: Seq[Double]): Map[Double, Option[Double]] = {
+    sweepStopped()
+    val planKey = df.queryExecution.analyzed.canonicalized
+    val keyOf = (q: Double) => (df.sparkSession, planKey, c, q)
+    val missing = qs.filter(q => !memo.containsKey(keyOf(q)))
+    if (missing.nonEmpty) {
+      computeExact(df, c, missing).foreach { case (q, v) => memo.put(keyOf(q), v) }
+    }
+    qs.map(q => q -> memo.get(keyOf(q))).toMap
+  }
+
+  private def computeExact(df: DataFrame, c: String,
+                           qs: Seq[Double]): Map[Double, Option[Double]] = {
     val vals = df.select(col(c).cast("double").as("v")).na.drop()
-    val n = vals.count()
-    if (n == 0) return qs.map(_ -> None).toMap
-    val targets = qs.flatMap { q =>
-      val r = (n - 1) * q
-      Seq(math.floor(r).toLong, math.ceil(r).toLong)
-    }.toSet
-    val picked = vals.orderBy("v").rdd.map(_.getDouble(0)).zipWithIndex()
-      .filter { case (_, i) => targets.contains(i) }
-      .map(_.swap).collect().toMap
-    qs.map { q =>
-      val r = (n - 1) * q
-      val lo = math.floor(r).toLong
-      val hi = math.ceil(r).toLong
-      val v = if (hi == lo) picked(lo)
-              else (1.0 - (r - lo)) * picked(lo) + (r - lo) * picked(hi)
-      q -> Some(v)
-    }.toMap
+    // persist the SORTED values for the call's duration: n, the
+    // zipWithIndex partition-size pass, and the boundary collect all
+    // reuse one executed sort instead of re-running the range-sort per
+    // action (the count and the collect each replayed it before)
+    val sorted = vals.orderBy("v").rdd.map(_.getDouble(0))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = sorted.count()
+      if (n == 0) return qs.map(_ -> None).toMap
+      val targets = qs.flatMap { q =>
+        val r = (n - 1) * q
+        Seq(math.floor(r).toLong, math.ceil(r).toLong)
+      }.toSet
+      val picked = sorted.zipWithIndex()
+        .filter { case (_, i) => targets.contains(i) }
+        .map(_.swap).collect().toMap
+      qs.map { q =>
+        val r = (n - 1) * q
+        val lo = math.floor(r).toLong
+        val hi = math.ceil(r).toLong
+        val v = if (hi == lo) picked(lo)
+                else (1.0 - (r - lo)) * picked(lo) + (r - lo) * picked(hi)
+        q -> Some(v)
+      }.toMap
+    } finally sorted.unpersist(blocking = false)
   }
 
   def exactOne(df: DataFrame, c: String, q: Double): Option[Double] =
