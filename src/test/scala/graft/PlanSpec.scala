@@ -92,6 +92,19 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("q27 sweep is one scan — no sweep×data join, kernel in qd4's plan") {
+    // thresholds are literals → a single conditional-agg pass; the old
+    // crossJoin(sweep, scores) amplified every scored row |rates|×
+    val p27 = plan(graft.timeseries.Metrics.thresholdSweep(spark, Sf01))
+    assert(!p27.contains("BroadcastNestedLoopJoin") && !p27.contains("CartesianProduct"),
+      s"q27 re-grew a sweep×data join:\n${p27.take(1200)}")
+    // qd4 intersects via the merge-walk kernel, not array_intersect's
+    // per-pair hash set
+    val pd4 = plan(graft.text.Dedup.ngramJaccard(spark, Sf01))
+    assert(pd4.contains("graft_sorted_inter") && !pd4.contains("array_intersect"),
+      s"qd4 lost the sorted-intersection kernel:\n${pd4.take(1200)}")
+  }
+
   test("q28 labels derive from the cached grid origin — no raw events scan") {
     val p = plan(graft.timeseries.TsQueries.q28WindowLabels(spark, Sf01))
     assert(!p.contains("events.parquet"), s"q28 re-scans raw events:\n${p.take(800)}")

@@ -133,4 +133,25 @@ class VectorExprSpec extends SparkSuite {
       .collect()
     assert(df.head.isNullAt(0) && df.head.isNullAt(1))
   }
+
+  test("graft_sorted_inter equals size(array_intersect) on 300 random sorted sets") {
+    VectorExprs.register(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val cases = (0 until 300).map { _ =>
+      val a = (0 until rnd.nextInt(60)).map(_ => rnd.nextInt(40).toLong).distinct.sorted.toArray
+      val b = (0 until rnd.nextInt(60)).map(_ => rnd.nextInt(40).toLong).distinct.sorted.toArray
+      (a, b)
+    }
+    val both = cases.toDF("a", "b").select(
+      expr("graft_sorted_inter(a, b)").as("kernel"),
+      size(array_intersect(col("a"), col("b"))).as("ref"))
+    assert(both.filter(col("kernel") =!= col("ref")).count() === 0)
+    // empty/null edges
+    val e = spark.sql(
+      """SELECT graft_sorted_inter(cast(array() as array<bigint>), array(1L, 2L)) AS z,
+        |       graft_sorted_inter(cast(null as array<bigint>), array(1L)) AS nl
+        |""".stripMargin).head()
+    assert(e.getInt(0) === 0 && e.isNullAt(1))
+  }
 }
