@@ -163,10 +163,13 @@ object Events {
     val exact = cols.map(c => c -> Future(graft.util.Quantiles.exact(li, c, qs))).toMap
       .map { case (c, f) => c -> Await.result(f, Duration.Inf) }
     val rows = cols.flatMap { c =>
-      val ap = approxRow.getAs[scala.collection.Seq[Double]](s"${c}_approx")
+      // approx_percentile yields NULL (not an empty list) on empty
+      // input — surface it as NaN so the gate simply fails closed
+      val ap = Option(approxRow.getAs[scala.collection.Seq[Double]](s"${c}_approx"))
       qs.zipWithIndex.map { case (q, i) =>
         val e = exact(c)(q).getOrElse(Double.NaN)
-        val ok = if (math.abs(ap(i) - e) <= math.abs(e) * tol + 1.0) 1 else 0
+        val a = ap.map(_(i)).getOrElse(Double.NaN)
+        val ok = if (math.abs(a - e) <= math.abs(e) * tol + 1.0) 1 else 0
         (c, q, math.floor(e * 10000d + 0.5d) / 10000d, ok)
       }
     }
