@@ -74,6 +74,29 @@ object Profile {
           li.select(lit(c).as("column_name"), org.apache.spark.sql.functions.col(c).cast("double").as("v")))
         .reduce(_ unionByName _).distinct().groupBy("column_name").count().count()
     }
+    // qp3 phases: the approx_percentile pass vs each column's exact
+    // range-sort quantile chain (util.Quantiles)
+    locally {
+      import org.apache.spark.sql.functions.{col, expr}
+      val li2 = graft.util.Tables.lineitem(spark, sfDir).select("l_quantity", "l_extendedprice")
+      t("qp3-approx") {
+        li2.agg(expr("approx_percentile(l_quantity, array(0.25,0.5,0.75), 10000)"),
+          expr("approx_percentile(l_extendedprice, array(0.25,0.5,0.75), 10000)")).count()
+      }
+      t("qp3-exQ") {
+        graft.util.Quantiles.exact(li2, "l_quantity", Seq(0.25, 0.5, 0.75)).size.toLong
+      }
+      t("qp3-exP") {
+        graft.util.Quantiles.exact(li2, "l_extendedprice", Seq(0.25, 0.5, 0.75)).size.toLong
+      }
+      // raw phases of one exact call, un-memoized
+      val vals = li2.select(col("l_extendedprice").cast("double").as("v")).na.drop()
+      val sorted = vals.orderBy("v").rdd.map(_.getDouble(0))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      t("qp3-sortN") { sorted.count() }
+      t("qp3-zip") { sorted.zipWithIndex().filter { case (_, i) => i == 100 }.count() }
+      sorted.unpersist(blocking = false)
+    }
     spark.stop()
   }
 }

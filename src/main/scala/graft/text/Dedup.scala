@@ -109,23 +109,22 @@ object Dedup {
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      val nbrMin = edges
-        .join(labels.select(col("doc_id").as("doc_b"), col("cluster_id").as("nl")), "doc_b")
-        .groupBy("doc_a").agg(min("nl").as("nbr_min"))
-        .select(col("doc_a").as("doc_id"), col("nbr_min"))
-      // pointer doubling: label(label(v)) — cluster_id is itself a doc_id
-      val lol = labels.join(
-        labels.select(col("doc_id").as("cluster_id"), col("cluster_id").as("ll")),
-        Seq("cluster_id"))
-        .select(col("doc_id"), col("ll"))
-      val next = labels
-        .join(nbrMin, Seq("doc_id"), "left")
-        .join(lol, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("cluster_id").as("old"),
-          least(col("cluster_id"),
-                coalesce(col("nbr_min"), col("cluster_id")),
-                coalesce(col("ll"), col("cluster_id"))).as("cluster_id"))
-        .localCheckpoint() // one job; the convergence count below is free
+      // One join + one groupBy per round: next(v) = min over the labels
+      // of {v itself, v's neighbours, v's current label}. Looking up the
+      // label OF v's label is the pointer-doubling shortcut — expressed
+      // here as an extra (v → cluster_id) probe edge into the SAME
+      // min-label lookup, instead of a separate labels⋈labels join +
+      // per-branch outer joins (3 shuffling joins → 1).
+      val probes = edges.select(col("doc_a").as("v"), col("doc_b").as("u"), lit(0).as("mk"))
+        .unionByName(labels.select(col("doc_id").as("v"), col("cluster_id").as("u"), lit(0).as("mk")))
+        .unionByName(labels.select(col("doc_id").as("v"), col("doc_id").as("u"), lit(1).as("mk")))
+      val next = probes
+        .join(labels.select(col("doc_id").as("u"), col("cluster_id").as("lu")), "u")
+        .groupBy(col("v").as("doc_id"))
+        // the mk=1 self-probe's lu is v's OLD label — carried through the
+        // same aggregation so the convergence check is a cheap filter
+        .agg(min("lu").as("cluster_id"), max(when(col("mk") === 1, col("lu"))).as("old"))
+        .localCheckpoint() // one job; the convergence check below reads it
       converged = next.filter(col("cluster_id") =!= col("old")).isEmpty
       labels = next.select("doc_id", "cluster_id")
       iter += 1
@@ -218,9 +217,13 @@ object Dedup {
       .groupBy("doc_id")
       .agg(sort_array(collect_list("shh")).as("shs"), count(lit(1)).as("sz"))
       .localCheckpoint(eager = false)
+    // shuffle-hash, not sort-merge: the pair stream carries the ~0.4 KB
+    // arrays after the first join, and SMJ would SORT that wide stream
+    // on doc_b (memory churn ≫ the join itself); SHJ hashes the small
+    // per-doc array table and streams the pairs through unsorted.
     cand
-      .join(shArr.select(col("doc_id").as("doc_a"), col("shs").as("sa"), col("sz").as("sza")), Seq("doc_a"))
-      .join(shArr.select(col("doc_id").as("doc_b"), col("shs").as("sb"), col("sz").as("szb")), Seq("doc_b"))
+      .join(shArr.select(col("doc_id").as("doc_a"), col("shs").as("sa"), col("sz").as("sza")).hint("shuffle_hash"), Seq("doc_a"))
+      .join(shArr.select(col("doc_id").as("doc_b"), col("shs").as("sb"), col("sz").as("szb")).hint("shuffle_hash"), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         // merge-walk kernel over the sorted hash arrays — see
         // functions.SortedInterCount for why not array_intersect

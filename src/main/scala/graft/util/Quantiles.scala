@@ -55,23 +55,52 @@ object Quantiles {
 
   private def computeExact(df: DataFrame, c: String,
                            qs: Seq[Double]): Map[Double, Option[Double]] = {
+    // Range-partition (NOT sort) + per-partition counts + targeted
+    // single-partition rank-selects. The old shape (global sort →
+    // count → zipWithIndex → filter) paid a full per-partition sort
+    // plus two more whole-data passes; here the shuffle only *ranges*
+    // the values, one pass counts each partition, and then each target
+    // order statistic is a job over exactly ONE partition
+    // (sc.runJob(partitions = p)) that sorts just that partition's
+    // ~n/P values. Exactness is unchanged — rank r's partition and
+    // local offset are fully determined by the range-partition counts.
+    val spark = df.sparkSession
     val vals = df.select(col(c).cast("double").as("v")).na.drop()
-    // persist the SORTED values for the call's duration: n, the
-    // zipWithIndex partition-size pass, and the boundary collect all
-    // reuse one executed sort instead of re-running the range-sort per
-    // action (the count and the collect each replayed it before)
-    val sorted = vals.orderBy("v").rdd.map(_.getDouble(0))
+    val p = spark.sessionState.conf.numShufflePartitions
+    val ranged = vals.repartitionByRange(p, col("v")).rdd.map(_.getDouble(0))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val n = sorted.count()
+      // one pass: per-partition sizes (also materializes the persist)
+      val sizes = new Array[Long](ranged.getNumPartitions)
+      spark.sparkContext.runJob(ranged, (it: Iterator[Double]) => {
+        var n = 0L; while (it.hasNext) { it.next(); n += 1 }; n
+      }).zipWithIndex.foreach { case (s, i) => sizes(i) = s }
+      val offsets = sizes.scanLeft(0L)(_ + _) // offsets(i) = rows before partition i
+      val n = offsets.last
       if (n == 0) return qs.map(_ -> None).toMap
       val targets = qs.flatMap { q =>
         val r = (n - 1) * q
         Seq(math.floor(r).toLong, math.ceil(r).toLong)
       }.toSet
-      val picked = sorted.zipWithIndex()
-        .filter { case (_, i) => targets.contains(i) }
-        .map(_.swap).collect().toMap
+      // group target ranks by owning partition; one tiny job per partition
+      val byPart = targets.groupBy { t =>
+        var i = java.util.Arrays.binarySearch(offsets, t)
+        if (i < 0) i = -i - 2 else {
+          // t lands on a boundary: skip over empty partitions
+          while (i < sizes.length && sizes(i) == 0) i += 1
+        }
+        i
+      }
+      val picked = scala.collection.mutable.Map[Long, Double]()
+      byPart.foreach { case (part, ts) =>
+        val locals = ts.map(t => (t - offsets(part)).toInt -> t)
+        val res = spark.sparkContext.runJob(ranged, (it: Iterator[Double]) => {
+          val arr = it.toArray
+          java.util.Arrays.sort(arr)
+          locals.toSeq.map { case (li, t) => t -> arr(li) }
+        }, Seq(part))
+        res.head.foreach { case (t, v) => picked(t) = v }
+      }
       qs.map { q =>
         val r = (n - 1) * q
         val lo = math.floor(r).toLong
@@ -80,7 +109,7 @@ object Quantiles {
                 else (1.0 - (r - lo)) * picked(lo) + (r - lo) * picked(hi)
         q -> Some(v)
       }.toMap
-    } finally sorted.unpersist(blocking = false)
+    } finally ranged.unpersist(blocking = false)
   }
 
   def exactOne(df: DataFrame, c: String, q: Double): Option[Double] =

@@ -129,15 +129,18 @@ object Similarity {
       .withColumn("cell", row_number().over(Window.orderBy("vec_id")) - 1)
     val seeds = e.join(broadcast(seedIds), "vec_id").select(col("cell"), col("v").as("sv"))
     // assign every vector to its nearest seed (L2, ties → lower cell):
-    // a broadcast nested-loop over nCells array rows with the codegen'd
-    // graft_l2 kernel — one row per (vector, cell), no per-dimension
-    // explode (which would be nCells× the collection in shuffle volume).
-    // min(struct(d2, cell)) = lexicographic min → nearest, ties to the
-    // lower cell, with map-side partial aggregation.
-    val assign = e.select(col("vec_id"), col("v")).crossJoin(broadcast(seeds))
-      .withColumn("d2", expr("graft_l2(v, sv)"))
-      .groupBy("vec_id").agg(min(struct(col("d2"), col("cell"))).as("m"))
-      .select(col("vec_id"), col("m.cell").as("cell"))
+    // the nCells seed vectors pack into ONE flattened row sorted by cell
+    // and broadcast; graft_argmin_dist2 scans them per vector in a
+    // single codegen'd loop, keeping the FIRST index on exact ties —
+    // i.e. the lowest cell, the same tie-break as min(struct(d2, cell)).
+    // Zero shuffle on the collection side (the former shape fanned every
+    // vector out ×nCells and shuffled 800k rows back through a groupBy).
+    val packedSeeds = seeds
+      .select(struct(col("cell"), col("sv")).as("s"))
+      .agg(array_sort(collect_list(col("s"))).as("ps"))
+      .select(flatten(expr("transform(ps, x -> x.sv)")).as("sf"))
+    val assign = e.select(col("vec_id"), col("v")).crossJoin(broadcast(packedSeeds))
+      .select(col("vec_id"), expr("int(graft_argmin_dist2(sf, v))").as("cell"))
     val pos = e.select(col("vec_id"), posexplode(col("v")).as(Seq("d", "x")))
     val centroids = pos.join(broadcast(assign), "vec_id")
       .groupBy("cell", "d").agg(avg("x").as("c"))
