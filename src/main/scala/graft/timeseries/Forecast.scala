@@ -152,17 +152,85 @@ object Forecast {
         .select(Seq(col("series"), col("t"), col("y")) ++ lagCols: _*)
         .join(broadcast(boundaryT(spark, sfDir)), "series")
     }
-    horizons.map { h =>
-      val base = combined
-        .select(col("series"), col("t"), col("y"), col("tsplit"),
-          col(s"x1_$h").as("x1"), col(s"x2_$h").as("x2"), col(s"x3_$h").as("x3"))
-        .filter(col("y").isNotNull && col("x1").isNotNull &&
-                col("x2").isNotNull && col("x3").isNotNull)
-      olsSolve(base).select(col("series"), lit(h).as("horizon"), col("n"),
-        Num.r4(col("b0")).as("b0"), Num.r4(col("b1")).as("b1"),
-        Num.r4(col("b2")).as("b2"), Num.r4(col("b3")).as("b3"),
-        Num.r4(col("mae")).as("mae"), Num.r4(col("rmse")).as("rmse"))
-    }.reduce(_ unionByName _)
+    // ALL horizons solve in THREE shared aggregation passes (means →
+    // centered sums → test errors) with per-horizon when(ok_h, …) guards,
+    // instead of |h| independent olsSolve chains (4 shuffling stages
+    // each). A conditional sum visits the same rows in the same scan
+    // order as the filtered frame it replaces, so every sufficient
+    // statistic — and therefore every coefficient and error — is
+    // bit-identical to the per-horizon solve (h=1 ≡ q22 stays asserted
+    // in ForecastImputeSpec; the oracle CTE chain is unchanged).
+    def ok(h: Int) = col("y").isNotNull && col(s"x1_$h").isNotNull &&
+      col(s"x2_$h").isNotNull && col(s"x3_$h").isNotNull
+    val train = combined.filter(col("t") < col("tsplit"))
+    val test = combined.filter(col("t") >= col("tsplit"))
+    val meanAggs = horizons.flatMap { h => Seq(
+      avg(when(ok(h), col("y"))).as(s"my_$h"),
+      avg(when(ok(h), col(s"x1_$h"))).as(s"m1_$h"),
+      avg(when(ok(h), col(s"x2_$h"))).as(s"m2_$h"),
+      avg(when(ok(h), col(s"x3_$h"))).as(s"m3_$h")) }
+    val means = train.groupBy("series").agg(meanAggs.head, meanAggs.tail: _*)
+    def cc(h: Int, a: String, ma: String, b: String, mb: String) =
+      sum(when(ok(h), (col(a) - col(ma)) * (col(b) - col(mb))))
+    val statAggs = horizons.flatMap { h => Seq(
+      cc(h, s"x1_$h", s"m1_$h", s"x1_$h", s"m1_$h").as(s"s11_$h"),
+      cc(h, s"x1_$h", s"m1_$h", s"x2_$h", s"m2_$h").as(s"s12_$h"),
+      cc(h, s"x1_$h", s"m1_$h", s"x3_$h", s"m3_$h").as(s"s13_$h"),
+      cc(h, s"x2_$h", s"m2_$h", s"x2_$h", s"m2_$h").as(s"s22_$h"),
+      cc(h, s"x2_$h", s"m2_$h", s"x3_$h", s"m3_$h").as(s"s23_$h"),
+      cc(h, s"x3_$h", s"m3_$h", s"x3_$h", s"m3_$h").as(s"s33_$h"),
+      cc(h, s"x1_$h", s"m1_$h", "y", s"my_$h").as(s"sy1_$h"),
+      cc(h, s"x2_$h", s"m2_$h", "y", s"my_$h").as(s"sy2_$h"),
+      cc(h, s"x3_$h", s"m3_$h", "y", s"my_$h").as(s"sy3_$h")) }
+    val stats = train.join(broadcast(means), "series")
+      .groupBy("series").agg(statAggs.head, statAggs.tail: _*)
+    // per-horizon Cramer's rule — the same expression structure as
+    // olsSolve (and TsOracle.q39), just on suffixed columns
+    val coefCols = horizons.flatMap { h =>
+      def s(n: String) = col(s"$n$h")
+      val det = s("s11_") * (s("s22_") * s("s33_") - s("s23_") * s("s23_")) -
+        s("s12_") * (s("s12_") * s("s33_") - s("s23_") * s("s13_")) +
+        s("s13_") * (s("s12_") * s("s23_") - s("s22_") * s("s13_"))
+      val b1 = (s("sy1_") * (s("s22_") * s("s33_") - s("s23_") * s("s23_")) -
+        s("s12_") * (s("sy2_") * s("s33_") - s("s23_") * s("sy3_")) +
+        s("s13_") * (s("sy2_") * s("s23_") - s("s22_") * s("sy3_"))) / det
+      val b2 = (s("s11_") * (s("sy2_") * s("s33_") - s("sy3_") * s("s23_")) -
+        s("sy1_") * (s("s12_") * s("s33_") - s("s23_") * s("s13_")) +
+        s("s13_") * (s("s12_") * s("sy3_") - s("sy2_") * s("s13_"))) / det
+      val b3 = (s("s11_") * (s("s22_") * s("sy3_") - s("s23_") * s("sy2_")) -
+        s("s12_") * (s("s12_") * s("sy3_") - s("sy2_") * s("s13_")) +
+        s("sy1_") * (s("s12_") * s("s23_") - s("s22_") * s("s13_"))) / det
+      Seq(b1.as(s"b1_$h"), b2.as(s"b2_$h"), b3.as(s"b3_$h"),
+        (s("my_") - b1 * s("m1_") - b2 * s("m2_") - b3 * s("m3_")).as(s"b0_$h"))
+    }
+    val coefs = stats.join(broadcast(means), "series")
+      .select(col("series") +: coefCols: _*)
+    val errAggs = horizons.flatMap { h =>
+      val p = col(s"b0_$h") + col(s"b1_$h") * col(s"x1_$h") +
+        col(s"b2_$h") * col(s"x2_$h") + col(s"b3_$h") * col(s"x3_$h")
+      Seq(
+        sum(when(ok(h), 1L)).as(s"n_$h"),
+        avg(when(ok(h), abs(col("y") - p))).as(s"mae_$h"),
+        sqrt(avg(when(ok(h), (col("y") - p) * (col("y") - p)))).as(s"rmse_$h"))
+    }
+    val errs = test.join(broadcast(coefs), "series")
+      .groupBy("series").agg(errAggs.head, errAggs.tail: _*)
+    errs.join(broadcast(coefs), "series")
+      .select(col("series"), explode(array(horizons.map { h =>
+        struct(lit(h).as("horizon"), col(s"n_$h").as("n"),
+          col(s"b0_$h").as("b0"), col(s"b1_$h").as("b1"),
+          col(s"b2_$h").as("b2"), col(s"b3_$h").as("b3"),
+          col(s"mae_$h").as("mae"), col(s"rmse_$h").as("rmse"))
+      }: _*)).as("s"))
+      // a (series, horizon) row exists in the per-horizon solve only if
+      // the series had ≥1 complete train row (b0 non-null; NaN from a
+      // singular system still passes, matching the old inner-join chain)
+      // AND ≥1 complete test row for that horizon
+      .filter(col("s.b0").isNotNull && col("s.n") > 0)
+      .select(col("series"), col("s.horizon").as("horizon"), col("s.n").as("n"),
+        Num.r4(col("s.b0")).as("b0"), Num.r4(col("s.b1")).as("b1"),
+        Num.r4(col("s.b2")).as("b2"), Num.r4(col("s.b3")).as("b3"),
+        Num.r4(col("s.mae")).as("mae"), Num.r4(col("s.rmse")).as("rmse"))
   }
 
   /** q41: forecast-dataset window-pair build (ref process_LF.py:52-80

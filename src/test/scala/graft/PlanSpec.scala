@@ -105,6 +105,19 @@ class PlanSpec extends SparkSuite {
       s"qd4 lost the sorted-intersection kernel:\n${pd4.take(1200)}")
   }
 
+  test("qd4 array joins are shuffle-hash — the wide pair stream is never sorted") {
+    // after the first join every pair row carries a ~0.4 KB hash array;
+    // SMJ would sort that stream on doc_b (memory churn ≫ the join).
+    val p = plan(graft.text.Dedup.ngramJaccard(spark, Sf01))
+    assert(p.contains("ShuffledHashJoin"), s"qd4 lost the shuffle-hash hint:\n${p.take(1200)}")
+  }
+
+  test("qv3 cell assignment is a packed-kernel projection — no fan-out, no groupBy shuffle") {
+    val p = plan(graft.vector.Similarity.ivfAnn(spark, Sf01))
+    assert(p.contains("graft_argmin_dist2"),
+      s"qv3 assignment must scan the packed seed row with the codegen kernel:\n${p.take(1200)}")
+  }
+
   test("q28 labels derive from the cached grid origin — no raw events scan") {
     val p = plan(graft.timeseries.TsQueries.q28WindowLabels(spark, Sf01))
     assert(!p.contains("events.parquet"), s"q28 re-scans raw events:\n${p.take(800)}")

@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+import graft.util.Quantiles
+
+/** util.Quantiles is the threshold engine for the whole detection family
+  * (q16/q23/q27/qp3/ModelStore/Coreset) — its rank-select internals
+  * (range partition + per-partition counts + single-partition selects)
+  * must reproduce the interpolated order statistics of a plain sorted
+  * array bit-for-bit, for any partitioning of the input.
+  */
+class QuantilesSpec extends AnyFunSuite with SparkSuite {
+
+  /** DuckDB-style interpolation over an in-driver sorted array. */
+  private def refQuantile(sorted: Array[Double], q: Double): Double = {
+    val r = (sorted.length - 1) * q
+    val lo = math.floor(r).toInt
+    val hi = math.ceil(r).toInt
+    if (hi == lo) sorted(lo)
+    else (1.0 - (r - lo)) * sorted(lo) + (r - lo) * sorted(hi)
+  }
+
+  test("rank-select quantiles == sorted-array interpolation (random sizes, dupes, partitionings)") {
+    import spark.implicits._
+    val rnd = new Random(7)
+    val qs = Seq(0.01, 0.25, 0.5, 0.85, 0.99)
+    for (trial <- 1 to 12) {
+      val n = 1 + rnd.nextInt(5000)
+      // heavy duplicates every other trial → many ties straddling
+      // range-partition boundaries
+      val vals = Array.fill(n)(
+        if (trial % 2 == 0) rnd.nextInt(7).toDouble else rnd.nextDouble() * 2000 - 1000)
+      val parts = 1 + rnd.nextInt(50) // more partitions than data sometimes
+      val df = spark.sparkContext.parallelize(vals.toSeq, parts).toDF("v")
+      val got = Quantiles.exact(df, "v", qs)
+      val sorted = vals.sorted
+      qs.foreach { q =>
+        val want = refQuantile(sorted, q)
+        assert(got(q).contains(want),
+          s"trial $trial n=$n parts=$parts q=$q: got ${got(q)}, want $want")
+      }
+    }
+  }
+
+  test("edges: empty input -> None; single row -> that row for every q") {
+    import spark.implicits._
+    val empty = spark.emptyDataset[Double].toDF("v")
+    assert(Quantiles.exact(empty, "v", Seq(0.5))(0.5).isEmpty)
+    val one = Seq(42.5).toDF("v")
+    assert(Quantiles.exactOne(one, "v", 0.0).contains(42.5))
+    assert(Quantiles.exactOne(one, "v", 0.5).contains(42.5))
+    assert(Quantiles.exactOne(one, "v", 1.0).contains(42.5))
+  }
+
+  test("nulls are ignored, like percentile()") {
+    import spark.implicits._
+    val df = Seq[Option[Double]](Some(1.0), None, Some(3.0), None, Some(2.0)).toDF("v")
+    assert(Quantiles.exactOne(df, "v", 0.5).contains(2.0))
+  }
+}
