@@ -18,7 +18,9 @@ object Explain {
       plan.split("\n").filter(l =>
         l.contains("Scan parquet") || l.contains("PushedFilters") || l.contains("ReadSchema") ||
         l.contains("Exchange") || l.contains("Broadcast") || l.contains("WholeStageCodegen") ||
-        l.contains("SortMergeJoin") || l.contains("HashAggregate") || l.contains("Window") ||
+        l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("HashAggregate") || l.contains("Window") ||
+        l.contains("graft_") ||
         l.contains("CartesianProduct") || l.contains("NestedLoop")
       ).take(40).foreach(println)
     }

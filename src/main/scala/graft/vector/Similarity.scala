@@ -118,6 +118,15 @@ object Similarity {
       .withColumn("recall", Num.r4(col("n_hit") / col("n_exact")))
   }
 
+  /** The qv3 assignment stage: nearest packed seed per vector via ONE
+    * codegen'd argmin scan — exposed for the PlanSpec gate (the
+    * checkpoint in ivfAnn hides this subtree behind a LogicalRDD).
+    */
+  private[graft] def cellAssign(e: DataFrame,
+                                packedSeeds: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("v")).crossJoin(broadcast(packedSeeds))
+      .select(col("vec_id"), expr("int(graft_argmin_dist2(sf, v))").as("cell"))
+
   /** qv3: IVF-style ANN — cells seeded by the first nCells vec_ids, one
     * assignment pass, centroid = cell mean, queries probe the nProbe
     * nearest centroids and rank candidates in those cells. The cell
@@ -139,8 +148,11 @@ object Similarity {
       .select(struct(col("cell"), col("sv")).as("s"))
       .agg(array_sort(collect_list(col("s"))).as("ps"))
       .select(flatten(expr("transform(ps, x -> x.sv)")).as("sf"))
-    val assign = e.select(col("vec_id"), col("v")).crossJoin(broadcast(packedSeeds))
-      .select(col("vec_id"), expr("int(graft_argmin_dist2(sf, v))").as("cell"))
+    // materialized lazily: assignment feeds BOTH the centroid build and
+    // the candidate join — without the checkpoint each consumer re-scans
+    // the whole collection through the kernel; the materialized form is
+    // two narrow columns (vec_id, cell), trivial at any scale
+    val assign = cellAssign(e, packedSeeds).localCheckpoint(eager = false)
     val pos = e.select(col("vec_id"), posexplode(col("v")).as(Seq("d", "x")))
     val centroids = pos.join(broadcast(assign), "vec_id")
       .groupBy("cell", "d").agg(avg("x").as("c"))

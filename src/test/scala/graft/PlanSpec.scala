@@ -113,9 +113,22 @@ class PlanSpec extends SparkSuite {
   }
 
   test("qv3 cell assignment is a packed-kernel projection — no fan-out, no groupBy shuffle") {
-    val p = plan(graft.vector.Similarity.ivfAnn(spark, Sf01))
+    graft.functions.VectorExprs.register(spark)
+    import spark.implicits._
+    val e = Tables.embeddings(spark, Sf01)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val seeds = Seq((0, Array.fill(64)(0.5))).toDF("cell", "sv")
+      .select(org.apache.spark.sql.functions.struct(col("cell"), col("sv")).as("s"))
+      .agg(org.apache.spark.sql.functions.array_sort(
+        org.apache.spark.sql.functions.collect_list(col("s"))).as("ps"))
+      .selectExpr("flatten(transform(ps, x -> x.sv)) AS sf")
+    val p = plan(graft.vector.Similarity.cellAssign(e, seeds))
     assert(p.contains("graft_argmin_dist2"),
       s"qv3 assignment must scan the packed seed row with the codegen kernel:\n${p.take(1200)}")
+    // no per-cell fan-out, no groupBy(vec_id) shuffle: the only Exchange
+    // is the packed seeds' own single-row aggregation
+    assert(!p.contains("hashpartitioning(vec_id"),
+      s"assignment re-grew the per-vector groupBy shuffle:\n${p.take(1200)}")
   }
 
   test("q28 labels derive from the cached grid origin — no raw events scan") {
