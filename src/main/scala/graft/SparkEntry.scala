@@ -88,6 +88,7 @@ object SparkEntry {
     "q39_direct_horizon" -> ((s, d) => graft.timeseries.Forecast.directHorizonForecast(s, d)),
     "q41_window_pairs" -> ((s, d) => graft.timeseries.Forecast.windowPairs(s, d)),
     "q42_rescaled_metrics" -> ((s, d) => graft.timeseries.Forecast.rescaledMetrics(s, d)),
+    "q43_calendar_filter" -> ((s, d) => graft.timeseries.TsQueries.q43CalendarFilter(s, d)),
     "qm2_frame_sample" -> ((s, d) => graft.multimodal.BinaryMeta.frameSample(s, d)),
     "qa10_stratified_sample" -> ((s, d) => Relational.stratifiedSample(s, d)),
     "qa11_salted_agg" -> ((s, d) => Relational.saltedAgg(s, d)),
@@ -386,6 +387,7 @@ object SparkEntry {
     "q39_direct_horizon" -> TsOracle.q39(),
     "q41_window_pairs" -> TsOracle.q41(),
     "q42_rescaled_metrics" -> TsOracle.q42,
+    "q43_calendar_filter" -> TsOracle.q43(),
     "q32_acf" -> TsOracle.q32(),
     "q33_level_shift" -> TsOracle.q33(),
     "q34_mad_outliers" -> TsOracle.q34(),

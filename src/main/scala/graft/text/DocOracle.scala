@@ -369,11 +369,10 @@ SELECT doc_id, rnk, tok, tfidf FROM (
 ) WHERE rnk <= $topN"""
 
   def qt4(n: Int = 5, k: Int = 3): String = toksCte + shinglesCte(n, "sh5") + s"""
-, shd AS (SELECT DISTINCT doc_id, sh FROM sh5),
-hashed AS (SELECT doc_id, sh, ${h("sh")} AS hh FROM shd)
+, hashed AS (SELECT DISTINCT doc_id, ${h("sh")} AS hh FROM sh5)
 SELECT doc_id, rnk, h FROM (
   SELECT doc_id, hh AS h,
-         row_number() OVER (PARTITION BY doc_id ORDER BY hh, sh) AS rnk
+         row_number() OVER (PARTITION BY doc_id ORDER BY hh) AS rnk
   FROM hashed
 ) WHERE rnk <= $k"""
 }

@@ -113,12 +113,16 @@ object TextOps {
   def fingerprint(spark: SparkSession, sfDir: String, n: Int = 5, k: Int = 3): DataFrame = {
     // bottom-k per doc via a bounded array sort, not a full window
     // sort: the groupBy carries one array per doc (shingles/doc is
-    // bounded), where row_number would sort-shuffle every shingle row
+    // bounded), where row_number would sort-shuffle every shingle row.
+    // Dedup happens on the HASH via collect_set — ONE long-keyed shuffle
+    // with map-side partial dedup, instead of a distinct over the
+    // shingle strings followed by a second shuffle. (The fingerprint is
+    // the bottom-k of the hash SET — a within-doc hash collision counts
+    // once, which is also the sketch a 100 TB pipeline wants.)
     shingles(spark, sfDir, n)
-      .select(col("doc_id"), col("sh")).distinct()
-      .withColumn("h", strHash(col("sh")))
+      .select(col("doc_id"), strHash(col("sh")).as("h"))
       .groupBy("doc_id")
-      .agg(slice(array_sort(collect_list(col("h"))), 1, k).as("hs"))
+      .agg(slice(array_sort(collect_set(col("h"))), 1, k).as("hs"))
       .select(col("doc_id"), posexplode(col("hs")).as(Seq("i", "h")))
       .select(col("doc_id"), (col("i") + 1).as("rnk"), col("h"))
   }

@@ -169,6 +169,24 @@ testp AS (
 
   def q02: String = prefix + "SELECT series, t, floor((v_filled)*10000 + 0.5)/10000 AS v_filled, src FROM filled"
 
+  def q43(blocked: Seq[(Long, Long)] = Seq((2L, 4L), (9L, 10L))): String = {
+    val blockedSql = blocked
+      .map { case (lo, hi) => s"SELECT unnest(generate_series($lo, ${hi - 1})) AS d" }
+      .mkString(" UNION ALL ")
+    prefix + s"""
+, daysrc AS (
+  SELECT series, t, v_filled, src, CAST(floor(t / $DaySize) AS BIGINT) AS d FROM filled
+), emptydays AS (
+  SELECT series, d FROM daysrc GROUP BY series, d
+  HAVING sum(CASE WHEN src = 'obs' THEN 1 ELSE 0 END) = 0
+), blocked AS ($blockedSql)
+SELECT series, t, floor((v_filled)*10000 + 0.5)/10000 AS v_filled, src
+FROM daysrc ds
+WHERE NOT EXISTS (SELECT 1 FROM blocked b WHERE b.d = ds.d)
+  AND NOT EXISTS (SELECT 1 FROM emptydays e WHERE e.series = ds.series AND e.d = ds.d)
+"""
+  }
+
   def q03(size: Int, stride: Int): String = prefix + s"""
 , memb AS (
   SELECT series, t, v_filled AS v, unnest([CAST(floor(t / $stride) AS BIGINT),

@@ -99,4 +99,26 @@ class TsCoreSpec extends SparkSuite {
     val inRange = s.filter(col("vs") >= -0.001 && col("vs") <= 1.001).count()
     assert(inRange.toDouble / n > 0.97)
   }
+
+  test("q43 calendar filter drops blocked day ranges and data-derived empty days") {
+    import spark.implicits._
+    // series A: days 0-3 observed; day 2 fully week-walk-filled (no obs).
+    // series B: all 4 days observed.
+    val filled = (0L until 4 * 24L).flatMap { t =>
+      val d = t / 24
+      Seq(("A", t, 1.0, if (d == 2) "lag" else "obs"),
+          ("B", t, 2.0, "obs"))
+    }.toDF("series", "t", "v_filled", "src")
+    // block day 0 only
+    val kept = graft.timeseries.TsQueries
+      .calendarFilterFrom(filled, Seq((0L, 1L)))
+      .select("series", "t").as[(String, Long)].collect().toSet
+    // day 0 gone for both; day 2 gone for A only (empty day); rest kept
+    assert(!kept.exists(_._2 < 24), "blocked day 0 must be dropped for every series")
+    assert(!kept.exists { case (s, t) => s == "A" && t / 24 == 2 },
+      "A's unobserved day must be dropped")
+    assert(kept.count { case (s, t) => s == "B" && t / 24 == 2 } === 24,
+      "B's observed day 2 must survive")
+    assert(kept.size === 24 * (3 + 2), "A keeps days 1,3; B keeps days 1,2,3")
+  }
 }
