@@ -104,6 +104,14 @@ object Dedup {
       pairs.unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
         .distinct()
     }
+    ccFrom(edges, maxIter)
+  }
+
+  /** The CC loop over an explicit symmetric edge list (doc_a, doc_b) —
+    * separated so specs can drive random graphs through the exact
+    * operator plan and compare with driver-side union-find.
+    */
+  private[graft] def ccFrom(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     var labels = edges.select(col("doc_a").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id")).localCheckpoint()
     var iter = 0

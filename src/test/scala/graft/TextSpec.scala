@@ -27,6 +27,36 @@ class TextSpec extends SparkSuite {
     assert(ids.join(members, Seq("cluster_id"), "left_anti").count() === 0)
   }
 
+  test("cc loop == driver union-find on random graphs (fused-round exactness)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 5) {
+      val n = 20 + rnd.nextInt(60)
+      val nEdges = rnd.nextInt(n * 2)
+      val raw = Seq.fill(nEdges)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // driver union-find ground truth
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      raw.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val sym = raw.flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
+      val edges = sym.toDF("doc_a", "doc_b")
+      val got = graft.text.Dedup.ccFrom(edges)
+        .as[(Long, Long)].collect().toMap
+      // every node with an edge must carry the min id of its component
+      val touched = sym.map(_._1).distinct
+      touched.foreach { v =>
+        val root = find(v.toInt)
+        val want = (0 until n).filter(u => find(u) == root).min.toLong
+        assert(got(v) === want, s"trial $trial node $v: got ${got(v)}, want $want")
+      }
+      assert(got.size === touched.size)
+    }
+  }
+
   test("simhash hamming bounded by fingerprint width") {
     val s = Dedup.simhash(spark, Sf001, maxHam = 16).cache()
     assert(s.count() > 0)
