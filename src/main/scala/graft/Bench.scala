@@ -11,6 +11,12 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.maxPlanStringLength", "1048576")
+      .config("spark.local.dir", sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR",
+        if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/spark-local" else "/tmp"))
+      .config("spark.shuffle.checksum.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_CHECKSUM", "false"))
+      .config("spark.storage.memoryMapThreshold", "134217728")
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import org.apache.spark.sql.functions.{col, xxhash64}

@@ -100,6 +100,9 @@ object SparkEntry {
     "qv4_ann_eval" -> ((s, d) => graft.vector.Similarity.annEval(s, d)),
     "qt8_langid_eval" -> ((s, d) => graft.text.TextOps.langIdEval(s, d)),
     "qd8_minhash_est" -> ((s, d) => graft.text.Dedup.minhashEstimate(s, d)),
+    "qd9_incremental_dedup" -> ((s, d) => graft.text.Dedup.incrementalDedup(s, d)),
+    "qt9_repetition" -> ((s, d) => graft.text.TextOps.repetition(s, d)),
+    "qa13_mixture_sample" -> ((s, d) => Relational.mixtureSample(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -392,5 +395,8 @@ object SparkEntry {
     "q33_level_shift" -> TsOracle.q33(),
     "q34_mad_outliers" -> TsOracle.q34(),
     "qt7_tfidf" -> graft.text.DocOracle.qt7(),
+    "qd9_incremental_dedup" -> graft.text.DocOracle.qd9(),
+    "qt9_repetition" -> graft.text.DocOracle.qt9,
+    "qa13_mixture_sample" -> graft.text.DocOracle.qa13(),
   )
 }

@@ -134,6 +134,42 @@ object Relational {
         sum(when(picked, 1).otherwise(0)).as("n_sampled"))
   }
 
+  /** qa13: mixture sampling — rebalance a corpus toward target mixture
+    * weights per group (the training-data "data mixture" build: so much
+    * en, so much code, so much fr…). Two tiny passes over metadata plus
+    * one filter over the data:
+    *   1. per-group counts (map-side partial agg, |groups| rows);
+    *   2. the feasible total = min over groups of n_total/weight — the
+    *      largest corpus honoring every weight without oversampling;
+    *   3. per-group keep threshold in basis points, applied as a
+    *      deterministic hash-bernoulli filter (same md5 family as qa10,
+    *      so resamples are stable across runs and engines).
+    * The counts/threshold table is |groups| rows → broadcast; the data
+    * pass is a stateless filter — embarrassingly parallel at 100 TB.
+    * Output is the per-group audit (totals, target, threshold, kept).
+    */
+  def mixtureSample(spark: SparkSession, sfDir: String,
+                    weights: Seq[(String, Int)] = Seq("en" -> 1, "fr" -> 1, "es" -> 1, "de" -> 1, "zh" -> 1)): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "lang")
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_total"))
+      .join(broadcast(weights.toDF("lang", "wi")), "lang")
+    // feasible units: min over groups of floor(n_total / weight); every
+    // group's target = units * weight. Integer arithmetic end to end.
+    val units = counts.agg(min(floor(col("n_total") / col("wi"))).cast("long").as("n_units"))
+    val thr = counts.crossJoin(broadcast(units))
+      .withColumn("n_target", (col("n_units") * col("wi")).cast("long"))
+      .withColumn("thr_bp", floor(col("n_target") * lit(10000.0) / col("n_total")).cast("long"))
+      .select("lang", "n_total", "n_target", "thr_bp")
+    val hb = graft.text.TextCore.strHash(col("doc_id").cast("string")) % 10000
+    docs.join(broadcast(thr), "lang")
+      .groupBy("lang")
+      .agg(first("n_total").as("n_total"), first("n_target").as("n_target"),
+        first("thr_bp").as("thr_bp"),
+        sum(when(hb < col("thr_bp"), 1L).otherwise(0L)).as("n_kept"))
+  }
+
   /** qa11: salted two-phase aggregation — the skew-safe form of a
     * grouped agg when a handful of hot keys would overload single
     * reducers: phase 1 partial-aggregates on (key, salt) spreading each

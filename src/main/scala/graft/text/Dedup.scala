@@ -48,19 +48,51 @@ object Dedup {
         .groupBy("doc_id", "j").agg(min("h").as("mh"))
     }
 
-  private def minhashLshBuild(spark: SparkSession, sfDir: String, nPerm: Int, bandRows: Int): DataFrame = {
-    val minh = minhashSignatures(spark, sfDir, nPerm)
-    val pw = bandPw.zipWithIndex.foldLeft(lit(0L)) { case (acc, (p, idx)) =>
-      when(col("j") % bandRows === idx, lit(p)).otherwise(acc)
+  /** Per-(doc, band) LSH signatures — the table both the full self-join
+    * dedup (qd2) and the incremental variant (qd9) probe. Session-cached:
+    * at 100 TB this is the table you persist (bucketed by (band, sig),
+    * see sources.Ingest.writeBucketed) so that daily increments join
+    * against it with zero corpus-side shuffle.
+    */
+  private[text] def bandSignatures(spark: SparkSession, sfDir: String,
+                                   nPerm: Int, bandRows: Int): DataFrame =
+    graft.util.StageCache.cached(spark, sfDir, s"lshbands_${nPerm}_$bandRows") {
+      val pw = bandPw.zipWithIndex.foldLeft(lit(0L)) { case (acc, (p, idx)) =>
+        when(col("j") % bandRows === idx, lit(p)).otherwise(acc)
+      }
+      minhashSignatures(spark, sfDir, nPerm)
+        .withColumn("band", floor(col("j") / bandRows))
+        .withColumn("term", col("mh") * pw)
+        .groupBy("doc_id", "band").agg(sum("term").as("sig"))
     }
-    val bands = minh
-      .withColumn("band", floor(col("j") / bandRows))
-      .withColumn("term", col("mh") * pw)
-      .groupBy("doc_id", "band").agg(sum("term").as("sig"))
+
+  private def minhashLshBuild(spark: SparkSession, sfDir: String, nPerm: Int, bandRows: Int): DataFrame = {
+    val bands = bandSignatures(spark, sfDir, nPerm, bandRows)
     val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
     val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("sig"))
     a.join(b, Seq("band", "sig")).filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_bands"))
+  }
+
+  /** qd9: incremental dedup — a new shard checked against the existing
+    * corpus, the shape a production ingest actually runs (the full
+    * self-join qd2 is the backfill job; every daily increment is THIS
+    * query). The split is deterministic (doc_id % 5 == 0 plays the
+    * increment) so the oracle can mirror it; in production the two sides
+    * are different tables. One-sided band equi-join: only increment ×
+    * corpus meetings survive, never corpus × corpus — so the shuffle is
+    * O(increment bands) against a persisted (ideally bucketed) corpus
+    * band table, and re-running yesterday's corpus is never paid again.
+    */
+  def incrementalDedup(spark: SparkSession, sfDir: String,
+                       nPerm: Int = 16, bandRows: Int = 4): DataFrame = {
+    val bands = bandSignatures(spark, sfDir, nPerm, bandRows)
+    val inc = bands.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id").as("doc_new"), col("band"), col("sig"))
+    val corp = bands.filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id").as("doc_old"), col("band"), col("sig"))
+    inc.join(corp, Seq("band", "sig"))
+      .groupBy("doc_new", "doc_old").agg(count(lit(1)).as("n_bands"))
   }
 
   /** qd3: 32-bit SimHash fingerprints; candidates share ≥1 of 4 hash

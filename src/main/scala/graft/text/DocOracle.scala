@@ -375,4 +375,62 @@ SELECT doc_id, rnk, h FROM (
          row_number() OVER (PARTITION BY doc_id ORDER BY hh) AS rnk
   FROM hashed
 ) WHERE rnk <= $k"""
+
+  /** Mirrors TextOps.repetition stage-for-stage. */
+  val qt9: String = toksCte + shinglesCte(3, "sh3") + s"""
+, tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+ts AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tok, count(*) AS n_uniq,
+              max(tf) AS top_tf
+       FROM tf GROUP BY doc_id),
+g3 AS (SELECT doc_id, sh, count(*) AS c FROM sh3 GROUP BY doc_id, sh),
+gs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_3g,
+              CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_3g_dup
+       FROM g3 GROUP BY doc_id)
+SELECT d.doc_id, coalesce(t.n_tok, 0) AS n_tok,
+  ${r4("coalesce((t.n_tok - t.n_uniq) * 1.0 / t.n_tok, 0.0)")} AS dup_tok_frac,
+  ${r4("coalesce(t.top_tf * 1.0 / t.n_tok, 0.0)")} AS top_tok_frac,
+  ${r4("coalesce(g.n_3g_dup * 1.0 / g.n_3g, 0.0)")} AS dup_3gram_frac
+FROM documents d LEFT JOIN ts t USING (doc_id) LEFT JOIN gs g USING (doc_id)"""
+
+  /** Mirrors Dedup.incrementalDedup — qd2's band build with the
+    * one-sided increment(×5=0) vs corpus join.
+    */
+  def qd9(nPerm: Int = 16, bandRows: Int = 4): String = toksCte + shinglesCte(3, "sh3") + s"""
+, shd AS (SELECT DISTINCT doc_id, sh, ${h("sh")} AS bh FROM sh3),
+perms AS (
+  SELECT doc_id, bh, unnest(range($nPerm)) AS j FROM shd
+), hashed AS (
+  SELECT doc_id, j, ((j * 31 + 17) * bh + j * 7919) % 2147483647 AS hh FROM perms
+), minh AS (
+  SELECT doc_id, j, min(hh) AS mh FROM hashed GROUP BY doc_id, j
+), bands AS (
+  SELECT doc_id, CAST(floor(j / $bandRows) AS BIGINT) AS band,
+         sum(mh * (CASE j % $bandRows WHEN 0 THEN 1 WHEN 1 THEN 31 WHEN 2 THEN 961 ELSE 29791 END)) AS sig
+  FROM minh GROUP BY doc_id, CAST(floor(j / $bandRows) AS BIGINT)
+)
+SELECT a.doc_id AS doc_new, b.doc_id AS doc_old, count(*) AS n_bands
+FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+GROUP BY a.doc_id, b.doc_id"""
+
+  /** Mirrors Relational.mixtureSample (same md5-bp hash as qa10). */
+  def qa13(weights: Seq[(String, Int)] = Seq("en" -> 1, "fr" -> 1, "es" -> 1, "de" -> 1, "zh" -> 1)): String = {
+    val values = weights.map { case (l, w) => s"('$l', $w)" }.mkString(", ")
+    s"""
+WITH counts AS (
+  SELECT lang, count(*) AS n_total FROM documents GROUP BY lang
+), w(lang, wi) AS (VALUES $values),
+cw AS (SELECT c.lang, c.n_total, w.wi FROM counts c JOIN w USING (lang)),
+u AS (SELECT CAST(min(floor(n_total / wi)) AS BIGINT) AS n_units FROM cw),
+thr AS (
+  SELECT lang, n_total, CAST(n_units * wi AS BIGINT) AS n_target,
+         CAST(floor(n_units * wi * 10000.0 / n_total) AS BIGINT) AS thr_bp
+  FROM cw, u
+)
+SELECT d.lang, t.n_total, t.n_target, t.thr_bp,
+       CAST(sum(CASE WHEN CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10000 < t.thr_bp
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM documents d JOIN thr t USING (lang)
+GROUP BY d.lang, t.n_total, t.n_target, t.thr_bp"""
+  }
 }

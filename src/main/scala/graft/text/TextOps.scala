@@ -127,6 +127,33 @@ object TextOps {
       .select(col("doc_id"), (col("i") + 1).as("rnk"), col("h"))
   }
 
+  /** qt9: repetition metrics — the Gopher-style "repetitious document"
+    * quality signals (Rae et al. 2021 §A1.1): fraction of tokens that
+    * are repeats of an earlier token, fraction of all tokens taken by
+    * the single most frequent token, and the fraction of 3-gram
+    * occurrences belonging to a 3-gram that appears more than once.
+    * Filtering on these is how training pipelines drop boilerplate and
+    * degenerate pages; each metric is per-document map/agg work over the
+    * shared token/shingle stages — no cross-document shuffle.
+    */
+  def repetition(spark: SparkSession, sfDir: String): DataFrame = {
+    val tf = tokens(spark, sfDir).groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val tokStats = tf.groupBy("doc_id").agg(
+      sum("tf").as("n_tok"), count(lit(1)).as("n_uniq"), max("tf").as("top_tf"))
+    val g3 = shingles(spark, sfDir, 3).groupBy("doc_id", "sh").agg(count(lit(1)).as("c"))
+    val g3Stats = g3.groupBy("doc_id").agg(
+      sum("c").as("n_3g"),
+      sum(when(col("c") > 1, col("c")).otherwise(0L)).as("n_3g_dup"))
+    Tables.documents(spark, sfDir).select("doc_id")
+      .join(tokStats, Seq("doc_id"), "left")
+      .join(g3Stats, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tok"), lit(0L)).as("n_tok"),
+        Num.r4(coalesce((col("n_tok") - col("n_uniq")) / col("n_tok"), lit(0.0))).as("dup_tok_frac"),
+        Num.r4(coalesce(col("top_tf") / col("n_tok"), lit(0.0))).as("top_tok_frac"),
+        Num.r4(coalesce(col("n_3g_dup") / col("n_3g"), lit(0.0))).as("dup_3gram_frac"))
+  }
+
   /** qt8: language-ID evaluation — confusion matrix of the heuristic
     * classifier (qt3) against the gold label. The model-quality report
     * a filtering pipeline checks before trusting lang-based routing.

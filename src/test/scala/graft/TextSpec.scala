@@ -163,4 +163,75 @@ class TextSpec extends SparkSuite {
     assert(correct.toDouble / total > 0.3,
       s"langid accuracy ${correct.toDouble / total}")
   }
+
+  test("qt9 repetition matches a driver-side recompute on every doc") {
+    def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    val got = TextOps.repetition(spark, Sf001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val docs = spark.read.parquet(s"$Sf001/documents.parquet")
+      .select("doc_id", "text").collect()
+    assert(docs.nonEmpty && got.size === docs.length)
+    docs.foreach { r =>
+      val id = r.getLong(0)
+      val toks = r.getString(1).split(" ").filter(_.nonEmpty)
+      val n = toks.length
+      val tf = toks.groupBy(identity).map(_._2.length)
+      val g3 = toks.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSeq
+      val cf = g3.groupBy(identity).map(_._2.length)
+      val want = (
+        n.toLong,
+        if (n == 0) 0.0 else r4((n - tf.size).toDouble / n),
+        if (n == 0) 0.0 else r4(tf.max.toDouble / n),
+        if (g3.isEmpty) 0.0 else r4(cf.filter(_ > 1).sum.toDouble / g3.size))
+      assert(got(id) === want, s"doc $id")
+    }
+  }
+
+  test("qd9 incremental dedup == the cross-split slice of the full LSH pairs") {
+    import org.apache.spark.sql.functions._
+    val inc = Dedup.incrementalDedup(spark, Sf001)
+      .select(least(col("doc_new"), col("doc_old")).as("doc_a"),
+        greatest(col("doc_new"), col("doc_old")).as("doc_b"), col("n_bands"))
+    // full self-join pairs where exactly one side is on the increment
+    val fullX = Dedup.minhashLsh(spark, Sf001)
+      .filter((col("doc_a") % 5 === 0) =!= (col("doc_b") % 5 === 0))
+      .select("doc_a", "doc_b", "n_bands")
+    assert(inc.exceptAll(fullX).count() === 0)
+    assert(fullX.exceptAll(inc).count() === 0)
+    // orientation: new on the increment, old in the corpus
+    val bad = Dedup.incrementalDedup(spark, Sf001)
+      .filter(col("doc_new") % 5 =!= 0 || col("doc_old") % 5 === 0)
+    assert(bad.count() === 0)
+  }
+
+  test("qa13 mixture sample: feasible targets, driver-recounted kept sets, weighted ratios") {
+    def md5bp(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex = d.take(4).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex, 16) % 10000
+    }
+    val docs = spark.read.parquet(s"$Sf001/documents.parquet")
+      .select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val counts = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+
+    for (weights <- Seq(Seq("en" -> 1, "fr" -> 1, "es" -> 1, "de" -> 1, "zh" -> 1),
+                        Seq("en" -> 3, "fr" -> 1, "zh" -> 2))) {
+      val wm = weights.toMap
+      val units = weights.map { case (l, w) => counts(l) / w }.min
+      val rows = graft.analytics.Relational.mixtureSample(spark, Sf001, weights).collect()
+      assert(rows.length === weights.length)
+      rows.foreach { r =>
+        val (lang, nTotal, nTarget, thr, nKept) =
+          (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+        assert(nTotal === counts(lang))
+        assert(nTarget === units * wm(lang), s"$lang target")
+        assert(nTarget <= nTotal) // never oversamples a group
+        assert(thr === math.floor(nTarget * 10000.0 / nTotal).toLong)
+        val kept = docs.count { case (id, l) => l == lang && md5bp(id) < thr }
+        assert(nKept === kept.toLong, s"$lang kept")
+      }
+    }
+  }
 }
