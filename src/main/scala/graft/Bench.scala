@@ -11,8 +11,15 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.maxPlanStringLength", "1048576")
-      .config("spark.local.dir", sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR",
-        if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/spark-local" else "/tmp"))
+      // tmpfs shuffle dir is bench-only; /dev/shm is typically capped at
+      // ~50% RAM, so fall back to /tmp unless it has ≥8 GiB free (the
+      // sf0.1 suite's shuffle footprint is far below that; larger SFs
+      // should set SPARK_GRAFT_LOCAL_DIR explicitly).
+      .config("spark.local.dir", sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", {
+        val shm = new java.io.File("/dev/shm")
+        if (shm.isDirectory && shm.getUsableSpace > 8L * 1024 * 1024 * 1024)
+          "/dev/shm/spark-local" else "/tmp"
+      }))
       .config("spark.shuffle.checksum.enabled",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_CHECKSUM", "false"))
       .config("spark.storage.memoryMapThreshold", "134217728")
@@ -39,6 +46,13 @@ object Bench {
     r.agg(org.apache.spark.sql.functions.approx_count_distinct(col("v"), 0.04),
       org.apache.spark.sql.functions.expr("approx_percentile(v, array(0.5), 1000)")).count()
     r.distinct().count()
+    // the graft_* codegen kernels compile their generated Java at first
+    // use — engine compile cost, so warm it on synthetic arrays too
+    graft.functions.VectorExprs.register(spark)
+    r.selectExpr("array(cast(id as double), v) as a", "array(v, cast(id as double)) as b")
+      .selectExpr("sum(graft_dot(a, b))", "sum(graft_l2(a, b))",
+        "sum(graft_min_dist2(a, b))", "sum(graft_argmin_dist2(a, b))",
+        "sum(graft_sorted_inter(array(id, id + 97), array(id, id + 31)))").count()
     Seq("lineitem", "orders", "events", "documents", "embeddings", "part",
         "customer", "nation", "region", "supplier")
       .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").limit(1).count())

@@ -147,27 +147,33 @@ object Relational {
     * The counts/threshold table is |groups| rows → broadcast; the data
     * pass is a stateless filter — embarrassingly parallel at 100 TB.
     * Output is the per-group audit (totals, target, threshold, kept).
+    * A weighted group absent from the corpus makes the whole mixture
+    * infeasible (n_units = 0 → every target 0) and still appears in the
+    * audit with n_total = 0 rather than silently dropping out.
     */
   def mixtureSample(spark: SparkSession, sfDir: String,
                     weights: Seq[(String, Int)] = Seq("en" -> 1, "fr" -> 1, "es" -> 1, "de" -> 1, "zh" -> 1)): DataFrame = {
     val spark0 = spark
     import spark0.implicits._
     val docs = Tables.documents(spark, sfDir).select("doc_id", "lang")
-    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_total"))
-      .join(broadcast(weights.toDF("lang", "wi")), "lang")
+    val counts = weights.toDF("lang", "wi")
+      .join(docs.groupBy("lang").agg(count(lit(1)).as("n_total")), Seq("lang"), "left")
+      .withColumn("n_total", coalesce(col("n_total"), lit(0L)))
     // feasible units: min over groups of floor(n_total / weight); every
     // group's target = units * weight. Integer arithmetic end to end.
     val units = counts.agg(min(floor(col("n_total") / col("wi"))).cast("long").as("n_units"))
     val thr = counts.crossJoin(broadcast(units))
       .withColumn("n_target", (col("n_units") * col("wi")).cast("long"))
-      .withColumn("thr_bp", floor(col("n_target") * lit(10000.0) / col("n_total")).cast("long"))
+      .withColumn("thr_bp", when(col("n_total") === 0L, 0L)
+        .otherwise(floor(col("n_target") * lit(10000.0) / col("n_total"))).cast("long"))
       .select("lang", "n_total", "n_target", "thr_bp")
     val hb = graft.text.TextCore.strHash(col("doc_id").cast("string")) % 10000
-    docs.join(broadcast(thr), "lang")
+    val kept = docs.join(broadcast(thr.select("lang", "thr_bp")), "lang")
       .groupBy("lang")
-      .agg(first("n_total").as("n_total"), first("n_target").as("n_target"),
-        first("thr_bp").as("thr_bp"),
-        sum(when(hb < col("thr_bp"), 1L).otherwise(0L)).as("n_kept"))
+      .agg(sum(when(hb < col("thr_bp"), 1L).otherwise(0L)).as("n_kept"))
+    thr.join(kept, Seq("lang"), "left")
+      .select(col("lang"), col("n_total"), col("n_target"), col("thr_bp"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 
   /** qa11: salted two-phase aggregation — the skew-safe form of a

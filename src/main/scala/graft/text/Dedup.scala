@@ -22,8 +22,16 @@ object Dedup {
       .groupBy(md5(col("text")).as("h"))
       .agg(count(lit(1)).as("n_dups"), min("doc_id").as("keeper"))
 
-  /** Polynomial band signature weights (31^(j mod r)) — exact int64. */
-  private val bandPw = Seq(1L, 31L, 961L, 29791L)
+  /** Polynomial band signature weights (31^(j mod r)) — exact int64.
+    * mh < 2^31 (minhash is mod 2147483647), so the banded sum is bounded
+    * by ~1.04 * 2^31 * 31^(r-1): r ≤ 7 keeps it under 2^63. DocOracle
+    * generates the identical CASE arms from the same formula.
+    */
+  private[text] def bandPw(bandRows: Int): Seq[Long] = {
+    require(bandRows >= 1 && bandRows <= 7,
+      s"bandRows=$bandRows: 31^(r-1) band weights overflow int64 beyond r=7")
+    Seq.iterate(1L, bandRows)(_ * 31L)
+  }
 
   /** qd2: MinHash + LSH candidate pairs — 16 permutations (md5-derived),
     * 4 bands × 4 rows; pairs share ≥1 band. Shuffles only
@@ -57,7 +65,7 @@ object Dedup {
   private[text] def bandSignatures(spark: SparkSession, sfDir: String,
                                    nPerm: Int, bandRows: Int): DataFrame =
     graft.util.StageCache.cached(spark, sfDir, s"lshbands_${nPerm}_$bandRows") {
-      val pw = bandPw.zipWithIndex.foldLeft(lit(0L)) { case (acc, (p, idx)) =>
+      val pw = bandPw(bandRows).zipWithIndex.foldLeft(lit(0L)) { case (acc, (p, idx)) =>
         when(col("j") % bandRows === idx, lit(p)).otherwise(acc)
       }
       minhashSignatures(spark, sfDir, nPerm)

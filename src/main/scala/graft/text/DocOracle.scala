@@ -14,6 +14,16 @@ object DocOracle {
   /** 60-bit hash identical to TextCore.strHash60 (qd4 identity joins). */
   private def h60(e: String): String = s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
 
+  /** Band-signature polynomial CASE — generated from the same 31^k
+    * weights as Dedup.bandPw so Spark and the oracle stay in lockstep
+    * for any bandRows (both sides require bandRows ≤ 7).
+    */
+  private def bandCase(bandRows: Int): String = {
+    val arms = Dedup.bandPw(bandRows).zipWithIndex
+      .map { case (p, k) => s"WHEN $k THEN $p" }.mkString(" ")
+    s"(CASE j % $bandRows $arms ELSE 0 END)"
+  }
+
   /** Tokens with original index (empties dropped). */
   private val toksCte: String = """
 WITH tk AS (
@@ -47,7 +57,7 @@ perms AS (
   SELECT doc_id, j, min(hh) AS mh FROM hashed GROUP BY doc_id, j
 ), bands AS (
   SELECT doc_id, CAST(floor(j / $bandRows) AS BIGINT) AS band,
-         sum(mh * (CASE j % $bandRows WHEN 0 THEN 1 WHEN 1 THEN 31 WHEN 2 THEN 961 ELSE 29791 END)) AS sig
+         sum(mh * ${bandCase(bandRows)}) AS sig
   FROM minh GROUP BY doc_id, CAST(floor(j / $bandRows) AS BIGINT)
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
@@ -105,7 +115,7 @@ hashed AS (SELECT doc_id, j, ((j * 31 + 17) * bh + j * 7919) % 2147483647 AS hh 
 minh AS (SELECT doc_id, j, min(hh) AS mh FROM hashed GROUP BY doc_id, j),
 bands AS (
   SELECT doc_id, CAST(floor(j / $bandRows) AS BIGINT) AS band,
-         sum(mh * (CASE j % $bandRows WHEN 0 THEN 1 WHEN 1 THEN 31 WHEN 2 THEN 961 ELSE 29791 END)) AS sig
+         sum(mh * ${bandCase(bandRows)}) AS sig
   FROM minh GROUP BY doc_id, CAST(floor(j / $bandRows) AS BIGINT)
 ), cpairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -149,7 +159,7 @@ perms AS (
   SELECT doc_id, j, min(hh) AS mh FROM hashed GROUP BY doc_id, j
 ), bands AS (
   SELECT doc_id, CAST(floor(j / $bandRows) AS BIGINT) AS band,
-         sum(mh * (CASE j % $bandRows WHEN 0 THEN 1 WHEN 1 THEN 31 WHEN 2 THEN 961 ELSE 29791 END)) AS sig
+         sum(mh * ${bandCase(bandRows)}) AS sig
   FROM minh GROUP BY doc_id, CAST(floor(j / $bandRows) AS BIGINT)
 ), cpairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -405,7 +415,7 @@ perms AS (
   SELECT doc_id, j, min(hh) AS mh FROM hashed GROUP BY doc_id, j
 ), bands AS (
   SELECT doc_id, CAST(floor(j / $bandRows) AS BIGINT) AS band,
-         sum(mh * (CASE j % $bandRows WHEN 0 THEN 1 WHEN 1 THEN 31 WHEN 2 THEN 961 ELSE 29791 END)) AS sig
+         sum(mh * ${bandCase(bandRows)}) AS sig
   FROM minh GROUP BY doc_id, CAST(floor(j / $bandRows) AS BIGINT)
 )
 SELECT a.doc_id AS doc_new, b.doc_id AS doc_old, count(*) AS n_bands
@@ -420,17 +430,22 @@ GROUP BY a.doc_id, b.doc_id"""
 WITH counts AS (
   SELECT lang, count(*) AS n_total FROM documents GROUP BY lang
 ), w(lang, wi) AS (VALUES $values),
-cw AS (SELECT c.lang, c.n_total, w.wi FROM counts c JOIN w USING (lang)),
+cw AS (SELECT w.lang, COALESCE(c.n_total, 0) AS n_total, w.wi
+       FROM w LEFT JOIN counts c USING (lang)),
 u AS (SELECT CAST(min(floor(n_total / wi)) AS BIGINT) AS n_units FROM cw),
 thr AS (
   SELECT lang, n_total, CAST(n_units * wi AS BIGINT) AS n_target,
-         CAST(floor(n_units * wi * 10000.0 / n_total) AS BIGINT) AS thr_bp
+         CASE WHEN n_total = 0 THEN 0
+              ELSE CAST(floor(n_units * wi * 10000.0 / n_total) AS BIGINT) END AS thr_bp
   FROM cw, u
+), kept AS (
+  SELECT d.lang,
+         CAST(sum(CASE WHEN CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10000 < t.thr_bp
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+  FROM documents d JOIN thr t USING (lang)
+  GROUP BY d.lang
 )
-SELECT d.lang, t.n_total, t.n_target, t.thr_bp,
-       CAST(sum(CASE WHEN CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10000 < t.thr_bp
-                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
-FROM documents d JOIN thr t USING (lang)
-GROUP BY d.lang, t.n_total, t.n_target, t.thr_bp"""
+SELECT t.lang, t.n_total, t.n_target, t.thr_bp, COALESCE(k.n_kept, 0) AS n_kept
+FROM thr t LEFT JOIN kept k USING (lang)"""
   }
 }

@@ -127,14 +127,17 @@ object TextOps {
       .select(col("doc_id"), (col("i") + 1).as("rnk"), col("h"))
   }
 
-  /** qt9: repetition metrics — the Gopher-style "repetitious document"
-    * quality signals (Rae et al. 2021 §A1.1): fraction of tokens that
-    * are repeats of an earlier token, fraction of all tokens taken by
-    * the single most frequent token, and the fraction of 3-gram
-    * occurrences belonging to a 3-gram that appears more than once.
-    * Filtering on these is how training pipelines drop boilerplate and
-    * degenerate pages; each metric is per-document map/agg work over the
-    * shared token/shingle stages — no cross-document shuffle.
+  /** qt9: repetition metrics — repetitious-document quality signals
+    * INSPIRED BY Gopher (Rae et al. 2021 §A1.1), not a reimplementation:
+    * the paper's duplicate n-gram signals are CHARACTER-fraction based
+    * and its top signal is the top n-gram's char share, while these are
+    * OCCURRENCE fractions (dup-token count / tokens, top single token's
+    * occurrence share, dup-3-gram occurrences / 3-gram occurrences) —
+    * so the paper's filter thresholds do NOT transfer verbatim;
+    * calibrate cuts on your own corpus. Filtering on such signals is how
+    * training pipelines drop boilerplate and degenerate pages; each
+    * metric is per-document map/agg work over the shared token/shingle
+    * stages — no cross-document shuffle.
     */
   def repetition(spark: SparkSession, sfDir: String): DataFrame = {
     val tf = tokens(spark, sfDir).groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))

@@ -233,5 +233,16 @@ class TextSpec extends SparkSuite {
         assert(nKept === kept.toLong, s"$lang kept")
       }
     }
+    // a weighted group absent from the corpus => infeasible mixture:
+    // it still appears in the audit (n_total=0) and every target is 0
+    val inf = graft.analytics.Relational
+      .mixtureSample(spark, Sf001, Seq("en" -> 1, "xx" -> 2)).collect()
+    assert(inf.length === 2)
+    val byLang = inf.map(r => r.getString(0) -> r).toMap
+    assert(byLang("xx").getLong(1) === 0L) // n_total
+    inf.foreach { r =>
+      assert(r.getLong(2) === 0L, s"${r.getString(0)} target") // n_target
+      assert(r.getLong(4) === 0L, s"${r.getString(0)} kept")   // n_kept
+    }
   }
 }
