@@ -103,6 +103,10 @@ object SparkEntry {
     "qd9_incremental_dedup" -> ((s, d) => graft.text.Dedup.incrementalDedup(s, d)),
     "qt9_repetition" -> ((s, d) => graft.text.TextOps.repetition(s, d)),
     "qa13_mixture_sample" -> ((s, d) => Relational.mixtureSample(s, d)),
+    "qe5_window_funnel" -> ((s, d) => graft.analytics.Events.windowFunnel(s, d)),
+    "qt10_quality_filter" -> ((s, d) => graft.text.TextOps.qualityFilter(s, d)),
+    "qd10_bloom_dedup" -> ((s, d) => graft.text.Dedup.bloomIncrementalDedup(s, d)),
+    "qa14_incremental_agg" -> ((s, d) => Relational.incrementalAgg(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -398,5 +402,37 @@ object SparkEntry {
     "qd9_incremental_dedup" -> graft.text.DocOracle.qd9(),
     "qt9_repetition" -> graft.text.DocOracle.qt9,
     "qa13_mixture_sample" -> graft.text.DocOracle.qa13(),
+    "qe5_window_funnel" -> """
+      WITH ev AS (
+        SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS tsec FROM events
+        WHERE event_type IN ('signup', 'view', 'click', 'purchase')
+      ),
+      u AS (SELECT DISTINCT user_id FROM ev),
+      s1 AS (SELECT user_id, min(tsec) AS t0 FROM ev WHERE event_type = 'signup' GROUP BY user_id),
+      s2 AS (SELECT e.user_id, min(e.tsec) AS t0 FROM ev e JOIN s1 USING (user_id)
+             WHERE e.event_type = 'view' AND e.tsec > s1.t0 GROUP BY e.user_id),
+      s3 AS (SELECT e.user_id, min(e.tsec) AS t0 FROM ev e JOIN s2 USING (user_id)
+             WHERE e.event_type = 'click' AND e.tsec > s2.t0 GROUP BY e.user_id),
+      s4 AS (SELECT e.user_id, min(e.tsec) AS t0 FROM ev e JOIN s3 USING (user_id)
+             WHERE e.event_type = 'purchase' AND e.tsec > s3.t0 GROUP BY e.user_id),
+      lvl AS (
+        SELECT u.user_id,
+               CASE WHEN s4.t0 IS NOT NULL AND s4.t0 - s1.t0 <= 172800 THEN 4
+                    WHEN s3.t0 IS NOT NULL AND s3.t0 - s1.t0 <= 172800 THEN 3
+                    WHEN s2.t0 IS NOT NULL AND s2.t0 - s1.t0 <= 172800 THEN 2
+                    WHEN s1.t0 IS NOT NULL THEN 1
+                    ELSE 0 END AS level
+        FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+               LEFT JOIN s3 USING (user_id) LEFT JOIN s4 USING (user_id)
+      )
+      SELECT level, count(*) AS n_users FROM lvl GROUP BY level""",
+    "qt10_quality_filter" -> graft.text.DocOracle.qt10(),
+    "qd10_bloom_dedup" -> graft.text.DocOracle.qd10,
+    "qa14_incremental_agg" -> """
+      SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+             sum(CAST(floor((l_quantity)*10000 + 0.5) AS BIGINT)) / 10000.0 AS sum_qty,
+             sum(CAST(floor((l_extendedprice*(1-l_discount))*10000 + 0.5) AS BIGINT)) / 10000.0 AS revenue,
+             floor((sum(CAST(floor((l_quantity)*10000 + 0.5) AS BIGINT)) / 10000.0 / count(*))*10000 + 0.5)/10000 AS avg_qty
+      FROM lineitem GROUP BY l_returnflag, l_linestatus""",
   )
 }

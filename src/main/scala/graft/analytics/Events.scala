@@ -242,4 +242,44 @@ object Events {
       }: _*)).as("r"))
       .select("r.*")
   }
+
+  /** qe5: time-bounded funnel level (the ClickHouse `windowFunnel` /
+    * product-analytics "conversion window" shape): per user, walk the
+    * EARLIEST chain — t1 = first stage-1 event, t_i = first stage-i
+    * event strictly after t_{i-1} — and report the deepest level whose
+    * chain time t_level − t1 fits within `windowSec`. Deviation from
+    * ClickHouse documented on purpose: CH restarts the window at every
+    * stage-1 candidate; the earliest-chain rule here is deterministic,
+    * one-pass, and exactly SQL-expressible, which keeps the DuckDB
+    * oracle bit-identical. Output is the level histogram (level 0 =
+    * users with funnel events but no stage-1 event).
+    * Scale: same single user_id shuffle as qe2 — funnel events per user
+    * are bounded, all chain logic is a per-row array fold; the histogram
+    * is a |levels|-row partial agg. Nothing here grows with corpus size
+    * except the embarrassingly parallel per-user work.
+    */
+  def windowFunnel(spark: SparkSession, sfDir: String,
+                   stages: Seq[String] = Seq("signup", "view", "click", "purchase"),
+                   windowSec: Long = 172800L): DataFrame = {
+    val perUser = epochSec(spark, sfDir)
+      .filter(col("event_type").isin(stages: _*))
+      .groupBy("user_id")
+      .agg(collect_list(struct(col("tsec"), col("event_type"))).as("evs"))
+    val withTimes = stages.zipWithIndex.foldLeft(perUser) { case (acc, (st, i)) =>
+      val cond =
+        if (i == 0) s"x.event_type = '$st'"
+        else s"x.event_type = '$st' AND t${i - 1} IS NOT NULL AND x.tsec > t${i - 1}"
+      acc.withColumn(s"t$i",
+        expr(s"array_min(transform(filter(evs, x -> $cond), x -> x.tsec))"))
+    }
+    // level = deepest i with t_i within the window of t1 (chain times
+    // are strictly increasing, so the window test is monotone in i);
+    // forward fold leaves the deepest stage as the outermost branch
+    val level = stages.indices.foldLeft(lit(0)) { case (acc, i) =>
+      when(col(s"t$i").isNotNull && col(s"t$i") - col("t0") <= windowSec, i + 1)
+        .otherwise(acc)
+    }
+    withTimes.select(level.as("level"))
+      .groupBy("level").agg(count(lit(1)).as("n_users"))
+  }
 }

@@ -176,6 +176,37 @@ object Relational {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 
+  /** qa14: incremental aggregation — the production ETL shape where the
+    * corpus is aggregated ONCE into persisted per-key state and each
+    * day's delta is aggregated alone and MERGED in, so the 100 TB
+    * history is never rescanned. Requires the state to be algebraic
+    * (count/sum partials; avg derived from merged sums at read time) —
+    * demonstrated here by splitting lineitem into base (l_orderkey%10≠0)
+    * and delta, aggregating each independently, and merging: integer
+    * 1e-4-grid accumulators make merge(base, delta) BIT-IDENTICAL to
+    * the single-pass aggregate, which is exactly what the one-shot
+    * DuckDB oracle checks. The merge shuffles |keys| state rows, not
+    * data rows.
+    */
+  def incrementalAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir).select(
+      col("l_returnflag"), col("l_linestatus"), col("l_orderkey"),
+      floor(col("l_quantity") * 10000d + 0.5d).cast("long").as("q4"),
+      floor((col("l_extendedprice") * (lit(1.0) - col("l_discount"))) * 10000d + 0.5d)
+        .cast("long").as("p4"))
+    def state(df: DataFrame): DataFrame =
+      df.groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), sum("q4").as("sq4"), sum("p4").as("sp4"))
+    state(li.filter(col("l_orderkey") % 10 =!= 0))
+      .unionByName(state(li.filter(col("l_orderkey") % 10 === 0)))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(sum("n").as("n_rows"), sum("sq4").as("msq4"), sum("sp4").as("msp4"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("n_rows"),
+        (col("msq4") / 10000d).as("sum_qty"),
+        (col("msp4") / 10000d).as("revenue"),
+        Num.r4(col("msq4") / 10000d / col("n_rows")).as("avg_qty"))
+  }
+
   /** qa11: salted two-phase aggregation — the skew-safe form of a
     * grouped agg when a handful of hot keys would overload single
     * reducers: phase 1 partial-aggregates on (key, salt) spreading each

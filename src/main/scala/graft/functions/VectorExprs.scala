@@ -377,5 +377,21 @@ object VectorExprs {
       "graft_argmin_dist2", exprs => ArgMinDist2(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction(
       "graft_sorted_inter", exprs => SortedInterCount(exprs(0), exprs(1)), "scala_udf")
+    // Spark's own runtime-filter bloom expressions, exposed as SQL
+    // functions: bloom_agg(xxhash64(key), nItems, nBits) builds the
+    // merge-combinable sketch; might_contain(bloom, xxhash64(key)) is
+    // the no-false-negative probe. Same machinery Catalyst injects for
+    // InjectRuntimeFilter — here addressable for explicit
+    // bloom-prefiltered operators (Dedup.bloomIncrementalDedup).
+    reg.createOrReplaceTempFunction(
+      "graft_bloom_agg",
+      exprs => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        exprs(0), exprs(1), exprs(2)),
+      "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "graft_might_contain",
+      exprs => org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        exprs(0), exprs(1)),
+      "scala_udf")
   }
 }

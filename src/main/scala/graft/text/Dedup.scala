@@ -103,6 +103,53 @@ object Dedup {
       .groupBy("doc_new", "doc_old").agg(count(lit(1)).as("n_bands"))
   }
 
+  /** qd10: Bloom-prefiltered incremental EXACT dedup — the other half of
+    * the daily-ingest story next to qd9's near-dup LSH probe. The corpus
+    * never shuffles: one scan folds its text hashes into a
+    * merge-combinable Bloom sketch (Spark's own runtime-filter
+    * aggregate, partials combined map-side), which then prunes the
+    * increment: rows the filter rejects are DEFINITELY new (no false
+    * negatives) and skip the join entirely; only might-contain rows
+    * (true dups + the fpp sliver) reach the exact confirming semi-join,
+    * so the shuffled volume is O(|dups| + fpp·|increment|) instead of
+    * O(|increment| + |corpus|). Output is exact — Bloom false positives
+    * are eliminated by the confirm join. The sketch is collected and
+    * inlined as a literal (BloomFilterMightContain requires a
+    * constant/scalar-subquery filter — the same shape Catalyst's
+    * InjectRuntimeFilter emits); at 100 TB you size nBits to the corpus
+    * (~1.2 GB per 10^9 keys at 1% fpp) and broadcast it once.
+    */
+  def bloomIncrementalDedup(spark: SparkSession, sfDir: String,
+                            nItems: Long = 100000L, nBits: Long = 1000000L): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+    bloomDedupCore(spark,
+      docs.filter(col("doc_id") % 5 =!= 0),
+      docs.filter(col("doc_id") % 5 === 0), nItems, nBits)
+  }
+
+  /** Core of qd10 over explicit (doc_id, h) corpus/increment frames —
+    * separable so specs can drive it with synthetic duplicates.
+    */
+  private[graft] def bloomDedupCore(spark: SparkSession, corpus: DataFrame,
+                                    increment: DataFrame,
+                                    nItems: Long, nBits: Long): DataFrame = {
+    graft.functions.VectorExprs.register(spark)
+    val bf = corpus
+      .agg(expr(s"graft_bloom_agg(xxhash64(h), ${nItems}L, ${nBits}L)").as("bf"))
+      .head.getAs[Array[Byte]](0)
+    // empty corpus → the aggregate yields NULL: nothing can be a dup
+    val cand =
+      if (bf == null) increment.limit(0)
+      else increment.filter(call_function("graft_might_contain",
+        lit(bf), xxhash64(col("h"))))
+    val confirmed = cand.join(corpus.select("h").distinct(), Seq("h"), "left_semi")
+      .select(col("doc_id"), lit(true).as("is_dup"))
+    increment.join(confirmed, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("h"),
+        coalesce(col("is_dup"), lit(false)).as("is_dup"))
+  }
+
   /** qd3: 32-bit SimHash fingerprints; candidates share ≥1 of 4 hash
     * bytes (pigeonhole: hamming ≤ 3 guarantees a shared byte), emit
     * pairs with hamming ≤ maxHam.

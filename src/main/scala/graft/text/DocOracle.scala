@@ -402,6 +402,33 @@ SELECT d.doc_id, coalesce(t.n_tok, 0) AS n_tok,
   ${r4("coalesce(g.n_3g_dup * 1.0 / g.n_3g, 0.0)")} AS dup_3gram_frac
 FROM documents d LEFT JOIN ts t USING (doc_id) LEFT JOIN gs g USING (doc_id)"""
 
+  /** Mirrors TextOps.qualityFilter — same signals, same quantize-then-
+    * compare rule order.
+    */
+  def qt10(minTok: Long = 25L, minStopRatio: Double = 0.01,
+           maxDupFrac: Double = 0.65, maxTopFrac: Double = 0.2): String = toksCte + s"""
+, tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+per AS (
+  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tok, count(*) AS n_uniq, max(tf) AS top_tf,
+         sum(CASE WHEN tok IN ${inList(TextOps.Stopwords("en"))} THEN tf ELSE 0 END) AS n_stop
+  FROM tf GROUP BY doc_id
+), sig AS (
+  SELECT d.doc_id, d.lang, coalesce(p.n_tok, 0) AS n_tok,
+         ${r4("coalesce(p.n_stop * 1.0 / p.n_tok, 0.0)")} AS stop_ratio,
+         ${r4("coalesce((p.n_tok - p.n_uniq) * 1.0 / p.n_tok, 0.0)")} AS dup_frac,
+         ${r4("coalesce(p.top_tf * 1.0 / p.n_tok, 0.0)")} AS top_frac
+  FROM documents d LEFT JOIN per p USING (doc_id)
+), rs AS (
+  SELECT doc_id, lang,
+         CASE WHEN n_tok < $minTok THEN 'too_short'
+              WHEN lang = 'en' AND stop_ratio < $minStopRatio THEN 'low_stopword'
+              WHEN dup_frac > $maxDupFrac THEN 'repetitive'
+              WHEN top_frac > $maxTopFrac THEN 'top_token'
+              ELSE 'pass' END AS reason
+  FROM sig
+)
+SELECT doc_id, lang, reason, (reason = 'pass') AS keep FROM rs"""
+
   /** Mirrors Dedup.incrementalDedup — qd2's band build with the
     * one-sided increment(×5=0) vs corpus join.
     */
@@ -422,6 +449,17 @@ SELECT a.doc_id AS doc_new, b.doc_id AS doc_old, count(*) AS n_bands
 FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
 WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
 GROUP BY a.doc_id, b.doc_id"""
+
+  /** Mirrors Dedup.bloomIncrementalDedup's EXACT semantics — the Bloom
+    * filter is a pruning device only (false positives removed by the
+    * confirm join, no false negatives by construction), so the oracle is
+    * the plain exact membership test.
+    */
+  val qd10: String = """
+SELECT d.doc_id, md5(d.text) AS h,
+       EXISTS(SELECT 1 FROM documents c
+              WHERE c.doc_id % 5 <> 0 AND md5(c.text) = md5(d.text)) AS is_dup
+FROM documents d WHERE d.doc_id % 5 = 0"""
 
   /** Mirrors Relational.mixtureSample (same md5-bp hash as qa10). */
   def qa13(weights: Seq[(String, Int)] = Seq("en" -> 1, "fr" -> 1, "es" -> 1, "de" -> 1, "zh" -> 1)): String = {

@@ -139,6 +139,43 @@ object TextOps {
     * metric is per-document map/agg work over the shared token/shingle
     * stages — no cross-document shuffle.
     */
+  /** qt10: composite quality filter — the keep/drop decision a training
+    * pipeline actually ships: fixed-order rules over the shared token
+    * stage, each doc tagged with the FIRST failing rule (or 'pass').
+    * Rules: too_short (under minTok tokens), low_stopword (en docs with
+    * a stopword ratio under minStopRatio — a natural-language-ness
+    * check, lang-gated because the marker list is English), repetitive
+    * (duplicate-token fraction over maxDupFrac), top_token (single most
+    * frequent token over maxTopFrac of the doc). Signals are quantized
+    * (Num.r4) BEFORE the threshold compare so the decision is
+    * bit-deterministic across engines and partitionings. One token-stage
+    * shuffle + a per-doc agg; the reason column makes drop-rate audits a
+    * groupBy away — embarrassingly parallel at 100 TB.
+    */
+  def qualityFilter(spark: SparkSession, sfDir: String,
+                    minTok: Long = 25L, minStopRatio: Double = 0.01,
+                    maxDupFrac: Double = 0.65, maxTopFrac: Double = 0.2): DataFrame = {
+    val tf = tokens(spark, sfDir).groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val per = tf.groupBy("doc_id").agg(
+      sum("tf").as("n_tok"), count(lit(1)).as("n_uniq"), max("tf").as("top_tf"),
+      sum(when(col("tok").isInCollection(Stopwords("en")), col("tf")).otherwise(0L)).as("n_stop"))
+    Tables.documents(spark, sfDir).select("doc_id", "lang")
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("n_tok"), lit(0L)).as("n_tok"),
+        Num.r4(coalesce(col("n_stop") / col("n_tok"), lit(0.0))).as("stop_ratio"),
+        Num.r4(coalesce((col("n_tok") - col("n_uniq")) / col("n_tok"), lit(0.0))).as("dup_frac"),
+        Num.r4(coalesce(col("top_tf") / col("n_tok"), lit(0.0))).as("top_frac"))
+      .withColumn("reason",
+        when(col("n_tok") < minTok, "too_short")
+          .when(col("lang") === "en" && col("stop_ratio") < minStopRatio, "low_stopword")
+          .when(col("dup_frac") > maxDupFrac, "repetitive")
+          .when(col("top_frac") > maxTopFrac, "top_token")
+          .otherwise("pass"))
+      .select(col("doc_id"), col("lang"), col("reason"),
+        (col("reason") === "pass").as("keep"))
+  }
+
   def repetition(spark: SparkSession, sfDir: String): DataFrame = {
     val tf = tokens(spark, sfDir).groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
     val tokStats = tf.groupBy("doc_id").agg(

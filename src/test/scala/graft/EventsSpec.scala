@@ -29,4 +29,49 @@ class EventsSpec extends SparkSuite {
     assert(p.filter(col("min_v") > col("max_v")).count() === 0)
     assert(p.filter(col("n_distinct") <= 0).count() === 0)
   }
+
+  test("qe5 window funnel matches a driver recompute of earliest chains") {
+    val stages = Seq("signup", "view", "click", "purchase")
+    val windowSec = 172800L
+    val raw = spark.read.parquet(s"$Sf001/events.parquet")
+    val sec = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000000000")
+      case _ => col("ts").cast("long")
+    }
+    val evs = raw.select(col("user_id"), col("event_type"), sec.as("tsec"))
+      .filter(col("event_type").isin(stages: _*))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expected = evs.groupBy(_._1).values.map { uevs =>
+      // earliest chain: t_i = first stage-i time strictly after t_{i-1}
+      val ts = stages.scanLeft(Option(Long.MinValue)) { (prev, st) =>
+        prev.flatMap(p => uevs.filter(e => e._2 == st && e._3 > p)
+          .map(_._3).sorted.headOption)
+      }.tail
+      val t0 = ts.head
+      ts.zipWithIndex.reverse.collectFirst {
+        case (Some(t), i) if t - t0.get <= windowSec => i + 1
+      }.getOrElse(0)
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = Events.windowFunnel(spark, Sf001, stages, windowSec)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+  }
+
+  test("qa14 incremental merge equals the single-pass aggregate bit-exactly") {
+    import graft.analytics.Relational
+    val merged = Relational.incrementalAgg(spark, Sf01).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    val li = spark.read.parquet(s"$Sf01/lineitem.parquet")
+    val single = li.groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        (sum(floor(col("l_quantity") * 10000d + 0.5d).cast("long")) / 10000d).as("sq"),
+        (sum(floor((col("l_extendedprice") * (lit(1.0) - col("l_discount"))) * 10000d + 0.5d)
+          .cast("long")) / 10000d).as("sp"))
+      .withColumn("aq", floor(col("sq") / col("n") * 10000d + 0.5d) / 10000d)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(merged === single) // == on doubles: the merge must be BIT-identical
+  }
 }

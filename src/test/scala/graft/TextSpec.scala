@@ -245,4 +245,42 @@ class TextSpec extends SparkSuite {
       assert(r.getLong(4) === 0L, s"${r.getString(0)} kept")   // n_kept
     }
   }
+
+  test("qd10 bloom dedup core: planted dups flagged exactly, empty corpus safe") {
+    val spark0 = spark
+    import spark0.implicits._
+    val corpus = (1 to 300).map(i => (i.toLong, s"h${i % 120}")).toDF("doc_id", "h")
+    val corpusH = (1 to 300).map(i => s"h${i % 120}").toSet
+    // every third increment doc is a planted exact dup; the rest are new
+    val inc = (1000 to 1100)
+      .map(i => (i.toLong, if (i % 3 == 0) s"h${i % 120}" else s"x$i"))
+      .toDF("doc_id", "h")
+    val out = Dedup.bloomDedupCore(spark, corpus, inc, 1000L, 10000L).collect()
+    assert(out.length === 101)
+    out.foreach { r =>
+      assert(r.getBoolean(2) === corpusH.contains(r.getString(1)),
+        s"doc ${r.getLong(0)} (${r.getString(1)})")
+    }
+    assert(out.count(_.getBoolean(2)) === (1000 to 1100).count(_ % 3 == 0))
+    // empty corpus: the bloom aggregate yields NULL -> nothing is a dup
+    val out2 = Dedup.bloomDedupCore(spark, corpus.limit(0), inc, 1000L, 10000L).collect()
+    assert(out2.length === 101)
+    assert(out2.forall(!_.getBoolean(2)))
+  }
+
+  test("qt10 quality filter: keep iff pass, reasons from the enum, too_short ≡ qt9 n_tok") {
+    val out = TextOps.qualityFilter(spark, Sf01).cache()
+    val nDocs = spark.read.parquet(s"$Sf01/documents.parquet").count()
+    assert(out.count() === nDocs)
+    assert(out.filter(col("keep") =!= (col("reason") === "pass")).count() === 0)
+    val reasons = out.select("reason").distinct().collect().map(_.getString(0)).toSet
+    assert(reasons.subsetOf(
+      Set("pass", "too_short", "low_stopword", "repetitive", "top_token")))
+    // the first rule's population must agree with qt9's token counts
+    val shortIds = out.filter(col("reason") === "too_short")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val qt9Short = TextOps.repetition(spark, Sf01)
+      .filter(col("n_tok") < 25).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(shortIds === qt9Short)
+  }
 }
