@@ -84,6 +84,30 @@ object ScoreStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("h")
 
+  /** Stream-stream event-time interval join — the streaming twin of the
+    * batch AS-OF/attribution shape (qe4): every `b` event (e.g. a
+    * purchase) joins the `a` events (e.g. views) of the SAME user that
+    * happened within (b.ts − maxDelay, b.ts]. Both sides carry
+    * watermarks and the join condition time-bounds both directions, so
+    * each side's buffered state is evicted once the other side's
+    * watermark passes — bounded state on an unbounded stream, the only
+    * stream-stream join formulation that survives 100 TB/day. Equi-key
+    * user_id keeps it a hash join co-partitioned on the stream shuffle.
+    */
+  def intervalJoinStreams(a: DataFrame, b: DataFrame,
+                          maxDelay: String = "30 minutes",
+                          watermark: String = "1 hour"): DataFrame = {
+    val aw = a.select(col("user_id"), col("ts").as("a_ts"), col("a_val"))
+      .withWatermark("a_ts", watermark)
+    val bw = b.select(col("user_id"), col("ts").as("b_ts"), col("b_val"))
+      .withWatermark("b_ts", watermark)
+    aw.join(bw,
+      aw("user_id") === bw("user_id") &&
+        col("a_ts") <= col("b_ts") &&
+        col("a_ts") > col("b_ts") - expr(s"INTERVAL $maxDelay"))
+      .select(aw("user_id"), col("a_ts"), col("b_ts"), col("a_val"), col("b_val"))
+  }
+
   /** Streaming twin of the BATCH detection scorer, wired to a
     * ModelStore artifact: patch-feature rows stream in (series, win,
     * pos, f0..f8 + event-time ts), each patch is scored against the

@@ -39,6 +39,29 @@ class IngestSpec extends SparkSuite {
     assert(plan.contains("PartitionFilters") && plan.contains("click"))
   }
 
+  test("dynamic partition pruning: a filtered dim prunes fact partitions at runtime") {
+    // the 100 TB join shape: fact partitioned on the join key, dim
+    // filtered at runtime — Catalyst must push a DynamicPruningExpression
+    // into the fact scan so only matching partitions are read, instead
+    // of scanning everything and filtering post-join
+    val tmp = Files.createTempDirectory("graft-dpp").toString
+    val li = spark.read.parquet(s"$Sf001/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_quantity"))
+      .withColumn("pk", pmod(col("l_orderkey"), lit(20)))
+    Ingest.writePartitioned(li, tmp, Seq("pk"))
+    val fact = spark.read.parquet(tmp)
+    val dim = spark.range(20).select(col("id").as("pk"), pmod(col("id"), lit(7)).as("grp"))
+    val joined = fact.join(broadcast(dim.filter(col("grp") === 0)), "pk")
+      .agg(count(lit(1)).as("n"))
+    val n = joined.head.getLong(0)
+    val expect = spark.read.parquet(s"$Sf001/lineitem.parquet")
+      .filter(pmod(col("l_orderkey"), lit(20)).isin(0L, 7L, 14L)).count()
+    assert(n === expect)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no DynamicPruningExpression in the fact scan:\n${plan.take(1500)}")
+  }
+
   test("file stream source wires into the scoring pipeline") {
     val out = Ingest.streamEvents(spark, s"$Sf001")
     assert(out.isStreaming)

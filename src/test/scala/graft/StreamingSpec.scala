@@ -125,6 +125,32 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  case class SEv(ts: Timestamp, user_id: Long, a_val: String)
+  case class SEv2(ts: Timestamp, user_id: Long, b_val: String)
+
+  test("stream-stream interval join matches pairs within the delay, drops outside") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val memA = MemoryStream[SEv]
+    val memB = MemoryStream[SEv2]
+    val out = ScoreStream.intervalJoinStreams(memA.toDF(), memB.toDF(),
+      maxDelay = "30 minutes")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("ssjoin").start()
+    try {
+      val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+      def at(min: Int) = new Timestamp(t0.getTime + min * 60000L)
+      // user 1: views at 0 and 50; purchase at 60 → only the view at 50
+      // is within 30 min. user 2: view at 5, no purchase.
+      memA.addData(SEv(at(0), 1L, "v0"), SEv(at(50), 1L, "v50"), SEv(at(5), 2L, "v5"))
+      memB.addData(SEv2(at(60), 1L, "p60"))
+      q.processAllAvailable()
+      val rows = spark.table("ssjoin").collect()
+      assert(rows.map(r => (r.getAs[Long]("user_id"), r.getAs[String]("a_val"),
+        r.getAs[String]("b_val"))).toSet === Set((1L, "v50", "p60")))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops repeated content within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
