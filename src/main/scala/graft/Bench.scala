@@ -49,7 +49,8 @@ object Bench {
     // the graft_* codegen kernels compile their generated Java at first
     // use — engine compile cost, so warm it on synthetic arrays too
     graft.functions.VectorExprs.register(spark)
-    r.selectExpr("array(cast(id as double), v) as a", "array(v, cast(id as double)) as b")
+    r.selectExpr("id", "array(cast(id as double), v) as a",
+        "array(v, cast(id as double)) as b")
       .selectExpr("sum(graft_dot(a, b))", "sum(graft_l2(a, b))",
         "sum(graft_min_dist2(a, b))", "sum(graft_argmin_dist2(a, b))",
         "sum(graft_sorted_inter(array(id, id + 97), array(id, id + 31)))").count()
