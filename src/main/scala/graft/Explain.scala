@@ -21,8 +21,13 @@ object Explain {
         l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
         l.contains("HashAggregate") || l.contains("Window") ||
         l.contains("graft_") ||
+        l.contains("might_contain") || l.contains("BloomFilter") ||
         l.contains("CartesianProduct") || l.contains("NestedLoop")
-      ).take(40).foreach(println)
+      ).take(40)
+        // cap line length: literal sketches (qd10's inlined bloom) would
+        // otherwise dump hundreds of KB of hex into the evidence file
+        .map(l => if (l.length > 400) l.take(400) + s"…(+${l.length - 400} chars)" else l)
+        .foreach(println)
     }
     spark.stop()
   }
