@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked process's stdout through verbatim: sbt's default
+// logger prefixes every line with "[info] ", which breaks line-oriented
+// JSON consumers of `runMain graft.Bench` (BENCH_r01–r05 all recorded
+// "parsed": null because the one-line result arrived as
+// `[info] {"metric":…}`).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

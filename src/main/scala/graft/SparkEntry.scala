@@ -107,6 +107,9 @@ object SparkEntry {
     "qt10_quality_filter" -> ((s, d) => graft.text.TextOps.qualityFilter(s, d)),
     "qd10_bloom_dedup" -> ((s, d) => graft.text.Dedup.bloomIncrementalDedup(s, d)),
     "qa14_incremental_agg" -> ((s, d) => Relational.incrementalAgg(s, d)),
+    "qd11_semantic_dedup" -> ((s, d) => graft.vector.Similarity.semanticDedup(s, d)),
+    "qt11_pack_shards" -> ((s, d) => graft.text.TextOps.packShards(s, d)),
+    "qe6_transitions" -> ((s, d) => graft.analytics.Events.transitions(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -428,6 +431,22 @@ object SparkEntry {
       SELECT level, count(*) AS n_users FROM lvl GROUP BY level""",
     "qt10_quality_filter" -> graft.text.DocOracle.qt10(),
     "qd10_bloom_dedup" -> graft.text.DocOracle.qd10,
+    "qd11_semantic_dedup" -> graft.text.DocOracle.qd11(),
+    "qt11_pack_shards" -> graft.text.DocOracle.qt11(),
+    "qe6_transitions" -> """
+      WITH ev AS (
+        SELECT event_id, user_id, event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) AS tsec FROM events
+      ), st AS (
+        SELECT event_type AS src,
+               lead(event_type) OVER (PARTITION BY user_id ORDER BY tsec, event_id) AS dst
+        FROM ev
+      ), cnt AS (
+        SELECT src, dst, count(*) AS n FROM st WHERE dst IS NOT NULL GROUP BY src, dst
+      )
+      SELECT src, dst, n,
+             floor((n * 1.0 / sum(n) OVER (PARTITION BY src))*10000 + 0.5)/10000 AS p
+      FROM cnt""",
     "qa14_incremental_agg" -> """
       SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
              sum(CAST(floor((l_quantity)*10000 + 0.5) AS BIGINT)) / 10000.0 AS sum_qty,

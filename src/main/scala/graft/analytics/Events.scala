@@ -282,4 +282,22 @@ object Events {
     withTimes.select(level.as("level"))
       .groupBy("level").agg(count(lit(1)).as("n_users"))
   }
+
+  /** qe6: event-type transition matrix — per-user next-event bigrams
+    * (time order, event_id tie-break) rolled up to global counts and a
+    * per-source transition probability. The heavy pass is one window
+    * per user (the natural partition axis — millions of independent
+    * partitions at scale); the final agg lands on a |types|² table that
+    * a driver or BI layer can hold regardless of input size.
+    */
+  def transitions(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.util.Num
+    val w = Window.partitionBy("user_id").orderBy("tsec", "event_id")
+    val steps = epochSec(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("tsec"), col("event_type").as("src"))
+      .withColumn("dst", lead("src", 1).over(w))
+      .filter(col("dst").isNotNull)
+    steps.groupBy("src", "dst").agg(count(lit(1)).as("n"))
+      .withColumn("p", Num.r4(col("n") / sum("n").over(Window.partitionBy("src"))))
+  }
 }

@@ -243,7 +243,11 @@ scored AS (
 )
 SELECT qid, vec_id, ${r4("cos")} AS cos, rnk FROM ranked WHERE rnk <= $k"""
 
-  def qv3(nCells: Int = 16, nProbe: Int = 2, k: Int = 5): String = vecsCte + s"""
+  /** qv3/qd11's shared cell-assignment CTE chain — mirrors
+    * Similarity.cellAssignment (seeded cells, L2 argmin, lower-cell
+    * tie-break).
+    */
+  private def assignCte(nCells: Int): String = s"""
 , pos AS (
   SELECT vec_id, unnest(range(len(v))) AS d, unnest(v) AS x FROM vecs
 ), seedids AS (
@@ -259,7 +263,27 @@ SELECT qid, vec_id, ${r4("cos")} AS cos, rnk FROM ranked WHERE rnk <= $k"""
     FROM pos p JOIN seeds s ON p.d = s.d
     GROUP BY p.vec_id, s.cell
   ) WHERE rn = 1
-), centroids AS (
+)"""
+
+  /** qd11: within-cell cosine ≥ thr against any lower-id vector ⇒ dup;
+    * mirrors Similarity.semanticDedup.
+    */
+  def qd11(nCells: Int = 16, thr: Double = 0.3): String =
+    vecsCte + assignCte(nCells) + s"""
+, wv AS (SELECT a.vec_id, a.cell, x.v, x.nrm FROM assigned a JOIN vecs x USING (vec_id)),
+dups AS (
+  SELECT b.vec_id, count(*) AS n_prior_dups
+  FROM wv a JOIN wv b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= $thr
+  GROUP BY b.vec_id
+)
+SELECT w.vec_id, w.cell, CAST(coalesce(d.n_prior_dups, 0) AS BIGINT) AS n_prior_dups,
+       d.vec_id IS NULL AS keep
+FROM wv w LEFT JOIN dups d USING (vec_id)"""
+
+  def qv3(nCells: Int = 16, nProbe: Int = 2, k: Int = 5): String =
+    vecsCte + assignCte(nCells) + s"""
+, centroids AS (
   SELECT a.cell, p.d, avg(p.x) AS c
   FROM pos p JOIN assigned a USING (vec_id) GROUP BY a.cell, p.d
 ), qpos AS (
@@ -462,6 +486,23 @@ SELECT d.doc_id, md5(d.text) AS h,
 FROM documents d WHERE d.doc_id % 5 = 0"""
 
   /** Mirrors Relational.mixtureSample (same md5-bp hash as qa10). */
+  /** qt11: contiguous token-budget shard packing — mirrors
+    * TextOps.packShards (exclusive prefix cumsum div budget).
+    */
+  def qt11(budget: Long = 2048L): String = s"""
+WITH t AS (
+  SELECT doc_id, source, lang,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_toks
+  FROM documents
+), c AS (
+  SELECT *, sum(n_toks) OVER (PARTITION BY source, lang ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT doc_id, source, lang, CAST(n_toks AS BIGINT) AS n_toks,
+       CAST(floor((cum - n_toks) * 1.0 / $budget) AS BIGINT) AS shard
+FROM c"""
+
   def qa13(weights: Seq[(String, Int)] = Seq("en" -> 1, "fr" -> 1, "es" -> 1, "de" -> 1, "zh" -> 1)): String = {
     val values = weights.map { case (l, w) => s"('$l', $w)" }.mkString(", ")
     s"""

@@ -222,4 +222,26 @@ object TextOps {
       .filter(col("rnk") <= topN)
       .select("doc_id", "rnk", "tok", "tfidf")
   }
+
+  /** qt11: token-budget shard packing — the step that turns a filtered
+    * corpus into training shards. Docs stream in (source, lang, doc_id)
+    * order; a doc's shard is its EXCLUSIVE prefix token count div
+    * budget, so shards are contiguous runs that may overflow by at most
+    * one document (deterministic, single-pass — unlike greedy
+    * reset-on-overflow packing, which is inherently sequential). The
+    * running sum partitions by (source, lang): at 100 TB the packing
+    * axis is per-stream (source × language × date in production), never
+    * one global window — each group's cumsum is an independent
+    * window partition.
+    */
+  def packShards(spark: SparkSession, sfDir: String, budget: Long = 2048L): DataFrame = {
+    val w = Window.partitionBy("source", "lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("lang"),
+        size(filter(split(col("text"), " "), t => t =!= "")).cast("long").as("n_toks"))
+      .withColumn("cum", sum("n_toks").over(w))
+      .select(col("doc_id"), col("source"), col("lang"), col("n_toks"),
+        floor((col("cum") - col("n_toks")) / lit(budget)).cast("long").as("shard"))
+  }
 }

@@ -132,27 +132,37 @@ object Similarity {
     * nearest centroids and rank candidates in those cells. The cell
     * equi-join is the scale path; the centroid table broadcasts.
     */
+  /** The seeded cell-assignment stage (vec_id, cell), shared by qv3
+    * and qd11 through StageCache: cells are seeded by the first nCells
+    * vec_ids and every vector joins its nearest seed (L2, ties → lower
+    * cell). The nCells seed vectors pack into ONE flattened row sorted
+    * by cell and broadcast; graft_argmin_dist2 scans them per vector in
+    * a single codegen'd loop, keeping the FIRST index on exact ties —
+    * i.e. the lowest cell, the same tie-break as min(struct(d2, cell)).
+    * Zero shuffle on the collection side (the former shape fanned every
+    * vector out ×nCells and shuffled 800k rows back through a groupBy).
+    * The cached form is two narrow columns — trivial at any scale —
+    * and every consumer (centroid build, candidate join, semantic
+    * dedup) reads it instead of re-scanning the collection through the
+    * kernel.
+    */
+  private[graft] def cellAssignment(spark: SparkSession, sfDir: String,
+                                    nCells: Int): DataFrame =
+    graft.util.StageCache.cached(spark, sfDir, s"ivfcells_$nCells") {
+      val e = vecs(spark, sfDir)
+      val seedIds = e.select("vec_id").orderBy("vec_id").limit(nCells)
+        .withColumn("cell", row_number().over(Window.orderBy("vec_id")) - 1)
+      val seeds = e.join(broadcast(seedIds), "vec_id").select(col("cell"), col("v").as("sv"))
+      val packedSeeds = seeds
+        .select(struct(col("cell"), col("sv")).as("s"))
+        .agg(array_sort(collect_list(col("s"))).as("ps"))
+        .select(flatten(expr("transform(ps, x -> x.sv)")).as("sf"))
+      cellAssign(e, packedSeeds)
+    }
+
   def ivfAnn(spark: SparkSession, sfDir: String, nCells: Int = 16, nProbe: Int = 2, k: Int = 5): DataFrame = {
     val e = vecs(spark, sfDir)
-    val seedIds = e.select("vec_id").orderBy("vec_id").limit(nCells)
-      .withColumn("cell", row_number().over(Window.orderBy("vec_id")) - 1)
-    val seeds = e.join(broadcast(seedIds), "vec_id").select(col("cell"), col("v").as("sv"))
-    // assign every vector to its nearest seed (L2, ties → lower cell):
-    // the nCells seed vectors pack into ONE flattened row sorted by cell
-    // and broadcast; graft_argmin_dist2 scans them per vector in a
-    // single codegen'd loop, keeping the FIRST index on exact ties —
-    // i.e. the lowest cell, the same tie-break as min(struct(d2, cell)).
-    // Zero shuffle on the collection side (the former shape fanned every
-    // vector out ×nCells and shuffled 800k rows back through a groupBy).
-    val packedSeeds = seeds
-      .select(struct(col("cell"), col("sv")).as("s"))
-      .agg(array_sort(collect_list(col("s"))).as("ps"))
-      .select(flatten(expr("transform(ps, x -> x.sv)")).as("sf"))
-    // materialized lazily: assignment feeds BOTH the centroid build and
-    // the candidate join — without the checkpoint each consumer re-scans
-    // the whole collection through the kernel; the materialized form is
-    // two narrow columns (vec_id, cell), trivial at any scale
-    val assign = cellAssign(e, packedSeeds).localCheckpoint(eager = false)
+    val assign = cellAssignment(spark, sfDir, nCells)
     val pos = e.select(col("vec_id"), posexplode(col("v")).as(Seq("d", "x")))
     val centroids = pos.join(broadcast(assign), "vec_id")
       .groupBy("cell", "d").agg(avg("x").as("c"))
@@ -176,5 +186,36 @@ object Similarity {
       .withColumn("rnk", row_number().over(wR))
       .filter(col("rnk") <= k)
       .select(col("qid"), col("vec_id"), Num.r4(col("cos")).as("cos"), col("rnk"))
+  }
+
+  /** qd11: semantic dedup — SemDeDup (Abbas et al. 2023,
+    * arXiv:2303.09540, public) re-expressed relationally: embeddings
+    * cluster into qv3's deterministic seeded cells (shared cached
+    * assignment stage), and within a cell a vector is a semantic dup
+    * when any lower-id vector has cosine ≥ thr; the lowest-id member of
+    * each near-dup neighborhood survives. Comparisons never leave a
+    * cell — the only shuffle is the cell equi-join (shuffle_hash so the
+    * array payloads are never sort-buffered), never all-pairs. At
+    * 100 TB nCells grows with the collection so per-cell candidate sets
+    * stay bounded (the paper's k-means plays the seeded assignment's
+    * role), and the output is the per-vector keep/drop verdict a
+    * training-data pipeline filters the corpus by.
+    */
+  def semanticDedup(spark: SparkSession, sfDir: String, nCells: Int = 16,
+                    thr: Double = 0.3): DataFrame = {
+    val e = vecs(spark, sfDir)
+    val withV = cellAssignment(spark, sfDir, nCells)
+      .join(e.select(col("vec_id"), col("v"), col("nrm")), "vec_id")
+    val a = withV.select(col("cell"), col("vec_id").as("vec_a"), col("v").as("av"), col("nrm").as("na"))
+    val b = withV.select(col("cell"), col("vec_id").as("vec_b"), col("v").as("bv"), col("nrm").as("nb"))
+    val dups = a.hint("shuffle_hash").join(b, Seq("cell"))
+      .filter(col("vec_a") < col("vec_b") && dotAB / (col("na") * col("nb")) >= thr)
+      .groupBy(col("vec_b").as("vec_id"))
+      .agg(count(lit(1)).as("n_prior_dups"))
+    withV.select(col("vec_id"), col("cell").cast("long").as("cell"))
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("n_prior_dups"), lit(0L)).as("n_prior_dups"),
+        col("n_prior_dups").isNull.as("keep"))
   }
 }

@@ -74,4 +74,16 @@ class EventsSpec extends SparkSuite {
         (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
     assert(merged === single) // == on doubles: the merge must be BIT-identical
   }
+
+  test("qe6 transitions: totals == per-user event counts − 1; probabilities sum to 1") {
+    val t = Events.transitions(spark, Sf001).cache()
+    val ev = spark.read.parquet(s"$Sf001/events.parquet")
+    // each user with k events contributes exactly k−1 transitions
+    val expected = ev.groupBy("user_id").count()
+      .agg(sum(col("count") - 1)).head.getLong(0)
+    assert(t.agg(sum("n")).head.getLong(0) === expected)
+    // per-src probabilities sum to 1 up to the 1e-4 quantization
+    t.groupBy("src").agg(sum("p").as("sp")).collect()
+      .foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 1e-3, r.getString(0)))
+  }
 }

@@ -283,4 +283,35 @@ class TextSpec extends SparkSuite {
       .filter(col("n_tok") < 25).select("doc_id").collect().map(_.getLong(0)).toSet
     assert(shortIds === qt9Short)
   }
+
+  test("qd11 semantic dedup == driver brute force within cells") {
+    val out = Similarity.semanticDedup(spark, Sf001).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getBoolean(3))))
+    val vecs = spark.read.parquet(s"$Sf001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    assert(out.length === vecs.size)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var i = 0; var d = 0.0; var na = 0.0; var nb = 0.0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    for ((_, members) <- out.groupBy(_._2._1); (id, (_, nPrior, keep)) <- members) {
+      val priors = members.map(_._1).count(o => o < id && cos(vecs(o), vecs(id)) >= 0.3)
+      assert((priors == 0) === keep, s"vec $id keep")
+      assert(priors === nPrior, s"vec $id n_prior_dups")
+    }
+  }
+
+  test("qt11 shard packing reproduces the driver prefix-sum per (source, lang)") {
+    val out = TextOps.packShards(spark, Sf001).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(0), r.getLong(3), r.getLong(4)))
+    for ((_, rows) <- out.groupBy(r => (r._1, r._2))) {
+      var cum = 0L
+      for ((_, _, _, nToks, shard) <- rows.sortBy(_._3)) {
+        assert(shard === cum / 2048L)
+        cum += nToks
+      }
+    }
+  }
 }
