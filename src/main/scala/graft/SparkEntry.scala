@@ -107,7 +107,9 @@ object SparkEntry {
     "qt10_quality_filter" -> ((s, d) => graft.text.TextOps.qualityFilter(s, d)),
     "qd10_bloom_dedup" -> ((s, d) => graft.text.Dedup.bloomIncrementalDedup(s, d)),
     "qa14_incremental_agg" -> ((s, d) => Relational.incrementalAgg(s, d)),
+    "qa15_zorder" -> ((s, d) => Relational.zorderLayout(s, d)),
     "qd11_semantic_dedup" -> ((s, d) => graft.vector.Similarity.semanticDedup(s, d)),
+    "qd12_decontaminate" -> ((s, d) => graft.text.Dedup.decontaminate(s, d)),
     "qt11_pack_shards" -> ((s, d) => graft.text.TextOps.packShards(s, d)),
     "qe6_transitions" -> ((s, d) => graft.analytics.Events.transitions(s, d)),
   )
@@ -432,6 +434,8 @@ object SparkEntry {
     "qt10_quality_filter" -> graft.text.DocOracle.qt10(),
     "qd10_bloom_dedup" -> graft.text.DocOracle.qd10,
     "qd11_semantic_dedup" -> graft.text.DocOracle.qd11(),
+    "qd12_decontaminate" -> graft.text.DocOracle.qd12(),
+    "qa15_zorder" -> Relational.zorderOracle(),
     "qt11_pack_shards" -> graft.text.DocOracle.qt11(),
     "qe6_transitions" -> """
       WITH ev AS (

@@ -258,6 +258,62 @@ object Relational {
   /** Top-N per group via rank window — the standard scalable pattern
     * (shuffle once on the partition key, no global sort).
     */
+  /** The bit-interleave sum for a (bits+bits)-bit Z-order value —
+    * shared between the Spark plan and the DuckDB oracle so the term
+    * order can never diverge. Disjoint bit positions, so `+` ≡ `|`.
+    */
+  private[graft] def zInterleave(a: String, b: String, bits: Int): String =
+    (0 until bits).map(i =>
+      s"((($a >> $i) & 1) << ${2 * i + 1}) + ((($b >> $i) & 1) << ${2 * i})")
+      .mkString(" + ")
+
+  /** qa15: Z-order (Morton) layout keys + per-cell locality stats — the
+    * OPTIMIZE ZORDER BY shape (public: Morton 1966; Delta/Iceberg data
+    * layout). Each key is min-max bucketized to `bits` bits (bounds are
+    * two broadcast scalars), the buckets bit-interleave into z, and
+    * cells (z >> cellShift) play the role of target files: because the
+    * top cell bits alternate between the two keys, every cell spans at
+    * most 2^(bits - cellShift/2) buckets of EACH key — the per-file
+    * min/max stats this query emits prune scans on BOTH predicate
+    * columns. At 100 TB the layout write is
+    * repartitionByRange(z).sortWithinPartitions(z): one range shuffle,
+    * map-side z computation, no global sort barrier beyond range
+    * boundaries.
+    */
+  def zorderLayout(spark: SparkSession, sfDir: String, bits: Int = 10,
+                   cellShift: Int = 8): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir).select("l_partkey", "l_suppkey")
+    val bounds = li.agg(
+      min("l_partkey").as("pmin"), max("l_partkey").as("pmax"),
+      min("l_suppkey").as("smin"), max("l_suppkey").as("smax"))
+    li.crossJoin(broadcast(bounds))
+      .withColumn("pb", expr(s"((l_partkey - pmin) * ${1L << bits}) div (pmax - pmin + 1)"))
+      .withColumn("sb", expr(s"((l_suppkey - smin) * ${1L << bits}) div (smax - smin + 1)"))
+      .withColumn("zcell", expr(s"(${zInterleave("pb", "sb", bits)}) >> $cellShift"))
+      .groupBy("zcell")
+      .agg(count(lit(1)).as("n_rows"),
+        min("l_partkey").as("p_min"), max("l_partkey").as("p_max"),
+        min("l_suppkey").as("s_min"), max("l_suppkey").as("s_max"))
+  }
+
+  /** qa15's DuckDB oracle — same bucketization and interleave string. */
+  private[graft] def zorderOracle(bits: Int = 10, cellShift: Int = 8): String = s"""
+WITH b AS (
+  SELECT min(l_partkey) AS pmin, max(l_partkey) AS pmax,
+         min(l_suppkey) AS smin, max(l_suppkey) AS smax
+  FROM lineitem
+), zt AS (
+  SELECT ((l_partkey - pmin) * ${1L << bits}) // (pmax - pmin + 1) AS pb,
+         ((l_suppkey - smin) * ${1L << bits}) // (smax - smin + 1) AS sb,
+         l_partkey, l_suppkey
+  FROM lineitem, b
+)
+SELECT (${zInterleave("pb", "sb", bits)}) >> $cellShift AS zcell,
+       count(*) AS n_rows,
+       min(l_partkey) AS p_min, max(l_partkey) AS p_max,
+       min(l_suppkey) AS s_min, max(l_suppkey) AS s_max
+FROM zt GROUP BY 1"""
+
   def topCustomersPerSegment(spark: SparkSession, sfDir: String, topN: Int = 3): DataFrame = {
     val o = Tables.orders(spark, sfDir).select("o_custkey", "o_totalprice")
     val c = Tables.customer(spark, sfDir).select("c_custkey", "c_name", "c_mktsegment")

@@ -328,4 +328,32 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         Num.r4(col("inter") / (col("sza") + col("szb") - col("inter"))).as("jaccard"))
   }
+
+  /** qd12: benchmark decontamination — flag training documents that
+    * share any n-token shingle with the held-out eval split
+    * (doc_id % evalMod == 0 plays the benchmark suite here; in
+    * production the eval side is the actual benchmark table). The
+    * standard pre-training hygiene pass (n-gram overlap against test
+    * sets, as described for GPT-3, Brown et al. 2020 §4 — public).
+    *
+    * Scale shape: the eval side is benchmark-sized (thousands of docs),
+    * so its distinct shingle-hash set broadcasts; the corpus side is one
+    * map-side broadcast join over the shared cached shingle stage —
+    * zero corpus shuffle before the per-doc hit count, whose input is
+    * only the matching (doc, shingle) pairs, O(hits) not O(corpus).
+    */
+  def decontaminate(spark: SparkSession, sfDir: String, n: Int = 5,
+                    evalMod: Long = 50L): DataFrame = {
+    val shd = shingles(spark, sfDir, n)
+      .select(col("doc_id"), strHash60(col("sh")).as("h")).distinct()
+    val evalSet = shd.filter(col("doc_id") % evalMod === 0).select("h").distinct()
+    val hits = shd.filter(col("doc_id") % evalMod =!= 0)
+      .join(broadcast(evalSet), "h")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % evalMod =!= 0).select("doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        col("n_hits").isNotNull.as("contaminated"))
+  }
 }

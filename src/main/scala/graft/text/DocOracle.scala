@@ -489,6 +489,24 @@ FROM documents d WHERE d.doc_id % 5 = 0"""
   /** qt11: contiguous token-budget shard packing — mirrors
     * TextOps.packShards (exclusive prefix cumsum div budget).
     */
+  /** qd12: eval-split shingle-overlap decontamination — mirrors
+    * Dedup.decontaminate.
+    */
+  def qd12(n: Int = 5, evalMod: Long = 50L): String =
+    toksCte + shinglesCte(n, "shn") + s"""
+, shd AS (SELECT DISTINCT doc_id, ${h60("sh")} AS h FROM shn),
+ev AS (SELECT DISTINCT h FROM shd WHERE doc_id % $evalMod = 0),
+hits AS (
+  SELECT doc_id, count(*) AS n_hits
+  FROM shd JOIN ev USING (h)
+  WHERE doc_id % $evalMod <> 0
+  GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       h.doc_id IS NOT NULL AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % $evalMod <> 0"""
+
   def qt11(budget: Long = 2048L): String = s"""
 WITH t AS (
   SELECT doc_id, source, lang,

@@ -75,6 +75,26 @@ class EventsSpec extends SparkSuite {
     assert(merged === single) // == on doubles: the merge must be BIT-identical
   }
 
+  test("qa15 z-order cells: row total preserved; every cell spans ≤ 2^(bits - cellShift/2) buckets per key") {
+    val cells = graft.analytics.Relational.zorderLayout(spark, Sf001).collect()
+    val li = spark.read.parquet(s"$Sf001/lineitem.parquet")
+      .select("l_partkey", "l_suppkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(cells.map(_.getLong(1)).sum === li.length)
+    // within a cell the top 6 of each key's 10 bucket bits are fixed, so
+    // the cell covers at most 2^4 = 16 buckets of EITHER key — the
+    // locality property that makes per-file min/max stats prune both
+    // predicate columns
+    val (pmin, pmax) = (li.map(_._1).min, li.map(_._1).max)
+    val (smin, smax) = (li.map(_._2).min, li.map(_._2).max)
+    def pb(k: Long) = (k - pmin) * 1024 / (pmax - pmin + 1)
+    def sb(k: Long) = (k - smin) * 1024 / (smax - smin + 1)
+    cells.foreach { r =>
+      assert(pb(r.getLong(3)) - pb(r.getLong(2)) <= 15, s"cell ${r.getLong(0)} partkey span")
+      assert(sb(r.getLong(5)) - sb(r.getLong(4)) <= 15, s"cell ${r.getLong(0)} suppkey span")
+    }
+  }
+
   test("qe6 transitions: totals == per-user event counts − 1; probabilities sum to 1") {
     val t = Events.transitions(spark, Sf001).cache()
     val ev = spark.read.parquet(s"$Sf001/events.parquet")

@@ -303,6 +303,25 @@ class TextSpec extends SparkSuite {
     }
   }
 
+  test("qd12 decontamination == driver shingle-set overlap") {
+    val out = Dedup.decontaminate(spark, Sf001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    val docs = spark.read.parquet(s"$Sf001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def sh5(t: String): Set[String] =
+      t.split(" ").filter(_.nonEmpty).sliding(5).filter(_.length == 5)
+        .map(_.mkString(" ")).toSet
+    val evalShingles = docs.collect { case (id, t) if id % 50 == 0 => sh5(t) }
+      .foldLeft(Set.empty[String])(_ ++ _)
+    val train = docs.filter { case (id, _) => id % 50 != 0 }
+    assert(out.keySet === train.keySet)
+    for ((id, t) <- train) {
+      val hits = sh5(t).count(evalShingles)
+      assert(out(id) === ((hits.toLong, hits > 0)), s"doc $id")
+    }
+  }
+
   test("qt11 shard packing reproduces the driver prefix-sum per (source, lang)") {
     val out = TextOps.packShards(spark, Sf001).collect()
       .map(r => (r.getString(1), r.getString(2), r.getLong(0), r.getLong(3), r.getLong(4)))
