@@ -110,6 +110,7 @@ object SparkEntry {
     "qa15_zorder" -> ((s, d) => Relational.zorderLayout(s, d)),
     "qd11_semantic_dedup" -> ((s, d) => graft.vector.Similarity.semanticDedup(s, d)),
     "qd12_decontaminate" -> ((s, d) => graft.text.Dedup.decontaminate(s, d)),
+    "qv5_pq_ann" -> ((s, d) => graft.vector.Similarity.pqAnn(s, d)),
     "qt11_pack_shards" -> ((s, d) => graft.text.TextOps.packShards(s, d)),
     "qe6_transitions" -> ((s, d) => graft.analytics.Events.transitions(s, d)),
   )
@@ -436,6 +437,7 @@ object SparkEntry {
     "qd11_semantic_dedup" -> graft.text.DocOracle.qd11(),
     "qd12_decontaminate" -> graft.text.DocOracle.qd12(),
     "qa15_zorder" -> Relational.zorderOracle(),
+    "qv5_pq_ann" -> graft.text.DocOracle.qv5(),
     "qt11_pack_shards" -> graft.text.DocOracle.qt11(),
     "qe6_transitions" -> """
       WITH ev AS (

@@ -314,6 +314,68 @@ FROM wv w LEFT JOIN dups d USING (vec_id)"""
 )
 SELECT qid, vec_id, ${r4("cos")} AS cos, rnk FROM ivfk"""
 
+  /** qv5: product-quantization ADC top-k — mirrors Similarity.pqAnn
+    * (seeded per-subspace codebooks + one Lloyd step, r4-quantized
+    * centroids and distance tables, fixed left-assoc ADC sum).
+    */
+  def qv5(nSub: Int = 4, nCode: Int = 16, k: Int = 5): String = {
+    val subDim = 64 / nSub
+    val cwCols = (0 until nSub)
+      .map(m => s"max(CASE WHEN m = $m THEN code END) AS c$m").mkString(", ")
+    val adcSum = (0 until nSub).map(m => s"t$m.d2")
+      .reduce((a, b) => s"($a + $b)")
+    val adcJoins = (0 until nSub).map { m =>
+      val qlink = if (m == 0) "" else s" AND t$m.qid = t0.qid"
+      s"JOIN dtab t$m ON t$m.m = $m AND t$m.code = w.c$m$qlink"
+    }.mkString("\n  ")
+    vecsCte + s"""
+, pos AS (SELECT vec_id, unnest(range(len(v))) AS d, unnest(v) AS x FROM vecs)
+, spos AS (SELECT vec_id, d // $subDim AS m, d % $subDim AS sd, x FROM pos)
+, seedids AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS code
+  FROM (SELECT vec_id FROM vecs ORDER BY vec_id LIMIT $nCode)
+), sseeds AS (
+  SELECT s.code, p.m, p.sd, p.x AS sx FROM spos p JOIN seedids s USING (vec_id)
+), a0 AS (
+  SELECT vec_id, m, code FROM (
+    SELECT p.vec_id, p.m, s.code,
+           row_number() OVER (PARTITION BY p.vec_id, p.m
+                              ORDER BY sum((p.x - s.sx) * (p.x - s.sx)), s.code) AS rn
+    FROM spos p JOIN sseeds s ON p.m = s.m AND p.sd = s.sd
+    GROUP BY p.vec_id, p.m, s.code
+  ) WHERE rn = 1
+), cb AS (
+  SELECT p.m, a.code, p.sd, ${r4("avg(p.x)")} AS c
+  FROM spos p JOIN a0 a ON a.vec_id = p.vec_id AND a.m = p.m
+  GROUP BY p.m, a.code, p.sd
+), codes AS (
+  SELECT vec_id, m, code FROM (
+    SELECT p.vec_id, p.m, c.code,
+           row_number() OVER (PARTITION BY p.vec_id, p.m
+                              ORDER BY sum((p.x - c.c) * (p.x - c.c)), c.code) AS rn
+    FROM spos p JOIN cb c ON c.m = p.m AND c.sd = p.sd
+    GROUP BY p.vec_id, p.m, c.code
+  ) WHERE rn = 1
+), cw AS (
+  SELECT vec_id, $cwCols FROM codes GROUP BY vec_id
+), dtab AS (
+  SELECT p.vec_id AS qid, p.m, c.code, ${r4("sum((p.x - c.c) * (p.x - c.c))")} AS d2
+  FROM spos p JOIN cb c ON c.m = p.m AND c.sd = p.sd
+  WHERE p.vec_id % 100 = 0
+  GROUP BY p.vec_id, p.m, c.code
+), adc AS (
+  SELECT t0.qid, w.vec_id, $adcSum AS ad2
+  FROM cw w
+  $adcJoins
+  WHERE t0.qid <> w.vec_id
+), ranked AS (
+  SELECT qid, vec_id, ad2,
+         row_number() OVER (PARTITION BY qid ORDER BY ad2, vec_id) AS rnk
+  FROM adc
+)
+SELECT qid, vec_id, ${r4("ad2")} AS ad2, rnk FROM ranked WHERE rnk <= $k"""
+  }
+
   /** qv4 = qv3's IVF result joined against the exact top-k → recall. */
   def qv4(nCells: Int = 16, nProbe: Int = 2, k: Int = 5): String =
     qv3(nCells, nProbe, k).replace(

@@ -188,6 +188,87 @@ object Similarity {
       .select(col("qid"), col("vec_id"), Num.r4(col("cos")).as("cos"), col("rnk"))
   }
 
+  /** qv5: product-quantization ANN with asymmetric distance computation
+    * (PQ/ADC — Jégou et al. 2011, public). The 64-dim vectors split into
+    * nSub=4 16-dim subspaces; each subspace trains a tiny nCode-entry
+    * codebook (seeded by the first nCode vec_ids, one Lloyd refinement —
+    * the same deterministic seeding as qv3) and every vector compresses
+    * to nSub small codes. A query precomputes its distance table
+    * (nSub × nCode subspace distances, r4-quantized so the fixed-order
+    * 4-term ADC sum is bit-reproducible in both engines) and the
+    * approximate distance to ANY vector is nSub table lookups.
+    *
+    * Scale shape: codebooks and assignments are one broadcast row per
+    * subspace; the compressed collection is nSub longs per vector (vs
+    * 64 doubles — the 16× compression is the point at 100 TB: the scan
+    * side reads codes, never raw vectors); the query's distance tables
+    * broadcast and the ADC scan is map-side with zero shuffle before
+    * the per-query top-k. Candidate pruning composes with qv3's IVF
+    * cells (IVF-PQ); here the ADC scan is exhaustive so accuracy
+    * reflects quantization alone.
+    */
+  def pqAnn(spark: SparkSession, sfDir: String, nSub: Int = 4,
+            nCode: Int = 16, k: Int = 5): DataFrame = {
+    val e = vecs(spark, sfDir)
+    val subDim = 64 / nSub
+    // (vec_id, m, sv): per-subspace slices; cached — feeds the initial
+    // assignment, the Lloyd step, the code assignment and the queries
+    val subs = graft.util.StageCache.cached(spark, sfDir, s"pqsubs_$nSub") {
+      e.select(col("vec_id"), explode(array((0 until nSub).map(m =>
+          struct(lit(m).as("m"), slice(col("v"), m * subDim + 1, subDim).as("sv"))): _*)).as("s"))
+        .select(col("vec_id"), col("s.m").as("m"), col("s.sv").as("sv"))
+    }
+    val seedIds = e.select("vec_id").orderBy("vec_id").limit(nCode)
+      .withColumn("code", row_number().over(Window.orderBy("vec_id")) - 1)
+    // per-subspace packed seed row (seeds sorted by code → kernel's
+    // first-index tie-break == ORDER BY d2, code)
+    val seedPacked = subs.join(broadcast(seedIds), "vec_id")
+      .select(col("m"), struct(col("code"), col("sv")).as("s"))
+      .groupBy("m").agg(array_sort(collect_list(col("s"))).as("ps"))
+      .select(col("m"), flatten(expr("transform(ps, x -> x.sv)")).as("sf"))
+    val a0 = subs.join(broadcast(seedPacked), "m")
+      .select(col("vec_id"), col("m"), col("sv"),
+        expr("graft_argmin_dist2(sf, sv)").as("code"))
+    // one Lloyd step: refined centroid = per-dim mean of assigned
+    // subvectors, r4-quantized so downstream distances see identical
+    // bits in both engines
+    val cb = a0.select(col("m"), col("code"), posexplode(col("sv")).as(Seq("sd", "x")))
+      .groupBy("m", "code", "sd").agg(Num.r4(avg("x")).as("c"))
+    val cbArr = cb.groupBy("m", "code")
+      .agg(array_sort(collect_list(struct(col("sd"), col("c")))).as("cs"))
+      .select(col("m"), col("code"), expr("transform(cs, x -> x.c)").as("cv"))
+    // refined codebook packed per m; empty codes may drop out, so the
+    // parallel `codeIds` array maps kernel indices back to code ids
+    val cbPacked = cbArr.select(col("m"), struct(col("code"), col("cv")).as("s"))
+      .groupBy("m").agg(array_sort(collect_list(col("s"))).as("ps"))
+      .select(col("m"), flatten(expr("transform(ps, x -> x.cv)")).as("cf"),
+        expr("transform(ps, x -> x.code)").as("codeIds"))
+    // compressed collection: nSub codes per vector, pivoted wide
+    val codes = subs.join(broadcast(cbPacked), "m")
+      .select(col("vec_id"), col("m"),
+        expr("element_at(codeIds, int(graft_argmin_dist2(cf, sv)) + 1)").as("code"))
+    val cwAggs = (0 until nSub).map(m => max(when(col("m") === m, col("code"))).as(s"c$m"))
+    val cw = codes.groupBy("vec_id").agg(cwAggs.head, cwAggs.tail: _*)
+    // per-query distance tables: one map per subspace, code → r4(d2)
+    val dtab = subs.filter(col("vec_id") % 100 === 0)
+      .join(broadcast(cbArr), "m")
+      .select(col("vec_id").as("qid"), col("m"), col("code"),
+        Num.r4(expr("graft_l2(sv, cv)")).as("d2"))
+    val dmAggs = (0 until nSub).map(m =>
+      map_from_entries(array_sort(collect_list(
+        when(col("m") === m, struct(col("code"), col("d2")))))).as(s"t$m"))
+    val dmaps = dtab.groupBy("qid").agg(dmAggs.head, dmAggs.tail: _*)
+    // ADC: fixed left-assoc 4-term sum of quantized lookups
+    val ad2 = (0 until nSub).map(m => expr(s"t$m[c$m]")).reduce(_ + _)
+    val w = Window.partitionBy("qid").orderBy(col("ad2"), col("vec_id"))
+    cw.crossJoin(broadcast(dmaps))
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("ad2", ad2)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("vec_id"), Num.r4(col("ad2")).as("ad2"), col("rnk"))
+  }
+
   /** qd11: semantic dedup — SemDeDup (Abbas et al. 2023,
     * arXiv:2303.09540, public) re-expressed relationally: embeddings
     * cluster into qv3's deterministic seeded cells (shared cached

@@ -322,6 +322,49 @@ class TextSpec extends SparkSuite {
     }
   }
 
+  test("qv5 PQ/ADC == driver recompute (codes, distance tables, top-k)") {
+    def r4(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
+    val out = Similarity.pqAnn(spark, Sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getInt(3))).toMap
+    val vecs = spark.read.parquet(s"$Sf001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    val (nSub, subDim, nCode, k) = (4, 16, 16, 5)
+    def sub(v: Array[Double], m: Int) = v.slice(m * subDim, (m + 1) * subDim)
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val seeds = vecs.take(nCode).map(_._2)
+    // initial assignment, then one Lloyd step with r4-quantized means
+    def assign(cbs: Array[Array[Array[Double]]], codeIds: Array[Array[Int]]) =
+      vecs.map { case (id, v) => id -> (0 until nSub).map { m =>
+        val ds = cbs(m).map(c => d2(sub(v, m), c))
+        codeIds(m)(ds.indexOf(ds.min))
+      }.toArray }.toMap
+    val cb0 = Array.tabulate(nSub)(m => seeds.map(s => sub(s, m)))
+    val a0 = assign(cb0, Array.fill(nSub)((0 until nCode).toArray))
+    val refined: Array[Array[(Int, Array[Double])]] = Array.tabulate(nSub) { m =>
+      vecs.groupBy { case (id, _) => a0(id)(m) }.toArray.sortBy(_._1).map {
+        case (code, members) =>
+          code -> Array.tabulate(subDim)(sd => r4(
+            members.map { case (_, v) => sub(v, m)(sd) }.sum / members.length))
+      }
+    }
+    val codes = assign(refined.map(_.map(_._2)), refined.map(_.map(_._1)))
+    val qids = vecs.map(_._1).filter(_ % 100 == 0)
+    val vmap = vecs.toMap
+    for (qid <- qids) {
+      val dtab = Array.tabulate(nSub)(m =>
+        refined(m).map { case (code, c) => code -> r4(d2(sub(vmap(qid), m), c)) }.toMap)
+      val ranked = vecs.filter(_._1 != qid).map { case (id, _) =>
+        id -> (0 until nSub).map(m => dtab(m)(codes(id)(m))).sum
+      }.sortBy { case (id, ad2) => (ad2, id) }.take(k)
+      ranked.zipWithIndex.foreach { case ((id, ad2), i) =>
+        assert(out((qid, id)) === ((r4(ad2), i + 1)), s"q$qid -> $id")
+      }
+    }
+  }
+
   test("qt11 shard packing reproduces the driver prefix-sum per (source, lang)") {
     val out = TextOps.packShards(spark, Sf001).collect()
       .map(r => (r.getString(1), r.getString(2), r.getLong(0), r.getLong(3), r.getLong(4)))
