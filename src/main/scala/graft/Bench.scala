@@ -30,7 +30,7 @@ object Bench {
       .config("spark.storage.memoryMapThreshold", "134217728")
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel(sys.env.getOrElse("SPARK_GRAFT_LOG", "WARN"))
     import org.apache.spark.sql.functions.{col, xxhash64}
     // Warm up the JVM/codegen paths and parquet footers before timing —
     // session fixed costs, not query work; no query stage is precomputed.

@@ -232,11 +232,18 @@ object Similarity {
     // one Lloyd step: refined centroid = per-dim mean of assigned
     // subvectors, r4-quantized so downstream distances see identical
     // bits in both engines
-    val cb = a0.select(col("m"), col("code"), posexplode(col("sv")).as(Seq("sd", "x")))
-      .groupBy("m", "code", "sd").agg(Num.r4(avg("x")).as("c"))
-    val cbArr = cb.groupBy("m", "code")
-      .agg(array_sort(collect_list(struct(col("sd"), col("c")))).as("cs"))
-      .select(col("m"), col("code"), expr("transform(cs, x -> x.c)").as("cv"))
+    // the refined codebook is nSub × ≤nCode tiny rows but sits on a deep
+    // two-branch lineage (assignment → seeds → subs); checkpointing it
+    // stops every consumer (code assignment AND query distance tables)
+    // from re-planning and re-compiling that whole subtree — at 100 TB
+    // this is the codebook artifact a PQ index persists
+    val cbArr = graft.util.StageCache.cached(spark, sfDir, s"pqcb_${nSub}_$nCode") {
+      val cb = a0.select(col("m"), col("code"), posexplode(col("sv")).as(Seq("sd", "x")))
+        .groupBy("m", "code", "sd").agg(Num.r4(avg("x")).as("c"))
+      cb.groupBy("m", "code")
+        .agg(array_sort(collect_list(struct(col("sd"), col("c")))).as("cs"))
+        .select(col("m"), col("code"), expr("transform(cs, x -> x.c)").as("cv"))
+    }
     // refined codebook packed per m; empty codes may drop out, so the
     // parallel `codeIds` array maps kernel indices back to code ids
     val cbPacked = cbArr.select(col("m"), struct(col("code"), col("cv")).as("s"))
@@ -247,8 +254,13 @@ object Similarity {
     val codes = subs.join(broadcast(cbPacked), "m")
       .select(col("vec_id"), col("m"),
         expr("element_at(codeIds, int(graft_argmin_dist2(cf, sv)) + 1)").as("code"))
+    // the compressed collection (nSub codes per vector) — THE persisted
+    // artifact of a PQ index; checkpointed so the ADC scan's plan is a
+    // flat scan of codes, not the whole training chain
     val cwAggs = (0 until nSub).map(m => max(when(col("m") === m, col("code"))).as(s"c$m"))
-    val cw = codes.groupBy("vec_id").agg(cwAggs.head, cwAggs.tail: _*)
+    val cw = graft.util.StageCache.cached(spark, sfDir, s"pqcodes_${nSub}_$nCode") {
+      codes.groupBy("vec_id").agg(cwAggs.head, cwAggs.tail: _*)
+    }
     // per-query distance tables: one map per subspace, code → r4(d2)
     val dtab = subs.filter(col("vec_id") % 100 === 0)
       .join(broadcast(cbArr), "m")
