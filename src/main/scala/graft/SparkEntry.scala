@@ -111,6 +111,8 @@ object SparkEntry {
     "qd11_semantic_dedup" -> ((s, d) => graft.vector.Similarity.semanticDedup(s, d)),
     "qd12_decontaminate" -> ((s, d) => graft.text.Dedup.decontaminate(s, d)),
     "qv5_pq_ann" -> ((s, d) => graft.vector.Similarity.pqAnn(s, d)),
+    "qt12_vocab_coverage" -> ((s, d) => graft.text.TextOps.vocabCoverage(s, d)),
+    "qp5_skew_profile" -> ((s, d) => graft.analytics.Events.skewProfile(s, d)),
     "qt11_pack_shards" -> ((s, d) => graft.text.TextOps.packShards(s, d)),
     "qe6_transitions" -> ((s, d) => graft.analytics.Events.transitions(s, d)),
   )
@@ -438,6 +440,19 @@ object SparkEntry {
     "qd12_decontaminate" -> graft.text.DocOracle.qd12(),
     "qa15_zorder" -> Relational.zorderOracle(),
     "qv5_pq_ann" -> graft.text.DocOracle.qv5(),
+    "qt12_vocab_coverage" -> graft.text.DocOracle.qt12(),
+    "qp5_skew_profile" -> """
+      WITH ev AS (
+        SELECT user_id FROM events
+      ), counts AS (
+        SELECT user_id, count(*) AS cnt FROM ev GROUP BY user_id
+      ), totals AS (
+        SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS n_keys FROM counts
+      )
+      SELECT user_id, cnt,
+             floor((cnt * 1.0 / total)*10000 + 0.5)/10000 AS pct,
+             floor((cnt * 1.0 * n_keys / total)*10000 + 0.5)/10000 AS skew
+      FROM (SELECT * FROM counts ORDER BY cnt DESC, user_id LIMIT 10), totals""",
     "qt11_pack_shards" -> graft.text.DocOracle.qt11(),
     "qe6_transitions" -> """
       WITH ev AS (

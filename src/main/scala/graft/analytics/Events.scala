@@ -283,6 +283,26 @@ object Events {
       .groupBy("level").agg(count(lit(1)).as("n_users"))
   }
 
+  /** qp5: hot-key skew profile — the diagnostic that decides salting /
+    * AQE-skew strategy before a big shuffle. Per-key counts (one
+    * partial-agg'd groupBy), then the top `topN` keys by count with
+    * their share of total rows and skew ratio (count / mean count per
+    * key). The global top-N goes through orderBy+limit — Spark plans
+    * TakeOrderedAndProject (per-partition top-N, tiny driver merge),
+    * never a full global sort; the totals are two scalar aggs that
+    * broadcast back in.
+    */
+  def skewProfile(spark: SparkSession, sfDir: String, topN: Int = 10): DataFrame = {
+    import graft.util.Num
+    val counts = epochSec(spark, sfDir).groupBy("user_id").agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(sum("cnt").as("total"), count(lit(1)).as("n_keys"))
+    counts.orderBy(col("cnt").desc, col("user_id")).limit(topN)
+      .crossJoin(broadcast(totals))
+      .select(col("user_id"), col("cnt"),
+        Num.r4(col("cnt") / col("total")).as("pct"),
+        Num.r4(col("cnt") * col("n_keys") / col("total")).as("skew"))
+  }
+
   /** qe6: event-type transition matrix — per-user next-event bigrams
     * (time order, event_id tie-break) rolled up to global counts and a
     * per-source transition probability. The heavy pass is one window

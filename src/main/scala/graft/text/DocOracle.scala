@@ -551,6 +551,20 @@ FROM documents d WHERE d.doc_id % 5 = 0"""
   /** qt11: contiguous token-budget shard packing — mirrors
     * TextOps.packShards (exclusive prefix cumsum div budget).
     */
+  /** qt12: top-V vocab OOV coverage — mirrors TextOps.vocabCoverage. */
+  def qt12(vocabSize: Int = 32): String = toksCte + s"""
+, vocab AS (
+  SELECT tok FROM (
+    SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+    ORDER BY cnt DESC, tok LIMIT $vocabSize
+  )
+)
+SELECT t.doc_id, count(*) AS n_toks,
+       CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       ${r4("sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*)")} AS oov_rate
+FROM toks t LEFT JOIN vocab v USING (tok)
+GROUP BY t.doc_id"""
+
   /** qd12: eval-split shingle-overlap decontamination — mirrors
     * Dedup.decontaminate.
     */

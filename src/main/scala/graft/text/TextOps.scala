@@ -223,6 +223,28 @@ object TextOps {
       .select("doc_id", "rnk", "tok", "tfidf")
   }
 
+  /** qt12: vocabulary coverage / OOV-rate report — how well a fixed
+    * top-V vocabulary covers each document (the tokenizer-coverage
+    * check run before committing to a vocab). The vocab is the corpus'
+    * top `vocabSize` tokens (count desc, token asc — deterministic);
+    * it broadcasts (vocabularies are ≤ a few hundred thousand entries
+    * regardless of corpus size) and each doc's OOV count is a map-side
+    * broadcast left-anti-style join over the shared cached token stage
+    * — the corpus never shuffles except the per-doc count.
+    */
+  def vocabCoverage(spark: SparkSession, sfDir: String, vocabSize: Int = 32): DataFrame = {
+    val toks = tokens(spark, sfDir)
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(vocabSize)
+      .select(col("tok"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_toks"), col("n_oov"),
+        Num.r4(col("n_oov") / col("n_toks")).as("oov_rate"))
+  }
+
   /** qt11: token-budget shard packing — the step that turns a filtered
     * corpus into training shards. Docs stream in (source, lang, doc_id)
     * order; a doc's shard is its EXCLUSIVE prefix token count div

@@ -75,6 +75,22 @@ class EventsSpec extends SparkSuite {
     assert(merged === single) // == on doubles: the merge must be BIT-identical
   }
 
+  test("qp5 skew profile == driver recompute; top-N is TakeOrdered, not a global sort") {
+    def r4(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
+    val df = Events.skewProfile(spark, Sf001)
+    assert(df.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
+      "global top-N must plan as per-partition top-N + driver merge")
+    val out = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val counts = spark.read.parquet(s"$Sf001/events.parquet")
+      .groupBy("user_id").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val total = counts.map(_._2).sum
+    val expected = counts.sortBy { case (id, c) => (-c, id) }.take(10).map { case (id, c) =>
+      (id, c, r4(c.toDouble / total), r4(c.toDouble * counts.length / total))
+    }
+    assert(out.toSeq === expected.toSeq)
+  }
+
   test("qa15 z-order cells: row total preserved; every cell spans ≤ 2^(bits - cellShift/2) buckets per key") {
     val cells = graft.analytics.Relational.zorderLayout(spark, Sf001).collect()
     val li = spark.read.parquet(s"$Sf001/lineitem.parquet")

@@ -303,6 +303,22 @@ class TextSpec extends SparkSuite {
     }
   }
 
+  test("qt12 vocab coverage == driver recompute over top-32 vocab") {
+    def r4(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
+    val out = TextOps.vocabCoverage(spark, Sf001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val docs = spark.read.parquet(s"$Sf001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty).toSeq).toMap
+    val vocab = docs.values.flatten.groupBy(identity).view.mapValues(_.size).toSeq
+      .sortBy { case (tok, c) => (-c, tok) }.take(32).map(_._1).toSet
+    assert(out.keySet === docs.keySet)
+    for ((id, toks) <- docs) {
+      val oov = toks.count(t => !vocab(t))
+      assert(out(id) === ((toks.size.toLong, oov.toLong, r4(oov.toDouble / toks.size))), s"doc $id")
+    }
+  }
+
   test("qd12 decontamination == driver shingle-set overlap") {
     val out = Dedup.decontaminate(spark, Sf001).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
