@@ -112,6 +112,7 @@ object SparkEntry {
     "qd12_decontaminate" -> ((s, d) => graft.text.Dedup.decontaminate(s, d)),
     "qv5_pq_ann" -> ((s, d) => graft.vector.Similarity.pqAnn(s, d)),
     "qt12_vocab_coverage" -> ((s, d) => graft.text.TextOps.vocabCoverage(s, d)),
+    "qd13_dup_spans" -> ((s, d) => graft.text.Dedup.dupSpans(s, d)),
     "qp5_skew_profile" -> ((s, d) => graft.analytics.Events.skewProfile(s, d)),
     "qt11_pack_shards" -> ((s, d) => graft.text.TextOps.packShards(s, d)),
     "qe6_transitions" -> ((s, d) => graft.analytics.Events.transitions(s, d)),
@@ -441,6 +442,7 @@ object SparkEntry {
     "qa15_zorder" -> Relational.zorderOracle(),
     "qv5_pq_ann" -> graft.text.DocOracle.qv5(),
     "qt12_vocab_coverage" -> graft.text.DocOracle.qt12(),
+    "qd13_dup_spans" -> graft.text.DocOracle.qd13(),
     "qp5_skew_profile" -> """
       WITH ev AS (
         SELECT user_id FROM events

@@ -329,6 +329,37 @@ object Dedup {
         Num.r4(col("inter") / (col("sza") + col("szb") - col("inter"))).as("jaccard"))
   }
 
+  /** qd13: longest shared token span per near-dup candidate pair — the
+    * exact-substring-duplication signal (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * public) re-expressed relationally: instead of a corpus suffix
+    * array, positional n-gram shingles of each LSH candidate pair are
+    * matched on their 60-bit hash and the longest diagonal run of
+    * consecutive matches (classic gaps-and-islands over ia − ib) gives
+    * the longest common token span (run + n − 1 tokens).
+    *
+    * Scale shape: everything is bounded by the candidate graph — the
+    * per-pair shingle match joins fan out only matching positions, the
+    * island windows partition by (pair, diagonal), and no all-pairs or
+    * corpus-global structure is ever built. The cached LSH pair stage
+    * and the shared shingle stage are reused as-is.
+    */
+  def dupSpans(spark: SparkSession, sfDir: String, n: Int = 3): DataFrame = {
+    val pairs = minhashLsh(spark, sfDir).select("doc_a", "doc_b")
+    val sh = shingles(spark, sfDir, n)
+      .select(col("doc_id"), col("i"), strHash60(col("sh")).as("h"))
+    val m = pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("i").as("ia"), col("h")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("i").as("ib"), col("h")), Seq("doc_b", "h"))
+      .withColumn("diag", col("ia") - col("ib"))
+    val w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("ia")
+    m.withColumn("grp", col("ia") - row_number().over(w))
+      .groupBy("doc_a", "doc_b", "diag", "grp").agg(count(lit(1)).as("run"))
+      .groupBy("doc_a", "doc_b").agg(max("run").as("max_run"))
+      .select(col("doc_a"), col("doc_b"), col("max_run"),
+        (col("max_run") + (n - 1)).as("span_toks"))
+  }
+
   /** qd12: benchmark decontamination — flag training documents that
     * share any n-token shingle with the held-out eval split
     * (doc_id % evalMod == 0 plays the benchmark suite here; in

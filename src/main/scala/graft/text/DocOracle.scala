@@ -551,6 +551,43 @@ FROM documents d WHERE d.doc_id % 5 = 0"""
   /** qt11: contiguous token-budget shard packing — mirrors
     * TextOps.packShards (exclusive prefix cumsum div budget).
     */
+  /** qd13: longest shared token span per LSH candidate pair — mirrors
+    * Dedup.dupSpans (qd2's band chain for candidates, then
+    * gaps-and-islands over match diagonals).
+    */
+  def qd13(nPerm: Int = 16, bandRows: Int = 4, n: Int = 3): String =
+    toksCte + shinglesCte(n, "sh3") + s"""
+, shd AS (SELECT DISTINCT doc_id, sh, ${h("sh")} AS bh FROM sh3),
+perms AS (
+  SELECT doc_id, bh, unnest(range($nPerm)) AS j FROM shd
+), hashed AS (
+  SELECT doc_id, j, ((j * 31 + 17) * bh + j * 7919) % 2147483647 AS hh FROM perms
+), minh AS (
+  SELECT doc_id, j, min(hh) AS mh FROM hashed GROUP BY doc_id, j
+), bands AS (
+  SELECT doc_id, CAST(floor(j / $bandRows) AS BIGINT) AS band,
+         sum(mh * ${bandCase(bandRows)}) AS sig
+  FROM minh GROUP BY doc_id, CAST(floor(j / $bandRows) AS BIGINT)
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+), shp AS (SELECT doc_id, i, ${h60("sh")} AS hp FROM sh3),
+mt AS (
+  SELECT p.doc_a, p.doc_b, sa.i AS ia, sb.i AS ib
+  FROM pairs p
+  JOIN shp sa ON sa.doc_id = p.doc_a
+  JOIN shp sb ON sb.doc_id = p.doc_b AND sb.hp = sa.hp
+), runs AS (
+  SELECT doc_a, doc_b, ia - ib AS diag,
+         ia - row_number() OVER (PARTITION BY doc_a, doc_b, ia - ib ORDER BY ia) AS grp
+  FROM mt
+), runlen AS (
+  SELECT doc_a, doc_b, diag, grp, count(*) AS run
+  FROM runs GROUP BY doc_a, doc_b, diag, grp
+)
+SELECT doc_a, doc_b, max(run) AS max_run, max(run) + ${n - 1} AS span_toks
+FROM runlen GROUP BY doc_a, doc_b"""
+
   /** qt12: top-V vocab OOV coverage — mirrors TextOps.vocabCoverage. */
   def qt12(vocabSize: Int = 32): String = toksCte + s"""
 , vocab AS (

@@ -319,6 +319,34 @@ class TextSpec extends SparkSuite {
     }
   }
 
+  test("qd13 dup spans == driver longest-common-run over LSH pairs") {
+    val out = Dedup.dupSpans(spark, Sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val pairs = Dedup.minhashLsh(spark, Sf001).select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val docs = spark.read.parquet(s"$Sf001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty)).toMap
+    def sh3(t: Array[String]): Array[String] =
+      t.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toArray
+    var checked = 0
+    for ((a, b) <- pairs) {
+      val (sa, sb) = (sh3(docs(a)), sh3(docs(b)))
+      // longest diagonal run of equal shingles (DP over match grid)
+      val runs = Array.ofDim[Int](sa.length + 1, sb.length + 1)
+      var best = 0
+      for (ia <- sa.indices; ib <- sb.indices if sa(ia) == sb(ib)) {
+        runs(ia + 1)(ib + 1) = runs(ia)(ib) + 1
+        best = math.max(best, runs(ia + 1)(ib + 1))
+      }
+      if (best > 0) {
+        assert(out((a, b)) === ((best.toLong, best.toLong + 2)), s"pair ($a,$b)")
+        checked += 1
+      } else assert(!out.contains((a, b)), s"pair ($a,$b) should have no matches")
+    }
+    assert(checked > 0 && out.size === checked)
+  }
+
   test("qd12 decontamination == driver shingle-set overlap") {
     val out = Dedup.decontaminate(spark, Sf001).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
