@@ -113,6 +113,7 @@ object SparkEntry {
     "qv5_pq_ann" -> ((s, d) => graft.vector.Similarity.pqAnn(s, d)),
     "qt12_vocab_coverage" -> ((s, d) => graft.text.TextOps.vocabCoverage(s, d)),
     "qd13_dup_spans" -> ((s, d) => graft.text.Dedup.dupSpans(s, d)),
+    "q44_masked_pairs" -> ((s, d) => graft.timeseries.Impute.maskedPairs(s, d)),
     "qp5_skew_profile" -> ((s, d) => graft.analytics.Events.skewProfile(s, d)),
     "qt11_pack_shards" -> ((s, d) => graft.text.TextOps.packShards(s, d)),
     "qe6_transitions" -> ((s, d) => graft.analytics.Events.transitions(s, d)),
@@ -443,6 +444,7 @@ object SparkEntry {
     "qv5_pq_ann" -> graft.text.DocOracle.qv5(),
     "qt12_vocab_coverage" -> graft.text.DocOracle.qt12(),
     "qd13_dup_spans" -> graft.text.DocOracle.qd13(),
+    "q44_masked_pairs" -> graft.timeseries.TsOracle.q44(),
     "qp5_skew_profile" -> """
       WITH ev AS (
         SELECT user_id FROM events

@@ -20,6 +20,28 @@ object Impute {
       .select(col("series"), (col("win") * TsCore.DaySize + col("pos")).as("t"),
         col("win"), col("pos"), col("v_anom"), col("is_anom"))
 
+  /** q44: masked-span training pairs for the denoising autoencoder
+    * (ref anomaly_imputation/dataset_ai.py:15-25: each window gets ONE
+    * random zero-masked span of `maskSize`, yielding (clean, masked,
+    * mask) triples). The mask position is a deterministic LCG draw per
+    * (series, win) — same key family as the anomaly injector, salt 8 —
+    * over [0, daySize − maskSize − 1), mirroring the reference's
+    * randint bound. Map-side after the shared complete-window stage;
+    * partition key (series, win).
+    */
+  def maskedPairs(spark: SparkSession, sfDir: String, maskSize: Int = 8): DataFrame = {
+    val hi = TsCore.DaySize - maskSize - 1
+    val mi = TsCore.winKeys(spark, sfDir)
+      .select(col("series"), col("win"),
+        floor(TsCore.lcg(col("key"), 8) * hi).cast("long").as("mi"))
+    TsCore.dayWindows(spark, sfDir)
+      .join(mi, Seq("series", "win"))
+      .withColumn("mask",
+        when(col("pos") >= col("mi") && col("pos") < col("mi") + maskSize, 0).otherwise(1))
+      .select(col("series"), col("win"), col("pos"), col("v"), col("mask"),
+        when(col("mask") === 0, lit(0.0)).otherwise(col("v")).as("v_masked"))
+  }
+
   /** q18: linear interpolation across flagged spans — for each flagged
     * point, interpolate between the nearest clean points on both sides.
     */

@@ -150,19 +150,30 @@ object TsCore {
     * per reference's randint ranges for n=24; softstart/extreme 50/50;
     * r ~ U(0.01, 3.99).
     */
-  def injectParams(spark: SparkSession, sfDir: String): DataFrame = {
-    // not checkpointed: single consumer (injected)
+  /** Per-(series, win) deterministic LCG key (sidx·100 + win) — the
+    * draw base shared by the anomaly injector (q05) and the masked-pair
+    * builder (q44); the oracle's `keys` CTE mirrors it.
+    *
+    * dense_rank over an UNPARTITIONED window: a deliberate, bounded
+    * single-task sort — the input is one narrow row per DISTINCT
+    * series (not per data row), and the LCG keying needs a globally
+    * consistent dense index that the oracle can reproduce with the
+    * same dense_rank. At millions of series this is one sort of
+    * millions of short strings on one task (~seconds), paid once per
+    * session; the result broadcasts.
+    */
+  private[graft] def winKeys(spark: SparkSession, sfDir: String): DataFrame = {
     val wins = dayWindows(spark, sfDir).select("series", "win").distinct()
-    // dense_rank over an UNPARTITIONED window: a deliberate, bounded
-    // single-task sort — the input is one narrow row per DISTINCT
-    // series (not per data row), and the injector's LCG keying needs a
-    // globally consistent dense index that the oracle can reproduce
-    // with the same dense_rank. At millions of series this is one sort
-    // of millions of short strings on one task (~seconds), paid once
-    // per session; the result broadcasts.
     val sidx = wins.select("series").distinct()
       .withColumn("sidx", dense_rank().over(Window.orderBy("series")) - 1)
-    val key = col("sidx") * 100L + col("win")
+    wins.join(broadcast(sidx), "series")
+      .select(col("series"), col("win"), (col("sidx") * 100L + col("win")).as("key"))
+  }
+
+  def injectParams(spark: SparkSession, sfDir: String): DataFrame = {
+    // not checkpointed: single consumer (injected)
+    val wins = winKeys(spark, sfDir)
+    val key = col("key")
     val n = DaySize
     val u2 = lcg(key, 2)
     val u3 = lcg(key, 3)
@@ -176,7 +187,7 @@ object TsCore {
     val alen = when(atype === 1, lit(3) + floor(u4 * (hi - 3)))
       .when(atype === 2, lit(2) + floor(u4 * (hi - 2)))
       .otherwise(lit(1))
-    wins.join(broadcast(sidx), "series")
+    wins
       .select(col("series"), col("win"),
         (lcg(key, 1) < DayContamRate).as("contam"),
         atype.as("atype"), apos.cast("long").as("apos"), alen.cast("long").as("alen"),

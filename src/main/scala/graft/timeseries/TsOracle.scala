@@ -210,6 +210,19 @@ FROM filled f JOIN bounds b USING (series) WHERE f.v_filled IS NOT NULL"""
 
   def q05: String = prefix + "SELECT series, win, pos, v_orig, v_anom, is_anom FROM inject"
 
+  /** q44: masked-span (clean, masked, mask) training triples — mirrors
+    * Impute.maskedPairs (LCG salt 8 over the shared keys CTE).
+    */
+  def q44(maskSize: Int = 8): String = prefix + s"""
+SELECT d.series, d.win, d.pos, d.v,
+       CASE WHEN d.pos >= p.mi AND d.pos < p.mi + $maskSize THEN 0 ELSE 1 END AS mask,
+       CASE WHEN d.pos >= p.mi AND d.pos < p.mi + $maskSize THEN 0.0 ELSE d.v END AS v_masked
+FROM daywin d
+JOIN (
+  SELECT series, win, CAST(floor(${lcg(8)} * ${TsCore.DaySize - maskSize - 1}) AS BIGINT) AS mi
+  FROM keys
+) p USING (series, win)"""
+
   def q06: String = prefix + "SELECT series, win, pos, ewma FROM feats"
 
   def q07: String = prefix + "SELECT series, win, pos, pstd FROM feats"

@@ -5,6 +5,26 @@ import graft.timeseries._
 
 class ForecastImputeSpec extends SparkSuite {
 
+  test("q44 masked pairs: one LCG-placed zero span of 8 per window, clean elsewhere") {
+    val rows = Impute.maskedPairs(spark, Sf01).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getDouble(3), r.getInt(4), r.getDouble(5))))
+    assert(rows.nonEmpty)
+    val seriesIdx = rows.map(_._1._1).distinct.sorted.zipWithIndex.toMap
+    for ((key, pts) <- rows.groupBy(_._1)) {
+      val (series, win) = key
+      // driver LCG recompute (TsCore.lcg, salt 8, hi = 24 - 8 - 1)
+      val k = seriesIdx(series).toLong * 100 + win
+      val u = ((1103515245L * (k * 1000 + 8) + 12345L) % 2147483648L).toDouble / 2147483648.0
+      val mi = math.floor(u * 15).toLong
+      assert(pts.length === 24, s"$key size")
+      for ((pos, v, mask, vm) <- pts.map(_._2)) {
+        val masked = pos >= mi && pos < mi + 8
+        assert(mask === (if (masked) 0 else 1), s"$key pos $pos mask")
+        assert(vm === (if (masked) 0.0 else v), s"$key pos $pos value")
+      }
+    }
+  }
+
   test("linear imputation leaves clean points untouched") {
     val li = Impute.imputeLinear(spark, Sf01).cache()
     val orig = TsCore.injected(spark, Sf01)
