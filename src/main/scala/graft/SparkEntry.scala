@@ -114,6 +114,7 @@ object SparkEntry {
     "qt12_vocab_coverage" -> ((s, d) => graft.text.TextOps.vocabCoverage(s, d)),
     "qd13_dup_spans" -> ((s, d) => graft.text.Dedup.dupSpans(s, d)),
     "q44_masked_pairs" -> ((s, d) => graft.timeseries.Impute.maskedPairs(s, d)),
+    "qv6_ivfpq_ann" -> ((s, d) => graft.vector.Similarity.ivfPqAnn(s, d)),
     "qp5_skew_profile" -> ((s, d) => graft.analytics.Events.skewProfile(s, d)),
     "qt11_pack_shards" -> ((s, d) => graft.text.TextOps.packShards(s, d)),
     "qe6_transitions" -> ((s, d) => graft.analytics.Events.transitions(s, d)),
@@ -445,6 +446,7 @@ object SparkEntry {
     "qt12_vocab_coverage" -> graft.text.DocOracle.qt12(),
     "qd13_dup_spans" -> graft.text.DocOracle.qd13(),
     "q44_masked_pairs" -> graft.timeseries.TsOracle.q44(),
+    "qv6_ivfpq_ann" -> graft.text.DocOracle.qv6(),
     "qp5_skew_profile" -> """
       WITH ev AS (
         SELECT user_id FROM events

@@ -318,24 +318,22 @@ SELECT qid, vec_id, ${r4("cos")} AS cos, rnk FROM ivfk"""
     * (seeded per-subspace codebooks + one Lloyd step, r4-quantized
     * centroids and distance tables, fixed left-assoc ADC sum).
     */
-  def qv5(nSub: Int = 4, nCode: Int = 16, k: Int = 5): String = {
+  /** The PQ-index CTE block (needs `vecs` and `pos` defined upstream):
+    * codebooks (pqseedids → a0 → cb), compressed codes (cw) and
+    * per-query distance tables (dtab). Mirrors Similarity.pqIndex; CTE
+    * names are disjoint from assignCte's so qv6 can compose both.
+    */
+  private def pqCte(nSub: Int, nCode: Int): String = {
     val subDim = 64 / nSub
     val cwCols = (0 until nSub)
       .map(m => s"max(CASE WHEN m = $m THEN code END) AS c$m").mkString(", ")
-    val adcSum = (0 until nSub).map(m => s"t$m.d2")
-      .reduce((a, b) => s"($a + $b)")
-    val adcJoins = (0 until nSub).map { m =>
-      val qlink = if (m == 0) "" else s" AND t$m.qid = t0.qid"
-      s"JOIN dtab t$m ON t$m.m = $m AND t$m.code = w.c$m$qlink"
-    }.mkString("\n  ")
-    vecsCte + s"""
-, pos AS (SELECT vec_id, unnest(range(len(v))) AS d, unnest(v) AS x FROM vecs)
+    s"""
 , spos AS (SELECT vec_id, d // $subDim AS m, d % $subDim AS sd, x FROM pos)
-, seedids AS (
+, pqseedids AS (
   SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS code
   FROM (SELECT vec_id FROM vecs ORDER BY vec_id LIMIT $nCode)
 ), sseeds AS (
-  SELECT s.code, p.m, p.sd, p.x AS sx FROM spos p JOIN seedids s USING (vec_id)
+  SELECT s.code, p.m, p.sd, p.x AS sx FROM spos p JOIN pqseedids s USING (vec_id)
 ), a0 AS (
   SELECT vec_id, m, code FROM (
     SELECT p.vec_id, p.m, s.code,
@@ -363,18 +361,65 @@ SELECT qid, vec_id, ${r4("cos")} AS cos, rnk FROM ivfk"""
   FROM spos p JOIN cb c ON c.m = p.m AND c.sd = p.sd
   WHERE p.vec_id % 100 = 0
   GROUP BY p.vec_id, p.m, c.code
-), adc AS (
+)"""
+  }
+
+  /** The fixed left-assoc ADC sum and dtab join chain; `anchor` is the
+    * table alias providing (qid, vec_id) pairs to score.
+    */
+  private def adcSql(nSub: Int, fromClause: String, t0Link: String,
+                     where: String): String = {
+    val adcSum = (0 until nSub).map(m => s"t$m.d2").reduce((a, b) => s"($a + $b)")
+    val adcJoins = (0 until nSub).map { m =>
+      val link = if (m == 0) t0Link else s" AND t$m.qid = t0.qid"
+      s"JOIN dtab t$m ON t$m.m = $m AND t$m.code = w.c$m$link"
+    }.mkString("\n  ")
+    s"""
+, adc AS (
   SELECT t0.qid, w.vec_id, $adcSum AS ad2
-  FROM cw w
+  $fromClause
   $adcJoins
-  WHERE t0.qid <> w.vec_id
+  $where
 ), ranked AS (
   SELECT qid, vec_id, ad2,
          row_number() OVER (PARTITION BY qid ORDER BY ad2, vec_id) AS rnk
   FROM adc
-)
-SELECT qid, vec_id, ${r4("ad2")} AS ad2, rnk FROM ranked WHERE rnk <= $k"""
+)"""
   }
+
+  def qv5(nSub: Int = 4, nCode: Int = 16, k: Int = 5): String =
+    vecsCte +
+      "\n, pos AS (SELECT vec_id, unnest(range(len(v))) AS d, unnest(v) AS x FROM vecs)" +
+      pqCte(nSub, nCode) +
+      adcSql(nSub, "FROM cw w", "", "WHERE t0.qid <> w.vec_id") + s"""
+SELECT qid, vec_id, ${r4("ad2")} AS ad2, rnk FROM ranked WHERE rnk <= $k"""
+
+  /** qv6: IVF-PQ — qv3's probe CTEs bound the candidates, qv5's PQ
+    * block scores them; mirrors Similarity.ivfPqAnn.
+    */
+  def qv6(nCells: Int = 16, nProbe: Int = 2, nSub: Int = 4,
+          nCode: Int = 16, k: Int = 5): String =
+    vecsCte + assignCte(nCells) + s"""
+, centroids AS (
+  SELECT a.cell, p.d, avg(p.x) AS c
+  FROM pos p JOIN assigned a USING (vec_id) GROUP BY a.cell, p.d
+), qpos AS (
+  SELECT vec_id AS qid, d, x FROM pos WHERE vec_id % 100 = 0
+), probes AS (
+  SELECT qid, cell FROM (
+    SELECT qp.qid, c.cell,
+           row_number() OVER (PARTITION BY qp.qid
+                              ORDER BY sum((qp.x - c.c) * (qp.x - c.c)), c.cell) AS rn
+    FROM qpos qp JOIN centroids c ON qp.d = c.d
+    GROUP BY qp.qid, c.cell
+  ) WHERE rn <= $nProbe
+), cands AS (
+  SELECT pr.qid, a.vec_id FROM probes pr JOIN assigned a USING (cell)
+  WHERE pr.qid <> a.vec_id
+)""" + pqCte(nSub, nCode) +
+      adcSql(nSub, "FROM cands cd\n  JOIN cw w ON w.vec_id = cd.vec_id",
+        " AND t0.qid = cd.qid", "") + s"""
+SELECT qid, vec_id, ${r4("ad2")} AS ad2, rnk FROM ranked WHERE rnk <= $k"""
 
   /** qv4 = qv3's IVF result joined against the exact top-k → recall. */
   def qv4(nCells: Int = 16, nProbe: Int = 2, k: Int = 5): String =

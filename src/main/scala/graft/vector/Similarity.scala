@@ -160,23 +160,33 @@ object Similarity {
       cellAssign(e, packedSeeds)
     }
 
-  def ivfAnn(spark: SparkSession, sfDir: String, nCells: Int = 16, nProbe: Int = 2, k: Int = 5): DataFrame = {
+  /** The IVF probe stage (qid, cell): nearest nProbe cell centroids per
+    * query — shared by qv3 (exact re-rank) and qv6 (ADC re-rank).
+    */
+  private[graft] def ivfProbes(spark: SparkSession, sfDir: String,
+                               nCells: Int, nProbe: Int): DataFrame = {
     val e = vecs(spark, sfDir)
     val assign = cellAssignment(spark, sfDir, nCells)
     val pos = e.select(col("vec_id"), posexplode(col("v")).as(Seq("d", "x")))
     val centroids = pos.join(broadcast(assign), "vec_id")
       .groupBy("cell", "d").agg(avg("x").as("c"))
-    // probe: nearest nProbe centroids per query, same kernel shape
     val centArr = centroids.groupBy("cell")
       .agg(array_sort(collect_list(struct(col("d"), col("c")))).as("dc"))
       .select(col("cell"), expr("transform(dc, s -> s.c)").as("cv"))
     val q = e.filter(col("vec_id") % 100 === 0)
     val wP = Window.partitionBy("qid").orderBy(col("d2"), col("cell"))
-    val probes = q.select(col("vec_id").as("qid"), col("v"))
+    q.select(col("vec_id").as("qid"), col("v"))
       .crossJoin(broadcast(centArr))
       .withColumn("d2", expr("graft_l2(v, cv)"))
       .withColumn("rn", row_number().over(wP)).filter(col("rn") <= nProbe)
       .select("qid", "cell")
+  }
+
+  def ivfAnn(spark: SparkSession, sfDir: String, nCells: Int = 16, nProbe: Int = 2, k: Int = 5): DataFrame = {
+    val e = vecs(spark, sfDir)
+    val assign = cellAssignment(spark, sfDir, nCells)
+    val q = e.filter(col("vec_id") % 100 === 0)
+    val probes = ivfProbes(spark, sfDir, nCells, nProbe)
     val cands = probes.join(assign, "cell").filter(col("qid") =!= col("vec_id"))
     val qv = q.select(col("vec_id").as("qid"), col("v").as("av"), col("nrm").as("na"))
     val bv = e.select(col("vec_id"), col("v").as("bv"), col("nrm").as("nb"))
@@ -209,6 +219,24 @@ object Similarity {
     */
   def pqAnn(spark: SparkSession, sfDir: String, nSub: Int = 4,
             nCode: Int = 16, k: Int = 5): DataFrame = {
+    val (cw, dmaps) = pqIndex(spark, sfDir, nSub, nCode)
+    val ad2 = (0 until nSub).map(m => expr(s"t$m[c$m]")).reduce(_ + _)
+    val w = Window.partitionBy("qid").orderBy(col("ad2"), col("vec_id"))
+    cw.crossJoin(broadcast(dmaps))
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("ad2", ad2)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("vec_id"), Num.r4(col("ad2")).as("ad2"), col("rnk"))
+  }
+
+  /** The PQ index pair shared by qv5 (exhaustive ADC) and qv6 (IVF-PQ):
+    * `cw` — the compressed collection (vec_id, c0..c{nSub-1}) — and
+    * `dmaps` — per-query subspace distance tables (qid, t0..t{nSub-1}
+    * maps of code → r4(d2)).
+    */
+  private[graft] def pqIndex(spark: SparkSession, sfDir: String, nSub: Int,
+                             nCode: Int): (DataFrame, DataFrame) = {
     val e = vecs(spark, sfDir)
     val subDim = 64 / nSub
     // (vec_id, m, sv): per-subspace slices; cached — feeds the initial
@@ -270,11 +298,29 @@ object Similarity {
       map_from_entries(array_sort(collect_list(
         when(col("m") === m, struct(col("code"), col("d2")))))).as(s"t$m"))
     val dmaps = dtab.groupBy("qid").agg(dmAggs.head, dmAggs.tail: _*)
-    // ADC: fixed left-assoc 4-term sum of quantized lookups
+    (cw, dmaps)
+  }
+
+  /** qv6: IVF-PQ — the production ANN composition (Jégou et al. 2011
+    * §IV): qv3's cell probes bound the candidate set, qv5's compressed
+    * codes + per-query distance tables score it. Per query the scan
+    * touches only the probed cells' members, each costing nSub map
+    * lookups — at 100 TB the collection is visited through a
+    * cell-partitioned codes table (bytes per vector) and nothing else;
+    * the cached assignment, codebook and code stages are all shared
+    * with qv3/qv5/qd11.
+    */
+  def ivfPqAnn(spark: SparkSession, sfDir: String, nCells: Int = 16,
+               nProbe: Int = 2, nSub: Int = 4, nCode: Int = 16,
+               k: Int = 5): DataFrame = {
+    val (cw, dmaps) = pqIndex(spark, sfDir, nSub, nCode)
+    val cands = ivfProbes(spark, sfDir, nCells, nProbe)
+      .join(cellAssignment(spark, sfDir, nCells), "cell")
+      .filter(col("qid") =!= col("vec_id"))
+      .select("qid", "vec_id")
     val ad2 = (0 until nSub).map(m => expr(s"t$m[c$m]")).reduce(_ + _)
     val w = Window.partitionBy("qid").orderBy(col("ad2"), col("vec_id"))
-    cw.crossJoin(broadcast(dmaps))
-      .filter(col("qid") =!= col("vec_id"))
+    cands.join(cw, "vec_id").join(broadcast(dmaps), "qid")
       .withColumn("ad2", ad2)
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)

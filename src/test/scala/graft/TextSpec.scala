@@ -409,6 +409,31 @@ class TextSpec extends SparkSuite {
     }
   }
 
+  test("qv6 IVF-PQ == driver composition of probes × cells × PQ index") {
+    def r4(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
+    val out = Similarity.ivfPqAnn(spark, Sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    // compose the shared stages the operator is built from — each has
+    // its own oracle/spec; this asserts the composition is exact
+    val cells = Similarity.cellAssignment(spark, Sf001, 16).collect()
+      .map(r => r.getLong(r.fieldIndex("vec_id")) -> r.getInt(r.fieldIndex("cell"))).toMap
+    val probes = Similarity.ivfProbes(spark, Sf001, 16, 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    val (cwDf, dmapsDf) = Similarity.pqIndex(spark, Sf001, 4, 16)
+    val cw = cwDf.collect().map(r => r.getLong(0) -> (1 to 4).map(r.getLong)).toMap
+    val dmaps = dmapsDf.collect()
+      .map(r => r.getLong(0) -> (1 to 4).map(r.getMap[Long, Double])).toMap
+    val expected = probes.groupBy(_._1).toSeq.flatMap { case (qid, cs) =>
+      val probed = cs.map(_._2).toSet
+      cells.keys.filter(v => v != qid && probed(cells(v))).map { v =>
+        val ad2 = (0 until 4).map(m => dmaps(qid)(m)(cw(v)(m))).sum
+        (qid, v, ad2)
+      }.toSeq.sortBy { case (_, v, d) => (d, v) }.take(5).zipWithIndex
+        .map { case ((q, v, d), i) => (q, v, r4(d), i + 1) }
+    }
+    assert(out.sortBy(r => (r._1, r._4)) === expected.sortBy(r => (r._1, r._4)))
+  }
+
   test("qt11 shard packing reproduces the driver prefix-sum per (source, lang)") {
     val out = TextOps.packShards(spark, Sf001).collect()
       .map(r => (r.getString(1), r.getString(2), r.getLong(0), r.getLong(3), r.getLong(4)))
