@@ -293,6 +293,7 @@ object Events {
     * broadcast back in.
     */
   def skewProfile(spark: SparkSession, sfDir: String, topN: Int = 10): DataFrame = {
+    require(topN >= 1, s"topN=$topN")
     import graft.util.Num
     val counts = epochSec(spark, sfDir).groupBy("user_id").agg(count(lit(1)).as("cnt"))
     val totals = counts.agg(sum("cnt").as("total"), count(lit(1)).as("n_keys"))

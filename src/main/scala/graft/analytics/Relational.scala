@@ -282,6 +282,8 @@ object Relational {
     */
   def zorderLayout(spark: SparkSession, sfDir: String, bits: Int = 10,
                    cellShift: Int = 8): DataFrame = {
+    require(bits >= 1 && bits <= 20, s"bits=$bits: 2*bits interleaved bits must fit a long with headroom")
+    require(cellShift >= 0 && cellShift <= 2 * bits, s"cellShift=$cellShift")
     val li = Tables.lineitem(spark, sfDir).select("l_partkey", "l_suppkey")
     val bounds = li.agg(
       min("l_partkey").as("pmin"), max("l_partkey").as("pmax"),

@@ -345,6 +345,7 @@ object Dedup {
     * and the shared shingle stage are reused as-is.
     */
   def dupSpans(spark: SparkSession, sfDir: String, n: Int = 3): DataFrame = {
+    require(n >= 1, s"n=$n")
     val pairs = minhashLsh(spark, sfDir).select("doc_a", "doc_b")
     val sh = shingles(spark, sfDir, n)
       .select(col("doc_id"), col("i"), strHash60(col("sh")).as("h"))
@@ -375,6 +376,8 @@ object Dedup {
     */
   def decontaminate(spark: SparkSession, sfDir: String, n: Int = 5,
                     evalMod: Long = 50L): DataFrame = {
+    require(n >= 1, s"n=$n")
+    require(evalMod >= 2, s"evalMod=$evalMod: evalMod=1 would make EVERY doc the eval split")
     val shd = shingles(spark, sfDir, n)
       .select(col("doc_id"), strHash60(col("sh")).as("h")).distinct()
     val evalSet = shd.filter(col("doc_id") % evalMod === 0).select("h").distinct()

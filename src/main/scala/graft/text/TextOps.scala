@@ -233,6 +233,7 @@ object TextOps {
     * — the corpus never shuffles except the per-doc count.
     */
   def vocabCoverage(spark: SparkSession, sfDir: String, vocabSize: Int = 32): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize=$vocabSize")
     val toks = tokens(spark, sfDir)
     val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("tok")).limit(vocabSize)
@@ -257,6 +258,7 @@ object TextOps {
     * window partition.
     */
   def packShards(spark: SparkSession, sfDir: String, budget: Long = 2048L): DataFrame = {
+    require(budget >= 1, s"budget=$budget: shard token budget must be positive")
     val w = Window.partitionBy("source", "lang").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, 0)
     Tables.documents(spark, sfDir)

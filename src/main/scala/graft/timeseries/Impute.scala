@@ -30,6 +30,8 @@ object Impute {
     * partition key (series, win).
     */
   def maskedPairs(spark: SparkSession, sfDir: String, maskSize: Int = 8): DataFrame = {
+    require(maskSize >= 1 && maskSize < TsCore.DaySize - 1,
+      s"maskSize=$maskSize: the reference draws mask starts from [0, daySize - maskSize - 1)")
     val hi = TsCore.DaySize - maskSize - 1
     val mi = TsCore.winKeys(spark, sfDir)
       .select(col("series"), col("win"),

@@ -237,6 +237,8 @@ object Similarity {
     */
   private[graft] def pqIndex(spark: SparkSession, sfDir: String, nSub: Int,
                              nCode: Int): (DataFrame, DataFrame) = {
+    require(nSub >= 1 && 64 % nSub == 0, s"nSub=$nSub must divide the 64-dim embeddings")
+    require(nCode >= 1, s"nCode=$nCode")
     val e = vecs(spark, sfDir)
     val subDim = 64 / nSub
     // (vec_id, m, sv): per-subspace slices; cached — feeds the initial
