@@ -136,6 +136,37 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("events.parquet"), s"q28 re-scans raw events:\n${p.take(800)}")
   }
 
+  test("qd12 corpus side meets the eval set map-side (broadcast, no corpus sort-merge)") {
+    val p = plan(graft.text.Dedup.decontaminate(spark, Sf01))
+    assert(p.contains("BroadcastHashJoin"), s"eval shingle set must broadcast:\n${p.take(800)}")
+    assert(!p.contains("SortMergeJoin"), s"corpus side must not shuffle-sort:\n${p.take(800)}")
+  }
+
+  test("qa15 z keys compute map-side: one zcell exchange with partial agg, broadcast bounds") {
+    val p = plan(Relational.zorderLayout(spark, Sf01))
+    assert(p.contains("partial_count"), "zcell rollup must partial-agg")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "min/max bounds must broadcast")
+    // exactly one data exchange (zcell) + the single-partition bounds agg
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n${p.take(1200)}")
+  }
+
+  test("qv5/qv6 ADC scans broadcast the distance tables — no shuffle above the codes scan") {
+    val p5 = plan(graft.vector.Similarity.pqAnn(spark, Sf01))
+    assert(p5.contains("BroadcastNestedLoopJoin") || p5.contains("BroadcastHashJoin"),
+      s"distance maps must broadcast:\n${p5.take(800)}")
+    val p6 = plan(graft.vector.Similarity.ivfPqAnn(spark, Sf01))
+    assert(p6.contains("BroadcastHashJoin"), s"qv6 dmaps must broadcast:\n${p6.take(800)}")
+  }
+
+  test("qt11 packs shards in a single per-(source,lang) window pass") {
+    val p = plan(graft.text.TextOps.packShards(spark, Sf01))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected exactly 1 exchange, got $exchanges:\n${p.take(1000)}")
+    assert(!p.contains("Exchange SinglePartition"), "no global barrier")
+  }
+
   test("grouped aggregation is whole-stage codegen'd with partial agg") {
     val df = Tables.lineitem(spark, Sf01)
       .groupBy("l_returnflag").agg(sum("l_quantity"))
