@@ -84,6 +84,36 @@ object ScoreStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("h")
 
+  /** Streaming benchmark decontamination — the streaming twin of batch
+    * qd12: documents arriving on a stream are checked against a STATIC
+    * eval-set shingle table (the benchmark suite, loaded once and
+    * broadcast by the stream-static join planner). Shingles explode
+    * in-stream (stateless, per-microbatch), the contaminated verdict is
+    * a watermarked per-(doc, event-time) aggregation — group state is
+    * evicted as the watermark passes, so the query holds only the
+    * in-flight horizon on an unbounded stream.
+    */
+  def decontaminateStream(docs: DataFrame, evalShingles: DataFrame,
+                          n: Int = 5, watermark: String = "1 hour"): DataFrame = {
+    val toks = docs.withWatermark("ts", watermark)
+      .select(col("doc_id"), col("ts"),
+      filter(split(col("text"), " "), t => t =!= "").as("toks"))
+    // explode_outer + empty-array guard: docs shorter than n tokens
+    // still flow through (with zero shingles → n_hits 0), and
+    // sequence() never sees a negative upper bound
+    val sh = toks.select(col("doc_id"), col("ts"),
+      explode_outer(expr(s"CASE WHEN size(toks) >= $n THEN " +
+        s"transform(sequence(0, size(toks) - $n), i -> " +
+        s"array_join(slice(toks, i + 1, $n), ' ')) ELSE array() END")).as("sh"))
+      .select(col("doc_id"), col("ts"),
+        graft.text.TextCore.strHash60(col("sh")).as("h"))
+    sh.join(evalShingles.select(col("h"), lit(1).as("hit")), Seq("h"), "left")
+      .groupBy("doc_id", "ts")
+      .agg(sum(coalesce(col("hit"), lit(0))).as("n_hits"))
+      .select(col("doc_id"), col("ts"), col("n_hits"),
+        (col("n_hits") > 0).as("contaminated"))
+  }
+
   /** Stream-stream event-time interval join — the streaming twin of the
     * batch AS-OF/attribution shape (qe4): every `b` event (e.g. a
     * purchase) joins the `a` events (e.g. views) of the SAME user that

@@ -170,6 +170,36 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming decontamination flags docs sharing eval shingles, passes clean ones") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    // static eval-set shingle table: hashes of the 5-gram "a b c d e"
+    // (and one decoy) — same hash family as the batch operator
+    val evalShingles = Seq("a b c d e", "z z z z z").toDF("sh")
+      .select(graft.text.TextCore.strHash60(col("sh")).as("h"))
+    val out = ScoreStream.decontaminateStream(mem.toDF(), evalShingles)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("decontam").start()
+    try {
+      val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+      def at(min: Int) = new Timestamp(t0.getTime + min * 60000L)
+      mem.addData(
+        Doc(at(0), 1L, "x a b c d e y"),   // contains the eval 5-gram twice over? once
+        Doc(at(1), 2L, "totally clean text with no overlap at all"),
+        Doc(at(2), 3L, "a b c d e a b c d e"))  // contains it twice (positions 0 and 5)
+      q.processAllAvailable()
+      // advance the watermark past the docs so the append-mode agg emits
+      mem.addData(Doc(at(200), 99L, "flush"))
+      q.processAllAvailable()
+      val rows = spark.table("decontam").collect()
+        .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("n_hits"), r.getAs[Boolean]("contaminated"))).toMap
+      assert(rows(1L) === ((1L, true)))
+      assert(rows(2L) === ((0L, false)))
+      assert(rows(3L) === ((2L, true)))
+    } finally q.stop()
+  }
+
   test("streaming scores append to a real parquet sink with checkpointing") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
