@@ -115,6 +115,7 @@ object SparkEntry {
     "qd13_dup_spans" -> ((s, d) => graft.text.Dedup.dupSpans(s, d)),
     "q44_masked_pairs" -> ((s, d) => graft.timeseries.Impute.maskedPairs(s, d)),
     "qv6_ivfpq_ann" -> ((s, d) => graft.vector.Similarity.ivfPqAnn(s, d)),
+    "qm3_phash_neardup" -> ((s, d) => graft.multimodal.BinaryMeta.phashNearDup(s, d)),
     "qp5_skew_profile" -> ((s, d) => graft.analytics.Events.skewProfile(s, d)),
     "qt11_pack_shards" -> ((s, d) => graft.text.TextOps.packShards(s, d)),
     "qe6_transitions" -> ((s, d) => graft.analytics.Events.transitions(s, d)),

@@ -53,6 +53,65 @@ object BinaryMeta {
       .toDF()
   }
 
+  case class MediaSig(doc_id: Long, sig: Long)
+
+  /** STUB perceptual signature: aHash (average hash, public) structure
+    * over the decoded byte plane — 32 block means thresholded on the
+    * global mean → one bit each. A real image pipeline computes the
+    * same shape over downsampled pixels; the signature contract
+    * (doc_id, 32-bit long) is what the dedup stage consumes either way.
+    */
+  private def sigBatch(batch: Seq[MediaRow]): Seq[MediaSig] =
+    batch.map { r =>
+      val b = r.payload
+      val nb = 32
+      val sums = new Array[Long](nb)
+      val cnts = new Array[Long](nb)
+      var i = 0
+      while (i < b.length) {
+        val blk = (i.toLong * nb / b.length).toInt
+        sums(blk) += (b(i) & 0xff); cnts(blk) += 1; i += 1
+      }
+      var gsum = 0L
+      sums.foreach(gsum += _)
+      val gmean = if (b.isEmpty) 0.0 else gsum.toDouble / b.length
+      var sig = 0L
+      for (j <- 0 until nb)
+        if (cnts(j) > 0 && sums(j).toDouble / cnts(j) > gmean) sig |= (1L << j)
+      MediaSig(r.doc_id, sig)
+    }
+
+  /** qm3: perceptual-hash near-duplicate media pairs — the dedup stage
+    * of the decode → featurize → dedup multimodal chain. Signatures
+    * come from the batched stub decode (qm1's seam); candidates come
+    * from an 8-bit signature-chunk equi-join (EXACT pigeonhole: with 4
+    * chunks, hamming ≤ 3 forces at least one untouched chunk), and the
+    * exact hamming filter runs on the candidates only — never an
+    * all-pairs join, the same blocking discipline as qd3's SimHash at
+    * 100 TB. Rows-only (the stub payload bytes are not SQL-addressable
+    * in the oracle); spec recomputes signatures and pairs in the
+    * driver.
+    */
+  def phashNearDup(spark: SparkSession, sfDir: String, maxHam: Int = 3,
+                   batchSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    require(maxHam >= 0 && maxHam < 4,
+      s"maxHam=$maxHam: the 4-chunk pigeonhole is exact only below 4")
+    val sigs = mediaTable(spark, sfDir)
+      .mapPartitions(_.grouped(batchSize).flatMap(sigBatch)).toDF()
+    val chunks = sigs.select(col("doc_id"), col("sig"),
+      explode(array((0 until 4).map(c =>
+        struct(lit(c).as("c"), expr(s"(sig >> ${8 * c}) & 255").as("cv"))): _*)).as("ch"))
+      .select(col("doc_id"), col("sig"), col("ch.c").as("c"), col("ch.cv").as("cv"))
+    val a = chunks.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"), col("c"), col("cv"))
+    val b = chunks.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"), col("c"), col("cv"))
+    a.join(b, Seq("c", "cv")).filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sig_a", "sig_b").distinct()
+      .withColumn("ham", expr("bit_count(sig_a ^ sig_b)"))
+      .filter(col("ham") <= maxHam)
+      .select(col("doc_a"), col("doc_b"), col("ham").cast("int").as("ham"))
+  }
+
   case class Frame(doc_id: Long, frame_idx: Int, n_bytes: Int, frame_hash: Long)
 
   /** qm2: deterministic frame sampling — the video-column shape: each

@@ -319,6 +319,31 @@ class TextSpec extends SparkSuite {
     }
   }
 
+  test("qm3 phash near-dup == driver aHash + brute-force hamming") {
+    val out = graft.multimodal.BinaryMeta.phashNearDup(spark, Sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val docs = spark.read.parquet(s"$Sf001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).getBytes("UTF-8")).sortBy(_._1)
+    def sig(b: Array[Byte]): Long = {
+      val sums = new Array[Long](32); val cnts = new Array[Long](32)
+      for (i <- b.indices) {
+        val blk = (i.toLong * 32 / b.length).toInt
+        sums(blk) += b(i) & 0xff; cnts(blk) += 1
+      }
+      val gmean = if (b.isEmpty) 0.0 else sums.sum.toDouble / b.length
+      (0 until 32).foldLeft(0L)((s, j) =>
+        if (cnts(j) > 0 && sums(j).toDouble / cnts(j) > gmean) s | (1L << j) else s)
+    }
+    val sigs = docs.map { case (id, b) => id -> sig(b) }
+    val expected = (for {
+      i <- sigs.indices; j <- (i + 1) until sigs.length
+      ham = java.lang.Long.bitCount(sigs(i)._2 ^ sigs(j)._2)
+      if ham <= 3
+    } yield (sigs(i)._1, sigs(j)._1) -> ham).toMap
+    assert(out === expected)
+  }
+
   test("qd13 dup spans == driver longest-common-run over LSH pairs") {
     val out = Dedup.dupSpans(spark, Sf001).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
