@@ -287,7 +287,7 @@ FROM wv w LEFT JOIN dups d USING (vec_id)"""
   SELECT a.cell, p.d, avg(p.x) AS c
   FROM pos p JOIN assigned a USING (vec_id) GROUP BY a.cell, p.d
 ), qpos AS (
-  SELECT vec_id AS qid, d, x FROM pos WHERE vec_id % 100 = 0
+  SELECT vec_id AS qid, d, x FROM pos WHERE vec_id % 100 = 0 AND vec_id < 100000
 ), probes AS (
   SELECT qid, cell FROM (
     SELECT qp.qid, c.cell,
@@ -359,7 +359,7 @@ SELECT qid, vec_id, ${r4("cos")} AS cos, rnk FROM ivfk"""
 ), dtab AS (
   SELECT p.vec_id AS qid, p.m, c.code, ${r4("sum((p.x - c.c) * (p.x - c.c))")} AS d2
   FROM spos p JOIN cb c ON c.m = p.m AND c.sd = p.sd
-  WHERE p.vec_id % 100 = 0
+  WHERE p.vec_id % 100 = 0 AND p.vec_id < 100000
   GROUP BY p.vec_id, p.m, c.code
 )"""
   }
@@ -404,7 +404,7 @@ SELECT qid, vec_id, ${r4("ad2")} AS ad2, rnk FROM ranked WHERE rnk <= $k"""
   SELECT a.cell, p.d, avg(p.x) AS c
   FROM pos p JOIN assigned a USING (vec_id) GROUP BY a.cell, p.d
 ), qpos AS (
-  SELECT vec_id AS qid, d, x FROM pos WHERE vec_id % 100 = 0
+  SELECT vec_id AS qid, d, x FROM pos WHERE vec_id % 100 = 0 AND vec_id < 100000
 ), probes AS (
   SELECT qid, cell FROM (
     SELECT qp.qid, c.cell,
@@ -431,7 +431,7 @@ SELECT qid, vec_id, ${r4("ad2")} AS ad2, rnk FROM ranked WHERE rnk <= $k"""
            row_number() OVER (PARTITION BY q.qid
                               ORDER BY list_dot_product(q.v, b.v) / (q.nrm * b.nrm) DESC,
                                        b.vec_id) AS rnk
-    FROM (SELECT vec_id AS qid, v, nrm FROM vecs WHERE vec_id % 100 = 0) q
+    FROM (SELECT vec_id AS qid, v, nrm FROM vecs WHERE vec_id % 100 = 0 AND vec_id < 100000) q
     JOIN vecs b ON b.vec_id <> q.qid
   ) WHERE rnk <= $k
 )

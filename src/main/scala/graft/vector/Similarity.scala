@@ -28,6 +28,16 @@ object Similarity {
 
   private val dotAB: Column = expr("graft_dot(av, bv)")
 
+  /** Deterministic query-side bound shared by the ANN family (same
+    * rationale as qv1's maxQueries): the 1%-query sample grows with
+    * the collection, so the broadcast side (query vectors / PQ
+    * distance tables) is capped to the lowest `MaxQueries` qids —
+    * non-binding at every test SF, mirrored in every oracle.
+    */
+  val MaxQueries: Int = 1000
+  private def qFilter: Column =
+    col("vec_id") % 100 === 0 && col("vec_id") < lit(100L * MaxQueries)
+
   /** qd5: embedding-cosine near-duplicate pairs, blocked by label. */
   def embedNearDup(spark: SparkSession, sfDir: String, thr: Double = 0.25): DataFrame = {
     val e = vecs(spark, sfDir)
@@ -173,7 +183,7 @@ object Similarity {
     val centArr = centroids.groupBy("cell")
       .agg(array_sort(collect_list(struct(col("d"), col("c")))).as("dc"))
       .select(col("cell"), expr("transform(dc, s -> s.c)").as("cv"))
-    val q = e.filter(col("vec_id") % 100 === 0)
+    val q = e.filter(qFilter)
     val wP = Window.partitionBy("qid").orderBy(col("d2"), col("cell"))
     q.select(col("vec_id").as("qid"), col("v"))
       .crossJoin(broadcast(centArr))
@@ -185,7 +195,7 @@ object Similarity {
   def ivfAnn(spark: SparkSession, sfDir: String, nCells: Int = 16, nProbe: Int = 2, k: Int = 5): DataFrame = {
     val e = vecs(spark, sfDir)
     val assign = cellAssignment(spark, sfDir, nCells)
-    val q = e.filter(col("vec_id") % 100 === 0)
+    val q = e.filter(qFilter)
     val probes = ivfProbes(spark, sfDir, nCells, nProbe)
     val cands = probes.join(assign, "cell").filter(col("qid") =!= col("vec_id"))
     val qv = q.select(col("vec_id").as("qid"), col("v").as("av"), col("nrm").as("na"))
@@ -292,7 +302,7 @@ object Similarity {
       codes.groupBy("vec_id").agg(cwAggs.head, cwAggs.tail: _*)
     }
     // per-query distance tables: one map per subspace, code → r4(d2)
-    val dtab = subs.filter(col("vec_id") % 100 === 0)
+    val dtab = subs.filter(qFilter)
       .join(broadcast(cbArr), "m")
       .select(col("vec_id").as("qid"), col("m"), col("code"),
         Num.r4(expr("graft_l2(sv, cv)")).as("d2"))
