@@ -65,7 +65,12 @@ object Bench {
     // Dev aid: SPARK_GRAFT_ONLY="qp2_approx_distinct,q09_knn_score"
     // times just those queries (driver never sets it).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val results = SparkEntry.queries
+    // Sorted name order, not Map hash order: the per-family shared
+    // stage builds (grid→fill→patches→bank, tokens/shingles, IVF/PQ
+    // index) are billed to the FIRST query of each family — which is
+    // their natural owner — and adding a query no longer reshuffles
+    // which sibling pays a build.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -86,7 +91,7 @@ object Bench {
     val qs = results.map { case (k, v) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.3f"
     }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
