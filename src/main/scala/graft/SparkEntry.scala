@@ -116,6 +116,7 @@ object SparkEntry {
     "q44_masked_pairs" -> ((s, d) => graft.timeseries.Impute.maskedPairs(s, d)),
     "qv6_ivfpq_ann" -> ((s, d) => graft.vector.Similarity.ivfPqAnn(s, d)),
     "qm3_phash_neardup" -> ((s, d) => graft.multimodal.BinaryMeta.phashNearDup(s, d)),
+    "qe7_top_paths" -> ((s, d) => graft.analytics.Events.topPaths(s, d)),
     "qp5_skew_profile" -> ((s, d) => graft.analytics.Events.skewProfile(s, d)),
     "qt11_pack_shards" -> ((s, d) => graft.text.TextOps.packShards(s, d)),
     "qe6_transitions" -> ((s, d) => graft.analytics.Events.transitions(s, d)),
@@ -448,6 +449,19 @@ object SparkEntry {
     "qd13_dup_spans" -> graft.text.DocOracle.qd13(),
     "q44_masked_pairs" -> graft.timeseries.TsOracle.q44(),
     "qv6_ivfpq_ann" -> graft.text.DocOracle.qv6(),
+    "qe7_top_paths" -> """
+      WITH ev AS (
+        SELECT event_id, user_id, event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) AS tsec FROM events
+      ), r AS (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id ORDER BY tsec, event_id) AS rn
+        FROM ev
+      ), p AS (
+        SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        FROM r WHERE rn <= 3 GROUP BY user_id
+      ), c AS (SELECT path, count(*) AS n_users FROM p GROUP BY path)
+      SELECT path, n_users FROM c ORDER BY n_users DESC, path LIMIT 10""",
     "qp5_skew_profile" -> """
       WITH ev AS (
         SELECT user_id FROM events

@@ -283,6 +283,28 @@ object Events {
       .groupBy("level").agg(count(lit(1)).as("n_users"))
   }
 
+  /** qe7: top user paths — the path-analysis rollup: each user's first
+    * `pathLen` events (time order, event_id tie-break) concatenate into
+    * a path string, counted and ranked globally. One shuffle on user_id
+    * for the window, a partial-agg'd path count, and a
+    * TakeOrderedAndProject top-N — no global sort. The |paths| space is
+    * bounded by |event types|^pathLen regardless of user count, so the
+    * final rollup is driver-safe at any scale.
+    */
+  def topPaths(spark: SparkSession, sfDir: String, pathLen: Int = 3,
+               topN: Int = 10): DataFrame = {
+    require(pathLen >= 1 && topN >= 1, s"pathLen=$pathLen topN=$topN")
+    val w = Window.partitionBy("user_id").orderBy("tsec", "event_id")
+    epochSec(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= pathLen)
+      .groupBy("user_id")
+      .agg(array_sort(collect_list(struct(col("rn"), col("event_type")))).as("ps"))
+      .select(concat_ws(">", expr("transform(ps, x -> x.event_type)")).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path")).limit(topN)
+  }
+
   /** qp5: hot-key skew profile — the diagnostic that decides salting /
     * AQE-skew strategy before a big shuffle. Per-key counts (one
     * partial-agg'd groupBy), then the top `topN` keys by count with

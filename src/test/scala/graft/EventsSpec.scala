@@ -111,6 +111,25 @@ class EventsSpec extends SparkSuite {
     }
   }
 
+  test("qe7 topPaths: pathLen=1 degenerates to first-event counts; top-N ordered") {
+    val ev = spark.read.parquet(s"$Sf001/events.parquet")
+    // pathLen=1: each user's path is just their first event type, so the
+    // rollup must equal a first-event-per-user count computed independently
+    val got = Events.topPaths(spark, Sf001, pathLen = 1, topN = 1000)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(expr("ts div 1000000000"), col("event_id"))
+    val want = ev.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === want)
+    // default run: descending counts, ≤ topN rows, paths have 3 segments
+    val top = Events.topPaths(spark, Sf001).collect()
+    assert(top.length <= 10)
+    assert(top.map(_.getLong(1)).toSeq === top.map(_.getLong(1)).sortBy(-_).toSeq)
+    top.foreach(r => assert(r.getString(0).split(">", -1).length === 3, r.getString(0)))
+  }
+
   test("qe6 transitions: totals == per-user event counts − 1; probabilities sum to 1") {
     val t = Events.transitions(spark, Sf001).cache()
     val ev = spark.read.parquet(s"$Sf001/events.parquet")
