@@ -120,6 +120,10 @@ object SparkEntry {
     "qp5_skew_profile" -> ((s, d) => graft.analytics.Events.skewProfile(s, d)),
     "qt11_pack_shards" -> ((s, d) => graft.text.TextOps.packShards(s, d)),
     "qe6_transitions" -> ((s, d) => graft.analytics.Events.transitions(s, d)),
+    "q45_cusum" -> ((s, d) => graft.timeseries.Intervals.cusum(s, d)),
+    "qp6_completeness" -> ((s, d) => TsQueries.qp6Completeness(s, d)),
+    "qt13_boilerplate" -> ((s, d) => graft.text.TextOps.boilerplate(s, d)),
+    "qt14_unigram_nll" -> ((s, d) => graft.text.TextOps.unigramNll(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -495,5 +499,9 @@ object SparkEntry {
              sum(CAST(floor((l_extendedprice*(1-l_discount))*10000 + 0.5) AS BIGINT)) / 10000.0 AS revenue,
              floor((sum(CAST(floor((l_quantity)*10000 + 0.5) AS BIGINT)) / 10000.0 / count(*))*10000 + 0.5)/10000 AS avg_qty
       FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "q45_cusum" -> TsOracle.q45(),
+    "qp6_completeness" -> TsOracle.qp6,
+    "qt13_boilerplate" -> graft.text.DocOracle.qt13(),
+    "qt14_unigram_nll" -> graft.text.DocOracle.qt14,
   )
 }

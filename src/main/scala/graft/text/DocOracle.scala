@@ -679,6 +679,49 @@ SELECT doc_id, source, lang, CAST(n_toks AS BIGINT) AS n_toks,
        CAST(floor((cum - n_toks) * 1.0 / $budget) AS BIGINT) AS shard
 FROM c"""
 
+  /** Boilerplate bigram coverage — mirrors TextOps.boilerplate. */
+  def qt13(dfFrac: Double = 0.05, topK: Int = 500, maxFrac: Double = 0.5): String = toksCte + s"""
+, bgr AS (
+  SELECT doc_id, tok || ' ' || lead(tok, 1) OVER w AS bg, lead(tok, 1) OVER w AS nxt
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+), bgs AS (SELECT doc_id, bg FROM bgr WHERE nxt IS NOT NULL),
+ndocs AS (SELECT count(*) AS nd FROM documents),
+bdf AS (SELECT bg, count(*) AS df FROM (SELECT DISTINCT doc_id, bg FROM bgs) GROUP BY bg),
+boiler AS (
+  SELECT bg FROM (
+    SELECT bg, row_number() OVER (ORDER BY df DESC, bg) AS rnk
+    FROM bdf, ndocs WHERE df >= ceil($dfFrac * nd)
+  ) WHERE rnk <= $topK
+),
+cover AS (
+  SELECT b.doc_id, count(*) AS n_bg,
+         CAST(sum(CASE WHEN bo.bg IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+  FROM bgs b LEFT JOIN boiler bo USING (bg) GROUP BY b.doc_id
+)
+SELECT d.doc_id, coalesce(c.n_bg, 0) AS n_bg, coalesce(c.n_boiler, 0) AS n_boiler,
+  coalesce(${r4("c.n_boiler / c.n_bg")}, 0.0) AS boiler_frac,
+  CASE WHEN coalesce(${r4("c.n_boiler / c.n_bg")}, 0.0) <= $maxFrac THEN 1 ELSE 0 END AS keep
+FROM documents d LEFT JOIN cover c USING (doc_id)"""
+
+  /** Per-language unigram-LM mean negative log-likelihood — mirrors
+    * TextOps.unigramNll (per-token log-probs quantized before the sum).
+    */
+  val qt14: String = toksCte + s"""
+, dl AS (SELECT doc_id, lang FROM documents),
+tkl AS (SELECT t.doc_id, t.tok, d.lang FROM toks t JOIN dl d USING (doc_id)),
+ucnt AS (SELECT lang, tok, count(*) AS cnt FROM tkl GROUP BY lang, tok),
+utot AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS tot FROM ucnt GROUP BY lang),
+ulm AS (
+  SELECT c.lang, c.tok, CAST(floor(ln(c.cnt / t.tot)*10000 + 0.5) AS BIGINT) AS lpq
+  FROM ucnt c JOIN utot t USING (lang)
+), pd AS (
+  SELECT k.doc_id, count(*) AS n_tok, CAST(sum(m.lpq) AS BIGINT) AS slp
+  FROM tkl k JOIN ulm m ON k.lang = m.lang AND k.tok = m.tok GROUP BY k.doc_id
+)
+SELECT d.doc_id, d.lang, coalesce(p.n_tok, 0) AS n_tok,
+  coalesce(${r4("-(p.slp / 10000.0 / p.n_tok)")}, 0.0) AS nll
+FROM dl d LEFT JOIN pd p USING (doc_id)"""
+
   def qa13(weights: Seq[(String, Int)] = Seq("en" -> 1, "fr" -> 1, "es" -> 1, "de" -> 1, "zh" -> 1)): String = {
     val values = weights.map { case (l, w) => s"('$l', $w)" }.mkString(", ")
     s"""

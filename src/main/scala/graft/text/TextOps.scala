@@ -268,4 +268,74 @@ object TextOps {
       .select(col("doc_id"), col("source"), col("lang"), col("n_toks"),
         floor((col("cum") - col("n_toks")) / lit(budget)).cast("long").as("shard"))
   }
+
+  /** qt13: boilerplate n-gram coverage — fraction of each document made
+    * of corpus-frequent bigrams (repeated headers/footers/templates; the
+    * cross-document cleaning signal CCNet/RefinedWeb-style pipelines cut
+    * on, complementing qt9's WITHIN-document repetition). Boilerplate =
+    * bigrams whose doc-frequency ≥ dfFrac of the corpus, capped to the
+    * topK most frequent (deterministic ties by bigram). The candidate
+    * set is bounded by corpus shape, not size — each qualifying bigram
+    * occupies ≥ dfFrac·nDocs docs, so |candidates| ≤ avg bigrams-per-doc
+    * / dfFrac (~20k at 1k-token docs and 5%) — safely broadcast even at
+    * 100 TB; the rank cap is a window over that bounded set only. Per
+    * doc: one map-side broadcast probe + one groupBy(doc_id).
+    */
+  def boilerplate(spark: SparkSession, sfDir: String, dfFrac: Double = 0.05,
+                  topK: Int = 500, maxFrac: Double = 0.5): DataFrame = {
+    require(dfFrac > 0.0 && dfFrac <= 1.0, s"dfFrac=$dfFrac: must be in (0, 1]")
+    require(topK >= 1, s"topK=$topK: boilerplate cap must be positive")
+    val w = Window.partitionBy("doc_id").orderBy("i")
+    val bgs = tokens(spark, sfDir)
+      .withColumn("nxt", lead("tok", 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .withColumn("bg", concat_ws(" ", col("tok"), col("nxt")))
+      .select("doc_id", "bg")
+    val nd = Tables.documents(spark, sfDir).agg(count(lit(1)).as("nd"))
+    val wr = Window.orderBy(col("df").desc, col("bg"))
+    val boiler = bgs.distinct().groupBy("bg").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nd))
+      .filter(col("df") >= ceil(lit(dfFrac) * col("nd")))
+      .withColumn("rnk", row_number().over(wr))
+      .filter(col("rnk") <= topK)
+      .select("bg")
+    val cover = bgs.join(broadcast(boiler).withColumn("hit", lit(1)), Seq("bg"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bg"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_boiler"))
+    val frac = coalesce(Num.r4(col("n_boiler") / col("n_bg")), lit(0.0))
+    Tables.documents(spark, sfDir).select("doc_id")
+      .join(cover, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bg"), lit(0L)).as("n_bg"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+        frac.as("boiler_frac"),
+        when(frac <= maxFrac, 1).otherwise(0).as("keep"))
+  }
+
+  /** qt14: unigram language-model scoring — per-document mean negative
+    * log-likelihood under a per-language unigram LM estimated from the
+    * corpus itself (the perplexity-style quality filter of CCNet
+    * [Wenzek et al. 2020], with the KenLM 5-gram swapped for the
+    * largest model whose estimation is a pure grouped count). High nll
+    * = tokens rare for the claimed language — a drop signal. The LM
+    * (lang × vocab) is corpus-shape-bounded and broadcast; per-token
+    * log-probs are quantized to the 1e-4 grid BEFORE the per-doc sum so
+    * accumulation is exact-integer and engine-order-free.
+    */
+  def unigramNll(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "lang")
+    val tk = tokens(spark, sfDir).join(docs, "doc_id")
+    val cnts = tk.groupBy("lang", "tok").agg(count(lit(1)).as("cnt"))
+    val tots = cnts.groupBy("lang").agg(sum("cnt").as("tot"))
+    val lm = cnts.join(tots, "lang")
+      .withColumn("lpq", floor(log(col("cnt") / col("tot")) * 10000d + 0.5d).cast("long"))
+      .select("lang", "tok", "lpq")
+    val perDoc = tk.join(broadcast(lm), Seq("lang", "tok"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_tok"), sum("lpq").as("slp"))
+    docs.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("n_tok"), lit(0L)).as("n_tok"),
+        coalesce(Num.r4(-(col("slp") / 10000d / col("n_tok"))), lit(0.0)).as("nll"))
+  }
 }

@@ -109,6 +109,48 @@ object Intervals {
       .agg(count(lit(1)).as("n"), Num.r4(corr("ma", "mb")).as("xcorr"))
   }
 
+  /** q45: tabular CUSUM changepoint detection (Page 1954) — the
+    * sequential-drift complement to q33's frame-difference level shifts
+    * (the reference flags mean shifts only through window statistics;
+    * CUSUM accumulates evidence across arbitrarily long drifts).
+    *
+    * The textbook recursion S⁺_t = max(0, S⁺_{t−1} + x_t − μ − kσ) is
+    * sequential, but it has a closed prefix form: with y_t = x_t − μ − kσ
+    * and C_t = Σ_{i≤t} y_i, S⁺_t = C_t − min(0, min_{j≤t} C_j) — a
+    * running sum plus a running min, both plain window aggregates. So the
+    * whole detector is two per-series window passes, no recursion, no
+    * UDF, and it scales exactly like every other per-series chain stage.
+    *
+    * μ and σ come from quantized-integer sufficient statistics (sumQ4 of
+    * v and v², exact int64 accumulation) so they are bit-identical in any
+    * accumulation order and in the DuckDB oracle; the running sums are
+    * then sequential in t like q33's, which both engines evaluate in the
+    * same order. Output: points where either one-sided CUSUM exceeds hσ,
+    * in σ units. k = allowance (drift half-width), h = decision interval.
+    */
+  def cusum(spark: SparkSession, sfDir: String, k: Double = 0.5, h: Double = 5.0): DataFrame = {
+    val wp = Window.partitionBy("series")
+    val ws = Window.partitionBy("series").orderBy("t")
+    val wc = ws.rowsBetween(Window.unboundedPreceding, 0)
+    TsCore.filled(spark, sfDir).filter(col("v_filled").isNotNull)
+      .withColumn("n", count(lit(1)).over(wp))
+      .withColumn("mu",
+        sum(floor(col("v_filled") * 10000d + 0.5d).cast("long")).over(wp) / 10000d / col("n"))
+      .withColumn("m2",
+        sum(floor(col("v_filled") * col("v_filled") * 10000d + 0.5d).cast("long")).over(wp) / 10000d)
+      .filter(col("n") > 1)
+      .withColumn("sd", sqrt(greatest(lit(0.0),
+        (col("m2") - col("n") * col("mu") * col("mu")) / (col("n") - 1))))
+      .withColumn("cpos", sum(col("v_filled") - col("mu") - lit(k) * col("sd")).over(wc))
+      .withColumn("cneg", sum(col("mu") - lit(k) * col("sd") - col("v_filled")).over(wc))
+      .withColumn("spos", col("cpos") - least(lit(0.0), min("cpos").over(wc)))
+      .withColumn("sneg", col("cneg") - least(lit(0.0), min("cneg").over(wc)))
+      .filter(col("spos") > lit(h) * col("sd") || col("sneg") > lit(h) * col("sd"))
+      .select(col("series"), col("t"),
+        Num.r4(col("spos") / col("sd")).as("cusum_pos"),
+        Num.r4(col("sneg") / col("sd")).as("cusum_neg"))
+  }
+
   /** q34: MAD (median-absolute-deviation) robust outliers per window —
     * the reference's z-score spike flags (postprocessing.py) hardened
     * against the outliers themselves. Two exact-median passes per

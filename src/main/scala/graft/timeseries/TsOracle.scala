@@ -832,6 +832,62 @@ ${lags.map(l =>
 FROM lagd WHERE v_filled IS NOT NULL AND v$l IS NOT NULL GROUP BY series""")
     .mkString("\nUNION ALL ")}"""
 
+  /** CUSUM via the prefix identity S⁺_t = C_t − min(0, min_{j≤t} C_j);
+    * μ/σ from quantized-integer sufficient statistics (order-free),
+    * running sums sequential in t like q33's — mirrors Intervals.cusum.
+    */
+  def q45(k: Double = 0.5, h: Double = 5.0): String = prefix + s"""
+, cstats AS (
+  SELECT series, count(*) AS n,
+    sum(CAST(floor(v_filled*10000 + 0.5) AS BIGINT)) AS s1,
+    sum(CAST(floor(v_filled*v_filled*10000 + 0.5) AS BIGINT)) AS s2
+  FROM filled WHERE v_filled IS NOT NULL GROUP BY series
+), cparams AS (
+  SELECT series, n, s1 / 10000.0 / n AS mu,
+    sqrt(greatest(0.0, (s2 / 10000.0 - n * (s1 / 10000.0 / n) * (s1 / 10000.0 / n)) / (n - 1))) AS sd
+  FROM cstats WHERE n > 1
+), cuscum AS (
+  SELECT f.series, f.t, p.sd,
+    sum(f.v_filled - p.mu - $k * p.sd) OVER wc AS cpos,
+    sum(p.mu - $k * p.sd - f.v_filled) OVER wc AS cneg
+  FROM filled f JOIN cparams p USING (series)
+  WHERE f.v_filled IS NOT NULL
+  WINDOW wc AS (PARTITION BY f.series ORDER BY f.t ROWS UNBOUNDED PRECEDING)
+), cuss AS (
+  SELECT series, t, sd,
+    cpos - least(0.0, min(cpos) OVER wc) AS spos,
+    cneg - least(0.0, min(cneg) OVER wc) AS sneg
+  FROM cuscum
+  WINDOW wc AS (PARTITION BY series ORDER BY t ROWS UNBOUNDED PRECEDING)
+)
+SELECT series, t, ${r4("spos / sd")} AS cusum_pos, ${r4("sneg / sd")} AS cusum_neg
+FROM cuss WHERE spos > $h * sd OR sneg > $h * sd"""
+
+  /** Grid completeness audit — mirrors TsQueries.qp6Completeness
+    * (fill-source counts + gaps-and-islands on unobserved runs).
+    */
+  def qp6: String = prefix + s"""
+, cbase AS (
+  SELECT series, count(*) AS n_slots,
+    CAST(sum(CASE WHEN src = 'obs' THEN 1 ELSE 0 END) AS BIGINT) AS n_obs,
+    CAST(sum(CASE WHEN src = 'lag' THEN 1 ELSE 0 END) AS BIGINT) AS n_lag,
+    CAST(sum(CASE WHEN src = 'lead' THEN 1 ELSE 0 END) AS BIGINT) AS n_lead,
+    CAST(sum(CASE WHEN src = 'missing' THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+  FROM filled GROUP BY series
+), cruns AS (
+  SELECT series, t - row_number() OVER (PARTITION BY series ORDER BY t) AS rid
+  FROM filled WHERE src <> 'obs'
+), cgaps AS (
+  SELECT series, max(gap_len) AS max_gap, count(*) AS n_gaps
+  FROM (SELECT series, rid, count(*) AS gap_len FROM cruns GROUP BY series, rid)
+  GROUP BY series
+)
+SELECT b.series, b.n_slots, b.n_obs,
+  ${r4("b.n_obs / b.n_slots")} AS pct_obs,
+  b.n_lag, b.n_lead, b.n_missing,
+  coalesce(g.max_gap, 0) AS max_gap, coalesce(g.n_gaps, 0) AS n_gaps
+FROM cbase b LEFT JOIN cgaps g USING (series)"""
+
   /** Level-shift via running prefix sums (NOT framed avg): the running
     * cumulative is summed in identical sequential order by both engines,
     * whereas framed aggregates use engine-specific (segment-tree vs

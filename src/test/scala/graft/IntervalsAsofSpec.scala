@@ -38,6 +38,55 @@ class IntervalsAsofSpec extends SparkSuite {
     assert(l.filter(abs(col("shift_z")) < 3.0 - 1e-4).count() === 0)
   }
 
+  test("cusum: prefix-identity flags match the sequential Page recursion exactly") {
+    // Recompute CUSUM the textbook way (driver-side sequential recursion
+    // over each series) and assert the distributed prefix-form operator
+    // flags the identical (series, t) set with identical normalized values.
+    val k = 0.5; val h = 5.0
+    val pts = TsCore.filled(spark, Sf001).filter(col("v_filled").isNotNull)
+      .select("series", "t", "v_filled").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val expected = pts.flatMap { case (series, rows) =>
+      val vs = rows.map(_._3)
+      val n = vs.length
+      if (n <= 1) Seq.empty[((String, Long), (Double, Double))]
+      else {
+        val mu = vs.map(v => math.floor(v * 10000d + 0.5d).toLong).sum / 10000d / n
+        val m2 = vs.map(v => math.floor(v * v * 10000d + 0.5d).toLong).sum / 10000d
+        val sd = math.sqrt(math.max(0.0, (m2 - n * mu * mu) / (n - 1)))
+        var sp = 0.0; var sn = 0.0
+        rows.zip(vs).flatMap { case ((_, t, _), v) =>
+          sp = math.max(0.0, sp + (v - mu - k * sd))
+          sn = math.max(0.0, sn + (mu - k * sd - v))
+          if (sp > h * sd || sn > h * sd)
+            Some((series, t) -> (sp / sd, sn / sd))
+          else None
+        }.toSeq
+      }
+    }
+    val got = Intervals.cusum(spark, Sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getDouble(2), r.getDouble(3))).toMap
+    // The recursion resets to exact 0.0 at each max() while the prefix
+    // form subtracts a running min — algebraically equal, ulp-different —
+    // so keys must match exactly, values to quantization tolerance.
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (key, (ep, en)) =>
+      val (gp, gn) = got(key)
+      assert(math.abs(gp - ep) < 2e-4 && math.abs(gn - en) < 2e-4, s"$key: ($gp,$gn) vs ($ep,$en)")
+    }
+    assert(got.nonEmpty)
+  }
+
+  test("completeness audit: source counts partition the spine, gaps bounded") {
+    val c = graft.timeseries.TsQueries.qp6Completeness(spark, Sf01).cache()
+    assert(c.filter(col("n_obs") + col("n_lag") + col("n_lead") + col("n_missing")
+      =!= col("n_slots")).count() === 0)
+    assert(c.filter(col("pct_obs") < 0.0 || col("pct_obs") > 1.0).count() === 0)
+    assert(c.filter(col("max_gap") > col("n_slots") - col("n_obs")).count() === 0)
+    assert(c.count() === TsCore.filled(spark, Sf01).select("series").distinct().count())
+  }
+
   test("mad outliers: no flags from constant (mad=0) windows, |z| > thr") {
     val m = Intervals.madOutliers(spark, Sf01).cache()
     assert(m.filter(abs(col("robust_z")) < 3.0 - 1e-4).count() === 0)

