@@ -121,6 +121,9 @@ object SparkEntry {
     "qt11_pack_shards" -> ((s, d) => graft.text.TextOps.packShards(s, d)),
     "qe6_transitions" -> ((s, d) => graft.analytics.Events.transitions(s, d)),
     "q45_cusum" -> ((s, d) => graft.timeseries.Intervals.cusum(s, d)),
+    "q46_episodes" -> ((s, d) => graft.timeseries.Intervals.episodes(s, d)),
+    "q47_median_filter" -> ((s, d) => graft.timeseries.Intervals.medianFilter(s, d)),
+    "qp7_drift" -> ((s, d) => TsQueries.qp7Drift(s, d)),
     "qp6_completeness" -> ((s, d) => TsQueries.qp6Completeness(s, d)),
     "qt13_boilerplate" -> ((s, d) => graft.text.TextOps.boilerplate(s, d)),
     "qt14_unigram_nll" -> ((s, d) => graft.text.TextOps.unigramNll(s, d)),
@@ -500,6 +503,9 @@ object SparkEntry {
              floor((sum(CAST(floor((l_quantity)*10000 + 0.5) AS BIGINT)) / 10000.0 / count(*))*10000 + 0.5)/10000 AS avg_qty
       FROM lineitem GROUP BY l_returnflag, l_linestatus""",
     "q45_cusum" -> TsOracle.q45(),
+    "q46_episodes" -> TsOracle.q46(),
+    "q47_median_filter" -> TsOracle.q47(),
+    "qp7_drift" -> TsOracle.qp7(),
     "qp6_completeness" -> TsOracle.qp6,
     "qt13_boilerplate" -> graft.text.DocOracle.qt13(),
     "qt14_unigram_nll" -> graft.text.DocOracle.qt14,

@@ -18,15 +18,26 @@ object Intervals {
     * first, then the t-range predicate — shuffle O(intervals × span/24 +
     * points), never the quadratic inequality join a naive plan picks.
     */
-  def rangeJoin(spark: SparkSession, sfDir: String, pad: Int = 2): DataFrame = {
+  /** Padded anomaly intervals from gaps-and-islands over the injected
+    * flags — the shared interval source of q31 (range join) and q46
+    * (episode merge). (series, t_lo) is unique: runs within a window are
+    * ≥ 2 apart in min(pos) and windows are 24 apart, so ±2 padding never
+    * collides — every downstream ordering on it is total.
+    */
+  private def anomIntervals(spark: SparkSession, sfDir: String, pad: Int): DataFrame = {
     val n = TsCore.DaySize
     val wr = Window.partitionBy("series", "win").orderBy("pos")
-    val iv = TsCore.injected(spark, sfDir).filter(col("is_anom") === 1)
+    TsCore.injected(spark, sfDir).filter(col("is_anom") === 1)
       .withColumn("rid", col("pos") - row_number().over(wr))
       .groupBy("series", "win", "rid")
       .agg((col("win") * n + min("pos") - pad).as("t_lo"),
            (col("win") * n + max("pos") + pad).as("t_hi"))
       .select("series", "t_lo", "t_hi")
+  }
+
+  def rangeJoin(spark: SparkSession, sfDir: String, pad: Int = 2): DataFrame = {
+    val n = TsCore.DaySize
+    val iv = anomIntervals(spark, sfDir, pad)
     val ivB = iv.withColumn("bucket",
       explode(sequence(floor(col("t_lo") / n), floor(col("t_hi") / n))))
     val pts = TsCore.filled(spark, sfDir).filter(col("v_filled").isNotNull)
@@ -149,6 +160,46 @@ object Intervals {
       .select(col("series"), col("t"),
         Num.r4(col("spos") / col("sd")).as("cusum_pos"),
         Num.r4(col("sneg") / col("sd")).as("cusum_neg"))
+  }
+
+  /** q46: anomaly-episode merge — overlapping/touching padded anomaly
+    * intervals coalesced into maximal episodes per series (the reporting
+    * unit an operator pages on: one alert per incident, not one per
+    * flagged point; ref postprocessing.py extends point flags to spans,
+    * this is the next step up). Classic interval union: order intervals
+    * by start, a new episode opens where t_lo exceeds the running max of
+    * every earlier t_hi. All-integer window arithmetic — exact in any
+    * engine; one shuffle on series.
+    */
+  def episodes(spark: SparkSession, sfDir: String, pad: Int = 2): DataFrame = {
+    val ws = Window.partitionBy("series").orderBy("t_lo")
+    val wprev = ws.rowsBetween(Window.unboundedPreceding, -1)
+    anomIntervals(spark, sfDir, pad)
+      .withColumn("prev_hi", max("t_hi").over(wprev))
+      .withColumn("new_ep",
+        when(col("prev_hi").isNull || col("t_lo") > col("prev_hi"), 1L).otherwise(0L))
+      .withColumn("ep", sum("new_ep").over(ws.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("series", "ep")
+      .agg(min("t_lo").as("ep_start"), max("t_hi").as("ep_end"),
+        count(lit(1)).as("n_intervals"))
+      .withColumn("duration", col("ep_end") - col("ep_start") + 1)
+  }
+
+  /** q47: rolling-median filter — the robust smoother (median over a
+    * centered 2·half+1 frame per series) plus the residual against it;
+    * the denoising complement to q06's EWMA (a single spike moves an
+    * EWMA but not a frame median). Frames shrink at series edges in both
+    * engines identically; per-row work is O(frame log frame) and the
+    * whole pass is one series-partitioned window — linear scale-out.
+    */
+  def medianFilter(spark: SparkSession, sfDir: String, half: Int = 12): DataFrame = {
+    require(half >= 1, s"half=$half: frame half-width must be positive")
+    val wf = Window.partitionBy("series").orderBy("t").rowsBetween(-half, half)
+    TsCore.filled(spark, sfDir).filter(col("v_filled").isNotNull)
+      .withColumn("med", expr("percentile(v_filled, 0.5)").over(wf))
+      .select(col("series"), col("t"), Num.r4(col("v_filled")).as("v"),
+        Num.r4(col("med")).as("med"),
+        Num.r4(col("v_filled") - col("med")).as("resid"))
   }
 
   /** q34: MAD (median-absolute-deviation) robust outliers per window —

@@ -821,6 +821,84 @@ FROM iv i JOIN filled f ON f.series = i.series AND f.t >= i.t_lo AND f.t <= i.t_
 WHERE f.v_filled IS NOT NULL
 GROUP BY i.series, i.t_lo, i.t_hi"""
 
+  /** Interval union into maximal episodes — mirrors Intervals.episodes
+    * (same ivruns/iv island build as q31; all-integer window arithmetic).
+    */
+  def q46(pad: Int = 2): String = prefix + s"""
+, ivruns AS (
+  SELECT series, win, pos,
+         pos - row_number() OVER (PARTITION BY series, win ORDER BY pos) AS rid
+  FROM inject WHERE is_anom = 1
+), iv AS (
+  SELECT series, win * $DaySize + min(pos) - $pad AS t_lo,
+         win * $DaySize + max(pos) + $pad AS t_hi
+  FROM ivruns GROUP BY series, win, rid
+), ep0 AS (
+  SELECT series, t_lo, t_hi,
+         max(t_hi) OVER (PARTITION BY series ORDER BY t_lo
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_hi
+  FROM iv
+), ep1 AS (
+  SELECT series, t_lo, t_hi,
+         CASE WHEN prev_hi IS NULL OR t_lo > prev_hi THEN 1 ELSE 0 END AS new_ep
+  FROM ep0
+), ep2 AS (
+  SELECT series, t_lo, t_hi,
+         sum(new_ep) OVER (PARTITION BY series ORDER BY t_lo
+           ROWS UNBOUNDED PRECEDING) AS ep
+  FROM ep1
+)
+SELECT series, CAST(ep AS BIGINT) AS ep, min(t_lo) AS ep_start, max(t_hi) AS ep_end,
+       count(*) AS n_intervals, max(t_hi) - min(t_lo) + 1 AS duration
+FROM ep2 GROUP BY series, ep"""
+
+  /** Rolling-median filter over a centered frame — mirrors
+    * Intervals.medianFilter (quantile_cont == Spark percentile, both
+    * linear interpolation; frames shrink identically at series edges).
+    */
+  def q47(half: Int = 12): String = prefix + s"""
+, medf AS (
+  SELECT series, t, v_filled,
+         quantile_cont(v_filled, 0.5) OVER (PARTITION BY series ORDER BY t
+           ROWS BETWEEN $half PRECEDING AND $half FOLLOWING) AS med
+  FROM filled WHERE v_filled IS NOT NULL
+)
+SELECT series, t, ${r4("v_filled")} AS v, ${r4("med")} AS med,
+       ${r4("v_filled - med")} AS resid
+FROM medf"""
+
+  /** PSI drift between time halves — mirrors TsQueries.qp7Drift
+    * (per-bin terms quantized to the 1e-6 grid before the sum).
+    */
+  def qp7(nBins: Int = 10): String = prefix + s"""
+, drpts AS (
+  SELECT series, t, v_filled,
+    floor((min(t) OVER ws + max(t) OVER ws) / 2) AS mid,
+    min(v_filled) OVER ws AS mn, max(v_filled) OVER ws AS mx
+  FROM filled WHERE v_filled IS NOT NULL
+  WINDOW ws AS (PARTITION BY series)
+), drbin AS (
+  SELECT series,
+    CASE WHEN mx = mn THEN 0
+         ELSE least(CAST(floor((v_filled - mn) / (mx - mn) * $nBins) AS BIGINT), ${nBins - 1}) END AS bin,
+    CASE WHEN t <= mid THEN 0 ELSE 1 END AS half
+  FROM drpts
+), drcnt AS (
+  SELECT series, bin,
+    CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+    CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+  FROM drbin GROUP BY series, bin
+), drterm AS (
+  SELECT series,
+    sum(n0) OVER ws AS t0, sum(n1) OVER ws AS t1,
+    (n0 + 0.5) / (sum(n0) OVER ws + 0.5 * $nBins) AS p,
+    (n1 + 0.5) / (sum(n1) OVER ws + 0.5 * $nBins) AS q
+  FROM drcnt WINDOW ws AS (PARTITION BY series)
+)
+SELECT series, CAST(max(t0) AS BIGINT) AS n_first, CAST(max(t1) AS BIGINT) AS n_second,
+  ${r4("sum(CAST(floor((p - q) * ln(p / q) * 1000000 + 0.5) AS BIGINT)) / 1000000.0")} AS psi
+FROM drterm GROUP BY series"""
+
   def q32(lags: Seq[Int] = Seq(1, 24, 168)): String = prefix + s"""
 , lagd AS (
   SELECT series, t, v_filled,

@@ -87,6 +87,95 @@ class IntervalsAsofSpec extends SparkSuite {
     assert(c.count() === TsCore.filled(spark, Sf01).select("series").distinct().count())
   }
 
+  test("episodes: interval union matches a driver-side sequential merge") {
+    val pad = 2
+    // ground truth: rebuild the padded intervals from the injected flags
+    // and merge them sequentially per series
+    val runs = TsCore.injected(spark, Sf01).filter(col("is_anom") === 1)
+      .select("series", "win", "pos").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(r => (r._1, r._2))
+    val iv = runs.toSeq.flatMap { case ((series, win), rows) =>
+      val ps = rows.map(_._3).sorted
+      // split consecutive positions into runs
+      val brk = ps.zipWithIndex.map { case (p, i) => p - i }
+      ps.zip(brk).groupBy(_._2).values.map { g =>
+        val lo = g.map(_._1).min; val hi = g.map(_._1).max
+        (series, win * 24 + lo - pad, win * 24 + hi + pad)
+      }
+    }
+    val expected = iv.groupBy(_._1).flatMap { case (series, ivs) =>
+      val sorted = ivs.sortBy(_._2)
+      val eps = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      sorted.foreach { case (_, lo, hi) =>
+        if (eps.nonEmpty && lo <= eps.last._2)
+          eps(eps.length - 1) = (eps.last._1, math.max(eps.last._2, hi), eps.last._3 + 1)
+        else eps += ((lo, hi, 1L))
+      }
+      eps.zipWithIndex.map { case ((lo, hi, n), i) =>
+        (series, i + 1L, lo, hi, n, hi - lo + 1) }
+    }.toSet
+    val got = Intervals.episodes(spark, Sf01).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
+  test("median filter: frame median matches a driver-side sorted-window recompute") {
+    val half = 12
+    val pts = TsCore.filled(spark, Sf001).filter(col("v_filled").isNotNull)
+      .select("series", "t", "v_filled").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val expected = pts.flatMap { case (series, rows) =>
+      rows.indices.map { i =>
+        val frame = rows.slice(math.max(0, i - half), math.min(rows.length, i + half + 1))
+          .map(_._3).sorted
+        val n = frame.length
+        val med =
+          if (n % 2 == 1) frame(n / 2)
+          else { val a = frame(n / 2 - 1); a + (frame(n / 2) - a) * 0.5 }
+        (series, rows(i)._2) -> (med, rows(i)._3 - med)
+      }
+    }
+    val got = Intervals.medianFilter(spark, Sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getDouble(3), r.getDouble(4))).toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (key, (em, er)) =>
+      val (gm, gr) = got(key)
+      assert(math.abs(gm - em) < 2e-4 && math.abs(gr - er) < 2e-4, s"$key: ($gm,$gr) vs ($em,$er)")
+    }
+  }
+
+  test("psi drift: non-negative, halves partition the series, driver recompute agrees") {
+    val nBins = 10
+    val d = graft.timeseries.TsQueries.qp7Drift(spark, Sf01).cache()
+    assert(d.filter(col("psi") < 0.0).count() === 0)
+    val pts = TsCore.filled(spark, Sf01).filter(col("v_filled").isNotNull)
+      .select("series", "t", "v_filled").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).groupBy(_._1)
+    val expected = pts.map { case (series, rows) =>
+      val mid = math.floorDiv(rows.map(_._2).min + rows.map(_._2).max, 2)
+      val mn = rows.map(_._3).min; val mx = rows.map(_._3).max
+      def bin(v: Double): Long =
+        if (mx == mn) 0L else math.min(math.floor((v - mn) / (mx - mn) * nBins).toLong, nBins - 1L)
+      val byBin = rows.groupBy(r => bin(r._3))
+      val t0 = rows.count(_._2 <= mid).toLong; val t1 = rows.size - t0
+      val psiq = byBin.values.map { g =>
+        val n0 = g.count(_._2 <= mid); val n1 = g.size - n0
+        val p = (n0 + 0.5) / (t0 + 0.5 * nBins)
+        val q = (n1 + 0.5) / (t1 + 0.5 * nBins)
+        math.floor((p - q) * math.log(p / q) * 1000000d + 0.5d).toLong
+      }.sum
+      (series, t0, t1, math.floor(psiq / 1000000d * 10000d + 0.5d) / 10000d)
+    }.toSet
+    val got = d.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
   test("mad outliers: no flags from constant (mad=0) windows, |z| > thr") {
     val m = Intervals.madOutliers(spark, Sf01).cache()
     assert(m.filter(abs(col("robust_z")) < 3.0 - 1e-4).count() === 0)
