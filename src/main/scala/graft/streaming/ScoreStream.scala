@@ -174,6 +174,51 @@ object ScoreStream {
         when(col("score") > col("threshold"), 1).otherwise(0).as("pred"))
   }
 
+  case class CusumState(sp: Double, sn: Double)
+  case class CusumFlag(series: String, t: Long, cusumPos: Double, cusumNeg: Double)
+
+  /** Streaming CUSUM — the stateful twin of batch q45. The batch
+    * operator evaluates Page's recursion through its prefix closed form
+    * because batch has no per-row state; in flight the recursion IS the
+    * natural shape: two doubles of state per series in `GroupState`,
+    * updated per point, flags emitted the moment either one-sided sum
+    * crosses h·σ — detection latency of one microbatch instead of one
+    * batch job. (μ, σ) per series come from the batch fit (the same
+    * quantized sufficient statistics q45 uses) and ride the closure as
+    * a small broadcast map — train-in-batch, detect-in-flight, like
+    * bankScoreStream. Rows are time-sorted within each microbatch
+    * (arrival order within a group is not guaranteed after the state
+    * shuffle); cross-batch ordering is the source's contract, as for
+    * every stateful sequential operator.
+    */
+  def cusumStream(points: org.apache.spark.sql.Dataset[(String, Long, Double)],
+                  params: Map[String, (Double, Double)],
+                  k: Double = 0.5, h: Double = 5.0)
+      : org.apache.spark.sql.Dataset[CusumFlag] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import points.sparkSession.implicits._
+    points.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (series: String, rows: Iterator[(String, Long, Double)],
+         state: GroupState[CusumState]) =>
+          params.get(series).filter(_._2 > 0.0) match {
+            case None => Iterator.empty
+            case Some((mu, sd)) =>
+              var st = state.getOption.getOrElse(CusumState(0.0, 0.0))
+              val out = rows.toVector.sortBy(_._2).flatMap { case (_, t, v) =>
+                val sp = math.max(0.0, st.sp + (v - mu - k * sd))
+                val sn = math.max(0.0, st.sn + (mu - k * sd - v))
+                st = CusumState(sp, sn)
+                if (sp > h * sd || sn > h * sd)
+                  Some(CusumFlag(series, t, sp / sd, sn / sd))
+                else None
+              }
+              state.update(st)
+              out.iterator
+          }
+      }
+  }
+
   /** Wire a streaming DataFrame of raw events (ts: timestamp,
     * event_type, value) into watermarked sliding windows scored against
     * the bank. Returns the streaming result (score = |window mean − μ|/σ).

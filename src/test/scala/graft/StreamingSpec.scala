@@ -59,6 +59,48 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming cusum matches the batch q45 flags across a batch split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val Sf = Sf001
+    // batch fit: the same quantized sufficient statistics q45 uses
+    val pts = graft.timeseries.TsCore.filled(spark, Sf)
+      .filter(col("v_filled").isNotNull)
+      .select("series", "t", "v_filled").as[(String, Long, Double)]
+      .collect().sortBy(r => (r._1, r._2))
+    val params = pts.groupBy(_._1).collect { case (s, rows) if rows.length > 1 =>
+      val vs = rows.map(_._3); val n = vs.length
+      val mu = vs.map(v => math.floor(v * 10000d + 0.5d).toLong).sum / 10000d / n
+      val m2 = vs.map(v => math.floor(v * v * 10000d + 0.5d).toLong).sum / 10000d
+      s -> (mu, math.sqrt(math.max(0.0, (m2 - n * mu * mu) / (n - 1))))
+    }.toMap
+    val mem = MemoryStream[(String, Long, Double)]
+    val out = ScoreStream.cusumStream(mem.toDS(), params)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("cusum_stream").start()
+    try {
+      // two microbatches split mid-series: state must carry across
+      val mid = pts.map(_._2).max / 2
+      mem.addData(pts.filter(_._2 <= mid).toSeq)
+      q.processAllAvailable()
+      mem.addData(pts.filter(_._2 > mid).toSeq)
+      q.processAllAvailable()
+      val got = spark.table("cusum_stream").as[ScoreStream.CusumFlag].collect()
+        .map(f => (f.series, f.t) -> (f.cusumPos, f.cusumNeg)).toMap
+      val batch = graft.timeseries.Intervals.cusum(spark, Sf).collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> (r.getDouble(2), r.getDouble(3))).toMap
+      // recursion vs prefix form: same flags, values to quantization ulps
+      assert(got.keySet === batch.keySet)
+      batch.foreach { case (key, (bp, bn)) =>
+        val (gp, gn) = got(key)
+        assert(math.abs(gp - bp) < 2e-4 && math.abs(gn - bn) < 2e-4,
+          s"$key: ($gp,$gn) vs ($bp,$bn)")
+      }
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   case class UEv(ts: Timestamp, user_id: Long)
   case class Doc(ts: Timestamp, doc_id: Long, text: String)
   case class PatchRow(ts: Timestamp, series: String, win: Long, pos: Long,
