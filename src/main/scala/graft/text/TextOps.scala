@@ -318,10 +318,14 @@ object TextOps {
     * corpus itself (the perplexity-style quality filter of CCNet
     * [Wenzek et al. 2020], with the KenLM 5-gram swapped for the
     * largest model whose estimation is a pure grouped count). High nll
-    * = tokens rare for the claimed language — a drop signal. The LM
-    * (lang × vocab) is corpus-shape-bounded and broadcast; per-token
-    * log-probs are quantized to the 1e-4 grid BEFORE the per-doc sum so
-    * accumulation is exact-integer and engine-order-free.
+    * = tokens rare for the claimed language — a drop signal. The LM is
+    * broadcast here (small at test scale); at web scale the vocab's
+    * long tail outgrows a broadcast, and the probe is already a plain
+    * (lang, tok) equi-join that degrades gracefully to a shuffled hash
+    * join — or cap the LM to top-V per lang (qt12's pattern) with a
+    * floor log-prob for OOV. Per-token log-probs are quantized to the
+    * 1e-4 grid BEFORE the per-doc sum so accumulation is exact-integer
+    * and engine-order-free.
     */
   def unigramNll(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir).select("doc_id", "lang")

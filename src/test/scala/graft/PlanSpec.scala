@@ -167,6 +167,25 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Exchange SinglePartition"), "no global barrier")
   }
 
+  test("q45/q47 are window chains over ONE series exchange — no joins, no extra shuffle") {
+    for (df <- Seq(graft.timeseries.Intervals.cusum(spark, Sf01),
+                   graft.timeseries.Intervals.medianFilter(spark, Sf01))) {
+      val p = plan(df)
+      assert(!p.contains("Join"), s"pure window chain must not join:\n${p.take(800)}")
+      // the shared filled-stage build is cached upstream; the operator
+      // itself adds exactly one hashpartitioning(series) exchange
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(exchanges == 1, s"expected 1 series exchange, got $exchanges:\n${p.take(1200)}")
+    }
+  }
+
+  test("qt13/qt14 probe sides meet broadcast tables — the doc stream never sort-merges") {
+    val p13 = plan(graft.text.TextOps.boilerplate(spark, Sf01))
+    assert(p13.contains("BroadcastHashJoin"), s"boiler set must broadcast:\n${p13.take(800)}")
+    val p14 = plan(graft.text.TextOps.unigramNll(spark, Sf01))
+    assert(p14.contains("BroadcastHashJoin"), s"LM must broadcast:\n${p14.take(800)}")
+  }
+
   test("grouped aggregation is whole-stage codegen'd with partial agg") {
     val df = Tables.lineitem(spark, Sf01)
       .groupBy("l_returnflag").agg(sum("l_quantity"))
