@@ -124,6 +124,9 @@ object SparkEntry {
     "q46_episodes" -> ((s, d) => graft.timeseries.Intervals.episodes(s, d)),
     "q47_median_filter" -> ((s, d) => graft.timeseries.Intervals.medianFilter(s, d)),
     "qp7_drift" -> ((s, d) => TsQueries.qp7Drift(s, d)),
+    "q48_decompose" -> ((s, d) => graft.timeseries.Forecast.decompose(s, d)),
+    "qe8_scd2" -> ((s, d) => graft.analytics.Events.scd2(s, d)),
+    "qv7_knn_label" -> ((s, d) => graft.vector.Similarity.knnLabel(s, d)),
     "qp6_completeness" -> ((s, d) => TsQueries.qp6Completeness(s, d)),
     "qt13_boilerplate" -> ((s, d) => graft.text.TextOps.boilerplate(s, d)),
     "qt14_unigram_nll" -> ((s, d) => graft.text.TextOps.unigramNll(s, d)),
@@ -506,6 +509,17 @@ object SparkEntry {
     "q46_episodes" -> TsOracle.q46(),
     "q47_median_filter" -> TsOracle.q47(),
     "qp7_drift" -> TsOracle.qp7(),
+    "q48_decompose" -> TsOracle.q48(),
+    "qe8_scd2" -> """
+      WITH ev AS (
+        SELECT event_id, user_id, event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) AS tsec FROM events
+      )
+      SELECT user_id, event_id, event_type, tsec AS valid_from,
+             lead(tsec) OVER w AS valid_to,
+             CASE WHEN lead(tsec) OVER w IS NULL THEN 1 ELSE 0 END AS is_current
+      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id)""",
+    "qv7_knn_label" -> graft.text.DocOracle.qv7(),
     "qp6_completeness" -> TsOracle.qp6,
     "qt13_boilerplate" -> graft.text.DocOracle.qt13(),
     "qt14_unigram_nll" -> graft.text.DocOracle.qt14,

@@ -343,4 +343,21 @@ object Events {
     steps.groupBy("src", "dst").agg(count(lit(1)).as("n"))
       .withColumn("p", Num.r4(col("n") / sum("n").over(Window.partitionBy("src"))))
   }
+
+  /** qe8: SCD2 history build — each user's event stream becomes
+    * slowly-changing-dimension type-2 validity intervals: a row is
+    * valid from its timestamp until the user's next event, open-ended
+    * (and flagged current) for the latest. The shape every warehouse
+    * ETL materializes from a CDC log before point-in-time joins. One
+    * per-user window pass — no joins, no second scan; (tsec, event_id)
+    * ordering makes same-second changes deterministic.
+    */
+  def scd2(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("tsec", "event_id")
+    epochSec(spark, sfDir)
+      .withColumn("valid_to", lead("tsec", 1).over(w))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("tsec").as("valid_from"), col("valid_to"),
+        when(col("valid_to").isNull, 1).otherwise(0).as("is_current"))
+  }
 }

@@ -216,6 +216,30 @@ scored AS (
 )
 SELECT qid, vec_id, ${r4("cos")} AS cos, rnk FROM ranked WHERE rnk <= $k"""
 
+  /** kNN label propagation — mirrors Similarity.knnLabel. */
+  def qv7(k: Int = 5, maxQueries: Int = 1000): String = vecsCte + s"""
+, q AS (SELECT vec_id AS qid, label AS true_label, v, nrm FROM vecs
+        WHERE vec_id % 100 = 0 AND vec_id < ${100L * maxQueries}),
+b AS (SELECT vec_id, label, v, nrm FROM vecs
+      WHERE NOT (vec_id % 100 = 0 AND vec_id < ${100L * maxQueries})),
+scored AS (
+  SELECT q.qid, q.true_label, b.vec_id, b.label,
+         list_dot_product(q.v, b.v) / (q.nrm * b.nrm) AS cos
+  FROM q CROSS JOIN b
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+  FROM scored
+), votes AS (
+  SELECT qid, true_label, label, count(*) AS votes
+  FROM ranked WHERE rnk <= $k GROUP BY qid, true_label, label
+), winner AS (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY votes DESC, label) AS vr
+  FROM votes
+)
+SELECT qid, true_label, label AS pred_label, CAST(votes AS BIGINT) AS votes,
+       CASE WHEN true_label = pred_label THEN 1 ELSE 0 END AS correct
+FROM winner WHERE vr = 1"""
+
   def qv2(nPlanes: Int = 8, k: Int = 5): String = vecsCte + s"""
 , pos AS (
   SELECT vec_id, unnest(range(len(v))) AS d, unnest(v) AS x FROM vecs

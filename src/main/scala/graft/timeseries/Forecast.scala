@@ -308,6 +308,40 @@ object Forecast {
         Num.r4(sqrt(col("sse") / 10000d / col("n")) * (col("hi") - col("lo"))).as("rmse_orig"))
   }
 
+  /** q48: classical additive decomposition — v = trend + seasonal +
+    * resid per point (the full STL-lite triple; q24 extracts only the
+    * seasonal profile). Trend is a centered (2·half+1)-point moving
+    * average built from RUNNING prefix sums (q33's engine-order-safe
+    * frame-mean trick — framed avgs differ across engines in ulps),
+    * emitted only where the frame holds a full complement of observed
+    * values; seasonal is the hour-of-day mean of the detrended signal
+    * via quantized-integer sums (order-free); resid is the remainder.
+    * Two window passes + one |series|×24-row broadcast join.
+    */
+  def decompose(spark: SparkSession, sfDir: String, half: Int = 12): DataFrame = {
+    require(half >= 1, s"half=$half: trend frame half-width must be positive")
+    val w = 2 * half + 1
+    val ws = Window.partitionBy("series").orderBy("t")
+    val cumW = ws.rowsBetween(Window.unboundedPreceding, 0)
+    val base = TsCore.filled(spark, sfDir)
+      .withColumn("cum", sum(coalesce(col("v_filled"), lit(0.0))).over(cumW))
+      .withColumn("cnt", count("v_filled").over(cumW))
+      .withColumn("fsum",
+        lead("cum", half).over(ws) - coalesce(lag("cum", half + 1).over(ws), lit(0.0)))
+      .withColumn("fn",
+        lead("cnt", half).over(ws) - coalesce(lag("cnt", half + 1).over(ws), lit(0L)))
+      .filter(col("v_filled").isNotNull && col("fn") === w)
+      .withColumn("trend", col("fsum") / w)
+      .withColumn("detr", col("v_filled") - col("trend"))
+    val seas = base.groupBy(col("series"), (col("t") % TsCore.DaySize).as("pos"))
+      .agg((Num.sumQ4(col("detr")) / count(lit(1))).as("seasonal"))
+    base.withColumn("pos", col("t") % TsCore.DaySize)
+      .join(broadcast(seas), Seq("series", "pos"))
+      .select(col("series"), col("t"), Num.r4(col("trend")).as("trend"),
+        Num.r4(col("seasonal")).as("seasonal"),
+        Num.r4(col("detr") - col("seasonal")).as("resid"))
+  }
+
   /** q24: additive seasonal profile per (series, hour-of-day) over the
     * train region (capability of feature_extractor.py
     * seasonal_decomposition): per-pos mean of the series minus the

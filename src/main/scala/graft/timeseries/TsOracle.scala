@@ -899,6 +899,36 @@ SELECT series, CAST(max(t0) AS BIGINT) AS n_first, CAST(max(t1) AS BIGINT) AS n_
   ${r4("sum(CAST(floor((p - q) * ln(p / q) * 1000000 + 0.5) AS BIGINT)) / 1000000.0")} AS psi
 FROM drterm GROUP BY series"""
 
+  /** Classical additive decomposition — mirrors Forecast.decompose
+    * (prefix-sum trend, quantized-integer seasonal means).
+    */
+  def q48(half: Int = 12): String = {
+    val w = 2 * half + 1
+    prefix + s"""
+, dcum AS (
+  SELECT series, t, v_filled,
+    sum(coalesce(v_filled, 0.0)) OVER wc AS cum,
+    count(v_filled) OVER wc AS cnt
+  FROM filled
+  WINDOW wc AS (PARTITION BY series ORDER BY t ROWS UNBOUNDED PRECEDING)
+), dfrm AS (
+  SELECT series, t, v_filled,
+    lead(cum, $half) OVER ws - coalesce(lag(cum, ${half + 1}) OVER ws, 0.0) AS fsum,
+    lead(cnt, $half) OVER ws - coalesce(lag(cnt, ${half + 1}) OVER ws, 0) AS fn
+  FROM dcum WINDOW ws AS (PARTITION BY series ORDER BY t)
+), dbase AS (
+  SELECT series, t, v_filled, fsum / $w AS trend, v_filled - fsum / $w AS detr
+  FROM dfrm WHERE v_filled IS NOT NULL AND fn = $w
+), dseas AS (
+  SELECT series, t % $DaySize AS pos,
+    sum(CAST(floor(detr*10000 + 0.5) AS BIGINT)) / 10000.0 / count(*) AS seasonal
+  FROM dbase GROUP BY series, t % $DaySize
+)
+SELECT b.series, b.t, ${r4("b.trend")} AS trend, ${r4("s.seasonal")} AS seasonal,
+       ${r4("b.detr - s.seasonal")} AS resid
+FROM dbase b JOIN dseas s ON b.series = s.series AND b.t % $DaySize = s.pos"""
+  }
+
   def q32(lags: Seq[Int] = Seq(1, 24, 168)): String = prefix + s"""
 , lagd AS (
   SELECT series, t, v_filled,

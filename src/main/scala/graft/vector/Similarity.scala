@@ -72,6 +72,40 @@ object Similarity {
       .select(col("qid"), col("vec_id"), Num.r4(col("cos")).as("cos"), col("rnk"))
   }
 
+  /** qv7: kNN label propagation — auto-label the query sample by
+    * majority vote of its k nearest labeled neighbors (cosine), the
+    * semi-supervised labeling pass run over an embedded corpus before
+    * training a classifier on it. Queries are the ANN family's capped
+    * sample with labels held out (scored against `true_label` for a
+    * built-in quality readout); reference is everything else. Ties
+    * break deterministically: neighbors by (cos desc, vec_id), votes
+    * by (count desc, label asc). Same plan shape as qv1 — broadcast
+    * capped query side, the reference side never shuffles before its
+    * per-query top-k; at scale the candidate bound comes from qv3/qv6's
+    * probes instead of the brute cross.
+    */
+  def knnLabel(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
+    require(k >= 1, s"k=$k: need at least one neighbor to vote")
+    val e = vecs(spark, sfDir)
+    val q = e.filter(qFilter)
+      .select(col("vec_id").as("qid"), col("label").as("true_label"),
+        col("v").as("av"), col("nrm").as("na"))
+    val b = e.filter(not(qFilter))
+      .select(col("vec_id"), col("label"), col("v").as("bv"), col("nrm").as("nb"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    val top = b.crossJoin(broadcast(q))
+      .withColumn("cos", dotAB / (col("na") * col("nb")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+    val wv = Window.partitionBy("qid").orderBy(col("votes").desc, col("label"))
+    top.groupBy("qid", "true_label", "label").agg(count(lit(1)).as("votes"))
+      .withColumn("vr", row_number().over(wv))
+      .filter(col("vr") === 1)
+      .select(col("qid"), col("true_label"), col("label").as("pred_label"),
+        col("votes"),
+        when(col("true_label") === col("pred_label"), 1).otherwise(0).as("correct"))
+  }
+
   /** Deterministic pseudo-random hyperplane weight for (plane, dim):
     * the shared hashed-uniform family over key p·64+d, mirrored in the
     * oracle. Exact dyadic rationals (k/2^31 − 1/2), so the driver-side

@@ -130,6 +130,26 @@ class EventsSpec extends SparkSuite {
     top.foreach(r => assert(r.getString(0).split(">", -1).length === 3, r.getString(0)))
   }
 
+  test("qe8 scd2: one current row per user, intervals chain without gaps") {
+    import org.apache.spark.sql.functions._
+    val s = graft.analytics.Events.scd2(spark, Sf01).cache()
+    val ev = graft.util.Tables.events(spark, Sf01)
+    // every event becomes exactly one interval row
+    assert(s.count() === ev.count())
+    // exactly one open (current) interval per user
+    val cur = s.filter(col("is_current") === 1).groupBy("user_id").count()
+    assert(cur.filter(col("count") =!= 1).count() === 0)
+    assert(cur.count() === ev.select("user_id").distinct().count())
+    // closed intervals never run backwards, and each valid_to equals the
+    // next interval's valid_from (the chain has no gaps or overlaps)
+    assert(s.filter(col("valid_to") < col("valid_from")).count() === 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("valid_from", "event_id")
+    assert(s.withColumn("nxt", lead("valid_from", 1).over(w))
+      .filter(col("valid_to").isNotNull && col("valid_to") =!= col("nxt"))
+      .count() === 0)
+  }
+
   test("qe6 transitions: totals == per-user event counts − 1; probabilities sum to 1") {
     val t = Events.transitions(spark, Sf001).cache()
     val ev = spark.read.parquet(s"$Sf001/events.parquet")

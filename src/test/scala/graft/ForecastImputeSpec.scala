@@ -54,6 +54,28 @@ class ForecastImputeSpec extends SparkSuite {
     assert(k.filter(col("v_imp").isNull).count() === 0)
   }
 
+  test("q48 decomposition: components rebuild the signal, trend matches a driver frame mean") {
+    import org.apache.spark.sql.functions._
+    val d = graft.timeseries.Forecast.decompose(spark, Sf01).cache()
+    assert(d.count() > 0)
+    // trend + seasonal + resid == v up to the three r4 quantizations
+    val pts = graft.timeseries.TsCore.filled(spark, Sf01)
+      .filter(col("v_filled").isNotNull).select("series", "t", "v_filled")
+    assert(d.join(pts, Seq("series", "t"))
+      .filter(abs(col("trend") + col("seasonal") + col("resid") - col("v_filled")) > 3e-4)
+      .count() === 0)
+    // driver recompute of the centered frame mean for every emitted row
+    val half = 12
+    val byS = pts.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(rs => rs.map(r => r._2 -> r._3).toMap).toMap
+    val bad = d.select("series", "t", "trend").collect().filter { r =>
+      val (s, t, g) = (r.getString(0), r.getLong(1), r.getDouble(2))
+      val frame = (t - half to t + half).flatMap(byS(s).get)
+      frame.size != 2 * half + 1 || math.abs(g - frame.sum / (2 * half + 1)) > 2e-4
+    }
+    assert(bad.isEmpty, s"trend mismatches: ${bad.take(3).mkString(",")}")
+  }
+
   test("seasonal naive forecast beats nothing but is finite") {
     val f = Forecast.seasonalNaive(spark, Sf01).cache()
     assert(f.count() === 5)

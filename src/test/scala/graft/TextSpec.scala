@@ -121,6 +121,35 @@ class TextSpec extends SparkSuite {
     assert(bad.count() === 0)
   }
 
+  test("qv7 knn label propagation matches a driver-side vote recompute") {
+    val k = 5
+    val vecs = graft.util.Tables.embeddings(spark, Sf01)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    val isQ = (id: Long) => id % 100 == 0 && id < 100000L
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      // mirror the engine exactly: dot / (sqrt(aa) * sqrt(bb)), NOT
+      // dot / sqrt(aa*bb) — the two differ in ulps and can flip ranks
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val refs = vecs.filterNot(v => isQ(v._1))
+    val expected = vecs.filter(v => isQ(v._1)).map { case (qid, tl, qv) =>
+      val top = refs.map(r => (cos(qv, r._3), r._1, r._2))
+        .sortBy(t => (-t._1, t._2)).take(k)
+      val (pl, votes) = top.groupBy(_._3).view.mapValues(_.size).toSeq
+        .sortBy { case (l, n) => (-n, l) }.head
+      (qid, tl, pl, votes.toLong, if (tl == pl) 1 else 0)
+    }.toSet
+    val got = Similarity.knnLabel(spark, Sf01, k).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getInt(4))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
   test("lsh ann returns subset consistent with brute force top ranks") {
     val brute = Similarity.cosineTopK(spark, Sf001, k = 10)
       .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
