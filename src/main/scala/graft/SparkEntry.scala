@@ -127,6 +127,7 @@ object SparkEntry {
     "q48_decompose" -> ((s, d) => graft.timeseries.Forecast.decompose(s, d)),
     "qe8_scd2" -> ((s, d) => graft.analytics.Events.scd2(s, d)),
     "qv7_knn_label" -> ((s, d) => graft.vector.Similarity.knnLabel(s, d)),
+    "qp8_corr_matrix" -> ((s, d) => graft.analytics.Events.corrMatrix(s, d)),
     "qp6_completeness" -> ((s, d) => TsQueries.qp6Completeness(s, d)),
     "qt13_boilerplate" -> ((s, d) => graft.text.TextOps.boilerplate(s, d)),
     "qt14_unigram_nll" -> ((s, d) => graft.text.TextOps.unigramNll(s, d)),
@@ -520,6 +521,32 @@ object SparkEntry {
              CASE WHEN lead(tsec) OVER w IS NULL THEN 1 ELSE 0 END AS is_current
       FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id)""",
     "qv7_knn_label" -> graft.text.DocOracle.qv7(),
+    "qp8_corr_matrix" -> {
+      val colScales = Seq("l_quantity" -> "1.0", "l_extendedprice" -> "0.001",
+        "l_discount" -> "100.0", "l_tax" -> "100.0")
+      val cols = colScales.map(_._1)
+      val sc = colScales.toMap
+      val pairs = cols.combinations(2).map { case Seq(a, b) => (a, b) }.toSeq
+      def ctr(c: String) = s"((l.$c - m.m_$c) * ${sc(c)})"
+      def cq(e: String) = s"sum(CAST(floor(($e)*10000 + 0.5) AS BIGINT))"
+      s"""
+      WITH m AS (
+        SELECT count(*) AS n,
+          ${cols.map(c => s"sum(CAST(floor($c*10000 + 0.5) AS BIGINT)) / 10000.0 / count(*) AS m_$c").mkString(",\n          ")}
+        FROM lineitem
+      ), s AS (
+        SELECT max(m.n) AS n,
+          ${cols.map(c => s"${cq(s"${ctr(c)}*${ctr(c)}")} AS s_$c").mkString(",\n          ")},
+          ${pairs.map { case (a, b) => s"${cq(s"${ctr(a)}*${ctr(b)}")} AS s_${a}_$b" }.mkString(",\n          ")}
+        FROM lineitem l, m
+      )
+      ${pairs.map { case (a, b) =>
+        s"""SELECT '$a' AS col_a, '$b' AS col_b, CAST(n AS BIGINT) AS n,
+          CASE WHEN s_$a > 0 AND s_$b > 0 THEN
+            floor((s_${a}_$b / sqrt(CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE)))*10000 + 0.5)/10000
+          END AS corr FROM s"""
+      }.mkString("\n      UNION ALL ")}"""
+    },
     "qp6_completeness" -> TsOracle.qp6,
     "qt13_boilerplate" -> graft.text.DocOracle.qt13(),
     "qt14_unigram_nll" -> graft.text.DocOracle.qt14,

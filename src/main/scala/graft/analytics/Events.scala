@@ -344,6 +344,49 @@ object Events {
       .withColumn("p", Num.r4(col("n") / sum("n").over(Window.partitionBy("src"))))
   }
 
+  /** qp8: feature correlation matrix — Pearson correlation for every
+    * pair of lineitem's numeric columns (the multicollinearity audit a
+    * feature pipeline runs before training). Two passes in q39's
+    * means → centered-sums shape: pass 1 exact quantized means, pass 2
+    * ONE partial-agg'd scan accumulating all 4 centered squares + 6
+    * centered cross-products as integer sums. Each centered value is
+    * first multiplied by a per-column LITERAL scale that brings every
+    * column to O(10) magnitude (corr is invariant to per-column linear
+    * scaling, and the scales cancel exactly in Sxy/√(Sxx·Syy)): without
+    * it, discount/tax products (~1e-3) quantize to zero while raw
+    * extendedprice second moments would overflow int64 by sf1 —
+    * centering + scaling keeps exact-integer headroom past sf100.
+    * Zero-variance columns yield NULL, not a divide error. The result
+    * is one 11-column row staked out to |pairs| rows — nothing but the
+    * two scans touches data.
+    */
+  def corrMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.util.Num
+    val colScales = Seq("l_quantity" -> 1.0, "l_extendedprice" -> 0.001,
+      "l_discount" -> 100.0, "l_tax" -> 100.0)
+    val cols = colScales.map(_._1)
+    val scale = colScales.toMap
+    val li = Tables.lineitem(spark, sfDir).select(cols.map(col): _*)
+    val means = li.agg(
+      count(lit(1)).as("n"),
+      cols.map(c => (Num.sumQ4(col(c)) / count(lit(1))).as(s"m_$c")): _*)
+    val pairs = cols.combinations(2).map { case Seq(a, b) => (a, b) }.toSeq
+    def ctr(c: String): Column = (col(c) - col(s"m_$c")) * scale(c)
+    def cq(x: Column): Column = sum(floor(x * 10000d + 0.5d).cast("long"))
+    val sums = li.crossJoin(broadcast(means)).agg(
+      max("n").as("n"),
+      cols.map(c => cq(ctr(c) * ctr(c)).as(s"s_$c")) ++
+        pairs.map { case (a, b) => cq(ctr(a) * ctr(b)).as(s"s_${a}_$b") }: _*)
+    val stacked = pairs.map { case (a, b) =>
+      struct(lit(a).as("col_a"), lit(b).as("col_b"), col("n"),
+        when(col(s"s_$a") > 0 && col(s"s_$b") > 0,
+          Num.r4(col(s"s_${a}_$b") /
+            sqrt(col(s"s_$a").cast("double") * col(s"s_$b").cast("double"))))
+          .as("corr"))
+    }
+    sums.select(explode(array(stacked: _*)).as("p")).select("p.*")
+  }
+
   /** qe8: SCD2 history build — each user's event stream becomes
     * slowly-changing-dimension type-2 validity intervals: a row is
     * valid from its timestamp until the user's next event, open-ended

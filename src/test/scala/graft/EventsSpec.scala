@@ -130,6 +130,33 @@ class EventsSpec extends SparkSuite {
     top.foreach(r => assert(r.getString(0).split(">", -1).length === 3, r.getString(0)))
   }
 
+  test("qp8 correlation matrix matches a driver recompute, |corr| <= 1") {
+    import org.apache.spark.sql.functions._
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val rows = graft.util.Tables.lineitem(spark, Sf001)
+      .select(cols.map(col): _*).collect()
+      .map(r => cols.indices.map(i => r.getDouble(i)).toArray)
+    val n = rows.length
+    val scales = Array(1.0, 0.001, 100.0, 100.0)
+    val means = cols.indices.map(i =>
+      rows.map(r => math.floor(r(i) * 10000d + 0.5d).toLong).sum / 10000d / n)
+    def cs(i: Int, j: Int): Long =
+      rows.map { r =>
+        val ci = (r(i) - means(i)) * scales(i); val cj = (r(j) - means(j)) * scales(j)
+        math.floor(ci * cj * 10000d + 0.5d).toLong
+      }.sum
+    val expected = cols.indices.combinations(2).map { case Seq(i, j) =>
+      (cols(i), cols(j), n.toLong,
+        math.floor(cs(i, j) / math.sqrt(cs(i, i).toDouble * cs(j, j).toDouble) * 10000d + 0.5d) / 10000d)
+    }.toSet
+    val got = graft.analytics.Events.corrMatrix(spark, Sf001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got === expected)
+    // the synthetic columns are near-independent — the check is the
+    // exact recompute above plus the Cauchy-Schwarz bound here
+    assert(got.forall { case (_, _, _, c) => c >= -1.0001 && c <= 1.0001 })
+  }
+
   test("qe8 scd2: one current row per user, intervals chain without gaps") {
     import org.apache.spark.sql.functions._
     val s = graft.analytics.Events.scd2(spark, Sf01).cache()
