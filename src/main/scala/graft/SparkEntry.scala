@@ -131,6 +131,7 @@ object SparkEntry {
     "qp6_completeness" -> ((s, d) => TsQueries.qp6Completeness(s, d)),
     "qt13_boilerplate" -> ((s, d) => graft.text.TextOps.boilerplate(s, d)),
     "qt14_unigram_nll" -> ((s, d) => graft.text.TextOps.unigramNll(s, d)),
+    "qt15_line_dedup" -> ((s, d) => graft.text.TextOps.lineDedup(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -550,5 +551,6 @@ object SparkEntry {
     "qp6_completeness" -> TsOracle.qp6,
     "qt13_boilerplate" -> graft.text.DocOracle.qt13(),
     "qt14_unigram_nll" -> graft.text.DocOracle.qt14,
+    "qt15_line_dedup" -> graft.text.DocOracle.qt15(),
   )
 }

@@ -770,4 +770,20 @@ thr AS (
 SELECT t.lang, t.n_total, t.n_target, t.thr_bp, COALESCE(k.n_kept, 0) AS n_kept
 FROM thr t LEFT JOIN kept k USING (lang)"""
   }
+
+  /** Mirror of TextOps.lineDedup: fixed `segWords`-word segments, cut
+    * those present in >= `minDocs` distinct docs, rebuild text in order.
+    */
+  def qt15(segWords: Int = 3, minDocs: Int = 2): String = s"""
+WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+segs AS (
+  SELECT doc_id, i AS seg_idx,
+         array_to_string(w[(i-1)*$segWords+1 : (i-1)*$segWords+$segWords], ' ') AS seg
+  FROM ws, range(1, 512) r(i) WHERE (i-1)*$segWords < len(w)
+),
+cnt AS (SELECT seg, count(DISTINCT doc_id) AS nd FROM segs GROUP BY seg)
+SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_seg,
+       CAST(sum(CASE WHEN c.nd < $minDocs THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       coalesce(string_agg(CASE WHEN c.nd < $minDocs THEN s.seg END, ' ' ORDER BY s.seg_idx), '') AS clean_text
+FROM segs s JOIN cnt c USING (seg) GROUP BY s.doc_id"""
 }

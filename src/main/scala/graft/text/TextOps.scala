@@ -342,4 +342,39 @@ object TextOps {
         coalesce(col("n_tok"), lit(0L)).as("n_tok"),
         coalesce(Num.r4(-(col("slp") / 10000d / col("n_tok"))), lit(0.0)).as("nll"))
   }
+
+  /** qt15: exact line-level dedup across the corpus — the C4 / RefinedWeb
+    * "drop any line that occurs verbatim in multiple documents" transform
+    * (Raffel et al. 2020 §2.2 dedup three-sentence spans; Penedo et al.
+    * 2023 §3.3 exact substrings). This corpus has no newlines, so a
+    * "line" is a fixed run of `segWords` consecutive words (last segment
+    * may be shorter). Unlike qt13 (a coverage REPORT), this REWRITES the
+    * corpus: segments appearing in >= `minDocs` distinct docs are cut and
+    * each doc's cleaned text is rebuilt from its kept segments in order.
+    *
+    * Scale shape: one posexplode (x n_words/segWords), a two-level
+    * hash-agg for distinct-doc counts (map-side partial on (seg, doc)),
+    * one shuffle join segs<->counts on the segment value — the duplicate
+    * set is corpus-sized at 100 TB, so it is NOT broadcast — then a
+    * per-doc array_sort over only that doc's segments. No window, no
+    * global sort, no pairwise anything.
+    */
+  def lineDedup(spark: SparkSession, sfDir: String,
+                segWords: Int = 3, minDocs: Int = 2): DataFrame = {
+    require(segWords >= 1 && minDocs >= 2, s"segWords=$segWords minDocs=$minDocs")
+    val segs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, cast(ceil(size(ws) / ${segWords}.0) as int) - 1)," +
+          s" i -> concat_ws(' ', slice(ws, i * $segWords + 1, $segWords)))"))
+        .as(Seq("seg_idx", "seg")))
+    val counts = segs.groupBy("seg").agg(countDistinct("doc_id").as("nd"))
+    segs.join(counts, "seg")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_seg"),
+        sum(when(col("nd") < minDocs, 1L).otherwise(0L)).as("n_kept"),
+        concat_ws(" ", expr(
+          "transform(array_sort(collect_list(CASE WHEN nd < " + minDocs +
+            " THEN struct(seg_idx, seg) END)), p -> p.seg)")).as("clean_text"))
+  }
 }

@@ -509,6 +509,27 @@ class TextSpec extends SparkSuite {
     assert(n.filter(col("nll") > 20.0).count() === 0)
   }
 
+  test("qt15 line dedup matches a driver segment recompute and rewrites in order") {
+    val docs = graft.util.Tables.documents(spark, Sf001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def segsOf(text: String): Seq[String] =
+      text.split(" ", -1).grouped(3).map(_.mkString(" ")).toSeq
+    val docCount = docs.flatMap { case (id, t) => segsOf(t).distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (s, xs) => s -> xs.length }
+    val expected = docs.map { case (id, t) =>
+      val ss = segsOf(t)
+      val kept = ss.filter(docCount(_) < 2)
+      (id, ss.length.toLong, kept.length.toLong, kept.mkString(" "))
+    }.toSet
+    val got = TextOps.lineDedup(spark, Sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(got === expected)
+    // the transform has signal on this corpus: some segments cut, none invented
+    assert(expected.exists { case (_, n, k, _) => k < n })
+    assert(expected.exists { case (_, _, k, _) => k > 0 })
+  }
+
   test("qt11 shard packing reproduces the driver prefix-sum per (source, lang)") {
     val out = TextOps.packShards(spark, Sf001).collect()
       .map(r => (r.getString(1), r.getString(2), r.getLong(0), r.getLong(3), r.getLong(4)))
