@@ -128,6 +128,7 @@ object SparkEntry {
     "qe8_scd2" -> ((s, d) => graft.analytics.Events.scd2(s, d)),
     "qv7_knn_label" -> ((s, d) => graft.vector.Similarity.knnLabel(s, d)),
     "qp8_corr_matrix" -> ((s, d) => graft.analytics.Events.corrMatrix(s, d)),
+    "qe9_rfm" -> ((s, d) => graft.analytics.Events.rfm(s, d)),
     "qp6_completeness" -> ((s, d) => TsQueries.qp6Completeness(s, d)),
     "qt13_boilerplate" -> ((s, d) => graft.text.TextOps.boilerplate(s, d)),
     "qt14_unigram_nll" -> ((s, d) => graft.text.TextOps.unigramNll(s, d)),
@@ -547,6 +548,36 @@ object SparkEntry {
             floor((s_${a}_$b / sqrt(CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE)))*10000 + 0.5)/10000
           END AS corr FROM s"""
       }.mkString("\n      UNION ALL ")}"""
+    },
+    "qe9_rfm" -> {
+      def bkt(v: String, b: String) =
+        (1 to 4).map(i => s"(CASE WHEN $v > $b[$i] THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""
+      WITH o AS (
+        SELECT o_custkey, CAST(o_orderdate AS DATE) AS od,
+               CAST(floor(o_totalprice*10000 + 0.5) AS BIGINT) AS price_q4
+        FROM orders
+      ), mx AS (SELECT max(od) AS md FROM o),
+      per AS (
+        SELECT o_custkey, date_diff('day', max(od), (SELECT md FROM mx)) AS recency_d,
+               count(*) AS frequency, CAST(sum(price_q4) AS BIGINT) AS mon_q4
+        FROM o GROUP BY 1
+      ), b AS (
+        SELECT quantile_cont(recency_d, [0.2,0.4,0.6,0.8]) AS rb,
+               quantile_cont(frequency, [0.2,0.4,0.6,0.8]) AS fb,
+               quantile_cont(mon_q4,    [0.2,0.4,0.6,0.8]) AS mb
+        FROM per
+      ), scored AS (
+        SELECT o_custkey, recency_d, frequency,
+          floor((mon_q4/10000.0)*10000 + 0.5)/10000 AS monetary,
+          6 - (1 + ${bkt("recency_d", "rb")}) AS r_score,
+          1 + ${bkt("frequency", "fb")} AS f_score,
+          1 + ${bkt("mon_q4", "mb")} AS m_score
+        FROM per, b
+      )
+      SELECT o_custkey, recency_d, frequency, monetary, r_score, f_score, m_score,
+             r_score*100 + f_score*10 + m_score AS rfm
+      FROM scored"""
     },
     "qp6_completeness" -> TsOracle.qp6,
     "qt13_boilerplate" -> graft.text.DocOracle.qt13(),

@@ -403,4 +403,43 @@ object Events {
         col("tsec").as("valid_from"), col("valid_to"),
         when(col("valid_to").isNull, 1).otherwise(0).as("is_current"))
   }
+
+  /** qe9: RFM segmentation — the classic customer scoring: per customer
+    * Recency (days since last order, vs the corpus max date), Frequency
+    * (order count) and Monetary (total spend, quantized to the 1e-4
+    * grid PRE-sum so the double aggregate is order-free), each scored
+    * 1–5 by exact quintile boundaries. The boundaries come from
+    * [[graft.util.Quantiles.exact]]'s distributed range-partition
+    * selection (NOT ntile's global sort, NOT a single-group percentile
+    * buffer — both are one-reducer scale-killers at 100 TB): 4 scalars
+    * per dimension reach the driver and come back as plan LITERALS, so
+    * scoring is a stateless codegen projection — no join, no window.
+    * Recency is inverted (recent ⇒ 5) as RFM convention dictates.
+    */
+  def rfm(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.util.Num
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("od"),
+        floor(col("o_totalprice") * 10000d + 0.5d).cast("long").as("price_q4"))
+    val mx = o.agg(max("od").as("md"))
+    val per = o.groupBy("o_custkey")
+      .agg(max("od").as("last_d"), count(lit(1)).as("frequency"),
+        sum("price_q4").as("mon_q4"))
+      .crossJoin(broadcast(mx))
+      .select(col("o_custkey"), datediff(col("md"), col("last_d")).as("recency_d"),
+        col("frequency"), col("mon_q4"))
+      .cache()
+    val qs = Seq(0.2, 0.4, 0.6, 0.8)
+    def bounds(c: String): Seq[Double] =
+      graft.util.Quantiles.exact(per, c, qs).toSeq.sortBy(_._1).flatMap(_._2)
+    def bucket(c: Column, bs: Seq[Double]): Column =
+      bs.foldLeft(lit(1))((acc, b) => acc + when(c > lit(b), 1).otherwise(0))
+    val (rb, fb, mb) = (bounds("recency_d"), bounds("frequency"), bounds("mon_q4"))
+    per.select(col("o_custkey"), col("recency_d"), col("frequency"),
+        Num.r4(col("mon_q4") / 10000d).as("monetary"),
+        (lit(6) - bucket(col("recency_d"), rb)).as("r_score"),
+        bucket(col("frequency"), fb).as("f_score"),
+        bucket(col("mon_q4"), mb).as("m_score"))
+      .withColumn("rfm", col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+  }
 }

@@ -157,6 +157,31 @@ class EventsSpec extends SparkSuite {
     assert(got.forall { case (_, _, _, c) => c >= -1.0001 && c <= 1.0001 })
   }
 
+  test("qe9 rfm: scores match a driver quantile recompute, cells well-formed") {
+    import org.apache.spark.sql.functions._
+    val out = graft.analytics.Events.rfm(spark, Sf001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+        r.getInt(4), r.getInt(5), r.getInt(6), r.getInt(7)))
+    def qcont(sorted: Array[Double], q: Double): Double = {
+      val r = (sorted.length - 1) * q
+      val (lo, hi) = (math.floor(r).toInt, math.ceil(r).toInt)
+      if (lo == hi) sorted(lo) else (1.0 - (r - lo)) * sorted(lo) + (r - lo) * sorted(hi)
+    }
+    def bucket(v: Double, bs: Seq[Double]) = 1 + bs.count(v > _)
+    val qs = Seq(0.2, 0.4, 0.6, 0.8)
+    val rb = qs.map(qcont(out.map(_._2.toDouble).sorted, _))
+    val fb = qs.map(qcont(out.map(_._3.toDouble).sorted, _))
+    val mb = qs.map(qcont(out.map(r => math.floor(r._4 * 10000d + 0.5d)).sorted, _))
+    for ((_, rd, fr, mon, rs, fs, ms, cell) <- out) {
+      assert(rs === 6 - bucket(rd.toDouble, rb))
+      assert(fs === bucket(fr.toDouble, fb))
+      assert(ms === bucket(math.floor(mon * 10000d + 0.5d), mb))
+      assert(cell === rs * 100 + fs * 10 + ms && rs >= 1 && rs <= 5 && fs >= 1 && fs <= 5 && ms >= 1 && ms <= 5)
+    }
+    // quintile boundaries must segment: every monetary score level appears
+    assert((1 to 5).forall(s => out.exists(_._7 == s)))
+  }
+
   test("qe8 scd2: one current row per user, intervals chain without gaps") {
     import org.apache.spark.sql.functions._
     val s = graft.analytics.Events.scd2(spark, Sf01).cache()
