@@ -108,6 +108,7 @@ object SparkEntry {
     "qd10_bloom_dedup" -> ((s, d) => graft.text.Dedup.bloomIncrementalDedup(s, d)),
     "qa14_incremental_agg" -> ((s, d) => Relational.incrementalAgg(s, d)),
     "qa15_zorder" -> ((s, d) => Relational.zorderLayout(s, d)),
+    "qa16_merge_upsert" -> ((s, d) => Relational.mergeUpsert(s, d)),
     "qd11_semantic_dedup" -> ((s, d) => graft.vector.Similarity.semanticDedup(s, d)),
     "qd12_decontaminate" -> ((s, d) => graft.text.Dedup.decontaminate(s, d)),
     "qv5_pq_ann" -> ((s, d) => graft.vector.Similarity.pqAnn(s, d)),
@@ -457,6 +458,25 @@ object SparkEntry {
     "qd11_semantic_dedup" -> graft.text.DocOracle.qd11(),
     "qd12_decontaminate" -> graft.text.DocOracle.qd12(),
     "qa15_zorder" -> Relational.zorderOracle(),
+    "qa16_merge_upsert" -> """
+      WITH base AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 7 != 0
+      ), delta AS (
+        SELECT o_orderkey AS d_orderkey, o_custkey AS d_custkey,
+               CASE WHEN o_orderkey % 9 = 0 THEN 'D' ELSE 'U' END AS op,
+               floor(o_totalprice*1.05*10000 + 0.5)/10000 AS d_price
+        FROM orders WHERE o_orderkey % 3 = 0
+      )
+      SELECT coalesce(o_orderkey, d_orderkey) AS orderkey,
+             coalesce(o_custkey, d_custkey) AS custkey,
+             CASE WHEN op = 'U' THEN d_price
+                  ELSE floor(o_totalprice*10000 + 0.5)/10000 END AS price,
+             CASE WHEN op = 'U' THEN 'R' ELSE o_orderstatus END AS status,
+             CASE WHEN o_orderkey IS NULL THEN 'insert'
+                  WHEN op = 'U' THEN 'update' ELSE 'keep' END AS action
+      FROM base FULL OUTER JOIN delta ON o_orderkey = d_orderkey
+      WHERE op IS NULL OR op != 'D'""",
     "qv5_pq_ann" -> graft.text.DocOracle.qv5(),
     "qt12_vocab_coverage" -> graft.text.DocOracle.qt12(),
     "qd13_dup_spans" -> graft.text.DocOracle.qd13(),

@@ -316,6 +316,40 @@ SELECT (${zInterleave("pb", "sb", bits)}) >> $cellShift AS zcell,
        min(l_suppkey) AS s_min, max(l_suppkey) AS s_max
 FROM zt GROUP BY 1"""
 
+  /** qa16: MERGE INTO (upsert) snapshot semantics — the lakehouse ETL
+    * staple Spark SQL lacks natively (Delta/Iceberg add it): a base
+    * snapshot full-outer-joined with a change batch of
+    * update/delete ops; delta wins on match, 'D' removes, unmatched
+    * delta rows insert, unmatched base rows carry over. Both sides are
+    * deterministic hash-slices of `orders` (base = keys % 7 != 0;
+    * delta = keys % 3 == 0 with % 9 == 0 as deletes), so the merge
+    * exercises every MERGE branch including the no-op delete (a 'D' for
+    * a key not in base). One co-partitioned shuffle join on the key; at
+    * 100 TB the base side is the bucketed table (sources.Ingest
+    * .writeBucketed) so only the (much smaller) delta shuffles —
+    * full-outer SMJ over pre-sorted buckets, no base-side exchange.
+    */
+  def mergeUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+    val base = o.filter(col("o_orderkey") % 7 =!= 0)
+    val delta = o.filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey").as("d_orderkey"), col("o_custkey").as("d_custkey"),
+        when(col("o_orderkey") % 9 === 0, lit("D")).otherwise(lit("U")).as("op"),
+        Num.r4(col("o_totalprice") * 1.05d).as("d_price"))
+    base.join(delta, col("o_orderkey") === col("d_orderkey"), "full_outer")
+      // NULL-safe: base-only rows have op = NULL and must survive
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(
+        coalesce(col("o_orderkey"), col("d_orderkey")).as("orderkey"),
+        coalesce(col("o_custkey"), col("d_custkey")).as("custkey"),
+        when(col("op") === "U", col("d_price")).otherwise(Num.r4(col("o_totalprice"))).as("price"),
+        when(col("op") === "U", lit("R")).otherwise(col("o_orderstatus")).as("status"),
+        when(col("o_orderkey").isNull, lit("insert"))
+          .when(col("op") === "U", lit("update"))
+          .otherwise(lit("keep")).as("action"))
+  }
+
   def topCustomersPerSegment(spark: SparkSession, sfDir: String, topN: Int = 3): DataFrame = {
     val o = Tables.orders(spark, sfDir).select("o_custkey", "o_totalprice")
     val c = Tables.customer(spark, sfDir).select("c_custkey", "c_name", "c_mktsegment")

@@ -75,6 +75,31 @@ class EventsSpec extends SparkSuite {
     assert(merged === single) // == on doubles: the merge must be BIT-identical
   }
 
+  test("qa16 merge upsert: every MERGE branch exercised, keys partition correctly") {
+    import graft.analytics.Relational
+    val out = Relational.mergeUpsert(spark, Sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3), r.getString(4)))
+    val keys = spark.read.parquet(s"$Sf001/orders.parquet")
+      .select("o_orderkey", "o_totalprice").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    val byKey = out.map(t => t._1 -> t).toMap
+    assert(out.length === byKey.size, "merge output must be key-unique")
+    for ((k, price) <- keys) {
+      val inBase = k % 7 != 0; val inDelta = k % 3 == 0; val isDel = k % 9 == 0
+      (inBase, inDelta, isDel) match {
+        case (_, true, true) => assert(!byKey.contains(k), s"deleted key $k survived")
+        case (true, true, false) =>
+          val r = byKey(k); assert(r._5 === "update" && r._4 === "R" && r._3 === r4(price * 1.05))
+        case (false, true, false) =>
+          val r = byKey(k); assert(r._5 === "insert" && r._3 === r4(price * 1.05))
+        case (true, false, _) => assert(byKey(k)._5 === "keep" && byKey(k)._3 === r4(price))
+        case (false, false, _) => assert(!byKey.contains(k))
+      }
+    }
+    assert(Set("insert", "update", "keep").subsetOf(out.map(_._5).toSet))
+  }
+
   test("qp5 skew profile == driver recompute; top-N is TakeOrdered, not a global sort") {
     def r4(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
     val df = Events.skewProfile(spark, Sf001)
