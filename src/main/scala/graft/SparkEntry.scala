@@ -130,6 +130,7 @@ object SparkEntry {
     "qv7_knn_label" -> ((s, d) => graft.vector.Similarity.knnLabel(s, d)),
     "qp8_corr_matrix" -> ((s, d) => graft.analytics.Events.corrMatrix(s, d)),
     "qe9_rfm" -> ((s, d) => graft.analytics.Events.rfm(s, d)),
+    "qe10_attribution" -> ((s, d) => graft.analytics.Events.attribution(s, d)),
     "qp6_completeness" -> ((s, d) => TsQueries.qp6Completeness(s, d)),
     "qt13_boilerplate" -> ((s, d) => graft.text.TextOps.boilerplate(s, d)),
     "qt14_unigram_nll" -> ((s, d) => graft.text.TextOps.unigramNll(s, d)),
@@ -569,6 +570,31 @@ object SparkEntry {
           END AS corr FROM s"""
       }.mkString("\n      UNION ALL ")}"""
     },
+    "qe10_attribution" -> """
+      WITH ev AS (
+        SELECT event_id, user_id, event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) AS tsec, value FROM events
+      ), t0 AS (
+        SELECT user_id, tsec, event_type,
+               row_number() OVER (PARTITION BY user_id, tsec ORDER BY event_id DESC) AS rn
+        FROM ev WHERE event_type IN ('click', 'view', 'signup')
+      ), t AS (
+        SELECT user_id, tsec AS t_t, event_type AS t_type FROM t0 WHERE rn = 1
+      ), a AS (
+        SELECT user_id, event_id, tsec, value FROM ev WHERE event_type = 'purchase'
+      ), j AS (
+        SELECT a.tsec, a.value, t.t_type, t.t_t,
+               (t.t_t IS NOT NULL AND a.tsec - t.t_t <= 3600) AS hit
+        FROM a ASOF LEFT JOIN t ON a.user_id = t.user_id AND a.tsec > t.t_t
+      ), c AS (
+        SELECT CASE WHEN hit THEN t_type ELSE 'direct' END AS channel, value,
+               CASE WHEN hit THEN tsec - t_t END AS gap_s
+        FROM j
+      )
+      SELECT channel, count(*) AS n_conv,
+             floor((sum(CAST(floor(value*10000 + 0.5) AS BIGINT)) / 10000.0)*10000 + 0.5)/10000 AS revenue,
+             floor((CAST(sum(gap_s) AS DOUBLE) / count(*))*10000 + 0.5)/10000 AS avg_gap_s
+      FROM c GROUP BY 1""",
     "qe9_rfm" -> {
       def bkt(v: String, b: String) =
         (1 to 4).map(i => s"(CASE WHEN $v > $b[$i] THEN 1 ELSE 0 END)").mkString(" + ")

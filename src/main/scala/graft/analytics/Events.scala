@@ -404,6 +404,48 @@ object Events {
         when(col("valid_to").isNull, 1).otherwise(0).as("is_current"))
   }
 
+  /** qe10: last-touch conversion attribution — for every purchase, the
+    * most recent STRICTLY earlier marketing touch (click/view/signup)
+    * within a lookback window gets the credit; no touch in window ⇒
+    * 'direct'. The per-channel rollup (conversions, attributed revenue,
+    * mean time-to-convert) is the marketing-ETL staple. Same
+    * union-marker as-of machinery as [[asofJoin]] — one user_id shuffle,
+    * one ordered window pass, touches deduped per (user, tsec) by max
+    * event_id so the pick is deterministic across engines — then a
+    * |channels|-row map-side-partial rollup. No range join, no per-row
+    * probe: at 100 TB this is a single sort within user partitions.
+    */
+  def attribution(spark: SparkSession, sfDir: String, lookbackS: Long = 3600L): DataFrame = {
+    import graft.util.Num
+    require(lookbackS >= 1, s"lookbackS=$lookbackS")
+    val ev = epochSec(spark, sfDir)
+    val wT = Window.partitionBy("user_id", "tsec").orderBy(col("event_id").desc)
+    val touches = ev.filter(col("event_type").isin("click", "view", "signup"))
+      .withColumn("rn", row_number().over(wT)).filter(col("rn") === 1)
+      .select(col("user_id"), col("tsec"), col("event_type").as("t_type"))
+    val conv = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "event_id", "tsec", "value")
+    val aM = conv.select(col("user_id"), col("tsec"), lit(0).as("mk"),
+      col("event_id"), col("value"), lit(null).cast("string").as("t_type"),
+      lit(null).cast("long").as("t_t"))
+    val tM = touches.select(col("user_id"), col("tsec"), lit(1).as("mk"),
+      lit(null).cast("long").as("event_id"), lit(null).cast("double").as("value"),
+      col("t_type"), col("tsec").as("t_t"))
+    val wU = Window.partitionBy("user_id").orderBy("tsec", "mk")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val attributed = aM.unionByName(tM)
+      .withColumn("lt_type", last("t_type", ignoreNulls = true).over(wU))
+      .withColumn("lt_t", last("t_t", ignoreNulls = true).over(wU))
+      .filter(col("mk") === 0)
+      .withColumn("hit", col("lt_t").isNotNull && col("tsec") - col("lt_t") <= lookbackS)
+      .select(when(col("hit"), col("lt_type")).otherwise(lit("direct")).as("channel"),
+        col("value"), when(col("hit"), col("tsec") - col("lt_t")).as("gap_s"))
+    attributed.groupBy("channel")
+      .agg(count(lit(1)).as("n_conv"),
+        Num.r4(Num.sumQ4(col("value"))).as("revenue"),
+        Num.r4(sum("gap_s") / count(lit(1))).as("avg_gap_s"))
+  }
+
   /** qe9: RFM segmentation — the classic customer scoring: per customer
     * Recency (days since last order, vs the corpus max date), Frequency
     * (order count) and Monetary (total spend, quantized to the 1e-4

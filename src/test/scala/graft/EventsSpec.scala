@@ -75,6 +75,36 @@ class EventsSpec extends SparkSuite {
     assert(merged === single) // == on doubles: the merge must be BIT-identical
   }
 
+  test("qe10 attribution == driver last-touch recompute") {
+    def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    val got = graft.analytics.Events.attribution(spark, Sf001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1),
+        if (r.isNullAt(2)) null else r.getDouble(2),
+        if (r.isNullAt(3)) null else r.getDouble(3))).toMap
+    val ev = spark.read.parquet(s"$Sf001/events.parquet")
+      .selectExpr("event_id", "user_id", "event_type", "CAST(ts div 1000000000 AS LONG) AS tsec", "value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getDouble(4)))
+    val touches = ev.filter(e => Set("click", "view", "signup")(e._3))
+      .groupBy(e => (e._2, e._4)).map { case (_, g) => g.maxBy(_._1) }.toSeq
+    val byUser = touches.groupBy(_._2)
+    val rows = ev.filter(_._3 == "purchase").map { p =>
+      val prior = byUser.getOrElse(p._2, Seq()).filter(t => t._4 < p._4)
+      val lt = if (prior.isEmpty) None else Some(prior.maxBy(t => (t._4, t._1)))
+      lt match {
+        case Some(t) if p._4 - t._4 <= 3600 => (t._3, p._5, Some(p._4 - t._4))
+        case _ => ("direct", p._5, None)
+      }
+    }
+    val want = rows.groupBy(_._1).map { case (ch, g) =>
+      val gaps = g.flatMap(_._3)
+      ch -> (g.length.toLong,
+        r4(g.map(r => math.floor(r._2 * 10000 + 0.5).toLong).sum / 10000.0).asInstanceOf[Any],
+        (if (gaps.isEmpty) null else r4(gaps.map(_.toDouble).sum / g.length)).asInstanceOf[Any])
+    }
+    assert(got.keySet === want.keySet)
+    for ((k, v) <- want) assert(got(k) === v, s"channel $k")
+  }
+
   test("qa16 merge upsert: every MERGE branch exercised, keys partition correctly") {
     import graft.analytics.Relational
     val out = Relational.mergeUpsert(spark, Sf001).collect()
