@@ -131,6 +131,7 @@ object SparkEntry {
     "qp8_corr_matrix" -> ((s, d) => graft.analytics.Events.corrMatrix(s, d)),
     "qe9_rfm" -> ((s, d) => graft.analytics.Events.rfm(s, d)),
     "qe10_attribution" -> ((s, d) => graft.analytics.Events.attribution(s, d)),
+    "qt16_char_entropy" -> ((s, d) => graft.text.TextOps.charEntropy(s, d)),
     "qp6_completeness" -> ((s, d) => TsQueries.qp6Completeness(s, d)),
     "qt13_boilerplate" -> ((s, d) => graft.text.TextOps.boilerplate(s, d)),
     "qt14_unigram_nll" -> ((s, d) => graft.text.TextOps.unigramNll(s, d)),
@@ -570,6 +571,7 @@ object SparkEntry {
           END AS corr FROM s"""
       }.mkString("\n      UNION ALL ")}"""
     },
+    "qt16_char_entropy" -> graft.text.DocOracle.qt16(),
     "qe10_attribution" -> """
       WITH ev AS (
         SELECT event_id, user_id, event_type,

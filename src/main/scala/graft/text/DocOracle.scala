@@ -786,4 +786,29 @@ SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_seg,
        CAST(sum(CASE WHEN c.nd < $minDocs THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
        coalesce(string_agg(CASE WHEN c.nd < $minDocs THEN s.seg END, ' ' ORDER BY s.seg_idx), '') AS clean_text
 FROM segs s JOIN cnt c USING (seg) GROUP BY s.doc_id"""
+
+  /** Mirrors TextOps.charEntropy: same alphabet, same
+    * length-of-replace counts, same 1e-6 pre-sum term quantization.
+    */
+  def qt16(minBits: Double = 3.0): String = {
+    val counts = graft.text.TextOps.entropyAlphabet.zipWithIndex.map { case (c, i) =>
+      val lit = if (c == "'") "''" else c
+      s"CAST(length(text) - length(replace(text, '$lit', '')) AS BIGINT) AS k$i"
+    }
+    val ks = graft.text.TextOps.entropyAlphabet.indices.map(i => s"k$i")
+    val other = s"n_chars - (${ks.mkString(" + ")})"
+    val all = ks :+ "ko"
+    def termQ(k: String) =
+      s"CASE WHEN $k > 0 THEN CAST(floor(-($k / CAST(n_chars AS DOUBLE)) * log2($k / CAST(n_chars AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) ELSE 0 END"
+    s"""
+WITH c0 AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, ${counts.mkString(",\n         ")}
+  FROM documents
+), c1 AS (SELECT *, $other AS ko FROM c0)
+SELECT doc_id, n_chars,
+       ${all.map(k => s"(CASE WHEN $k > 0 THEN 1 ELSE 0 END)").mkString(" + ")} AS n_distinct,
+       ${r4(s"(${all.map(termQ).mkString(" + ")}) / 1000000.0")} AS entropy,
+       CASE WHEN ${r4(s"(${all.map(termQ).mkString(" + ")}) / 1000000.0")} < $minBits THEN 1 ELSE 0 END AS low_diversity
+FROM c1"""
+  }
 }

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.util.{Num, Tables}
@@ -376,5 +376,39 @@ object TextOps {
         concat_ws(" ", expr(
           "transform(array_sort(collect_list(CASE WHEN nd < " + minDocs +
             " THEN struct(seg_idx, seg) END)), p -> p.seg)")).as("clean_text"))
+  }
+
+  /** The character alphabet qt16 histograms over — this corpus is
+    * lowercase words + spaces, so 26 letters + ' ' covers it; anything
+    * else lands in the `other` bucket. Shared with DocOracle.qt16 so
+    * both engines score the identical distribution.
+    */
+  private[text] val entropyAlphabet: Seq[String] = ('a' to 'z').map(_.toString) :+ " "
+
+  /** qt16: per-document character-distribution Shannon entropy — the
+    * cheap gibberish / low-diversity quality signal (compressed or
+    * repeated-char junk scores low, natural text high). ZERO-shuffle
+    * scale shape: instead of explode(chars) → groupBy(doc, char) — a
+    * corpus×chars shuffle at 100 TB — each alphabet char's count is
+    * `length(text) - length(replace(text, c, ''))`, a stateless
+    * 27-term codegen projection; entropy terms -(p·log2 p) are
+    * quantized to the 1e-6 grid pre-sum (≤ 28 terms, exact-integer,
+    * order-free, same discipline as qt14's log-probs). Output stays
+    * embarrassingly parallel: no join, no window, no aggregation.
+    */
+  def charEntropy(spark: SparkSession, sfDir: String, minBits: Double = 3.0): DataFrame = {
+    val n = col("n_chars")
+    def cnt(c: String): Column = // translate deletes every occurrence — non-regex, codegen'd
+      (length(col("text")) - length(translate(col("text"), c, ""))).cast("long")
+    val counts = entropyAlphabet.map(cnt) :+
+      (length(col("text")).cast("long") - entropyAlphabet.map(cnt).reduce(_ + _))
+    def termQ(k: Column): Column = when(k > 0,
+      floor(-(k / n) * log(2.0, k / n) * 1000000d + 0.5d).cast("long")).otherwise(0L)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), length(col("text")).cast("long").as("n_chars"))
+      .select(col("doc_id"), col("n_chars"),
+        counts.map(c => when(c > 0, 1).otherwise(0)).reduce(_ + _).as("n_distinct"),
+        Num.r4(counts.map(termQ).reduce(_ + _) / 1000000d).as("entropy"))
+      .withColumn("low_diversity", when(col("entropy") < minBits, 1).otherwise(0))
   }
 }

@@ -509,6 +509,29 @@ class TextSpec extends SparkSuite {
     assert(n.filter(col("nll") > 20.0).count() === 0)
   }
 
+  test("qt16 char entropy == driver histogram recompute; plan has zero exchanges") {
+    val df = TextOps.charEntropy(spark, Sf001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"qt16 must be a stateless projection:\n${p.take(1200)}")
+    def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3), r.getInt(4))).toSet
+    val want = graft.util.Tables.documents(spark, Sf001)
+      .select("doc_id", "text").collect().map { r =>
+        val (id, t) = (r.getLong(0), r.getString(1))
+        val counts = t.groupBy(identity).map(_._2.length.toLong).toSeq
+        val n = t.length.toDouble
+        val entQ = counts.map { k =>
+          math.floor(-(k / n) * (math.log(k / n) / math.log(2.0)) * 1000000d + 0.5d).toLong
+        }.sum
+        val ent = r4(entQ / 1000000d)
+        (id, t.length.toLong, counts.length, ent, if (ent < 3.0) 1 else 0)
+      }.toSet
+    assert(got === want)
+    // tiny-vocab word salad is high-entropy: nothing should flag
+    assert(got.forall(_._4 > 3.0))
+  }
+
   test("qt15 line dedup matches a driver segment recompute and rewrites in order") {
     val docs = graft.util.Tables.documents(spark, Sf001)
       .select("doc_id", "text").collect()
