@@ -132,6 +132,7 @@ object SparkEntry {
     "qe9_rfm" -> ((s, d) => graft.analytics.Events.rfm(s, d)),
     "qe10_attribution" -> ((s, d) => graft.analytics.Events.attribution(s, d)),
     "qt16_char_entropy" -> ((s, d) => graft.text.TextOps.charEntropy(s, d)),
+    "q49_periodogram" -> ((s, d) => graft.timeseries.Forecast.periodogram(s, d)),
     "qp6_completeness" -> ((s, d) => TsQueries.qp6Completeness(s, d)),
     "qt13_boilerplate" -> ((s, d) => graft.text.TextOps.boilerplate(s, d)),
     "qt14_unigram_nll" -> ((s, d) => graft.text.TextOps.unigramNll(s, d)),
@@ -572,6 +573,7 @@ object SparkEntry {
       }.mkString("\n      UNION ALL ")}"""
     },
     "qt16_char_entropy" -> graft.text.DocOracle.qt16(),
+    "q49_periodogram" -> graft.timeseries.Forecast.periodogramOracle(),
     "qe10_attribution" -> """
       WITH ev AS (
         SELECT event_id, user_id, event_type,

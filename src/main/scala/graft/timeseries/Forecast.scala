@@ -432,6 +432,79 @@ object Forecast {
     }.reduce(_ unionByName _)
   }
 
+  /** q49: periodogram / dominant-seasonality detection — DFT power at a
+    * fixed grid of candidate periods (the "which season does this series
+    * actually have" pre-check before q21/q24/q48 assume daily/weekly).
+    * Spark-first shape: the trig tables are DRIVER literals (cos/sin at
+    * the p phase points, quantized to 1e-4 — identical tables injected
+    * into the DuckDB oracle, so libm never enters the comparison);
+    * per-row term = (v−μ)·cos(2πt/p) in pure scaled-int64 (scale 1e8),
+    * so the per-series sums are order-free exact. One broadcast of the
+    * |series|-row means, one groupBy per period unioned into a single
+    * plan — no window until the |series|×|periods| ranking. Power is
+    * normalized by n² (≈ squared mean amplitude — scale-free across
+    * series lengths).
+    */
+  def periodogram(spark: SparkSession, sfDir: String,
+                  periods: Seq[Int] = Seq(6, 8, 12, 24, 84, 168)): DataFrame = {
+    require(periods.nonEmpty && periods.forall(_ >= 2), s"periods=$periods")
+    def trig(p: Int, f: Double => Double): Seq[Long] =
+      (0 until p).map(k => math.floor(f(2.0 * math.Pi * k / p) * 10000d + 0.5d).toLong)
+    val vq = TsCore.filled(spark, sfDir).filter(col("v_filled").isNotNull)
+      .select(col("series"), col("t"),
+        floor(col("v_filled") * 10000d + 0.5d).cast("long").as("vq"))
+    val mu = vq.groupBy("series")
+      .agg(floor(sum("vq") / count(lit(1)) + 0.5d).cast("long").as("mu"))
+    val dv = vq.join(broadcast(mu), "series").withColumn("dq", col("vq") - col("mu"))
+    val pows = periods.map { p =>
+      val ph = (col("t") % p).cast("int") + 1
+      val tc = element_at(typedLit(trig(p, math.cos)), ph)
+      val ts = element_at(typedLit(trig(p, math.sin)), ph)
+      dv.groupBy("series")
+        .agg(count(lit(1)).as("n"),
+          (sum(col("dq") * tc) / 100000000d).as("sc"),
+          (sum(col("dq") * ts) / 100000000d).as("ss"))
+        .select(col("series"), lit(p).as("period"), col("n"),
+          Num.r4((col("sc") * col("sc") + col("ss") * col("ss")) / (col("n") * col("n")))
+            .as("power"))
+    }.reduce(_ unionByName _)
+    val w = Window.partitionBy("series").orderBy(col("power").desc, col("period"))
+    pows.withColumn("is_dominant",
+      when(row_number().over(w) === 1, 1).otherwise(0))
+  }
+
+  /** Mirrors [[periodogram]] for the DuckDB oracle — same driver trig
+    * tables, same scaled-int accumulation.
+    */
+  def periodogramOracle(periods: Seq[Int] = Seq(6, 8, 12, 24, 84, 168)): String = {
+    def trig(p: Int, f: Double => Double): String =
+      (0 until p).map(k => math.floor(f(2.0 * math.Pi * k / p) * 10000d + 0.5d).toLong)
+        .mkString("[", ", ", "]")
+    val per = periods.map { p =>
+      s"""SELECT series, $p AS period, count(*) AS n,
+         CAST(sum(dq * (${trig(p, math.cos)}[CAST(t % $p AS INT) + 1])) AS DOUBLE)/100000000 AS sc,
+         CAST(sum(dq * (${trig(p, math.sin)}[CAST(t % $p AS INT) + 1])) AS DOUBLE)/100000000 AS ss
+  FROM dv GROUP BY series"""
+    }.mkString("\n  UNION ALL\n  ")
+    TsOracle.prefix + s""",
+vq AS (
+  SELECT series, t, CAST(floor(v_filled*10000 + 0.5) AS BIGINT) AS vq
+  FROM filled WHERE v_filled IS NOT NULL
+), muq AS (
+  SELECT series, CAST(floor(sum(vq) / count(*) + 0.5) AS BIGINT) AS mu FROM vq GROUP BY series
+), dv AS (
+  SELECT v.series, v.t, v.vq - m.mu AS dq FROM vq v JOIN muq m USING (series)
+), pows AS (
+  SELECT series, period, n,
+         floor(((sc*sc + ss*ss) / (n*n))*10000 + 0.5)/10000 AS power
+  FROM ($per)
+)
+SELECT series, period, n, power,
+       CASE WHEN row_number() OVER (PARTITION BY series ORDER BY power DESC, period) = 1
+            THEN 1 ELSE 0 END AS is_dominant
+FROM pows"""
+  }
+
   def acf(spark: SparkSession, sfDir: String, lags: Seq[Int] = Seq(1, 24, 168)): DataFrame = {
     val w = Window.partitionBy("series").orderBy("t")
     val f = TsCore.filled(spark, sfDir).select(col("series"), col("t"), col("v_filled"))

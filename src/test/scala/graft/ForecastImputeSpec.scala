@@ -54,6 +54,32 @@ class ForecastImputeSpec extends SparkSuite {
     assert(k.filter(col("v_imp").isNull).count() === 0)
   }
 
+  test("q49 periodogram == driver DFT recompute; one dominant period per series") {
+    def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    val periods = Seq(6, 8, 12, 24, 84, 168)
+    val got = Forecast.periodogram(spark, Sf001).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3), r.getInt(4))).toMap
+    val pts = TsCore.filled(spark, Sf001).filter(col("v_filled").isNotNull)
+      .select("series", "t", "v_filled").collect()
+      .map(r => (r.getString(0), r.getLong(1), math.floor(r.getDouble(2) * 10000 + 0.5).toLong))
+    val want = pts.groupBy(_._1).flatMap { case (s, g) =>
+      val mu = math.floor(g.map(_._3).sum.toDouble / g.length + 0.5).toLong
+      val powers = periods.map { p =>
+        def tq(f: Double => Double)(k: Long) =
+          math.floor(f(2.0 * math.Pi * (k % p) / p) * 10000d + 0.5d).toLong
+        val sc = g.map(r => (r._3 - mu) * tq(math.cos)(r._2)).sum / 1e8
+        val ss = g.map(r => (r._3 - mu) * tq(math.sin)(r._2)).sum / 1e8
+        p -> r4((sc * sc + ss * ss) / (g.length.toLong * g.length))
+      }
+      val dom = powers.maxBy { case (p, pw) => (pw, -p) }._1
+      powers.map { case (p, pw) => (s, p) -> (g.length.toLong, pw, if (p == dom) 1 else 0) }
+    }
+    assert(got.keySet === want.keySet)
+    for ((k, v) <- want) assert(got(k) === v, s"cell $k")
+    val doms = got.toSeq.groupBy(_._1._1).map { case (s, xs) => s -> xs.count(_._2._3 == 1) }
+    assert(doms.values.forall(_ == 1), s"exactly one dominant per series: $doms")
+  }
+
   test("q48 decomposition: components rebuild the signal, trend matches a driver frame mean") {
     import org.apache.spark.sql.functions._
     val d = graft.timeseries.Forecast.decompose(spark, Sf01).cache()
