@@ -203,6 +203,30 @@ WITH vecs AS (
 )
 SELECT vec_a, vec_b, ${r4("cos")} AS cos FROM pairs WHERE cos >= $thr"""
 
+  /** Mirrors Similarity.centroidOutlier: 1e-6 scaled-int centroid
+    * accumulation, r6-quantized components, list order by pos.
+    */
+  def qv8(minCos: Double = 0.2): String = vecsCte + s"""
+, comps AS (
+  SELECT label, i AS pos, CAST(floor(v[i]*1000000 + 0.5) AS BIGINT) AS xq
+  FROM vecs, range(1, 65) t(i)
+), cent AS (
+  SELECT label, list(c ORDER BY pos) AS cv
+  FROM (
+    SELECT label, pos, floor(sum(xq) / count(*) + 0.5) / 1000000.0 AS c
+    FROM comps GROUP BY label, pos
+  ) GROUP BY label
+), centn AS (
+  SELECT label, cv, sqrt(list_dot_product(cv, cv)) AS cnrm FROM cent
+), scored AS (
+  SELECT e.vec_id, e.label,
+         ${r4("list_dot_product(e.v, c.cv) / (e.nrm * c.cnrm)")} AS cos_c
+  FROM vecs e JOIN centn c USING (label)
+)
+SELECT vec_id, label, cos_c,
+       CASE WHEN cos_c < $minCos THEN 1 ELSE 0 END AS suspect
+FROM scored"""
+
   def qv1(k: Int = 10, maxQueries: Int = 1000): String = vecsCte + s"""
 , q AS (SELECT vec_id AS qid, v, nrm FROM vecs
         WHERE vec_id % 100 = 0 AND vec_id < ${100L * maxQueries}),

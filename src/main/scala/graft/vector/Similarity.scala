@@ -403,4 +403,33 @@ object Similarity {
         coalesce(col("n_prior_dups"), lit(0L)).as("n_prior_dups"),
         col("n_prior_dups").isNull.as("keep"))
   }
+
+  /** qv8: label-centroid outlier audit — the embedding-space
+    * label-noise / cluster-purity check (Confident-Learning-style
+    * signal): per label, the element-wise mean embedding; per vector,
+    * its cosine to its own label's centroid; vectors below `minCos`
+    * flag as suspect. Scale shape: centroids are a posexplode →
+    * (label, pos) hash-agg — map-side partial combine collapses each
+    * partition to |labels|×64 cells, so the shuffle is tiny and the
+    * result (|labels| rows) broadcasts back for a stateless scoring
+    * pass. Centroid components accumulate as 1e-6 scaled int64 (exact,
+    * order-free — a raw float mean over millions of rows differs by
+    * accumulation order) and the centroid is r6-quantized so both
+    * engines score identical bits.
+    */
+  def centroidOutlier(spark: SparkSession, sfDir: String, minCos: Double = 0.2): DataFrame = {
+    val e = vecs(spark, sfDir)
+    val cent = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .withColumn("xq", floor(col("x") * 1000000d + 0.5d).cast("long"))
+      .groupBy("label", "pos")
+      .agg((floor(sum("xq") / count(lit(1)) + 0.5d) / 1000000d).as("c"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("cs"))
+      .select(col("label"), expr("transform(cs, p -> p.c)").as("cv"))
+      .withColumn("cnrm", sqrt(expr("graft_dot(cv, cv)")))
+    e.join(broadcast(cent), "label")
+      .withColumn("cos_c", expr("graft_dot(v, cv)") / (col("nrm") * col("cnrm")))
+      .select(col("vec_id"), col("label"), Num.r4(col("cos_c")).as("cos_c"),
+        when(Num.r4(col("cos_c")) < minCos, 1).otherwise(0).as("suspect"))
+  }
 }

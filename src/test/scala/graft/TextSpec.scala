@@ -313,6 +313,37 @@ class TextSpec extends SparkSuite {
     assert(shortIds === qt9Short)
   }
 
+  test("qv8 centroid outlier == driver recompute; own-label centroid beats foreign ones on average") {
+    def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    val vecs = graft.util.Tables.embeddings(spark, Sf001)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).map(_.toDouble).toArray))
+    val cents = vecs.groupBy(_._2).map { case (l, g) =>
+      l -> Array.tabulate(64) { i =>
+        val sq = g.map(v => math.floor(v._3(i) * 1000000d + 0.5d).toLong).sum
+        math.floor(sq.toDouble / g.length + 0.5) / 1000000d
+      }
+    }
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); i += 1 }; d
+    }
+    def cosTo(v: Array[Double], c: Array[Double]): Double =
+      dot(v, c) / (math.sqrt(dot(v, v)) * math.sqrt(dot(c, c)))
+    val want = vecs.map { case (id, l, v) =>
+      val cc = r4(cosTo(v, cents(l)))
+      (id, l, cc, if (cc < 0.2) 1 else 0)
+    }.toSet
+    val got = Similarity.centroidOutlier(spark, Sf001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(got === want)
+    // purity signal: mean cos to own centroid must beat mean cos to other centroids
+    val own = vecs.map { case (_, l, v) => cosTo(v, cents(l)) }
+    val foreign = vecs.flatMap { case (_, l, v) =>
+      cents.collect { case (l2, c) if l2 != l => cosTo(v, c) } }
+    assert(own.sum / own.length > foreign.sum / foreign.length)
+  }
+
   test("qd11 semantic dedup == driver brute force within cells") {
     val out = Similarity.semanticDedup(spark, Sf001).collect()
       .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getBoolean(3))))
