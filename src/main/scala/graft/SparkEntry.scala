@@ -134,6 +134,7 @@ object SparkEntry {
     "qt16_char_entropy" -> ((s, d) => graft.text.TextOps.charEntropy(s, d)),
     "q49_periodogram" -> ((s, d) => graft.timeseries.Forecast.periodogram(s, d)),
     "qv8_centroid_outlier" -> ((s, d) => graft.vector.Similarity.centroidOutlier(s, d)),
+    "qd14_pagerank" -> ((s, d) => graft.text.Dedup.pageRank(s, d)),
     "qp6_completeness" -> ((s, d) => TsQueries.qp6Completeness(s, d)),
     "qt13_boilerplate" -> ((s, d) => graft.text.TextOps.boilerplate(s, d)),
     "qt14_unigram_nll" -> ((s, d) => graft.text.TextOps.unigramNll(s, d)),
@@ -576,6 +577,7 @@ object SparkEntry {
     "qt16_char_entropy" -> graft.text.DocOracle.qt16(),
     "q49_periodogram" -> graft.timeseries.Forecast.periodogramOracle(),
     "qv8_centroid_outlier" -> graft.text.DocOracle.qv8(),
+    "qd14_pagerank" -> graft.text.DocOracle.qd14(),
     "qe10_attribution" -> """
       WITH ev AS (
         SELECT event_id, user_id, event_type,

@@ -185,13 +185,57 @@ object Dedup {
     * plus a cheap count on the materialized result. The scalable
     * alternative to driver-side union-find.
     */
-  def dupClusters(spark: SparkSession, sfDir: String, maxIter: Int = 20): DataFrame = {
+  /** Symmetric (doc_a → doc_b) edge list of the LSH candidate graph —
+    * shared by qd6's connected components and qd14's PageRank.
+    */
+  private[graft] def symEdges(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = minhashLsh(spark, sfDir).select("doc_a", "doc_b")
-    val edges = graft.util.StageCache.cached(spark, sfDir, "ccedges") {
+    graft.util.StageCache.cached(spark, sfDir, "ccedges") {
       pairs.unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
         .distinct()
     }
-    ccFrom(edges, maxIter)
+  }
+
+  def dupClusters(spark: SparkSession, sfDir: String, maxIter: Int = 20): DataFrame =
+    ccFrom(symEdges(spark, sfDir), maxIter)
+
+  /** qd14: PageRank over the LSH candidate graph — centrality of each
+    * document inside its near-dup neighborhood (the canonical-member
+    * pick "keep the most-linked variant" refines qd6's min-id rule).
+    * Fixed `iters` synchronous iterations, each ONE shuffle join
+    * (edges ⋈ ranks) + ONE key agg — the standard distributed PageRank
+    * shape; no GraphX, no driver loop over rows. All mass arithmetic is
+    * 1e-8 scaled int64: contributions floor-quantize BEFORE the sum, so
+    * every iteration is order-free exact and the DuckDB oracle (3
+    * unrolled CTE rounds) lands on identical bits. The symmetric
+    * candidate graph has no dangling nodes (every node has deg ≥ 1) so
+    * no leaked-mass correction is needed.
+    */
+  def pageRank(spark: SparkSession, sfDir: String,
+               iters: Int = 3, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1 && iters <= 20, s"iters=$iters")
+    require(damping > 0 && damping < 1, s"damping=$damping")
+    val edges = symEdges(spark, sfDir)
+    val deg = edges.groupBy(col("doc_a").as("doc_id")).agg(count(lit(1)).as("deg"))
+    val n = deg.agg(count(lit(1)).as("n"))
+    var pr = deg.crossJoin(broadcast(n))
+      .select(col("doc_id"), col("deg"),
+        floor(lit((1.0 - damping) * 1e8) / col("n") + 0.5).cast("long").as("cq"),
+        floor(lit(1e8) / col("n") + 0.5).cast("long").as("prq"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(pr.select(col("doc_id").as("doc_a"), col("deg"), col("prq")), "doc_a")
+        .select(col("doc_b").as("doc_id"),
+          floor(col("prq") / col("deg").cast("double") + 0.5).cast("long").as("t"))
+        .groupBy("doc_id").agg(sum("t").as("s"))
+      pr = pr.join(contrib, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("deg"), col("cq"),
+          (col("cq") + floor(lit(damping) * coalesce(col("s"), lit(0L)) + 0.5).cast("long"))
+            .as("prq"))
+        .localCheckpoint()
+    }
+    pr.select(col("doc_id"), col("deg"), (col("prq") / 100000000d).as("pr"))
   }
 
   /** The CC loop over an explicit symmetric edge list (doc_a, doc_b) —

@@ -148,8 +148,11 @@ JOIN sizes zb ON zb.doc_id = e.doc_b"""
     * graph via recursive CTE; cluster id = min reachable doc_id. Must
     * agree with Spark's iterative min-label propagation fixpoint.
     */
-  def qd6(nPerm: Int = 16, bandRows: Int = 4): String = {
-    val base = (toksCte + shinglesCte(3, "sh3") + s"""
+  /** The CTE chain from tokens through the symmetric LSH candidate
+    * edge list — shared by qd6 (connected components) and qd14
+    * (PageRank).
+    */
+  private def lshEdgesCte(nPerm: Int, bandRows: Int): String = s"""
 , shd AS (SELECT DISTINCT doc_id, sh, ${h("sh")} AS bh FROM sh3),
 perms AS (
   SELECT doc_id, bh, unnest(range($nPerm)) AS j FROM shd
@@ -167,7 +170,11 @@ perms AS (
 ), edges AS (
   SELECT doc_a, doc_b FROM cpairs
   UNION SELECT doc_b, doc_a FROM cpairs
-), reach AS (
+)"""
+
+  def qd6(nPerm: Int = 16, bandRows: Int = 4): String = {
+    val base = (toksCte + shinglesCte(3, "sh3") + lshEdgesCte(nPerm, bandRows) + s"""
+, reach AS (
   SELECT doc_a AS src, doc_a AS dst FROM (SELECT DISTINCT doc_a FROM edges)
   UNION
   SELECT r.src, e.doc_b AS dst FROM reach r JOIN edges e ON r.dst = e.doc_a
@@ -176,6 +183,34 @@ perms AS (
 )
 SELECT doc_id, cluster_id FROM lab""")
     base.replaceFirst("^\nWITH ", "\nWITH RECURSIVE ")
+  }
+
+  /** Mirrors Dedup.pageRank — `iters` unrolled rounds of the same
+    * 1e-8 scaled-int mass arithmetic.
+    */
+  def qd14(nPerm: Int = 16, bandRows: Int = 4,
+           iters: Int = 3, damping: Double = 0.85): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""c$i AS (
+  SELECT e.doc_b AS doc_id,
+         CAST(sum(CAST(floor(p.prq / CAST(p.deg AS DOUBLE) + 0.5) AS BIGINT)) AS BIGINT) AS s
+  FROM edges e JOIN pr${i - 1} p ON e.doc_a = p.doc_id GROUP BY e.doc_b
+), pr$i AS (
+  SELECT p.doc_id, p.deg, p.cq,
+         p.cq + CAST(floor($damping * coalesce(c.s, 0) + 0.5) AS BIGINT) AS prq
+  FROM pr${i - 1} p LEFT JOIN c$i c USING (doc_id)
+)"""
+    }.mkString(", ")
+    toksCte + shinglesCte(3, "sh3") + lshEdgesCte(nPerm, bandRows) + s"""
+, deg AS (SELECT doc_a AS doc_id, count(*) AS deg FROM edges GROUP BY doc_a),
+nn AS (SELECT count(*) AS n FROM deg),
+pr0 AS (
+  SELECT doc_id, deg,
+         CAST(floor(${(1.0 - damping) * 1e8} / n + 0.5) AS BIGINT) AS cq,
+         CAST(floor(100000000.0 / n + 0.5) AS BIGINT) AS prq
+  FROM deg, nn
+), $rounds
+SELECT doc_id, deg, prq / 100000000.0 AS pr FROM pr$iters"""
   }
 
   /** qd7 = qd6's label table grouped into per-cluster compaction stats. */

@@ -313,6 +313,33 @@ class TextSpec extends SparkSuite {
     assert(shortIds === qt9Short)
   }
 
+  test("qd14 pagerank == driver power-iteration recompute; mass conserved; degree correlates with rank") {
+    val edges = graft.text.Dedup.symEdges(spark, Sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val got = graft.text.Dedup.pageRank(spark, Sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val deg = edges.groupBy(_._1).map { case (v, es) => v -> es.length.toLong }
+    val n = deg.size
+    val cq = math.floor((1.0 - 0.85) * 1e8 / n + 0.5).toLong
+    var pr = deg.map { case (v, d) => v -> math.floor(1e8 / n + 0.5).toLong }
+    for (_ <- 1 to 3) {
+      val contrib = edges.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _) => math.floor(pr(u) / deg(u).toDouble + 0.5).toLong }.sum
+      }
+      pr = pr.map { case (v, _) =>
+        v -> (cq + math.floor(0.85 * contrib.getOrElse(v, 0L) + 0.5).toLong) }
+    }
+    val want = got.map(g => (g._1, deg(g._1), pr(g._1) / 1e8)).toSet
+    assert(got.toSet === want)
+    assert(got.length === n)
+    // synchronous PR conserves mass up to per-node rounding (±1e-8 each)
+    val mass = got.map(_._3).sum
+    assert(math.abs(mass - 1.0) < n * 2e-8 + 1e-6, s"mass=$mass")
+    // the highest-degree node should outrank the lowest-degree node
+    val hi = got.maxBy(_._2); val lo = got.minBy(_._2)
+    assert(hi._2 == lo._2 || hi._3 >= lo._3)
+  }
+
   test("qv8 centroid outlier == driver recompute; own-label centroid beats foreign ones on average") {
     def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
     val vecs = graft.util.Tables.embeddings(spark, Sf001)
