@@ -186,6 +186,33 @@ class PlanSpec extends SparkSuite {
     assert(p14.contains("BroadcastHashJoin"), s"LM must broadcast:\n${p14.take(800)}")
   }
 
+  test("round-6 part-12+ operators keep their scale shapes") {
+    // qe9: quintile boundaries are plan literals — no percentile agg,
+    // no ntile/global-rank window anywhere in the scoring plan
+    val p9 = plan(graft.analytics.Events.rfm(spark, Sf01))
+    assert(!p9.contains("percentile") && !p9.contains("ntile"),
+      s"qe9 must score via literal boundaries:\n${p9.take(1200)}")
+    // qa16: base and delta meet in ONE co-partitioned full-outer join
+    val p16 = plan(graft.analytics.Relational.mergeUpsert(spark, Sf01))
+    assert(p16.contains("FullOuter"), s"qa16 lost the full-outer merge:\n${p16.take(1200)}")
+    assert(!p16.contains("BroadcastNestedLoopJoin") && !p16.contains("CartesianProduct"),
+      s"qa16 must join on the key:\n${p16.take(1200)}")
+    // qe10: the as-of pass is a single user_id window chain — no range
+    // join, no nested-loop
+    val p10 = plan(graft.analytics.Events.attribution(spark, Sf01))
+    assert(!p10.contains("BroadcastNestedLoopJoin") && !p10.contains("CartesianProduct"),
+      s"qe10 must stay a window pass:\n${p10.take(1200)}")
+    // q49: trig tables are literals — no Generate (explode) fan-out, and
+    // the per-series means broadcast back
+    val p49 = plan(graft.timeseries.Forecast.periodogram(spark, Sf01))
+    assert(!p49.contains("Generate"), s"q49 must not explode:\n${p49.take(1200)}")
+    assert(p49.contains("BroadcastHashJoin"), s"q49 means must broadcast:\n${p49.take(1200)}")
+    // qv8: the |labels|-row centroid table broadcasts back for scoring
+    val pv8 = plan(graft.vector.Similarity.centroidOutlier(spark, Sf01))
+    assert(pv8.contains("BroadcastHashJoin"), s"qv8 centroids must broadcast:\n${pv8.take(1200)}")
+    assert(pv8.contains("partial_sum"), s"qv8 centroid agg must map-side combine:\n${pv8.take(1200)}")
+  }
+
   test("grouped aggregation is whole-stage codegen'd with partial agg") {
     val df = Tables.lineitem(spark, Sf01)
       .groupBy("l_returnflag").agg(sum("l_quantity"))
