@@ -219,6 +219,52 @@ object ScoreStream {
       }
   }
 
+  case class TouchState(tsec: Long, channel: String)
+  case class AttributedConv(userId: Long, tsec: Long, channel: String,
+                            gapS: Long, value: Double)
+
+  /** Streaming twin of qe10 (last-touch attribution): per-user state
+    * holds the latest marketing touch; each purchase emits its
+    * attributed channel the moment it arrives — the real-time
+    * conversion feed version of the batch rollup. Same in-batch
+    * event-time ordering discipline as [[cusumStream]] (the group's
+    * batch rows sort by tsec before folding); touches and conversions
+    * arriving in different micro-batches attribute correctly via the
+    * carried state. Late cross-batch arrivals follow processing order —
+    * pair with a watermark upstream when the source can reorder beyond
+    * a batch.
+    */
+  def attributionStream(events: org.apache.spark.sql.Dataset[(Long, Long, Long, String, Double)],
+                        touchTypes: Set[String] = Set("click", "view", "signup"),
+                        convType: String = "purchase",
+                        lookbackS: Long = 3600L)
+      : org.apache.spark.sql.Dataset[AttributedConv] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, Long, String, Double)],
+         state: GroupState[TouchState]) =>
+          var st = state.getOption
+          // conversions sort BEFORE same-tsec touches (strictly-earlier
+          // attribution, qe4/qe10's marker discipline) and touches at
+          // equal tsec apply in event_id order, so the max event_id
+          // wins — the batch operator's exact dedup rule
+          val ordered = rows.toVector.sortBy(r => (r._2, if (touchTypes(r._4)) 1 else 0, r._3))
+          val out = ordered.flatMap { case (_, t, _, typ, v) =>
+            if (touchTypes(typ)) { st = Some(TouchState(t, typ)); None }
+            else if (typ == convType) {
+              val hit = st.filter(s => s.tsec < t && t - s.tsec <= lookbackS)
+              Some(AttributedConv(user, t,
+                hit.map(_.channel).getOrElse("direct"),
+                hit.map(s => t - s.tsec).getOrElse(-1L), v))
+            } else None
+          }
+          st.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** Wire a streaming DataFrame of raw events (ts: timestamp,
     * event_type, value) into watermarked sliding windows scored against
     * the bank. Returns the streaming result (score = |window mean − μ|/σ).

@@ -101,6 +101,41 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming attribution matches the batch qe10 rollup across a batch split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    val evs = spark.read.parquet(s"$Sf001/events.parquet")
+      .selectExpr("user_id", "CAST(ts div 1000000000 AS LONG) AS tsec",
+        "event_id", "event_type", "value")
+      .as[(Long, Long, Long, String, Double)].collect()
+    val mem = MemoryStream[(Long, Long, Long, String, Double)]
+    val out = ScoreStream.attributionStream(mem.toDS())
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("attr_stream").start()
+    try {
+      val mid = evs.map(_._2).max / 2
+      mem.addData(evs.filter(_._2 <= mid).toSeq)
+      q.processAllAvailable()
+      mem.addData(evs.filter(_._2 > mid).toSeq)
+      q.processAllAvailable()
+      val got = spark.table("attr_stream").as[ScoreStream.AttributedConv].collect()
+      val gotRoll = got.groupBy(_.channel).map { case (ch, rows) =>
+        val gaps = rows.map(_.gapS).filter(_ >= 0)
+        ch -> (rows.length.toLong,
+          r4(rows.map(r => math.floor(r.value * 10000 + 0.5).toLong).sum / 10000.0),
+          if (gaps.isEmpty) null else r4(gaps.map(_.toDouble).sum / rows.length))
+      }
+      val batch = graft.analytics.Events.attribution(spark, Sf001).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+          if (r.isNullAt(3)) null else r.getDouble(3))).toMap
+      assert(gotRoll.keySet === batch.keySet)
+      for ((ch, v) <- batch) assert(gotRoll(ch) === v, s"channel $ch")
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   case class UEv(ts: Timestamp, user_id: Long)
   case class Doc(ts: Timestamp, doc_id: Long, text: String)
   case class PatchRow(ts: Timestamp, series: String, win: Long, pos: Long,
