@@ -135,6 +135,7 @@ object SparkEntry {
     "q49_periodogram" -> ((s, d) => graft.timeseries.Forecast.periodogram(s, d)),
     "qv8_centroid_outlier" -> ((s, d) => graft.vector.Similarity.centroidOutlier(s, d)),
     "qd14_pagerank" -> ((s, d) => graft.text.Dedup.pageRank(s, d)),
+    "qt17_bigram_nll" -> ((s, d) => graft.text.TextOps.bigramNll(s, d)),
     "qp6_completeness" -> ((s, d) => TsQueries.qp6Completeness(s, d)),
     "qt13_boilerplate" -> ((s, d) => graft.text.TextOps.boilerplate(s, d)),
     "qt14_unigram_nll" -> ((s, d) => graft.text.TextOps.unigramNll(s, d)),
@@ -578,6 +579,7 @@ object SparkEntry {
     "q49_periodogram" -> graft.timeseries.Forecast.periodogramOracle(),
     "qv8_centroid_outlier" -> graft.text.DocOracle.qv8(),
     "qd14_pagerank" -> graft.text.DocOracle.qd14(),
+    "qt17_bigram_nll" -> graft.text.DocOracle.qt17(),
     "qe10_attribution" -> """
       WITH ev AS (
         SELECT event_id, user_id, event_type,

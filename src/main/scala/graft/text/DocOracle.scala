@@ -805,6 +805,34 @@ SELECT d.doc_id, d.lang, coalesce(p.n_tok, 0) AS n_tok,
   coalesce(${r4("-(p.slp / 10000.0 / p.n_tok)")}, 0.0) AS nll
 FROM dl d LEFT JOIN pd p USING (doc_id)"""
 
+  /** Mirrors TextOps.bigramNll — identical interpolation expression and
+    * 1e-4 pre-sum quantization.
+    */
+  def qt17(lambda: Double = 0.7): String = toksCte + s"""
+, dl AS (SELECT doc_id, lang FROM documents),
+bgr AS (
+  SELECT doc_id, tok AS w1, lead(tok, 1) OVER w AS w2
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+), bgs AS (
+  SELECT b.doc_id, d.lang, b.w1, b.w2 FROM bgr b JOIN dl d USING (doc_id)
+  WHERE b.w2 IS NOT NULL
+), bcnt AS (SELECT lang, w1, w2, count(*) AS cb FROM bgs GROUP BY lang, w1, w2),
+wcnt AS (SELECT lang, w1, CAST(sum(cb) AS BIGINT) AS cw FROM bcnt GROUP BY lang, w1),
+ucnt AS (SELECT lang, w2, CAST(sum(cb) AS BIGINT) AS c2 FROM bcnt GROUP BY lang, w2),
+tot AS (SELECT lang, CAST(sum(c2) AS BIGINT) AS nb FROM ucnt GROUP BY lang),
+lm AS (
+  SELECT b.lang, b.w1, b.w2,
+         CAST(floor(ln($lambda * (b.cb / c.cw) + ${1.0 - lambda} * (u.c2 / t.nb))*10000 + 0.5) AS BIGINT) AS lpq
+  FROM bcnt b JOIN wcnt c USING (lang, w1) JOIN ucnt u USING (lang, w2) JOIN tot t USING (lang)
+), pd AS (
+  SELECT g.doc_id, count(*) AS n_bg, CAST(sum(m.lpq) AS BIGINT) AS slp
+  FROM bgs g JOIN lm m ON g.lang = m.lang AND g.w1 = m.w1 AND g.w2 = m.w2
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id, d.lang, coalesce(p.n_bg, 0) AS n_bg,
+  coalesce(${r4("-(p.slp / 10000.0 / p.n_bg)")}, 0.0) AS nll2
+FROM dl d LEFT JOIN pd p USING (doc_id)"""
+
   def qa13(weights: Seq[(String, Int)] = Seq("en" -> 1, "fr" -> 1, "es" -> 1, "de" -> 1, "zh" -> 1)): String = {
     val values = weights.map { case (l, w) => s"('$l', $w)" }.mkString(", ")
     s"""

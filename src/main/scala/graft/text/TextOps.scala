@@ -378,6 +378,44 @@ object TextOps {
             " THEN struct(seg_idx, seg) END)), p -> p.seg)")).as("clean_text"))
   }
 
+  /** qt17: per-language INTERPOLATED bigram-LM mean NLL per doc — the
+    * sharper CCNet-style perplexity filter one order up from qt14's
+    * unigram LM: p(w2|w1) = λ·c(w1w2)/c(w1·) + (1−λ)·c(·w2)/N, both
+    * terms estimated on the corpus bigram stream (the interpolation
+    * floor keeps unseen-in-context words finite — unsmoothed bigrams
+    * would NLL→∞ on any novel continuation). Same scale discipline as
+    * qt14: per-position log-probs quantized to 1e-4 PRE-sum
+    * (order-free exact), LM table grouped-count built with map-side
+    * partials and broadcast to the per-doc stream (shuffle-join it
+    * instead when a 100 TB vocab outgrows the broadcast).
+    */
+  def bigramNll(spark: SparkSession, sfDir: String, lambda: Double = 0.7): DataFrame = {
+    require(lambda > 0 && lambda < 1, s"lambda=$lambda")
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "lang")
+    val w = Window.partitionBy("doc_id").orderBy("i")
+    val bgs = tokens(spark, sfDir)
+      .withColumn("nxt", lead("tok", 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .join(docs, "doc_id")
+      .select(col("doc_id"), col("lang"), col("tok").as("w1"), col("nxt").as("w2"))
+    val bcnt = bgs.groupBy("lang", "w1", "w2").agg(count(lit(1)).as("cb"))
+    val wcnt = bcnt.groupBy("lang", "w1").agg(sum("cb").as("cw"))
+    val ucnt = bcnt.groupBy("lang", "w2").agg(sum("cb").as("c2"))
+    val tot = ucnt.groupBy("lang").agg(sum("c2").as("nb"))
+    val lm = bcnt.join(wcnt, Seq("lang", "w1")).join(ucnt, Seq("lang", "w2"))
+      .join(tot, "lang")
+      .withColumn("lpq", floor(
+        log(lit(lambda) * (col("cb") / col("cw")) +
+            lit(1.0 - lambda) * (col("c2") / col("nb"))) * 10000d + 0.5d).cast("long"))
+      .select("lang", "w1", "w2", "lpq")
+    val perDoc = bgs.join(broadcast(lm), Seq("lang", "w1", "w2"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_bg"), sum("lpq").as("slp"))
+    docs.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("n_bg"), lit(0L)).as("n_bg"),
+        coalesce(Num.r4(-(col("slp") / 10000d / col("n_bg"))), lit(0.0)).as("nll2"))
+  }
+
   /** The character alphabet qt16 histograms over — this corpus is
     * lowercase words + spaces, so 26 letters + ' ' covers it; anything
     * else lands in the `other` bucket. Shared with DocOracle.qt16 so

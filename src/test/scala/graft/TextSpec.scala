@@ -590,6 +590,43 @@ class TextSpec extends SparkSuite {
     assert(got.forall(_._4 > 3.0))
   }
 
+  test("qt17 bigram nll == driver LM recompute; conditioning beats the unigram LM") {
+    def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    val docs = graft.util.Tables.documents(spark, Sf001)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val bgs = docs.flatMap { case (id, l, t) =>
+      val ws = t.split(" ").filter(_.nonEmpty)
+      ws.zip(ws.drop(1)).map { case (a, b) => (id, l, a, b) }
+    }
+    val bcnt = bgs.groupBy(b => (b._2, b._3, b._4)).map { case (k, g) => k -> g.length.toLong }
+    val wcnt = bcnt.groupBy { case ((l, w1, _), _) => (l, w1) }.map { case (k, g) => k -> g.values.sum }
+    val ucnt = bcnt.groupBy { case ((l, _, w2), _) => (l, w2) }.map { case (k, g) => k -> g.values.sum }
+    val tot = ucnt.groupBy(_._1._1).map { case (l, g) => l -> g.values.sum }
+    val lpq = bcnt.map { case (k @ (l, w1, w2), cb) =>
+      k -> math.floor(math.log(0.7 * (cb.toDouble / wcnt((l, w1))) +
+        0.3 * (ucnt((l, w2)).toDouble / tot(l))) * 10000d + 0.5d).toLong
+    }
+    val want = docs.map { case (id, l, _) =>
+      val mine = bgs.filter(_._1 == id)
+      if (mine.isEmpty) (id, l, 0L, 0.0)
+      else {
+        val slp = mine.map(b => lpq((b._2, b._3, b._4))).sum
+        (id, l, mine.length.toLong, r4(-(slp / 10000.0 / mine.length)))
+      }
+    }.toSet
+    val got = TextOps.bigramNll(spark, Sf001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got === want)
+    // conditioning on w1 must tighten the model: corpus-mean bigram NLL
+    // strictly below qt14's unigram NLL
+    val uni = TextOps.unigramNll(spark, Sf001).collect()
+      .map(r => r.getDouble(3)).filter(_ > 0)
+    val bi = got.toSeq.map(_._4).filter(_ > 0)
+    assert(bi.sum / bi.size < uni.sum / uni.size,
+      s"bigram ${bi.sum / bi.size} should beat unigram ${uni.sum / uni.size}")
+  }
+
   test("qt15 line dedup matches a driver segment recompute and rewrites in order") {
     val docs = graft.util.Tables.documents(spark, Sf001)
       .select("doc_id", "text").collect()
