@@ -136,6 +136,7 @@ object SparkEntry {
     "qv8_centroid_outlier" -> ((s, d) => graft.vector.Similarity.centroidOutlier(s, d)),
     "qd14_pagerank" -> ((s, d) => graft.text.Dedup.pageRank(s, d)),
     "qt17_bigram_nll" -> ((s, d) => graft.text.TextOps.bigramNll(s, d)),
+    "qm4_shard_manifest" -> ((s, d) => graft.multimodal.BinaryMeta.shardManifest(s, d)),
     "qp6_completeness" -> ((s, d) => TsQueries.qp6Completeness(s, d)),
     "qt13_boilerplate" -> ((s, d) => graft.text.TextOps.boilerplate(s, d)),
     "qt14_unigram_nll" -> ((s, d) => graft.text.TextOps.unigramNll(s, d)),
@@ -580,6 +581,21 @@ object SparkEntry {
     "qv8_centroid_outlier" -> graft.text.DocOracle.qv8(),
     "qd14_pagerank" -> graft.text.DocOracle.qd14(),
     "qt17_bigram_nll" -> graft.text.DocOracle.qt17(),
+    "qm4_shard_manifest" -> """
+      WITH m AS (
+        SELECT doc_id, 'text/' || lang AS media_type,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        FROM documents
+      ), c AS (
+        SELECT doc_id, media_type, n_bytes,
+               CAST(floor((sum(n_bytes) OVER (PARTITION BY media_type ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_bytes) / 4096) AS BIGINT) AS shard
+        FROM m
+      )
+      SELECT media_type, shard, count(*) AS n_items,
+             CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+             min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      FROM c GROUP BY 1, 2""",
     "qe10_attribution" -> """
       WITH ev AS (
         SELECT event_id, user_id, event_type,

@@ -53,6 +53,34 @@ object BinaryMeta {
       .toDF()
   }
 
+  /** qm4: media shard manifest — pack binary payloads into
+    * byte-budgeted training shards per modality (the webdataset/tar
+    * shard-builder shape: readers stream whole shards, so shard
+    * boundaries must be deterministic and size-bounded). Twin of qt11's
+    * token-budget packing, one level up: the output is the per-SHARD
+    * manifest (item count, byte total, doc id range) a shard writer
+    * consumes, not the per-doc assignment. One window pass per
+    * media_type stream (modalities pack independently in parallel;
+    * within one, the exclusive byte prefix-sum is the inherent
+    * sequential constraint) + a partial-agg'd |shards|-row rollup.
+    * Oversized single payloads get their own shard (floor of the
+    * exclusive prefix) rather than splitting — the tar-shard rule.
+    */
+  def shardManifest(spark: SparkSession, sfDir: String, budgetBytes: Long = 4096L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budgetBytes >= 1, s"budgetBytes=$budgetBytes")
+    val w = Window.partitionBy("media_type").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    mediaTable(spark, sfDir).toDF()
+      .select(col("doc_id"), col("media_type"),
+        octet_length(col("payload")).cast("long").as("n_bytes"))
+      .withColumn("cum", sum("n_bytes").over(w))
+      .withColumn("shard", floor((col("cum") - col("n_bytes")) / lit(budgetBytes)).cast("long"))
+      .groupBy("media_type", "shard")
+      .agg(count(lit(1)).as("n_items"), sum("n_bytes").as("total_bytes"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+  }
+
   case class MediaSig(doc_id: Long, sig: Long)
 
   /** STUB perceptual signature: aHash (average hash, public) structure

@@ -406,6 +406,35 @@ class TextSpec extends SparkSuite {
     }
   }
 
+  test("qm4 shard manifest: shards cover every byte once, respect the budget rule") {
+    val budget = 4096L
+    val m = graft.multimodal.BinaryMeta.shardManifest(spark, Sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    val docs = graft.util.Tables.documents(spark, Sf001)
+      .selectExpr("doc_id", "concat('text/', lang) AS mt", "octet_length(encode(text, 'UTF-8')) AS nb")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2).toLong))
+    // totals conserve: every payload byte lands in exactly one shard
+    assert(m.map(_._4).sum === docs.map(_._3).sum)
+    assert(m.map(_._3).sum === docs.length.toLong)
+    for ((mt, g) <- m.groupBy(_._1)) {
+      val sorted = g.sortBy(_._2)
+      // shard ids contiguous from 0? not necessarily (an oversized doc can
+      // skip ids) — but doc ranges must not overlap across shards
+      val ranges = sorted.map(s => (s._5, s._6))
+      assert(ranges.zip(ranges.drop(1)).forall { case ((_, b), (c, _)) => b < c },
+        s"$mt shard doc ranges overlap")
+      // budget rule: a shard holding >1 item began under budget, so its
+      // exclusive prefix stays < budget + its last item
+      val byDoc = docs.filter(_._2 == mt).sortBy(_._1)
+      val prefix = byDoc.scanLeft(0L)(_ + _._3)
+      byDoc.zip(prefix).foreach { case ((id, _, _), ex) =>
+        val shard = ex / budget
+        val s = sorted.find(s => s._5 <= id && id <= s._6).get
+        assert(s._2 === shard, s"doc $id in wrong shard")
+      }
+    }
+  }
+
   test("qm3 phash near-dup == driver aHash + brute-force hamming") {
     val out = graft.multimodal.BinaryMeta.phashNearDup(spark, Sf001).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
