@@ -137,6 +137,7 @@ object SparkEntry {
     "qd14_pagerank" -> ((s, d) => graft.text.Dedup.pageRank(s, d)),
     "qt17_bigram_nll" -> ((s, d) => graft.text.TextOps.bigramNll(s, d)),
     "qm4_shard_manifest" -> ((s, d) => graft.multimodal.BinaryMeta.shardManifest(s, d)),
+    "qp9_histogram" -> ((s, d) => graft.analytics.Events.histProfile(s, d)),
     "qp6_completeness" -> ((s, d) => TsQueries.qp6Completeness(s, d)),
     "qt13_boilerplate" -> ((s, d) => graft.text.TextOps.boilerplate(s, d)),
     "qt14_unigram_nll" -> ((s, d) => graft.text.TextOps.unigramNll(s, d)),
@@ -581,6 +582,21 @@ object SparkEntry {
     "qv8_centroid_outlier" -> graft.text.DocOracle.qv8(),
     "qd14_pagerank" -> graft.text.DocOracle.qd14(),
     "qt17_bigram_nll" -> graft.text.DocOracle.qt17(),
+    "qp9_histogram" -> {
+      def sub(c: String) = s"""
+      SELECT '$c' AS column_name, bin,
+             floor((mn + (mx - mn) * bin / 16)*10000 + 0.5)/10000 AS lo,
+             floor((mn + (mx - mn) * (bin + 1) / 16)*10000 + 0.5)/10000 AS hi,
+             count(*) AS n
+      FROM (
+        SELECT CASE WHEN mx = mn THEN 0
+               ELSE least(CAST(floor(($c - mn) / (mx - mn) * 16) AS INT), 15) END AS bin,
+               mn, mx
+        FROM lineitem, (SELECT min($c) AS mn, max($c) AS mx FROM lineitem)
+      ) GROUP BY bin, mn, mx"""
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .map(sub).mkString("\n      UNION ALL\n")
+    },
     "qm4_shard_manifest" -> """
       WITH m AS (
         SELECT doc_id, 'text/' || lang AS media_type,

@@ -75,6 +75,33 @@ class EventsSpec extends SparkSuite {
     assert(merged === single) // == on doubles: the merge must be BIT-identical
   }
 
+  test("qp9 histogram == driver recompute; counts conserve; no per-row explode shuffle") {
+    def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    val df = graft.analytics.Events.histProfile(spark, Sf001)
+    // the corpus never shuffles row-wise: the only exchanges feed
+    // single-row aggregates (stats pass + counts pass)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"qp9 must not shuffle the corpus:\n${p.take(1200)}")
+    val got = df.collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> (r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val li = spark.read.parquet(s"$Sf001/lineitem.parquet")
+      .select(cols.map(col): _*).collect()
+    val want = cols.zipWithIndex.flatMap { case (c, ci) =>
+      val vs = li.map(_.getDouble(ci))
+      val (mn, mx) = (vs.min, vs.max)
+      vs.groupBy { v =>
+        if (mx == mn) 0 else math.min(math.floor((v - mn) / (mx - mn) * 16).toInt, 15)
+      }.map { case (b, g) =>
+        (c, b) -> (r4(mn + (mx - mn) * b / 16), r4(mn + (mx - mn) * (b + 1) / 16), g.length.toLong)
+      }
+    }.toMap
+    assert(got === want)
+    assert(got.toSeq.map { case ((c, _), (_, _, n)) => (c, n) }
+      .groupBy(_._1).forall(_._2.map(_._2).sum == li.length))
+  }
+
   test("qe10 attribution == driver last-touch recompute") {
     def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
     val got = graft.analytics.Events.attribution(spark, Sf001).collect()
