@@ -138,6 +138,8 @@ object SparkEntry {
     "qt17_bigram_nll" -> ((s, d) => graft.text.TextOps.bigramNll(s, d)),
     "qm4_shard_manifest" -> ((s, d) => graft.multimodal.BinaryMeta.shardManifest(s, d)),
     "qp9_histogram" -> ((s, d) => graft.analytics.Events.histProfile(s, d)),
+    "qa17_grouping_sets" -> ((s, d) => Relational.groupingSets(s, d)),
+    "qv9_centroid_drift" -> ((s, d) => graft.vector.Similarity.centroidDrift(s, d)),
     "qp6_completeness" -> ((s, d) => TsQueries.qp6Completeness(s, d)),
     "qt13_boilerplate" -> ((s, d) => graft.text.TextOps.boilerplate(s, d)),
     "qt14_unigram_nll" -> ((s, d) => graft.text.TextOps.unigramNll(s, d)),
@@ -582,6 +584,13 @@ object SparkEntry {
     "qv8_centroid_outlier" -> graft.text.DocOracle.qv8(),
     "qd14_pagerank" -> graft.text.DocOracle.qd14(),
     "qt17_bigram_nll" -> graft.text.DocOracle.qt17(),
+    "qv9_centroid_drift" -> graft.text.DocOracle.qv9(),
+    "qa17_grouping_sets" -> """
+      SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+             floor((sum(CAST(floor((l_extendedprice * (1.0 - l_discount))*10000 + 0.5) AS BIGINT)) / 10000.0)*10000 + 0.5)/10000 AS revenue,
+             count(*) AS n
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""",
     "qp9_histogram" -> {
       def sub(c: String) = s"""
       SELECT '$c' AS column_name, bin,

@@ -350,6 +350,31 @@ FROM zt GROUP BY 1"""
           .otherwise(lit("keep")).as("action"))
   }
 
+  /** qa17: custom aggregation lattice via GROUPING SETS — the
+    * in-between of qa4's ROLLUP and qa9's CUBE (exactly the grouping
+    * combinations a report needs, no more), and deliberately issued
+    * through the `spark.sql` front door over a registered view: the
+    * SQL surface compiles to the IDENTICAL Catalyst Expand + partial
+    * agg plan as the DataFrame API, so a SQL-first user of this
+    * library gets the same 100 TB properties (one scan, map-side
+    * partials, |sets|×|groups| rows shuffled).
+    */
+  def groupingSets(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir)
+      .select("l_returnflag", "l_linestatus", "l_extendedprice", "l_discount")
+      .createOrReplaceTempView("lineitem_gs")
+    // double-suffixed literals: Spark SQL parses bare `10000.0` as
+    // DECIMAL, which would make the division decimal-typed (the
+    // DataFrame API's lit(10000.0) is a double)
+    spark.sql(s"""
+      SELECT coalesce(l_returnflag, 'ALL') AS rf,
+             coalesce(l_linestatus, 'ALL') AS ls,
+             floor((sum(CAST(floor((l_extendedprice * (1.0D - l_discount))*10000.0D + 0.5D) AS BIGINT)) / 10000.0D)*10000.0D + 0.5D)/10000.0D AS revenue,
+             count(*) AS n
+      FROM lineitem_gs
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""")
+  }
+
   def topCustomersPerSegment(spark: SparkSession, sfDir: String, topN: Int = 3): DataFrame = {
     val o = Tables.orders(spark, sfDir).select("o_custkey", "o_totalprice")
     val c = Tables.customer(spark, sfDir).select("c_custkey", "c_name", "c_mktsegment")

@@ -262,6 +262,31 @@ SELECT vec_id, label, cos_c,
        CASE WHEN cos_c < $minCos THEN 1 ELSE 0 END AS suspect
 FROM scored"""
 
+  /** Mirrors Similarity.centroidDrift — same centroid arithmetic as
+    * qv8 over (label, half), list_distance for the L2 shift.
+    */
+  def qv9(minCos: Double = 0.98): String = vecsCte + s"""
+, comps AS (
+  SELECT label, CAST(vec_id % 2 AS INT) AS half, i AS pos,
+         CAST(floor(v[i]*1000000 + 0.5) AS BIGINT) AS xq
+  FROM vecs, range(1, 65) t(i)
+), cc AS (
+  SELECT label, half, pos, floor(sum(xq) / count(*) + 0.5) / 1000000.0 AS c,
+         count(*) AS ng
+  FROM comps GROUP BY label, half, pos
+), cent AS (
+  SELECT label, half, list(c ORDER BY pos) AS cv,
+         CAST(max(ng) AS BIGINT) AS n_vecs
+  FROM cc GROUP BY label, half
+), cn AS (
+  SELECT label, half, cv, sqrt(list_dot_product(cv, cv)) AS cnrm, n_vecs FROM cent
+)
+SELECT a.label, a.n_vecs AS n_old, b.n_vecs AS n_new,
+       ${r4("list_dot_product(a.cv, b.cv) / (a.cnrm * b.cnrm)")} AS cos_ab,
+       ${r4("sqrt(list_dot_product(list_transform(range(1, 65), i -> a.cv[i] - b.cv[i]), list_transform(range(1, 65), i -> a.cv[i] - b.cv[i])))")} AS l2_shift,
+       CASE WHEN ${r4("list_dot_product(a.cv, b.cv) / (a.cnrm * b.cnrm)")} < $minCos THEN 1 ELSE 0 END AS drifted
+FROM cn a JOIN cn b ON a.label = b.label AND a.half = 0 AND b.half = 1"""
+
   def qv1(k: Int = 10, maxQueries: Int = 1000): String = vecsCte + s"""
 , q AS (SELECT vec_id AS qid, v, nrm FROM vecs
         WHERE vec_id % 100 = 0 AND vec_id < ${100L * maxQueries}),

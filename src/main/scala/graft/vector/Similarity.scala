@@ -417,19 +417,56 @@ object Similarity {
     * accumulation order) and the centroid is r6-quantized so both
     * engines score identical bits.
     */
+  /** Per-group element-wise mean embedding (1e-6 scaled-int exact
+    * accumulation, r6-quantized components) with its norm — shared by
+    * qv8 (per-label) and qv9 (per label × snapshot half).
+    */
+  private def centroids(e: DataFrame, keys: Seq[String]): DataFrame = {
+    val kc = keys.map(col)
+    e.select(kc :+ posexplode(col("v")).as(Seq("pos", "x")): _*)
+      .withColumn("xq", floor(col("x") * 1000000d + 0.5d).cast("long"))
+      .groupBy((keys :+ "pos").map(col): _*)
+      .agg((floor(sum("xq") / count(lit(1)) + 0.5d) / 1000000d).as("c"),
+        count(lit(1)).as("ng"))
+      .groupBy(kc: _*)
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("cs"),
+        max("ng").as("n_vecs"))
+      .select(kc ++ Seq(expr("transform(cs, p -> p.c)").as("cv"), col("n_vecs")): _*)
+      .withColumn("cnrm", sqrt(expr("graft_dot(cv, cv)")))
+  }
+
   def centroidOutlier(spark: SparkSession, sfDir: String, minCos: Double = 0.2): DataFrame = {
     val e = vecs(spark, sfDir)
-    val cent = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
-      .withColumn("xq", floor(col("x") * 1000000d + 0.5d).cast("long"))
-      .groupBy("label", "pos")
-      .agg((floor(sum("xq") / count(lit(1)) + 0.5d) / 1000000d).as("c"))
-      .groupBy("label")
-      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("cs"))
-      .select(col("label"), expr("transform(cs, p -> p.c)").as("cv"))
-      .withColumn("cnrm", sqrt(expr("graft_dot(cv, cv)")))
+    val cent = centroids(e, Seq("label")).select("label", "cv", "cnrm")
     e.join(broadcast(cent), "label")
       .withColumn("cos_c", expr("graft_dot(v, cv)") / (col("nrm") * col("cnrm")))
       .select(col("vec_id"), col("label"), Num.r4(col("cos_c")).as("cos_c"),
         when(Num.r4(col("cos_c")) < minCos, 1).otherwise(0).as("suspect"))
+  }
+
+  /** qv9: embedding drift monitor — per label, the centroid of the
+    * "old" snapshot (even vec_ids) vs the "new" one (odd vec_ids):
+    * cosine between the two centroids + the L2 mean-shift norm, the
+    * qp7-for-embeddings retraining gate (a re-embedded or upstream-
+    * shifted corpus moves the per-class means long before downstream
+    * eval catches it). Same two-pass scale shape as qv8 — one
+    * map-side-combined (label, half, pos) agg to 2×|labels|×64 cells,
+    * then a |labels|-row self-join; NOTHING row-wise crosses the wire
+    * twice. In production the halves are yesterday's and today's
+    * snapshot tables.
+    */
+  def centroidDrift(spark: SparkSession, sfDir: String, minCos: Double = 0.98): DataFrame = {
+    val e = vecs(spark, sfDir).withColumn("half", (col("vec_id") % 2).cast("int"))
+    val cent = centroids(e, Seq("label", "half"))
+    val a = cent.filter(col("half") === 0)
+      .select(col("label"), col("cv").as("av"), col("cnrm").as("na"), col("n_vecs").as("n_old"))
+    val b = cent.filter(col("half") === 1)
+      .select(col("label"), col("cv").as("bv"), col("cnrm").as("nb"), col("n_vecs").as("n_new"))
+    a.join(b, "label")
+      .withColumn("cos_ab", dotAB / (col("na") * col("nb")))
+      .select(col("label"), col("n_old"), col("n_new"),
+        Num.r4(col("cos_ab")).as("cos_ab"),
+        Num.r4(sqrt(expr("graft_l2(av, bv)"))).as("l2_shift"),
+        when(Num.r4(col("cos_ab")) < minCos, 1).otherwise(0).as("drifted"))
   }
 }

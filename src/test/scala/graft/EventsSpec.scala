@@ -75,6 +75,28 @@ class EventsSpec extends SparkSuite {
     assert(merged === single) // == on doubles: the merge must be BIT-identical
   }
 
+  test("qa17 grouping sets: exact lattice — the chosen sets and nothing else; SQL plan expands once") {
+    import graft.analytics.Relational
+    val df = Relational.groupingSets(spark, Sf001)
+    // the SQL front door must compile to the same Expand + partial-agg
+    // shape the DataFrame rollup/cube get
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Expand") && p.contains("partial_"),
+      s"grouping sets must Expand with map-side partials:\n${p.take(1200)}")
+    val rows = df.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getDouble(2), r.getLong(3))).toMap
+    val li = spark.read.parquet(s"$Sf001/lineitem.parquet")
+      .select("l_returnflag", "l_linestatus", "l_extendedprice", "l_discount").collect()
+      .map(r => (r.getString(0), r.getString(1),
+        math.floor(r.getDouble(2) * (1.0 - r.getDouble(3)) * 10000 + 0.5).toLong))
+    def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    def agg(g: Seq[(String, String, Long)]) = (r4(g.map(_._3).sum / 10000.0), g.length.toLong)
+    val fine = li.groupBy(t => (t._1, t._2)).map { case (k, g) => k -> agg(g.toSeq) }
+    val byRf = li.groupBy(_._1).map { case (k, g) => (k, "ALL") -> agg(g.toSeq) }
+    val total = Map(("ALL", "ALL") -> agg(li.toSeq))
+    assert(rows === fine ++ byRf ++ total) // no (ls)-only stratum — GROUPING SETS, not CUBE
+  }
+
   test("qp9 histogram == driver recompute; counts conserve; no per-row explode shuffle") {
     def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
     val df = graft.analytics.Events.histProfile(spark, Sf001)

