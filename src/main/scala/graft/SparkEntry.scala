@@ -140,6 +140,7 @@ object SparkEntry {
     "qp9_histogram" -> ((s, d) => graft.analytics.Events.histProfile(s, d)),
     "qa17_grouping_sets" -> ((s, d) => Relational.groupingSets(s, d)),
     "qv9_centroid_drift" -> ((s, d) => graft.vector.Similarity.centroidDrift(s, d)),
+    "q50_anomaly_mask" -> ((s, d) => graft.timeseries.Postprocess.anomalyMask(s, d)),
     "qp6_completeness" -> ((s, d) => TsQueries.qp6Completeness(s, d)),
     "qt13_boilerplate" -> ((s, d) => graft.text.TextOps.boilerplate(s, d)),
     "qt14_unigram_nll" -> ((s, d) => graft.text.TextOps.unigramNll(s, d)),
@@ -585,6 +586,7 @@ object SparkEntry {
     "qd14_pagerank" -> graft.text.DocOracle.qd14(),
     "qt17_bigram_nll" -> graft.text.DocOracle.qt17(),
     "qv9_centroid_drift" -> graft.text.DocOracle.qv9(),
+    "q50_anomaly_mask" -> graft.timeseries.TsOracle.q50(),
     "qa17_grouping_sets" -> """
       SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
              floor((sum(CAST(floor((l_extendedprice * (1.0 - l_discount))*10000 + 0.5) AS BIGINT)) / 10000.0)*10000 + 0.5)/10000 AS revenue,

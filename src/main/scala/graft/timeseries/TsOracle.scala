@@ -335,6 +335,69 @@ lofn AS (
 SELECT n.id, n.pos, ${r4("n.sum_lrd_b / l.lrd")} AS lof
 FROM lofn n JOIN lrd l ON n.pos = l.pos AND n.id = l.id"""
 
+  /** Mirrors Postprocess.anomalyMask — q29's top patch ∪ q14's padded
+    * runs ∪ q15's spike extensions (exclusive right end, DaySize−2 cap),
+    * scoped to scored windows.
+    */
+  def q50(patchSize: Int = TsCore.FeatPatch, minRun: Int = 2, thr: Double = 2.5): String = {
+    val ps2 = patchSize / 2
+    prefix + gauss9Cte + s"""
+, heat AS (
+  SELECT t.series, t.win, t.pos,
+         ${r4(s"sqrt(${mdist9("t", "g")})")} AS mdist
+  FROM testp t JOIN ginv g USING (pos)
+), top AS (
+  SELECT series, win, CAST(floor(pos / $patchSize) AS BIGINT) * $patchSize AS fstart
+  FROM (SELECT series, win, pos,
+               row_number() OVER (PARTITION BY series, win ORDER BY mdist DESC, pos) AS rn
+        FROM heat)
+  WHERE rn = 1
+), topf AS (
+  SELECT s.series, s.win, s.pos FROM scaled s JOIN top t ON s.series = t.series AND s.win = t.win
+  WHERE s.pos >= t.fstart AND s.pos < t.fstart + $patchSize
+), wins AS (SELECT DISTINCT series, win FROM top),
+mgrid AS (SELECT s.series, s.win, s.pos FROM scaled s JOIN wins w USING (series, win)),
+runs AS (
+  SELECT series, win, vs, pos,
+         pos - row_number() OVER (PARTITION BY series, win, vs ORDER BY pos) AS runid
+  FROM scaled
+), runagg AS (
+  SELECT series, win, min(pos) AS rstart, max(pos) AS rend
+  FROM runs GROUP BY series, win, vs, runid HAVING count(*) >= $minRun
+), consecf AS (
+  SELECT DISTINCT g.series, g.win, g.pos
+  FROM mgrid g JOIN runagg r ON g.series = r.series AND g.win = r.win
+  WHERE g.pos >= greatest(r.rstart - $ps2, 0) AND g.pos <= least(r.rend + $ps2, ${TsCore.DaySize - 1})
+), spikes AS (
+  SELECT z.series, z.win, z.pos
+  FROM (SELECT series, win, pos,
+               (vs - avg(vs) OVER (PARTITION BY series, win))
+                 / stddev_samp(vs) OVER (PARTITION BY series, win) AS z
+        FROM scaled) z JOIN wins w ON z.series = w.series AND z.win = w.win
+  WHERE z.z > $thr OR z.z < -$thr
+), already AS (SELECT series, win, pos FROM topf UNION SELECT series, win, pos FROM consecf),
+extsrc AS (
+  SELECT s.series, s.win, s.pos AS p FROM spikes s
+  WHERE NOT EXISTS (SELECT 1 FROM already a
+                    WHERE a.series = s.series AND a.win = s.win AND a.pos = s.pos)
+), ext AS (
+  SELECT DISTINCT g.series, g.win, g.pos
+  FROM mgrid g JOIN extsrc e ON g.series = e.series AND g.win = e.win
+  WHERE g.pos >= greatest(e.p - $ps2, 0) AND g.pos <= least(e.p + $ps2, ${TsCore.DaySize - 2})
+)
+SELECT g.series, g.win, g.pos,
+       CASE WHEN t.pos IS NOT NULL THEN 1 ELSE 0 END AS flag_top_patch,
+       CASE WHEN c.pos IS NOT NULL THEN 1 ELSE 0 END AS flag_consec,
+       CASE WHEN x.pos IS NOT NULL THEN 1 ELSE 0 END AS flag_spike_ext,
+       greatest(CASE WHEN t.pos IS NOT NULL THEN 1 ELSE 0 END,
+                CASE WHEN c.pos IS NOT NULL THEN 1 ELSE 0 END,
+                CASE WHEN x.pos IS NOT NULL THEN 1 ELSE 0 END) AS mask
+FROM mgrid g
+LEFT JOIN topf t ON g.series = t.series AND g.win = t.win AND g.pos = t.pos
+LEFT JOIN consecf c ON g.series = c.series AND g.win = c.win AND g.pos = c.pos
+LEFT JOIN ext x ON g.series = x.series AND g.win = x.win AND g.pos = x.pos"""
+  }
+
   def q14(minRun: Int = 2, pad: Int = TsCore.FeatPatch / 2): String = prefix + s"""
 , runs AS (
   SELECT series, win, vs, pos,

@@ -109,6 +109,41 @@ class DetectSpec extends SparkSuite {
     assert(n > 0 && flagged > 0 && flagged < n)
   }
 
+  test("q50 anomaly mask == driver composition of q29 ∪ q14 ∪ extended q15") {
+    import graft.timeseries.Postprocess
+    type K = (String, Long)
+    val top = Postprocess.highestPatchFlags(spark, Sf01).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).groupBy(_._1)
+      .map { case (k, g) => k -> g.map(_._2).toSet }
+    val wins = top.keySet
+    val consec = Postprocess.consecRuns(spark, Sf01).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2)))
+      .filter(t => wins(t._1)).groupBy(_._1)
+      .map { case (k, g) => k -> g.map(_._2).toSet }
+    val spikes = Postprocess.zscoreOutliers(spark, Sf01).collect()
+      .filter(_.getInt(4) == 1)
+      .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2)))
+      .filter(t => wins(t._1)).groupBy(_._1)
+      .map { case (k, g) => k -> g.map(_._2).toSet }
+    val want = wins.flatMap { k =>
+      val t = top.getOrElse(k, Set.empty[Long])
+      val c = consec.getOrElse(k, Set.empty[Long])
+      val ext = spikes.getOrElse(k, Set.empty[Long]).diff(t ++ c)
+        .flatMap(p => (math.max(0L, p - 4) to math.min(p + 4, 22L)))
+      (0L until 24L).map { pos =>
+        (k._1, k._2, pos, if (t(pos)) 1 else 0, if (c(pos)) 1 else 0,
+          if (ext(pos)) 1 else 0,
+          if (t(pos) || c(pos) || ext(pos)) 1 else 0)
+      }
+    }.toSet
+    val got = Postprocess.anomalyMask(spark, Sf01).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3),
+        r.getInt(4), r.getInt(5), r.getInt(6))).toSet
+    assert(got === want)
+    // every mask row belongs to a scored window; some masks have signal
+    assert(got.exists(_._7 == 1) && got.forall(g => wins((g._1, g._2))))
+  }
+
   test("detection has signal: auroc above chance") {
     val a = Metrics.auroc(spark, Sf01).head()
     val auroc = a.getDouble(a.fieldIndex("auroc"))
