@@ -141,6 +141,8 @@ object SparkEntry {
     "qa17_grouping_sets" -> ((s, d) => Relational.groupingSets(s, d)),
     "qv9_centroid_drift" -> ((s, d) => graft.vector.Similarity.centroidDrift(s, d)),
     "q50_anomaly_mask" -> ((s, d) => graft.timeseries.Postprocess.anomalyMask(s, d)),
+    "qe11_cohort_ltv" -> ((s, d) => graft.analytics.Events.cohortLtv(s, d)),
+    "qp10_quality_audit" -> ((s, d) => graft.analytics.Events.qualityAudit(s, d)),
     "qp6_completeness" -> ((s, d) => TsQueries.qp6Completeness(s, d)),
     "qt13_boilerplate" -> ((s, d) => graft.text.TextOps.boilerplate(s, d)),
     "qt14_unigram_nll" -> ((s, d) => graft.text.TextOps.unigramNll(s, d)),
@@ -587,6 +589,42 @@ object SparkEntry {
     "qt17_bigram_nll" -> graft.text.DocOracle.qt17(),
     "qv9_centroid_drift" -> graft.text.DocOracle.qv9(),
     "q50_anomaly_mask" -> graft.timeseries.TsOracle.q50(),
+    "qp10_quality_audit" -> {
+      def sub(t: String, c: String) = s"""
+      SELECT '$t' AS table_name, '$c' AS column_name, count(*) AS n,
+             CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+             CAST(sum(CASE WHEN isnan($c) THEN 1 ELSE 0 END) AS BIGINT) AS n_nan,
+             CAST(sum(CASE WHEN isinf($c) THEN 1 ELSE 0 END) AS BIGINT) AS n_inf,
+             CAST(sum(CASE WHEN $c = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+             CAST(sum(CASE WHEN $c < 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+      FROM $t"""
+      (Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map(sub("lineitem", _)) ++
+        Seq(sub("events", "value"), sub("orders", "o_totalprice"))).mkString("\n      UNION ALL\n")
+    },
+    "qe11_cohort_ltv" -> """
+      WITH ev AS (
+        SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS tsec, value
+        FROM events
+      ), firsts AS (
+        SELECT user_id, CAST(floor(min(tsec) / 604800) AS BIGINT) AS cohort_week
+        FROM ev GROUP BY user_id
+      ), sizes AS (
+        SELECT cohort_week, count(*) AS cohort_size FROM firsts GROUP BY cohort_week
+      ), p AS (
+        SELECT f.cohort_week,
+               CAST(floor(e.tsec / 604800) AS BIGINT) - f.cohort_week AS age_weeks,
+               e.user_id, e.value
+        FROM ev e JOIN firsts f USING (user_id) WHERE e.event_type = 'purchase'
+      ), roll AS (
+        SELECT cohort_week, age_weeks, count(DISTINCT user_id) AS n_active,
+               CAST(sum(CAST(floor(value*10000 + 0.5) AS BIGINT)) AS BIGINT) AS rev_q4
+        FROM p GROUP BY cohort_week, age_weeks
+      )
+      SELECT r.cohort_week, r.age_weeks, s.cohort_size, r.n_active,
+             floor((r.rev_q4 / 10000.0)*10000 + 0.5)/10000 AS revenue,
+             floor(((sum(r.rev_q4) OVER (PARTITION BY r.cohort_week ORDER BY r.age_weeks
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) / 10000.0)*10000 + 0.5)/10000 AS cum_revenue
+      FROM roll r JOIN sizes s USING (cohort_week)""",
     "qa17_grouping_sets" -> """
       SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
              floor((sum(CAST(floor((l_extendedprice * (1.0 - l_discount))*10000 + 0.5) AS BIGINT)) / 10000.0)*10000 + 0.5)/10000 AS revenue,

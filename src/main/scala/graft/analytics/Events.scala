@@ -387,6 +387,39 @@ object Events {
     sums.select(explode(array(stacked: _*)).as("p")).select("p.*")
   }
 
+  /** qe11: cohort LTV curves — users grouped by signup cohort (the
+    * week of their first event), revenue tracked by cohort age: the
+    * lifetime-value complement of qe3's retention grid. Per
+    * (cohort_week, age_weeks): active purchasers, period revenue and
+    * the running cumulative revenue — the curve a growth team reads
+    * horizontally. One user_id shuffle for first-events, one
+    * co-partitioned join of purchases to their cohort, a
+    * |cohorts×ages|-row rollup (map-side partials), and the running
+    * window touches only that rollup — never the event stream. Revenue
+    * accumulates as quantized int64 so the running sums are exact.
+    */
+  def cohortLtv(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.util.Num
+    val week = 604800L
+    val ev = epochSec(spark, sfDir)
+    val firsts = ev.groupBy("user_id")
+      .agg(floor(min("tsec") / week).cast("long").as("cohort_week"))
+    val sizes = firsts.groupBy("cohort_week").agg(count(lit(1)).as("cohort_size"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .join(firsts, "user_id")
+      .withColumn("age_weeks", (floor(col("tsec") / week).cast("long") - col("cohort_week")))
+    val roll = purchases.groupBy("cohort_week", "age_weeks")
+      .agg(countDistinct("user_id").as("n_active"),
+        sum(floor(col("value") * 10000d + 0.5d).cast("long")).as("rev_q4"))
+    val w = Window.partitionBy("cohort_week").orderBy("age_weeks")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    roll.withColumn("cum_q4", sum("rev_q4").over(w))
+      .join(broadcast(sizes), "cohort_week")
+      .select(col("cohort_week"), col("age_weeks"), col("cohort_size"), col("n_active"),
+        Num.r4(col("rev_q4") / 10000d).as("revenue"),
+        Num.r4(col("cum_q4") / 10000d).as("cum_revenue"))
+  }
+
   /** qp9: equi-width histogram profiler — per numeric column, 16-bin
     * value histograms with bin bounds (the data-profiling / query-
     * optimizer-statistics staple next to qp1's summary and qp3's
@@ -424,6 +457,38 @@ object Events {
     }
     counts.select(explode(array(stacked: _*)).as("p")).select("p.*")
       .filter(col("n") > 0)
+  }
+
+  /** qp10: numeric data-quality audit — per column: NULL / NaN / ±Inf /
+    * zero / negative counts, the pre-ingest gate that catches broken
+    * upstream encoders before they poison aggregates (NaN propagates
+    * through a float sum silently; the test tables are clean, so the
+    * pathology counters legitimately read 0 — the audit PROVES it).
+    * ONE scan per table: all counters fold into a single conditional-agg
+    * row (map-side partials) and unpivot statelessly, qp9's shape.
+    */
+  def qualityAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    def audit(table: String, df: DataFrame, cols: Seq[String]): DataFrame = {
+      val aggs = cols.flatMap { c =>
+        Seq(count(lit(1)).as(s"n_$c"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c"),
+          sum(when(isnan(col(c)), 1L).otherwise(0L)).as(s"nan_$c"),
+          sum(when(col(c) === Double.PositiveInfinity ||
+            col(c) === Double.NegativeInfinity, 1L).otherwise(0L)).as(s"inf_$c"),
+          sum(when(col(c) === 0.0, 1L).otherwise(0L)).as(s"zero_$c"),
+          sum(when(col(c) < 0.0, 1L).otherwise(0L)).as(s"neg_$c"))
+      }
+      val one = df.select(cols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      val stacked = cols.map(c => struct(lit(table).as("table_name"),
+        lit(c).as("column_name"), col(s"n_$c").as("n"), col(s"null_$c").as("n_null"),
+        col(s"nan_$c").as("n_nan"), col(s"inf_$c").as("n_inf"),
+        col(s"zero_$c").as("n_zero"), col(s"neg_$c").as("n_neg")))
+      one.select(explode(array(stacked: _*)).as("p")).select("p.*")
+    }
+    audit("lineitem", Tables.lineitem(spark, sfDir),
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+      .unionByName(audit("events", Tables.events(spark, sfDir), Seq("value")))
+      .unionByName(audit("orders", Tables.orders(spark, sfDir), Seq("o_totalprice")))
   }
 
   /** qe8: SCD2 history build — each user's event stream becomes

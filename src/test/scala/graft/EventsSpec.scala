@@ -75,6 +75,42 @@ class EventsSpec extends SparkSuite {
     assert(merged === single) // == on doubles: the merge must be BIT-identical
   }
 
+  test("qe11 cohort ltv: cumulative curves monotone, totals conserve, cohorts partition users") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.analytics.Events.cohortLtv(spark, Sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    for ((_, g) <- rows.groupBy(_._1)) {
+      val sorted = g.sortBy(_._2)
+      // cum_revenue is the running sum of revenue, so it never decreases
+      sorted.zip(sorted.drop(1)).foreach { case (a, b) =>
+        assert(b._6 >= a._6 - 1e-9, s"cum must be monotone: $a -> $b") }
+      assert(sorted.forall(r => r._4 <= r._3), "active purchasers bounded by cohort size")
+    }
+    val ev = spark.read.parquet(s"$Sf001/events.parquet")
+      .selectExpr("user_id", "event_type", "CAST(ts div 1000000000 AS LONG) AS tsec", "value")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // cohort sizes partition the user base
+    assert(rows.groupBy(_._1).map(_._2.head._3).sum === ev.map(_._1).distinct.length.toLong)
+    // total revenue across cells == total purchase revenue (quantized)
+    val totalRev = r4(ev.filter(_._2 == "purchase")
+      .map(e => math.floor(e._4 * 10000 + 0.5).toLong).sum / 10000.0)
+    assert(r4(rows.map(r => math.floor(r._5 * 10000 + 0.5).toLong).sum / 10000.0) === totalRev)
+  }
+
+  test("qp10 quality audit: clean tables prove clean, zero/neg counters match recompute") {
+    val got = graft.analytics.Events.qualityAudit(spark, Sf001).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    assert(got.size === 6)
+    val li = spark.read.parquet(s"$Sf001/lineitem.parquet").select("l_discount").collect().map(_.getDouble(0))
+    val (n, nz, nn) = (li.length.toLong, li.count(_ == 0.0).toLong, li.count(_ < 0.0).toLong)
+    assert(got(("lineitem", "l_discount")) === ((n, 0L, 0L, 0L, nz, nn)))
+    // synthetic tables are clean: no NULL/NaN/Inf anywhere
+    assert(got.values.forall(v => v._2 == 0 && v._3 == 0 && v._4 == 0))
+  }
+
   test("qa17 grouping sets: exact lattice — the chosen sets and nothing else; SQL plan expands once") {
     import graft.analytics.Relational
     val df = Relational.groupingSets(spark, Sf001)
