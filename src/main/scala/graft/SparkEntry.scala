@@ -143,6 +143,7 @@ object SparkEntry {
     "q50_anomaly_mask" -> ((s, d) => graft.timeseries.Postprocess.anomalyMask(s, d)),
     "qe11_cohort_ltv" -> ((s, d) => graft.analytics.Events.cohortLtv(s, d)),
     "qp10_quality_audit" -> ((s, d) => graft.analytics.Events.qualityAudit(s, d)),
+    "qd15_novelty" -> ((s, d) => graft.text.Dedup.novelty(s, d)),
     "qp6_completeness" -> ((s, d) => TsQueries.qp6Completeness(s, d)),
     "qt13_boilerplate" -> ((s, d) => graft.text.TextOps.boilerplate(s, d)),
     "qt14_unigram_nll" -> ((s, d) => graft.text.TextOps.unigramNll(s, d)),
@@ -589,6 +590,7 @@ object SparkEntry {
     "qt17_bigram_nll" -> graft.text.DocOracle.qt17(),
     "qv9_centroid_drift" -> graft.text.DocOracle.qv9(),
     "q50_anomaly_mask" -> graft.timeseries.TsOracle.q50(),
+    "qd15_novelty" -> graft.text.DocOracle.qd15(),
     "qp10_quality_audit" -> {
       def sub(t: String, c: String) = s"""
       SELECT '$t' AS table_name, '$c' AS column_name, count(*) AS n,

@@ -405,6 +405,31 @@ object Dedup {
         (col("max_run") + (n - 1)).as("span_toks"))
   }
 
+  /** qd15: n-gram novelty scoring — per document, the fraction of its
+    * distinct shingles whose FIRST corpus occurrence (min doc_id —
+    * ingestion order) is this document: the marginal-diversity curve
+    * data teams read before adding a source (a redundant crawl scores
+    * near 0, fresh content near 1; complements qd7's after-the-fact dup
+    * stats). One shuffle on the shingle value for the global min — the
+    * same key the dedup family already hashes on — then a co-partitioned
+    * join back and a per-doc rollup with map-side partials.
+    */
+  def novelty(spark: SparkSession, sfDir: String, n: Int = 3): DataFrame = {
+    require(n >= 1, s"n=$n")
+    val sh = shingles(spark, sfDir, n).select("doc_id", "sh").distinct()
+    val first = sh.groupBy("sh").agg(min("doc_id").as("first_doc"))
+    val perDoc = sh.join(first, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+    Tables.documents(spark, sfDir).select("doc_id", "lang")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        coalesce(graft.util.Num.r4(col("n_novel") / col("n_shingles")), lit(0.0)).as("novelty"))
+  }
+
   /** qd12: benchmark decontamination — flag training documents that
     * share any n-token shingle with the held-out eval split
     * (doc_id % evalMod == 0 plays the benchmark suite here; in

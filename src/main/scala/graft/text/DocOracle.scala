@@ -899,6 +899,22 @@ SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_seg,
        coalesce(string_agg(CASE WHEN c.nd < $minDocs THEN s.seg END, ' ' ORDER BY s.seg_idx), '') AS clean_text
 FROM segs s JOIN cnt c USING (seg) GROUP BY s.doc_id"""
 
+  /** Mirrors Dedup.novelty — distinct doc-shingles, global min-doc
+    * first occurrence, per-doc novel fraction.
+    */
+  def qd15(n: Int = 3): String = toksCte + shinglesCte(n, "shn") + s"""
+, shd AS (SELECT DISTINCT doc_id, sh FROM shn),
+firsts AS (SELECT sh, min(doc_id) AS first_doc FROM shd GROUP BY sh),
+pd AS (
+  SELECT s.doc_id, count(*) AS n_shingles,
+         CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+  FROM shd s JOIN firsts f USING (sh) GROUP BY s.doc_id
+)
+SELECT d.doc_id, d.lang, coalesce(p.n_shingles, 0) AS n_shingles,
+       coalesce(p.n_novel, 0) AS n_novel,
+       coalesce(${r4("p.n_novel / CAST(p.n_shingles AS DOUBLE)")}, 0.0) AS novelty
+FROM documents d LEFT JOIN pd p USING (doc_id)"""
+
   /** Mirrors TextOps.charEntropy: same alphabet, same
     * length-of-replace counts, same 1e-6 pre-sum term quantization.
     */

@@ -371,6 +371,30 @@ class TextSpec extends SparkSuite {
     assert(own.sum / own.length > foreign.sum / foreign.length)
   }
 
+  test("qd15 novelty == driver recompute; doc 0 fully novel; novelty falls with position on dup-heavy corpora") {
+    def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    val docs = graft.util.Tables.documents(spark, Sf001)
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    def shingles(t: String): Set[String] = {
+      val ws = t.split(" ").filter(_.nonEmpty)
+      if (ws.length < 3) Set.empty
+      else ws.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val firsts = docs.flatMap { case (id, t) => shingles(t).map(_ -> id) }
+      .groupBy(_._1).map { case (s, g) => s -> g.map(_._2).min }
+    val want = docs.map { case (id, t) =>
+      val ss = shingles(t)
+      val nov = ss.count(firsts(_) == id).toLong
+      id -> ((ss.size.toLong, nov, if (ss.isEmpty) 0.0 else r4(nov.toDouble / ss.size)))
+    }.toMap
+    val got = graft.text.Dedup.novelty(spark, Sf001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got === want)
+    // the lowest doc_id owns every one of its shingles by construction
+    val minId = docs.map(_._1).min
+    assert(got(minId)._3 === 1.0)
+  }
+
   test("qv9 centroid drift == driver recompute; same-distribution halves stay undrifted") {
     def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
     val vecs = graft.util.Tables.embeddings(spark, Sf001)
