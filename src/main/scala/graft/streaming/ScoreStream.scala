@@ -219,6 +219,40 @@ object ScoreStream {
       }
   }
 
+  case class PackState(cum: Long)
+  case class ShardAssign(source: String, lang: String, docId: Long,
+                         nToks: Long, shard: Long)
+
+  /** Streaming twin of qt11's token-budget shard packing: per
+    * (source, lang) stream, `GroupState` carries the cumulative token
+    * count, so arriving documents are assigned their training shard
+    * the moment they land — the continuous-ingest version of the batch
+    * prefix-sum. Exclusive-prefix semantics match qt11 exactly
+    * (a doc's shard is decided by the tokens BEFORE it). In-batch rows
+    * sort by doc_id; cross-batch order follows arrival, which is the
+    * ingest order a streaming packer genuinely sees.
+    */
+  def shardPackStream(docs: org.apache.spark.sql.Dataset[(String, String, Long, Long)],
+                      budget: Long = 2048L)
+      : org.apache.spark.sql.Dataset[ShardAssign] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import docs.sparkSession.implicits._
+    require(budget >= 1, s"budget=$budget")
+    docs.groupByKey(d => (d._1, d._2))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (String, String), rows: Iterator[(String, String, Long, Long)],
+         state: GroupState[PackState]) =>
+          var cum = state.getOption.map(_.cum).getOrElse(0L)
+          val out = rows.toVector.sortBy(_._3).map { case (src, lang, id, n) =>
+            val shard = cum / budget
+            cum += n
+            ShardAssign(src, lang, id, n, shard)
+          }
+          state.update(PackState(cum))
+          out.iterator
+      }
+  }
+
   case class TouchState(tsec: Long, channel: String)
   case class AttributedConv(userId: Long, tsec: Long, channel: String,
                             gapS: Long, value: Double)

@@ -101,6 +101,33 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming shard packing matches batch qt11 across a batch split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$Sf001/documents.parquet")
+      .selectExpr("source", "lang", "doc_id",
+        "CAST(size(filter(split(text, ' '), t -> t != '')) AS LONG) AS n_toks")
+      .as[(String, String, Long, Long)].collect().sortBy(_._3)
+    val mem = MemoryStream[(String, String, Long, Long)]
+    val out = ScoreStream.shardPackStream(mem.toDS())
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("pack_stream").start()
+    try {
+      val mid = docs.map(_._3).max / 2
+      mem.addData(docs.filter(_._3 <= mid).toSeq)
+      q.processAllAvailable()
+      mem.addData(docs.filter(_._3 > mid).toSeq)
+      q.processAllAvailable()
+      val got = spark.table("pack_stream").as[ScoreStream.ShardAssign].collect()
+        .map(s => s.docId -> (s.source, s.lang, s.nToks, s.shard)).toMap
+      val batch = graft.text.TextOps.packShards(spark, Sf001).collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getString(2), r.getLong(3), r.getLong(4))).toMap
+      assert(got === batch)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming attribution matches the batch qe10 rollup across a batch split") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
