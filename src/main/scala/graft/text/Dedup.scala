@@ -197,7 +197,12 @@ object Dedup {
   }
 
   def dupClusters(spark: SparkSession, sfDir: String, maxIter: Int = 20): DataFrame =
-    ccFrom(symEdges(spark, sfDir), maxIter)
+    // session-cached: qd6, qd7 and any other label consumer otherwise
+    // re-drive the whole multi-job CC loop (its iterations run eagerly
+    // at build time — the loop cannot hide behind a lazy plan)
+    graft.util.StageCache.cached(spark, sfDir, s"cclabels_$maxIter") {
+      ccFrom(symEdges(spark, sfDir), maxIter)
+    }
 
   /** qd14: PageRank over the LSH candidate graph — centrality of each
     * document inside its near-dup neighborhood (the canonical-member
