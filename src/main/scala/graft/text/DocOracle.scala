@@ -389,6 +389,17 @@ SELECT w.vec_id, w.cell, CAST(coalesce(d.n_prior_dups, 0) AS BIGINT) AS n_prior_
        d.vec_id IS NULL AS keep
 FROM wv w LEFT JOIN dups d USING (vec_id)"""
 
+  /** Mirrors Similarity.indexStats over the shared assignment CTE. */
+  def qv10(nCells: Int = 16, hotFactor: Double = 2.0): String =
+    vecsCte + assignCte(nCells) + s"""
+, counts AS (SELECT cell, count(*) AS n_vecs FROM assigned GROUP BY cell),
+tot AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS total FROM counts)
+SELECT CAST(cell AS BIGINT) AS cell, n_vecs,
+       ${r4("n_vecs / CAST(total AS DOUBLE)")} AS share,
+       ${r4(s"n_vecs * $nCells / CAST(total AS DOUBLE)")} AS skew,
+       CASE WHEN ${r4(s"n_vecs * $nCells / CAST(total AS DOUBLE)")} > $hotFactor THEN 1 ELSE 0 END AS hot
+FROM counts, tot"""
+
   def qv3(nCells: Int = 16, nProbe: Int = 2, k: Int = 5): String =
     vecsCte + assignCte(nCells) + s"""
 , centroids AS (

@@ -444,6 +444,27 @@ object Similarity {
         when(Num.r4(col("cos_c")) < minCos, 1).otherwise(0).as("suspect"))
   }
 
+  /** qv10: ANN index balance audit — per IVF cell: member count, share
+    * and the skew factor n·|cells|/total (qp5's discipline applied to
+    * the index): a hot cell slows every query probing it and starves
+    * recall elsewhere, so this is the post-build gate before an index
+    * ships. Derivative of the SHARED cached cell assignment (qv3/qv6/
+    * qd11 reuse it) — one |cells|-row rollup with map-side partials,
+    * plus a broadcast total.
+    */
+  def indexStats(spark: SparkSession, sfDir: String,
+                 nCells: Int = 16, hotFactor: Double = 2.0): DataFrame = {
+    require(hotFactor > 0, s"hotFactor=$hotFactor")
+    val assign = cellAssignment(spark, sfDir, nCells)
+    val counts = assign.groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+    val total = counts.agg(sum("n_vecs").as("total"))
+    counts.crossJoin(broadcast(total))
+      .select(col("cell").cast("long").as("cell"), col("n_vecs"),
+        Num.r4(col("n_vecs") / col("total")).as("share"),
+        Num.r4(col("n_vecs") * nCells / col("total")).as("skew"))
+      .withColumn("hot", when(col("skew") > hotFactor, 1).otherwise(0))
+  }
+
   /** qv9: embedding drift monitor — per label, the centroid of the
     * "old" snapshot (even vec_ids) vs the "new" one (odd vec_ids):
     * cosine between the two centroids + the L2 mean-shift norm, the

@@ -371,6 +371,18 @@ class TextSpec extends SparkSuite {
     assert(own.sum / own.length > foreign.sum / foreign.length)
   }
 
+  test("qv10 index stats: shares sum to 1, counts cover the collection, skew flags consistent") {
+    val s = Similarity.indexStats(spark, Sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getInt(4)))
+    val total = graft.util.Tables.embeddings(spark, Sf001).count()
+    assert(s.map(_._2).sum === total)
+    assert(math.abs(s.map(_._3).sum - 1.0) < 1e-2)
+    assert(s.forall(c => (c._4 > 2.0) == (c._5 == 1)))
+    // skew is share × nCells
+    def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    s.foreach(c => assert(c._4 === r4(c._2 * 16.0 / total)))
+  }
+
   test("qd15 novelty == driver recompute; doc 0 fully novel; novelty falls with position on dup-heavy corpora") {
     def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
     val docs = graft.util.Tables.documents(spark, Sf001)
