@@ -145,6 +145,7 @@ object SparkEntry {
     "qp10_quality_audit" -> ((s, d) => graft.analytics.Events.qualityAudit(s, d)),
     "qd15_novelty" -> ((s, d) => graft.text.Dedup.novelty(s, d)),
     "qv10_index_stats" -> ((s, d) => graft.vector.Similarity.indexStats(s, d)),
+    "qd16_canonical" -> ((s, d) => graft.text.Dedup.canonical(s, d)),
     "qp6_completeness" -> ((s, d) => TsQueries.qp6Completeness(s, d)),
     "qt13_boilerplate" -> ((s, d) => graft.text.TextOps.boilerplate(s, d)),
     "qt14_unigram_nll" -> ((s, d) => graft.text.TextOps.unigramNll(s, d)),
@@ -593,6 +594,7 @@ object SparkEntry {
     "q50_anomaly_mask" -> graft.timeseries.TsOracle.q50(),
     "qd15_novelty" -> graft.text.DocOracle.qd15(),
     "qv10_index_stats" -> graft.text.DocOracle.qv10(),
+    "qd16_canonical" -> graft.text.DocOracle.qd16(),
     "qp10_quality_audit" -> {
       def sub(t: String, c: String) = s"""
       SELECT '$t' AS table_name, '$c' AS column_name, count(*) AS n,

@@ -410,6 +410,30 @@ object Dedup {
         (col("max_run") + (n - 1)).as("span_toks"))
   }
 
+  /** qd16: canonical-member election per dup cluster — which variant
+    * SURVIVES dedup: within each of qd6's connected components, keep
+    * the member with the highest qd14 PageRank (the most-linked
+    * variant), longest text as tie-break, then lowest doc_id — the
+    * RefinedWeb-style "keep the best copy" refinement over qd6's
+    * min-id rule. Pure composition of three cached stages (labels,
+    * ranks, documents): one co-partitioned 3-way join on doc_id + a
+    * per-cluster top-1 window over |cluster| rows.
+    */
+  def canonical(spark: SparkSession, sfDir: String): DataFrame = {
+    val labels = dupClusters(spark, sfDir)
+    val pr = pageRank(spark, sfDir).select(col("doc_id"), col("pr"))
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "n_chars")
+    val members = labels.join(pr, "doc_id").join(docs, "doc_id")
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("pr").desc, col("n_chars").desc, col("doc_id"))
+    members
+      .withColumn("rn", row_number().over(w))
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy("cluster_id")))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("canonical_doc"),
+        col("sz").as("cluster_size"), col("pr").as("canonical_pr"))
+  }
+
   /** qd15: n-gram novelty scoring — per document, the fraction of its
     * distinct shingles whose FIRST corpus occurrence (min doc_id —
     * ingestion order) is this document: the marginal-diversity curve

@@ -213,6 +213,52 @@ pr0 AS (
 SELECT doc_id, deg, prq / 100000000.0 AS pr FROM pr$iters"""
   }
 
+  /** Mirrors Dedup.canonical — qd6's recursive labels + qd14's rank
+    * rounds over the one shared edges CTE, per-cluster top-1.
+    */
+  def qd16(nPerm: Int = 16, bandRows: Int = 4,
+           iters: Int = 3, damping: Double = 0.85): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""c$i AS (
+  SELECT e.doc_b AS doc_id,
+         CAST(sum(CAST(floor(p.prq / CAST(p.deg AS DOUBLE) + 0.5) AS BIGINT)) AS BIGINT) AS s
+  FROM edges e JOIN pr${i - 1} p ON e.doc_a = p.doc_id GROUP BY e.doc_b
+), pr$i AS (
+  SELECT p.doc_id, p.deg, p.cq,
+         p.cq + CAST(floor($damping * coalesce(c.s, 0) + 0.5) AS BIGINT) AS prq
+  FROM pr${i - 1} p LEFT JOIN c$i c USING (doc_id)
+)"""
+    }.mkString(", ")
+    val base = toksCte + shinglesCte(3, "sh3") + lshEdgesCte(nPerm, bandRows) + s"""
+, reach AS (
+  SELECT doc_a AS src, doc_a AS dst FROM (SELECT DISTINCT doc_a FROM edges)
+  UNION
+  SELECT r.src, e.doc_b AS dst FROM reach r JOIN edges e ON r.dst = e.doc_a
+), lab AS (
+  SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+), deg AS (SELECT doc_a AS doc_id, count(*) AS deg FROM edges GROUP BY doc_a),
+nn AS (SELECT count(*) AS n FROM deg),
+pr0 AS (
+  SELECT doc_id, deg,
+         CAST(floor(${(1.0 - damping) * 1e8} / n + 0.5) AS BIGINT) AS cq,
+         CAST(floor(100000000.0 / n + 0.5) AS BIGINT) AS prq
+  FROM deg, nn
+), $rounds,
+members AS (
+  SELECT l.cluster_id, l.doc_id, p.prq / 100000000.0 AS pr, d.n_chars
+  FROM lab l JOIN pr$iters p USING (doc_id) JOIN documents d USING (doc_id)
+)
+SELECT cluster_id, doc_id AS canonical_doc, sz AS cluster_size, pr AS canonical_pr
+FROM (
+  SELECT cluster_id, doc_id, pr,
+         count(*) OVER (PARTITION BY cluster_id) AS sz,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY pr DESC, n_chars DESC, doc_id) AS rn
+  FROM members
+) WHERE rn = 1"""
+    base.replaceFirst("^\nWITH ", "\nWITH RECURSIVE ")
+  }
+
   /** qd7 = qd6's label table grouped into per-cluster compaction stats. */
   def qd7(nPerm: Int = 16, bandRows: Int = 4): String =
     qd6(nPerm, bandRows).replace(

@@ -371,6 +371,25 @@ class TextSpec extends SparkSuite {
     assert(own.sum / own.length > foreign.sum / foreign.length)
   }
 
+  test("qd16 canonical == driver election over qd6 labels and qd14 ranks") {
+    val labels = graft.text.Dedup.dupClusters(spark, Sf001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pr = graft.text.Dedup.pageRank(spark, Sf001).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val chars = graft.util.Tables.documents(spark, Sf001)
+      .select("doc_id", "n_chars").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = labels.groupBy(_._2).map { case (cid, ms) =>
+      val ids = ms.keys.toSeq
+      val win = ids.minBy(id => (-pr(id), -chars(id), id))
+      (cid, win, ids.size.toLong, pr(win))
+    }.toSet
+    val got = graft.text.Dedup.canonical(spark, Sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got === want)
+    // every canonical really is a member of its own cluster
+    assert(got.forall(g => labels(g._2) == g._1))
+  }
+
   test("qv10 index stats: shares sum to 1, counts cover the collection, skew flags consistent") {
     val s = Similarity.indexStats(spark, Sf001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getInt(4)))
