@@ -125,6 +125,51 @@ object Metrics {
   /** q17: AUROC via the rank-sum (Mann–Whitney U) identity with average
     * ranks for ties — exactly sklearn's roc_auc_score, one shuffle.
     */
+  /** q51: point-adjust evaluation (Xu et al. 2018 "Unsupervised Anomaly
+    * Detection via VAE", §4.2 — the de-facto TS-AD scoring rule the
+    * reference's pointwise metrics predate): if ANY point inside a true
+    * anomaly segment is flagged, the WHOLE segment counts as detected.
+    * Detector here = q15's z-spike flags; truth = the injector's
+    * point labels. Per (series, win): true segments via gaps-and-
+    * islands, detected = max(flag) per segment — one window pass + one
+    * segment rollup, broadcast back onto the point stream; per-series
+    * P/R/F1 from exact integer counts (NULL-safe on empty denominators).
+    * Adjustment can only ADD true-segment points, so FP is unchanged —
+    * the classic reason point-adjust flatters recall, reported as-is.
+    */
+  def pointAdjust(spark: SparkSession, sfDir: String, thr: Double = 2.5): DataFrame = {
+    val z = graft.timeseries.Postprocess.zscoreOutliers(spark, sfDir, thr)
+      .select("series", "win", "pos", "flag_spike")
+    val base = TsCore.scaled(spark, sfDir).select("series", "win", "pos", "is_anom")
+      .join(z, Seq("series", "win", "pos"))
+    val wSeg = Window.partitionBy("series", "win").orderBy("pos")
+    val segs = base.filter(col("is_anom") === 1)
+      .withColumn("segid", col("pos") - row_number().over(wSeg))
+      .groupBy("series", "win", "segid")
+      .agg(max("flag_spike").as("seg_hit"), min("pos").as("sstart"), max("pos").as("send"))
+    val anomAdj = base.filter(col("is_anom") === 1)
+      .join(segs, Seq("series", "win"))
+      .filter(col("pos") >= col("sstart") && col("pos") <= col("send"))
+      .select(col("series"), col("win"), col("pos"),
+        greatest(col("flag_spike"), col("seg_hit")).as("adj"))
+    val tpfn = anomAdj.groupBy("series")
+      .agg(sum("adj").as("tp"), sum(lit(1) - col("adj")).as("fn"))
+    val fp = base.filter(col("is_anom") === 0).groupBy("series")
+      .agg(sum("flag_spike").as("fp"))
+    tpfn.join(fp, Seq("series"), "full_outer")
+      .select(col("series"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        coalesce(col("fn"), lit(0L)).as("fn"),
+        coalesce(col("fp"), lit(0L)).as("fp"))
+      .withColumn("precision",
+        when(col("tp") + col("fp") > 0, Num.r4(col("tp") / (col("tp") + col("fp")))))
+      .withColumn("recall",
+        when(col("tp") + col("fn") > 0, Num.r4(col("tp") / (col("tp") + col("fn")))))
+      .withColumn("f1",
+        when(col("tp") * 2 + col("fp") + col("fn") > 0,
+          Num.r4(col("tp") * 2 / (col("tp") * 2 + col("fp") + col("fn")))))
+  }
+
   def auroc(spark: SparkSession, sfDir: String): DataFrame = {
     val sg = scoredWithGt(spark, sfDir)
     val ranked = sg

@@ -335,6 +335,42 @@ lofn AS (
 SELECT n.id, n.pos, ${r4("n.sum_lrd_b / l.lrd")} AS lof
 FROM lofn n JOIN lrd l ON n.pos = l.pos AND n.id = l.id"""
 
+  /** Mirrors Metrics.pointAdjust — q15 flags, gaps-and-islands true
+    * segments, segment-hit adjustment, per-series exact-count P/R/F1.
+    */
+  def q51(thr: Double = 2.5): String = prefix + s"""
+, zf AS (
+  SELECT series, win, pos, is_anom,
+         CASE WHEN (vs - mu)/sd > $thr OR (vs - mu)/sd < -$thr THEN 1 ELSE 0 END AS flag
+  FROM (SELECT series, win, pos, vs, is_anom,
+               avg(vs) OVER (PARTITION BY series, win) AS mu,
+               stddev_samp(vs) OVER (PARTITION BY series, win) AS sd
+        FROM scaled)
+), an AS (
+  SELECT series, win, pos, flag,
+         pos - row_number() OVER (PARTITION BY series, win ORDER BY pos) AS segid
+  FROM zf WHERE is_anom = 1
+), seg AS (
+  SELECT series, win, segid, max(flag) AS seg_hit FROM an GROUP BY series, win, segid
+), adj AS (
+  SELECT a.series, greatest(a.flag, s.seg_hit) AS adj
+  FROM an a JOIN seg s USING (series, win, segid)
+), tpfn AS (
+  SELECT series, CAST(sum(adj) AS BIGINT) AS tp, CAST(sum(1 - adj) AS BIGINT) AS fn
+  FROM adj GROUP BY series
+), fpc AS (
+  SELECT series, CAST(sum(flag) AS BIGINT) AS fp FROM zf WHERE is_anom = 0 GROUP BY series
+), fin AS (
+  SELECT coalesce(t.series, f.series) AS series,
+         coalesce(t.tp, 0) AS tp, coalesce(t.fn, 0) AS fn, coalesce(f.fp, 0) AS fp
+  FROM tpfn t FULL OUTER JOIN fpc f ON t.series = f.series
+)
+SELECT series, tp, fn, fp,
+       CASE WHEN tp + fp > 0 THEN ${r4("tp / (tp + fp)")} END AS "precision",
+       CASE WHEN tp + fn > 0 THEN ${r4("tp / (tp + fn)")} END AS recall,
+       CASE WHEN tp * 2 + fp + fn > 0 THEN ${r4("tp * 2 / (tp * 2 + fp + fn)")} END AS f1
+FROM fin"""
+
   /** Mirrors Postprocess.anomalyMask — q29's top patch ∪ q14's padded
     * runs ∪ q15's spike extensions (exclusive right end, DaySize−2 cap),
     * scoped to scored windows.

@@ -144,6 +144,52 @@ class DetectSpec extends SparkSuite {
     assert(got.exists(_._7 == 1) && got.forall(g => wins((g._1, g._2))))
   }
 
+  test("q51 point adjust == driver recompute; adjusted recall >= raw recall") {
+    import graft.timeseries.{Metrics, Postprocess, TsCore}
+    def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    val flags = Postprocess.zscoreOutliers(spark, Sf01).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) -> r.getInt(4)).toMap
+    val pts = TsCore.scaled(spark, Sf01).select("series", "win", "pos", "is_anom").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val want = pts.groupBy(_._1).map { case (s, g) =>
+      val anom = g.filter(_._4 == 1)
+      // segments: consecutive pos runs per window
+      val segs = anom.groupBy(_._2).toSeq.flatMap { case (w, ps) =>
+        val sorted = ps.map(_._3).sorted
+        sorted.zipWithIndex.groupBy { case (p, i) => p - i }.values
+          .map(run => (w, run.map(_._1).toSet))
+      }
+      val tp = segs.map { case (w, poss) =>
+        val hit = poss.exists(p => flags((s, w, p)) == 1)
+        if (hit) poss.size.toLong
+        else poss.count(p => flags((s, w, p)) == 1).toLong
+      }.sum
+      val nTrue = anom.length.toLong
+      val fp = g.filter(_._4 == 0).count(t => flags((t._1, t._2, t._3)) == 1).toLong
+      val fn = nTrue - tp
+      s -> (tp, fn, fp,
+        if (tp + fp > 0) r4(tp.toDouble / (tp + fp)) else null,
+        if (tp + fn > 0) r4(tp.toDouble / (tp + fn)) else null,
+        if (tp * 2 + fp + fn > 0) r4(tp * 2.0 / (tp * 2 + fp + fn)) else null)
+    }
+    val got = Metrics.pointAdjust(spark, Sf01).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) null else r.getDouble(4),
+        if (r.isNullAt(5)) null else r.getDouble(5),
+        if (r.isNullAt(6)) null else r.getDouble(6))).toMap
+    assert(got.keySet === want.keySet)
+    for ((s, v) <- want) assert(got(s) === v, s"series $s")
+    // adjustment only adds true-positives: recall >= the raw point recall
+    for ((s, g) <- pts.groupBy(_._1)) {
+      val anom = g.filter(_._4 == 1)
+      if (anom.nonEmpty) {
+        val rawTp = anom.count(t => flags((t._1, t._2, t._3)) == 1)
+        val rawRecall = rawTp.toDouble / anom.length
+        assert(got(s)._5.asInstanceOf[Double] >= r4(rawRecall) - 1e-9, s"series $s")
+      }
+    }
+  }
+
   test("detection has signal: auroc above chance") {
     val a = Metrics.auroc(spark, Sf01).head()
     val auroc = a.getDouble(a.fieldIndex("auroc"))
