@@ -101,6 +101,49 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming attribution: random event streams with random splits match the driver model") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(7)
+    val types = Vector("click", "view", "signup", "purchase", "error")
+    for (inst <- 1 to 3) {
+      val evs = (1 to 120).map { i =>
+        (rnd.nextInt(6).toLong, rnd.nextInt(12000).toLong, i.toLong,
+          types(rnd.nextInt(types.length)), rnd.nextDouble() * 50)
+      }
+      val mem = MemoryStream[(Long, Long, Long, String, Double)]
+      val out = ScoreStream.attributionStream(mem.toDS())
+      val q = out.writeStream.outputMode("append")
+        .format("memory").queryName(s"attr_prop_$inst").start()
+      try {
+        // random 3-way split BY TIME (arrival order must respect event
+        // time across batches — the operator's documented contract)
+        val cut1 = rnd.nextInt(4000) + 2000L
+        val cut2 = cut1 + rnd.nextInt(4000) + 1000L
+        Seq(evs.filter(_._2 <= cut1), evs.filter(e => e._2 > cut1 && e._2 <= cut2),
+          evs.filter(_._2 > cut2)).foreach { b =>
+          mem.addData(b); q.processAllAvailable()
+        }
+        val got = spark.table(s"attr_prop_$inst").as[ScoreStream.AttributedConv].collect()
+          .map(c => (c.userId, c.tsec, c.channel, c.gapS, c.value)).sortBy(c => (c._1, c._2, c._5))
+        // driver model: dedupe touches per (user,tsec) by max event_id,
+        // purchases take the latest strictly-earlier touch within 3600s
+        val touch = Set("click", "view", "signup")
+        val byUser = evs.filter(e => touch(e._4)).groupBy(e => (e._1, e._2))
+          .map(_._2.maxBy(_._3)).toSeq.groupBy(_._1)
+        val want = evs.filter(_._4 == "purchase").map { p =>
+          val prior = byUser.getOrElse(p._1, Seq()).filter(t => t._2 < p._2)
+          val lt = if (prior.isEmpty) None else Some(prior.maxBy(_._2))
+          lt match {
+            case Some(t) if p._2 - t._2 <= 3600 => (p._1, p._2, t._4, p._2 - t._2, p._5)
+            case _ => (p._1, p._2, "direct", -1L, p._5)
+          }
+        }.sortBy(c => (c._1, c._2, c._5))
+        assert(got.toSeq === want, s"instance $inst")
+      } finally q.stop()
+    }
+  }
+
   test("streaming shard packing matches batch qt11 across a batch split") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
