@@ -956,6 +956,21 @@ SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_seg,
        coalesce(string_agg(CASE WHEN c.nd < $minDocs THEN s.seg END, ' ' ORDER BY s.seg_idx), '') AS clean_text
 FROM segs s JOIN cnt c USING (seg) GROUP BY s.doc_id"""
 
+  /** Mirrors TextOps.sourceScorecard. */
+  val qt18: String = toksCte + s"""
+, tkc AS (SELECT doc_id, count(*) AS n_toks FROM toks GROUP BY doc_id),
+dh AS (SELECT md5(text) AS h, count(*) AS nh FROM documents GROUP BY md5(text))
+SELECT d.source, count(*) AS n_docs,
+       CAST(sum(coalesce(t.n_toks, 0)) AS BIGINT) AS total_toks,
+       ${r4("sum(d.n_chars) / CAST(count(*) AS DOUBLE)")} AS avg_chars,
+       CAST(count(DISTINCT d.lang) AS BIGINT) AS n_langs,
+       CAST(sum(CASE WHEN x.nh > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup,
+       ${r4("sum(CASE WHEN x.nh > 1 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE)")} AS dup_rate
+FROM documents d
+LEFT JOIN tkc t USING (doc_id)
+JOIN dh x ON md5(d.text) = x.h
+GROUP BY d.source"""
+
   /** Mirrors Dedup.novelty — distinct doc-shingles, global min-doc
     * first occurrence, per-doc novel fraction.
     */

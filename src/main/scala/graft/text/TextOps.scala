@@ -416,6 +416,31 @@ object TextOps {
         coalesce(Num.r4(-(col("slp") / 10000d / col("n_bg"))), lit(0.0)).as("nll2"))
   }
 
+  /** qt18: per-source scorecard — the one-page ingest dashboard a data
+    * team reviews per crawl/source before mixing: volume (docs, tokens,
+    * mean chars), language spread, and the exact-duplicate rate (docs
+    * whose md5 appears more than once corpus-wide — qd1's signal rolled
+    * up to the source grain). Composition of the shared token stage +
+    * one md5 group pass; every aggregate is a map-side-partial rollup
+    * to |sources| rows.
+    */
+  def sourceScorecard(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+        md5(col("text")).as("h"))
+    val tk = tokens(spark, sfDir).groupBy("doc_id").agg(count(lit(1)).as("n_toks"))
+    val dupH = d.groupBy("h").agg(count(lit(1)).as("nh"))
+    d.join(tk, Seq("doc_id"), "left")
+      .join(dupH, "h")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("n_toks"), lit(0L))).as("total_toks"),
+        Num.r4(sum("n_chars") / count(lit(1))).as("avg_chars"),
+        countDistinct("lang").as("n_langs"),
+        sum(when(col("nh") > 1, 1L).otherwise(0L)).as("n_exact_dup"))
+      .withColumn("dup_rate", Num.r4(col("n_exact_dup") / col("n_docs")))
+  }
+
   /** The character alphabet qt16 histograms over — this corpus is
     * lowercase words + spaces, so 26 letters + ' ' covers it; anything
     * else lands in the `other` bucket. Shared with DocOracle.qt16 so

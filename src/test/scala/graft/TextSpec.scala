@@ -371,6 +371,26 @@ class TextSpec extends SparkSuite {
     assert(own.sum / own.length > foreign.sum / foreign.length)
   }
 
+  test("qt18 source scorecard == driver recompute") {
+    def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    val docs = graft.util.Tables.documents(spark, Sf001)
+      .select("doc_id", "source", "lang", "n_chars", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3), r.getString(4)))
+    val dupTexts = docs.groupBy(_._5).filter(_._2.length > 1).keySet
+    val want = docs.groupBy(_._2).map { case (src, g) =>
+      val toks = g.map(_._5.split(" ").count(_.nonEmpty).toLong).sum
+      src -> (g.length.toLong, toks, r4(g.map(_._4).sum.toDouble / g.length),
+        g.map(_._3).distinct.length.toLong,
+        g.count(d => dupTexts(d._5)).toLong,
+        r4(g.count(d => dupTexts(d._5)).toDouble / g.length))
+    }
+    val got = TextOps.sourceScorecard(spark, Sf001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6))).toMap
+    assert(got === want)
+    assert(got.values.map(_._1).sum === docs.length.toLong)
+  }
+
   test("qd16 canonical == driver election over qd6 labels and qd14 ranks") {
     val labels = graft.text.Dedup.dupClusters(spark, Sf001).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
