@@ -148,6 +148,7 @@ object SparkEntry {
     "qd16_canonical" -> ((s, d) => graft.text.Dedup.canonical(s, d)),
     "q51_point_adjust" -> ((s, d) => graft.timeseries.Metrics.pointAdjust(s, d)),
     "qt18_source_scorecard" -> ((s, d) => graft.text.TextOps.sourceScorecard(s, d)),
+    "q52_strength" -> ((s, d) => graft.timeseries.Forecast.strength(s, d)),
     "qp6_completeness" -> ((s, d) => TsQueries.qp6Completeness(s, d)),
     "qt13_boilerplate" -> ((s, d) => graft.text.TextOps.boilerplate(s, d)),
     "qt14_unigram_nll" -> ((s, d) => graft.text.TextOps.unigramNll(s, d)),
@@ -599,6 +600,7 @@ object SparkEntry {
     "qd16_canonical" -> graft.text.DocOracle.qd16(),
     "q51_point_adjust" -> graft.timeseries.TsOracle.q51(),
     "qt18_source_scorecard" -> graft.text.DocOracle.qt18,
+    "q52_strength" -> graft.timeseries.TsOracle.q52(),
     "qp10_quality_audit" -> {
       def sub(t: String, c: String) = s"""
       SELECT '$t' AS table_name, '$c' AS column_name, count(*) AS n,

@@ -1,6 +1,6 @@
 package graft.timeseries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.util.Num
@@ -340,6 +340,34 @@ object Forecast {
       .select(col("series"), col("t"), Num.r4(col("trend")).as("trend"),
         Num.r4(col("seasonal")).as("seasonal"),
         Num.r4(col("detr") - col("seasonal")).as("resid"))
+  }
+
+  /** q52: trend/seasonal strength indices (Hyndman & Athanasopoulos,
+    * FPP3 §4.3, public): F_T = max(0, 1 − Var(R)/Var(T+R)) and
+    * F_S = max(0, 1 − Var(R)/Var(S+R)) over q48's decomposition — the
+    * one-number-per-series diagnostic that says whether q21/q24's
+    * seasonal models are even applicable. All variances from exact
+    * scaled-int (Σx, Σx²) pairs over the r4-quantized components, so
+    * the per-series rollup is order-free; one |series|-row output.
+    */
+  def strength(spark: SparkSession, sfDir: String, half: Int = 12): DataFrame = {
+    val d = decompose(spark, sfDir, half)
+      .withColumn("r", col("resid"))
+      .withColumn("tr", Num.r4(col("trend") + col("resid")))
+      .withColumn("sr", Num.r4(col("seasonal") + col("resid")))
+    def sq(c: String) = Seq(
+      sum(floor(col(c) * 10000d + 0.5d).cast("long")).as(s"sx_$c"),
+      sum(floor(col(c) * col(c) * 10000d + 0.5d).cast("long")).as(s"sxx_$c"))
+    val aggs = count(lit(1)).as("n") +: (sq("r") ++ sq("tr") ++ sq("sr"))
+    val g = d.groupBy("series").agg(aggs.head, aggs.tail: _*)
+    def varOf(c: String): Column =
+      (col(s"sxx_$c") / 10000d -
+        (col(s"sx_$c") / 10000d) * (col(s"sx_$c") / 10000d) / col("n")) / (col("n") - 1)
+    def str(denom: String): Column =
+      when(col("n") > 1 && varOf(denom) > 0,
+        Num.r4(greatest(lit(0.0), lit(1.0) - varOf("r") / varOf(denom))))
+    g.select(col("series"), col("n"),
+      str("tr").as("trend_strength"), str("sr").as("seasonal_strength"))
   }
 
   /** q24: additive seasonal profile per (series, hour-of-day) over the

@@ -1028,6 +1028,53 @@ SELECT b.series, b.t, ${r4("b.trend")} AS trend, ${r4("s.seasonal")} AS seasonal
 FROM dbase b JOIN dseas s ON b.series = s.series AND b.t % $DaySize = s.pos"""
   }
 
+  /** Mirrors Forecast.strength — q48's decomposition CTEs + exact
+    * scaled-int (Σx, Σx²) variance pairs.
+    */
+  def q52(half: Int = 12): String = {
+    val w = 2 * half + 1
+    def sq(c: String) = s"""
+         CAST(sum(CAST(floor($c*10000 + 0.5) AS BIGINT)) AS BIGINT) AS sx_$c,
+         CAST(sum(CAST(floor($c*$c*10000 + 0.5) AS BIGINT)) AS BIGINT) AS sxx_$c"""
+    def varOf(c: String) =
+      s"(sxx_$c / 10000.0 - (sx_$c / 10000.0) * (sx_$c / 10000.0) / n) / (n - 1)"
+    def str(d: String) =
+      s"CASE WHEN n > 1 AND ${varOf(d)} > 0 THEN ${r4(s"greatest(0.0, 1.0 - (${varOf("r")}) / (${varOf(d)}))")} END"
+    prefix + s"""
+, dcum AS (
+  SELECT series, t, v_filled,
+    sum(coalesce(v_filled, 0.0)) OVER wc AS cum,
+    count(v_filled) OVER wc AS cnt
+  FROM filled
+  WINDOW wc AS (PARTITION BY series ORDER BY t ROWS UNBOUNDED PRECEDING)
+), dfrm AS (
+  SELECT series, t, v_filled,
+    lead(cum, $half) OVER ws - coalesce(lag(cum, ${half + 1}) OVER ws, 0.0) AS fsum,
+    lead(cnt, $half) OVER ws - coalesce(lag(cnt, ${half + 1}) OVER ws, 0) AS fn
+  FROM dcum WINDOW ws AS (PARTITION BY series ORDER BY t)
+), dbase AS (
+  SELECT series, t, v_filled, fsum / $w AS trend, v_filled - fsum / $w AS detr
+  FROM dfrm WHERE v_filled IS NOT NULL AND fn = $w
+), dseas AS (
+  SELECT series, t % $DaySize AS pos,
+    sum(CAST(floor(detr*10000 + 0.5) AS BIGINT)) / 10000.0 / count(*) AS seasonal
+  FROM dbase GROUP BY series, t % $DaySize
+), comp0 AS (
+  SELECT b.series, ${r4("b.detr - s.seasonal")} AS r,
+         ${r4("b.trend")} AS tq, ${r4("s.seasonal")} AS sq0
+  FROM dbase b JOIN dseas s ON b.series = s.series AND b.t % $DaySize = s.pos
+), comp AS (
+  SELECT series, r, floor((tq + r)*10000 + 0.5)/10000 AS tr,
+         floor((sq0 + r)*10000 + 0.5)/10000 AS sr
+  FROM comp0
+), g AS (
+  SELECT series, count(*) AS n, ${sq("r")}, ${sq("tr")}, ${sq("sr")}
+  FROM comp GROUP BY series
+)
+SELECT series, n, ${str("tr")} AS trend_strength, ${str("sr")} AS seasonal_strength
+FROM g"""
+  }
+
   def q32(lags: Seq[Int] = Seq(1, 24, 168)): String = prefix + s"""
 , lagd AS (
   SELECT series, t, v_filled,

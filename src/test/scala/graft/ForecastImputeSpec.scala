@@ -54,6 +54,39 @@ class ForecastImputeSpec extends SparkSuite {
     assert(k.filter(col("v_imp").isNull).count() === 0)
   }
 
+  test("q52 strength == driver variance recompute over q48's components; bounded in [0,1]") {
+    def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    val comps = Forecast.decompose(spark, Sf01).collect()
+      .map(r => (r.getString(0), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    def varOf(xs: Seq[Double]): Double = {
+      val n = xs.length
+      val sx = xs.map(x => math.floor(x * 10000 + 0.5).toLong).sum
+      val sxx = xs.map(x => math.floor(x * x * 10000 + 0.5).toLong).sum
+      (sxx / 10000.0 - (sx / 10000.0) * (sx / 10000.0) / n) / (n - 1)
+    }
+    val want = comps.groupBy(_._1).map { case (s, g) =>
+      val r = g.map(_._4)
+      val tr = g.map(x => r4(x._2 + x._4))
+      val sr = g.map(x => r4(x._3 + x._4))
+      def str(d: Seq[Double]): Any =
+        if (g.length > 1 && varOf(d) > 0)
+          r4(math.max(0.0, 1.0 - varOf(r.toSeq) / varOf(d))) else null
+      s -> (g.length.toLong, str(tr.toSeq), str(sr.toSeq))
+    }
+    val got = Forecast.strength(spark, Sf01).collect()
+      .map(r => r.getString(0) -> (r.getLong(1),
+        (if (r.isNullAt(2)) null else r.getDouble(2)): Any,
+        (if (r.isNullAt(3)) null else r.getDouble(3)): Any)).toMap
+    assert(got.keySet === want.keySet)
+    for ((s, v) <- want) assert(got(s) === v, s"series $s")
+    got.values.foreach { case (_, t, sst) =>
+      Seq(t, sst).foreach {
+        case d: Double => assert(d >= 0.0 && d <= 1.0)
+        case _ =>
+      }
+    }
+  }
+
   test("q49 periodogram == driver DFT recompute; one dominant period per series") {
     def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
     val periods = Seq(6, 8, 12, 24, 84, 168)
