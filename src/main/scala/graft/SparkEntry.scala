@@ -149,6 +149,7 @@ object SparkEntry {
     "q51_point_adjust" -> ((s, d) => graft.timeseries.Metrics.pointAdjust(s, d)),
     "qt18_source_scorecard" -> ((s, d) => graft.text.TextOps.sourceScorecard(s, d)),
     "q52_strength" -> ((s, d) => graft.timeseries.Forecast.strength(s, d)),
+    "qe12_survival" -> ((s, d) => graft.analytics.Events.survival(s, d)),
     "qp6_completeness" -> ((s, d) => TsQueries.qp6Completeness(s, d)),
     "qt13_boilerplate" -> ((s, d) => graft.text.TextOps.boilerplate(s, d)),
     "qt14_unigram_nll" -> ((s, d) => graft.text.TextOps.unigramNll(s, d)),
@@ -601,6 +602,47 @@ object SparkEntry {
     "q51_point_adjust" -> graft.timeseries.TsOracle.q51(),
     "qt18_source_scorecard" -> graft.text.DocOracle.qt18,
     "q52_strength" -> graft.timeseries.TsOracle.q52(),
+    "qe12_survival" -> """
+      WITH ev AS (
+        SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS tsec FROM events
+      ), mx AS (SELECT max(tsec) AS tmax FROM ev),
+      s0 AS (
+        SELECT user_id, min(tsec) AS s0 FROM ev WHERE event_type = 'signup' GROUP BY user_id
+      ), p0 AS (
+        SELECT s.user_id, s.s0, min(CASE WHEN e.tsec >= s.s0 THEN e.tsec END) AS p0
+        FROM s0 s LEFT JOIN ev e ON e.user_id = s.user_id AND e.event_type = 'purchase'
+        GROUP BY s.user_id, s.s0
+      ), gaps AS (
+        SELECT user_id,
+               CASE WHEN p0 IS NOT NULL THEN CAST(floor((p0 - s0) / 86400) AS BIGINT)
+                    ELSE CAST(floor((tmax - s0) / 86400) AS BIGINT) END AS d,
+               CASE WHEN p0 IS NOT NULL THEN 1 ELSE 0 END AS converted
+        FROM p0, mx
+      ), byday AS (
+        SELECT d, CAST(sum(converted) AS BIGINT) AS d_conv,
+               CAST(sum(1 - converted) AS BIGINT) AS d_cens
+        FROM gaps GROUP BY d
+      ), risk AS (
+        SELECT d, d_conv, d_cens,
+               sum(d_conv + d_cens) OVER () -
+               coalesce(sum(d_conv + d_cens) OVER (ORDER BY d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+        FROM byday
+      ), lg AS (
+        SELECT d, d_conv, d_cens, CAST(n_risk AS BIGINT) AS n_risk,
+               CASE WHEN d_conv > 0 AND d_conv < n_risk
+                    THEN CAST(floor(ln(1.0 - d_conv / CAST(n_risk AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+                    ELSE 0 END AS lq,
+               CASE WHEN d_conv = n_risk THEN 1 ELSE 0 END AS died
+        FROM risk
+      )
+      SELECT d AS day, n_risk, d_conv, d_cens,
+             CASE WHEN max(died) OVER (ORDER BY d
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1 THEN 0.0
+                  ELSE floor((exp(sum(lq) OVER (ORDER BY d
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 1000000.0))*10000 + 0.5)/10000
+             END AS surv
+      FROM lg""",
     "qp10_quality_audit" -> {
       def sub(t: String, c: String) = s"""
       SELECT '$t' AS table_name, '$c' AS column_name, count(*) AS n,

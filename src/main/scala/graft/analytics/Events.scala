@@ -420,6 +420,58 @@ object Events {
         Num.r4(col("cum_q4") / 10000d).as("cum_revenue"))
   }
 
+  /** qe12: Kaplan–Meier time-to-convert — the survival curve S(t) of
+    * "signup → first purchase" with right-censoring at the corpus end
+    * (users who never purchased are censored, NOT dropped — dropping
+    * them is the classic conversion-rate bias). Day-granular product-
+    * limit estimator: S(d) = Π_{i≤d} (1 − d_i/n_i), computed in
+    * log-space with 1e-6 pre-sum quantization (a literal running
+    * PRODUCT is neither associative-safe nor SQL-native; the quantized
+    * log-sum is exact-integer and order-free). The heavy work is one
+    * user_id rollup; the curve itself lives on a |days|-row table —
+    * running windows never touch the event stream.
+    */
+  def survival(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.util.Num
+    val day = 86400L
+    val ev = epochSec(spark, sfDir)
+    val maxT = ev.agg(max("tsec").as("tmax"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("tsec").as("s0"))
+    val firstBuy = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("tsec").as("pt"))
+    // left join keeps never-purchased users; purchases BEFORE signup
+    // fall out via the conditional min (the user stays, censored)
+    val gaps = signups.join(firstBuy, Seq("user_id"), "left")
+      .groupBy("user_id", "s0").agg(min(when(col("pt") >= col("s0"), col("pt"))).as("p0"))
+      .crossJoin(broadcast(maxT))
+      .select(col("user_id"),
+        when(col("p0").isNotNull, floor((col("p0") - col("s0")) / day).cast("long"))
+          .otherwise(floor((col("tmax") - col("s0")) / day).cast("long")).as("d"),
+        col("p0").isNotNull.cast("int").as("converted"))
+    val byDay = gaps.groupBy("d")
+      .agg(sum("converted").as("d_conv"),
+        sum(lit(1) - col("converted")).as("d_cens"))
+    // all three windows run over the |days|-row rollup only — the
+    // single-partition global sort is |days| rows, not the event stream
+    val w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)
+    val wc = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    byDay
+      .withColumn("n_risk", sum(col("d_conv") + col("d_cens")).over(wAll) -
+        coalesce(sum(col("d_conv") + col("d_cens")).over(w), lit(0L)))
+      // d_conv == n_risk means S hits exactly 0 (log undefined): carry a
+      // "died out" flag through the cumulative window instead
+      .withColumn("lq", when(col("d_conv") > 0 && col("d_conv") < col("n_risk"),
+        floor(log(lit(1.0) - col("d_conv") / col("n_risk")) * 1000000d + 0.5d).cast("long"))
+        .otherwise(0L))
+      .withColumn("dead", max((col("d_conv") === col("n_risk")).cast("int")).over(wc))
+      .withColumn("surv", when(col("dead") === 1, lit(0.0))
+        .otherwise(Num.r4(exp(sum("lq").over(wc) / 1000000d))))
+      .select(col("d").as("day"), col("n_risk"), col("d_conv"), col("d_cens"), col("surv"))
+  }
+
   /** qp9: equi-width histogram profiler — per numeric column, 16-bin
     * value histograms with bin bounds (the data-profiling / query-
     * optimizer-statistics staple next to qp1's summary and qp3's

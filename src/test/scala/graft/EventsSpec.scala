@@ -75,6 +75,41 @@ class EventsSpec extends SparkSuite {
     assert(merged === single) // == on doubles: the merge must be BIT-identical
   }
 
+  test("qe12 survival == driver Kaplan-Meier recompute; curve monotone non-increasing from 1") {
+    def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    val ev = spark.read.parquet(s"$Sf001/events.parquet")
+      .selectExpr("user_id", "event_type", "CAST(ts div 1000000000 AS LONG) AS tsec")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val tmax = ev.map(_._3).max
+    val gaps = ev.filter(_._2 == "signup").groupBy(_._1).toSeq.map { case (u, g) =>
+      val s0 = g.map(_._3).min
+      val p0 = ev.filter(e => e._1 == u && e._2 == "purchase" && e._3 >= s0)
+        .map(_._3).minOption
+      (p0.map(p => (p - s0) / 86400).getOrElse((tmax - s0) / 86400), p0.isDefined)
+    }
+    val byDay = gaps.groupBy(_._1).toSeq.sortBy(_._1).map { case (d, g) =>
+      (d, g.count(_._2).toLong, g.count(!_._2).toLong)
+    }
+    var atRisk = gaps.length.toLong
+    var lsum = 0L
+    var dead = false
+    val want = byDay.map { case (d, conv, cens) =>
+      if (conv > 0 && conv < atRisk)
+        lsum += math.floor(math.log(1.0 - conv.toDouble / atRisk) * 1000000d + 0.5d).toLong
+      if (conv == atRisk) dead = true
+      val s = if (dead) 0.0 else r4(math.exp(lsum / 1000000.0))
+      val row = (d, atRisk, conv, cens, s)
+      atRisk -= conv + cens
+      row
+    }.toSet
+    val got = graft.analytics.Events.survival(spark, Sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+    assert(got === want)
+    val curve = got.toSeq.sortBy(_._1).map(_._5)
+    assert(curve.head <= 1.0 + 1e-9)
+    curve.zip(curve.drop(1)).foreach { case (a, b) => assert(b <= a + 1e-9) }
+  }
+
   test("qe11 cohort ltv: cumulative curves monotone, totals conserve, cohorts partition users") {
     import org.apache.spark.sql.functions._
     val rows = graft.analytics.Events.cohortLtv(spark, Sf001).collect()
