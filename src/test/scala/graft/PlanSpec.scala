@@ -213,6 +213,27 @@ class PlanSpec extends SparkSuite {
     assert(pv8.contains("partial_sum"), s"qv8 centroid agg must map-side combine:\n${pv8.take(1200)}")
   }
 
+  test("round-6 part-23+ operators keep their scale shapes") {
+    // q51/q52/qe11/qe12/qd15/qt18: no accidental cartesian anywhere,
+    // and the rollup-heavy ops keep map-side partial aggregation
+    for ((nm, df) <- Seq(
+      "q51" -> graft.timeseries.Metrics.pointAdjust(spark, Sf01),
+      "q52" -> graft.timeseries.Forecast.strength(spark, Sf01),
+      "qe11" -> graft.analytics.Events.cohortLtv(spark, Sf01),
+      "qe12" -> graft.analytics.Events.survival(spark, Sf01),
+      "qd15" -> graft.text.Dedup.novelty(spark, Sf01),
+      "qt18" -> graft.text.TextOps.sourceScorecard(spark, Sf01))) {
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), s"$nm grew a cartesian:\n${p.take(1000)}")
+    }
+    // q52 is a pure window+agg chain over the filled stage — no explode
+    val p52 = plan(graft.timeseries.Forecast.strength(spark, Sf01))
+    assert(!p52.contains("Generate"), s"q52 must not explode:\n${p52.take(1000)}")
+    // qp10 folds every counter map-side before its single-row exchange
+    val p10 = plan(graft.analytics.Events.qualityAudit(spark, Sf01))
+    assert(p10.contains("partial_sum"), s"qp10 must partial-agg:\n${p10.take(1000)}")
+  }
+
   test("grouped aggregation is whole-stage codegen'd with partial agg") {
     val df = Tables.lineitem(spark, Sf01)
       .groupBy("l_returnflag").agg(sum("l_quantity"))
