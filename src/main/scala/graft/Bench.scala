@@ -70,6 +70,7 @@ object Bench {
     // index) are billed to the FIRST query of each family — which is
     // their natural owner — and adding a query no longer reshuffles
     // which sibling pays a build.
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -79,7 +80,14 @@ object Bench {
       try {
         val df = fn(spark, sfDir)
         df.select(xxhash64(df.columns.map(col): _*).as("h")).agg(Map("h" -> "max")).count()
-      } catch { case _: Throwable => -1L }
+      } catch { case e: Throwable =>
+        // A throwing query must NOT report its (tiny) time-to-fail as a
+        // benchmark number — r7's testdata schema change made every
+        // events query fail analysis in ~0.1 s and the suite still
+        // "passed". Record the failure loudly instead.
+        failed += name
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage.take(300)}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     // The driver records only the LAST 2000 bytes of output; the full
@@ -92,7 +100,11 @@ object Bench {
       "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.3f"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs =
+      if (failed.isEmpty) ""
+      else failed.map(n => "\"" + n.takeWhile(_ != '_') + "\"")
+        .mkString(""","errors":[""", ",", "]")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

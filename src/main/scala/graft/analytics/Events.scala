@@ -14,11 +14,8 @@ object Events {
 
   private def epochSec(spark: SparkSession, sfDir: String): DataFrame = {
     val raw = Tables.events(spark, sfDir)
-    val sec = raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => expr("ts div 1000000000")
-      case _ => col("ts").cast("long")
-    }
-    raw.select(col("event_id"), col("user_id"), col("event_type"), sec.as("tsec"), col("value"))
+    raw.select(col("event_id"), col("user_id"), col("event_type"),
+      graft.util.Ts.sec(raw).as("tsec"), col("value"))
   }
 
   /** qe4: AS-OF join — for every `aType` event, the user's most recent

@@ -105,10 +105,7 @@ object Relational {
     */
   def eventPivot(spark: SparkSession, sfDir: String): DataFrame = {
     val raw = Tables.events(spark, sfDir)
-    val sec = raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => expr("ts div 1000000000")
-      case _ => col("ts").cast("long")
-    }
+    val sec = graft.util.Ts.sec(raw)
     val slots = 0 until 6
     // floor-only integer math: DuckDB CAST(double→int) rounds while
     // Spark truncates, so every division goes through floor() first
@@ -243,10 +240,7 @@ object Relational {
     */
   def latestRow(spark: SparkSession, sfDir: String): DataFrame = {
     val raw = Tables.events(spark, sfDir)
-    val sec = raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => expr("ts div 1000000000")
-      case _ => col("ts").cast("long")
-    }
+    val sec = graft.util.Ts.sec(raw)
     val ev = raw.select(col("user_id"), col("event_id"), sec.as("tsec"),
       col("event_type"), col("value"))
     val w = Window.partitionBy("user_id").orderBy(col("tsec").desc, col("event_id").desc)

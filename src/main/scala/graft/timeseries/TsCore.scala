@@ -50,11 +50,8 @@ object TsCore {
   private[graft] def hourlyAgg(spark: SparkSession, sfDir: String): DataFrame =
     cached(spark, sfDir, "gridraw") {
       val raw = Tables.events(spark, sfDir)
-      // ts arrives as TimestampType or, with nanosAsLong, as raw nanos.
-      val hr = raw.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType => expr("ts div 3600000000000")
-        case _ => floor(col("ts").cast("long") / 3600L).cast("long")
-      }
+      // ts encoding (nanos-long / TIMESTAMP / TIMESTAMP_NTZ) → util.Ts
+      val hr = graft.util.Ts.hour(raw)
       raw.select(col("event_type").as("series"), hr.as("hr"), col("value"))
         // aggregate FIRST (one scan of the raw events); everything
         // downstream reads grid cells, orders of magnitude smaller

@@ -34,11 +34,8 @@ class EventsSpec extends SparkSuite {
     val stages = Seq("signup", "view", "click", "purchase")
     val windowSec = 172800L
     val raw = spark.read.parquet(s"$Sf001/events.parquet")
-    val sec = raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => expr("ts div 1000000000")
-      case _ => col("ts").cast("long")
-    }
-    val evs = raw.select(col("user_id"), col("event_type"), sec.as("tsec"))
+    val evs = raw.select(col("user_id"), col("event_type"),
+        graft.util.Ts.sec(raw).as("tsec"))
       .filter(col("event_type").isin(stages: _*))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     val expected = evs.groupBy(_._1).values.map { uevs =>
@@ -77,8 +74,9 @@ class EventsSpec extends SparkSuite {
 
   test("qe12 survival == driver Kaplan-Meier recompute; curve monotone non-increasing from 1") {
     def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
-    val ev = spark.read.parquet(s"$Sf001/events.parquet")
-      .selectExpr("user_id", "event_type", "CAST(ts div 1000000000 AS LONG) AS tsec")
+    val evRaw = spark.read.parquet(s"$Sf001/events.parquet")
+    val ev = evRaw
+      .select(col("user_id"), col("event_type"), graft.util.Ts.sec(evRaw).as("tsec"))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     val tmax = ev.map(_._3).max
     val gaps = ev.filter(_._2 == "signup").groupBy(_._1).toSeq.map { case (u, g) =>
@@ -123,8 +121,10 @@ class EventsSpec extends SparkSuite {
         assert(b._6 >= a._6 - 1e-9, s"cum must be monotone: $a -> $b") }
       assert(sorted.forall(r => r._4 <= r._3), "active purchasers bounded by cohort size")
     }
-    val ev = spark.read.parquet(s"$Sf001/events.parquet")
-      .selectExpr("user_id", "event_type", "CAST(ts div 1000000000 AS LONG) AS tsec", "value")
+    val evRaw = spark.read.parquet(s"$Sf001/events.parquet")
+    val ev = evRaw
+      .select(col("user_id"), col("event_type"), graft.util.Ts.sec(evRaw).as("tsec"),
+        col("value"))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
     // cohort sizes partition the user base
     assert(rows.groupBy(_._1).map(_._2.head._3).sum === ev.map(_._1).distinct.length.toLong)
@@ -201,8 +201,10 @@ class EventsSpec extends SparkSuite {
       .map(r => r.getString(0) -> (r.getLong(1),
         if (r.isNullAt(2)) null else r.getDouble(2),
         if (r.isNullAt(3)) null else r.getDouble(3))).toMap
-    val ev = spark.read.parquet(s"$Sf001/events.parquet")
-      .selectExpr("event_id", "user_id", "event_type", "CAST(ts div 1000000000 AS LONG) AS tsec", "value")
+    val evRaw = spark.read.parquet(s"$Sf001/events.parquet")
+    val ev = evRaw
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        graft.util.Ts.sec(evRaw).as("tsec"), col("value"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getDouble(4)))
     val touches = ev.filter(e => Set("click", "view", "signup")(e._3))
       .groupBy(e => (e._2, e._4)).map { case (_, g) => g.maxBy(_._1) }.toSeq
@@ -293,7 +295,7 @@ class EventsSpec extends SparkSuite {
     val got = Events.topPaths(spark, Sf001, pathLen = 1, topN = 1000)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("user_id").orderBy(expr("ts div 1000000000"), col("event_id"))
+      .partitionBy("user_id").orderBy(graft.util.Ts.sec(ev), col("event_id"))
     val want = ev.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .groupBy("event_type").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -8,8 +8,14 @@ class IngestSpec extends SparkSuite {
 
   test("csv events round-trip preserves rows and timestamps") {
     val tmp = Files.createTempDirectory("graft-csv").toString
-    val ev = spark.read.parquet(s"$Sf001/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(cast(ts / 1000 as long))"))
+    val raw = spark.read.parquet(s"$Sf001/events.parquet")
+    // normalize any ts encoding (nanos-long / TIMESTAMP / TIMESTAMP_NTZ)
+    // to a plain TIMESTAMP column for the text round-trip
+    val ev = raw.withColumn("ts", raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        expr("timestamp_micros(cast(ts / 1000 as long))")
+      case _ => col("ts").cast("timestamp")
+    })
     ev.withColumn("ts", date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
       .coalesce(1).write.mode("overwrite").option("header", "true").csv(tmp)
     val back = Ingest.readEventsCsv(spark, tmp)

@@ -176,9 +176,10 @@ class StreamingSpec extends SparkSuite {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions._
     def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
-    val evs = spark.read.parquet(s"$Sf001/events.parquet")
-      .selectExpr("user_id", "CAST(ts div 1000000000 AS LONG) AS tsec",
-        "event_id", "event_type", "value")
+    val evRaw = spark.read.parquet(s"$Sf001/events.parquet")
+    val evs = evRaw
+      .select(col("user_id"), graft.util.Ts.sec(evRaw).as("tsec"),
+        col("event_id"), col("event_type"), col("value"))
       .as[(Long, Long, Long, String, Double)].collect()
     val mem = MemoryStream[(Long, Long, Long, String, Double)]
     val out = ScoreStream.attributionStream(mem.toDS())
