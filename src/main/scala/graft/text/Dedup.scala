@@ -49,11 +49,22 @@ object Dedup {
     */
   private def minhashSignatures(spark: SparkSession, sfDir: String, nPerm: Int): DataFrame =
     graft.util.StageCache.cached(spark, sfDir, s"minhsig_$nPerm") {
-      val sh = shingles(spark, sfDir, 3).select("doc_id", "sh").distinct()
-        .withColumn("bh", strHash(col("sh")))
-      sh.withColumn("j", explode(sequence(lit(0), lit(nPerm - 1))))
-        .withColumn("h", ((col("j") * 31L + 17L) * col("bh") + col("j") * 7919L) % 2147483647L)
-        .groupBy("doc_id", "j").agg(min("h").as("mh"))
+      // min() is duplicate-insensitive, so the per-doc shingle DISTINCT
+      // pass (a corpus-sized string shuffle) is unnecessary; and the
+      // ×nPerm row explode collapses into nPerm min-aggregates computed
+      // in ONE doc_id hash-agg pass (map-side partials reduce each
+      // partition to |docs|×nPerm scalars). Same mins, bit for bit —
+      // the (j*31+17)·bh + j·7919 mixes are per-agg constants.
+      val sh = shingles(spark, sfDir, 3)
+        .select(col("doc_id"), strHash(col("sh")).as("bh"))
+      val aggs = (0 until nPerm).map { j =>
+        min(((lit(j.toLong) * 31L + 17L) * col("bh") + lit(j.toLong) * 7919L)
+          % 2147483647L).as(s"mh$j")
+      }
+      val wide = sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      wide.select(col("doc_id"), explode(array((0 until nPerm).map(j =>
+          struct(lit(j).as("j"), col(s"mh$j").as("mh"))): _*)).as("s"))
+        .select(col("doc_id"), col("s.j").as("j"), col("s.mh").as("mh"))
     }
 
   /** Per-(doc, band) LSH signatures — the table both the full self-join
@@ -396,7 +407,14 @@ object Dedup {
   def dupSpans(spark: SparkSession, sfDir: String, n: Int = 3): DataFrame = {
     require(n >= 1, s"n=$n")
     val pairs = minhashLsh(spark, sfDir).select("doc_a", "doc_b")
+    // prune the corpus-wide shingle stream to candidate-pair members
+    // BEFORE hashing/shuffling it: the candidate doc set is bounded by
+    // the LSH graph (tiny vs the corpus), so a broadcast semi-join keeps
+    // every downstream shuffle O(candidate shingles), not O(corpus)
+    val cand = pairs.select(col("doc_a").as("doc_id"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
     val sh = shingles(spark, sfDir, n)
+      .join(broadcast(cand), Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("i"), strHash60(col("sh")).as("h"))
     val m = pairs
       .join(sh.select(col("doc_id").as("doc_a"), col("i").as("ia"), col("h")), Seq("doc_a"))

@@ -130,18 +130,22 @@ object Detect {
     * Quadratic form unrolled over the upper triangle in fixed fold
     * order (i00, i01·2, …, i88) — mirrored term-for-term in the oracle.
     */
-  def gaussianScore(spark: SparkSession, sfDir: String): DataFrame = {
-    val (bank, test) = TsCore.bankAndTest(spark, sfDir)
-    val g = gaussianInv(spark, bank)
-    val d = (0 to 8).map(i => col(s"f$i") - col(s"m$i"))
-    val form = UpperIdx.map { case (i, j) =>
-      if (i == j) d(i) * d(j) * col(s"i${i}_$j")
-      else lit(2.0) * d(i) * d(j) * col(s"i${i}_$j")
-    }.reduce(_ + _)
-    test.join(broadcast(g), "pos")
-      .select(col("series"), col("win"), col("pos"),
-        Num.r4(sqrt(form)).as("mdist"))
-  }
+  def gaussianScore(spark: SparkSession, sfDir: String): DataFrame =
+    // cached: q10 is the owner, but q29 (top patch), q50 (mask) and the
+    // pipeline all consume the same heatmap — without the cache each
+    // re-runs the 45-covar fit + driver inversion + scoring join
+    graft.util.StageCache.cached(spark, sfDir, "gauss_mdist") {
+      val (bank, test) = TsCore.bankAndTest(spark, sfDir)
+      val g = gaussianInv(spark, bank)
+      val d = (0 to 8).map(i => col(s"f$i") - col(s"m$i"))
+      val form = UpperIdx.map { case (i, j) =>
+        if (i == j) d(i) * d(j) * col(s"i${i}_$j")
+        else lit(2.0) * d(i) * d(j) * col(s"i${i}_$j")
+      }.reduce(_ + _)
+      test.join(broadcast(g), "pos")
+        .select(col("series"), col("win"), col("pos"),
+          Num.r4(sqrt(form)).as("mdist"))
+    }
 
   /** Pairwise distances within a patch position over the bank.
     * At scale: per-position sampling caps bound the quadratic term; the
