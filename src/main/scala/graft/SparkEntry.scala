@@ -116,6 +116,7 @@ object SparkEntry {
     "qd13_dup_spans" -> ((s, d) => graft.text.Dedup.dupSpans(s, d)),
     "q44_masked_pairs" -> ((s, d) => graft.timeseries.Impute.maskedPairs(s, d)),
     "qv6_ivfpq_ann" -> ((s, d) => graft.vector.Similarity.ivfPqAnn(s, d)),
+    "qv11_sq8_ann" -> ((s, d) => graft.vector.Similarity.sq8Ann(s, d)),
     "qm3_phash_neardup" -> ((s, d) => graft.multimodal.BinaryMeta.phashNearDup(s, d)),
     "qe7_top_paths" -> ((s, d) => graft.analytics.Events.topPaths(s, d)),
     "qp5_skew_profile" -> ((s, d) => graft.analytics.Events.skewProfile(s, d)),
@@ -149,6 +150,7 @@ object SparkEntry {
     "q51_point_adjust" -> ((s, d) => graft.timeseries.Metrics.pointAdjust(s, d)),
     "qt18_source_scorecard" -> ((s, d) => graft.text.TextOps.sourceScorecard(s, d)),
     "q52_strength" -> ((s, d) => graft.timeseries.Forecast.strength(s, d)),
+    "q53_reconcile" -> ((s, d) => graft.timeseries.Forecast.reconcile(s, d)),
     "qe12_survival" -> ((s, d) => graft.analytics.Events.survival(s, d)),
     "qp6_completeness" -> ((s, d) => TsQueries.qp6Completeness(s, d)),
     "qt13_boilerplate" -> ((s, d) => graft.text.TextOps.boilerplate(s, d)),
@@ -502,6 +504,7 @@ object SparkEntry {
     "qd13_dup_spans" -> graft.text.DocOracle.qd13(),
     "q44_masked_pairs" -> graft.timeseries.TsOracle.q44(),
     "qv6_ivfpq_ann" -> graft.text.DocOracle.qv6(),
+    "qv11_sq8_ann" -> graft.text.DocOracle.qv11(),
     "qe7_top_paths" -> """
       WITH ev AS (
         SELECT event_id, user_id, event_type,
@@ -602,6 +605,7 @@ object SparkEntry {
     "q51_point_adjust" -> graft.timeseries.TsOracle.q51(),
     "qt18_source_scorecard" -> graft.text.DocOracle.qt18,
     "q52_strength" -> graft.timeseries.TsOracle.q52(),
+    "q53_reconcile" -> graft.timeseries.TsOracle.q53,
     "qe12_survival" -> """
       WITH ev AS (
         SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS tsec FROM events

@@ -559,6 +559,37 @@ SELECT qid, vec_id, ${r4("cos")} AS cos, rnk FROM ivfk"""
       adcSql(nSub, "FROM cw w", "", "WHERE t0.qid <> w.vec_id") + s"""
 SELECT qid, vec_id, ${r4("ad2")} AS ad2, rnk FROM ranked WHERE rnk <= $k"""
 
+  /** qv11: SQ8 scalar-quantized ANN — mirrors Similarity.sq8Ann: per-dim
+    * min/max 256-level grid, r6-quantized reconstruction, exact query vs
+    * reconstructed collection, top-k by ascending L2².
+    */
+  def qv11(k: Int = 5, maxQueries: Int = 1000): String = vecsCte + s"""
+, mm AS (
+  SELECT i AS pos, min(v[i]) AS mn, max(v[i]) AS mx
+  FROM vecs, range(1, 65) t(i) GROUP BY i
+), scp AS (
+  SELECT pos, mn, CASE WHEN mx > mn THEN (mx - mn) / 255.0 ELSE 1.0 END AS s FROM mm
+), qz AS (
+  SELECT list(mn ORDER BY pos) AS mn, list(s ORDER BY pos) AS sc FROM scp
+), rec AS (
+  SELECT vec_id, list_transform(range(1, 65), d ->
+    floor((qz.mn[d] + least(255.0, greatest(0.0, floor((v[d] - qz.mn[d]) / qz.sc[d] + 0.5)))
+           * qz.sc[d]) * 1000000 + 0.5) / 1000000.0) AS rv
+  FROM vecs, qz
+), q AS (SELECT vec_id AS qid, v AS av FROM vecs
+         WHERE vec_id % 100 = 0 AND vec_id < ${100L * maxQueries}),
+scored AS (
+  SELECT q.qid, rec.vec_id,
+         list_dot_product(list_transform(range(1, 65), d -> q.av[d] - rec.rv[d]),
+                          list_transform(range(1, 65), d -> q.av[d] - rec.rv[d])) AS ad2
+  FROM q JOIN rec ON q.qid <> rec.vec_id
+), ranked AS (
+  SELECT qid, vec_id, ad2,
+         row_number() OVER (PARTITION BY qid ORDER BY ad2, vec_id) AS rnk
+  FROM scored
+)
+SELECT qid, vec_id, ${r4("ad2")} AS ad2, rnk FROM ranked WHERE rnk <= $k"""
+
   /** qv6: IVF-PQ — qv3's probe CTEs bound the candidates, qv5's PQ
     * block scores them; mirrors Similarity.ivfPqAnn.
     */

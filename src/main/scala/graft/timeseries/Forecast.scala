@@ -533,6 +533,49 @@ SELECT series, period, n, power,
 FROM pows"""
   }
 
+  /** q53: hierarchical forecast reconciliation (Hyndman FPP3 ch. 11,
+    * public) — the load-forecasting fleet problem: per-meter (here
+    * per-series) forecasts must stay COHERENT with the grand-total
+    * forecast the grid operator plans against. Bottom base forecasts
+    * are seasonal-naive (t−168); the total is forecast DIRECTLY at the
+    * daily-persistence grain (total(t−24)) — the lags deliberately
+    * differ, so bottom-up and direct disagree and reconciliation does
+    * real work. Proportional top-down: rec_s = total_fc ·
+    * base_s / Σ base — each test hour's bottom forecasts rescale to sum
+    * to the direct total.
+    *
+    * Determinism: base and total accumulate as 1e-4 scaled int64 (the
+    * Σ over series is order-free), and the rec ratio divides the two
+    * exact ints — both engines see identical doubles. Scale shape: one
+    * per-series window lag + two tiny per-hour aggs (map-side combined)
+    * joined back on t; no global window, no driver data. Test region =
+    * the shared max per-series boundary, so every series is out of
+    * train.
+    */
+  def reconcile(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("series").orderBy("t")
+    val f = TsCore.filled(spark, sfDir)
+      .select(col("series"), col("t"), col("v_filled").as("y"))
+    val gsplit = boundaryT(spark, sfDir).agg(max("tsplit").as("tsplit"))
+    val base = f
+      .withColumn("p", lag("y", TsCore.WeekLag).over(w))
+      .filter(col("y").isNotNull && col("p").isNotNull)
+      .withColumn("pq", floor(col("p") * 10000d + 0.5d).cast("long"))
+    val tot = f.filter(col("y").isNotNull)
+      .groupBy("t").agg(sum(floor(col("y") * 10000d + 0.5d).cast("long")).as("ytq"))
+    val totfc = tot.select((col("t") + TsCore.DaySize).as("t"), col("ytq").as("tfq"))
+    val sumb = base.groupBy("t").agg(sum("pq").as("sbq"))
+    base.join(sumb, "t").join(totfc, "t")
+      .crossJoin(broadcast(gsplit))
+      .filter(col("t") >= col("tsplit"))
+      .select(col("series"), col("t"),
+        Num.r4(col("pq") / 10000d).as("base_fc"),
+        Num.r4(col("tfq") / 10000d).as("total_fc"),
+        when(col("sbq") =!= 0L, Num.r4(col("tfq") / 10000d *
+          (col("pq").cast("double") / col("sbq").cast("double")))).as("rec_fc"),
+        Num.r4(col("y")).as("actual"))
+  }
+
   def acf(spark: SparkSession, sfDir: String, lags: Seq[Int] = Seq(1, 24, 168)): DataFrame = {
     val w = Window.partitionBy("series").orderBy("t")
     val f = TsCore.filled(spark, sfDir).select(col("series"), col("t"), col("v_filled"))

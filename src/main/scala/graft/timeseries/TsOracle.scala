@@ -742,6 +742,38 @@ SELECT series, count(*) AS n,
 FROM sn WHERE t >= tsplit AND y IS NOT NULL AND p IS NOT NULL
 GROUP BY series"""
 
+  /** q53: hierarchical reconciliation — mirrors Forecast.reconcile:
+    * seasonal-naive bottoms, daily-persistence total, proportional
+    * top-down rescale, all sums as 1e-4 scaled int64.
+    */
+  def q53: String = prefix + splitTCte + s"""
+, wk AS (
+  SELECT series, t, v_filled AS y,
+         lag(v_filled, ${TsCore.WeekLag}) OVER (PARTITION BY series ORDER BY t) AS p
+  FROM filled
+), rbase AS (
+  SELECT series, t, y, CAST(floor(p*10000 + 0.5) AS BIGINT) AS pq
+  FROM wk WHERE y IS NOT NULL AND p IS NOT NULL
+), rtot AS (
+  SELECT t, sum(CAST(floor(v_filled*10000 + 0.5) AS BIGINT)) AS ytq
+  FROM filled WHERE v_filled IS NOT NULL GROUP BY t
+), rtotfc AS (
+  SELECT t + ${TsCore.DaySize} AS t, ytq AS tfq FROM rtot
+), rsumb AS (
+  SELECT t, sum(pq) AS sbq FROM rbase GROUP BY t
+), rgsplit AS (
+  SELECT max(tsplit) AS tsplit FROM boundt
+)
+SELECT b.series, b.t,
+       ${r4("pq / 10000.0")} AS base_fc,
+       ${r4("tfq / 10000.0")} AS total_fc,
+       CASE WHEN sbq <> 0
+            THEN ${r4("tfq / 10000.0 * (CAST(pq AS DOUBLE) / CAST(sbq AS DOUBLE))")}
+       END AS rec_fc,
+       ${r4("y")} AS actual
+FROM rbase b JOIN rsumb USING (t) JOIN rtotfc USING (t) CROSS JOIN rgsplit
+WHERE b.t >= rgsplit.tsplit"""
+
   def q22: String = prefix + splitTCte + s"""
 , lagged AS (
   SELECT f.series, f.t, f.v_filled AS y,

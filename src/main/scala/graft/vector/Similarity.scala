@@ -373,6 +373,59 @@ object Similarity {
       .select(col("qid"), col("vec_id"), Num.r4(col("ad2")).as("ad2"), col("rnk"))
   }
 
+  /** The SQ8 artifact: per-dim 256-level uniform quantizer (the 64
+    * (mn, scale) pairs — ONE tiny broadcast row from a posexplode agg,
+    * map-side combined) applied and immediately reconstructed:
+    * rv[d] = r6(mn[d] + code·scale[d]) with
+    * code = clamp(floor((x − mn[d])/scale[d] + ½), 0, 255). The r6
+    * quantization pins the reconstructed component bits the oracle
+    * reproduces. Coding+reconstruction is a stateless projection on the
+    * scan — no shuffle; at 100 TB the one-byte codes (8× smaller than
+    * the doubles) are THE persisted artifact and `rv` is what a reader
+    * materializes from them.
+    */
+  private[graft] def sq8Recon(spark: SparkSession, sfDir: String): DataFrame =
+    graft.util.StageCache.cached(spark, sfDir, "sq8recon") {
+      val e = vecs(spark, sfDir)
+      val mm = e.select(posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("pos").agg(min("x").as("mn"), max("x").as("mx"))
+        .withColumn("sc", when(col("mx") > col("mn"),
+          (col("mx") - col("mn")) / 255d).otherwise(lit(1d)))
+      val packed = mm.groupBy()
+        .agg(array_sort(collect_list(struct(col("pos"), col("mn")))).as("ms"),
+          array_sort(collect_list(struct(col("pos"), col("sc")))).as("ss"))
+        .select(expr("transform(ms, p -> p.mn)").as("mn"),
+          expr("transform(ss, p -> p.sc)").as("sc"))
+      e.crossJoin(broadcast(packed))
+        .select(col("vec_id"), expr(
+          "transform(v, (x, d) -> floor((element_at(mn, d+1) + " +
+            "least(255d, greatest(0d, floor((x - element_at(mn, d+1)) / element_at(sc, d+1) + 0.5d))) " +
+            "* element_at(sc, d+1)) * 1000000d + 0.5d) / 1000000d)").as("rv"))
+    }
+
+  /** qv11: scalar-quantized (SQ8) ANN — the third classic
+    * compression point next to qv5's PQ (FAISS ScalarQuantizer QT_8bit,
+    * public): one byte per dimension on a per-dim uniform grid, queries
+    * score EXACT query vector vs RECONSTRUCTED collection (asymmetric,
+    * like ADC). Plan shape is qv1's: the capped query sample broadcasts,
+    * the collection side is a stateless recon projection + the graft_l2
+    * codegen kernel, and the only shuffle anywhere is the per-query
+    * top-k rank. Where PQ distorts along codebook cells, SQ8 distorts
+    * per-axis — qv4-style recall vs the exact baseline picks between
+    * them.
+    */
+  def sq8Ann(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
+    val e = vecs(spark, sfDir)
+    val q = e.filter(qFilter).select(col("vec_id").as("qid"), col("v").as("av"))
+    val w = Window.partitionBy("qid").orderBy(col("ad2"), col("vec_id"))
+    sq8Recon(spark, sfDir).crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("ad2", expr("graft_l2(av, rv)"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("vec_id"), Num.r4(col("ad2")).as("ad2"), col("rnk"))
+  }
+
   /** qd11: semantic dedup — SemDeDup (Abbas et al. 2023,
     * arXiv:2303.09540, public) re-expressed relationally: embeddings
     * cluster into qv3's deterministic seeded cells (shared cached

@@ -257,4 +257,31 @@ class ForecastImputeSpec extends SparkSuite {
       lit(0.01) * col("mae_q21") + lit(0.01)).count() === 0)
     assert(j.filter(col("rmse_orig") < col("mae_orig")).count() === 0)
   }
+
+  test("q53 reconciled forecasts are coherent and proportional") {
+    val r = Forecast.reconcile(spark, Sf01).cache()
+    assert(r.count() > 0)
+    // COHERENCE: per test hour the reconciled bottoms sum back to the
+    // direct total forecast (up to the per-series r4 rounding, ≤ 0.5e-4
+    // each) — the whole point of the operator
+    val byT = r.groupBy("t").agg(
+      sum("rec_fc").as("sum_rec"), max("total_fc").as("tf"),
+      count(lit(1)).as("ns"))
+    assert(byT.filter(abs(col("sum_rec") - col("tf")) >
+      col("ns") * 0.0001 + 1e-9).count() === 0)
+    // PROPORTIONALITY: rec/base ratio is the same for every series at a
+    // given hour (it is total_fc / sum(base))
+    val ratios = r.filter(col("base_fc") =!= 0.0)
+      .withColumn("ratio", col("rec_fc") / col("base_fc"))
+      .groupBy("t").agg((max("ratio") - min("ratio")).as("spread"),
+        max(abs(col("rec_fc"))).as("mx"))
+    assert(ratios.filter(col("spread") > lit(0.01) / col("mx") + lit(1e-3)).count() === 0)
+    // base forecasts are exactly q21's seasonal-naive lag in the test region
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("series").orderBy("t")
+    val truth = TsCore.filled(spark, Sf01)
+      .select(col("series"), col("t"),
+        lag("v_filled", TsCore.WeekLag).over(w).as("p_true"))
+    assert(r.join(truth, Seq("series", "t"))
+      .filter(abs(col("base_fc") - col("p_true")) > 1e-9).count() === 0)
+  }
 }

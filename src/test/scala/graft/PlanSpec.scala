@@ -160,6 +160,13 @@ class PlanSpec extends SparkSuite {
     assert(p6.contains("BroadcastHashJoin"), s"qv6 dmaps must broadcast:\n${p6.take(800)}")
   }
 
+  test("qv11 SQ8 scan is a stateless recon projection — broadcast query side, rank is the only exchange above it") {
+    val p = plan(graft.vector.Similarity.sq8Ann(spark, Sf01))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query sample must broadcast:\n${p.take(800)}")
+    assert(!p.contains("SortMergeJoin"), s"no shuffle join in the ADC scan:\n${p.take(800)}")
+  }
+
   test("qt11 packs shards in a single per-(source,lang) window pass") {
     val p = plan(graft.text.TextOps.packShards(spark, Sf01))
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size

@@ -657,6 +657,41 @@ class TextSpec extends SparkSuite {
     }
   }
 
+  test("qv11 SQ8 == driver recompute (quantizer, reconstruction, top-k)") {
+    def r4(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
+    def r6(x: Double): Double = math.floor(x * 1000000 + 0.5) / 1000000
+    val out = Similarity.sq8Ann(spark, Sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getInt(3))).toMap
+    val vecs = spark.read.parquet(s"$Sf001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val dims = 0 until 64
+    val mn = dims.map(d => vecs.map(_._2(d)).min).toArray
+    val mx = dims.map(d => vecs.map(_._2(d)).max).toArray
+    val sc = dims.map(d => if (mx(d) > mn(d)) (mx(d) - mn(d)) / 255d else 1d).toArray
+    def recon(v: Array[Double]): Array[Double] = dims.map { d =>
+      val code = math.min(255d, math.max(0d, math.floor((v(d) - mn(d)) / sc(d) + 0.5)))
+      r6(mn(d) + code * sc(d))
+    }.toArray
+    // every code must round-trip into [0, 255] (the one-byte artifact claim)
+    for ((_, v) <- vecs; d <- dims) {
+      val c = math.floor((v(d) - mn(d)) / sc(d) + 0.5)
+      assert(c >= -1e-9 && c <= 255 + 1e-9, s"code $c out of byte range at dim $d")
+    }
+    val rec = vecs.map { case (id, v) => id -> recon(v) }.toMap
+    val k = 5
+    for (qid <- vecs.map(_._1).filter(_ % 100 == 0)) {
+      val av = vecs.toMap.apply(qid)
+      val ranked = vecs.filter(_._1 != qid).map { case (id, _) =>
+        val rv = rec(id)
+        id -> dims.map(d => (av(d) - rv(d)) * (av(d) - rv(d))).sum
+      }.sortBy { case (id, ad2) => (ad2, id) }.take(k)
+      ranked.zipWithIndex.foreach { case ((id, ad2), i) =>
+        assert(out((qid, id)) === ((r4(ad2), i + 1)), s"q$qid -> $id")
+      }
+    }
+  }
+
   test("qv6 IVF-PQ == driver composition of probes × cells × PQ index") {
     def r4(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
     val out = Similarity.ivfPqAnn(spark, Sf001).collect()
