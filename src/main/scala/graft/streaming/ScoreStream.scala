@@ -114,6 +114,55 @@ object ScoreStream {
         (col("n_hits") > 0).as("contaminated"))
   }
 
+  /** Streaming incremental near-dup dedup — the streaming twin of batch
+    * qd9: documents arriving on a stream are MinHash-signed IN FLIGHT
+    * and probed against the STATIC corpus band-signature table (the
+    * artifact qd9 persists; at 100 TB bucketed by (band, sig)).
+    *
+    * A document's whole text is one stream element, so the signature is
+    * STATELESS row arithmetic — shingle hashes, the nPerm affine mins
+    * and the polynomial band signatures are higher-order-function
+    * expressions on the row, no explode/aggregation before the join.
+    * The only stateful operator is the final per-(new, old) shared-band
+    * count, watermark-evicted. Emits exactly qd9's
+    * (doc_new, doc_old, n_bands) verdicts, in flight.
+    */
+  def lshDedupStream(docs: DataFrame, corpusBands: DataFrame,
+                     nPerm: Int = 16, bandRows: Int = 4,
+                     watermark: String = "1 hour"): DataFrame = {
+    require(nPerm % bandRows == 0, s"nPerm=$nPerm not a multiple of bandRows=$bandRows")
+    val nBands = nPerm / bandRows
+    val pw = graft.text.Dedup.bandPw(bandRows)
+    val toks = docs.withWatermark("ts", watermark)
+      .select(col("doc_id"), col("ts"),
+        filter(split(col("text"), " "), t => t =!= "").as("toks"))
+    // per-row shingle hash array (batch TextCore.strHash formula)
+    val hs = toks.withColumn("hs", expr(
+      "CASE WHEN size(toks) >= 3 THEN transform(sequence(0, size(toks) - 3), " +
+        "i -> CAST(conv(substring(md5(array_join(slice(toks, i + 1, 3), ' ')), 1, 8), 16, 10) AS BIGINT)) " +
+        "ELSE CAST(array() AS ARRAY<BIGINT>) END"))
+    // nPerm affine minhash mins — array_min over the same mixes as batch
+    val mins = (0 until nPerm).map(j =>
+      expr(s"array_min(transform(hs, h -> (($j * 31 + 17) * h + $j * 7919) % 2147483647))")
+        .as(s"mh$j"))
+    val sigs = hs.select(col("doc_id") +: col("ts") +: mins: _*)
+    val bandCols = (0 until nBands).map { b =>
+      (0 until bandRows).map(r => col(s"mh${b * bandRows + r}") * pw(r))
+        .reduce(_ + _).as(s"sig$b")
+    }
+    val wide = sigs.select(col("doc_id") +: col("ts") +: bandCols: _*)
+    val banded = wide.select(col("doc_id"), col("ts"),
+      explode(array((0 until nBands).map(b =>
+        struct(lit(b.toLong).as("band"), col(s"sig$b").as("sig"))): _*)).as("bs"))
+      .select(col("doc_id"), col("ts"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      .filter(col("sig").isNotNull)
+    banded
+      .join(corpusBands.select(col("doc_id").as("doc_old"), col("band"), col("sig")),
+        Seq("band", "sig"))
+      .groupBy(col("doc_id").as("doc_new"), col("ts"), col("doc_old"))
+      .agg(count(lit(1)).as("n_bands"))
+  }
+
   /** Stream-stream event-time interval join — the streaming twin of the
     * batch AS-OF/attribution shape (qe4): every `b` event (e.g. a
     * purchase) joins the `a` events (e.g. views) of the SAME user that

@@ -27,7 +27,7 @@ object Dedup {
     * by ~1.04 * 2^31 * 31^(r-1): r ≤ 7 keeps it under 2^63. DocOracle
     * generates the identical CASE arms from the same formula.
     */
-  private[text] def bandPw(bandRows: Int): Seq[Long] = {
+  private[graft] def bandPw(bandRows: Int): Seq[Long] = {
     require(bandRows >= 1 && bandRows <= 7,
       s"bandRows=$bandRows: 31^(r-1) band weights overflow int64 beyond r=7")
     Seq.iterate(1L, bandRows)(_ * 31L)
@@ -73,7 +73,7 @@ object Dedup {
     * see sources.Ingest.writeBucketed) so that daily increments join
     * against it with zero corpus-side shuffle.
     */
-  private[text] def bandSignatures(spark: SparkSession, sfDir: String,
+  private[graft] def bandSignatures(spark: SparkSession, sfDir: String,
                                    nPerm: Int, bandRows: Int): DataFrame =
     graft.util.StageCache.cached(spark, sfDir, s"lshbands_${nPerm}_$bandRows") {
       val pw = bandPw(bandRows).zipWithIndex.foldLeft(lit(0L)) { case (acc, (p, idx)) =>

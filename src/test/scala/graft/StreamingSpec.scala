@@ -318,6 +318,42 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming LSH dedup matches batch qd9 verdicts across a batch split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // batch qd9 on sf0.001: doc_id % 5 == 0 is the increment; the corpus
+    // band table is the shared static artifact both sides probe
+    val want = graft.text.Dedup.incrementalDedup(spark, Sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val corpusBands = graft.text.Dedup.bandSignatures(spark, Sf001, 16, 4)
+      .filter(col("doc_id") % 5 =!= 0)
+    val incDocs = spark.read.parquet(s"$Sf001/documents.parquet")
+      .filter(col("doc_id") % 5 === 0)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(min: Int) = new Timestamp(t0.getTime + min * 60000L)
+    val mem = MemoryStream[Doc]
+    val out = ScoreStream.lshDedupStream(mem.toDF(), corpusBands)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("lsh_dedup").start()
+    try {
+      // split the increment mid-stream: the verdicts must not depend on
+      // microbatch boundaries
+      val (half1, half2) = incDocs.splitAt(incDocs.length / 2)
+      mem.addData(half1.map { case (id, t) => Doc(at(0), id, t) }.toSeq)
+      q.processAllAvailable()
+      mem.addData(half2.map { case (id, t) => Doc(at(1), id, t) }.toSeq)
+      q.processAllAvailable()
+      mem.addData(Doc(at(600), -1L, "watermark flush"))
+      q.processAllAvailable()
+      val got = spark.table("lsh_dedup")
+        .filter(col("doc_new") >= 0).collect()
+        .map(r => (r.getAs[Long]("doc_new"), r.getAs[Long]("doc_old")) ->
+          r.getAs[Long]("n_bands")).toMap
+      assert(got === want)
+    } finally q.stop()
+  }
+
   test("streaming decontamination flags docs sharing eval shingles, passes clean ones") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
