@@ -117,6 +117,7 @@ object SparkEntry {
     "q44_masked_pairs" -> ((s, d) => graft.timeseries.Impute.maskedPairs(s, d)),
     "qv6_ivfpq_ann" -> ((s, d) => graft.vector.Similarity.ivfPqAnn(s, d)),
     "qv11_sq8_ann" -> ((s, d) => graft.vector.Similarity.sq8Ann(s, d)),
+    "qv12_refine_ann" -> ((s, d) => graft.vector.Similarity.refineAnn(s, d)),
     "qm3_phash_neardup" -> ((s, d) => graft.multimodal.BinaryMeta.phashNearDup(s, d)),
     "qe7_top_paths" -> ((s, d) => graft.analytics.Events.topPaths(s, d)),
     "qp5_skew_profile" -> ((s, d) => graft.analytics.Events.skewProfile(s, d)),
@@ -505,6 +506,7 @@ object SparkEntry {
     "q44_masked_pairs" -> graft.timeseries.TsOracle.q44(),
     "qv6_ivfpq_ann" -> graft.text.DocOracle.qv6(),
     "qv11_sq8_ann" -> graft.text.DocOracle.qv11(),
+    "qv12_refine_ann" -> graft.text.DocOracle.qv12(),
     "qe7_top_paths" -> """
       WITH ev AS (
         SELECT event_id, user_id, event_type,

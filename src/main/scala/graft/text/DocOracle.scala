@@ -559,6 +559,33 @@ SELECT qid, vec_id, ${r4("cos")} AS cos, rnk FROM ivfk"""
       adcSql(nSub, "FROM cw w", "", "WHERE t0.qid <> w.vec_id") + s"""
 SELECT qid, vec_id, ${r4("ad2")} AS ad2, rnk FROM ranked WHERE rnk <= $k"""
 
+  /** qv12: two-stage refine ANN — mirrors Similarity.refineAnn: top-candK
+    * by prefix-dim L2², exact full-dim cosine rerank to top-k.
+    */
+  def qv12(preDims: Int = 16, candK: Int = 50, k: Int = 5,
+           maxQueries: Int = 1000): String = vecsCte + s"""
+, q AS (SELECT vec_id AS qid, v AS av, nrm AS na, v[1:$preDims] AS ap FROM vecs
+        WHERE vec_id % 100 = 0 AND vec_id < ${100L * maxQueries}),
+pre AS (
+  SELECT q.qid, b.vec_id, q.av, q.na, b.v AS bv, b.nrm AS nb,
+         list_dot_product(list_transform(range(1, ${preDims + 1}), d -> q.ap[d] - b.v[d]),
+                          list_transform(range(1, ${preDims + 1}), d -> q.ap[d] - b.v[d])) AS pd2
+  FROM q JOIN vecs b ON q.qid <> b.vec_id
+), cands AS (
+  SELECT * FROM (
+    SELECT qid, vec_id, av, na, bv, nb,
+           row_number() OVER (PARTITION BY qid ORDER BY pd2, vec_id) AS crnk
+    FROM pre
+  ) WHERE crnk <= $candK
+), rer AS (
+  SELECT qid, vec_id, list_dot_product(av, bv) / (na * nb) AS cos FROM cands
+), ranked AS (
+  SELECT qid, vec_id, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+  FROM rer
+)
+SELECT qid, vec_id, ${r4("cos")} AS cos, rnk FROM ranked WHERE rnk <= $k"""
+
   /** qv11: SQ8 scalar-quantized ANN — mirrors Similarity.sq8Ann: per-dim
     * min/max 256-level grid, r6-quantized reconstruction, exact query vs
     * reconstructed collection, top-k by ascending L2².

@@ -426,6 +426,45 @@ object Similarity {
       .select(col("qid"), col("vec_id"), Num.r4(col("ad2")).as("ad2"), col("rnk"))
   }
 
+  /** qv12: two-stage refine ANN (FAISS IndexRefine / Matryoshka-prefix
+    * retrieval, public): stage 1 ranks the collection per query on the
+    * first `preDims` dimensions only (4× less arithmetic and — with
+    * prefix-truncated storage — 4× less I/O than the full vector),
+    * keeping the top `candK`; stage 2 re-scores ONLY those candidates
+    * with the exact full-dim cosine and keeps the top k. The candidate
+    * stage bounds the expensive exact work: per query, candK full-dim
+    * dots instead of |collection|.
+    *
+    * Scale shape: both stages are qv1's broadcast-capped pattern — the
+    * query sample broadcasts, the collection side never shuffles before
+    * its per-query top-candK rank; the rerank touches candK rows per
+    * query. At 100 TB stage 1 reads a 16-dim prefix column (stored
+    * separately, parquet-pruned), and candK tunes the recall/cost knob
+    * the qv4-style eval measures.
+    */
+  def refineAnn(spark: SparkSession, sfDir: String, preDims: Int = 16,
+                candK: Int = 50, k: Int = 5): DataFrame = {
+    require(preDims >= 1 && preDims <= 64, s"preDims=$preDims")
+    require(candK >= k, s"candK=$candK must cover k=$k")
+    val e = vecs(spark, sfDir)
+    val q = e.filter(qFilter)
+      .select(col("vec_id").as("qid"), col("v").as("av"), col("nrm").as("na"),
+        slice(col("v"), 1, preDims).as("ap"))
+    val b = e.select(col("vec_id"), col("v").as("bv"), col("nrm").as("nb"),
+      slice(col("v"), 1, preDims).as("bp"))
+    val wc = Window.partitionBy("qid").orderBy(col("pd2"), col("vec_id"))
+    val cands = b.crossJoin(broadcast(q)).filter(col("qid") =!= col("vec_id"))
+      .withColumn("pd2", expr("graft_l2(ap, bp)"))
+      .withColumn("crnk", row_number().over(wc))
+      .filter(col("crnk") <= candK)
+    val wr = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    cands
+      .withColumn("cos", dotAB / (col("na") * col("nb")))
+      .withColumn("rnk", row_number().over(wr))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("vec_id"), Num.r4(col("cos")).as("cos"), col("rnk"))
+  }
+
   /** qd11: semantic dedup — SemDeDup (Abbas et al. 2023,
     * arXiv:2303.09540, public) re-expressed relationally: embeddings
     * cluster into qv3's deterministic seeded cells (shared cached

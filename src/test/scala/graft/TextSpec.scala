@@ -692,6 +692,40 @@ class TextSpec extends SparkSuite {
     }
   }
 
+  test("qv12 refine == driver two-stage recompute; candK=n-1 degenerates to exact qv1") {
+    def r4(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
+    val out = Similarity.refineAnn(spark, Sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getInt(3))).toMap
+    val vecs = spark.read.parquet(s"$Sf001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val (preDims, candK, k) = (16, 50, 5)
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.indices.map(d => a(d) * b(d)).sum
+    val nrm = vecs.map { case (id, v) => id -> math.sqrt(dot(v, v)) }.toMap
+    val vmap = vecs.toMap
+    for (qid <- vecs.map(_._1).filter(_ % 100 == 0)) {
+      val av = vmap(qid)
+      val cands = vecs.filter(_._1 != qid).map { case (id, bv) =>
+        id -> (0 until preDims).map(d => (av(d) - bv(d)) * (av(d) - bv(d))).sum
+      }.sortBy { case (id, pd2) => (pd2, id) }.take(candK)
+      val ranked = cands.map { case (id, _) =>
+        id -> dot(av, vmap(id)) / (nrm(qid) * nrm(id))
+      }.sortBy { case (id, cos) => (-cos, id) }.take(k)
+      ranked.zipWithIndex.foreach { case ((id, cos), i) =>
+        assert(out((qid, id)) === ((r4(cos), i + 1)), s"q$qid -> $id")
+      }
+    }
+    // candK covering the whole collection makes stage 1 a no-op: the
+    // refine result must equal the exact brute-force qv1 top-k
+    val n = vecs.length
+    val exact = Similarity.cosineTopK(spark, Sf001, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getInt(3))).toMap
+    val full = Similarity.refineAnn(spark, Sf001, candK = n - 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getInt(3))).toMap
+    assert(full === exact)
+  }
+
   test("qv6 IVF-PQ == driver composition of probes × cells × PQ index") {
     def r4(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
     val out = Similarity.ivfPqAnn(spark, Sf001).collect()
