@@ -564,8 +564,11 @@ FROM pows"""
     val tot = f.filter(col("y").isNotNull)
       .groupBy("t").agg(sum(floor(col("y") * 10000d + 0.5d).cast("long")).as("ytq"))
     val totfc = tot.select((col("t") + TsCore.DaySize).as("t"), col("ytq").as("tfq"))
-    val sumb = base.groupBy("t").agg(sum("pq").as("sbq"))
-    base.join(sumb, "t").join(totfc, "t")
+    // Σ base over series as a whole-partition window on t: one exchange,
+    // no self-join re-deriving the lag subtree (the plan showed the lag
+    // window computed twice with a groupBy+join formulation)
+    base.withColumn("sbq", sum("pq").over(Window.partitionBy("t")))
+      .join(totfc, "t")
       .crossJoin(broadcast(gsplit))
       .filter(col("t") >= col("tsplit"))
       .select(col("series"), col("t"),
