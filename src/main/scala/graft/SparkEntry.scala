@@ -118,6 +118,7 @@ object SparkEntry {
     "qv6_ivfpq_ann" -> ((s, d) => graft.vector.Similarity.ivfPqAnn(s, d)),
     "qv11_sq8_ann" -> ((s, d) => graft.vector.Similarity.sq8Ann(s, d)),
     "qv12_refine_ann" -> ((s, d) => graft.vector.Similarity.refineAnn(s, d)),
+    "qv13_kmeans" -> ((s, d) => graft.vector.Similarity.kmeansFit(s, d)),
     "qm3_phash_neardup" -> ((s, d) => graft.multimodal.BinaryMeta.phashNearDup(s, d)),
     "qe7_top_paths" -> ((s, d) => graft.analytics.Events.topPaths(s, d)),
     "qp5_skew_profile" -> ((s, d) => graft.analytics.Events.skewProfile(s, d)),
@@ -507,6 +508,7 @@ object SparkEntry {
     "qv6_ivfpq_ann" -> graft.text.DocOracle.qv6(),
     "qv11_sq8_ann" -> graft.text.DocOracle.qv11(),
     "qv12_refine_ann" -> graft.text.DocOracle.qv12(),
+    "qv13_kmeans" -> graft.text.DocOracle.qv13(),
     "qe7_top_paths" -> """
       WITH ev AS (
         SELECT event_id, user_id, event_type,

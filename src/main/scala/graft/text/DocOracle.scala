@@ -559,6 +559,50 @@ SELECT qid, vec_id, ${r4("cos")} AS cos, rnk FROM ivfk"""
       adcSql(nSub, "FROM cw w", "", "WHERE t0.qid <> w.vec_id") + s"""
 SELECT qid, vec_id, ${r4("ad2")} AS ad2, rnk FROM ranked WHERE rnk <= $k"""
 
+  /** qv13: k-means training — mirrors Similarity.kmeansFit with the
+    * `iters` Lloyd rounds UNROLLED as CTE pairs (assign_i, cent_{i+1}),
+    * the qd14-PageRank discipline: same 1e-6 scaled-int centroid means,
+    * same (d2, cell) argmin tie-break as the packed kernel's
+    * first-index rule.
+    */
+  def qv13(nCells: Int = 16, iters: Int = 2): String = {
+    def d2(av: String, bv: String): String =
+      s"list_dot_product(list_transform(range(1, 65), d -> $av[d] - $bv[d]), " +
+        s"list_transform(range(1, 65), d -> $av[d] - $bv[d]))"
+    def assign(a: String, c: String, extraInner: String = "",
+               extraOuter: String = ""): String = s"""
+, $a AS (
+  SELECT vec_id, v, cell$extraOuter FROM (
+    SELECT e.vec_id, e.v, c.cell$extraInner,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY ${d2("e.v", "c.cv")}, c.cell) AS rn
+    FROM vecs e CROSS JOIN $c c
+  ) WHERE rn = 1
+)"""
+    def cent(a: String, c: String): String = s"""
+, ${c}c AS (
+  SELECT cell, i AS pos,
+         floor(sum(CAST(floor(v[i]*1000000 + 0.5) AS BIGINT)) / count(*) + 0.5) / 1000000.0 AS c
+  FROM $a, range(1, 65) t(i) GROUP BY cell, i
+), $c AS (
+  SELECT cell, list(c ORDER BY pos) AS cv FROM ${c}c GROUP BY cell
+)"""
+    val rounds = (0 until iters).map { i =>
+      assign(s"a$i", s"c$i") + cent(s"a$i", s"c${i + 1}")
+    }.mkString
+    vecsCte + s"""
+, seeds AS (
+  SELECT vec_id, v, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell
+  FROM vecs ORDER BY vec_id LIMIT $nCells
+), c0 AS (SELECT cell, v AS cv FROM seeds)""" + rounds +
+      assign("afin", s"c$iters",
+        s", CAST(floor(${d2("e.v", "c.cv")}*10000 + 0.5) AS BIGINT) AS d2q",
+        ", d2q") + s"""
+SELECT cell, count(*) AS n_vecs,
+       ${r4("sum(d2q) / 10000.0")} AS inertia
+FROM afin GROUP BY cell"""
+  }
+
   /** qv12: two-stage refine ANN — mirrors Similarity.refineAnn: top-candK
     * by prefix-dim L2², exact full-dim cosine rerank to top-k.
     */

@@ -465,6 +465,56 @@ object Similarity {
       .select(col("qid"), col("vec_id"), Num.r4(col("cos")).as("cos"), col("rnk"))
   }
 
+  /** qv13: distributed k-means index training — the Lloyd loop that
+    * BUILDS the IVF structures qv3/qv6/qd11 probe (they use seeded
+    * assignment + at most one refinement; this is the real trainer).
+    * Each round is: ONE broadcast of the packed centroid row + a
+    * stateless graft_argmin_dist2 assignment on the scan, then a
+    * (cell, pos) hash-agg whose map-side partials reduce every
+    * partition to ≤ nCells×64 cells — the classic scalable k-means
+    * round (no pairwise joins, no driver data beyond the centroids).
+    * Centroid components accumulate as 1e-6 scaled int64 and quantize
+    * r6 (exact, order-free — raw float means flip bits with partition
+    * order), so every round is bit-reproducible in both engines.
+    *
+    * Output: per-cell member count and inertia (Σ r4-quantized min-d2
+    * as exact scaled ints) — the convergence report a training job
+    * logs per round. Deterministic seeding: the nCells lowest vec_ids,
+    * cell = seed rank (ref: standard Lloyd 1982 / FAISS Clustering,
+    * public).
+    */
+  def kmeansFit(spark: SparkSession, sfDir: String, nCells: Int = 16,
+                iters: Int = 2): DataFrame = {
+    require(nCells >= 1 && iters >= 0, s"nCells=$nCells iters=$iters")
+    val e = vecs(spark, sfDir)
+    def packed(cent: DataFrame): DataFrame = cent
+      .select(struct(col("cell"), col("cv")).as("s"))
+      .groupBy().agg(array_sort(collect_list(col("s"))).as("ps"))
+      .select(flatten(expr("transform(ps, x -> x.cv)")).as("cf"),
+        expr("transform(ps, x -> x.cell)").as("cellIds"))
+    var cent: DataFrame = e.orderBy("vec_id").limit(nCells)
+      .withColumn("cell", (row_number().over(Window.orderBy("vec_id")) - 1).cast("long"))
+      .select(col("cell"), col("v").as("cv"))
+    for (_ <- 0 until iters) {
+      val assigned = e.crossJoin(broadcast(packed(cent)))
+        .select(col("vec_id"), col("v"),
+          expr("element_at(cellIds, int(graft_argmin_dist2(cf, v)) + 1)").as("cell"))
+      cent = assigned.select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .withColumn("xq", floor(col("x") * 1000000d + 0.5d).cast("long"))
+        .groupBy("cell", "pos")
+        .agg((floor(sum("xq") / count(lit(1)) + 0.5d) / 1000000d).as("c"))
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("cs"))
+        .select(col("cell"), expr("transform(cs, p -> p.c)").as("cv"))
+    }
+    e.crossJoin(broadcast(packed(cent)))
+      .select(
+        expr("element_at(cellIds, int(graft_argmin_dist2(cf, v)) + 1)").as("cell"),
+        floor(expr("graft_min_dist2(cf, v)") * 10000d + 0.5d).cast("long").as("d2q"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_vecs"), Num.r4(sum("d2q") / 10000d).as("inertia"))
+  }
+
   /** qd11: semantic dedup — SemDeDup (Abbas et al. 2023,
     * arXiv:2303.09540, public) re-expressed relationally: embeddings
     * cluster into qv3's deterministic seeded cells (shared cached

@@ -692,6 +692,53 @@ class TextSpec extends SparkSuite {
     }
   }
 
+  test("qv13 k-means == driver Lloyd recompute; inertia non-increasing over rounds") {
+    def r4(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
+    def r6(x: Double): Double = math.floor(x * 1000000 + 0.5) / 1000000
+    val vecs = spark.read.parquet(s"$Sf001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    val nCells = 16
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.indices.map(d => (a(d) - b(d)) * (a(d) - b(d))).sum
+    def assign(cent: Seq[(Long, Array[Double])]) = vecs.map { case (id, v) =>
+      // first-min tie-break over cells sorted ascending == the packed
+      // kernel's first-index rule
+      (id, v, cent.sortBy(_._1).minBy { case (c, cv) => (d2(v, cv), c) })
+    }
+    def update(asg: Seq[(Long, Array[Double], (Long, Array[Double]))]) =
+      asg.groupBy(_._3._1).toSeq.map { case (cell, members) =>
+        cell -> Array.tabulate(64) { d =>
+          val xs = members.map(m => math.floor(m._2(d) * 1e6 + 0.5).toLong)
+          math.floor(xs.sum.toDouble / xs.length + 0.5) / 1e6
+        }
+      }
+    var cent: Seq[(Long, Array[Double])] =
+      vecs.take(nCells).zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }
+    val inertias = scala.collection.mutable.ArrayBuffer.empty[Double]
+    for (_ <- 0 until 2) {
+      val asg = assign(cent)
+      inertias += asg.map(a => math.floor(d2(a._2, a._3._2) * 1e4 + 0.5).toLong).sum / 1e4
+      cent = update(asg)
+    }
+    val fin = assign(cent)
+    val want = fin.groupBy(_._3._1).map { case (cell, members) =>
+      cell -> ((members.size.toLong,
+        r4(members.map(m => math.floor(d2(m._2, m._3._2) * 1e4 + 0.5).toLong).sum / 1e4)))
+    }
+    val got = Similarity.kmeansFit(spark, Sf001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got === want)
+    // Lloyd monotonicity (up to the 1e-6 centroid quantization):
+    // later-round inertia never exceeds an earlier round's
+    inertias += want.values.map(_._2).sum
+    inertias.toSeq.sliding(2).foreach { w =>
+      val (a, b) = (w.head, w.last)
+      assert(b <= a + 1e-3 * a, s"inertia rose: $inertias")
+    }
+  }
+
   test("qv12 refine == driver two-stage recompute; candK=n-1 degenerates to exact qv1") {
     def r4(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
     val out = Similarity.refineAnn(spark, Sf001).collect()
