@@ -1092,6 +1092,26 @@ FROM documents d LEFT JOIN pd p USING (doc_id)"""
   /** Mirrors TextOps.charEntropy: same alphabet, same
     * length-of-replace counts, same 1e-6 pre-sum term quantization.
     */
+  /** qt19: PII scan — mirrors TextOps.piiScan over the shared pattern
+    * list (restricted to Java/RE2-agreeing constructs).
+    */
+  def qt19(): String = {
+    // DuckDB standard string literals pass backslashes through verbatim,
+    // so the Java-side pattern IS the SQL pattern (only quotes escape)
+    val cnts = graft.text.TextOps.piiPatterns.map { case (name, pat) =>
+      s"CAST(len(regexp_extract_all(text, '${pat.replace("'", "''")}')) AS BIGINT) AS n_$name"
+    }.mkString(",\n         ")
+    val total = graft.text.TextOps.piiPatterns
+      .map { case (name, _) => s"n_$name" }.mkString(" + ")
+    s"""WITH pii AS (
+  SELECT doc_id, $cnts
+  FROM documents
+)
+SELECT doc_id, n_email, n_phone, n_ipv4,
+       CASE WHEN $total > 0 THEN 1 ELSE 0 END AS has_pii
+FROM pii"""
+  }
+
   def qt16(minBits: Double = 3.0): String = {
     val counts = graft.text.TextOps.entropyAlphabet.zipWithIndex.map { case (c, i) =>
       val lit = if (c == "'") "''" else c

@@ -441,6 +441,39 @@ object TextOps {
       .withColumn("dup_rate", Num.r4(col("n_exact_dup") / col("n_docs")))
   }
 
+  /** The PII patterns qt19 scans for — deliberately restricted to regex
+    * constructs (character classes, bounded repetition, no backrefs or
+    * lookarounds) on which Java's engine and DuckDB's RE2 agree, so the
+    * oracle counts the identical non-overlapping matches. Shared with
+    * DocOracle.qt19.
+    */
+  private[text] val piiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "phone" -> "[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}",
+    "ipv4"  -> "([0-9]{1,3}\\.){3}[0-9]{1,3}")
+
+  /** qt19: PII scan — the scrub gate a training-data pipeline runs
+    * before anything ships (C4/RefinedWeb-class pipelines filter or
+    * redact exactly these): per document, non-overlapping match counts
+    * for email / phone / IPv4 shapes plus the combined flag. Stateless
+    * single-pass codegen projection over the documents scan — no
+    * shuffle, no join, embarrassingly parallel at 100 TB; the per-doc
+    * verdict is what the redaction/drop step and the per-source audit
+    * both key on. Core split out so specs can drive synthetic docs with
+    * known plants.
+    */
+  def piiScan(spark: SparkSession, sfDir: String): DataFrame =
+    piiScanCore(Tables.documents(spark, sfDir))
+
+  private[graft] def piiScanCore(docs: DataFrame): DataFrame = {
+    val cnts = piiPatterns.map { case (name, pat) =>
+      size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long").as(s"n_$name")
+    }
+    docs.select(col("doc_id") +: cnts: _*)
+      .withColumn("has_pii",
+        when(piiPatterns.map(p => col(s"n_${p._1}")).reduce(_ + _) > 0, 1).otherwise(0))
+  }
+
   /** The character alphabet qt16 histograms over — this corpus is
     * lowercase words + spaces, so 26 letters + ' ' covers it; anything
     * else lands in the `other` bucket. Shared with DocOracle.qt16 so

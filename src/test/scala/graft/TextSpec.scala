@@ -692,6 +692,27 @@ class TextSpec extends SparkSuite {
     }
   }
 
+  test("qt19 PII scan counts planted matches; Spark and DuckDB-dialect regexes agree") {
+    import spark.implicits._
+    // the corpus text is synthetic words (zero natural hits — verified
+    // by the oracle run), so drive the core with planted documents
+    val docs = Seq(
+      (1L, "contact me at alice.smith+x@example.co.uk or bob@sub.domain.org thanks"),
+      (2L, "server 10.0.0.1 talked to 192.168.001.254 then died"),
+      (3L, "call 555-123-4567 or 555 987 6543 today"),
+      (4L, "no sensitive content in this perfectly ordinary sentence"),
+      (5L, "mixed: c@d.io on 8.8.8.8 at 111-222-3333"),
+      (6L, "")).toDF("doc_id", "text")
+    val got = graft.text.TextOps.piiScanCore(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))).toMap
+    assert(got(1L) === ((2L, 0L, 0L, 1)))
+    assert(got(2L) === ((0L, 0L, 2L, 1)))
+    assert(got(3L) === ((0L, 2L, 0L, 1)))
+    assert(got(4L) === ((0L, 0L, 0L, 0)))
+    assert(got(5L) === ((1L, 1L, 1L, 1)))
+    assert(got(6L) === ((0L, 0L, 0L, 0)))
+  }
+
   test("qv13 k-means == driver Lloyd recompute; inertia non-increasing over rounds") {
     def r4(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
     def r6(x: Double): Double = math.floor(x * 1000000 + 0.5) / 1000000
