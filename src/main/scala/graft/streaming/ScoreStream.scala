@@ -114,6 +114,46 @@ object ScoreStream {
         (col("n_hits") > 0).as("contaminated"))
   }
 
+  /** Streaming distribution-drift monitor — the streaming twin of batch
+    * qp7: live points bin against a STATIC train-time baseline profile
+    * (TsQueries.driftBaseline — per-series bounds + first-half bin
+    * counts, broadcast by the stream-static join planner) and each
+    * tumbling event-time window reports its PSI against the baseline.
+    * The per-window bin histogram is nBins CONDITIONAL sums inside ONE
+    * watermarked aggregation (no second bins→PSI agg — the PSI fold is
+    * a stateless projection over the wide row), so state is one row per
+    * (window, series), watermark-evicted. Bins empty on BOTH sides
+    * contribute no term — exactly qp7's absent-row semantics, so a
+    * whole-half window reproduces the batch PSI bit for bit.
+    */
+  def driftStream(points: DataFrame, baseline: DataFrame, nBins: Int = 10,
+                  windowDur: String = "1 hour",
+                  watermark: String = "2 hours"): DataFrame = {
+    require(nBins >= 2, s"nBins=$nBins")
+    val sm = 0.5
+    val ev = points.withWatermark("ts", watermark)
+      .join(broadcast(baseline.select("series", "mn", "mx")), "series")
+      .withColumn("bin", when(col("mx") === col("mn"), 0L).otherwise(
+        greatest(lit(0L), least(
+          floor((col("value") - col("mn")) / (col("mx") - col("mn")) * nBins),
+          lit(nBins - 1L)))))
+    val binAggs = (0 until nBins).map(b =>
+      sum(when(col("bin") === b, 1L).otherwise(0L)).as(s"n$b"))
+    val live = ev.groupBy(window(col("ts"), windowDur), col("series"))
+      .agg(binAggs.head, binAggs.tail: _*)
+    val joined = live.join(broadcast(baseline), "series")
+    val tot0 = (0 until nBins).map(b => col(s"c$b")).reduce(_ + _)
+    val tot1 = (0 until nBins).map(b => col(s"n$b")).reduce(_ + _)
+    val terms = (0 until nBins).map { b =>
+      val p = (col(s"c$b") + sm) / (tot0 + sm * nBins)
+      val q = (col(s"n$b") + sm) / (tot1 + sm * nBins)
+      when(col(s"c$b") + col(s"n$b") > 0,
+        floor((p - q) * log(p / q) * 1000000d + 0.5d).cast("long")).otherwise(0L)
+    }.reduce(_ + _)
+    joined.select(col("window.start").as("w_start"), col("series"),
+      tot1.as("n_live"), graft.util.Num.r4(terms / 1000000d).as("psi"))
+  }
+
   /** Streaming incremental near-dup dedup — the streaming twin of batch
     * qd9: documents arriving on a stream are MinHash-signed IN FLIGHT
     * and probed against the STATIC corpus band-signature table (the

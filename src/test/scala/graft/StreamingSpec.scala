@@ -8,6 +8,7 @@ import graft.streaming.ScoreStream
 class StreamingSpec extends SparkSuite {
 
   case class Ev(ts: Timestamp, event_type: String, value: Double)
+  case class Pt(ts: Timestamp, series: String, value: Double)
 
   test("streaming score pipeline emits windowed scores against the bank") {
     import spark.implicits._
@@ -315,6 +316,44 @@ class StreamingSpec extends SparkSuite {
       q.processAllAvailable()
       val texts = spark.table("deduped").collect().map(_.getAs[String]("text"))
       assert(texts.sorted.toSeq === Seq("aa", "bb"), s"got ${texts.toSeq}")
+    } finally q.stop()
+  }
+
+  test("streaming drift monitor reproduces batch qp7 PSI for a whole-half window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val want = graft.timeseries.TsQueries.qp7Drift(spark, Sf001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    val baseline = graft.timeseries.TsQueries.driftBaseline(spark, Sf001)
+    // second-half points (qp7's half == 1), as an event stream
+    val filled = graft.timeseries.TsCore.filled(spark, Sf001)
+      .filter(col("v_filled").isNotNull)
+      .select("series", "t", "v_filled").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val mids = filled.groupBy(_._1).map { case (s, g) =>
+      s -> (g.map(_._2).min + g.map(_._2).max) / 2
+    }
+    val second = filled.filter { case (s, t, _) => t > mids(s) }
+    def ts(t: Long) = new Timestamp(t * 3600000L)
+    val mem = MemoryStream[Pt]
+    // one window wide enough to hold the whole half → the stream PSI
+    // must equal the batch qp7 PSI exactly
+    val out = ScoreStream.driftStream(mem.toDF(), baseline, windowDur = "3650 days")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("drift_stream").start()
+    try {
+      val (h1, h2) = second.splitAt(second.length / 2)
+      mem.addData(h1.map { case (s, t, v) => Pt(ts(t), s, v) }.toSeq)
+      q.processAllAvailable()
+      mem.addData(h2.map { case (s, t, v) => Pt(ts(t), s, v) }.toSeq)
+      q.processAllAvailable()
+      mem.addData(Pt(ts(filled.map(_._2).max + 24L * 36500), "flush", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("drift_stream").filter(col("series") =!= "flush")
+        .collect().map(r => r.getAs[String]("series") ->
+          ((r.getAs[Long]("n_live"), r.getAs[Double]("psi")))).toMap
+      assert(got === want.view.filterKeys(got.contains).toMap)
+      assert(got.keySet === want.keySet)
     } finally q.stop()
   }
 
