@@ -155,6 +155,7 @@ object SparkEntry {
     "q52_strength" -> ((s, d) => graft.timeseries.Forecast.strength(s, d)),
     "q53_reconcile" -> ((s, d) => graft.timeseries.Forecast.reconcile(s, d)),
     "qe12_survival" -> ((s, d) => graft.analytics.Events.survival(s, d)),
+    "qe13_audience_overlap" -> ((s, d) => graft.analytics.Events.audienceOverlap(s, d)),
     "qp6_completeness" -> ((s, d) => TsQueries.qp6Completeness(s, d)),
     "qt13_boilerplate" -> ((s, d) => graft.text.TextOps.boilerplate(s, d)),
     "qt14_unigram_nll" -> ((s, d) => graft.text.TextOps.unigramNll(s, d)),
@@ -612,6 +613,29 @@ object SparkEntry {
     "qt18_source_scorecard" -> graft.text.DocOracle.qt18,
     "q52_strength" -> graft.timeseries.TsOracle.q52(),
     "q53_reconcile" -> graft.timeseries.TsOracle.q53,
+    "qe13_audience_overlap" -> {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val maskCols = types.map(t =>
+        s"max(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS b_$t").mkString(",\n               ")
+      val pairs = for { a <- types; b <- types if a < b } yield (a, b)
+      val pairSelects = pairs.map { case (a, b) =>
+        s"""SELECT '$a' AS type_a, '$b' AS type_b,
+               CAST(sum(b_$a) AS BIGINT) AS n_a, CAST(sum(b_$b) AS BIGINT) AS n_b,
+               CAST(sum(b_$a * b_$b) AS BIGINT) AS n_both FROM masks"""
+      }.mkString("\n      UNION ALL\n      ")
+      s"""
+      WITH masks AS (
+        SELECT user_id,
+               $maskCols
+        FROM events GROUP BY user_id
+      ), prs AS (
+      $pairSelects
+      )
+      SELECT type_a, type_b, n_a, n_b, n_both,
+             n_a + n_b - n_both AS n_either,
+             floor(CAST(n_both AS DOUBLE) / (n_a + n_b - n_both) * 10000 + 0.5) / 10000 AS jaccard
+      FROM prs"""
+    },
     "qe12_survival" -> """
       WITH ev AS (
         SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS tsec FROM events

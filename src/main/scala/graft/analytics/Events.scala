@@ -568,6 +568,45 @@ object Events {
     * |channels|-row map-side-partial rollup. No range join, no per-row
     * probe: at 100 TB this is a single sort within user partitions.
     */
+  /** qe13: audience overlap matrix — distinct-user set operations
+    * (∩, ∪, Jaccard) for every event-type pair, the "how much do these
+    * audiences overlap" readout behind retargeting/feature decisions.
+    * The scalable shape is the user-bitmask rollup: ONE user_id shuffle
+    * folds each user into a row of |types| 0/1 flags (map-side partial
+    * max), then every pairwise count is a conditional sum in ONE global
+    * aggregation over that |users|-row mask table — no per-pair
+    * distinct jobs, no self-join of the raw stream (|types|² such
+    * passes at 100 TB is the naive killer). Pairs unpivot statelessly
+    * from the single wide row.
+    */
+  def audienceOverlap(spark: SparkSession, sfDir: String,
+                      types: Seq[String] = Seq("click", "error", "purchase",
+                        "signup", "view")): DataFrame = {
+    require(types.nonEmpty && types == types.sorted && types.distinct == types,
+      s"types must be sorted and distinct: $types")
+    val raw = Tables.events(spark, sfDir)
+    val maskAggs = types.map(t =>
+      max(when(col("event_type") === t, 1L).otherwise(0L)).as(s"b_$t"))
+    val masks = raw.select(col("user_id"), col("event_type"))
+      .groupBy("user_id").agg(maskAggs.head, maskAggs.tail: _*)
+    val pairs = for { a <- types; b <- types if a < b } yield (a, b)
+    val cntAggs =
+      types.map(t => sum(col(s"b_$t")).as(s"n_$t")) ++
+        pairs.map { case (a, b) =>
+          sum(col(s"b_$a") * col(s"b_$b")).as(s"n_${a}_$b") }
+    val wide = masks.agg(cntAggs.head, cntAggs.tail: _*)
+    val rows = pairs.map { case (a, b) =>
+      struct(lit(a).as("type_a"), lit(b).as("type_b"),
+        col(s"n_$a").as("n_a"), col(s"n_$b").as("n_b"),
+        col(s"n_${a}_$b").as("n_both"))
+    }
+    wide.select(explode(array(rows: _*)).as("p"))
+      .select(col("p.type_a"), col("p.type_b"), col("p.n_a"), col("p.n_b"),
+        col("p.n_both"),
+        (col("p.n_a") + col("p.n_b") - col("p.n_both")).as("n_either"))
+      .withColumn("jaccard", graft.util.Num.r4(col("n_both") / col("n_either")))
+  }
+
   def attribution(spark: SparkSession, sfDir: String, lookbackS: Long = 3600L): DataFrame = {
     import graft.util.Num
     require(lookbackS >= 1, s"lookbackS=$lookbackS")

@@ -379,6 +379,27 @@ class EventsSpec extends SparkSuite {
       .count() === 0)
   }
 
+  test("qe13 audience overlap == driver set recompute") {
+    def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    val got = Events.audienceOverlap(spark, Sf001).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6)))).toMap
+    val ev = spark.read.parquet(s"$Sf001/events.parquet")
+      .select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val byType = ev.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val types = byType.keys.toSeq.sorted
+    val pairs = for { a <- types; b <- types if a < b } yield (a, b)
+    assert(got.keySet === pairs.toSet)
+    for ((a, b) <- pairs) {
+      val (sa, sb) = (byType(a), byType(b))
+      val both = (sa & sb).size.toLong
+      val either = (sa | sb).size.toLong
+      assert(got((a, b)) === ((sa.size.toLong, sb.size.toLong, both, either,
+        r4(both.toDouble / either))), s"$a/$b")
+    }
+  }
+
   test("qe6 transitions: totals == per-user event counts − 1; probabilities sum to 1") {
     val t = Events.transitions(spark, Sf001).cache()
     val ev = spark.read.parquet(s"$Sf001/events.parquet")
