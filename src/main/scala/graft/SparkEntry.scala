@@ -154,6 +154,7 @@ object SparkEntry {
     "qt18_source_scorecard" -> ((s, d) => graft.text.TextOps.sourceScorecard(s, d)),
     "q52_strength" -> ((s, d) => graft.timeseries.Forecast.strength(s, d)),
     "q53_reconcile" -> ((s, d) => graft.timeseries.Forecast.reconcile(s, d)),
+    "q54_refit_backtest" -> ((s, d) => graft.timeseries.Forecast.refitBacktest(s, d)),
     "qe12_survival" -> ((s, d) => graft.analytics.Events.survival(s, d)),
     "qe13_audience_overlap" -> ((s, d) => graft.analytics.Events.audienceOverlap(s, d)),
     "qp6_completeness" -> ((s, d) => TsQueries.qp6Completeness(s, d)),
@@ -613,6 +614,7 @@ object SparkEntry {
     "qt18_source_scorecard" -> graft.text.DocOracle.qt18,
     "q52_strength" -> graft.timeseries.TsOracle.q52(),
     "q53_reconcile" -> graft.timeseries.TsOracle.q53,
+    "q54_refit_backtest" -> graft.timeseries.TsOracle.q54(),
     "qe13_audience_overlap" -> {
       val types = Seq("click", "error", "purchase", "signup", "view")
       val maskCols = types.map(t =>

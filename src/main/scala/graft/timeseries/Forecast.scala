@@ -77,14 +77,12 @@ object Forecast {
       Num.r4(col("mae")).as("mae"), Num.r4(col("rmse")).as("rmse"))
   }
 
-  /** The grouped per-series normal-equations solve over a lagBase-shaped
-    * frame — one shuffle for the sufficient statistics, a broadcast of
-    * the per-series coefficients, one shuffle for the error aggregates.
-    * Returns raw (un-quantized) columns; callers round. This is the
-    * 100 TB path for fitting millions of per-series linear models.
+  /** 3-feature OLS fit over a train frame (series, y, x1..x3) →
+    * per-series coefficients — the Cramer solve shared by q22 and
+    * q54's per-fold refits (identical expression structure in
+    * TsOracle.q22/q54 for bit parity).
     */
-  private[timeseries] def olsSolve(base: DataFrame): DataFrame = {
-    val train = base.filter(col("t") < col("tsplit"))
+  private def olsFit(train: DataFrame): DataFrame = {
     val means = train.groupBy("series").agg(
       avg("y").as("my"), avg("x1").as("m1"), avg("x2").as("m2"), avg("x3").as("m3"))
     def c(a: String, ma: String, b: String, mb: String) =
@@ -95,8 +93,6 @@ object Forecast {
       c("x2", "m2", "x3", "m3").as("s23"), c("x3", "m3", "x3", "m3").as("s33"),
       c("x1", "m1", "y", "my").as("sy1"), c("x2", "m2", "y", "my").as("sy2"),
       c("x3", "m3", "y", "my").as("sy3"))
-    // Cramer's rule for the 3x3 system S b = sy (identical expression
-    // structure in TsOracle.q22 for bit parity)
     val det = col("s11") * (col("s22") * col("s33") - col("s23") * col("s23")) -
       col("s12") * (col("s12") * col("s33") - col("s23") * col("s13")) +
       col("s13") * (col("s12") * col("s23") - col("s22") * col("s13"))
@@ -109,9 +105,19 @@ object Forecast {
     val b3 = (col("s11") * (col("s22") * col("sy3") - col("s23") * col("sy2")) -
       col("s12") * (col("s12") * col("sy3") - col("sy2") * col("s13")) +
       col("sy1") * (col("s12") * col("s23") - col("s22") * col("s13"))) / det
-    val coefs = stats.join(broadcast(means), "series")
+    stats.join(broadcast(means), "series")
       .select(col("series"), b1.as("b1"), b2.as("b2"), b3.as("b3"),
         (col("my") - b1 * col("m1") - b2 * col("m2") - b3 * col("m3")).as("b0"))
+  }
+
+  /** The grouped per-series normal-equations solve over a lagBase-shaped
+    * frame — one shuffle for the sufficient statistics, a broadcast of
+    * the per-series coefficients, one shuffle for the error aggregates.
+    * Returns raw (un-quantized) columns; callers round. This is the
+    * 100 TB path for fitting millions of per-series linear models.
+    */
+  private[timeseries] def olsSolve(base: DataFrame): DataFrame = {
+    val coefs = olsFit(base.filter(col("t") < col("tsplit")))
     val test = base.filter(col("t") >= col("tsplit"))
       .join(broadcast(coefs), "series")
       .withColumn("p", col("b0") + col("b1") * col("x1") + col("b2") * col("x2") + col("b3") * col("x3"))
@@ -531,6 +537,51 @@ SELECT series, period, n, power,
        CASE WHEN row_number() OVER (PARTITION BY series ORDER BY power DESC, period) = 1
             THEN 1 ELSE 0 END AS is_dominant
 FROM pows"""
+  }
+
+  /** q54: expanding-window refit backtest — the proper model evaluation
+    * next to q35's persistence backtest: q22's 3-lag OLS is REFIT at
+    * each fold boundary (per-series fractions of the feature range) and
+    * evaluated only on that fold's slice, so every test point is scored
+    * by a model trained strictly on its past (walk-forward validation,
+    * Hyndman FPP3 §5.10, public). Per (series, fold): test size +
+    * MAE/RMSE — the degradation curve that says how often to retrain.
+    *
+    * Scale shape: folds share ONE lag window pass; each refit is the
+    * same sufficient-statistics solve as q22 (map-side partial sums,
+    * |series| rows out) and fold results union — no iteration beyond
+    * the |folds| independent branches of one plan, no driver data.
+    */
+  def refitBacktest(spark: SparkSession, sfDir: String,
+                    fracs: Seq[Double] = Seq(0.7, 0.8, 0.9)): DataFrame = {
+    require(fracs.nonEmpty && fracs == fracs.sorted && fracs.distinct == fracs
+      && fracs.forall(f => f > 0 && f < 1), s"fracs=$fracs")
+    val base = withLags(spark, sfDir)
+      .filter(col("y").isNotNull && col("x1").isNotNull &&
+        col("x2").isNotNull && col("x3").isNotNull)
+    val rng = base.groupBy("series").agg(min("t").as("t0"), max("t").as("t1"))
+    // boundaries are cut0..cutN (NOT b0..: the coefficient join below
+    // also carries b0..b3 and the names must never collide)
+    val bnds = fracs.zipWithIndex.foldLeft(rng) { case (df, (f, i)) =>
+      df.withColumn(s"cut$i",
+        col("t0") + floor((col("t1") - col("t0") + 1) * f).cast("long"))
+    }.withColumn(s"cut${fracs.size}", col("t1") + 1)
+    val withB = base.join(broadcast(bnds.drop("t0", "t1")), "series")
+    fracs.indices.map { i =>
+      val (lo, hi) = (col(s"cut$i"), col(s"cut${i + 1}"))
+      val coefs = olsFit(withB.filter(col("t") < lo)
+        .select("series", "t", "y", "x1", "x2", "x3"))
+      withB.filter(col("t") >= lo && col("t") < hi)
+        .join(broadcast(coefs), "series")
+        .withColumn("p", col("b0") + col("b1") * col("x1") +
+          col("b2") * col("x2") + col("b3") * col("x3"))
+        .groupBy("series").agg(
+          count(lit(1)).as("n"),
+          avg(abs(col("y") - col("p"))).as("mae"),
+          sqrt(avg((col("y") - col("p")) * (col("y") - col("p")))).as("rmse"))
+        .select(col("series"), lit(i).as("fold"), col("n"),
+          Num.r4(col("mae")).as("mae"), Num.r4(col("rmse")).as("rmse"))
+    }.reduce(_ unionByName _)
   }
 
   /** q53: hierarchical forecast reconciliation (Hyndman FPP3 ch. 11,

@@ -774,6 +774,71 @@ SELECT b.series, b.t,
 FROM rbase b JOIN rsumb USING (t) JOIN rtotfc USING (t) CROSS JOIN rgsplit
 WHERE b.t >= rgsplit.tsplit"""
 
+  /** q54: expanding-window refit backtest — q22's lag/solve chain
+    * instantiated once per fold (train < b_i, test [b_i, b_{i+1})),
+    * identical Cramer expressions for bit parity; per-series fold
+    * boundaries from the feature range.
+    */
+  def q54(fracs: Seq[Double] = Seq(0.7, 0.8, 0.9)): String = {
+    val n = fracs.size
+    val bndCols = fracs.zipWithIndex.map { case (f, i) =>
+      s"t0 + CAST(floor((t1 - t0 + 1) * $f) AS BIGINT) AS b$i"
+    }.mkString(",\n         ")
+    val folds = fracs.indices.map { i =>
+      s"""
+, train_f$i AS (
+  SELECT f.* FROM basef54 f JOIN bnd54 b USING (series) WHERE f.t < b.b$i
+), means_f$i AS (
+  SELECT series, avg(y) AS my, avg(x1) AS m1, avg(x2) AS m2, avg(x3) AS m3
+  FROM train_f$i GROUP BY series
+), stats_f$i AS (
+  SELECT t.series,
+    sum((x1 - m1) * (x1 - m1)) AS s11, sum((x1 - m1) * (x2 - m2)) AS s12,
+    sum((x1 - m1) * (x3 - m3)) AS s13, sum((x2 - m2) * (x2 - m2)) AS s22,
+    sum((x2 - m2) * (x3 - m3)) AS s23, sum((x3 - m3) * (x3 - m3)) AS s33,
+    sum((x1 - m1) * (y - my)) AS sy1, sum((x2 - m2) * (y - my)) AS sy2,
+    sum((x3 - m3) * (y - my)) AS sy3
+  FROM train_f$i t JOIN means_f$i USING (series) GROUP BY t.series
+), coefs_f$i AS (
+  SELECT s.series,
+    (sy1 * (s22 * s33 - s23 * s23) - s12 * (sy2 * s33 - s23 * sy3) + s13 * (sy2 * s23 - s22 * sy3))
+      / (s11 * (s22 * s33 - s23 * s23) - s12 * (s12 * s33 - s23 * s13) + s13 * (s12 * s23 - s22 * s13)) AS b1,
+    (s11 * (sy2 * s33 - sy3 * s23) - sy1 * (s12 * s33 - s23 * s13) + s13 * (s12 * sy3 - sy2 * s13))
+      / (s11 * (s22 * s33 - s23 * s23) - s12 * (s12 * s33 - s23 * s13) + s13 * (s12 * s23 - s22 * s13)) AS b2,
+    (s11 * (s22 * sy3 - s23 * sy2) - s12 * (s12 * sy3 - sy2 * s13) + sy1 * (s12 * s23 - s22 * s13))
+      / (s11 * (s22 * s33 - s23 * s23) - s12 * (s12 * s33 - s23 * s13) + s13 * (s12 * s23 - s22 * s13)) AS b3,
+    m.my, m.m1, m.m2, m.m3
+  FROM stats_f$i s JOIN means_f$i m USING (series)
+), coefs2_f$i AS (
+  SELECT series, b1, b2, b3, my - b1 * m1 - b2 * m2 - b3 * m3 AS b0 FROM coefs_f$i
+), res_f$i AS (
+  SELECT f.series, $i AS fold, count(*) AS n,
+    ${r4("avg(abs(f.y - (c.b0 + c.b1 * f.x1 + c.b2 * f.x2 + c.b3 * f.x3)))")} AS mae,
+    ${r4("sqrt(avg((f.y - (c.b0 + c.b1 * f.x1 + c.b2 * f.x2 + c.b3 * f.x3)) * (f.y - (c.b0 + c.b1 * f.x1 + c.b2 * f.x2 + c.b3 * f.x3))))")} AS rmse
+  FROM basef54 f JOIN bnd54 b USING (series) JOIN coefs2_f$i c USING (series)
+  WHERE f.t >= b.b$i AND f.t < b.b${i + 1}
+  GROUP BY f.series
+)"""
+    }.mkString
+    val union = fracs.indices.map(i => s"SELECT * FROM res_f$i").mkString("\nUNION ALL\n")
+    prefix + s"""
+, lagged54 AS (
+  SELECT series, t, v_filled AS y,
+         lag(v_filled, 1) OVER w AS x1,
+         lag(v_filled, ${TsCore.DaySize}) OVER w AS x2,
+         lag(v_filled, ${TsCore.WeekLag}) OVER w AS x3
+  FROM filled
+  WINDOW w AS (PARTITION BY series ORDER BY t)
+), basef54 AS (
+  SELECT * FROM lagged54
+  WHERE y IS NOT NULL AND x1 IS NOT NULL AND x2 IS NOT NULL AND x3 IS NOT NULL
+), rng54 AS (
+  SELECT series, min(t) AS t0, max(t) AS t1 FROM basef54 GROUP BY series
+), bnd54 AS (
+  SELECT series, $bndCols, t1 + 1 AS b$n FROM rng54
+)""" + folds + "\n" + union
+  }
+
   def q22: String = prefix + splitTCte + s"""
 , lagged AS (
   SELECT f.series, f.t, f.v_filled AS y,

@@ -258,6 +258,51 @@ class ForecastImputeSpec extends SparkSuite {
     assert(j.filter(col("rmse_orig") < col("mae_orig")).count() === 0)
   }
 
+  test("q54 refit backtest: folds partition the tail; driver OLS refit agrees") {
+    val r = Forecast.refitBacktest(spark, Sf01).cache()
+    // 5 series × 3 folds, each with test points
+    assert(r.count() === 15)
+    assert(r.filter(col("n") <= 0).count() === 0)
+    // driver recompute of fold 0 for one series
+    def lag(xs: Array[Double], k: Int, i: Int): Option[Double] =
+      if (i - k >= 0) Some(xs(i - k)) else None
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("series").orderBy("t")
+    val f = graft.timeseries.TsCore.filled(spark, Sf01)
+      .filter(col("series") === "click").orderBy("t")
+      .select("t", "v_filled").collect()
+    val ts = f.map(_.getLong(0)); val ys = f.map(_.getDouble(1))
+    val rows = ys.indices.flatMap { i =>
+      for (x1 <- lag(ys, 1, i); x2 <- lag(ys, 24, i); x3 <- lag(ys, 168, i))
+        yield (ts(i), ys(i), x1, x2, x3)
+    }
+    val (t0, t1) = (rows.map(_._1).min, rows.map(_._1).max)
+    val cut0 = t0 + math.floor((t1 - t0 + 1) * 0.7).toLong
+    val cut1 = t0 + math.floor((t1 - t0 + 1) * 0.8).toLong
+    val train = rows.filter(_._1 < cut0)
+    // centered normal equations via Cramer, as the operator does
+    val (my, m1, m2, m3) = (train.map(_._2).sum / train.size,
+      train.map(_._3).sum / train.size, train.map(_._4).sum / train.size,
+      train.map(_._5).sum / train.size)
+    def s(f1: ((Long, Double, Double, Double, Double)) => Double, mf1: Double,
+          f2: ((Long, Double, Double, Double, Double)) => Double, mf2: Double) =
+      train.map(r => (f1(r) - mf1) * (f2(r) - mf2)).sum
+    val (s11, s12, s13) = (s(_._3, m1, _._3, m1), s(_._3, m1, _._4, m2), s(_._3, m1, _._5, m3))
+    val (s22, s23, s33) = (s(_._4, m2, _._4, m2), s(_._4, m2, _._5, m3), s(_._5, m3, _._5, m3))
+    val (sy1, sy2, sy3) = (s(_._3, m1, _._2, my), s(_._4, m2, _._2, my), s(_._5, m3, _._2, my))
+    val det = s11 * (s22 * s33 - s23 * s23) - s12 * (s12 * s33 - s23 * s13) + s13 * (s12 * s23 - s22 * s13)
+    val b1 = (sy1 * (s22 * s33 - s23 * s23) - s12 * (sy2 * s33 - s23 * sy3) + s13 * (sy2 * s23 - s22 * sy3)) / det
+    val b2 = (s11 * (sy2 * s33 - sy3 * s23) - sy1 * (s12 * s33 - s23 * s13) + s13 * (s12 * sy3 - sy2 * s13)) / det
+    val b3 = (s11 * (s22 * sy3 - s23 * sy2) - s12 * (s12 * sy3 - sy2 * s13) + sy1 * (s12 * s23 - s22 * s13)) / det
+    val b0 = my - b1 * m1 - b2 * m2 - b3 * m3
+    val test = rows.filter(r => r._1 >= cut0 && r._1 < cut1)
+    val errs = test.map(r => r._2 - (b0 + b1 * r._3 + b2 * r._4 + b3 * r._5))
+    val mae = errs.map(math.abs).sum / errs.size
+    val got = r.filter(col("series") === "click" && col("fold") === 0)
+      .select("n", "mae").head
+    assert(got.getLong(0) === test.size.toLong)
+    assert(math.abs(got.getDouble(1) - mae) < 1e-3)
+  }
+
   test("q53 reconciled forecasts are coherent and proportional") {
     val r = Forecast.reconcile(spark, Sf01).cache()
     assert(r.count() > 0)
