@@ -160,6 +160,30 @@ class PlanSpec extends SparkSuite {
     assert(p6.contains("BroadcastHashJoin"), s"qv6 dmaps must broadcast:\n${p6.take(800)}")
   }
 
+  test("round-8 operators keep their scale shapes (q53/q54/qe13/qv13)") {
+    // q53: the seasonal-naive lag subtree is derived exactly once (the
+    // Σbase-over-series sum is a whole-partition window, not a
+    // groupBy+self-join that would re-run the lag)
+    val p53 = plan(graft.timeseries.Forecast.reconcile(spark, Sf01))
+    assert("lag\\(y".r.findAllIn(p53).size == 1,
+      s"q53 must compute the lag window once:\n${p53.take(900)}")
+    // q54: per-fold coefficients broadcast; no cartesian anywhere
+    val p54 = plan(graft.timeseries.Forecast.refitBacktest(spark, Sf01))
+    assert(p54.contains("BroadcastHashJoin"), s"q54 coefs must broadcast:\n${p54.take(900)}")
+    assert(!p54.contains("CartesianProduct"), s"q54 cartesian:\n${p54.take(900)}")
+    // qe13: exactly two aggregations' exchanges — the user-mask rollup
+    // and the single global conditional-sum row
+    val p13 = plan(graft.analytics.Events.audienceOverlap(spark, Sf01))
+    val ex13 = "Exchange ".r.findAllIn(p13).size
+    assert(ex13 == 2, s"qe13 expected 2 exchanges, got $ex13:\n${p13.take(900)}")
+    // qv13: every Lloyd round is broadcast + kernel — never a pairwise join
+    val pkm = plan(graft.vector.Similarity.kmeansFit(spark, Sf01))
+    assert(pkm.contains("graft_argmin_dist2") && pkm.contains("BroadcastNestedLoopJoin"),
+      s"qv13 must assign via the broadcast kernel:\n${pkm.take(900)}")
+    assert(!pkm.contains("SortMergeJoin") && !pkm.contains("CartesianProduct"),
+      s"qv13 pairwise join crept in:\n${pkm.take(900)}")
+  }
+
   test("qv11 SQ8 scan is a stateless recon projection — broadcast query side, rank is the only exchange above it") {
     val p = plan(graft.vector.Similarity.sq8Ann(spark, Sf01))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
