@@ -141,6 +141,7 @@ object SparkEntry {
     "qd14_pagerank" -> ((s, d) => graft.text.Dedup.pageRank(s, d)),
     "qt17_bigram_nll" -> ((s, d) => graft.text.TextOps.bigramNll(s, d)),
     "qm4_shard_manifest" -> ((s, d) => graft.multimodal.BinaryMeta.shardManifest(s, d)),
+    "qm5_modality_stats" -> ((s, d) => graft.multimodal.BinaryMeta.modalityStats(s, d)),
     "qp9_histogram" -> ((s, d) => graft.analytics.Events.histProfile(s, d)),
     "qa17_grouping_sets" -> ((s, d) => Relational.groupingSets(s, d)),
     "qv9_centroid_drift" -> ((s, d) => graft.vector.Similarity.centroidDrift(s, d)),
@@ -751,6 +752,21 @@ object SparkEntry {
              CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
              min(doc_id) AS first_doc, max(doc_id) AS last_doc
       FROM c GROUP BY 1, 2""",
+    "qm5_modality_stats" -> """
+      WITH m AS (
+        SELECT 'text/' || lang AS media_type, text,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        FROM documents
+      ), s AS (
+        SELECT media_type, CAST(count(*) AS BIGINT) AS n_items,
+               CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+               floor(avg(n_bytes)*10000 + 0.5)/10000 AS mean_bytes,
+               CAST(count(DISTINCT text) AS BIGINT) AS n_distinct
+        FROM m GROUP BY 1
+      )
+      SELECT media_type, n_items, total_bytes, mean_bytes, n_distinct,
+             floor(CAST(n_items - n_distinct AS DOUBLE) / n_items * 10000 + 0.5)/10000 AS dup_rate
+      FROM s""",
     "qe10_attribution" -> """
       WITH ev AS (
         SELECT event_id, user_id, event_type,

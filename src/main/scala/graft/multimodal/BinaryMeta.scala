@@ -81,6 +81,27 @@ object BinaryMeta {
         min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
   }
 
+  /** qm5: per-modality storage + dedup audit — the media-level qt18:
+    * per media_type, item count, byte volume (total/mean), distinct
+    * payloads and the exact-dup rate. ONE map-side-combined hash-agg
+    * over the payload scan (the distinct count shuffles payload hashes,
+    * not payloads, at 100 TB — Spark's distinct-agg rewrite handles
+    * that; the payload column itself never leaves the scan otherwise).
+    * SQL-checkable because the payload is the UTF-8 encoding of the
+    * text column (encode is injective), so DuckDB counts DISTINCT text.
+    */
+  def modalityStats(spark: SparkSession, sfDir: String): DataFrame =
+    mediaTable(spark, sfDir).toDF()
+      .select(col("media_type"), col("payload"),
+        octet_length(col("payload")).cast("long").as("n_bytes"))
+      .groupBy("media_type")
+      .agg(count(lit(1)).as("n_items"),
+        sum("n_bytes").as("total_bytes"),
+        graft.util.Num.r4(avg("n_bytes")).as("mean_bytes"),
+        countDistinct(col("payload")).as("n_distinct"))
+      .withColumn("dup_rate",
+        graft.util.Num.r4((col("n_items") - col("n_distinct")) / col("n_items")))
+
   case class MediaSig(doc_id: Long, sig: Long)
 
   /** STUB perceptual signature: aHash (average hash, public) structure

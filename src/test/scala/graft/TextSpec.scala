@@ -513,6 +513,22 @@ class TextSpec extends SparkSuite {
     }
   }
 
+  test("qm5 modality stats: volumes and dup rates agree with the documents table") {
+    val s = graft.multimodal.BinaryMeta.modalityStats(spark, Sf001).cache()
+    val docs = spark.read.parquet(s"$Sf001/documents.parquet")
+      .select("lang", "text").collect().map(r => (r.getString(0), r.getString(1)))
+    val byLang = docs.groupBy(_._1)
+    assert(s.count() === byLang.size.toLong)
+    for (r <- s.collect()) {
+      val lang = r.getAs[String]("media_type").stripPrefix("text/")
+      val g = byLang(lang).map(_._2)
+      assert(r.getAs[Long]("n_items") === g.length.toLong)
+      assert(r.getAs[Long]("total_bytes") ===
+        g.map(_.getBytes("UTF-8").length.toLong).sum)
+      assert(r.getAs[Long]("n_distinct") === g.distinct.length.toLong)
+    }
+  }
+
   test("qm4 shard manifest: shards cover every byte once, respect the budget rule") {
     val budget = 4096L
     val m = graft.multimodal.BinaryMeta.shardManifest(spark, Sf001).collect()
