@@ -161,6 +161,13 @@ class PlanSpec extends SparkSuite {
   }
 
   test("round-8 operators keep their scale shapes (q53/q54/qe13/qv13)") {
+    // Other suites may have .cache()d these results in the SHARED
+    // session (getOrCreate): a cached InMemoryRelation renders its
+    // stored final plan alongside the fresh one and double-counts the
+    // patterns below. Clearing the DataFrame cache only touches
+    // CacheManager entries — StageCache's localCheckpoints are
+    // RDD-level persists and are untouched.
+    spark.catalog.clearCache()
     // q53: the seasonal-naive lag subtree is derived exactly once (the
     // Σbase-over-series sum is a whole-partition window, not a
     // groupBy+self-join that would re-run the lag)
