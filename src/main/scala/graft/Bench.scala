@@ -73,22 +73,24 @@ object Bench {
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+      .flatMap { case (name, fn) =>
       val t0 = System.nanoTime()
       // hash-reduce every output column: count() alone would let Spark
       // prune the computed columns and under-report the work
       try {
         val df = fn(spark, sfDir)
         df.select(xxhash64(df.columns.map(col): _*).as("h")).agg(Map("h" -> "max")).count()
+        Some(name -> (System.nanoTime() - t0) / 1e9)
       } catch { case e: Throwable =>
         // A throwing query must NOT report its (tiny) time-to-fail as a
         // benchmark number — r7's testdata schema change made every
         // events query fail analysis in ~0.1 s and the suite still
-        // "passed". Record the failure loudly instead.
+        // "passed". Exclude it from `queries` AND `total` entirely; the
+        // `errors` array is the only record of it.
         failed += name
         System.err.println(s"[bench] $name FAILED: ${e.getMessage.take(300)}")
+        None
       }
-      name -> (System.nanoTime() - t0) / 1e9
     }
     // The driver records only the LAST 2000 bytes of output; the full
     // query names at nanosecond precision overflow that window and the

@@ -636,7 +636,9 @@ object SparkEntry {
       )
       SELECT type_a, type_b, n_a, n_b, n_both,
              n_a + n_b - n_both AS n_either,
-             floor(CAST(n_both AS DOUBLE) / (n_a + n_b - n_both) * 10000 + 0.5) / 10000 AS jaccard
+             CASE WHEN n_a + n_b - n_both <> 0
+                  THEN floor(CAST(n_both AS DOUBLE) / (n_a + n_b - n_both) * 10000 + 0.5) / 10000
+             END AS jaccard
       FROM prs"""
     },
     "qe12_survival" -> """
@@ -737,6 +739,32 @@ object SparkEntry {
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
         .map(sub).mkString("\n      UNION ALL\n")
     },
+    "qm2_frame_sample" -> """
+      WITH m AS (
+        SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len FROM documents
+      ), fr AS (
+        SELECT doc_id, text, len, greatest(1, len // 256) AS nframes FROM m
+      ), fi0 AS (
+        SELECT doc_id, text, len,
+               unnest(range(0, nframes, greatest(1, nframes // 4))) AS fi
+        FROM fr
+      ), f2 AS (
+        SELECT * FROM (
+          SELECT doc_id, text, len, fi,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY fi) AS rn
+          FROM fi0) WHERE rn <= 4
+      ), fb AS (
+        SELECT doc_id, fi, text,
+               least(fi*256 + 256, len) - fi*256 AS n_bytes
+        FROM f2
+      ), bytes AS (
+        SELECT doc_id, fi, n_bytes,
+               unnest(range(1, n_bytes + 1)) AS i, text
+        FROM fb
+      )
+      SELECT doc_id, CAST(fi AS INT) AS frame_idx, CAST(n_bytes AS INT) AS n_bytes,
+             CAST(coalesce(sum(ord(substr(text, CAST(fi*256 + i AS INT), 1)) * i), 0) AS BIGINT) AS frame_hash
+      FROM bytes GROUP BY doc_id, fi, n_bytes""",
     "qm4_shard_manifest" -> """
       WITH m AS (
         SELECT doc_id, 'text/' || lang AS media_type,

@@ -604,7 +604,10 @@ object Events {
       .select(col("p.type_a"), col("p.type_b"), col("p.n_a"), col("p.n_b"),
         col("p.n_both"),
         (col("p.n_a") + col("p.n_b") - col("p.n_both")).as("n_either"))
-      .withColumn("jaccard", graft.util.Num.r4(col("n_both") / col("n_either")))
+      // zero guard: a pair of event types absent from the data has
+      // n_either = 0 — emit null (DuckDB's double division would diverge)
+      .withColumn("jaccard",
+        when(col("n_either") =!= 0, graft.util.Num.r4(col("n_both") / col("n_either"))))
   }
 
   def attribution(spark: SparkSession, sfDir: String, lookbackS: Long = 3600L): DataFrame = {

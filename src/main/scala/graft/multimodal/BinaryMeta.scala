@@ -84,9 +84,12 @@ object BinaryMeta {
   /** qm5: per-modality storage + dedup audit — the media-level qt18:
     * per media_type, item count, byte volume (total/mean), distinct
     * payloads and the exact-dup rate. ONE map-side-combined hash-agg
-    * over the payload scan (the distinct count shuffles payload hashes,
-    * not payloads, at 100 TB — Spark's distinct-agg rewrite handles
-    * that; the payload column itself never leaves the scan otherwise).
+    * over the payload scan. The distinct count runs on md5(payload),
+    * NOT the payload itself: the distinct-agg exchange then carries
+    * 16-byte digests instead of full media blobs — at real media scale
+    * countDistinct(payload) would push the whole corpus through one
+    * shuffle. (Same answer for the dup-rate audit; an md5 collision
+    * inside one modality is negligible at any corpus size.)
     * SQL-checkable because the payload is the UTF-8 encoding of the
     * text column (encode is injective), so DuckDB counts DISTINCT text.
     */
@@ -98,7 +101,7 @@ object BinaryMeta {
       .agg(count(lit(1)).as("n_items"),
         sum("n_bytes").as("total_bytes"),
         graft.util.Num.r4(avg("n_bytes")).as("mean_bytes"),
-        countDistinct(col("payload")).as("n_distinct"))
+        countDistinct(md5(col("payload"))).as("n_distinct"))
       .withColumn("dup_rate",
         graft.util.Num.r4((col("n_items") - col("n_distinct")) / col("n_items")))
 
@@ -168,7 +171,10 @@ object BinaryMeta {
     * evenly-strided frames are emitted per row (bounded fan-out, so the
     * exploded side stays O(k·rows) at 100 TB). The per-frame decode is
     * the same stub seam as qm1 — a real codec slots into the frame loop
-    * without changing schema or plan.
+    * without changing schema or plan. The stub frame signature is a
+    * positional byte checksum Σ byte_i·(i+1) (order-sensitive, wrap-free
+    * in 64 bits), so the DuckDB oracle reproduces it exactly through the
+    * injective text→payload encoding qm5 relies on.
     */
   def frameSample(spark: SparkSession, sfDir: String,
                   frameSize: Int = 256, k: Int = 4): DataFrame = {
@@ -179,9 +185,9 @@ object BinaryMeta {
       Range(0, nFrames, stride).take(k).map { fi =>
         val from = fi * frameSize
         val until = math.min(from + frameSize, r.payload.length)
-        var h = 1125899906842597L
+        var h = 0L
         var i = from
-        while (i < until) { h = 31 * h + (r.payload(i) & 0xff); i += 1 }
+        while (i < until) { h += (r.payload(i) & 0xff).toLong * (i - from + 1); i += 1 }
         Frame(r.doc_id, fi, until - from, h)
       }
     }.toDF()

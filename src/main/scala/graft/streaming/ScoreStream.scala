@@ -125,6 +125,15 @@ object ScoreStream {
     * (window, series), watermark-evicted. Bins empty on BOTH sides
     * contribute no term — exactly qp7's absent-row semantics, so a
     * whole-half window reproduces the batch PSI bit for bit.
+    *
+    * Out-of-range live values: the baseline's [mn, mx] was fixed at
+    * train time, so live points OUTSIDE it are clamped into the edge
+    * bins (greatest/least below) rather than dropped — they still count
+    * toward the PSI mass. The batch twin never sees this case (its
+    * bounds come from the same data it bins), so the clamp is a
+    * deliberate live-only extension: out-of-range drift lands in bins 0
+    * / nBins−1 and inflates those bins' PSI terms, which is the signal
+    * a monitor wants.
     */
   def driftStream(points: DataFrame, baseline: DataFrame, nBins: Int = 10,
                   windowDur: String = "1 hour",
