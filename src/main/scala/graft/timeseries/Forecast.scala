@@ -292,14 +292,16 @@ object Forecast {
     */
   def rescaledMetrics(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy("series").orderBy("t")
-    val scaled = TsCore.filled(spark, sfDir)
-      .join(broadcast(TsCore.scaleBounds(spark, sfDir)), "series")
+    // bounds / split boundaries are |series|-scale frames → size-aware
+    // joins (Joins.dimJoin None path), not hard-coded broadcasts
+    val scaled = graft.util.Joins.dimJoin(TsCore.filled(spark, sfDir),
+        TsCore.scaleBounds(spark, sfDir), Seq("series"), None)
       .select(col("series"), col("t"),
         Num.r4((col("v_filled") - col("lo")) / (col("hi") - col("lo"))).as("vs"),
         col("lo"), col("hi"))
-    val pred = scaled
-      .withColumn("p", lag("vs", TsCore.WeekLag).over(w))
-      .join(broadcast(boundaryT(spark, sfDir)), "series")
+    val pred = graft.util.Joins.dimJoin(
+        scaled.withColumn("p", lag("vs", TsCore.WeekLag).over(w)),
+        boundaryT(spark, sfDir), Seq("series"), None)
       .filter(col("t") >= col("tsplit") && col("vs").isNotNull && col("p").isNotNull)
     // scaled-integer error sums (order-independent; vs is r4-quantized)
     val aeInt = floor(abs(col("vs") - col("p")) * 10000d + 0.5d).cast("long")
@@ -547,10 +549,18 @@ FROM pows"""
     * Hyndman FPP3 §5.10, public). Per (series, fold): test size +
     * MAE/RMSE — the degradation curve that says how often to retrain.
     *
-    * Scale shape: folds share ONE lag window pass; each refit is the
-    * same sufficient-statistics solve as q22 (map-side partial sums,
-    * |series| rows out) and fold results union — no iteration beyond
-    * the |folds| independent branches of one plan, no driver data.
+    * Scale shape (q39's conditional-agg collapse): ALL folds solve in
+    * THREE shared aggregation passes — fold means → centered sums →
+    * test errors — with per-fold `when(t < cut_i, …)` guards, instead
+    * of |folds| independent olsFit chains each re-scanning the shared
+    * lag table. A conditional aggregate visits the same rows in the
+    * same scan order as the filtered frame it replaces, so every
+    * sufficient statistic, coefficient and error is bit-identical to
+    * the per-fold solve (the oracle CTE chain is unchanged). The
+    * |series|-scale boundary/mean/coefficient frames join through
+    * [[graft.util.Joins.dimJoin]]'s size-aware (None) path — at
+    * millions of meters they are tens of MB and must not be
+    * unconditionally broadcast.
     */
   def refitBacktest(spark: SparkSession, sfDir: String,
                     fracs: Seq[Double] = Seq(0.7, 0.8, 0.9)): DataFrame = {
@@ -560,28 +570,86 @@ FROM pows"""
       .filter(col("y").isNotNull && col("x1").isNotNull &&
         col("x2").isNotNull && col("x3").isNotNull)
     val rng = base.groupBy("series").agg(min("t").as("t0"), max("t").as("t1"))
-    // boundaries are cut0..cutN (NOT b0..: the coefficient join below
-    // also carries b0..b3 and the names must never collide)
+    // boundaries are cut0..cutN (NOT b0..: the coefficient columns below
+    // are b0_i..b3_i and the names must never collide)
     val bnds = fracs.zipWithIndex.foldLeft(rng) { case (df, (f, i)) =>
       df.withColumn(s"cut$i",
         col("t0") + floor((col("t1") - col("t0") + 1) * f).cast("long"))
     }.withColumn(s"cut${fracs.size}", col("t1") + 1)
-    val withB = base.join(broadcast(bnds.drop("t0", "t1")), "series")
-    fracs.indices.map { i =>
-      val (lo, hi) = (col(s"cut$i"), col(s"cut${i + 1}"))
-      val coefs = olsFit(withB.filter(col("t") < lo)
-        .select("series", "t", "y", "x1", "x2", "x3"))
-      withB.filter(col("t") >= lo && col("t") < hi)
-        .join(broadcast(coefs), "series")
-        .withColumn("p", col("b0") + col("b1") * col("x1") +
-          col("b2") * col("x2") + col("b3") * col("x3"))
-        .groupBy("series").agg(
-          count(lit(1)).as("n"),
-          avg(abs(col("y") - col("p"))).as("mae"),
-          sqrt(avg((col("y") - col("p")) * (col("y") - col("p")))).as("rmse"))
-        .select(col("series"), lit(i).as("fold"), col("n"),
-          Num.r4(col("mae")).as("mae"), Num.r4(col("rmse")).as("rmse"))
-    }.reduce(_ unionByName _)
+    // materialize the lag+boundary frame ONCE (q39's discipline): the
+    // three agg passes below otherwise each re-derive the per-series
+    // window sort — 4 lag passes where one suffices
+    val withB = TsCore.cached(spark, sfDir, s"q54lags_${fracs.mkString("_")}") {
+      graft.util.Joins.dimJoin(base, bnds.drop("t0", "t1"), Seq("series"), None)
+    }
+    def trainOk(i: Int) = col("t") < col(s"cut$i")
+    def testOk(i: Int) = col("t") >= col(s"cut$i") && col("t") < col(s"cut${i + 1}")
+    // pass 1: per-fold train means (olsFit's means, conditional)
+    val meanAggs = fracs.indices.flatMap { i => Seq(
+      avg(when(trainOk(i), col("y"))).as(s"my_$i"),
+      avg(when(trainOk(i), col("x1"))).as(s"m1_$i"),
+      avg(when(trainOk(i), col("x2"))).as(s"m2_$i"),
+      avg(when(trainOk(i), col("x3"))).as(s"m3_$i")) }
+    val means = withB.groupBy("series").agg(meanAggs.head, meanAggs.tail: _*)
+    // pass 2: per-fold centered sums (olsFit's scatter, conditional)
+    def cc(i: Int, a: String, ma: String, b: String, mb: String) =
+      sum(when(trainOk(i), (col(a) - col(ma)) * (col(b) - col(mb))))
+    val statAggs = fracs.indices.flatMap { i => Seq(
+      cc(i, "x1", s"m1_$i", "x1", s"m1_$i").as(s"s11_$i"),
+      cc(i, "x1", s"m1_$i", "x2", s"m2_$i").as(s"s12_$i"),
+      cc(i, "x1", s"m1_$i", "x3", s"m3_$i").as(s"s13_$i"),
+      cc(i, "x2", s"m2_$i", "x2", s"m2_$i").as(s"s22_$i"),
+      cc(i, "x2", s"m2_$i", "x3", s"m3_$i").as(s"s23_$i"),
+      cc(i, "x3", s"m3_$i", "x3", s"m3_$i").as(s"s33_$i"),
+      cc(i, "x1", s"m1_$i", "y", s"my_$i").as(s"sy1_$i"),
+      cc(i, "x2", s"m2_$i", "y", s"my_$i").as(s"sy2_$i"),
+      cc(i, "x3", s"m3_$i", "y", s"my_$i").as(s"sy3_$i")) }
+    val stats = graft.util.Joins.dimJoin(withB, means, Seq("series"), None)
+      .groupBy("series").agg(statAggs.head, statAggs.tail: _*)
+    // per-fold Cramer's rule — the exact expression structure of olsFit
+    // (and TsOracle.q54), on fold-suffixed columns
+    val coefCols = fracs.indices.flatMap { i =>
+      def s(n: String) = col(s"$n$i")
+      val det = s("s11_") * (s("s22_") * s("s33_") - s("s23_") * s("s23_")) -
+        s("s12_") * (s("s12_") * s("s33_") - s("s23_") * s("s13_")) +
+        s("s13_") * (s("s12_") * s("s23_") - s("s22_") * s("s13_"))
+      val b1 = (s("sy1_") * (s("s22_") * s("s33_") - s("s23_") * s("s23_")) -
+        s("s12_") * (s("sy2_") * s("s33_") - s("s23_") * s("sy3_")) +
+        s("s13_") * (s("sy2_") * s("s23_") - s("s22_") * s("sy3_"))) / det
+      val b2 = (s("s11_") * (s("sy2_") * s("s33_") - s("sy3_") * s("s23_")) -
+        s("sy1_") * (s("s12_") * s("s33_") - s("s23_") * s("s13_")) +
+        s("s13_") * (s("s12_") * s("sy3_") - s("sy2_") * s("s13_"))) / det
+      val b3 = (s("s11_") * (s("s22_") * s("sy3_") - s("s23_") * s("sy2_")) -
+        s("s12_") * (s("s12_") * s("sy3_") - s("sy2_") * s("s13_")) +
+        s("sy1_") * (s("s12_") * s("s23_") - s("s22_") * s("s13_"))) / det
+      Seq(b1.as(s"b1_$i"), b2.as(s"b2_$i"), b3.as(s"b3_$i"),
+        (s("my_") - b1 * s("m1_") - b2 * s("m2_") - b3 * s("m3_")).as(s"b0_$i"))
+    }
+    val coefs = graft.util.Joins.dimJoin(stats, means, Seq("series"), None)
+      .select(col("series") +: coefCols: _*)
+    // pass 3: per-fold test errors over the fold's slice
+    val errAggs = fracs.indices.flatMap { i =>
+      val p = col(s"b0_$i") + col(s"b1_$i") * col("x1") +
+        col(s"b2_$i") * col("x2") + col(s"b3_$i") * col("x3")
+      Seq(
+        sum(when(testOk(i), 1L)).as(s"n_$i"),
+        // b0 rides along (constant per series) for the null/NaN filter below
+        max(col(s"b0_$i")).as(s"b0_$i"),
+        avg(when(testOk(i), abs(col("y") - p))).as(s"mae_$i"),
+        sqrt(avg(when(testOk(i), (col("y") - p) * (col("y") - p)))).as(s"rmse_$i"))
+    }
+    val errs = graft.util.Joins.dimJoin(withB, coefs, Seq("series"), None)
+      .groupBy("series").agg(errAggs.head, errAggs.tail: _*)
+    errs.select(col("series"), explode(array(fracs.indices.map { i =>
+        struct(lit(i).as("fold"), col(s"n_$i").as("n"), col(s"b0_$i").as("b0"),
+          col(s"mae_$i").as("mae"), col(s"rmse_$i").as("rmse"))
+      }: _*)).as("s"))
+      // a (series, fold) row exists in the per-fold chain only if the
+      // fold had ≥1 train row (b0 non-null; NaN from a singular system
+      // still passes, matching the old inner-join chain) AND ≥1 test row
+      .filter(col("s.b0").isNotNull && col("s.n") > 0)
+      .select(col("series"), col("s.fold").as("fold"), col("s.n").as("n"),
+        Num.r4(col("s.mae")).as("mae"), Num.r4(col("s.rmse")).as("rmse"))
   }
 
   /** q53: hierarchical forecast reconciliation (Hyndman FPP3 ch. 11,

@@ -174,10 +174,23 @@ class PlanSpec extends SparkSuite {
     val p53 = plan(graft.timeseries.Forecast.reconcile(spark, Sf01))
     assert("lag\\(y".r.findAllIn(p53).size == 1,
       s"q53 must compute the lag window once:\n${p53.take(900)}")
-    // q54: per-fold coefficients broadcast; no cartesian anywhere
-    val p54 = plan(graft.timeseries.Forecast.refitBacktest(spark, Sf01))
-    assert(p54.contains("BroadcastHashJoin"), s"q54 coefs must broadcast:\n${p54.take(900)}")
+    // q54 (r9 conditional-agg collapse): the lag window lives in the
+    // shared cached stage — the query plan itself derives NO lag pass —
+    // and the |series|-scale mean/coef joins carry no hard-coded
+    // broadcast hint (size-aware dimJoin None path; AQE picks the
+    // strategy from runtime bytes)
+    val d54 = graft.timeseries.Forecast.refitBacktest(spark, Sf01)
+    val p54 = plan(d54)
+    assert(!p54.contains("lag(y"),
+      s"q54 must read the cached lag stage, not re-derive it:\n${p54.take(900)}")
     assert(!p54.contains("CartesianProduct"), s"q54 cartesian:\n${p54.take(900)}")
+    assert(!d54.queryExecution.optimizedPlan.toString.contains("strategy=broadcast"),
+      "q54 must not hard-code a broadcast on |series|-scale frames")
+    // …and at THIS scale AQE's runtime size gate still lands on
+    // broadcast-hash for the tiny dim stages
+    d54.collect()
+    assert(plan(d54).contains("BroadcastHashJoin"),
+      s"AQE should broadcast the 5-series dims at sf0.01:\n${plan(d54).take(900)}")
     // qe13: exactly two aggregations' exchanges — the user-mask rollup
     // and the single global conditional-sum row
     val p13 = plan(graft.analytics.Events.audienceOverlap(spark, Sf01))
@@ -270,6 +283,32 @@ class PlanSpec extends SparkSuite {
     // qp10 folds every counter map-side before its single-row exchange
     val p10 = plan(graft.analytics.Events.qualityAudit(spark, Sf01))
     assert(p10.contains("partial_sum"), s"qp10 must partial-agg:\n${p10.take(1000)}")
+  }
+
+  test("Joins.dimJoin: bounded dims broadcast statically; data-scaled dims carry no hint") {
+    import graft.util.Joins
+    val big = Tables.lineitem(spark, Sf01).select(col("l_orderkey"), col("l_quantity"))
+    val dim = Tables.orders(spark, Sf01)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+    // structurally bounded → unconditional broadcast hint in the plan
+    val bounded = Joins.dimJoin(big, dim, Seq("l_orderkey"), Some(1000L))
+    assert(bounded.queryExecution.optimizedPlan.toString.contains("strategy=broadcast"),
+      "bounded dims must broadcast statically")
+    // data-scaled → NO static hint: the planner + AQE size-gate decide
+    val scaled = Joins.dimJoin(big, dim, Seq("l_orderkey"), None)
+    assert(!scaled.queryExecution.optimizedPlan.toString.contains("strategy=broadcast"),
+      "data-scaled dims must not carry a broadcast hint")
+    // a bound above BroadcastRowBound is a contract violation, not a fallback
+    intercept[IllegalArgumentException] {
+      Joins.dimJoin(big, dim, Seq("l_orderkey"), Some(Joins.BroadcastRowBound + 1))
+    }
+    // q04/q42 route their |series|-scale bounds through the None path
+    for ((nm, df) <- Seq(
+      "q04" -> graft.timeseries.TsQueries.q04QuantileScale(spark, Sf01),
+      "q42" -> graft.timeseries.Forecast.rescaledMetrics(spark, Sf01))) {
+      assert(!df.queryExecution.optimizedPlan.toString.contains("strategy=broadcast"),
+        s"$nm still hard-codes a broadcast on a |series|-scale frame")
+    }
   }
 
   test("grouped aggregation is whole-stage codegen'd with partial agg") {
