@@ -115,6 +115,7 @@ object SparkEntry {
     "qt12_vocab_coverage" -> ((s, d) => graft.text.TextOps.vocabCoverage(s, d)),
     "qd13_dup_spans" -> ((s, d) => graft.text.Dedup.dupSpans(s, d)),
     "q44_masked_pairs" -> ((s, d) => graft.timeseries.Impute.maskedPairs(s, d)),
+    "q55_learned_impute" -> ((s, d) => graft.timeseries.Impute.learnedImpute(s, d)),
     "qv6_ivfpq_ann" -> ((s, d) => graft.vector.Similarity.ivfPqAnn(s, d)),
     "qv11_sq8_ann" -> ((s, d) => graft.vector.Similarity.sq8Ann(s, d)),
     "qv12_refine_ann" -> ((s, d) => graft.vector.Similarity.refineAnn(s, d)),
@@ -509,6 +510,7 @@ object SparkEntry {
     "qt12_vocab_coverage" -> graft.text.DocOracle.qt12(),
     "qd13_dup_spans" -> graft.text.DocOracle.qd13(),
     "q44_masked_pairs" -> graft.timeseries.TsOracle.q44(),
+    "q55_learned_impute" -> graft.timeseries.TsOracle.q55(),
     "qv6_ivfpq_ann" -> graft.text.DocOracle.qv6(),
     "qv11_sq8_ann" -> graft.text.DocOracle.qv11(),
     "qv12_refine_ann" -> graft.text.DocOracle.qv12(),

@@ -44,6 +44,134 @@ object Impute {
         when(col("mask") === 0, lit(0.0)).otherwise(col("v")).as("v_masked"))
   }
 
+  /** q55: LEARNED masked-span imputer — the closed-form counterpart of
+    * the reference's denoising autoencoder (anomaly_imputation/
+    * autoencoder.py:61-117 trains a bi-LSTM AE on masked windows built
+    * by dataset_ai.py; main.py applies it to flagged spans). The AE's
+    * capability — learn, from (clean, masked) training pairs, how to
+    * reconstruct a masked span from its context — is re-expressed as a
+    * per-(series, span-offset) RIDGE regression on three context
+    * features, TRAINED on q44's masked triples and APPLIED to the
+    * injected anomaly spans of the test split:
+    *
+    *   features  xl = window value just before the span,
+    *             xr = window value just after it,
+    *             xs = same-position value from the nearest clean week
+    *                  (previous, else next — q19's walk),
+    *   model     per (series, offset-within-span): y ~ b0+b1·xl+b2·xr+b3·xs,
+    *             centered normal equations with `lambda` added to the
+    *             scatter diagonal (ridge ⇒ always nonsingular; a
+    *             single-row group degrades gracefully to b=0, b0=ȳ),
+    *             solved by q22's Cramer expressions.
+    *
+    * Spans longer than the training mask reuse the last trained offset
+    * (the AE reconstructs arbitrary spans for the same reason: the
+    * decoder sees only context + position). Output: per series, test-
+    * split MAE/RMSE of the learned imputer vs the seasonal fill ON THE
+    * SAME POINTS — the spec asserts learned ≤ seasonal corpus-wide.
+    *
+    * Scale shape: training rows are one row per masked grid point (no
+    * fan-out); the solve is ONE sufficient-statistics aggregation keyed
+    * (series, offset) — ≤ maskSize·|series| model rows out — and every
+    * |series|-scale frame joins through Joins.dimJoin's size-aware
+    * path. The week-neighbor lookups are exact equi-joins on
+    * (series, win±7, pos), never range joins.
+    */
+  def learnedImpute(spark: SparkSession, sfDir: String, maskSize: Int = 8,
+                    lambda: Double = 0.01): DataFrame = {
+    require(maskSize >= 1 && maskSize < TsCore.DaySize - 1, s"maskSize=$maskSize")
+    require(lambda > 0, s"lambda=$lambda: ridge needs a positive diagonal")
+    import graft.util.Joins
+    val hi = TsCore.DaySize - maskSize - 1
+    val bound = TsCore.splitBoundary(spark, sfDir)
+    val wa = Window.partitionBy("series", "win")
+
+    // ---- training rows: q44's masked points, train split, mi ≥ 1 ----
+    val mi = TsCore.winKeys(spark, sfDir)
+      .select(col("series"), col("win"),
+        floor(TsCore.lcg(col("key"), 8) * hi).cast("long").as("mi"))
+    val dw = TsCore.dayWindows(spark, sfDir)
+    val seas = dw.select(col("series"), col("win").as("swin"), col("pos"), col("v").as("sv"))
+    val trainRows = Joins.dimJoin(
+        dw.join(mi, Seq("series", "win"))
+          .withColumn("xl", max(when(col("pos") === col("mi") - 1, col("v"))).over(wa))
+          .withColumn("xr", max(when(col("pos") === col("mi") + maskSize, col("v"))).over(wa)),
+        bound, Seq("series"), None)
+      .filter(col("win") < col("mwin") && col("mi") >= 1 &&
+        col("pos") >= col("mi") && col("pos") < col("mi") + maskSize)
+      .withColumn("wprev", col("win") - 7)
+      .withColumn("wnext", col("win") + 7)
+      .join(seas.withColumnRenamed("swin", "wprev").withColumnRenamed("sv", "svp"),
+        Seq("series", "wprev", "pos"), "left")
+      .join(seas.withColumnRenamed("swin", "wnext").withColumnRenamed("sv", "svn"),
+        Seq("series", "wnext", "pos"), "left")
+      .withColumn("xs", coalesce(col("svp"), col("svn")))
+      .filter(col("xs").isNotNull)
+      .select(col("series"), (col("pos") - col("mi")).as("o"),
+        col("v").as("y"), col("xl"), col("xr"), col("xs"))
+
+    // ---- per-(series, offset) ridge via q22's Cramer structure ----
+    val means = trainRows.groupBy("series", "o").agg(
+      avg("y").as("my"), avg("xl").as("m1"), avg("xr").as("m2"), avg("xs").as("m3"))
+    def c(a: String, ma: String, b: String, mb: String) =
+      sum((col(a) - col(ma)) * (col(b) - col(mb)))
+    val stats = Joins.dimJoin(trainRows, means, Seq("series", "o"), None)
+      .groupBy("series", "o").agg(
+        (c("xl", "m1", "xl", "m1") + lambda).as("s11"), c("xl", "m1", "xr", "m2").as("s12"),
+        c("xl", "m1", "xs", "m3").as("s13"), (c("xr", "m2", "xr", "m2") + lambda).as("s22"),
+        c("xr", "m2", "xs", "m3").as("s23"), (c("xs", "m3", "xs", "m3") + lambda).as("s33"),
+        c("xl", "m1", "y", "my").as("sy1"), c("xr", "m2", "y", "my").as("sy2"),
+        c("xs", "m3", "y", "my").as("sy3"))
+    val det = col("s11") * (col("s22") * col("s33") - col("s23") * col("s23")) -
+      col("s12") * (col("s12") * col("s33") - col("s23") * col("s13")) +
+      col("s13") * (col("s12") * col("s23") - col("s22") * col("s13"))
+    val b1 = (col("sy1") * (col("s22") * col("s33") - col("s23") * col("s23")) -
+      col("s12") * (col("sy2") * col("s33") - col("s23") * col("sy3")) +
+      col("s13") * (col("sy2") * col("s23") - col("s22") * col("sy3"))) / det
+    val b2 = (col("s11") * (col("sy2") * col("s33") - col("sy3") * col("s23")) -
+      col("sy1") * (col("s12") * col("s33") - col("s23") * col("s13")) +
+      col("s13") * (col("s12") * col("sy3") - col("sy2") * col("s13"))) / det
+    val b3 = (col("s11") * (col("s22") * col("sy3") - col("s23") * col("sy2")) -
+      col("s12") * (col("s12") * col("sy3") - col("sy2") * col("s13")) +
+      col("sy1") * (col("s12") * col("s23") - col("s22") * col("s13"))) / det
+    val coefs = Joins.dimJoin(stats, means, Seq("series", "o"), None)
+      .select(col("series"), col("o"), b1.as("b1"), b2.as("b2"), b3.as("b3"),
+        (col("my") - b1 * col("m1") - b2 * col("m2") - b3 * col("m3")).as("b0"))
+
+    // ---- application: injected anomaly spans of the test split ----
+    val inj = TsCore.injected(spark, sfDir)
+    val prm = TsCore.injectParams(spark, sfDir).select("series", "win", "apos", "alen")
+    val cleanv = inj.filter(col("is_anom") === 0)
+      .select(col("series"), col("win").as("swin"), col("pos"), col("v_anom").as("cv"))
+    val pts = Joins.dimJoin(
+        inj.join(prm, Seq("series", "win"))
+          .withColumn("xl", max(when(col("pos") === col("apos") - 1, col("v_anom"))).over(wa))
+          .withColumn("xr", max(when(col("pos") === col("apos") + col("alen"), col("v_anom"))).over(wa)),
+        bound, Seq("series"), None)
+      .filter(col("is_anom") === 1 && col("win") >= col("mwin"))
+      .withColumn("o", least(col("pos") - col("apos"), lit(maskSize - 1L)))
+      .withColumn("wprev", col("win") - 7)
+      .withColumn("wnext", col("win") + 7)
+      .join(cleanv.withColumnRenamed("swin", "wprev").withColumnRenamed("cv", "cvp"),
+        Seq("series", "wprev", "pos"), "left")
+      .join(cleanv.withColumnRenamed("swin", "wnext").withColumnRenamed("cv", "cvn"),
+        Seq("series", "wnext", "pos"), "left")
+      .withColumn("xs", coalesce(col("cvp"), col("cvn")))
+      .filter(col("xs").isNotNull)
+    val scored = Joins.dimJoin(pts, coefs, Seq("series", "o"), None)
+      .withColumn("p", col("b0") + col("b1") * col("xl") +
+        col("b2") * col("xr") + col("b3") * col("xs"))
+    scored.groupBy("series").agg(
+      count(lit(1)).as("n"),
+      avg(abs(col("v_orig") - col("p"))).as("mae_l"),
+      sqrt(avg((col("v_orig") - col("p")) * (col("v_orig") - col("p")))).as("rmse_l"),
+      avg(abs(col("v_orig") - col("xs"))).as("mae_s"),
+      sqrt(avg((col("v_orig") - col("xs")) * (col("v_orig") - col("xs")))).as("rmse_s"))
+      .select(col("series"), col("n"),
+        Num.r4(col("mae_l")).as("mae_learned"), Num.r4(col("rmse_l")).as("rmse_learned"),
+        Num.r4(col("mae_s")).as("mae_seasonal"), Num.r4(col("rmse_s")).as("rmse_seasonal"))
+  }
+
   /** q18: linear interpolation across flagged spans — for each flagged
     * point, interpolate between the nearest clean points on both sides.
     */

@@ -223,6 +223,84 @@ JOIN (
   FROM keys
 ) p USING (series, win)"""
 
+  /** q55: learned masked-span imputer — mirrors Impute.learnedImpute
+    * stage-for-stage (training ridge from the q44 triples, q22's Cramer
+    * expressions with the ridge diagonal, application to the injected
+    * test-split spans).
+    */
+  def q55(maskSize: Int = 8, lambda: Double = 0.01): String = prefix + s"""
+, mi55 AS (
+  SELECT series, win, CAST(floor(${lcg(8)} * ${TsCore.DaySize - maskSize - 1}) AS BIGINT) AS mi
+  FROM keys
+), dwmi AS (
+  SELECT d.series, d.win, d.pos, d.v, m.mi,
+    max(CASE WHEN d.pos = m.mi - 1 THEN d.v END) OVER wa AS xl,
+    max(CASE WHEN d.pos = m.mi + $maskSize THEN d.v END) OVER wa AS xr
+  FROM daywin d JOIN mi55 m USING (series, win)
+  WINDOW wa AS (PARTITION BY d.series, d.win)
+), trainrows AS (
+  SELECT t.series, t.pos - t.mi AS o, t.v AS y, t.xl, t.xr,
+         coalesce(sp.v, sn.v) AS xs
+  FROM dwmi t
+  JOIN boundary b USING (series)
+  LEFT JOIN daywin sp ON sp.series = t.series AND sp.win = t.win - 7 AND sp.pos = t.pos
+  LEFT JOIN daywin sn ON sn.series = t.series AND sn.win = t.win + 7 AND sn.pos = t.pos
+  WHERE t.win < b.mwin AND t.mi >= 1
+    AND t.pos >= t.mi AND t.pos < t.mi + $maskSize
+    AND coalesce(sp.v, sn.v) IS NOT NULL
+), rmeans AS (
+  SELECT series, o, avg(y) AS my, avg(xl) AS m1, avg(xr) AS m2, avg(xs) AS m3
+  FROM trainrows GROUP BY series, o
+), rstats AS (
+  SELECT t.series, t.o,
+    sum((xl - m1) * (xl - m1)) + $lambda AS s11, sum((xl - m1) * (xr - m2)) AS s12,
+    sum((xl - m1) * (xs - m3)) AS s13, sum((xr - m2) * (xr - m2)) + $lambda AS s22,
+    sum((xr - m2) * (xs - m3)) AS s23, sum((xs - m3) * (xs - m3)) + $lambda AS s33,
+    sum((xl - m1) * (y - my)) AS sy1, sum((xr - m2) * (y - my)) AS sy2,
+    sum((xs - m3) * (y - my)) AS sy3
+  FROM trainrows t JOIN rmeans USING (series, o) GROUP BY t.series, t.o
+), rcoefs AS (
+  SELECT s.series, s.o,
+    (sy1 * (s22 * s33 - s23 * s23) - s12 * (sy2 * s33 - s23 * sy3) + s13 * (sy2 * s23 - s22 * sy3))
+      / (s11 * (s22 * s33 - s23 * s23) - s12 * (s12 * s33 - s23 * s13) + s13 * (s12 * s23 - s22 * s13)) AS b1,
+    (s11 * (sy2 * s33 - sy3 * s23) - sy1 * (s12 * s33 - s23 * s13) + s13 * (s12 * sy3 - sy2 * s13))
+      / (s11 * (s22 * s33 - s23 * s23) - s12 * (s12 * s33 - s23 * s13) + s13 * (s12 * s23 - s22 * s13)) AS b2,
+    (s11 * (s22 * sy3 - s23 * sy2) - s12 * (s12 * sy3 - sy2 * s13) + sy1 * (s12 * s23 - s22 * s13))
+      / (s11 * (s22 * s33 - s23 * s23) - s12 * (s12 * s33 - s23 * s13) + s13 * (s12 * s23 - s22 * s13)) AS b3,
+    m.my, m.m1, m.m2, m.m3
+  FROM rstats s JOIN rmeans m USING (series, o)
+), rcoefs2 AS (
+  SELECT series, o, b1, b2, b3, my - b1 * m1 - b2 * m2 - b3 * m3 AS b0 FROM rcoefs
+), cleanv AS (
+  SELECT series, win, pos, v_anom FROM inject WHERE is_anom = 0
+), appaug AS (
+  SELECT i.series, i.win, i.pos, i.v_orig, i.is_anom, p.apos, p.alen,
+    max(CASE WHEN i.pos = p.apos - 1 THEN i.v_anom END) OVER wa AS xl,
+    max(CASE WHEN i.pos = p.apos + p.alen THEN i.v_anom END) OVER wa AS xr
+  FROM inject i JOIN params3 p USING (series, win)
+  WINDOW wa AS (PARTITION BY i.series, i.win)
+), appts AS (
+  SELECT a.series, a.v_orig, a.xl, a.xr,
+         least(a.pos - a.apos, ${maskSize - 1}) AS o,
+         coalesce(cp.v_anom, cn.v_anom) AS xs
+  FROM appaug a
+  JOIN boundary b USING (series)
+  LEFT JOIN cleanv cp ON cp.series = a.series AND cp.win = a.win - 7 AND cp.pos = a.pos
+  LEFT JOIN cleanv cn ON cn.series = a.series AND cn.win = a.win + 7 AND cn.pos = a.pos
+  WHERE a.is_anom = 1 AND a.win >= b.mwin
+    AND coalesce(cp.v_anom, cn.v_anom) IS NOT NULL
+), preds AS (
+  SELECT t.series, t.v_orig, t.xs,
+         c.b0 + c.b1 * t.xl + c.b2 * t.xr + c.b3 * t.xs AS p
+  FROM appts t JOIN rcoefs2 c USING (series, o)
+)
+SELECT series, count(*) AS n,
+  ${r4("avg(abs(v_orig - p))")} AS mae_learned,
+  ${r4("sqrt(avg((v_orig - p) * (v_orig - p)))")} AS rmse_learned,
+  ${r4("avg(abs(v_orig - xs))")} AS mae_seasonal,
+  ${r4("sqrt(avg((v_orig - xs) * (v_orig - xs)))")} AS rmse_seasonal
+FROM preds GROUP BY series"""
+
   def q06: String = prefix + "SELECT series, win, pos, ewma FROM feats"
 
   def q07: String = prefix + "SELECT series, win, pos, pstd FROM feats"

@@ -25,6 +25,24 @@ class ForecastImputeSpec extends SparkSuite {
     }
   }
 
+  test("q55 learned imputer beats the seasonal fill corpus-wide on the injected spans") {
+    val d = Impute.learnedImpute(spark, Sf01).cache()
+    val rows = d.collect()
+    assert(rows.nonEmpty, "test split must contain evaluable anomaly points at sf0.01")
+    // every metric finite and positive-definite shapes hold
+    assert(d.filter(col("mae_learned") < 0 || col("rmse_learned") < col("mae_learned") ||
+      col("mae_seasonal") < 0 || col("rmse_seasonal") < col("mae_seasonal")).count() === 0)
+    // the whole point of training on q44's triples: corpus-weighted MAE
+    // of the learned imputer must not lose to the raw seasonal feature
+    val a = d.agg(
+      sum(col("n") * col("mae_learned")).as("l"),
+      sum(col("n") * col("mae_seasonal")).as("s"),
+      sum(col("n")).as("n")).head()
+    val (l, s) = (a.getDouble(0) / a.getLong(2), a.getDouble(1) / a.getLong(2))
+    assert(l <= s, f"learned MAE $l%.4f should beat seasonal $s%.4f corpus-wide")
+    d.unpersist()
+  }
+
   test("linear imputation leaves clean points untouched") {
     val li = Impute.imputeLinear(spark, Sf01).cache()
     val orig = TsCore.injected(spark, Sf01)
