@@ -486,6 +486,9 @@ object Similarity {
   def kmeansFit(spark: SparkSession, sfDir: String, nCells: Int = 16,
                 iters: Int = 2): DataFrame = {
     require(nCells >= 1 && iters >= 0, s"nCells=$nCells iters=$iters")
+    // driver memory bound: each round holds nCells×dim doubles on the
+    // driver (the same artifact MLlib's KMeans keeps) — 64k cells × 64
+    // dims ≈ 32 MB; far below row-scale data
     val e = vecs(spark, sfDir)
     def packed(cent: DataFrame): DataFrame = cent
       .select(struct(col("cell"), col("cv")).as("s"))
@@ -495,17 +498,28 @@ object Similarity {
     var cent: DataFrame = e.orderBy("vec_id").limit(nCells)
       .withColumn("cell", (row_number().over(Window.orderBy("vec_id")) - 1).cast("long"))
       .select(col("cell"), col("v").as("cv"))
+    // Each round MATERIALIZES its ≤ nCells×dim centroid rows on the
+    // driver and re-literalizes them (LocalRelation) — the MLlib/FAISS
+    // contract: centers are the driver-resident artifact of k-means,
+    // broadcast each round. Without this, round i's plan embeds every
+    // prior round's full-collection assignment subtree — linear
+    // re-derivation per round and Catalyst plans that grow without
+    // bound in `iters`. Values are unchanged: the centroid components
+    // are already exact r6-quantized doubles when collected.
+    import spark.implicits._
     for (_ <- 0 until iters) {
       val assigned = e.crossJoin(broadcast(packed(cent)))
         .select(col("vec_id"), col("v"),
           expr("element_at(cellIds, int(graft_argmin_dist2(cf, v)) + 1)").as("cell"))
-      cent = assigned.select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+      val next = assigned.select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
         .withColumn("xq", floor(col("x") * 1000000d + 0.5d).cast("long"))
         .groupBy("cell", "pos")
         .agg((floor(sum("xq") / count(lit(1)) + 0.5d) / 1000000d).as("c"))
         .groupBy("cell")
         .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("cs"))
         .select(col("cell"), expr("transform(cs, p -> p.c)").as("cv"))
+        .as[(Long, Seq[Double])].collect().toSeq
+      cent = spark.createDataset(next).toDF("cell", "cv")
     }
     e.crossJoin(broadcast(packed(cent)))
       .select(

@@ -154,4 +154,31 @@ class VectorExprSpec extends SparkSuite {
         |""".stripMargin).head()
     assert(e.getInt(0) === 0 && e.isNullAt(1))
   }
+
+  test("qv13 k-means inertia matches MLlib KMeans trained from the same seeds") {
+    // the charter's MLlib interop proof: graft's relational Lloyd loop
+    // and org.apache.spark.mllib.clustering.KMeans, started from the
+    // IDENTICAL initial centers (the nCells lowest vec_ids) for the
+    // same number of rounds, must land on the same clustering cost
+    // (graft quantizes centroid components to 1e-6 and per-point d² to
+    // 1e-4 — sub-0.1% of the cost — hence the tolerance, not equality)
+    import org.apache.spark.mllib.clustering.{KMeans => MlKMeans, KMeansModel}
+    import org.apache.spark.mllib.linalg.Vectors
+    import org.apache.spark.sql.functions.{col, sum}
+    val nCells = 16
+    val e = graft.util.Tables.embeddings(spark, Sf01)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val seeds = e.orderBy("vec_id").limit(nCells).collect()
+      .map(r => Vectors.dense(r.getSeq[Double](1).toArray))
+    assert(seeds.length === nCells)
+    val data = e.select("v").rdd.map(r => Vectors.dense(r.getSeq[Double](0).toArray)).cache()
+    val model = new MlKMeans().setK(nCells).setMaxIterations(2).setEpsilon(0.0)
+      .setInitialModel(new KMeansModel(seeds)).run(data)
+    val mlCost = model.computeCost(data)
+    val ours = graft.vector.Similarity.kmeansFit(spark, Sf01, nCells, iters = 2)
+      .agg(sum("inertia")).head().getDouble(0)
+    assert(math.abs(mlCost - ours) / mlCost < 0.01,
+      s"mllib cost $mlCost vs graft inertia $ours")
+    data.unpersist()
+  }
 }
