@@ -212,6 +212,41 @@ object ScoreStream {
       .agg(count(lit(1)).as("n_bands"))
   }
 
+  /** Streaming quality filter — the streaming twin of batch qt10: every
+    * arriving document is scored and tagged in flight with the FIRST
+    * failing quality rule (or 'pass'). A document is one stream element,
+    * so all four signals are STATELESS row arithmetic over the token
+    * array (size / array_distinct / per-unique-token counts / stopword
+    * filter) — no explode, no aggregation, no state store; the operator
+    * composes with any downstream windowed sink. The ratio expressions,
+    * r4 quantization and rule cascade are the batch operator's own
+    * (TextOps.qualityVerdict), so verdicts are bit-identical —
+    * StreamingSpec asserts full-corpus parity.
+    */
+  def qualityFilterStream(docs: DataFrame, minTok: Long = 25L,
+                          minStopRatio: Double = 0.01, maxDupFrac: Double = 0.65,
+                          maxTopFrac: Double = 0.2): DataFrame = {
+    import graft.util.Num
+    val stop = graft.text.TextOps.Stopwords("en")
+    val per = docs
+      .withColumn("toks", filter(split(col("text"), " "), t => t =!= ""))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .withColumn("uniq", array_distinct(col("toks")))
+      .withColumn("n_uniq", size(col("uniq")).cast("long"))
+      .withColumn("top_tf",
+        array_max(expr("transform(uniq, u -> size(filter(toks, x -> x = u)))")).cast("long"))
+      .withColumn("n_stop",
+        size(filter(col("toks"), t => t.isInCollection(stop))).cast("long"))
+    per.select(col("doc_id"), col("lang"), col("ts"), col("n_tok"),
+        Num.r4(coalesce(col("n_stop") / col("n_tok"), lit(0.0))).as("stop_ratio"),
+        Num.r4(coalesce((col("n_tok") - col("n_uniq")) / col("n_tok"), lit(0.0))).as("dup_frac"),
+        Num.r4(coalesce(col("top_tf") / col("n_tok"), lit(0.0))).as("top_frac"))
+      .withColumn("reason",
+        graft.text.TextOps.qualityVerdict(minTok, minStopRatio, maxDupFrac, maxTopFrac))
+      .select(col("doc_id"), col("lang"), col("ts"), col("reason"),
+        (col("reason") === "pass").as("keep"))
+  }
+
   /** Stream-stream event-time interval join — the streaming twin of the
     * batch AS-OF/attribution shape (qe4): every `b` event (e.g. a
     * purchase) joins the `a` events (e.g. views) of the SAME user that

@@ -167,14 +167,23 @@ object TextOps {
         Num.r4(coalesce((col("n_tok") - col("n_uniq")) / col("n_tok"), lit(0.0))).as("dup_frac"),
         Num.r4(coalesce(col("top_tf") / col("n_tok"), lit(0.0))).as("top_frac"))
       .withColumn("reason",
-        when(col("n_tok") < minTok, "too_short")
-          .when(col("lang") === "en" && col("stop_ratio") < minStopRatio, "low_stopword")
-          .when(col("dup_frac") > maxDupFrac, "repetitive")
-          .when(col("top_frac") > maxTopFrac, "top_token")
-          .otherwise("pass"))
+        qualityVerdict(minTok, minStopRatio, maxDupFrac, maxTopFrac))
       .select(col("doc_id"), col("lang"), col("reason"),
         (col("reason") === "pass").as("keep"))
   }
+
+  /** qt10's fixed-order rule cascade over (n_tok, stop_ratio, dup_frac,
+    * top_frac, lang) — ONE definition shared by the batch operator and
+    * streaming.qualityFilterStream so the keep/drop decision can never
+    * diverge between the two.
+    */
+  private[graft] def qualityVerdict(minTok: Long, minStopRatio: Double,
+                                    maxDupFrac: Double, maxTopFrac: Double): Column =
+    when(col("n_tok") < minTok, "too_short")
+      .when(col("lang") === "en" && col("stop_ratio") < minStopRatio, "low_stopword")
+      .when(col("dup_frac") > maxDupFrac, "repetitive")
+      .when(col("top_frac") > maxTopFrac, "top_token")
+      .otherwise("pass")
 
   def repetition(spark: SparkSession, sfDir: String): DataFrame = {
     val tf = tokens(spark, sfDir).groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))

@@ -210,6 +210,7 @@ class StreamingSpec extends SparkSuite {
 
   case class UEv(ts: Timestamp, user_id: Long)
   case class Doc(ts: Timestamp, doc_id: Long, text: String)
+  case class LDoc(ts: Timestamp, doc_id: Long, lang: String, text: String)
   case class PatchRow(ts: Timestamp, series: String, win: Long, pos: Long,
                       f0: Double, f1: Double, f2: Double, f3: Double, f4: Double,
                       f5: Double, f6: Double, f7: Double, f8: Double)
@@ -389,6 +390,34 @@ class StreamingSpec extends SparkSuite {
         .filter(col("doc_new") >= 0).collect()
         .map(r => (r.getAs[Long]("doc_new"), r.getAs[Long]("doc_old")) ->
           r.getAs[Long]("n_bands")).toMap
+      assert(got === want)
+    } finally q.stop()
+  }
+
+  test("streaming quality filter matches batch qt10 verdicts over the whole corpus") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val want = graft.text.TextOps.qualityFilter(spark, Sf001).collect()
+      .map(r => r.getLong(0) -> (r.getString(2), r.getBoolean(3))).toMap
+    val docs = spark.read.parquet(s"$Sf001/documents.parquet")
+      .select("doc_id", "lang", "text").as[(Long, String, String)].collect()
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val mem = MemoryStream[LDoc]
+    val out = ScoreStream.qualityFilterStream(mem.toDF())
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("qfilter").start()
+    try {
+      // stateless operator: split the corpus across microbatches anyway
+      // to prove verdicts don't depend on batch boundaries
+      val (h1, h2) = docs.splitAt(docs.length / 2)
+      mem.addData(h1.map { case (id, lg, t) => LDoc(t0, id, lg, t) }.toSeq)
+      q.processAllAvailable()
+      mem.addData(h2.map { case (id, lg, t) => LDoc(t0, id, lg, t) }.toSeq)
+      q.processAllAvailable()
+      val got = spark.table("qfilter").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[String]("reason"), r.getAs[Boolean]("keep"))).toMap
+      assert(got.size === want.size)
       assert(got === want)
     } finally q.stop()
   }
