@@ -3,7 +3,7 @@ package graft.timeseries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.util.Num
+import graft.util.{Joins, Num}
 
 /** Load forecasting capability (reference: src/forecasting/ seq2seq GRU /
   * SCINet). Re-expressed Spark-first: a seasonal-naive baseline and a
@@ -35,7 +35,7 @@ object Forecast {
     val pred = TsCore.filled(spark, sfDir)
       .select(col("series"), col("t"), col("v_filled").as("y"))
       .withColumn("p", lag("y", TsCore.WeekLag).over(w))
-      .join(broadcast(boundaryT(spark, sfDir)), "series")
+      .transform(Joins.dimJoin(_, boundaryT(spark, sfDir), Seq("series"), None))
       .filter(col("t") >= col("tsplit") && col("y").isNotNull && col("p").isNotNull)
     // y/p are r4-quantized upstream → per-element errors are
     // bit-identical in both engines; scaled-integer sums make the
@@ -60,7 +60,7 @@ object Forecast {
     */
   private[timeseries] def lagBase(spark: SparkSession, sfDir: String): DataFrame =
     withLags(spark, sfDir)
-      .join(broadcast(boundaryT(spark, sfDir)), "series")
+      .transform(Joins.dimJoin(_, boundaryT(spark, sfDir), Seq("series"), None))
       .filter(col("y").isNotNull && col("x1").isNotNull &&
               col("x2").isNotNull && col("x3").isNotNull)
 
@@ -87,7 +87,7 @@ object Forecast {
       avg("y").as("my"), avg("x1").as("m1"), avg("x2").as("m2"), avg("x3").as("m3"))
     def c(a: String, ma: String, b: String, mb: String) =
       sum((col(a) - col(ma)) * (col(b) - col(mb)))
-    val stats = train.join(broadcast(means), "series").groupBy("series").agg(
+    val stats = Joins.dimJoin(train, means, Seq("series"), None).groupBy("series").agg(
       c("x1", "m1", "x1", "m1").as("s11"), c("x1", "m1", "x2", "m2").as("s12"),
       c("x1", "m1", "x3", "m3").as("s13"), c("x2", "m2", "x2", "m2").as("s22"),
       c("x2", "m2", "x3", "m3").as("s23"), c("x3", "m3", "x3", "m3").as("s33"),
@@ -105,7 +105,7 @@ object Forecast {
     val b3 = (col("s11") * (col("s22") * col("sy3") - col("s23") * col("sy2")) -
       col("s12") * (col("s12") * col("sy3") - col("sy2") * col("s13")) +
       col("sy1") * (col("s12") * col("s23") - col("s22") * col("s13"))) / det
-    stats.join(broadcast(means), "series")
+    Joins.dimJoin(stats, means, Seq("series"), None)
       .select(col("series"), b1.as("b1"), b2.as("b2"), b3.as("b3"),
         (col("my") - b1 * col("m1") - b2 * col("m2") - b3 * col("m3")).as("b0"))
   }
@@ -119,7 +119,7 @@ object Forecast {
   private[timeseries] def olsSolve(base: DataFrame): DataFrame = {
     val coefs = olsFit(base.filter(col("t") < col("tsplit")))
     val test = base.filter(col("t") >= col("tsplit"))
-      .join(broadcast(coefs), "series")
+      .transform(Joins.dimJoin(_, coefs, Seq("series"), None))
       .withColumn("p", col("b0") + col("b1") * col("x1") + col("b2") * col("x2") + col("b3") * col("x3"))
     test.groupBy("series").agg(
       count(lit(1)).as("n"),
@@ -156,7 +156,7 @@ object Forecast {
       TsCore.filled(spark, sfDir)
         .select(col("series"), col("t"), col("v_filled").as("y"))
         .select(Seq(col("series"), col("t"), col("y")) ++ lagCols: _*)
-        .join(broadcast(boundaryT(spark, sfDir)), "series")
+        .transform(Joins.dimJoin(_, boundaryT(spark, sfDir), Seq("series"), None))
     }
     // ALL horizons solve in THREE shared aggregation passes (means →
     // centered sums → test errors) with per-horizon when(ok_h, …) guards,
@@ -188,7 +188,7 @@ object Forecast {
       cc(h, s"x1_$h", s"m1_$h", "y", s"my_$h").as(s"sy1_$h"),
       cc(h, s"x2_$h", s"m2_$h", "y", s"my_$h").as(s"sy2_$h"),
       cc(h, s"x3_$h", s"m3_$h", "y", s"my_$h").as(s"sy3_$h")) }
-    val stats = train.join(broadcast(means), "series")
+    val stats = Joins.dimJoin(train, means, Seq("series"), None)
       .groupBy("series").agg(statAggs.head, statAggs.tail: _*)
     // per-horizon Cramer's rule — the same expression structure as
     // olsSolve (and TsOracle.q39), just on suffixed columns
@@ -209,7 +209,7 @@ object Forecast {
       Seq(b1.as(s"b1_$h"), b2.as(s"b2_$h"), b3.as(s"b3_$h"),
         (s("my_") - b1 * s("m1_") - b2 * s("m2_") - b3 * s("m3_")).as(s"b0_$h"))
     }
-    val coefs = stats.join(broadcast(means), "series")
+    val coefs = Joins.dimJoin(stats, means, Seq("series"), None)
       .select(col("series") +: coefCols: _*)
     val errAggs = horizons.flatMap { h =>
       val p = col(s"b0_$h") + col(s"b1_$h") * col(s"x1_$h") +
@@ -219,9 +219,9 @@ object Forecast {
         avg(when(ok(h), abs(col("y") - p))).as(s"mae_$h"),
         sqrt(avg(when(ok(h), (col("y") - p) * (col("y") - p)))).as(s"rmse_$h"))
     }
-    val errs = test.join(broadcast(coefs), "series")
+    val errs = Joins.dimJoin(test, coefs, Seq("series"), None)
       .groupBy("series").agg(errAggs.head, errAggs.tail: _*)
-    errs.join(broadcast(coefs), "series")
+    Joins.dimJoin(errs, coefs, Seq("series"), None)
       .select(col("series"), explode(array(horizons.map { h =>
         struct(lit(h).as("horizon"), col(s"n_$h").as("n"),
           col(s"b0_$h").as("b0"), col(s"b1_$h").as("b1"),
@@ -344,7 +344,7 @@ object Forecast {
     val seas = base.groupBy(col("series"), (col("t") % TsCore.DaySize).as("pos"))
       .agg((Num.sumQ4(col("detr")) / count(lit(1))).as("seasonal"))
     base.withColumn("pos", col("t") % TsCore.DaySize)
-      .join(broadcast(seas), Seq("series", "pos"))
+      .transform(Joins.dimJoin(_, seas, Seq("series", "pos"), None))
       .select(col("series"), col("t"), Num.r4(col("trend")).as("trend"),
         Num.r4(col("seasonal")).as("seasonal"),
         Num.r4(col("detr") - col("seasonal")).as("resid"))
@@ -385,7 +385,7 @@ object Forecast {
     */
   def seasonalProfile(spark: SparkSession, sfDir: String): DataFrame = {
     val train = TsCore.dayWindows(spark, sfDir)
-      .join(broadcast(TsCore.splitBoundary(spark, sfDir)), "series")
+      .transform(Joins.dimJoin(_, TsCore.splitBoundary(spark, sfDir), Seq("series"), None))
       .filter(col("win") < col("mwin"))
     // means over r4-quantized v via integer sums: quantized inputs put
     // Σ/n exactly on rounding boundaries ~1/n of the time, where a raw
@@ -394,7 +394,7 @@ object Forecast {
       .agg((Num.sumQ4(col("v")) / count(lit(1))).as("mu"))
     train.groupBy("series", "pos")
       .agg((Num.sumQ4(col("v")) / count(lit(1))).as("posmean"))
-      .join(broadcast(overall), "series")
+      .transform(Joins.dimJoin(_, overall, Seq("series"), None))
       .select(col("series"), col("pos"), Num.r4(col("posmean") - col("mu")).as("seasonal"))
   }
 
@@ -426,7 +426,7 @@ object Forecast {
     val aeInt = floor(abs(col("v") - col("p")) * 10000d + 0.5d).cast("long")
     val seInt = floor((col("v") - col("p")) * (col("v") - col("p")) * 10000d + 0.5d).cast("long")
     all.join(pred, Seq("series", "variant", "t"))
-      .join(broadcast(boundt), "series")
+      .transform(Joins.dimJoin(_, boundt, Seq("series"), None))
       .filter(col("t") >= col("tsplit"))
       .groupBy("series", "variant")
       .agg(count(lit(1)).as("n"), sum(aeInt).as("sae"), sum(seInt).as("sse"))
@@ -450,9 +450,10 @@ object Forecast {
   def horizonBacktest(spark: SparkSession, sfDir: String,
                       horizons: Seq[Int] = Seq(1, 6, 12, 24)): DataFrame = {
     val w = Window.partitionBy("series").orderBy("t")
-    val f = TsCore.filled(spark, sfDir)
-      .join(broadcast(TsCore.splitBoundary(spark, sfDir)
-        .select(col("series"), (col("mwin") * TsCore.DaySize).as("tsplit"))), "series")
+    val f = Joins.dimJoin(TsCore.filled(spark, sfDir),
+      TsCore.splitBoundary(spark, sfDir)
+        .select(col("series"), (col("mwin") * TsCore.DaySize).as("tsplit")),
+      Seq("series"), None)
     horizons.map { h =>
       // scaled-integer error sums: order-independent, exactly
       // deterministic (inputs are r4-quantized upstream)
@@ -491,7 +492,8 @@ object Forecast {
         floor(col("v_filled") * 10000d + 0.5d).cast("long").as("vq"))
     val mu = vq.groupBy("series")
       .agg(floor(sum("vq") / count(lit(1)) + 0.5d).cast("long").as("mu"))
-    val dv = vq.join(broadcast(mu), "series").withColumn("dq", col("vq") - col("mu"))
+    val dv = Joins.dimJoin(vq, mu, Seq("series"), None)
+      .withColumn("dq", col("vq") - col("mu"))
     val pows = periods.map { p =>
       val ph = (col("t") % p).cast("int") + 1
       val tc = element_at(typedLit(trig(p, math.cos)), ph)

@@ -87,7 +87,8 @@ object Intervals {
     */
   def seasonalResidual(spark: SparkSession, sfDir: String, thr: Double = 3.0): DataFrame = {
     val train = TsCore.dayWindows(spark, sfDir)
-      .join(broadcast(TsCore.splitBoundary(spark, sfDir)), "series")
+      .transform(graft.util.Joins.dimJoin(_, TsCore.splitBoundary(spark, sfDir),
+        Seq("series"), None))
       .filter(col("win") < col("mwin"))
     // quantized-integer mean (see seasonalProfile): avg over r4 inputs
     // lands on rounding boundaries ~1/n of the time
@@ -96,8 +97,8 @@ object Intervals {
     val sdr = train.join(prof, Seq("series", "pos"))
       .groupBy("series").agg(stddev_samp(col("v") - col("posmean")).as("sdr"))
     TsCore.dayWindows(spark, sfDir)
-      .join(broadcast(prof), Seq("series", "pos"))
-      .join(broadcast(sdr), "series")
+      .transform(graft.util.Joins.dimJoin(_, prof, Seq("series", "pos"), None))
+      .transform(graft.util.Joins.dimJoin(_, sdr, Seq("series"), None))
       .withColumn("resid_z", (col("v") - col("posmean")) / col("sdr"))
       .filter(col("resid_z") > thr || col("resid_z") < -thr)
       .select(col("series"), col("win"), col("pos"), Num.r4(col("resid_z")).as("resid_z"))

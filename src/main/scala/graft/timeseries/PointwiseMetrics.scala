@@ -15,7 +15,8 @@ object PointwiseMetrics {
   def pointwiseMetrics(spark: SparkSession, sfDir: String,
                        patchSize: Int = TsCore.FeatPatch): DataFrame = {
     val base = TsCore.scaled(spark, sfDir)
-      .join(broadcast(TsCore.splitBoundary(spark, sfDir)), "series")
+      .transform(graft.util.Joins.dimJoin(_, TsCore.splitBoundary(spark, sfDir),
+        Seq("series"), None))
       .filter(col("win") >= col("mwin"))
       .select("series", "win", "pos", "is_anom")
     val consec = Postprocess.consecRuns(spark, sfDir)

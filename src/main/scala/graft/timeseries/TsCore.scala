@@ -3,7 +3,7 @@ package graft.timeseries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.util.{Num, Tables}
+import graft.util.{Joins, Num, Tables}
 
 /** Shared time-series processing chain, re-expressing the reference's
   * data pipeline (reference: src/data_processing/process_aemo.py,
@@ -163,7 +163,7 @@ object TsCore {
     val wins = dayWindows(spark, sfDir).select("series", "win").distinct()
     val sidx = wins.select("series").distinct()
       .withColumn("sidx", dense_rank().over(Window.orderBy("series")) - 1)
-    wins.join(broadcast(sidx), "series")
+    Joins.dimJoin(wins, sidx, Seq("series"), None)
       .select(col("series"), col("win"), (col("sidx") * 100L + col("win")).as("key"))
   }
 
@@ -245,7 +245,7 @@ object TsCore {
   def scaled(spark: SparkSession, sfDir: String): DataFrame =
     cached(spark, sfDir, "scaled") {
       injected(spark, sfDir)
-        .join(broadcast(scaleBounds(spark, sfDir)), "series")
+        .transform(Joins.dimJoin(_, scaleBounds(spark, sfDir), Seq("series"), None))
         .withColumn("vs", Num.r4((col("v_anom") - col("lo")) / (col("hi") - col("lo"))))
         .select("series", "win", "pos", "vs", "is_anom")
     }
@@ -304,7 +304,7 @@ object TsCore {
     */
   def bankAndTest(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
     def p = patches(spark, sfDir)
-      .join(broadcast(splitBoundary(spark, sfDir)), "series")
+      .transform(Joins.dimJoin(_, splitBoundary(spark, sfDir), Seq("series"), None))
     (cached(spark, sfDir, "bank") { p.filter(col("win") < col("mwin")).drop("mwin") },
      cached(spark, sfDir, "test") { p.filter(col("win") >= col("mwin")).drop("mwin") })
   }
