@@ -271,6 +271,29 @@ object ScoreStream {
       .select(aw("user_id"), col("a_ts"), col("b_ts"), col("a_val"), col("b_val"))
   }
 
+  /** Streaming forecast scorer — the online half of the reference's
+    * forecast evaluation loop, wired to a ModelStore artifact: feature
+    * rows stream in (series, ts, y, x1..x6 — the same feature schema
+    * Forecast.featureBase builds in batch), each row is scored against
+    * the SAVED q56 coefficient frame via the shared apply expression
+    * (Forecast.featurePred), and the per-point prediction + absolute
+    * error emit immediately. Stateless: the model joins as one
+    * broadcast stream-static table (the serving-model shape — per-series
+    * coefficients are the artifact a scoring fleet pins in memory), no
+    * watermark state, no shuffle before the sink. Predictions are
+    * BIT-IDENTICAL to the batch fit's (raw-double coefficients + the
+    * same IEEE apply chain) — StreamingSpec asserts full parity.
+    */
+  def forecastStream(spark: SparkSession, modelPath: String,
+                     feats: DataFrame): DataFrame = {
+    import graft.timeseries.{Forecast, ModelStore}
+    feats
+      .join(broadcast(ModelStore.forecastCoefs(spark, modelPath)), "series")
+      .withColumn("p", Forecast.featurePred)
+      .select(col("series"), col("ts"), col("t"), col("y"), col("p"),
+        abs(col("y") - col("p")).as("abs_err"))
+  }
+
   /** Streaming twin of the BATCH detection scorer, wired to a
     * ModelStore artifact: patch-feature rows stream in (series, win,
     * pos, f0..f8 + event-time ts), each patch is scored against the

@@ -693,15 +693,16 @@ FROM pows"""
     * projections; one test error agg. |series|-scale frames join via
     * the size-aware dimJoin path.
     */
-  def featureForecast(spark: SparkSession, sfDir: String,
-                      lambda: Double = 0.001, rollH: Int = 12): DataFrame = {
-    require(lambda > 0, s"lambda=$lambda: ridge needs a positive diagonal")
+  /** q56's feature frame (series, t, y, x1..x6, tsplit) — one cached
+    * per-series window pass; shared by the solver, the metrics output,
+    * and the ModelStore/streaming apply paths.
+    */
+  private[graft] def featureBase(spark: SparkSession, sfDir: String,
+                                 rollH: Int = 12): DataFrame = {
     require(rollH >= 1, s"rollH=$rollH")
-    import graft.util.Joins
-    val p = 6
     val w = Window.partitionBy("series").orderBy("t")
     val wRoll = w.rowsBetween(-rollH, -1)
-    val base = TsCore.cached(spark, sfDir, s"q56base_$rollH") {
+    TsCore.cached(spark, sfDir, s"q56base_$rollH") {
       val f = TsCore.filled(spark, sfDir)
         .select(col("series"), col("t"), col("v_filled").as("y"))
         .withColumn("yq", floor(col("y") * 10000d + 0.5d).cast("long"))
@@ -720,6 +721,18 @@ FROM pows"""
           col("x2").isNotNull && col("x3").isNotNull && col("x4").isNotNull &&
           col("x5").isNotNull && col("x6").isNotNull)
     }
+  }
+
+  /** q56's fitted model: per series, RAW (un-quantized) b0..b6 from the
+    * train split — the artifact ModelStore persists. The apply
+    * expression [[featurePred]] over these exact doubles is what makes
+    * saved-model scoring bit-identical to the in-session fit.
+    */
+  private[graft] def featureCoefs(spark: SparkSession, sfDir: String,
+                                  lambda: Double = 0.001, rollH: Int = 12): DataFrame = {
+    require(lambda > 0, s"lambda=$lambda: ridge needs a positive diagonal")
+    val p = 6
+    val base = featureBase(spark, sfDir, rollH)
     def x(i: Int) = s"x${i + 1}"
     def m(i: Int) = s"m${i + 1}"
     val train = base.filter(col("t") < col("tsplit"))
@@ -756,17 +769,29 @@ FROM pows"""
           e.as(aN(i, j))
         }): _*)
     }
-    val coefs = Joins.dimJoin(
+    Joins.dimJoin(
         solved.select(col("series") +:
           (0 until p).map(i => col(aN(i, p)).as(s"b${i + 1}")): _*),
         means, Seq("series"), None)
       .withColumn("b0", col("my") -
         (1 to p).map(i => col(s"b$i") * col(s"m$i")).reduce(_ + _))
       .select(col("series") +: (0 to p).map(i => col(s"b$i")): _*)
+  }
+
+  /** The q56 apply expression — b0 + Σ bᵢ·xᵢ with the fixed left-fold
+    * association both the oracle and the streaming scorer reproduce.
+    */
+  private[graft] def featurePred: Column =
+    col("b0") + (1 to 6).map(i => col(s"b$i") * col(s"x$i")).reduce(_ + _)
+
+  def featureForecast(spark: SparkSession, sfDir: String,
+                      lambda: Double = 0.001, rollH: Int = 12): DataFrame = {
+    val p = 6
+    val base = featureBase(spark, sfDir, rollH)
+    val coefs = featureCoefs(spark, sfDir, lambda, rollH)
     val test = base.filter(col("t") >= col("tsplit"))
-    val pred = col("b0") + (1 to p).map(i => col(s"b$i") * col(s"x$i")).reduce(_ + _)
     val scored = Joins.dimJoin(test, coefs, Seq("series"), None)
-      .withColumn("p", pred)
+      .withColumn("p", featurePred)
     // scaled-int error sums (q21's discipline): order-free exact
     val aeInt = floor(abs(col("y") - col("p")) * 10000d + 0.5d).cast("long")
     val seInt = floor((col("y") - col("p")) * (col("y") - col("p")) * 10000d + 0.5d).cast("long")

@@ -64,6 +64,31 @@ object ModelStore {
   def threshold(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/threshold")
 
+  /** Forecast-model persistence — the forecasting half of the reference's
+    * save/load lifecycle (forecasting wrappers checkpoint their trained
+    * nets; here the trained artifact is q56's per-series coefficient
+    * frame). Coefficients are saved RAW (un-quantized doubles), so a
+    * reloaded model's predictions are bit-identical to the in-session
+    * fit — asserted in ModelStoreSpec.
+    */
+  def saveForecast(spark: SparkSession, sfDir: String, path: String,
+                   lambda: Double = 0.001, rollH: Int = 12): Unit =
+    Forecast.featureCoefs(spark, sfDir, lambda, rollH)
+      .write.mode("overwrite").parquet(s"$path/coefs")
+
+  /** The saved per-series coefficient frame (series, b0..b6). */
+  def forecastCoefs(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/coefs")
+
+  /** Apply a SAVED q56 model to a feature frame (series, x1..x6, …) —
+    * no refit: one join against the coefficient artifact + the shared
+    * apply expression. Batch twin of streaming.forecastStream.
+    */
+  def loadAndForecast(spark: SparkSession, path: String, feats: DataFrame): DataFrame =
+    graft.util.Joins.dimJoin(feats, forecastCoefs(spark, path), Seq("series"), None)
+      .withColumn("p", Forecast.featurePred)
+      .drop((0 to 6).map(i => s"b$i"): _*)
+
   def loadAndScore(spark: SparkSession, path: String, patches: DataFrame): DataFrame = {
     graft.functions.VectorExprs.register(spark)
     val packed = packedBank(spark, path)

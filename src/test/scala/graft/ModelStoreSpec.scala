@@ -26,6 +26,25 @@ class ModelStoreSpec extends SparkSuite {
     assert(!p.contains("row_number"), "pairwise-join rank shape crept back")
   }
 
+  test("forecast model save/load reproduces in-session predictions bit-for-bit") {
+    import graft.timeseries.Forecast
+    val path = Files.createTempDirectory("graft-fc").toString
+    ModelStore.saveForecast(spark, Sf01, path)
+    val base = Forecast.featureBase(spark, Sf01).filter(col("t") >= col("tsplit"))
+    val reloaded = ModelStore.loadAndForecast(spark, path, base)
+      .select(col("series"), col("t"), col("p").as("pr"))
+    val live = graft.util.Joins.dimJoin(base,
+        Forecast.featureCoefs(spark, Sf01), Seq("series"), None)
+      .withColumn("p", Forecast.featurePred)
+      .select(col("series"), col("t"), col("p").as("pl"))
+    val j = reloaded.join(live, Seq("series", "t")).cache()
+    assert(j.count() > 0 && j.count() === live.count())
+    // raw-double coefficients round-trip through parquet exactly →
+    // identical IEEE apply chain → exact equality, no tolerance
+    assert(j.filter(col("pr") =!= col("pl")).count() === 0)
+    j.unpersist()
+  }
+
   test("orc round-trip preserves the grid") {
     val path = Files.createTempDirectory("graft-orc").toString
     val grid = TsCore.hourlyGrid(spark, Sf001)

@@ -211,6 +211,9 @@ class StreamingSpec extends SparkSuite {
   case class UEv(ts: Timestamp, user_id: Long)
   case class Doc(ts: Timestamp, doc_id: Long, text: String)
   case class LDoc(ts: Timestamp, doc_id: Long, lang: String, text: String)
+  case class FRow(ts: Timestamp, series: String, t: Long, y: Double,
+                  x1: Double, x2: Double, x3: Double, x4: Double,
+                  x5: Double, x6: Double)
   case class PatchRow(ts: Timestamp, series: String, win: Long, pos: Long,
                       f0: Double, f1: Double, f2: Double, f3: Double, f4: Double,
                       f5: Double, f6: Double, f7: Double, f8: Double)
@@ -418,6 +421,36 @@ class StreamingSpec extends SparkSuite {
         .map(r => r.getAs[Long]("doc_id") ->
           (r.getAs[String]("reason"), r.getAs[Boolean]("keep"))).toMap
       assert(got.size === want.size)
+      assert(got === want)
+    } finally q.stop()
+  }
+
+  test("streaming forecast scorer matches the saved-model batch predictions exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.timeseries.{Forecast, ModelStore}
+    val path = java.nio.file.Files.createTempDirectory("graft-fcs").toString
+    ModelStore.saveForecast(spark, Sf01, path)
+    val base = Forecast.featureBase(spark, Sf01).filter(col("t") >= col("tsplit"))
+    val want = ModelStore.loadAndForecast(spark, path, base).collect()
+      .map(r => (r.getAs[String]("series"), r.getAs[Long]("t")) -> r.getAs[Double]("p")).toMap
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows = base.select("series", "t", "y", "x1", "x2", "x3", "x4", "x5", "x6")
+      .collect().map(r => FRow(t0, r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6),
+        r.getDouble(7), r.getDouble(8)))
+    val mem = MemoryStream[FRow]
+    val out = ScoreStream.forecastStream(spark, path, mem.toDF())
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("fcast").start()
+    try {
+      val (h1, h2) = rows.splitAt(rows.length / 2)
+      mem.addData(h1.toSeq); q.processAllAvailable()
+      mem.addData(h2.toSeq); q.processAllAvailable()
+      val got = spark.table("fcast").collect()
+        .map(r => (r.getAs[String]("series"), r.getAs[Long]("t")) -> r.getAs[Double]("p")).toMap
+      assert(got.size === want.size)
+      // identical coefficients + identical apply chain → exact equality
       assert(got === want)
     } finally q.stop()
   }
