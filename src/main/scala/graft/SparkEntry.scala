@@ -144,6 +144,8 @@ object SparkEntry {
     "qt17_bigram_nll" -> ((s, d) => graft.text.TextOps.bigramNll(s, d)),
     "qm4_shard_manifest" -> ((s, d) => graft.multimodal.BinaryMeta.shardManifest(s, d)),
     "qm5_modality_stats" -> ((s, d) => graft.multimodal.BinaryMeta.modalityStats(s, d)),
+    "qm6_modal_coverage" -> ((s, d) => graft.multimodal.BinaryMeta.modalCoverage(s, d)),
+    "qt20_mix_weights" -> ((s, d) => graft.text.TextOps.mixWeights(s, d)),
     "qp9_histogram" -> ((s, d) => graft.analytics.Events.histProfile(s, d)),
     "qa17_grouping_sets" -> ((s, d) => Relational.groupingSets(s, d)),
     "qv9_centroid_drift" -> ((s, d) => graft.vector.Similarity.centroidDrift(s, d)),
@@ -799,6 +801,48 @@ object SparkEntry {
       SELECT media_type, n_items, total_bytes, mean_bytes, n_distinct,
              floor(CAST(n_items - n_distinct AS DOUBLE) / n_items * 10000 + 0.5)/10000 AS dup_rate
       FROM s""",
+    "qm6_modal_coverage" -> """
+      WITH m AS (
+        SELECT doc_id, 'text/' || lang AS media_type,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        FROM documents
+      ), e AS (
+        SELECT vec_id AS doc_id, CAST(len(embedding) AS BIGINT) AS dim FROM embeddings
+      ), j AS (
+        SELECT coalesce(m.media_type, '(embedding_only)') AS media_type, m.n_bytes, e.dim
+        FROM m FULL OUTER JOIN e USING (doc_id)
+      )
+      SELECT media_type, count(*) AS n_items,
+        CAST(sum(CASE WHEN dim IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_embedding,
+        CAST(sum(CASE WHEN n_bytes IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_payload,
+        CAST(sum(CASE WHEN dim IS NOT NULL AND dim <> 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_dim_mismatch,
+        CAST(sum(CASE WHEN n_bytes IS NOT NULL AND dim = 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_complete,
+        floor(CAST(sum(CASE WHEN n_bytes IS NOT NULL AND dim = 64 THEN 1 ELSE 0 END) AS DOUBLE)
+              / count(*) * 10000 + 0.5)/10000 AS pct_complete
+      FROM j GROUP BY 1""",
+    "qt20_mix_weights" -> """
+      WITH tk AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+      ), nt AS (
+        SELECT doc_id, count(*) AS nt FROM tk WHERE tok <> '' GROUP BY doc_id
+      ), per AS (
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(coalesce(nt, 0)) AS BIGINT) AS n_tok
+        FROM documents d LEFT JOIN nt USING (doc_id) GROUP BY source
+      ), tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS tot FROM per),
+      sh AS (
+        SELECT source, n_docs, n_tok,
+               CAST(n_tok AS DOUBLE) / tot AS p_nat,
+               CAST(floor(pow(CAST(n_tok AS DOUBLE) / tot, 0.7) * 1000000 + 0.5) AS BIGINT) AS pa_q
+        FROM per, tot
+      ), z AS (SELECT CAST(sum(pa_q) AS BIGINT) AS z FROM sh)
+      SELECT source, n_docs, n_tok,
+             floor(p_nat * 10000 + 0.5)/10000 AS p_nat,
+             floor(CAST(pa_q AS DOUBLE) / z * 10000 + 0.5)/10000 AS w_mix,
+             CASE WHEN p_nat > 0
+                  THEN floor((CAST(pa_q AS DOUBLE) / z) / p_nat * 10000 + 0.5)/10000
+             END AS oversample
+      FROM sh, z""",
     "qe10_attribution" -> """
       WITH ev AS (
         SELECT event_id, user_id, event_type,

@@ -105,6 +105,41 @@ object BinaryMeta {
       .withColumn("dup_rate",
         graft.util.Num.r4((col("n_items") - col("n_distinct")) / col("n_items")))
 
+  /** qm6: paired-modality coverage audit — the completeness gate a
+    * multimodal training pipeline runs before a single batch is drawn:
+    * every training item must have ALL its modalities present and
+    * well-formed (a text payload AND an embedding of the expected
+    * dimension here; images/audio slot into the same pairing by id).
+    * One full-outer equi-join on the item id (co-bucketable at 100 TB)
+    * + a |media_types|-row map-side-combined rollup: per modality,
+    * item count, missing-embedding / missing-payload / dim-mismatch
+    * counts and the complete-pair rate. Embedding-only orphans surface
+    * under '(embedding_only)'. The test tables are fully paired, so
+    * the counters legitimately read 0 — the audit PROVES it (qp10's
+    * rationale).
+    */
+  def modalCoverage(spark: SparkSession, sfDir: String, expectDim: Int = 64): DataFrame = {
+    import graft.util.Num
+    val media = mediaTable(spark, sfDir).toDF()
+      .select(col("doc_id"), col("media_type"),
+        octet_length(col("payload")).cast("long").as("n_bytes"))
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("doc_id"), size(col("embedding")).cast("long").as("dim"))
+    media.join(emb, Seq("doc_id"), "full_outer")
+      .select(coalesce(col("media_type"), lit("(embedding_only)")).as("media_type"),
+        col("n_bytes"), col("dim"))
+      .groupBy("media_type")
+      .agg(count(lit(1)).as("n_items"),
+        sum(when(col("dim").isNull, 1L).otherwise(0L)).as("n_missing_embedding"),
+        sum(when(col("n_bytes").isNull, 1L).otherwise(0L)).as("n_missing_payload"),
+        sum(when(col("dim").isNotNull && col("dim") =!= expectDim, 1L).otherwise(0L))
+          .as("n_dim_mismatch"),
+        sum(when(col("n_bytes").isNotNull && col("dim") === expectDim, 1L).otherwise(0L))
+          .as("n_complete"))
+      .withColumn("pct_complete",
+        Num.r4(col("n_complete").cast("double") / col("n_items")))
+  }
+
   case class MediaSig(doc_id: Long, sig: Long)
 
   /** STUB perceptual signature: aHash (average hash, public) structure

@@ -516,4 +516,39 @@ object TextOps {
         Num.r4(counts.map(termQ).reduce(_ + _) / 1000000d).as("entropy"))
       .withColumn("low_diversity", when(col("entropy") < minBits, 1).otherwise(0))
   }
+
+  /** qt20: temperature-scaled training-mix weights — the data-mixture
+    * design step of every multi-source LLM corpus (α-sampling,
+    * Conneau & Lample XLM arXiv:1901.07291 §3.1 / mT5 arXiv:2010.11934
+    * §3, public): per source, the natural token share p_s = n_s/N is
+    * flattened to w_s ∝ p_s^α (α < 1 upsamples the tail) and the
+    * oversample factor w_s/p_s tells the sampler how many effective
+    * epochs of each source a training run draws.
+    *
+    * Determinism: p_s is an exact long/long division; each p_s^α term
+    * quantizes to the 1e-6 grid before the |sources|-term normalizer
+    * accumulates as exact ints (engine grouping order can't flip a
+    * bit). Scale shape: one rollup over the shared token stage
+    * (map-side partials → |sources| rows) + two one-row scalar
+    * broadcasts — nothing else moves.
+    */
+  def mixWeights(spark: SparkSession, sfDir: String, alpha: Double = 0.7): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha=$alpha: the mixing exponent flattens, not inverts")
+    val nt = tokens(spark, sfDir).groupBy("doc_id").agg(count(lit(1)).as("nt"))
+    val per = Tables.documents(spark, sfDir).select("doc_id", "source")
+      .join(nt, Seq("doc_id"), "left")
+      .groupBy("source").agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("nt"), lit(0L))).as("n_tok"))
+    val tot = per.agg(sum("n_tok").as("tot"))
+    val sh = per.crossJoin(broadcast(tot))
+      .withColumn("p_nat", col("n_tok").cast("double") / col("tot"))
+      .withColumn("pa_q", floor(pow(col("p_nat"), alpha) * 1000000d + 0.5d).cast("long"))
+    val z = sh.agg(sum("pa_q").as("z"))
+    sh.crossJoin(broadcast(z))
+      .select(col("source"), col("n_docs"), col("n_tok"),
+        Num.r4(col("p_nat")).as("p_nat"),
+        Num.r4(col("pa_q").cast("double") / col("z")).as("w_mix"),
+        when(col("p_nat") > 0,
+          Num.r4((col("pa_q").cast("double") / col("z")) / col("p_nat"))).as("oversample"))
+  }
 }

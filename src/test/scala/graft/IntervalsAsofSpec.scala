@@ -210,6 +210,32 @@ class IntervalsAsofSpec extends SparkSuite {
     assert(b.filter(col("mae") <= 0 || col("rmse") < col("mae")).count() === 0)
   }
 
+  test("qm6 modal coverage: fully paired test corpus audits clean; orphans surface") {
+    val c = graft.multimodal.BinaryMeta.modalCoverage(spark, Sf01).cache()
+    // the test tables are fully paired with 64-dim embeddings — every
+    // counter must read zero and every modality complete
+    assert(c.agg(org.apache.spark.sql.functions.sum("n_items")).head.getLong(0) === 500L)
+    assert(c.filter(col("n_missing_embedding") =!= 0 || col("n_missing_payload") =!= 0 ||
+      col("n_dim_mismatch") =!= 0 || col("pct_complete") =!= 1.0).count() === 0)
+    assert(c.filter(col("media_type") === "(embedding_only)").count() === 0)
+    c.unpersist()
+  }
+
+  test("qt20 mix weights: normalized, and alpha-sampling upsamples the tail") {
+    val w = graft.text.TextOps.mixWeights(spark, Sf01).cache()
+    val rows = w.collect().map(r => (r.getAs[Double]("p_nat"),
+      r.getAs[Double]("w_mix"), r.getAs[Double]("oversample")))
+    assert(rows.length === 20)
+    // weights normalize (up to the 1e-4 output grid over 20 rows)
+    assert(math.abs(rows.map(_._2).sum - 1.0) < 20 * 1e-4)
+    // α < 1 flattens: the smallest natural share is upsampled strictly
+    // more than the largest
+    val byShare = rows.sortBy(_._1)
+    assert(byShare.head._3 > byShare.last._3)
+    assert(byShare.head._3 > 1.0 || byShare.head._1 >= 1.0 / 20)
+    w.unpersist()
+  }
+
   test("frame sampling emits at most k bounded frames per doc") {
     val f = graft.multimodal.BinaryMeta.frameSample(spark, Sf01).cache()
     assert(f.count() > 0)
