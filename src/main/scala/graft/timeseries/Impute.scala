@@ -77,8 +77,15 @@ object Impute {
     * path. The week-neighbor lookups are exact equi-joins on
     * (series, win±7, pos), never range joins.
     */
-  def learnedImpute(spark: SparkSession, sfDir: String, maskSize: Int = 8,
-                    lambda: Double = 0.01): DataFrame = {
+  /** q55's trained model: per (series, offset) RAW b0..b3 from the
+    * masked-triple training chain — the artifact ModelStore persists
+    * (the reference checkpoints its trained AE the same way,
+    * anomaly_imputation/main.py). The apply expression [[imputePred]]
+    * over these exact doubles makes saved-model imputation
+    * bit-identical to the in-session fit.
+    */
+  private[graft] def imputerCoefs(spark: SparkSession, sfDir: String,
+                                  maskSize: Int = 8, lambda: Double = 0.01): DataFrame = {
     require(maskSize >= 1 && maskSize < TsCore.DaySize - 1, s"maskSize=$maskSize")
     require(lambda > 0, s"lambda=$lambda: ridge needs a positive diagonal")
     import graft.util.Joins
@@ -134,16 +141,32 @@ object Impute {
     val b3 = (col("s11") * (col("s22") * col("sy3") - col("s23") * col("sy2")) -
       col("s12") * (col("s12") * col("sy3") - col("sy2") * col("s13")) +
       col("sy1") * (col("s12") * col("s23") - col("s22") * col("s13"))) / det
-    val coefs = Joins.dimJoin(stats, means, Seq("series", "o"), None)
+    Joins.dimJoin(stats, means, Seq("series", "o"), None)
       .select(col("series"), col("o"), b1.as("b1"), b2.as("b2"), b3.as("b3"),
         (col("my") - b1 * col("m1") - b2 * col("m2") - b3 * col("m3")).as("b0"))
+  }
 
+  /** The q55 apply expression — shared by the in-session eval, the
+    * saved-model path (ModelStore.loadAndImpute) and any stream.
+    */
+  private[graft] def imputePred: org.apache.spark.sql.Column =
+    col("b0") + col("b1") * col("xl") + col("b2") * col("xr") + col("b3") * col("xs")
+
+  /** q55's application points: the injected test-split anomaly spans
+    * with their context features (xl, xr, xs) and clamped span offset —
+    * the frame a saved imputer model scores.
+    */
+  private[graft] def imputePoints(spark: SparkSession, sfDir: String,
+                                  maskSize: Int = 8): DataFrame = {
+    import graft.util.Joins
+    val bound = TsCore.splitBoundary(spark, sfDir)
+    val wa = Window.partitionBy("series", "win")
     // ---- application: injected anomaly spans of the test split ----
     val inj = TsCore.injected(spark, sfDir)
     val prm = TsCore.injectParams(spark, sfDir).select("series", "win", "apos", "alen")
     val cleanv = inj.filter(col("is_anom") === 0)
       .select(col("series"), col("win").as("swin"), col("pos"), col("v_anom").as("cv"))
-    val pts = Joins.dimJoin(
+    Joins.dimJoin(
         inj.join(prm, Seq("series", "win"))
           .withColumn("xl", max(when(col("pos") === col("apos") - 1, col("v_anom"))).over(wa))
           .withColumn("xr", max(when(col("pos") === col("apos") + col("alen"), col("v_anom"))).over(wa)),
@@ -158,9 +181,15 @@ object Impute {
         Seq("series", "wnext", "pos"), "left")
       .withColumn("xs", coalesce(col("cvp"), col("cvn")))
       .filter(col("xs").isNotNull)
+  }
+
+  def learnedImpute(spark: SparkSession, sfDir: String, maskSize: Int = 8,
+                    lambda: Double = 0.01): DataFrame = {
+    import graft.util.Joins
+    val coefs = imputerCoefs(spark, sfDir, maskSize, lambda)
+    val pts = imputePoints(spark, sfDir, maskSize)
     val scored = Joins.dimJoin(pts, coefs, Seq("series", "o"), None)
-      .withColumn("p", col("b0") + col("b1") * col("xl") +
-        col("b2") * col("xr") + col("b3") * col("xs"))
+      .withColumn("p", imputePred)
     scored.groupBy("series").agg(
       count(lit(1)).as("n"),
       avg(abs(col("v_orig") - col("p"))).as("mae_l"),

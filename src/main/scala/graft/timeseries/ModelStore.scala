@@ -89,6 +89,29 @@ object ModelStore {
       .withColumn("p", Forecast.featurePred)
       .drop((0 to 6).map(i => s"b$i"): _*)
 
+  /** Imputer-model persistence — the reference trains its denoising AE
+    * once and saves it for the imputation stage (anomaly_imputation/
+    * main.py); here the trained artifact is q55's per-(series, offset)
+    * ridge coefficient frame, saved RAW so reloaded predictions are
+    * bit-identical to the in-session fit (ModelStoreSpec).
+    */
+  def saveImputer(spark: SparkSession, sfDir: String, path: String,
+                  maskSize: Int = 8, lambda: Double = 0.01): Unit =
+    Impute.imputerCoefs(spark, sfDir, maskSize, lambda)
+      .write.mode("overwrite").parquet(s"$path/imputer")
+
+  /** The saved per-(series, offset) imputer coefficients. */
+  def imputerCoefs(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/imputer")
+
+  /** Apply a SAVED q55 imputer to span feature rows
+    * (series, o, xl, xr, xs, …) — no refit.
+    */
+  def loadAndImpute(spark: SparkSession, path: String, pts: DataFrame): DataFrame =
+    graft.util.Joins.dimJoin(pts, imputerCoefs(spark, path), Seq("series", "o"), None)
+      .withColumn("v_imp", Impute.imputePred)
+      .drop("b0", "b1", "b2", "b3")
+
   def loadAndScore(spark: SparkSession, path: String, patches: DataFrame): DataFrame = {
     graft.functions.VectorExprs.register(spark)
     val packed = packedBank(spark, path)

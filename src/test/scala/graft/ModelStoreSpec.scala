@@ -45,6 +45,23 @@ class ModelStoreSpec extends SparkSuite {
     j.unpersist()
   }
 
+  test("imputer model save/load reproduces in-session span imputations bit-for-bit") {
+    import graft.timeseries.Impute
+    val path = Files.createTempDirectory("graft-imp").toString
+    ModelStore.saveImputer(spark, Sf01, path)
+    val pts = Impute.imputePoints(spark, Sf01)
+    val reloaded = ModelStore.loadAndImpute(spark, path, pts)
+      .select(col("series"), col("win"), col("pos"), col("v_imp"))
+    val live = graft.util.Joins.dimJoin(pts,
+        Impute.imputerCoefs(spark, Sf01), Seq("series", "o"), None)
+      .withColumn("p", Impute.imputePred)
+      .select(col("series"), col("win"), col("pos"), col("p"))
+    val j = reloaded.join(live, Seq("series", "win", "pos")).cache()
+    assert(j.count() > 0 && j.count() === live.count())
+    assert(j.filter(col("v_imp") =!= col("p")).count() === 0)
+    j.unpersist()
+  }
+
   test("orc round-trip preserves the grid") {
     val path = Files.createTempDirectory("graft-orc").toString
     val grid = TsCore.hourlyGrid(spark, Sf001)
