@@ -117,6 +117,7 @@ object SparkEntry {
     "q44_masked_pairs" -> ((s, d) => graft.timeseries.Impute.maskedPairs(s, d)),
     "q55_learned_impute" -> ((s, d) => graft.timeseries.Impute.learnedImpute(s, d)),
     "q56_feature_forecast" -> ((s, d) => graft.timeseries.Forecast.featureForecast(s, d)),
+    "q57_learned_cleaning" -> ((s, d) => graft.timeseries.Forecast.learnedCleaningImpact(s, d)),
     "qv6_ivfpq_ann" -> ((s, d) => graft.vector.Similarity.ivfPqAnn(s, d)),
     "qv11_sq8_ann" -> ((s, d) => graft.vector.Similarity.sq8Ann(s, d)),
     "qv12_refine_ann" -> ((s, d) => graft.vector.Similarity.refineAnn(s, d)),
@@ -515,6 +516,7 @@ object SparkEntry {
     "q44_masked_pairs" -> graft.timeseries.TsOracle.q44(),
     "q55_learned_impute" -> graft.timeseries.TsOracle.q55(),
     "q56_feature_forecast" -> graft.timeseries.TsOracle.q56(),
+    "q57_learned_cleaning" -> graft.timeseries.TsOracle.q57(),
     "qv6_ivfpq_ann" -> graft.text.DocOracle.qv6(),
     "qv11_sq8_ann" -> graft.text.DocOracle.qv11(),
     "qv12_refine_ann" -> graft.text.DocOracle.qv12(),

@@ -435,6 +435,58 @@ object Forecast {
         Num.r4(sqrt(col("sse") / 10000d / col("n"))).as("rmse"))
   }
 
+  /** q57: the reference pipeline's HEADLINE experiment (pipeline.py —
+    * does cleaning the detected anomalies improve the downstream
+    * forecast?) run with the LEARNED imputer: three series variants —
+    * `contam` (injected), `linear` (q18's interpolation repair) and
+    * `learned` (q55's trained per-offset ridge applied to EVERY flagged
+    * span, seasonal-feature fallback where no model/feature exists) —
+    * evaluated by q38's week-lag forecast over the test region. This is
+    * the end-to-end chain the reference exists for: process → inject →
+    * flag → TRAINED imputation → forecast comparison, with the learned
+    * stage in the loop. Scale shape: q55's one-agg ridge solve + one
+    * (series, win, pos) assembly join + q38's exact (series, t−168)
+    * self-join eval; scaled-int error sums keep the rollup order-free.
+    */
+  def learnedCleaningImpact(spark: SparkSession, sfDir: String,
+                            maskSize: Int = 8, lambda: Double = 0.01): DataFrame = {
+    val n = TsCore.DaySize
+    val inj = TsCore.injected(spark, sfDir)
+    val preds = Joins.dimJoin(
+        Impute.imputePoints(spark, sfDir, maskSize, onlyTestSplit = false),
+        Impute.imputerCoefs(spark, sfDir, maskSize, lambda),
+        Seq("series", "o"), None, "left")
+      .withColumn("p", Impute.imputePred)
+      .select(col("series"), col("win"), col("pos"),
+        coalesce(Num.r4(col("p")), Num.r4(col("xs"))).as("v_fill"))
+    val learned = inj.join(preds, Seq("series", "win", "pos"), "left")
+      .select(col("series"), (col("win") * n + col("pos")).as("t"),
+        when(col("is_anom") === 0, col("v_anom"))
+          .otherwise(coalesce(col("v_fill"), col("v_anom"))).as("v"),
+        lit("learned").as("variant"))
+    val contam = inj
+      .select(col("series"), (col("win") * n + col("pos")).as("t"),
+        col("v_anom").as("v"), lit("contam").as("variant"))
+    val linear = Impute.imputeLinear(spark, sfDir)
+      .select(col("series"), col("t"), col("v_imp").as("v"), lit("linear").as("variant"))
+    val all = contam.unionByName(linear).unionByName(learned)
+    val pred = all.select(col("series"), col("variant"),
+      (col("t") + TsCore.WeekLag).as("t"), col("v").as("p"))
+    val boundt = TsCore.splitBoundary(spark, sfDir)
+      .select(col("series"), (col("mwin") * n).as("tsplit"))
+    // scaled-int error sums (q38's discipline): order-free exact
+    val aeInt = floor(abs(col("v") - col("p")) * 10000d + 0.5d).cast("long")
+    val seInt = floor((col("v") - col("p")) * (col("v") - col("p")) * 10000d + 0.5d).cast("long")
+    all.join(pred, Seq("series", "variant", "t"))
+      .transform(Joins.dimJoin(_, boundt, Seq("series"), None))
+      .filter(col("t") >= col("tsplit"))
+      .groupBy("series", "variant")
+      .agg(count(lit(1)).as("n"), sum(aeInt).as("sae"), sum(seInt).as("sse"))
+      .select(col("series"), col("variant"), col("n"),
+        Num.r4(col("sae") / 10000d / col("n")).as("mae"),
+        Num.r4(sqrt(col("sse") / 10000d / col("n"))).as("rmse"))
+  }
+
   /** q32: autocorrelation function at the forecasting-relevant lags
     * (1 = persistence, 24 = daily, 168 = weekly): Pearson correlation of
     * the series with its lagged self, one window pass + one agg per lag,

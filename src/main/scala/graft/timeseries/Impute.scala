@@ -152,12 +152,14 @@ object Impute {
   private[graft] def imputePred: org.apache.spark.sql.Column =
     col("b0") + col("b1") * col("xl") + col("b2") * col("xr") + col("b3") * col("xs")
 
-  /** q55's application points: the injected test-split anomaly spans
-    * with their context features (xl, xr, xs) and clamped span offset —
-    * the frame a saved imputer model scores.
+  /** q55's application points: the injected anomaly spans with their
+    * context features (xl, xr, xs) and clamped span offset — the frame
+    * a saved imputer model scores. `onlyTestSplit` keeps q55's
+    * held-out evaluation; q57 cleans EVERY flagged span.
     */
   private[graft] def imputePoints(spark: SparkSession, sfDir: String,
-                                  maskSize: Int = 8): DataFrame = {
+                                  maskSize: Int = 8,
+                                  onlyTestSplit: Boolean = true): DataFrame = {
     import graft.util.Joins
     val bound = TsCore.splitBoundary(spark, sfDir)
     val wa = Window.partitionBy("series", "win")
@@ -171,7 +173,8 @@ object Impute {
           .withColumn("xl", max(when(col("pos") === col("apos") - 1, col("v_anom"))).over(wa))
           .withColumn("xr", max(when(col("pos") === col("apos") + col("alen"), col("v_anom"))).over(wa)),
         bound, Seq("series"), None)
-      .filter(col("is_anom") === 1 && col("win") >= col("mwin"))
+      .filter(if (onlyTestSplit) col("is_anom") === 1 && col("win") >= col("mwin")
+              else col("is_anom") === 1)
       .withColumn("o", least(col("pos") - col("apos"), lit(maskSize - 1L)))
       .withColumn("wprev", col("win") - 7)
       .withColumn("wnext", col("win") + 7)

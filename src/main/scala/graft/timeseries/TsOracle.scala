@@ -223,12 +223,10 @@ JOIN (
   FROM keys
 ) p USING (series, win)"""
 
-  /** q55: learned masked-span imputer — mirrors Impute.learnedImpute
-    * stage-for-stage (training ridge from the q44 triples, q22's Cramer
-    * expressions with the ridge diagonal, application to the injected
-    * test-split spans).
+  /** q55's training chain (masked-triple features → per-(series, offset)
+    * ridge via q22's Cramer + ridge diagonal) — shared by q55 and q57.
     */
-  def q55(maskSize: Int = 8, lambda: Double = 0.01): String = prefix + s"""
+  private def imputerTrainCtes(maskSize: Int = 8, lambda: Double = 0.01): String = s"""
 , mi55 AS (
   SELECT series, win, CAST(floor(${lcg(8)} * ${TsCore.DaySize - maskSize - 1}) AS BIGINT) AS mi
   FROM keys
@@ -271,7 +269,13 @@ JOIN (
   FROM rstats s JOIN rmeans m USING (series, o)
 ), rcoefs2 AS (
   SELECT series, o, b1, b2, b3, my - b1 * m1 - b2 * m2 - b3 * m3 AS b0 FROM rcoefs
-), cleanv AS (
+)"""
+
+  /** q55's application feature base (clean-point lookup + span-edge
+    * context) — shared by q55 and q57.
+    */
+  private def imputerAppCtes: String = s"""
+, cleanv55 AS (
   SELECT series, win, pos, v_anom FROM inject WHERE is_anom = 0
 ), appaug AS (
   SELECT i.series, i.win, i.pos, i.v_orig, i.is_anom, p.apos, p.alen,
@@ -279,14 +283,23 @@ JOIN (
     max(CASE WHEN i.pos = p.apos + p.alen THEN i.v_anom END) OVER wa AS xr
   FROM inject i JOIN params3 p USING (series, win)
   WINDOW wa AS (PARTITION BY i.series, i.win)
-), appts AS (
+)"""
+
+  /** q55: learned masked-span imputer — mirrors Impute.learnedImpute
+    * stage-for-stage (training ridge from the q44 triples, q22's Cramer
+    * expressions with the ridge diagonal, application to the injected
+    * test-split spans).
+    */
+  def q55(maskSize: Int = 8, lambda: Double = 0.01): String =
+    prefix + imputerTrainCtes(maskSize, lambda) + imputerAppCtes + s"""
+, appts AS (
   SELECT a.series, a.v_orig, a.xl, a.xr,
          least(a.pos - a.apos, ${maskSize - 1}) AS o,
          coalesce(cp.v_anom, cn.v_anom) AS xs
   FROM appaug a
   JOIN boundary b USING (series)
-  LEFT JOIN cleanv cp ON cp.series = a.series AND cp.win = a.win - 7 AND cp.pos = a.pos
-  LEFT JOIN cleanv cn ON cn.series = a.series AND cn.win = a.win + 7 AND cn.pos = a.pos
+  LEFT JOIN cleanv55 cp ON cp.series = a.series AND cp.win = a.win - 7 AND cp.pos = a.pos
+  LEFT JOIN cleanv55 cn ON cn.series = a.series AND cn.win = a.win + 7 AND cn.pos = a.pos
   WHERE a.is_anom = 1 AND a.win >= b.mwin
     AND coalesce(cp.v_anom, cn.v_anom) IS NOT NULL
 ), preds AS (
@@ -300,6 +313,48 @@ SELECT series, count(*) AS n,
   ${r4("avg(abs(v_orig - xs))")} AS mae_seasonal,
   ${r4("sqrt(avg((v_orig - xs) * (v_orig - xs)))")} AS rmse_seasonal
 FROM preds GROUP BY series"""
+
+  /** q57: the reference pipeline's headline experiment run with the
+    * LEARNED imputer — mirrors Forecast.learnedCleaningImpact: three
+    * variants (contam / linear / learned) through q38's week-lag
+    * forecast evaluation.
+    */
+  def q57(maskSize: Int = 8, lambda: Double = 0.01): String =
+    prefix + imputeLinearCte + imputerTrainCtes(maskSize, lambda) + imputerAppCtes + s"""
+, appts57 AS (
+  SELECT a.series, a.win, a.pos,
+         least(a.pos - a.apos, ${maskSize - 1}) AS o,
+         a.xl, a.xr, coalesce(cp.v_anom, cn.v_anom) AS xs
+  FROM appaug a
+  LEFT JOIN cleanv55 cp ON cp.series = a.series AND cp.win = a.win - 7 AND cp.pos = a.pos
+  LEFT JOIN cleanv55 cn ON cn.series = a.series AND cn.win = a.win + 7 AND cn.pos = a.pos
+  WHERE a.is_anom = 1 AND coalesce(cp.v_anom, cn.v_anom) IS NOT NULL
+), preds57 AS (
+  SELECT t.series, t.win, t.pos,
+         coalesce(${r4("c.b0 + c.b1 * t.xl + c.b2 * t.xr + c.b3 * t.xs")},
+                  ${r4("t.xs")}) AS v_fill
+  FROM appts57 t LEFT JOIN rcoefs2 c USING (series, o)
+), learnedv AS (
+  SELECT i.series, i.win * ${TsCore.DaySize} + i.pos AS t,
+         CASE WHEN i.is_anom = 0 THEN i.v_anom
+              ELSE coalesce(p.v_fill, i.v_anom) END AS v,
+         'learned' AS variant
+  FROM inject i LEFT JOIN preds57 p USING (series, win, pos)
+), contam57 AS (
+  SELECT series, win * ${TsCore.DaySize} + pos AS t, v_anom AS v, 'contam' AS variant
+  FROM inject
+), linear57 AS (SELECT series, t, v_imp AS v, 'linear' AS variant FROM imp),
+allv57 AS (
+  SELECT * FROM contam57 UNION ALL SELECT * FROM linear57 UNION ALL SELECT * FROM learnedv
+), boundt57 AS (SELECT series, mwin * ${TsCore.DaySize} AS tsplit FROM boundary)
+SELECT a.series, a.variant, count(*) AS n,
+  ${r4("sum(CAST(floor(abs(a.v - p.v)*10000 + 0.5) AS BIGINT)) / 10000.0 / count(*)")} AS mae,
+  ${r4("sqrt(sum(CAST(floor((a.v - p.v)*(a.v - p.v)*10000 + 0.5) AS BIGINT)) / 10000.0 / count(*))")} AS rmse
+FROM allv57 a
+JOIN allv57 p ON p.series = a.series AND p.variant = a.variant AND p.t = a.t - $WeekLag
+JOIN boundt57 b ON b.series = a.series
+WHERE a.t >= b.tsplit
+GROUP BY a.series, a.variant"""
 
   def q06: String = prefix + "SELECT series, win, pos, ewma FROM feats"
 

@@ -62,6 +62,18 @@ class ForecastImputeSpec extends SparkSuite {
     j.unpersist(); d56.unpersist()
   }
 
+  test("q57: every cleaned variant beats the contaminated forecast on every series") {
+    val d = Forecast.learnedCleaningImpact(spark, Sf01).cache()
+    val piv = d.groupBy("series").pivot("variant", Seq("contam", "linear", "learned"))
+      .agg(first("mae")).cache()
+    assert(piv.count() === 5)
+    // the reference's headline claim: repairing flagged anomalies
+    // improves the downstream forecast — for BOTH imputers, per series
+    assert(piv.filter(col("linear") >= col("contam")).count() === 0)
+    assert(piv.filter(col("learned") >= col("contam")).count() === 0)
+    piv.unpersist(); d.unpersist()
+  }
+
   test("linear imputation leaves clean points untouched") {
     val li = Impute.imputeLinear(spark, Sf01).cache()
     val orig = TsCore.injected(spark, Sf01)
