@@ -565,6 +565,22 @@ SELECT qid, vec_id, ${r4("ad2")} AS ad2, rnk FROM ranked WHERE rnk <= $k"""
     * same (d2, cell) argmin tie-break as the packed kernel's
     * first-index rule.
     */
+  /** MIPS top-k — mirrors Similarity.mipsTopK (qv1's chain ranked by
+    * raw inner product).
+    */
+  def qv14(k: Int = 10, maxQueries: Int = 1000): String = vecsCte + s"""
+, q AS (SELECT vec_id AS qid, v FROM vecs
+        WHERE vec_id % 100 = 0 AND vec_id < ${100L * maxQueries}),
+scored AS (
+  SELECT q.qid, b.vec_id, list_dot_product(q.v, b.v) AS dot
+  FROM q JOIN vecs b ON q.qid <> b.vec_id
+), ranked AS (
+  SELECT qid, vec_id, dot,
+         row_number() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id) AS rnk
+  FROM scored
+)
+SELECT qid, vec_id, ${r4("dot")} AS dot, rnk FROM ranked WHERE rnk <= $k"""
+
   def qv13(nCells: Int = 16, iters: Int = 2): String = {
     def d2(av: String, bv: String): String =
       s"list_dot_product(list_transform(range(1, 65), d -> $av[d] - $bv[d]), " +

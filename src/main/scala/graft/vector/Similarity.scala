@@ -72,6 +72,34 @@ object Similarity {
       .select(col("qid"), col("vec_id"), Num.r4(col("cos")).as("cos"), col("rnk"))
   }
 
+  /** qv14: maximum-inner-product search (MIPS) top-k — the retrieval
+    * objective of recommender / dense-retrieval scorers where vector
+    * MAGNITUDE carries signal (un-normalized dot, unlike qv1's cosine).
+    * Exact baseline in qv1's shape: broadcast capped query sample,
+    * codegen graft_dot scan, per-query top-k via the partial
+    * WindowGroupLimit push-down — the reference side never shuffles
+    * more than ≤k rows per partition per query.
+    *
+    * Scale path: MIPS reduces EXACTLY to L2/cosine NN by norm
+    * augmentation (x̃ = [x, √(M²−‖x‖²)], q̃ = [q, 0] — Bachrach et al.
+    * RecSys 2014 / FAISS IndexFlatIP, public), so qv3/qv6's IVF(-PQ)
+    * machinery serves MIPS unchanged over augmented vectors;
+    * VectorExprSpec proves the reduction reproduces this exact top-k.
+    */
+  def mipsTopK(spark: SparkSession, sfDir: String, k: Int = 10,
+               maxQueries: Int = 1000): DataFrame = {
+    val e = vecs(spark, sfDir)
+    val q = e.filter(col("vec_id") % 100 === 0 && col("vec_id") < lit(100L * maxQueries))
+      .select(col("vec_id").as("qid"), col("v").as("av"))
+    val b = e.select(col("vec_id"), col("v").as("bv"))
+    val w = Window.partitionBy("qid").orderBy(col("dot").desc, col("vec_id"))
+    b.crossJoin(broadcast(q)).filter(col("qid") =!= col("vec_id"))
+      .withColumn("dot", dotAB)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("vec_id"), Num.r4(col("dot")).as("dot"), col("rnk"))
+  }
+
   /** qv7: kNN label propagation — auto-label the query sample by
     * majority vote of its k nearest labeled neighbors (cosine), the
     * semi-supervised labeling pass run over an embedded corpus before

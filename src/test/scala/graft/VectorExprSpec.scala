@@ -155,6 +155,36 @@ class VectorExprSpec extends SparkSuite {
     assert(e.getInt(0) === 0 && e.isNullAt(1))
   }
 
+  test("qv14 MIPS top-k equals cosine NN over norm-augmented vectors (the reduction)") {
+    // MIPS(q, x) = argmax ⟨q,x⟩ reduces exactly to L2-NN over
+    // x̃ = [x, √(M²−‖x‖²)], q̃ = [q, 0]: ‖q̃−x̃‖² = ‖q‖² + M² − 2⟨q,x⟩.
+    // Prove the reduction reproduces qv14's exact top-k on real data.
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    graft.functions.VectorExprs.register(spark)
+    val e = graft.util.Tables.embeddings(spark, Sf01)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("n2", expr("graft_dot(v, v)"))
+    val m2 = e.agg(max("n2")).head.getDouble(0)
+    val aug = e.withColumn("va", concat(col("v"), array(sqrt(lit(m2) - col("n2")))))
+    val q = aug.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"),
+        concat(col("v"), array(lit(0.0))).as("qa"))
+    val w = Window.partitionBy("qid").orderBy(col("d2"), col("vec_id"))
+    val viaL2 = aug.crossJoin(broadcast(q)).filter(col("qid") =!= col("vec_id"))
+      .withColumn("d2", expr("graft_l2(qa, va)"))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 10)
+      .select(col("qid"), col("vec_id"), col("rnk"))
+    val direct = graft.vector.Similarity.mipsTopK(spark, Sf01)
+      .select(col("qid"), col("vec_id"), col("rnk").as("rnk_d"))
+    val j = viaL2.join(direct, Seq("qid", "vec_id"), "full_outer")
+    // same (qid, vec_id) membership and same ranks (ties are broken by
+    // vec_id in both orderings, and the augmented-L2 order flips the
+    // dot order sign-exactly)
+    assert(j.filter(col("rnk").isNull || col("rnk_d").isNull ||
+      col("rnk") =!= col("rnk_d")).count() === 0)
+  }
+
   test("qv13 k-means inertia matches MLlib KMeans trained from the same seeds") {
     // the charter's MLlib interop proof: graft's relational Lloyd loop
     // and org.apache.spark.mllib.clustering.KMeans, started from the
