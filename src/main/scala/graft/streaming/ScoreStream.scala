@@ -294,6 +294,24 @@ object ScoreStream {
         abs(col("y") - col("p")).as("abs_err"))
   }
 
+  /** Streaming span imputer — the serving half of the saved q55 model
+    * (forecastStream's sibling): flagged-span feature rows stream in
+    * (series, ts, o, xl, xr, xs — Impute.imputePoints' schema), each is
+    * imputed in flight against the SAVED per-(series, offset) ridge
+    * coefficients via the shared apply expression (Impute.imputePred).
+    * Stateless broadcast stream-static join; imputations bit-identical
+    * to ModelStore.loadAndImpute (StreamingSpec parity).
+    */
+  def imputeStream(spark: SparkSession, modelPath: String,
+                   pts: DataFrame): DataFrame = {
+    import graft.timeseries.{Impute, ModelStore}
+    pts
+      .join(broadcast(ModelStore.imputerCoefs(spark, modelPath)), Seq("series", "o"))
+      .withColumn("v_imp", Impute.imputePred)
+      .select(col("series"), col("ts"), col("win"), col("pos"), col("o"),
+        col("v_imp"))
+  }
+
   /** Streaming twin of the BATCH detection scorer, wired to a
     * ModelStore artifact: patch-feature rows stream in (series, win,
     * pos, f0..f8 + event-time ts), each patch is scored against the

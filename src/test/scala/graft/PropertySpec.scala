@@ -41,4 +41,39 @@ class PropertySpec extends AnyFunSuite {
     val sel = Coreset.greedy(dup, 3)
     assert(sel.length === 3 && sel.distinct.length === 3)
   }
+
+  test("scaled-int accumulation is permutation-invariant where float sums are not (200 instances)") {
+    // the determinism contract behind Num.sumQ4 / every aeInt-seInt
+    // rollup: quantize-to-int THEN sum is exactly order-free, while the
+    // raw double sum is not — this is WHY the engine quantizes before
+    // accumulating, and the property that makes Verify runs and the
+    // DuckDB oracle bit-identical regardless of partition order
+    val rnd = new Random(7)
+    var floatOrderSensitive = 0
+    for (_ <- 1 to 200) {
+      val xs = Array.fill(200 + rnd.nextInt(800))(
+        math.floor(rnd.nextDouble() * 2e7 + 0.5) / 1e4) // r4-quantized inputs
+      val perm = rnd.shuffle(xs.toList).toArray
+      def q4(a: Array[Double]): Long =
+        a.map(v => math.floor(v * 1e4 + 0.5).toLong).sum
+      assert(q4(xs) === q4(perm), "int accumulation must be order-free")
+      if (xs.sum != perm.sum) floatOrderSensitive += 1
+    }
+    // the float sum genuinely flips bits under permutation on this data —
+    // the property is not vacuous
+    assert(floatOrderSensitive > 0, "expected raw double sums to be order-sensitive")
+  }
+
+  test("LCG draws are deterministic, in [0,1), and salt-separated") {
+    def lcg(key: Long, salt: Int): Double =
+      ((1103515245L * (key * 1000 + salt) + 12345L) % 2147483648L).toDouble / 2147483648.0
+    val rnd = new Random(11)
+    for (_ <- 1 to 500) {
+      val k = rnd.nextInt(1 << 20).toLong
+      val u = lcg(k, 1)
+      assert(u >= 0.0 && u < 1.0)
+      assert(lcg(k, 1) === u, "same key+salt must reproduce")
+      assert(lcg(k, 2) !== u, s"salts must separate draws for key $k")
+    }
+  }
 }

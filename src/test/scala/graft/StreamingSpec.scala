@@ -214,6 +214,8 @@ class StreamingSpec extends SparkSuite {
   case class FRow(ts: Timestamp, series: String, t: Long, y: Double,
                   x1: Double, x2: Double, x3: Double, x4: Double,
                   x5: Double, x6: Double)
+  case class IRow(ts: Timestamp, series: String, win: Long, pos: Long, o: Long,
+                  xl: Double, xr: Double, xs: Double)
   case class PatchRow(ts: Timestamp, series: String, win: Long, pos: Long,
                       f0: Double, f1: Double, f2: Double, f3: Double, f4: Double,
                       f5: Double, f6: Double, f7: Double, f8: Double)
@@ -452,6 +454,32 @@ class StreamingSpec extends SparkSuite {
       assert(got.size === want.size)
       // identical coefficients + identical apply chain → exact equality
       assert(got === want)
+    } finally q.stop()
+  }
+
+  test("streaming span imputer matches the saved-model batch imputations exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.timeseries.{Impute, ModelStore}
+    val path = java.nio.file.Files.createTempDirectory("graft-imps").toString
+    ModelStore.saveImputer(spark, Sf01, path)
+    val pts = Impute.imputePoints(spark, Sf01)
+    val want = ModelStore.loadAndImpute(spark, path, pts).collect()
+      .map(r => (r.getAs[String]("series"), r.getAs[Long]("win"), r.getAs[Long]("pos")) ->
+        r.getAs[Double]("v_imp")).toMap
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows = pts.select("series", "win", "pos", "o", "xl", "xr", "xs").collect()
+      .map(r => IRow(t0, r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    val mem = MemoryStream[IRow]
+    val q = ScoreStream.imputeStream(spark, path, mem.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("impstr").start()
+    try {
+      mem.addData(rows.toSeq); q.processAllAvailable()
+      val got = spark.table("impstr").collect()
+        .map(r => (r.getAs[String]("series"), r.getAs[Long]("win"), r.getAs[Long]("pos")) ->
+          r.getAs[Double]("v_imp")).toMap
+      assert(got.size === want.size && got === want)
     } finally q.stop()
   }
 
