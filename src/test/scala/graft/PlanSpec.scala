@@ -312,6 +312,33 @@ class PlanSpec extends SparkSuite {
       assert(!df.queryExecution.optimizedPlan.toString.contains("strategy=broadcast"),
         s"$nm still hard-codes a broadcast on a |series|-scale frame")
     }
+    // the 100 TB side of the policy: when the size gate says the dim is
+    // too big to ship (threshold disabled simulates a million-meter
+    // frame), the None path becomes a SHUFFLE join — no OOM-bound
+    // broadcast anywhere — while the bounded path still broadcasts by
+    // contract
+    val thrKey = "spark.sql.autoBroadcastJoinThreshold"
+    val aqeThrKey = "spark.sql.adaptive.autoBroadcastJoinThreshold"
+    val saved = spark.conf.getOption(thrKey)
+    val savedAqe = spark.conf.getOption(aqeThrKey)
+    try {
+      spark.conf.set(thrKey, "-1")
+      spark.conf.set(aqeThrKey, "-1")
+      val big2 = Joins.dimJoin(big, dim, Seq("l_orderkey"), None)
+      big2.collect()
+      val p = plan(big2)
+      assert(!p.contains("BroadcastHashJoin"),
+        s"None path must not broadcast when the size gate forbids it:\n${p.take(900)}")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"None path must fall back to a shuffle join:\n${p.take(900)}")
+      val bounded2 = Joins.dimJoin(big, dim, Seq("l_orderkey"), Some(1000L))
+      assert(plan(bounded2).contains("BroadcastHashJoin") ||
+        plan(bounded2).contains("BroadcastExchange"),
+        "bounded path broadcasts by contract regardless of the threshold")
+    } finally {
+      saved.fold(spark.conf.unset(thrKey))(v => spark.conf.set(thrKey, v))
+      savedAqe.fold(spark.conf.unset(aqeThrKey))(v => spark.conf.set(aqeThrKey, v))
+    }
   }
 
   test("grouped aggregation is whole-stage codegen'd with partial agg") {
