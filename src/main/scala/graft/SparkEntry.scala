@@ -750,31 +750,41 @@ object SparkEntry {
         .map(sub).mkString("\n      UNION ALL\n")
     },
     "qm2_frame_sample" -> """
+      -- BYTE-faithful mirror of BinaryMeta.frameSample: the engine hashes
+      -- UTF-8 payload bytes, so the oracle walks hex(encode(text)) two
+      -- hex chars at a time (octet_length, not length — char indexing
+      -- would silently diverge on any non-ASCII text) and LEFT-joins the
+      -- byte sums so a zero-length payload still emits its (0, 0) frame.
       WITH m AS (
-        SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len FROM documents
+        SELECT doc_id, hex(encode(text)) AS hx,
+               CAST(octet_length(encode(text)) AS BIGINT) AS len
+        FROM documents
       ), fr AS (
-        SELECT doc_id, text, len, greatest(1, len // 256) AS nframes FROM m
+        SELECT doc_id, hx, len, greatest(1, len // 256) AS nframes FROM m
       ), fi0 AS (
-        SELECT doc_id, text, len,
+        SELECT doc_id, hx, len,
                unnest(range(0, nframes, greatest(1, nframes // 4))) AS fi
         FROM fr
       ), f2 AS (
         SELECT * FROM (
-          SELECT doc_id, text, len, fi,
+          SELECT doc_id, hx, len, fi,
                  row_number() OVER (PARTITION BY doc_id ORDER BY fi) AS rn
           FROM fi0) WHERE rn <= 4
       ), fb AS (
-        SELECT doc_id, fi, text,
+        SELECT doc_id, fi, hx,
                least(fi*256 + 256, len) - fi*256 AS n_bytes
         FROM f2
-      ), bytes AS (
-        SELECT doc_id, fi, n_bytes,
-               unnest(range(1, n_bytes + 1)) AS i, text
-        FROM fb
+      ), byteterms AS (
+        SELECT doc_id, fi,
+               CAST(concat('0x', substr(hx, CAST((fi*256 + i - 1) * 2 + 1 AS INT), 2)) AS BIGINT) * i AS term
+        FROM fb, unnest(range(1, n_bytes + 1)) AS u(i)
+      ), hs AS (
+        SELECT doc_id, fi, CAST(sum(term) AS BIGINT) AS frame_hash
+        FROM byteterms GROUP BY doc_id, fi
       )
-      SELECT doc_id, CAST(fi AS INT) AS frame_idx, CAST(n_bytes AS INT) AS n_bytes,
-             CAST(coalesce(sum(ord(substr(text, CAST(fi*256 + i AS INT), 1)) * i), 0) AS BIGINT) AS frame_hash
-      FROM bytes GROUP BY doc_id, fi, n_bytes""",
+      SELECT f.doc_id, CAST(f.fi AS INT) AS frame_idx, CAST(f.n_bytes AS INT) AS n_bytes,
+             coalesce(h.frame_hash, 0) AS frame_hash
+      FROM fb f LEFT JOIN hs h ON h.doc_id = f.doc_id AND h.fi = f.fi""",
     "qm4_shard_manifest" -> """
       WITH m AS (
         SELECT doc_id, 'text/' || lang AS media_type,

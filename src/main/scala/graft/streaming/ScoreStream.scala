@@ -273,16 +273,22 @@ object ScoreStream {
 
   /** Streaming forecast scorer — the online half of the reference's
     * forecast evaluation loop, wired to a ModelStore artifact: feature
-    * rows stream in (series, ts, y, x1..x6 — the same feature schema
-    * Forecast.featureBase builds in batch), each row is scored against
+    * rows stream in (series, ts, t, y, x1..x6 — Forecast.featureBase's
+    * batch schema plus the event time), each row is scored against
     * the SAVED q56 coefficient frame via the shared apply expression
     * (Forecast.featurePred), and the per-point prediction + absolute
-    * error emit immediately. Stateless: the model joins as one
-    * broadcast stream-static table (the serving-model shape — per-series
-    * coefficients are the artifact a scoring fleet pins in memory), no
-    * watermark state, no shuffle before the sink. Predictions are
-    * BIT-IDENTICAL to the batch fit's (raw-double coefficients + the
-    * same IEEE apply chain) — StreamingSpec asserts full parity.
+    * error emit immediately. Stateless, no watermark state, no shuffle
+    * before the sink. Predictions are BIT-IDENTICAL to the batch fit's
+    * (raw-double coefficients + the same IEEE apply chain) —
+    * StreamingSpec asserts full parity.
+    *
+    * The model joins as a broadcast stream-static table DELIBERATELY,
+    * unlike the batch twins' size-aware dimJoin: stream-static joins
+    * get no AQE re-plan, and an unhinted plan would re-sort the static
+    * side every microbatch — a serving fleet pins its model in memory,
+    * which is exactly what the broadcast expresses. A model too big to
+    * broadcast calls for pre-partitioned model shards keyed like the
+    * stream shuffle, not a per-microbatch sort-merge.
     */
   def forecastStream(spark: SparkSession, modelPath: String,
                      feats: DataFrame): DataFrame = {
@@ -296,11 +302,13 @@ object ScoreStream {
 
   /** Streaming span imputer — the serving half of the saved q55 model
     * (forecastStream's sibling): flagged-span feature rows stream in
-    * (series, ts, o, xl, xr, xs — Impute.imputePoints' schema), each is
-    * imputed in flight against the SAVED per-(series, offset) ridge
-    * coefficients via the shared apply expression (Impute.imputePred).
-    * Stateless broadcast stream-static join; imputations bit-identical
-    * to ModelStore.loadAndImpute (StreamingSpec parity).
+    * (series, ts, win, pos, o, xl, xr, xs — Impute.imputePoints' schema
+    * plus the event time), each is imputed in flight against the SAVED
+    * per-(series, offset) ridge coefficients via the shared apply
+    * expression (Impute.imputePred). Stateless broadcast stream-static
+    * join (the deliberate serving-model shape — see forecastStream);
+    * imputations bit-identical to ModelStore.loadAndImpute
+    * (StreamingSpec parity).
     */
   def imputeStream(spark: SparkSession, modelPath: String,
                    pts: DataFrame): DataFrame = {

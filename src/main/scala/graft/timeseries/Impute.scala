@@ -29,13 +29,23 @@ object Impute {
     * randint bound. Map-side after the shared complete-window stage;
     * partition key (series, win).
     */
-  def maskedPairs(spark: SparkSession, sfDir: String, maskSize: Int = 8): DataFrame = {
+  /** The per-window mask-start draw — ONE definition shared by q44's
+    * triples (maskedPairs) and q55's training chain (imputerCoefs) so
+    * the training set can never silently de-synchronize from the
+    * triples it claims to train on; TsOracle.imputerTrainCtes / q44
+    * mirror it via the shared keys CTE + lcg salt 8.
+    */
+  private def maskIndex(spark: SparkSession, sfDir: String, maskSize: Int): DataFrame = {
     require(maskSize >= 1 && maskSize < TsCore.DaySize - 1,
       s"maskSize=$maskSize: the reference draws mask starts from [0, daySize - maskSize - 1)")
     val hi = TsCore.DaySize - maskSize - 1
-    val mi = TsCore.winKeys(spark, sfDir)
+    TsCore.winKeys(spark, sfDir)
       .select(col("series"), col("win"),
         floor(TsCore.lcg(col("key"), 8) * hi).cast("long").as("mi"))
+  }
+
+  def maskedPairs(spark: SparkSession, sfDir: String, maskSize: Int = 8): DataFrame = {
+    val mi = maskIndex(spark, sfDir, maskSize)
     TsCore.dayWindows(spark, sfDir)
       .join(mi, Seq("series", "win"))
       .withColumn("mask",
@@ -86,17 +96,13 @@ object Impute {
     */
   private[graft] def imputerCoefs(spark: SparkSession, sfDir: String,
                                   maskSize: Int = 8, lambda: Double = 0.01): DataFrame = {
-    require(maskSize >= 1 && maskSize < TsCore.DaySize - 1, s"maskSize=$maskSize")
     require(lambda > 0, s"lambda=$lambda: ridge needs a positive diagonal")
     import graft.util.Joins
-    val hi = TsCore.DaySize - maskSize - 1
     val bound = TsCore.splitBoundary(spark, sfDir)
     val wa = Window.partitionBy("series", "win")
 
     // ---- training rows: q44's masked points, train split, mi ≥ 1 ----
-    val mi = TsCore.winKeys(spark, sfDir)
-      .select(col("series"), col("win"),
-        floor(TsCore.lcg(col("key"), 8) * hi).cast("long").as("mi"))
+    val mi = maskIndex(spark, sfDir, maskSize)
     val dw = TsCore.dayWindows(spark, sfDir)
     val seas = dw.select(col("series"), col("win").as("swin"), col("pos"), col("v").as("sv"))
     val trainRows = Joins.dimJoin(

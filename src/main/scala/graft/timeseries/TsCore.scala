@@ -135,11 +135,19 @@ object TsCore {
 
   /** Deterministic LCG uniform in [0,1): pure int64 arithmetic, identical
     * in Spark and DuckDB. key mixes (series index, window id); salt
-    * separates draws.
+    * separates draws. The constants are shared with [[lcgScalar]] so
+    * driver recomputes and property tests bind to THIS formula.
     */
+  private[graft] val LcgA = 1103515245L
+  private[graft] val LcgC = 12345L
+  private[graft] val LcgM = 2147483648L
   def lcg(key: Column, salt: Int): Column =
-    ((lit(1103515245L) * (key * 1000L + lit(salt.toLong)) + 12345L) % 2147483648L)
-      .cast("double") / 2147483648.0
+    ((lit(LcgA) * (key * 1000L + lit(salt.toLong)) + LcgC) % LcgM)
+      .cast("double") / LcgM.toDouble
+
+  /** Scalar twin of [[lcg]] over the same constants. */
+  def lcgScalar(key: Long, salt: Int): Double =
+    ((LcgA * (key * 1000 + salt) + LcgC) % LcgM).toDouble / LcgM
 
   /** Injection parameters per (series, win) — re-expression of
     * synth_anomaly.py SynthLoadAnomaly.inject_anomaly with LCG draws:

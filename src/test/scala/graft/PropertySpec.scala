@@ -65,15 +65,16 @@ class PropertySpec extends AnyFunSuite {
   }
 
   test("LCG draws are deterministic, in [0,1), and salt-separated") {
-    def lcg(key: Long, salt: Int): Double =
-      ((1103515245L * (key * 1000 + salt) + 12345L) % 2147483648L).toDouble / 2147483648.0
+    // binds to the PRODUCTION formula (TsCore.lcgScalar shares the
+    // constants with the Column form) — a constant change fails here
+    import graft.timeseries.TsCore.lcgScalar
     val rnd = new Random(11)
     for (_ <- 1 to 500) {
       val k = rnd.nextInt(1 << 20).toLong
-      val u = lcg(k, 1)
+      val u = lcgScalar(k, 1)
       assert(u >= 0.0 && u < 1.0)
-      assert(lcg(k, 1) === u, "same key+salt must reproduce")
-      assert(lcg(k, 2) !== u, s"salts must separate draws for key $k")
+      assert(lcgScalar(k, 1) === u, "same key+salt must reproduce")
+      assert(lcgScalar(k, 2) !== u, s"salts must separate draws for key $k")
     }
   }
 }
