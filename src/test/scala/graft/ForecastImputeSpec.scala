@@ -14,7 +14,7 @@ class ForecastImputeSpec extends SparkSuite {
       val (series, win) = key
       // driver LCG recompute (TsCore.lcg, salt 8, hi = 24 - 8 - 1)
       val k = seriesIdx(series).toLong * 100 + win
-      val u = ((1103515245L * (k * 1000 + 8) + 12345L) % 2147483648L).toDouble / 2147483648.0
+      val u = TsCore.lcgScalar(k, 8)
       val mi = math.floor(u * 15).toLong
       assert(pts.length === 24, s"$key size")
       for ((pos, v, mask, vm) <- pts.map(_._2)) {
