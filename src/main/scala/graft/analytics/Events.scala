@@ -492,11 +492,19 @@ object Events {
       when(mx === mn, 0).otherwise(
         least(floor((col(c) - mn) / (mx - mn) * nBins).cast("int"), lit(nBins - 1)))
     }
+    // bins compute ONCE per column in a projection; the 4×nBins
+    // conditional sums then compare a small int — without this every
+    // aggregate re-embeds the (v−mn)/(mx−mn) division and the generated
+    // aggregate class grows ~nBins× (compile time dominates at low SF,
+    // per-row work at high SF)
     val countCols =
       cols.flatMap(c => Seq(max(s"mn_$c").as(s"mn_$c"), max(s"mx_$c").as(s"mx_$c"))) ++
         (for (c <- cols; b <- 0 until nBins)
-          yield sum(when(binOf(c) === b, 1L).otherwise(0L)).as(s"h_${c}_$b"))
-    val counts = li.crossJoin(broadcast(stats)).agg(countCols.head, countCols.tail: _*)
+          yield sum(when(col(s"bin_$c") === b, 1L).otherwise(0L)).as(s"h_${c}_$b"))
+    val counts = li.crossJoin(broadcast(stats))
+      .select(cols.flatMap(c =>
+        Seq(col(s"mn_$c"), col(s"mx_$c"), binOf(c).as(s"bin_$c"))): _*)
+      .agg(countCols.head, countCols.tail: _*)
     val stacked = for (c <- cols; b <- 0 until nBins) yield {
       val (mn, mx) = (col(s"mn_$c"), col(s"mx_$c"))
       struct(lit(c).as("column_name"), lit(b).as("bin"),
