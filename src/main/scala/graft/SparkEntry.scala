@@ -118,6 +118,9 @@ object SparkEntry {
     "q55_learned_impute" -> ((s, d) => graft.timeseries.Impute.learnedImpute(s, d)),
     "q56_feature_forecast" -> ((s, d) => graft.timeseries.Forecast.featureForecast(s, d)),
     "q57_learned_cleaning" -> ((s, d) => graft.timeseries.Forecast.learnedCleaningImpact(s, d)),
+    "q58_conformal" -> ((s, d) => graft.timeseries.Forecast.conformalIntervals(s, d)),
+    "qd17_dup_weight" -> ((s, d) => graft.text.Dedup.dupWeight(s, d)),
+    "qt21_domain_cap" -> ((s, d) => graft.text.TextOps.domainCap(s, d)),
     "qv6_ivfpq_ann" -> ((s, d) => graft.vector.Similarity.ivfPqAnn(s, d)),
     "qv11_sq8_ann" -> ((s, d) => graft.vector.Similarity.sq8Ann(s, d)),
     "qv12_refine_ann" -> ((s, d) => graft.vector.Similarity.refineAnn(s, d)),
@@ -518,6 +521,20 @@ object SparkEntry {
     "q55_learned_impute" -> graft.timeseries.TsOracle.q55(),
     "q56_feature_forecast" -> graft.timeseries.TsOracle.q56(),
     "q57_learned_cleaning" -> graft.timeseries.TsOracle.q57(),
+    "q58_conformal" -> graft.timeseries.TsOracle.q58(),
+    "qd17_dup_weight" -> graft.text.DocOracle.qd17(),
+    "qt21_domain_cap" -> """
+      WITH r AS (
+        SELECT source, n_chars,
+               row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        FROM documents
+      )
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(CASE WHEN rn <= 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             CAST(count(*) - sum(CASE WHEN rn <= 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+             CAST(sum(CASE WHEN rn <= 20 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars,
+             CAST(sum(CASE WHEN rn > 20 THEN n_chars ELSE 0 END) AS BIGINT) AS dropped_chars
+      FROM r GROUP BY source""",
     "qv6_ivfpq_ann" -> graft.text.DocOracle.qv6(),
     "qv11_sq8_ann" -> graft.text.DocOracle.qv11(),
     "qv12_refine_ann" -> graft.text.DocOracle.qv12(),

@@ -299,6 +299,30 @@ object Dedup {
       .agg(count(lit(1)).as("sz"), (count(lit(1)) - 1).as("n_dropped"),
         sum("n_chars").as("total_chars"))
 
+  /** qd17: soft dedup weighting — instead of dropping near-duplicates,
+    * every document gets a training-time sampling weight 1/|cluster|
+    * so each duplicate CLUSTER contributes one document's worth of
+    * probability mass (the alternative to hard removal used by
+    * RefinedWeb/SlimPajama-style corpus builds, public). Documents
+    * outside the LSH candidate graph are their own singleton cluster
+    * (weight 1.0).
+    *
+    * Scale shape: reuses qd6's session-cached pointer-doubling labels;
+    * one left join on doc_id, one cluster-size agg, one join back on
+    * cluster_id — all standard key-partitioned shuffles, no broadcast
+    * of the data-scaled label frame.
+    */
+  def dupWeight(spark: SparkSession, sfDir: String): DataFrame = {
+    val lab = Tables.documents(spark, sfDir).select("doc_id")
+      .join(dupClusters(spark, sfDir), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    val sizes = lab.groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+    lab.join(sizes, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("sz"),
+        Num.r4(lit(1.0) / col("sz")).as("weight"))
+  }
+
   /** qd8: sketch-accuracy evaluation — the MinHash Jaccard ESTIMATE
     * (matching permutations / nPerm) next to the exact shingle-set
     * Jaccard for every LSH candidate pair. The report that justifies

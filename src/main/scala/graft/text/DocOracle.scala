@@ -185,6 +185,28 @@ SELECT doc_id, cluster_id FROM lab""")
     base.replaceFirst("^\nWITH ", "\nWITH RECURSIVE ")
   }
 
+  /** Mirrors Dedup.dupWeight — qd6's recursive labels, singleton
+    * fallback to doc_id, weight = 1/|cluster| on the shared r4 grid.
+    */
+  def qd17(nPerm: Int = 16, bandRows: Int = 4): String = {
+    val base = (toksCte + shinglesCte(3, "sh3") + lshEdgesCte(nPerm, bandRows) + s"""
+, reach AS (
+  SELECT doc_a AS src, doc_a AS dst FROM (SELECT DISTINCT doc_a FROM edges)
+  UNION
+  SELECT r.src, e.doc_b AS dst FROM reach r JOIN edges e ON r.dst = e.doc_a
+), lab AS (
+  SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+), labeled AS (
+  SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN lab l USING (doc_id)
+), sizes AS (
+  SELECT cluster_id, count(*) AS sz FROM labeled GROUP BY cluster_id
+)
+SELECT l.doc_id, l.cluster_id, s.sz, ${r4("1.0 / s.sz")} AS weight
+FROM labeled l JOIN sizes s USING (cluster_id)""")
+    base.replaceFirst("^\nWITH ", "\nWITH RECURSIVE ")
+  }
+
   /** Mirrors Dedup.pageRank — `iters` unrolled rounds of the same
     * 1e-8 scaled-int mass arithmetic.
     */

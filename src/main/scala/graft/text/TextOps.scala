@@ -551,4 +551,37 @@ object TextOps {
         when(col("p_nat") > 0,
           Num.r4((col("pa_q").cast("double") / col("z")) / col("p_nat"))).as("oversample"))
   }
+
+  /** qt21: per-source document cap — C4/Dolma-style corpus-balance
+    * gate (public): no source may contribute more than `cap` documents;
+    * beyond that, documents are dropped deterministically (keep the
+    * `cap` lowest doc_ids — ingestion order). Output is the per-source
+    * audit a corpus build reviews before materializing the kept set:
+    * doc and char counts on both sides of the cap.
+    *
+    * Scale shape: one hash partition by source + per-source rank
+    * window, one aggregation — all-integer, exact. Domain skew is the
+    * REAL distribution here (a handful of giant crawls): at 100 TB the
+    * rank window on a mega-domain becomes a single-reducer sort, so
+    * the scale path replaces row_number with the cap-th-smallest
+    * doc_id threshold computed by a two-phase salted top-K (each salt
+    * keeps its local cap smallest ids — Skew.scala's discipline), then
+    * a threshold comparison; the audit aggregates are unchanged.
+    */
+  def domainCap(spark: SparkSession, sfDir: String, cap: Int = 20): DataFrame = {
+    require(cap >= 1, s"cap=$cap")
+    val kept = col("rn") <= cap
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("source").orderBy("doc_id")))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(kept, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(kept, col("n_chars")).otherwise(0L)).as("kept_chars"),
+        sum(when(!kept, col("n_chars")).otherwise(0L)).as("dropped_chars"))
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        (col("n_docs") - col("n_kept")).as("n_dropped"),
+        col("kept_chars"), col("dropped_chars"))
+  }
 }

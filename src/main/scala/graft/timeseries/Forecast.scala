@@ -914,4 +914,56 @@ FROM pows"""
         .select(col("series"), lit(l).as("lag_h"), col("n"), Num.r4(col("c")).as("acf"))
     }.reduce(_ unionByName _)
   }
+
+  /** q58: split-conformal prediction intervals over the seasonal-naive
+    * forecaster (q21) — the distribution-free uncertainty layer the
+    * reference's point forecasts lack (its forecasting/ stack reports
+    * MAE/RMSE only). Split conformal (Vovk et al.; Lei et al., public):
+    * on a held-out calibration window (the last week of the train
+    * split) take the ⌈(1−α)(n+1)⌉-th smallest absolute residual as the
+    * interval half-width q̂, then measure empirical coverage of
+    * ŷ ± q̂ on the test split — finite-sample valid for ANY point
+    * forecaster, which is why the fit-free seasonal-naive predictor
+    * slots in unchanged (a fitted model would only need its own
+    * residual column here).
+    *
+    * Determinism: residuals are exact differences of r4-grid values,
+    * quantized to 1e-4 int64 BEFORE ranking; q̂ is an ORDER STATISTIC
+    * (the conformal definition — deliberately not an interpolated
+    * percentile), so every rank and every coverage comparison is
+    * integer-exact in both engines.
+    *
+    * Scale shape: one per-series lag pass (q21's spine), one bounded
+    * per-series rank window over the ~WeekLag calibration rows, one
+    * test-split aggregation. The |series|-scale boundary and q̂ frames
+    * join through dimJoin's size-aware path.
+    */
+  def conformalIntervals(spark: SparkSession, sfDir: String,
+                         alpha: Double = 0.1): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha=$alpha")
+    val w = Window.partitionBy("series").orderBy("t")
+    val sn = TsCore.filled(spark, sfDir)
+      .select(col("series"), col("t"), col("v_filled").as("y"))
+      .withColumn("p", lag("y", TsCore.WeekLag).over(w))
+      .transform(Joins.dimJoin(_, boundaryT(spark, sfDir), Seq("series"), None))
+      .filter(col("y").isNotNull && col("p").isNotNull)
+      .withColumn("tcal", col("tsplit") - lit(TsCore.WeekLag))
+      .withColumn("arq", floor(abs(col("y") - col("p")) * 10000d + 0.5d).cast("long"))
+    val cal = sn.filter(col("t") >= col("tcal") && col("t") < col("tsplit"))
+    val qhat = cal
+      .withColumn("ncal", count(lit(1)).over(Window.partitionBy("series")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("series").orderBy(col("arq"), col("t"))))
+      .filter(col("rn") ===
+        least(ceil(lit(1.0 - alpha) * (col("ncal") + 1)), col("ncal")))
+      .select(col("series"), col("ncal").as("n_cal"), col("arq").as("qhatq"))
+    sn.filter(col("t") >= col("tsplit"))
+      .transform(Joins.dimJoin(_, qhat, Seq("series"), None))
+      .groupBy("series", "n_cal", "qhatq")
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("arq") <= col("qhatq"), 1L).otherwise(0L)).as("n_cov"))
+      .select(col("series"), col("n_cal"), col("n_test"),
+        (col("qhatq") / 10000d).as("qhat"),
+        Num.r4(col("n_cov") / col("n_test").cast("double")).as("coverage"))
+  }
 }

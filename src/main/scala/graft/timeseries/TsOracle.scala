@@ -957,6 +957,34 @@ SELECT series, count(*) AS n,
 FROM sn WHERE t >= tsplit AND y IS NOT NULL AND p IS NOT NULL
 GROUP BY series"""
 
+  /** Mirrors Forecast.conformalIntervals — same 1e-4 int residual grid,
+    * same ⌈(1−α)(n+1)⌉ order-statistic rank, same integer coverage.
+    */
+  def q58(alpha: Double = 0.1): String = prefix + splitTCte + s"""
+, sn58 AS (
+  SELECT f.series, f.t, f.v_filled AS y,
+         lag(f.v_filled, ${TsCore.WeekLag}) OVER (PARTITION BY f.series ORDER BY f.t) AS p,
+         b.tsplit, b.tsplit - ${TsCore.WeekLag} AS tcal
+  FROM filled f JOIN boundt b USING (series)
+), ar58 AS (
+  SELECT series, t, tsplit, tcal,
+         CAST(floor(abs(y - p)*10000 + 0.5) AS BIGINT) AS arq
+  FROM sn58 WHERE y IS NOT NULL AND p IS NOT NULL
+), cal58 AS (
+  SELECT series, t, arq, count(*) OVER (PARTITION BY series) AS ncal,
+         row_number() OVER (PARTITION BY series ORDER BY arq, t) AS rn
+  FROM ar58 WHERE t >= tcal AND t < tsplit
+), qh58 AS (
+  SELECT series, ncal AS n_cal, arq AS qhatq FROM cal58
+  WHERE rn = CAST(least(ceil(${1.0 - alpha} * (ncal + 1)), ncal) AS BIGINT)
+)
+SELECT t.series, q.n_cal, count(*) AS n_test,
+       q.qhatq / 10000.0 AS qhat,
+       ${r4("sum(CASE WHEN t.arq <= q.qhatq THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE)")} AS coverage
+FROM ar58 t JOIN qh58 q USING (series)
+WHERE t.t >= t.tsplit
+GROUP BY t.series, q.n_cal, q.qhatq"""
+
   /** q53: hierarchical reconciliation — mirrors Forecast.reconcile:
     * seasonal-naive bottoms, daily-persistence total, proportional
     * top-down rescale, all sums as 1e-4 scaled int64.

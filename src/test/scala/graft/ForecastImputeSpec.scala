@@ -378,4 +378,40 @@ class ForecastImputeSpec extends SparkSuite {
     assert(r.join(truth, Seq("series", "t"))
       .filter(abs(col("base_fc") - col("p_true")) > 1e-9).count() === 0)
   }
+
+  test("q58 conformal intervals: order-statistic q̂ and near-nominal coverage") {
+    val d = Forecast.conformalIntervals(spark, Sf01).cache()
+    val rows = d.collect()
+    assert(rows.length === 5, "one interval row per series")
+    for (r <- rows) {
+      val (nCal, nTest) = (r.getLong(1), r.getLong(2))
+      val (qhat, cov) = (r.getDouble(3), r.getDouble(4))
+      assert(nCal > 0 && nCal <= TsCore.WeekLag, s"calibration window ≤ one week, got $nCal")
+      assert(nTest > 0 && qhat > 0.0)
+      // split conformal at α=0.1: E[coverage] ∈ [0.9, 0.9 + 1/(n_cal+1)];
+      // the empirical test coverage fluctuates around it — a loose
+      // two-sided band still catches an off-by-one rank or a wrong split
+      assert(cov >= 0.85 && cov <= 1.0, s"${r.getString(0)} coverage $cov")
+    }
+    // q̂ really is the ⌈0.9·(n+1)⌉-th smallest calibration residual:
+    // recompute residual ranks directly from the q21 spine
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("series").orderBy("t")
+    val sn = TsCore.filled(spark, Sf01)
+      .select(col("series"), col("t"), col("v_filled").as("y"),
+        lag("v_filled", TsCore.WeekLag).over(w).as("p"))
+      .join(TsCore.splitBoundary(spark, Sf01)
+        .select(col("series"), (col("mwin") * TsCore.DaySize).as("tsplit")), "series")
+      .filter(col("y").isNotNull && col("p").isNotNull)
+      .filter(col("t") >= col("tsplit") - TsCore.WeekLag && col("t") < col("tsplit"))
+      .withColumn("arq", floor(abs(col("y") - col("p")) * 10000d + 0.5d).cast("long"))
+    val byS = sn.select("series", "arq").collect()
+      .groupBy(_.getString(0)).map { case (s, rs) => (s, rs.map(_.getLong(1)).sorted) }
+    for (r <- rows) {
+      val arr = byS(r.getString(0))
+      val k = math.min(math.ceil(0.9 * (arr.length + 1)).toInt, arr.length)
+      assert(r.getDouble(3) === arr(k - 1) / 10000d,
+        s"${r.getString(0)} q̂ must be the $k-th order statistic")
+    }
+    d.unpersist()
+  }
 }

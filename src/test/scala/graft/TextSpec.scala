@@ -948,4 +948,42 @@ class TextSpec extends SparkSuite {
       }
     }
   }
+
+  test("qd17 dup weights: every doc once, cluster mass ≈ 1, singletons weigh 1.0") {
+    val d = Dedup.dupWeight(spark, Sf01).cache()
+    val nDocs = graft.util.Tables.documents(spark, Sf01).count()
+    assert(d.count() === nDocs, "one weight row per document")
+    assert(d.select("doc_id").distinct().count() === nDocs)
+    // weight is exactly r4(1/sz), so each cluster's total mass is
+    // sz * r4(1/sz) — 1.0 up to the 1e-4 grid
+    assert(d.filter(abs(col("weight") * col("sz") - 1.0) > col("sz") * 1e-4).count() === 0)
+    // docs outside the LSH candidate graph are singletons with weight 1
+    val labeled = Dedup.dupClusters(spark, Sf01).select("doc_id")
+    val singles = d.join(labeled, Seq("doc_id"), "left_anti")
+    assert(singles.filter(col("sz") =!= 1L || col("weight") =!= 1.0).count() === 0)
+    // a multi-doc cluster exists at sf0.01 (the corpus has near-dups)
+    assert(d.filter(col("sz") > 1).count() > 0)
+    d.unpersist()
+  }
+
+  test("qt21 domain cap: kept = min(n, cap) and char masses reconcile per source") {
+    val d = TextOps.domainCap(spark, Sf01, cap = 20).cache()
+    val docs = graft.util.Tables.documents(spark, Sf01)
+      .groupBy("source").agg(count(lit(1)).as("n_true"), sum("n_chars").as("chars_true"))
+    val j = d.join(docs, "source").cache()
+    assert(j.count() === d.count(), "every source present")
+    assert(j.filter(col("n_docs") =!= col("n_true")).count() === 0)
+    assert(j.filter(col("n_kept") =!= least(col("n_docs"), lit(20L))).count() === 0)
+    assert(j.filter(col("n_dropped") =!= col("n_docs") - col("n_kept")).count() === 0)
+    assert(j.filter(col("kept_chars") + col("dropped_chars") =!= col("chars_true")).count() === 0)
+    // the kept side is the cap LOWEST doc_ids: recompute one source directly
+    val src = graft.util.Tables.documents(spark, Sf01)
+      .filter(col("source") === d.select("source").head().getString(0))
+      .sort("doc_id").select("n_chars").collect().map(_.getLong(0))
+    val expect = src.take(20).sum
+    val got = j.filter(col("source") === d.select("source").head().getString(0))
+      .select("kept_chars").head().getLong(0)
+    assert(got === expect, "kept_chars must cover exactly the 20 lowest doc_ids")
+    j.unpersist(); d.unpersist()
+  }
 }
