@@ -308,20 +308,21 @@ object Dedup {
     * (weight 1.0).
     *
     * Scale shape: reuses qd6's session-cached pointer-doubling labels;
-    * one left join on doc_id, one cluster-size agg, one join back on
-    * cluster_id — all standard key-partitioned shuffles, no broadcast
-    * of the data-scaled label frame.
+    * one left join on doc_id, then ONE cluster_id exchange whose
+    * unbounded window count attaches |cluster| in place (a separate
+    * size agg + join-back would re-derive the label join twice) — all
+    * key-partitioned shuffles, no broadcast of the data-scaled label
+    * frame. Per-cluster window state is bounded by the largest dup
+    * cluster, not the corpus.
     */
-  def dupWeight(spark: SparkSession, sfDir: String): DataFrame = {
-    val lab = Tables.documents(spark, sfDir).select("doc_id")
+  def dupWeight(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select("doc_id")
       .join(dupClusters(spark, sfDir), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
-    val sizes = lab.groupBy("cluster_id").agg(count(lit(1)).as("sz"))
-    lab.join(sizes, Seq("cluster_id"))
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy("cluster_id")))
       .select(col("doc_id"), col("cluster_id"), col("sz"),
         Num.r4(lit(1.0) / col("sz")).as("weight"))
-  }
 
   /** qd8: sketch-accuracy evaluation — the MinHash Jaccard ESTIMATE
     * (matching permutations / nPerm) next to the exact shingle-set

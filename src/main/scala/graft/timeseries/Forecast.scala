@@ -941,14 +941,19 @@ FROM pows"""
   def conformalIntervals(spark: SparkSession, sfDir: String,
                          alpha: Double = 0.1): DataFrame = {
     require(alpha > 0 && alpha < 1, s"alpha=$alpha")
-    val w = Window.partitionBy("series").orderBy("t")
-    val sn = TsCore.filled(spark, sfDir)
-      .select(col("series"), col("t"), col("v_filled").as("y"))
-      .withColumn("p", lag("y", TsCore.WeekLag).over(w))
-      .transform(Joins.dimJoin(_, boundaryT(spark, sfDir), Seq("series"), None))
-      .filter(col("y").isNotNull && col("p").isNotNull)
-      .withColumn("tcal", col("tsplit") - lit(TsCore.WeekLag))
-      .withColumn("arq", floor(abs(col("y") - col("p")) * 10000d + 0.5d).cast("long"))
+    // materialized once: both the calibration and the test branch read
+    // this frame — without the cache the per-series lag window and the
+    // boundary join run twice
+    val sn = TsCore.cached(spark, sfDir, "q58resid") {
+      val w = Window.partitionBy("series").orderBy("t")
+      TsCore.filled(spark, sfDir)
+        .select(col("series"), col("t"), col("v_filled").as("y"))
+        .withColumn("p", lag("y", TsCore.WeekLag).over(w))
+        .transform(Joins.dimJoin(_, boundaryT(spark, sfDir), Seq("series"), None))
+        .filter(col("y").isNotNull && col("p").isNotNull)
+        .withColumn("tcal", col("tsplit") - lit(TsCore.WeekLag))
+        .withColumn("arq", floor(abs(col("y") - col("p")) * 10000d + 0.5d).cast("long"))
+    }
     val cal = sn.filter(col("t") >= col("tcal") && col("t") < col("tsplit"))
     val qhat = cal
       .withColumn("ncal", count(lit(1)).over(Window.partitionBy("series")))
