@@ -320,6 +320,29 @@ object ScoreStream {
         col("v_imp"))
   }
 
+  /** Streaming conformal band monitor — the serving half of the saved
+    * q58 calibration (forecastStream's sibling): scored points stream
+    * in (series, ts, y, p), each is wrapped with the SAVED per-series
+    * interval [p − q̂, p + q̂] and flagged when it falls outside —
+    * the distribution-free in-flight anomaly band, valid for any
+    * upstream point forecaster. Stateless broadcast stream-static join
+    * (the deliberate serving-model shape — see forecastStream); the
+    * residual quantizes to the SAME 1e-4 int grid the calibration
+    * ranked on, so flags are bit-identical to ModelStore.loadAndFlag
+    * (StreamingSpec parity).
+    */
+  def conformalStream(spark: SparkSession, modelPath: String,
+                      pts: DataFrame): DataFrame = {
+    import graft.timeseries.ModelStore
+    pts
+      .join(broadcast(ModelStore.conformalBounds(spark, modelPath)), "series")
+      .select(col("series"), col("ts"), col("y"), col("p"),
+        (col("p") - col("qhatq") / 10000d).as("lo"),
+        (col("p") + col("qhatq") / 10000d).as("hi"),
+        when(floor(abs(col("y") - col("p")) * 10000d + 0.5d).cast("long") > col("qhatq"), 1)
+          .otherwise(0).as("out_of_band"))
+  }
+
   /** Streaming twin of the BATCH detection scorer, wired to a
     * ModelStore artifact: patch-feature rows stream in (series, win,
     * pos, f0..f8 + event-time ts), each patch is scored against the

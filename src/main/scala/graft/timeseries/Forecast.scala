@@ -915,6 +915,40 @@ FROM pows"""
     }.reduce(_ unionByName _)
   }
 
+  /** q58's residual spine (series, t, y, p, tsplit, tcal, arq) —
+    * materialized once: the calibration and test branches (and the
+    * ModelStore calibration artifact) all read this frame; without the
+    * cache the per-series lag window and the boundary join run twice.
+    */
+  private[timeseries] def conformalResiduals(spark: SparkSession, sfDir: String): DataFrame =
+    TsCore.cached(spark, sfDir, "q58resid") {
+      val w = Window.partitionBy("series").orderBy("t")
+      TsCore.filled(spark, sfDir)
+        .select(col("series"), col("t"), col("v_filled").as("y"))
+        .withColumn("p", lag("y", TsCore.WeekLag).over(w))
+        .transform(Joins.dimJoin(_, boundaryT(spark, sfDir), Seq("series"), None))
+        .filter(col("y").isNotNull && col("p").isNotNull)
+        .withColumn("tcal", col("tsplit") - lit(TsCore.WeekLag))
+        .withColumn("arq", floor(abs(col("y") - col("p")) * 10000d + 0.5d).cast("long"))
+    }
+
+  /** The per-series conformal half-width: (series, n_cal, qhatq) with
+    * q̂ = the ⌈(1−α)(n+1)⌉-th smallest calibration residual on the
+    * 1e-4 int grid — the TRAINED artifact ModelStore persists.
+    */
+  private[timeseries] def conformalQhat(spark: SparkSession, sfDir: String,
+                                        alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha=$alpha")
+    conformalResiduals(spark, sfDir)
+      .filter(col("t") >= col("tcal") && col("t") < col("tsplit"))
+      .withColumn("ncal", count(lit(1)).over(Window.partitionBy("series")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("series").orderBy(col("arq"), col("t"))))
+      .filter(col("rn") ===
+        least(ceil(lit(1.0 - alpha) * (col("ncal") + 1)), col("ncal")))
+      .select(col("series"), col("ncal").as("n_cal"), col("arq").as("qhatq"))
+  }
+
   /** q58: split-conformal prediction intervals over the seasonal-naive
     * forecaster (q21) — the distribution-free uncertainty layer the
     * reference's point forecasts lack (its forecasting/ stack reports
@@ -940,28 +974,8 @@ FROM pows"""
     */
   def conformalIntervals(spark: SparkSession, sfDir: String,
                          alpha: Double = 0.1): DataFrame = {
-    require(alpha > 0 && alpha < 1, s"alpha=$alpha")
-    // materialized once: both the calibration and the test branch read
-    // this frame — without the cache the per-series lag window and the
-    // boundary join run twice
-    val sn = TsCore.cached(spark, sfDir, "q58resid") {
-      val w = Window.partitionBy("series").orderBy("t")
-      TsCore.filled(spark, sfDir)
-        .select(col("series"), col("t"), col("v_filled").as("y"))
-        .withColumn("p", lag("y", TsCore.WeekLag).over(w))
-        .transform(Joins.dimJoin(_, boundaryT(spark, sfDir), Seq("series"), None))
-        .filter(col("y").isNotNull && col("p").isNotNull)
-        .withColumn("tcal", col("tsplit") - lit(TsCore.WeekLag))
-        .withColumn("arq", floor(abs(col("y") - col("p")) * 10000d + 0.5d).cast("long"))
-    }
-    val cal = sn.filter(col("t") >= col("tcal") && col("t") < col("tsplit"))
-    val qhat = cal
-      .withColumn("ncal", count(lit(1)).over(Window.partitionBy("series")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("series").orderBy(col("arq"), col("t"))))
-      .filter(col("rn") ===
-        least(ceil(lit(1.0 - alpha) * (col("ncal") + 1)), col("ncal")))
-      .select(col("series"), col("ncal").as("n_cal"), col("arq").as("qhatq"))
+    val sn = conformalResiduals(spark, sfDir)
+    val qhat = conformalQhat(spark, sfDir, alpha)
     sn.filter(col("t") >= col("tsplit"))
       .transform(Joins.dimJoin(_, qhat, Seq("series"), None))
       .groupBy("series", "n_cal", "qhatq")

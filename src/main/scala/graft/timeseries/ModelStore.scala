@@ -112,6 +112,37 @@ object ModelStore {
       .withColumn("v_imp", Impute.imputePred)
       .drop("b0", "b1", "b2", "b3")
 
+  /** Conformal-calibration persistence — q58's trained artifact is the
+    * per-series (n_cal, qhatq) half-width frame; saved on the exact
+    * 1e-4 int grid, so reloaded interval flags are bit-identical to the
+    * in-session calibration (ModelStoreSpec). The serving side
+    * (batch [[loadAndFlag]] / streaming conformalStream) wraps ANY
+    * point forecast p with [p − q̂, p + q̂] and flags points outside —
+    * the distribution-free anomaly band a fleet monitor runs in flight.
+    */
+  def saveConformal(spark: SparkSession, sfDir: String, path: String,
+                    alpha: Double = 0.1): Unit =
+    Forecast.conformalQhat(spark, sfDir, alpha)
+      .write.mode("overwrite").parquet(s"$path/conformal")
+
+  /** The saved per-series conformal calibration (series, n_cal, qhatq). */
+  def conformalBounds(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/conformal")
+
+  /** Apply a SAVED conformal calibration to scored points
+    * (series, …, y, p): interval bounds + the outside-interval flag.
+    * The residual quantizes to the SAME 1e-4 grid the calibration
+    * ranked on, so the flag is integer-exact.
+    */
+  def loadAndFlag(spark: SparkSession, path: String, pts: DataFrame): DataFrame =
+    graft.util.Joins.dimJoin(pts, conformalBounds(spark, path), Seq("series"), None)
+      .withColumn("lo", col("p") - col("qhatq") / 10000d)
+      .withColumn("hi", col("p") + col("qhatq") / 10000d)
+      .withColumn("out_of_band",
+        when(floor(abs(col("y") - col("p")) * 10000d + 0.5d).cast("long") > col("qhatq"), 1)
+          .otherwise(0))
+      .drop("n_cal", "qhatq")
+
   def loadAndScore(spark: SparkSession, path: String, patches: DataFrame): DataFrame = {
     graft.functions.VectorExprs.register(spark)
     val packed = packedBank(spark, path)

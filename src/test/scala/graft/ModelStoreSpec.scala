@@ -62,6 +62,21 @@ class ModelStoreSpec extends SparkSuite {
     j.unpersist()
   }
 
+  test("conformal calibration save/load matches q58's reported intervals exactly") {
+    import graft.timeseries.Forecast
+    val path = Files.createTempDirectory("graft-cb").toString
+    ModelStore.saveConformal(spark, Sf01, path)
+    val saved = ModelStore.conformalBounds(spark, path)
+      .select(col("series"), col("n_cal").as("nc_s"), (col("qhatq") / 10000d).as("qh_s"))
+    val live = Forecast.conformalIntervals(spark, Sf01)
+      .select(col("series"), col("n_cal"), col("qhat"))
+    val j = saved.join(live, "series").cache()
+    assert(j.count() > 0 && j.count() === live.count())
+    // the artifact is the exact int-grid order statistic — no tolerance
+    assert(j.filter(col("nc_s") =!= col("n_cal") || col("qh_s") =!= col("qhat")).count() === 0)
+    j.unpersist()
+  }
+
   test("orc round-trip preserves the grid") {
     val path = Files.createTempDirectory("graft-orc").toString
     val grid = TsCore.hourlyGrid(spark, Sf001)

@@ -219,6 +219,7 @@ class StreamingSpec extends SparkSuite {
   case class PatchRow(ts: Timestamp, series: String, win: Long, pos: Long,
                       f0: Double, f1: Double, f2: Double, f3: Double, f4: Double,
                       f5: Double, f6: Double, f7: Double, f8: Double)
+  case class CRow(ts: Timestamp, series: String, y: Double, p: Double)
 
   test("streaming scorer over a saved ModelStore bank matches batch pipeline scores") {
     import spark.implicits._
@@ -453,6 +454,43 @@ class StreamingSpec extends SparkSuite {
         .map(r => (r.getAs[String]("series"), r.getAs[Long]("t")) -> r.getAs[Double]("p")).toMap
       assert(got.size === want.size)
       // identical coefficients + identical apply chain → exact equality
+      assert(got === want)
+    } finally q.stop()
+  }
+
+  test("streaming conformal band monitor matches the saved-calibration batch flags exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.timeseries.{ModelStore, TsCore}
+    val path = java.nio.file.Files.createTempDirectory("graft-conf").toString
+    ModelStore.saveConformal(spark, Sf01, path)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("series").orderBy("t")
+    val pts = TsCore.filled(spark, Sf01)
+      .select(col("series"), col("t"), col("v_filled").as("y"),
+        lag("v_filled", TsCore.WeekLag).over(w).as("p"))
+      .join(TsCore.splitBoundary(spark, Sf01)
+        .select(col("series"), (col("mwin") * TsCore.DaySize).as("tsplit")), "series")
+      .filter(col("y").isNotNull && col("p").isNotNull && col("t") >= col("tsplit"))
+    val want = ModelStore.loadAndFlag(spark, path, pts).collect()
+      .map(r => (r.getAs[String]("series"), r.getAs[Long]("t")) ->
+        (r.getAs[Double]("lo"), r.getAs[Double]("hi"), r.getAs[Int]("out_of_band"))).toMap
+    assert(want.nonEmpty && want.values.exists(_._3 == 1) && want.values.exists(_._3 == 0),
+      "test region must contain points on both sides of the band")
+    val rows = pts.select("series", "t", "y", "p").collect()
+      .map(r => CRow(new Timestamp(r.getLong(1) * 1000L), r.getString(0),
+        r.getDouble(2), r.getDouble(3)))
+    val mem = MemoryStream[CRow]
+    val q = ScoreStream.conformalStream(spark, path, mem.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("confband").start()
+    try {
+      val (h1, h2) = rows.splitAt(rows.length / 2)
+      mem.addData(h1.toSeq); q.processAllAvailable()
+      mem.addData(h2.toSeq); q.processAllAvailable()
+      val got = spark.table("confband").collect()
+        .map(r => (r.getAs[String]("series"), r.getAs[Timestamp]("ts").getTime / 1000L) ->
+          (r.getAs[Double]("lo"), r.getAs[Double]("hi"), r.getAs[Int]("out_of_band"))).toMap
+      assert(got.size === want.size)
+      // same saved int-grid q̂ + same IEEE band arithmetic → exact equality
       assert(got === want)
     } finally q.stop()
   }
