@@ -427,6 +427,38 @@ object ScoreStream {
   case class PackState(cum: Long)
   case class ShardAssign(source: String, lang: String, docId: Long,
                          nToks: Long, shard: Long)
+  case class CapState(n: Long)
+  case class CapVerdict(source: String, docId: Long, nChars: Long, kept: Boolean)
+
+  /** Streaming twin of qt21's per-source document cap — ADMISSION
+    * CONTROL in flight: each source admits its first `cap` documents
+    * and rejects the rest, ONE Long of state per source. The batch gate
+    * keeps the cap LOWEST doc_ids; a stream cannot see future arrivals,
+    * so its semantic is first-COME — identical to the batch verdicts
+    * exactly when arrival order is ingestion (doc_id) order, which is
+    * the batch tie-break's rationale (StreamingSpec feeds ordered
+    * batches and asserts per-doc equality). Within a micro-batch rows
+    * sort by doc_id, so replays of the same batch are deterministic.
+    */
+  def domainCapStream(docs: org.apache.spark.sql.Dataset[(String, Long, Long)],
+                      cap: Int = 20): org.apache.spark.sql.Dataset[CapVerdict] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import docs.sparkSession.implicits._
+    require(cap >= 1, s"cap=$cap")
+    docs.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (source: String, rows: Iterator[(String, Long, Long)],
+         state: GroupState[CapState]) =>
+          var n = state.getOption.map(_.n).getOrElse(0L)
+          val out = rows.toVector.sortBy(_._2).map { case (_, id, nc) =>
+            val kept = n < cap
+            if (kept) n += 1
+            CapVerdict(source, id, nc, kept)
+          }
+          state.update(CapState(n))
+          out.iterator
+      }
+  }
 
   /** Streaming twin of qt11's token-budget shard packing: per
     * (source, lang) stream, `GroupState` carries the cumulative token

@@ -172,6 +172,35 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming domain cap admits exactly the batch qt21 kept set under ordered arrival") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$Sf001/documents.parquet")
+      .select("source", "doc_id", "n_chars")
+      .as[(String, Long, Long)].collect().sortBy(_._2)
+    val mem = MemoryStream[(String, Long, Long)]
+    val q = ScoreStream.domainCapStream(mem.toDS(), cap = 20)
+      .writeStream.outputMode("append").format("memory").queryName("cap_stream").start()
+    try {
+      val (h1, h2) = docs.splitAt(docs.length / 2)
+      mem.addData(h1.toSeq); q.processAllAvailable()
+      mem.addData(h2.toSeq); q.processAllAvailable()
+      val got = spark.table("cap_stream").as[ScoreStream.CapVerdict].collect()
+      assert(got.length === docs.length)
+      // ordered arrival ⇒ first-come == lowest-doc_id: per-doc verdicts
+      // equal the batch gate's kept set (the 20 lowest ids per source)
+      val keptBatch = docs.groupBy(_._1).valuesIterator
+        .flatMap(ds => ds.sortBy(_._2).take(20).map(_._2)).toSet
+      assert(got.forall(v => v.kept === keptBatch.contains(v.docId)))
+      // and the per-source admit counts reconcile with qt21's audit
+      val gotCounts = got.filter(_.kept).groupBy(_.source).map { case (s, vs) => s -> vs.length.toLong }
+      val batchCounts = graft.text.TextOps.domainCap(spark, Sf001, cap = 20).collect()
+        .map(r => r.getString(0) -> r.getLong(2)).toMap
+      assert(gotCounts === batchCounts)
+    } finally q.stop()
+  }
+
   test("streaming attribution matches the batch qe10 rollup across a batch split") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
