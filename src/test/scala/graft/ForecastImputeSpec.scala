@@ -414,4 +414,20 @@ class ForecastImputeSpec extends SparkSuite {
     }
     d.unpersist()
   }
+
+  test("q58 conformal: bands widen and coverage rises as confidence grows") {
+    // α = 0.2 → 0.05: a higher confidence level must never shrink the
+    // interval or lower the empirical coverage on the same split —
+    // the monotonicity any correct order-statistic calibration obeys
+    val byAlpha = Seq(0.2, 0.1, 0.05).map { a =>
+      a -> Forecast.conformalIntervals(spark, Sf01, alpha = a).collect()
+        .map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(4))).toMap
+    }
+    for (Seq((a1, m1), (a2, m2)) <- byAlpha.sliding(2).map(_.toSeq);
+         (series, (qh1, cov1)) <- m1) {
+      val (qh2, cov2) = m2(series)
+      assert(qh2 >= qh1, s"$series: q̂(α=$a2) < q̂(α=$a1)")
+      assert(cov2 >= cov1, s"$series: coverage(α=$a2) < coverage(α=$a1)")
+    }
+  }
 }
