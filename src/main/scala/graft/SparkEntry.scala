@@ -126,6 +126,7 @@ object SparkEntry {
     "qv12_refine_ann" -> ((s, d) => graft.vector.Similarity.refineAnn(s, d)),
     "qv13_kmeans" -> ((s, d) => graft.vector.Similarity.kmeansFit(s, d)),
     "qv14_mips" -> ((s, d) => graft.vector.Similarity.mipsTopK(s, d)),
+    "qv15_filtered_topk" -> ((s, d) => graft.vector.Similarity.filteredTopK(s, d)),
     "qt19_pii_scan" -> ((s, d) => graft.text.TextOps.piiScan(s, d)),
     "qm3_phash_neardup" -> ((s, d) => graft.multimodal.BinaryMeta.phashNearDup(s, d)),
     "qe7_top_paths" -> ((s, d) => graft.analytics.Events.topPaths(s, d)),
@@ -540,6 +541,7 @@ object SparkEntry {
     "qv12_refine_ann" -> graft.text.DocOracle.qv12(),
     "qv13_kmeans" -> graft.text.DocOracle.qv13(),
     "qv14_mips" -> graft.text.DocOracle.qv14(),
+    "qv15_filtered_topk" -> graft.text.DocOracle.qv15(),
     "qt19_pii_scan" -> graft.text.DocOracle.qt19(),
     "qe7_top_paths" -> """
       WITH ev AS (

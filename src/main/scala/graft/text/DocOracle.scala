@@ -368,6 +368,22 @@ scored AS (
 )
 SELECT qid, vec_id, ${r4("cos")} AS cos, rnk FROM ranked WHERE rnk <= $k"""
 
+  /** Mirrors Similarity.filteredTopK — qv1's chain with the label
+    * equi-predicate in the join.
+    */
+  def qv15(k: Int = 10, maxQueries: Int = 1000): String = vecsCte + s"""
+, q AS (SELECT vec_id AS qid, label, v, nrm FROM vecs
+        WHERE vec_id % 100 = 0 AND vec_id < ${100L * maxQueries}),
+scored AS (
+  SELECT q.qid, q.label, b.vec_id, list_dot_product(q.v, b.v) / (q.nrm * b.nrm) AS cos
+  FROM q JOIN vecs b ON q.label = b.label AND q.qid <> b.vec_id
+), ranked AS (
+  SELECT qid, label, vec_id, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+  FROM scored
+)
+SELECT qid, label, vec_id, ${r4("cos")} AS cos, rnk FROM ranked WHERE rnk <= $k"""
+
   /** kNN label propagation — mirrors Similarity.knnLabel. */
   def qv7(k: Int = 5, maxQueries: Int = 1000): String = vecsCte + s"""
 , q AS (SELECT vec_id AS qid, label AS true_label, v, nrm FROM vecs

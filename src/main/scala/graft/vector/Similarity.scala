@@ -100,6 +100,34 @@ object Similarity {
       .select(col("qid"), col("vec_id"), Num.r4(col("dot")).as("dot"), col("rnk"))
   }
 
+  /** qv15: attribute-FILTERED vector search — exact cosine top-k where
+    * each query only ranks collection vectors sharing its label (the
+    * tenant / language / category predicate every production vector
+    * store bolts onto ANN; FAISS IDSelector, pgvector WHERE, public).
+    * PRE-filtering strategy: the predicate is an equi-join key, so the
+    * broadcast hash join on `label` prunes the candidate stream BEFORE
+    * any distance math — each collection row dots only against its own
+    * label's queries, |labels|× less kernel work than qv1's unfiltered
+    * scan, and top-k lists can never be starved by filtered-out
+    * neighbors (the post-filter failure mode ANN engines document).
+    * Scale: same capped broadcast query sample as qv1; the collection
+    * side never shuffles (label join against the broadcast + per-query
+    * WindowGroupLimit).
+    */
+  def filteredTopK(spark: SparkSession, sfDir: String, k: Int = 10,
+                   maxQueries: Int = 1000): DataFrame = {
+    val e = vecs(spark, sfDir)
+    val q = e.filter(col("vec_id") % 100 === 0 && col("vec_id") < lit(100L * maxQueries))
+      .select(col("vec_id").as("qid"), col("label"), col("v").as("av"), col("nrm").as("na"))
+    val b = e.select(col("vec_id"), col("label"), col("v").as("bv"), col("nrm").as("nb"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    b.join(broadcast(q), Seq("label")).filter(col("qid") =!= col("vec_id"))
+      .withColumn("cos", dotAB / (col("na") * col("nb")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("label"), col("vec_id"), Num.r4(col("cos")).as("cos"), col("rnk"))
+  }
+
   /** qv7: kNN label propagation — auto-label the query sample by
     * majority vote of its k nearest labeled neighbors (cosine), the
     * semi-supervised labeling pass run over an embedded corpus before

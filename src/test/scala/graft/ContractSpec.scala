@@ -1,0 +1,34 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards the driver contract itself: `oracleSql` keys must reference
+  * real queries, and the rows-only set (queries with NO oracle) must
+  * stay exactly the declared four — a typo'd oracle key or a new query
+  * registered without its oracle would otherwise degrade SILENTLY to
+  * the driver's weaker rows-only check and surface only in the
+  * round-end CORRECTNESS report.
+  */
+class ContractSpec extends AnyFunSuite {
+
+  test("every oracleSql key names a registered query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracle entries without a query: $orphans")
+  }
+
+  test("the rows-only set is exactly the declared q13/q26/qm1/qm3") {
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly === Set("q13_coreset", "q26_mllib_forecast",
+      "qm1_binary_meta", "qm3_phash_neardup"),
+      "a query lost (or gained) its oracle without the declaration moving")
+  }
+
+  test("query keys follow the short-prefix naming the bench JSON relies on") {
+    // Bench truncates each name at the first '_' for the driver's 2000-byte
+    // output window; the prefixes must stay unique or timings would collide
+    val prefixes = SparkEntry.queries.keySet.toSeq.map(_.takeWhile(_ != '_'))
+    assert(prefixes.distinct.size === prefixes.size,
+      "duplicate pre-underscore prefixes would collide in the bench JSON")
+    assert(SparkEntry.queries.keySet.forall(_.matches("^q[a-z]?\\d+_[a-z0-9_]+$")))
+  }
+}

@@ -121,6 +121,28 @@ class TextSpec extends SparkSuite {
     assert(bad.count() === 0)
   }
 
+  test("qv15 filtered top-k: neighbors share the query label and match a driver recompute") {
+    val k = 10
+    val got = Similarity.filteredTopK(spark, Sf01, k = k).collect()
+      .map(r => (r.getLong(0), r.getInt(4)) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(got.nonEmpty)
+    val vecs = graft.util.Tables.embeddings(spark, Sf01)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val want = vecs.filter(v => v._1 % 100 == 0 && v._1 < 100000L).flatMap { case (qid, ql, qv) =>
+      vecs.filter(c => c._2 == ql && c._1 != qid)
+        .map(c => (c._1, cos(qv, c._3)))
+        .sortBy { case (id, cs) => (-cs, id) }.take(k).zipWithIndex
+        .map { case ((id, _), i) => (qid, i + 1) -> (ql, id) }
+    }.toMap
+    assert(got === want, "filtered ranking must equal the same-label brute force")
+  }
+
   test("qv7 knn label propagation matches a driver-side vote recompute") {
     val k = 5
     val vecs = graft.util.Tables.embeddings(spark, Sf01)
