@@ -37,4 +37,5 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // stage RDDs) keeps G1 collecting mid-query, adding multi-second
   // run-to-run jitter on a 128 GiB box that has the headroom.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
-) ++ sys.env.get("SPARK_GRAFT_JVM").toSeq.flatMap(_.split(" ").toSeq)
+) ++ sys.env.get("SPARK_GRAFT_JVM").toSeq
+  .flatMap(_.split("\\s+").toSeq).filter(_.nonEmpty)

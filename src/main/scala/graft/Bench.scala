@@ -98,15 +98,22 @@ object Bench {
     // null). Short keys (the unique pre-underscore prefix, matching
     // SURVEY §2 numbering) at millisecond precision keep the whole line
     // near 1 KB so the driver parses it.
+    // 156 queries at %.3f pushed the line to ~1980 bytes + len(sfDir) —
+    // within a few bytes of the 2000-byte window. Adaptive precision
+    // (centiseconds under 10 s, deciseconds above — both far inside the
+    // measured ~25% run noise) and the sfDir BASENAME keep the typical
+    // line ~1830 bytes; ContractSpec bounds the projected worst case.
     val qs = results.map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.3f"
+      "\"" + k.takeWhile(_ != '_') + "\":" +
+        (if (v < 10) f"$v%.2f" else f"$v%.1f")
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val errs =
       if (failed.isEmpty) ""
       else failed.map(n => "\"" + n.takeWhile(_ != '_') + "\"")
         .mkString(""","errors":[""", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$errs,"sf":"$sfDir"}""")
+    val sfTag = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$errs,"sf":"$sfTag"}""")
     spark.stop()
   }
 }

@@ -27,15 +27,25 @@ object Forecast {
     TsCore.splitBoundary(spark, sfDir)
       .select(col("series"), (col("mwin") * TsCore.DaySize).as("tsplit"))
 
+  /** q21/q58's shared seasonal-naive spine: (series, t, y, p, tsplit)
+    * with p = the week-earlier value — one per-series lag pass + the
+    * size-aware boundary join. Both consumers derive from this ONE
+    * definition so the predictor can never silently desynchronize
+    * between the error report and the conformal calibration.
+    */
+  private def snSpine(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("series").orderBy("t")
+    TsCore.filled(spark, sfDir)
+      .select(col("series"), col("t"), col("v_filled").as("y"))
+      .withColumn("p", lag("y", TsCore.WeekLag).over(w))
+      .transform(Joins.dimJoin(_, boundaryT(spark, sfDir), Seq("series"), None))
+  }
+
   /** q21: seasonal-naive forecast (pred = value one week earlier) over
     * the test region, with per-series MAE/RMSE/MAPE.
     */
   def seasonalNaive(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window.partitionBy("series").orderBy("t")
-    val pred = TsCore.filled(spark, sfDir)
-      .select(col("series"), col("t"), col("v_filled").as("y"))
-      .withColumn("p", lag("y", TsCore.WeekLag).over(w))
-      .transform(Joins.dimJoin(_, boundaryT(spark, sfDir), Seq("series"), None))
+    val pred = snSpine(spark, sfDir)
       .filter(col("t") >= col("tsplit") && col("y").isNotNull && col("p").isNotNull)
     // y/p are r4-quantized upstream → per-element errors are
     // bit-identical in both engines; scaled-integer sums make the
@@ -922,11 +932,7 @@ FROM pows"""
     */
   private[timeseries] def conformalResiduals(spark: SparkSession, sfDir: String): DataFrame =
     TsCore.cached(spark, sfDir, "q58resid") {
-      val w = Window.partitionBy("series").orderBy("t")
-      TsCore.filled(spark, sfDir)
-        .select(col("series"), col("t"), col("v_filled").as("y"))
-        .withColumn("p", lag("y", TsCore.WeekLag).over(w))
-        .transform(Joins.dimJoin(_, boundaryT(spark, sfDir), Seq("series"), None))
+      snSpine(spark, sfDir)
         .filter(col("y").isNotNull && col("p").isNotNull)
         .withColumn("tcal", col("tsplit") - lit(TsCore.WeekLag))
         .withColumn("arq", floor(abs(col("y") - col("p")) * 10000d + 0.5d).cast("long"))
