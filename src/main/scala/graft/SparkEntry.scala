@@ -768,6 +768,7 @@ object SparkEntry {
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
         .map(sub).mkString("\n      UNION ALL\n")
     },
+    "qm1_binary_meta" -> graft.multimodal.BinaryMeta.qm1OracleSql,
     "qm2_frame_sample" -> """
       -- BYTE-faithful mirror of BinaryMeta.frameSample: the engine hashes
       -- UTF-8 payload bytes, so the oracle walks hex(encode(text)) two

@@ -30,18 +30,40 @@ object BinaryMeta {
       .as[MediaRow]
   }
 
-  /** STUB decode: deterministic per-byte "feature extraction". A real
-    * implementation would decode the payload (image/audio frame) here.
+  /** Per-byte moment contributions floor((b/255)^k · 1e8 + 0.5) for
+    * k = 1..4 — 256-entry tables precomputed ONCE on the driver (q49's
+    * trig-table discipline: libm's pow never crosses an engine
+    * boundary). The moment sums are exact int64, so the fake decode is
+    * order-free and byte-for-byte mirrorable in SQL.
+    */
+  private[multimodal] val BytePow: Array[Array[Long]] =
+    Array.tabulate(5, 256) { (k, b) =>
+      if (k == 0) 0L
+      else math.floor(math.pow(b / 255.0, k.toDouble) * 1e8 + 0.5).toLong
+    }
+
+  /** STUB decode: deterministic per-byte "feature extraction" — byte
+    * count, byte sum and the first four normalized-byte moments. A real
+    * implementation would decode the payload (image/audio frame) here;
+    * the moment arithmetic is exact table-driven integers (see
+    * [[BytePow]]) so the stub's output is SQL-checkable.
     */
   private def decodeBatch(batch: Seq[MediaRow]): Seq[MediaFeatures] =
     batch.map { r =>
       val bytes = r.payload
       var s = 0L
+      val q = new Array[Long](5)
       var i = 0
-      while (i < bytes.length) { s += bytes(i) & 0xff; i += 1 }
+      while (i < bytes.length) {
+        val b = bytes(i) & 0xff
+        s += b
+        q(1) += BytePow(1)(b); q(2) += BytePow(2)(b)
+        q(3) += BytePow(3)(b); q(4) += BytePow(4)(b)
+        i += 1
+      }
       def moment(k: Int): Double =
         if (bytes.isEmpty) 0.0
-        else bytes.iterator.map(b => math.pow((b & 0xff) / 255.0, k.toDouble)).sum / bytes.length
+        else math.floor(q(k) / 1e8 / bytes.length * 10000d + 0.5d) / 10000d
       MediaFeatures(r.doc_id, bytes.length, s, moment(1), moment(2), moment(3), moment(4))
     }
 
@@ -51,6 +73,38 @@ object BinaryMeta {
     mediaTable(spark, sfDir)
       .mapPartitions(_.grouped(batchSize).flatMap(decodeBatch))
       .toDF()
+  }
+
+  /** DuckDB mirror of [[mediaFeatures]]: qm2's byte-faithful hex walk
+    * + the SAME driver-generated [[BytePow]] tables as literal lists,
+    * so every moment sum is the identical int64 in both engines.
+    */
+  def qm1OracleSql: String = {
+    def tbl(k: Int): String = BytePow(k).mkString("[", ", ", "]")
+    s"""
+      WITH m AS (
+        SELECT doc_id, hex(encode(text)) AS hx,
+               CAST(octet_length(encode(text)) AS BIGINT) AS len
+        FROM documents
+      ), bytes AS (
+        SELECT doc_id,
+               CAST(concat('0x', substr(hx, CAST((i - 1) * 2 + 1 AS INT), 2)) AS BIGINT) AS b
+        FROM m, unnest(range(1, len + 1)) AS u(i)
+      ), sums AS (
+        SELECT doc_id, CAST(sum(b) AS BIGINT) AS bsum,
+               CAST(sum((${tbl(1)})[CAST(b AS INT) + 1]) AS BIGINT) AS q1,
+               CAST(sum((${tbl(2)})[CAST(b AS INT) + 1]) AS BIGINT) AS q2,
+               CAST(sum((${tbl(3)})[CAST(b AS INT) + 1]) AS BIGINT) AS q3,
+               CAST(sum((${tbl(4)})[CAST(b AS INT) + 1]) AS BIGINT) AS q4
+        FROM bytes GROUP BY doc_id
+      )
+      SELECT m.doc_id, CAST(m.len AS INT) AS n_bytes,
+             coalesce(s.bsum, 0) AS byte_sum,
+             CASE WHEN m.len = 0 THEN 0.0 ELSE floor(s.q1/1e8/m.len*10000 + 0.5)/10000 END AS f0,
+             CASE WHEN m.len = 0 THEN 0.0 ELSE floor(s.q2/1e8/m.len*10000 + 0.5)/10000 END AS f1,
+             CASE WHEN m.len = 0 THEN 0.0 ELSE floor(s.q3/1e8/m.len*10000 + 0.5)/10000 END AS f2,
+             CASE WHEN m.len = 0 THEN 0.0 ELSE floor(s.q4/1e8/m.len*10000 + 0.5)/10000 END AS f3
+      FROM m LEFT JOIN sums s USING (doc_id)"""
   }
 
   /** qm4: media shard manifest — pack binary payloads into

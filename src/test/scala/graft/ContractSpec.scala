@@ -16,10 +16,10 @@ class ContractSpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracle entries without a query: $orphans")
   }
 
-  test("the rows-only set is exactly the declared q13/q26/qm1/qm3") {
+  test("the rows-only set is exactly the declared q13/q26/qm3") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly === Set("q13_coreset", "q26_mllib_forecast",
-      "qm1_binary_meta", "qm3_phash_neardup"),
+      "qm3_phash_neardup"),
       "a query lost (or gained) its oracle without the declaration moving")
   }
 
