@@ -769,6 +769,7 @@ object SparkEntry {
         .map(sub).mkString("\n      UNION ALL\n")
     },
     "qm1_binary_meta" -> graft.multimodal.BinaryMeta.qm1OracleSql,
+    "qm3_phash_neardup" -> graft.multimodal.BinaryMeta.qm3OracleSql(),
     "qm2_frame_sample" -> """
       -- BYTE-faithful mirror of BinaryMeta.frameSample: the engine hashes
       -- UTF-8 payload bytes, so the oracle walks hex(encode(text)) two

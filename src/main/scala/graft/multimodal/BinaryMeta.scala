@@ -215,10 +215,13 @@ object BinaryMeta {
       }
       var gsum = 0L
       sums.foreach(gsum += _)
-      val gmean = if (b.isEmpty) 0.0 else gsum.toDouble / b.length
       var sig = 0L
+      // block mean > global mean, decided by INTEGER cross-multiplication
+      // (s_j/c_j > g/L ⟺ s_j·L > g·c_j for positive ints) — exact, so
+      // the DuckDB mirror can never diverge on a double-rounding edge;
+      // bounded: s_j·L ≤ 255·len² < 2^63 up to ~180 MB payloads
       for (j <- 0 until nb)
-        if (cnts(j) > 0 && sums(j).toDouble / cnts(j) > gmean) sig |= (1L << j)
+        if (cnts(j) > 0 && sums(j) * b.length > gsum * cnts(j)) sig |= (1L << j)
       MediaSig(r.doc_id, sig)
     }
 
@@ -252,6 +255,45 @@ object BinaryMeta {
       .filter(col("ham") <= maxHam)
       .select(col("doc_a"), col("doc_b"), col("ham").cast("int").as("ham"))
   }
+
+  /** DuckDB mirror of [[phashNearDup]]: the hex walk → integer block
+    * sums → cross-multiplied threshold bits → the same 8-bit-chunk
+    * pigeonhole join and bit_count hamming filter. All-integer, so the
+    * signatures are bit-identical to [[sigBatch]]'s.
+    */
+  def qm3OracleSql(maxHam: Int = 3): String = s"""
+      WITH m AS (
+        SELECT doc_id, hex(encode(text)) AS hx,
+               CAST(octet_length(encode(text)) AS BIGINT) AS len
+        FROM documents
+      ), bytes AS (
+        SELECT doc_id, len, i,
+               CAST(concat('0x', substr(hx, CAST((i - 1) * 2 + 1 AS INT), 2)) AS BIGINT) AS b
+        FROM m, unnest(range(1, len + 1)) AS u(i)
+      ), blocks AS (
+        SELECT doc_id, len, ((i - 1) * 32) // len AS blk,
+               CAST(sum(b) AS BIGINT) AS s, count(*) AS c
+        FROM bytes GROUP BY doc_id, len, ((i - 1) * 32) // len
+      ), g AS (
+        SELECT doc_id, CAST(sum(s) AS BIGINT) AS gsum FROM blocks GROUP BY doc_id
+      ), sigs AS (
+        SELECT b.doc_id,
+               CAST(sum(CASE WHEN b.s * b.len > g.gsum * b.c
+                             THEN (CAST(1 AS BIGINT) << CAST(b.blk AS INT)) ELSE 0 END) AS BIGINT) AS sig
+        FROM blocks b JOIN g USING (doc_id) GROUP BY b.doc_id
+      ), allsigs AS (
+        SELECT m.doc_id, coalesce(s.sig, 0) AS sig
+        FROM m LEFT JOIN sigs s USING (doc_id)
+      ), chunks AS (
+        SELECT doc_id, sig, c, (sig >> CAST(8 * c AS INT)) & 255 AS cv
+        FROM allsigs, unnest(range(4)) AS u(c)
+      ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.sig AS sig_a, b.sig AS sig_b
+        FROM chunks a JOIN chunks b ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id
+      )
+      SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS ham
+      FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= $maxHam"""
 
   case class Frame(doc_id: Long, frame_idx: Int, n_bytes: Int, frame_hash: Long)
 

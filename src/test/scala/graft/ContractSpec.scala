@@ -16,10 +16,11 @@ class ContractSpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracle entries without a query: $orphans")
   }
 
-  test("the rows-only set is exactly the declared q13/q26/qm3") {
+  test("the rows-only set is exactly the declared q13/q26") {
+    // q13's greedy k-center and q26's MLlib L-BFGS internals are the
+    // only computations with no SQL analogue; both are spec-verified
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly === Set("q13_coreset", "q26_mllib_forecast",
-      "qm3_phash_neardup"),
+    assert(rowsOnly === Set("q13_coreset", "q26_mllib_forecast"),
       "a query lost (or gained) its oracle without the declaration moving")
   }
 

@@ -592,9 +592,9 @@ class TextSpec extends SparkSuite {
         val blk = (i.toLong * 32 / b.length).toInt
         sums(blk) += b(i) & 0xff; cnts(blk) += 1
       }
-      val gmean = if (b.isEmpty) 0.0 else sums.sum.toDouble / b.length
+      val gsum = sums.sum
       (0 until 32).foldLeft(0L)((s, j) =>
-        if (cnts(j) > 0 && sums(j).toDouble / cnts(j) > gmean) s | (1L << j) else s)
+        if (cnts(j) > 0 && sums(j) * b.length > gsum * cnts(j)) s | (1L << j) else s)
     }
     val sigs = docs.map { case (id, b) => id -> sig(b) }
     val expected = (for {
