@@ -343,6 +343,38 @@ object ScoreStream {
           .otherwise(0).as("out_of_band"))
   }
 
+  /** Streaming vector search — the serving half of the saved SQ8 index
+    * (the ANN family's bankScoreStream): query vectors stream in
+    * (qid, ts, av), each is scored against the BROADCAST packed
+    * reconstruction with the graft_l2 codegen kernel inside a
+    * higher-order transform, sorted per row, and the top k emit as
+    * (qid, ts, vec_id, ad2, rnk) — ranks and distances bit-identical
+    * to batch qv11 on the same queries (StreamingSpec parity; the
+    * struct sort's (d2, vid) lexicographic order IS qv11's
+    * (ad2, vec_id) tie-break). Stateless: no shuffle, no watermark —
+    * the per-row top-k never needs a streaming window.
+    *
+    * The one-row packed index is the deliberate serving broadcast (see
+    * forecastStream); at a 100 TB collection it becomes the per-SHARD
+    * pack — each shard scores the stream against its slice and a
+    * k-way merge takes the global top-k (ModelStore.sq8Packed).
+    */
+  def annStream(spark: SparkSession, modelPath: String,
+                queries: DataFrame, k: Int = 5): DataFrame = {
+    import graft.timeseries.ModelStore
+    require(k >= 1, s"k=$k")
+    graft.functions.VectorExprs.register(spark)
+    queries
+      .crossJoin(broadcast(ModelStore.sq8Packed(spark, modelPath)))
+      .withColumn("topk", expr(
+        s"slice(array_sort(filter(transform(ids, (id, i) -> " +
+          s"struct(graft_l2(av, element_at(vecs, i+1)) AS d2, id AS vid)), " +
+          s"s -> s.vid != qid)), 1, $k)"))
+      .select(col("qid"), col("ts"), posexplode(col("topk")).as(Seq("p", "s")))
+      .select(col("qid"), col("ts"), col("s.vid").as("vec_id"),
+        graft.util.Num.r4(col("s.d2")).as("ad2"), (col("p") + 1).cast("int").as("rnk"))
+  }
+
   /** Streaming twin of the BATCH detection scorer, wired to a
     * ModelStore artifact: patch-feature rows stream in (series, win,
     * pos, f0..f8 + event-time ts), each patch is scored against the

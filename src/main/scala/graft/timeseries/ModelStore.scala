@@ -143,6 +143,39 @@ object ModelStore {
           .otherwise(0))
       .drop("n_cal", "qhatq")
 
+  /** SQ8 vector-index persistence — the ANN-family lifecycle: quantize
+    * the collection in batch (qv11's per-dim uint8 grid), persist grid
+    * params (one row) + codes (one byte/dim/vector — the compressed
+    * collection), and serve top-k lookups against the reconstruction,
+    * bit-identical to the in-session quantizer (sq8ReconFrom shares
+    * the exact grid arithmetic). The packed one-row form
+    * [[sq8Packed]] is what the streaming scorer broadcasts.
+    */
+  def saveSq8Index(spark: SparkSession, sfDir: String, path: String): Unit = {
+    val (params, codes) = graft.vector.Similarity.sq8IndexFrames(spark, sfDir)
+    params.write.mode("overwrite").parquet(s"$path/sq8params")
+    codes.write.mode("overwrite").parquet(s"$path/sq8codes")
+  }
+
+  /** The saved index reconstructed to (vec_id, rv). */
+  def sq8Recon(spark: SparkSession, path: String): DataFrame =
+    graft.vector.Similarity.sq8ReconFrom(
+      spark.read.parquet(s"$path/sq8params"),
+      spark.read.parquet(s"$path/sq8codes"))
+
+  /** The saved index packed into ONE row (ids + reconstructed vectors,
+    * both sorted by vec_id) — the broadcastable serving form, like
+    * [[packedBank]]. At a 100 TB collection this single-row pack is the
+    * per-SHARD form: partition the codes, pack per shard, take a
+    * per-shard top-k and merge — the scan below is the within-shard
+    * kernel.
+    */
+  def sq8Packed(spark: SparkSession, path: String): DataFrame =
+    sq8Recon(spark, path)
+      .groupBy().agg(array_sort(collect_list(struct(col("vec_id"), col("rv")))).as("xs"))
+      .select(expr("transform(xs, x -> x.vec_id)").as("ids"),
+        expr("transform(xs, x -> x.rv)").as("vecs"))
+
   def loadAndScore(spark: SparkSession, path: String, patches: DataFrame): DataFrame = {
     graft.functions.VectorExprs.register(spark)
     val packed = packedBank(spark, path)

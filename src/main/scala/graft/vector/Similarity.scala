@@ -459,6 +459,41 @@ object Similarity {
             "* element_at(sc, d+1)) * 1000000d + 0.5d) / 1000000d)").as("rv"))
     }
 
+  /** The SQ8 index as PERSISTABLE frames — the artifact ModelStore
+    * writes: `params` is ONE row (per-dim mn / sc grids), `codes` is
+    * one uint8-per-dim row per vector (stored as int array — parquet
+    * byte-packs it). [[sq8ReconFrom]] rebuilds exactly [[sq8Recon]]'s
+    * `rv` from them (same grid arithmetic, same 1e-6 rounding), so a
+    * reader of the saved index scores bit-identically to the
+    * in-session quantizer.
+    */
+  private[graft] def sq8IndexFrames(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+    val e = vecs(spark, sfDir)
+    val mm = e.select(posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("pos").agg(min("x").as("mn"), max("x").as("mx"))
+      .withColumn("sc", when(col("mx") > col("mn"),
+        (col("mx") - col("mn")) / 255d).otherwise(lit(1d)))
+    val params = mm.groupBy()
+      .agg(array_sort(collect_list(struct(col("pos"), col("mn")))).as("ms"),
+        array_sort(collect_list(struct(col("pos"), col("sc")))).as("ss"))
+      .select(expr("transform(ms, p -> p.mn)").as("mn"),
+        expr("transform(ss, p -> p.sc)").as("sc"))
+    val codes = e.crossJoin(broadcast(params))
+      .select(col("vec_id"), expr(
+        "transform(v, (x, d) -> CAST(least(255d, greatest(0d, " +
+          "floor((x - element_at(mn, d+1)) / element_at(sc, d+1) + 0.5d))) AS INT))").as("code"))
+    (params, codes)
+  }
+
+  /** Reconstruct (vec_id, rv) from saved SQ8 params + codes — the
+    * identical grid + 1e-6 rounding chain as [[sq8Recon]].
+    */
+  private[graft] def sq8ReconFrom(params: DataFrame, codes: DataFrame): DataFrame =
+    codes.crossJoin(broadcast(params))
+      .select(col("vec_id"), expr(
+        "transform(code, (c, d) -> floor((element_at(mn, d+1) + " +
+          "CAST(c AS DOUBLE) * element_at(sc, d+1)) * 1000000d + 0.5d) / 1000000d)").as("rv"))
+
   /** qv11: scalar-quantized (SQ8) ANN — the third classic
     * compression point next to qv5's PQ (FAISS ScalarQuantizer QT_8bit,
     * public): one byte per dimension on a per-dim uniform grid, queries

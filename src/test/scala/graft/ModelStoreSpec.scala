@@ -77,6 +77,20 @@ class ModelStoreSpec extends SparkSuite {
     j.unpersist()
   }
 
+  test("SQ8 index save/load reconstructs the in-session quantizer bit-for-bit") {
+    import graft.vector.Similarity
+    val path = Files.createTempDirectory("graft-sq8").toString
+    ModelStore.saveSq8Index(spark, Sf001, path)
+    val reloaded = ModelStore.sq8Recon(spark, path)
+      .select(col("vec_id"), col("rv").as("rv_saved"))
+    val live = Similarity.sq8Recon(spark, Sf001)
+    val j = reloaded.join(live, "vec_id").cache()
+    assert(j.count() > 0 && j.count() === live.count())
+    // same uint8 codes + same grid arithmetic → exact array equality
+    assert(j.filter(col("rv_saved") =!= col("rv")).count() === 0)
+    j.unpersist()
+  }
+
   test("orc round-trip preserves the grid") {
     val path = Files.createTempDirectory("graft-orc").toString
     val grid = TsCore.hourlyGrid(spark, Sf001)

@@ -487,6 +487,38 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  case class QVec(ts: Timestamp, qid: Long, av: Array[Double])
+
+  test("streaming vector search over a saved SQ8 index matches batch qv11 exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.timeseries.ModelStore
+    val path = java.nio.file.Files.createTempDirectory("graft-sq8s").toString
+    ModelStore.saveSq8Index(spark, Sf001, path)
+    val want = graft.vector.Similarity.sq8Ann(spark, Sf001, k = 5).collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(want.nonEmpty)
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows = spark.read.parquet(s"$Sf001/embeddings.parquet")
+      .filter(col("vec_id") % 100 === 0 && col("vec_id") < 100000L).collect()
+      .map(r => QVec(t0, r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray))
+    val mem = MemoryStream[QVec]
+    val q = ScoreStream.annStream(spark, path, mem.toDF(), k = 5)
+      .writeStream.outputMode("append").format("memory").queryName("ann_stream").start()
+    try {
+      val (h1, h2) = rows.splitAt(rows.length / 2)
+      mem.addData(h1.toSeq); q.processAllAvailable()
+      mem.addData(h2.toSeq); q.processAllAvailable()
+      val got = spark.table("ann_stream").collect()
+        .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rnk")) ->
+          (r.getAs[Long]("vec_id"), r.getAs[Double]("ad2"))).toMap
+      assert(got.size === want.size)
+      // saved codes + identical grid + identical kernel → exact equality
+      assert(got === want)
+    } finally q.stop()
+  }
+
   test("streaming conformal band monitor matches the saved-calibration batch flags exactly") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
