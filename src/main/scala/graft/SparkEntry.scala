@@ -121,6 +121,7 @@ object SparkEntry {
     "q58_conformal" -> ((s, d) => graft.timeseries.Forecast.conformalIntervals(s, d)),
     "qd17_dup_weight" -> ((s, d) => graft.text.Dedup.dupWeight(s, d)),
     "qt21_domain_cap" -> ((s, d) => graft.text.TextOps.domainCap(s, d)),
+    "qc1_corpus_build" -> ((s, d) => graft.text.TextOps.corpusBuild(s, d)),
     "qv6_ivfpq_ann" -> ((s, d) => graft.vector.Similarity.ivfPqAnn(s, d)),
     "qv11_sq8_ann" -> ((s, d) => graft.vector.Similarity.sq8Ann(s, d)),
     "qv12_refine_ann" -> ((s, d) => graft.vector.Similarity.refineAnn(s, d)),
@@ -524,6 +525,7 @@ object SparkEntry {
     "q57_learned_cleaning" -> graft.timeseries.TsOracle.q57(),
     "q58_conformal" -> graft.timeseries.TsOracle.q58(),
     "qd17_dup_weight" -> graft.text.DocOracle.qd17(),
+    "qc1_corpus_build" -> graft.text.DocOracle.qc1(),
     "qt21_domain_cap" -> """
       WITH r AS (
         SELECT source, n_chars,

@@ -33,14 +33,17 @@ WITH tk AS (
 ), toks AS (SELECT * FROM tk WHERE tok <> '')"""
 
   private def shinglesCte(n: Int, name: String): String = {
+    // window named per CTE: DuckDB treats two `WINDOW w` clauses in one
+    // WITH chain as a redefinition, which breaks composed oracles (qc1
+    // chains the 3-gram LSH and 5-gram decon shingles in one query)
     val parts = (0 until n).map {
       case 0 => "tok"
-      case k => s"lead(tok, $k) OVER w"
+      case k => s"lead(tok, $k) OVER w_$name"
     }.mkString(" || ' ' || ")
     s""",
 ${name}_raw AS (
-  SELECT doc_id, i, $parts AS sh, lead(tok, ${n - 1}) OVER w AS lastTok
-  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+  SELECT doc_id, i, $parts AS sh, lead(tok, ${n - 1}) OVER w_$name AS lastTok
+  FROM toks WINDOW w_$name AS (PARTITION BY doc_id ORDER BY i)
 ), $name AS (SELECT doc_id, i, sh FROM ${name}_raw WHERE lastTok IS NOT NULL)"""
   }
 
@@ -182,6 +185,77 @@ perms AS (
   SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
 )
 SELECT doc_id, cluster_id FROM lab""")
+    base.replaceFirst("^\nWITH ", "\nWITH RECURSIVE ")
+  }
+
+  /** Mirrors TextOps.corpusBuild — the qt10 / qd12 / qd6 / qt21 CTE
+    * chains composed into one funnel (qd12's shingle CTEs renamed
+    * shd5/ev5/hits5 to avoid colliding with the LSH chain's shd).
+    */
+  def qc1(cap: Int = 20, evalMod: Long = 50L,
+          nPerm: Int = 16, bandRows: Int = 4,
+          minTok: Long = 25L, minStopRatio: Double = 0.01,
+          maxDupFrac: Double = 0.65, maxTopFrac: Double = 0.2): String = {
+    val base = (toksCte + shinglesCte(3, "sh3") + lshEdgesCte(nPerm, bandRows) + s"""
+, reach AS (
+  SELECT doc_a AS src, doc_a AS dst FROM (SELECT DISTINCT doc_a FROM edges)
+  UNION
+  SELECT r.src, e.doc_b AS dst FROM reach r JOIN edges e ON r.dst = e.doc_a
+), lab AS (
+  SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+)""" + shinglesCte(5, "shn") + s"""
+, shd5 AS (SELECT DISTINCT doc_id, ${h60("sh")} AS h FROM shn),
+ev5 AS (SELECT DISTINCT h FROM shd5 WHERE doc_id % $evalMod = 0),
+hits5 AS (
+  SELECT doc_id, count(*) AS n_hits
+  FROM shd5 JOIN ev5 USING (h)
+  WHERE doc_id % $evalMod <> 0
+  GROUP BY doc_id
+), tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+per AS (
+  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tok, count(*) AS n_uniq, max(tf) AS top_tf,
+         sum(CASE WHEN tok IN ${inList(TextOps.Stopwords("en"))} THEN tf ELSE 0 END) AS n_stop
+  FROM tf GROUP BY doc_id
+), sig AS (
+  SELECT d.doc_id, d.lang, coalesce(p.n_tok, 0) AS n_tok,
+         ${r4("coalesce(p.n_stop * 1.0 / p.n_tok, 0.0)")} AS stop_ratio,
+         ${r4("coalesce((p.n_tok - p.n_uniq) * 1.0 / p.n_tok, 0.0)")} AS dup_frac,
+         ${r4("coalesce(p.top_tf * 1.0 / p.n_tok, 0.0)")} AS top_frac
+  FROM documents d LEFT JOIN per p USING (doc_id)
+), rs AS (
+  SELECT doc_id,
+         (CASE WHEN n_tok < $minTok THEN 'too_short'
+               WHEN lang = 'en' AND stop_ratio < $minStopRatio THEN 'low_stopword'
+               WHEN dup_frac > $maxDupFrac THEN 'repetitive'
+               WHEN top_frac > $maxTopFrac THEN 'top_token'
+               ELSE 'pass' END) = 'pass' AS q_keep
+  FROM sig
+), st AS (
+  SELECT d.doc_id, d.source, d.n_chars, r.q_keep,
+         coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+         (d.doc_id % $evalMod <> 0 AND h.doc_id IS NULL) AS clean
+  FROM documents d
+  JOIN rs r USING (doc_id)
+  LEFT JOIN lab l USING (doc_id)
+  LEFT JOIN hits5 h USING (doc_id)
+), st2 AS (SELECT *, q_keep AND clean AS c_keep FROM st),
+keepers AS (
+  SELECT cluster_id, min(doc_id) AS keeper FROM st2 WHERE c_keep GROUP BY cluster_id
+), st3 AS (
+  SELECT s.*, (s.c_keep AND s.doc_id = k.keeper) AS d_keep
+  FROM st2 s LEFT JOIN keepers k USING (cluster_id)
+), st4 AS (
+  SELECT *, sum(CASE WHEN d_keep THEN 1 ELSE 0 END) OVER
+        (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS crank
+  FROM st3
+), fin AS (SELECT *, (d_keep AND crank <= $cap) AS final_keep FROM st4)
+SELECT source, count(*) AS n_docs,
+  CAST(sum(CASE WHEN q_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+  CAST(sum(CASE WHEN c_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_decontam,
+  CAST(sum(CASE WHEN d_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_dedup,
+  CAST(sum(CASE WHEN final_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
+  CAST(sum(CASE WHEN final_keep THEN n_chars ELSE 0 END) AS BIGINT) AS final_chars
+FROM fin GROUP BY source""")
     base.replaceFirst("^\nWITH ", "\nWITH RECURSIVE ")
   }
 

@@ -552,6 +552,57 @@ object TextOps {
           Num.r4((col("pa_q").cast("double") / col("z")) / col("p_nat"))).as("oversample"))
   }
 
+  /** qc1: the corpus-build FUNNEL — the document pipeline's headline
+    * experiment (q57's sibling): every doc runs the full curation
+    * chain in its production order and the per-source manifest reports
+    * the survivor count at each gate —
+    *   1. quality (qt10's verdict cascade),
+    *   2. decontamination (qd12: eval-split docs AND docs sharing a
+    *      5-gram with the eval split drop),
+    *   3. near-dup dedup (qd6's CC labels; keeper = lowest surviving
+    *      doc_id per cluster, so a cluster whose canonical member was
+    *      quality-filtered still keeps its best survivor),
+    *   4. per-source cap (qt21's rule over the survivors).
+    * The audit a corpus build reviews before materializing: where the
+    * mass goes, per source, all-integer exact.
+    *
+    * Scale shape: pure composition of the session-cached stages the
+    * individual operators own (tokens, shingles, CC labels) + one
+    * doc_id join spine, one cluster keeper agg, one per-source running
+    * count, one rollup. Nothing here adds a shuffle the stages didn't
+    * already pay.
+    */
+  def corpusBuild(spark: SparkSession, sfDir: String, cap: Int = 20,
+                  evalMod: Long = 50L): DataFrame = {
+    require(cap >= 1, s"cap=$cap")
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "source", "n_chars")
+    val q = qualityFilter(spark, sfDir).select(col("doc_id"), col("keep").as("q_keep"))
+    val con = Dedup.decontaminate(spark, sfDir, 5, evalMod)
+      .select(col("doc_id"), col("contaminated"))
+    val st = docs.join(q, "doc_id")
+      .join(con, Seq("doc_id"), "left")
+      .join(Dedup.dupClusters(spark, sfDir), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("clean", when(col("doc_id") % evalMod === 0, lit(false))
+        .otherwise(coalesce(!col("contaminated"), lit(true))))
+      .withColumn("c_keep", col("q_keep") && col("clean"))
+    val keepers = st.filter(col("c_keep"))
+      .groupBy("cluster_id").agg(min("doc_id").as("keeper"))
+    val wCap = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    st.join(keepers, Seq("cluster_id"), "left")
+      .withColumn("d_keep", col("c_keep") && col("doc_id") === col("keeper"))
+      .withColumn("crank", sum(when(col("d_keep"), 1L).otherwise(0L)).over(wCap))
+      .withColumn("final_keep", col("d_keep") && col("crank") <= cap)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("q_keep"), 1L).otherwise(0L)).as("n_quality"),
+        sum(when(col("c_keep"), 1L).otherwise(0L)).as("n_decontam"),
+        sum(when(col("d_keep"), 1L).otherwise(0L)).as("n_dedup"),
+        sum(when(col("final_keep"), 1L).otherwise(0L)).as("n_final"),
+        sum(when(col("final_keep"), col("n_chars")).otherwise(0L)).as("final_chars"))
+  }
+
   /** qt21: per-source document cap — C4/Dolma-style corpus-balance
     * gate (public): no source may contribute more than `cap` documents;
     * beyond that, documents are dropped deterministically (keep the

@@ -971,6 +971,26 @@ class TextSpec extends SparkSuite {
     }
   }
 
+  test("qc1 corpus funnel: monotone gates that reconcile with the stage operators") {
+    val m = TextOps.corpusBuild(spark, Sf01).cache()
+    val rows = m.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(rows.size === 20, "all 20 sources present")
+    for ((s, (n, q, c, d, f, chars)) <- rows) {
+      assert(n >= q && q >= c && c >= d && d >= f, s"$s: gates must be monotone")
+      assert(f <= 20, s"$s: final count over the cap")
+      assert((f == 0) == (chars == 0L), s"$s: final chars ⇔ final docs")
+    }
+    // stage 1 reconciles with qt10 standalone
+    val qKeep = TextOps.qualityFilter(spark, Sf01).filter(col("keep"))
+      .join(graft.util.Tables.documents(spark, Sf01).select("doc_id", "source"), "doc_id")
+      .groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.map { case (s, v) => s -> v._2 } === qKeep)
+    // the funnel removes something at sf0.01 (quality and dedup both bite)
+    assert(rows.values.map(_._1).sum > rows.values.map(_._5).sum)
+    m.unpersist()
+  }
+
   test("qd17 dup weights: every doc once, cluster mass ≈ 1, singletons weigh 1.0") {
     val d = Dedup.dupWeight(spark, Sf01).cache()
     val nDocs = graft.util.Tables.documents(spark, Sf01).count()
