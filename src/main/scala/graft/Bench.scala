@@ -103,9 +103,13 @@ object Bench {
     // (centiseconds under 10 s, deciseconds above — both far inside the
     // measured ~25% run noise) and the sfDir BASENAME keep the typical
     // line ~1830 bytes; ContractSpec bounds the projected worst case.
+    // value width caps at 4 chars ("9.99" / "99.9" / "999"): the
+    // coarser precision on slower queries is far inside the ~25%
+    // single-run noise, and the fixed width is what keeps the
+    // worst-case line (with an errors array) inside the window
     val qs = results.map { case (k, v) =>
       "\"" + k.takeWhile(_ != '_') + "\":" +
-        (if (v < 10) f"$v%.2f" else f"$v%.1f")
+        (if (v < 10) f"$v%.2f" else if (v < 100) f"$v%.1f" else f"$v%.0f")
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val errs =

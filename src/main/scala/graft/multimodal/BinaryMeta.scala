@@ -232,9 +232,10 @@ object BinaryMeta {
     * chunks, hamming ≤ 3 forces at least one untouched chunk), and the
     * exact hamming filter runs on the candidates only — never an
     * all-pairs join, the same blocking discipline as qd3's SimHash at
-    * 100 TB. Rows-only (the stub payload bytes are not SQL-addressable
-    * in the oracle); spec recomputes signatures and pairs in the
-    * driver.
+    * 100 TB. SQL-checked: the integer cross-multiplied threshold makes
+    * the signatures exact, so [[qm3OracleSql]] mirrors the whole chain
+    * through the byte-faithful hex walk; the spec additionally
+    * recomputes signatures and pairs in the driver.
     */
   def phashNearDup(spark: SparkSession, sfDir: String, maxHam: Int = 3,
                    batchSize: Int = 64): DataFrame = {

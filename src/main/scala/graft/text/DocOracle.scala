@@ -175,15 +175,63 @@ perms AS (
   UNION SELECT doc_b, doc_a FROM cpairs
 )"""
 
-  def qd6(nPerm: Int = 16, bandRows: Int = 4): String = {
-    val base = (toksCte + shinglesCte(3, "sh3") + lshEdgesCte(nPerm, bandRows) + s"""
+  /** qd6's recursive connected-components labels over `edges` — ONE
+    * definition shared by qd6 / qd16 / qd17 / qc1 (callers apply the
+    * `WITH RECURSIVE` rewrite at the end).
+    */
+  private val ccCte: String = """
 , reach AS (
   SELECT doc_a AS src, doc_a AS dst FROM (SELECT DISTINCT doc_a FROM edges)
   UNION
   SELECT r.src, e.doc_b AS dst FROM reach r JOIN edges e ON r.dst = e.doc_a
 ), lab AS (
   SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
-)
+)"""
+
+  /** qd12's n-gram/eval-split contamination hits — shared by qd12 and
+    * qc1; `sfx` suffixes the CTE names so two instances can coexist.
+    */
+  private def deconHitsCte(n: Int, evalMod: Long, sfx: String): String =
+    shinglesCte(n, s"shn$sfx") + s"""
+, shd$sfx AS (SELECT DISTINCT doc_id, ${h60("sh")} AS h FROM shn$sfx),
+ev$sfx AS (SELECT DISTINCT h FROM shd$sfx WHERE doc_id % $evalMod = 0),
+hits$sfx AS (
+  SELECT doc_id, count(*) AS n_hits
+  FROM shd$sfx JOIN ev$sfx USING (h)
+  WHERE doc_id % $evalMod <> 0
+  GROUP BY doc_id
+)"""
+
+  /** qt10's per-doc quality signals (tf → per → sig) — shared by qt10
+    * and qc1.
+    */
+  private val qualitySigCte: String = s"""
+, tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+per AS (
+  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tok, count(*) AS n_uniq, max(tf) AS top_tf,
+         sum(CASE WHEN tok IN ${inList(TextOps.Stopwords("en"))} THEN tf ELSE 0 END) AS n_stop
+  FROM tf GROUP BY doc_id
+), sig AS (
+  SELECT d.doc_id, d.lang, coalesce(p.n_tok, 0) AS n_tok,
+         ${r4("coalesce(p.n_stop * 1.0 / p.n_tok, 0.0)")} AS stop_ratio,
+         ${r4("coalesce((p.n_tok - p.n_uniq) * 1.0 / p.n_tok, 0.0)")} AS dup_frac,
+         ${r4("coalesce(p.top_tf * 1.0 / p.n_tok, 0.0)")} AS top_frac
+  FROM documents d LEFT JOIN per p USING (doc_id)
+)"""
+
+  /** qt10's fixed-order verdict cascade — the SQL twin of
+    * TextOps.qualityVerdict, shared by qt10 and qc1.
+    */
+  private def qualityCase(minTok: Long, minStopRatio: Double,
+                          maxDupFrac: Double, maxTopFrac: Double): String =
+    s"""CASE WHEN n_tok < $minTok THEN 'too_short'
+              WHEN lang = 'en' AND stop_ratio < $minStopRatio THEN 'low_stopword'
+              WHEN dup_frac > $maxDupFrac THEN 'repetitive'
+              WHEN top_frac > $maxTopFrac THEN 'top_token'
+              ELSE 'pass' END"""
+
+  def qd6(nPerm: Int = 16, bandRows: Int = 4): String = {
+    val base = (toksCte + shinglesCte(3, "sh3") + lshEdgesCte(nPerm, bandRows) + ccCte + """
 SELECT doc_id, cluster_id FROM lab""")
     base.replaceFirst("^\nWITH ", "\nWITH RECURSIVE ")
   }
@@ -196,39 +244,11 @@ SELECT doc_id, cluster_id FROM lab""")
           nPerm: Int = 16, bandRows: Int = 4,
           minTok: Long = 25L, minStopRatio: Double = 0.01,
           maxDupFrac: Double = 0.65, maxTopFrac: Double = 0.2): String = {
-    val base = (toksCte + shinglesCte(3, "sh3") + lshEdgesCte(nPerm, bandRows) + s"""
-, reach AS (
-  SELECT doc_a AS src, doc_a AS dst FROM (SELECT DISTINCT doc_a FROM edges)
-  UNION
-  SELECT r.src, e.doc_b AS dst FROM reach r JOIN edges e ON r.dst = e.doc_a
-), lab AS (
-  SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
-)""" + shinglesCte(5, "shn") + s"""
-, shd5 AS (SELECT DISTINCT doc_id, ${h60("sh")} AS h FROM shn),
-ev5 AS (SELECT DISTINCT h FROM shd5 WHERE doc_id % $evalMod = 0),
-hits5 AS (
-  SELECT doc_id, count(*) AS n_hits
-  FROM shd5 JOIN ev5 USING (h)
-  WHERE doc_id % $evalMod <> 0
-  GROUP BY doc_id
-), tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
-per AS (
-  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tok, count(*) AS n_uniq, max(tf) AS top_tf,
-         sum(CASE WHEN tok IN ${inList(TextOps.Stopwords("en"))} THEN tf ELSE 0 END) AS n_stop
-  FROM tf GROUP BY doc_id
-), sig AS (
-  SELECT d.doc_id, d.lang, coalesce(p.n_tok, 0) AS n_tok,
-         ${r4("coalesce(p.n_stop * 1.0 / p.n_tok, 0.0)")} AS stop_ratio,
-         ${r4("coalesce((p.n_tok - p.n_uniq) * 1.0 / p.n_tok, 0.0)")} AS dup_frac,
-         ${r4("coalesce(p.top_tf * 1.0 / p.n_tok, 0.0)")} AS top_frac
-  FROM documents d LEFT JOIN per p USING (doc_id)
-), rs AS (
+    val base = (toksCte + shinglesCte(3, "sh3") + lshEdgesCte(nPerm, bandRows) + ccCte +
+      deconHitsCte(5, evalMod, "5") + qualitySigCte + s"""
+, rs AS (
   SELECT doc_id,
-         (CASE WHEN n_tok < $minTok THEN 'too_short'
-               WHEN lang = 'en' AND stop_ratio < $minStopRatio THEN 'low_stopword'
-               WHEN dup_frac > $maxDupFrac THEN 'repetitive'
-               WHEN top_frac > $maxTopFrac THEN 'top_token'
-               ELSE 'pass' END) = 'pass' AS q_keep
+         (${qualityCase(minTok, minStopRatio, maxDupFrac, maxTopFrac)}) = 'pass' AS q_keep
   FROM sig
 ), st AS (
   SELECT d.doc_id, d.source, d.n_chars, r.q_keep,
@@ -263,14 +283,8 @@ FROM fin GROUP BY source""")
     * fallback to doc_id, weight = 1/|cluster| on the shared r4 grid.
     */
   def qd17(nPerm: Int = 16, bandRows: Int = 4): String = {
-    val base = (toksCte + shinglesCte(3, "sh3") + lshEdgesCte(nPerm, bandRows) + s"""
-, reach AS (
-  SELECT doc_a AS src, doc_a AS dst FROM (SELECT DISTINCT doc_a FROM edges)
-  UNION
-  SELECT r.src, e.doc_b AS dst FROM reach r JOIN edges e ON r.dst = e.doc_a
-), lab AS (
-  SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
-), labeled AS (
+    val base = (toksCte + shinglesCte(3, "sh3") + lshEdgesCte(nPerm, bandRows) + ccCte + s"""
+, labeled AS (
   SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
   FROM documents d LEFT JOIN lab l USING (doc_id)
 ), sizes AS (
@@ -325,14 +339,8 @@ SELECT doc_id, deg, prq / 100000000.0 AS pr FROM pr$iters"""
   FROM pr${i - 1} p LEFT JOIN c$i c USING (doc_id)
 )"""
     }.mkString(", ")
-    val base = toksCte + shinglesCte(3, "sh3") + lshEdgesCte(nPerm, bandRows) + s"""
-, reach AS (
-  SELECT doc_a AS src, doc_a AS dst FROM (SELECT DISTINCT doc_a FROM edges)
-  UNION
-  SELECT r.src, e.doc_b AS dst FROM reach r JOIN edges e ON r.dst = e.doc_a
-), lab AS (
-  SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
-), deg AS (SELECT doc_a AS doc_id, count(*) AS deg FROM edges GROUP BY doc_a),
+    val base = toksCte + shinglesCte(3, "sh3") + lshEdgesCte(nPerm, bandRows) + ccCte + s"""
+, deg AS (SELECT doc_a AS doc_id, count(*) AS deg FROM edges GROUP BY doc_a),
 nn AS (SELECT count(*) AS n FROM deg),
 pr0 AS (
   SELECT doc_id, deg,
@@ -932,25 +940,11 @@ FROM documents d LEFT JOIN ts t USING (doc_id) LEFT JOIN gs g USING (doc_id)"""
     * compare rule order.
     */
   def qt10(minTok: Long = 25L, minStopRatio: Double = 0.01,
-           maxDupFrac: Double = 0.65, maxTopFrac: Double = 0.2): String = toksCte + s"""
-, tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
-per AS (
-  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tok, count(*) AS n_uniq, max(tf) AS top_tf,
-         sum(CASE WHEN tok IN ${inList(TextOps.Stopwords("en"))} THEN tf ELSE 0 END) AS n_stop
-  FROM tf GROUP BY doc_id
-), sig AS (
-  SELECT d.doc_id, d.lang, coalesce(p.n_tok, 0) AS n_tok,
-         ${r4("coalesce(p.n_stop * 1.0 / p.n_tok, 0.0)")} AS stop_ratio,
-         ${r4("coalesce((p.n_tok - p.n_uniq) * 1.0 / p.n_tok, 0.0)")} AS dup_frac,
-         ${r4("coalesce(p.top_tf * 1.0 / p.n_tok, 0.0)")} AS top_frac
-  FROM documents d LEFT JOIN per p USING (doc_id)
-), rs AS (
+           maxDupFrac: Double = 0.65, maxTopFrac: Double = 0.2): String =
+    toksCte + qualitySigCte + s"""
+, rs AS (
   SELECT doc_id, lang,
-         CASE WHEN n_tok < $minTok THEN 'too_short'
-              WHEN lang = 'en' AND stop_ratio < $minStopRatio THEN 'low_stopword'
-              WHEN dup_frac > $maxDupFrac THEN 'repetitive'
-              WHEN top_frac > $maxTopFrac THEN 'top_token'
-              ELSE 'pass' END AS reason
+         ${qualityCase(minTok, minStopRatio, maxDupFrac, maxTopFrac)} AS reason
   FROM sig
 )
 SELECT doc_id, lang, reason, (reason = 'pass') AS keep FROM rs"""
@@ -1046,15 +1040,7 @@ GROUP BY t.doc_id"""
     * Dedup.decontaminate.
     */
   def qd12(n: Int = 5, evalMod: Long = 50L): String =
-    toksCte + shinglesCte(n, "shn") + s"""
-, shd AS (SELECT DISTINCT doc_id, ${h60("sh")} AS h FROM shn),
-ev AS (SELECT DISTINCT h FROM shd WHERE doc_id % $evalMod = 0),
-hits AS (
-  SELECT doc_id, count(*) AS n_hits
-  FROM shd JOIN ev USING (h)
-  WHERE doc_id % $evalMod <> 0
-  GROUP BY doc_id
-)
+    toksCte + deconHitsCte(n, evalMod, "") + s"""
 SELECT d.doc_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
        h.doc_id IS NOT NULL AS contaminated
 FROM documents d LEFT JOIN hits h USING (doc_id)

@@ -442,21 +442,12 @@ object Similarity {
     */
   private[graft] def sq8Recon(spark: SparkSession, sfDir: String): DataFrame =
     graft.util.StageCache.cached(spark, sfDir, "sq8recon") {
-      val e = vecs(spark, sfDir)
-      val mm = e.select(posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("pos").agg(min("x").as("mn"), max("x").as("mx"))
-        .withColumn("sc", when(col("mx") > col("mn"),
-          (col("mx") - col("mn")) / 255d).otherwise(lit(1d)))
-      val packed = mm.groupBy()
-        .agg(array_sort(collect_list(struct(col("pos"), col("mn")))).as("ms"),
-          array_sort(collect_list(struct(col("pos"), col("sc")))).as("ss"))
-        .select(expr("transform(ms, p -> p.mn)").as("mn"),
-          expr("transform(ss, p -> p.sc)").as("sc"))
-      e.crossJoin(broadcast(packed))
-        .select(col("vec_id"), expr(
-          "transform(v, (x, d) -> floor((element_at(mn, d+1) + " +
-            "least(255d, greatest(0d, floor((x - element_at(mn, d+1)) / element_at(sc, d+1) + 0.5d))) " +
-            "* element_at(sc, d+1)) * 1000000d + 0.5d) / 1000000d)").as("rv"))
+      // quantize → reconstruct through the SAME two shared pieces the
+      // persisted index uses (codes are exact integral doubles, so the
+      // int round-trip reproduces the former inline chain bit-for-bit —
+      // ModelStoreSpec asserts it)
+      val (params, codes) = sq8IndexFrames(spark, sfDir)
+      sq8ReconFrom(params, codes)
     }
 
   /** The SQ8 index as PERSISTABLE frames — the artifact ModelStore
@@ -467,18 +458,26 @@ object Similarity {
     * reader of the saved index scores bit-identically to the
     * in-session quantizer.
     */
+  /** The SQ8 grid params — ONE row (per-dim mn / sc), the single
+    * definition every quantize/reconstruct path shares; session-cached
+    * so a save (params + codes) scans the collection's min/max once.
+    */
+  private def sq8Params(spark: SparkSession, sfDir: String): DataFrame =
+    graft.util.StageCache.cached(spark, sfDir, "sq8params") {
+      vecs(spark, sfDir).select(posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("pos").agg(min("x").as("mn"), max("x").as("mx"))
+        .withColumn("sc", when(col("mx") > col("mn"),
+          (col("mx") - col("mn")) / 255d).otherwise(lit(1d)))
+        .groupBy()
+        .agg(array_sort(collect_list(struct(col("pos"), col("mn")))).as("ms"),
+          array_sort(collect_list(struct(col("pos"), col("sc")))).as("ss"))
+        .select(expr("transform(ms, p -> p.mn)").as("mn"),
+          expr("transform(ss, p -> p.sc)").as("sc"))
+    }
+
   private[graft] def sq8IndexFrames(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
-    val e = vecs(spark, sfDir)
-    val mm = e.select(posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy("pos").agg(min("x").as("mn"), max("x").as("mx"))
-      .withColumn("sc", when(col("mx") > col("mn"),
-        (col("mx") - col("mn")) / 255d).otherwise(lit(1d)))
-    val params = mm.groupBy()
-      .agg(array_sort(collect_list(struct(col("pos"), col("mn")))).as("ms"),
-        array_sort(collect_list(struct(col("pos"), col("sc")))).as("ss"))
-      .select(expr("transform(ms, p -> p.mn)").as("mn"),
-        expr("transform(ss, p -> p.sc)").as("sc"))
-    val codes = e.crossJoin(broadcast(params))
+    val params = sq8Params(spark, sfDir)
+    val codes = vecs(spark, sfDir).crossJoin(broadcast(params))
       .select(col("vec_id"), expr(
         "transform(v, (x, d) -> CAST(least(255d, greatest(0d, " +
           "floor((x - element_at(mn, d+1)) / element_at(sc, d+1) + 0.5d))) AS INT))").as("code"))

@@ -34,17 +34,20 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("the bench JSON line fits the driver's 2000-byte output window") {
-    // project the worst case Bench can emit: every query at its widest
-    // adaptive-precision rendering (5 chars: 10–999 s at %.1f — a >999 s
-    // query would hit the driver's round timeout long before printing),
-    // the fixed envelope, and the sf basename — truncation here is the
-    // BENCH_r03/r04 'parsed: null' failure mode, caught at build time
-    // instead of round end
-    val worstQueries = SparkEntry.queries.keySet.toSeq.sorted
-      .map(k => "\"" + k.takeWhile(_ != '_') + "\":999.9")
+    // project the worst case Bench can emit: every query at the widest
+    // 4-char adaptive rendering ("99.9" / "999"), the fixed envelope,
+    // the sf basename, AND an errors array of 8 failed names (modeled
+    // conservatively WITHOUT removing their per-query entries) —
+    // truncation here is the BENCH_r03/r04 'parsed: null' failure mode,
+    // caught at build time instead of round end
+    val keys = SparkEntry.queries.keySet.toSeq.sorted
+    val worstQueries = keys
+      .map(k => "\"" + k.takeWhile(_ != '_') + "\":99.9")
       .mkString("{", ",", "}")
+    val worstErrs = keys.take(8).map(k => "\"" + k.takeWhile(_ != '_') + "\"")
+      .mkString(""","errors":[""", ",", "]")
     val worstLine =
-      s"""{"metric":"total","value":99999.999,"unit":"sec","queries":$worstQueries,"sf":"sf0.001"}"""
+      s"""{"metric":"total","value":99999.999,"unit":"sec","queries":$worstQueries$worstErrs,"sf":"sf0.001"}"""
     assert(worstLine.length <= 2000,
       s"projected bench line ${worstLine.length} B — trim precision or keys before the 2000-B window truncates it")
   }
