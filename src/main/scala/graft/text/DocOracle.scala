@@ -298,8 +298,11 @@ FROM labeled l JOIN sizes s USING (cluster_id)""")
   /** Mirrors Dedup.pageRank — `iters` unrolled rounds of the same
     * 1e-8 scaled-int mass arithmetic.
     */
-  def qd14(nPerm: Int = 16, bandRows: Int = 4,
-           iters: Int = 3, damping: Double = 0.85): String = {
+  /** qd14's unrolled PageRank rounds over `edges` (deg/pr0 init + the
+    * scaled-int contribution/update pair per round) — ONE definition
+    * shared by qd14 and qd16.
+    */
+  private def prRoundsCte(iters: Int, damping: Double): String = {
     val rounds = (1 to iters).map { i =>
       s"""c$i AS (
   SELECT e.doc_b AS doc_id,
@@ -311,7 +314,7 @@ FROM labeled l JOIN sizes s USING (cluster_id)""")
   FROM pr${i - 1} p LEFT JOIN c$i c USING (doc_id)
 )"""
     }.mkString(", ")
-    toksCte + shinglesCte(3, "sh3") + lshEdgesCte(nPerm, bandRows) + s"""
+    s"""
 , deg AS (SELECT doc_a AS doc_id, count(*) AS deg FROM edges GROUP BY doc_a),
 nn AS (SELECT count(*) AS n FROM deg),
 pr0 AS (
@@ -319,35 +322,22 @@ pr0 AS (
          CAST(floor(${(1.0 - damping) * 1e8} / n + 0.5) AS BIGINT) AS cq,
          CAST(floor(100000000.0 / n + 0.5) AS BIGINT) AS prq
   FROM deg, nn
-), $rounds
-SELECT doc_id, deg, prq / 100000000.0 AS pr FROM pr$iters"""
+), $rounds"""
   }
+
+  def qd14(nPerm: Int = 16, bandRows: Int = 4,
+           iters: Int = 3, damping: Double = 0.85): String =
+    toksCte + shinglesCte(3, "sh3") + lshEdgesCte(nPerm, bandRows) +
+      prRoundsCte(iters, damping) + s"""
+SELECT doc_id, deg, prq / 100000000.0 AS pr FROM pr$iters"""
 
   /** Mirrors Dedup.canonical — qd6's recursive labels + qd14's rank
     * rounds over the one shared edges CTE, per-cluster top-1.
     */
   def qd16(nPerm: Int = 16, bandRows: Int = 4,
            iters: Int = 3, damping: Double = 0.85): String = {
-    val rounds = (1 to iters).map { i =>
-      s"""c$i AS (
-  SELECT e.doc_b AS doc_id,
-         CAST(sum(CAST(floor(p.prq / CAST(p.deg AS DOUBLE) + 0.5) AS BIGINT)) AS BIGINT) AS s
-  FROM edges e JOIN pr${i - 1} p ON e.doc_a = p.doc_id GROUP BY e.doc_b
-), pr$i AS (
-  SELECT p.doc_id, p.deg, p.cq,
-         p.cq + CAST(floor($damping * coalesce(c.s, 0) + 0.5) AS BIGINT) AS prq
-  FROM pr${i - 1} p LEFT JOIN c$i c USING (doc_id)
-)"""
-    }.mkString(", ")
-    val base = toksCte + shinglesCte(3, "sh3") + lshEdgesCte(nPerm, bandRows) + ccCte + s"""
-, deg AS (SELECT doc_a AS doc_id, count(*) AS deg FROM edges GROUP BY doc_a),
-nn AS (SELECT count(*) AS n FROM deg),
-pr0 AS (
-  SELECT doc_id, deg,
-         CAST(floor(${(1.0 - damping) * 1e8} / n + 0.5) AS BIGINT) AS cq,
-         CAST(floor(100000000.0 / n + 0.5) AS BIGINT) AS prq
-  FROM deg, nn
-), $rounds,
+    val base = toksCte + shinglesCte(3, "sh3") + lshEdgesCte(nPerm, bandRows) + ccCte +
+      prRoundsCte(iters, damping) + s""",
 members AS (
   SELECT l.cluster_id, l.doc_id, p.prq / 100000000.0 AS pr, d.n_chars
   FROM lab l JOIN pr$iters p USING (doc_id) JOIN documents d USING (doc_id)
