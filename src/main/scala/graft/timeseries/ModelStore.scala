@@ -1,6 +1,7 @@
 package graft.timeseries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.util.Num
 
@@ -175,6 +176,51 @@ object ModelStore {
       .groupBy().agg(array_sort(collect_list(struct(col("vec_id"), col("rv")))).as("xs"))
       .select(expr("transform(xs, x -> x.vec_id)").as("ids"),
         expr("transform(xs, x -> x.rv)").as("vecs"))
+
+  /** IVF index persistence — the scale-path sibling of the SQ8 flat
+    * index: centroids persist as a small table, and the collection
+    * itself is laid out CELL-PARTITIONED parquet — the on-disk form of
+    * FAISS's inverted lists, where a probe reads ONLY its cells'
+    * partitions (parquet partition pruning is the list seek; at 100 TB
+    * each cell directory is the shard a probe touches, everything else
+    * is never read).
+    */
+  def saveIvfIndex(spark: SparkSession, sfDir: String, path: String,
+                   nCells: Int = 16): Unit = {
+    graft.vector.Similarity.ivfCentroids(spark, sfDir, nCells)
+      .write.mode("overwrite").parquet(s"$path/ivfcentroids")
+    graft.vector.Similarity.vecsWithCell(spark, sfDir, nCells)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/ivflists")
+  }
+
+  /** Serve top-k cosine lookups from a SAVED IVF index: queries
+    * (qid, av, na) probe the nProbe nearest saved centroids, then rank
+    * only the probed cells' inverted-list rows — the same probe/rank
+    * arithmetic as the in-session qv3, so results are bit-identical on
+    * the same queries (ModelStoreSpec). The cell join against the
+    * partitioned list table is where partition pruning cuts the read.
+    */
+  def ivfServe(spark: SparkSession, path: String, queries: DataFrame,
+               nProbe: Int = 2, k: Int = 5): DataFrame = {
+    graft.functions.VectorExprs.register(spark)
+    require(nProbe >= 1 && k >= 1, s"nProbe=$nProbe k=$k")
+    val cent = spark.read.parquet(s"$path/ivfcentroids")
+    val wP = Window.partitionBy("qid").orderBy(col("d2"), col("cell"))
+    val probes = queries.select(col("qid"), col("av"))
+      .crossJoin(broadcast(cent))
+      .withColumn("d2", expr("graft_l2(av, cv)"))
+      .withColumn("rn", row_number().over(wP)).filter(col("rn") <= nProbe)
+      .select("qid", "cell")
+    val lists = spark.read.parquet(s"$path/ivflists")
+      .select(col("vec_id"), col("v").as("bv"), col("nrm").as("nb"), col("cell"))
+    val wR = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    probes.join(lists, "cell").filter(col("qid") =!= col("vec_id"))
+      .join(broadcast(queries.select(col("qid"), col("av"), col("na"))), "qid")
+      .withColumn("cos", expr("graft_dot(av, bv)") / (col("na") * col("nb")))
+      .withColumn("rnk", row_number().over(wR))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("vec_id"), Num.r4(col("cos")).as("cos"), col("rnk"))
+  }
 
   def loadAndScore(spark: SparkSession, path: String, patches: DataFrame): DataFrame = {
     graft.functions.VectorExprs.register(spark)

@@ -263,16 +263,35 @@ object Similarity {
   /** The IVF probe stage (qid, cell): nearest nProbe cell centroids per
     * query — shared by qv3 (exact re-rank) and qv6 (ADC re-rank).
     */
+  /** The per-cell centroid table (cell, cv) — ONE definition shared by
+    * the in-session probes and the persisted index (ModelStore
+    * saveIvfIndex), so a saved index can never drift from the live one.
+    */
+  private[graft] def ivfCentroids(spark: SparkSession, sfDir: String,
+                                  nCells: Int): DataFrame = {
+    val e = vecs(spark, sfDir)
+    val assign = cellAssignment(spark, sfDir, nCells)
+    e.select(col("vec_id"), posexplode(col("v")).as(Seq("d", "x")))
+      .join(broadcast(assign), "vec_id")
+      .groupBy("cell", "d").agg(avg("x").as("c"))
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("d"), col("c")))).as("dc"))
+      .select(col("cell"), expr("transform(dc, s -> s.c)").as("cv"))
+  }
+
+  /** The collection with its cell assignment attached — what
+    * saveIvfIndex lays out cell-partitioned (the inverted lists).
+    */
+  private[graft] def vecsWithCell(spark: SparkSession, sfDir: String,
+                                  nCells: Int): DataFrame =
+    vecs(spark, sfDir)
+      .join(cellAssignment(spark, sfDir, nCells), "vec_id")
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+
   private[graft] def ivfProbes(spark: SparkSession, sfDir: String,
                                nCells: Int, nProbe: Int): DataFrame = {
     val e = vecs(spark, sfDir)
-    val assign = cellAssignment(spark, sfDir, nCells)
-    val pos = e.select(col("vec_id"), posexplode(col("v")).as(Seq("d", "x")))
-    val centroids = pos.join(broadcast(assign), "vec_id")
-      .groupBy("cell", "d").agg(avg("x").as("c"))
-    val centArr = centroids.groupBy("cell")
-      .agg(array_sort(collect_list(struct(col("d"), col("c")))).as("dc"))
-      .select(col("cell"), expr("transform(dc, s -> s.c)").as("cv"))
+    val centArr = ivfCentroids(spark, sfDir, nCells)
     val q = e.filter(qFilter)
     val wP = Window.partitionBy("qid").orderBy(col("d2"), col("cell"))
     q.select(col("vec_id").as("qid"), col("v"))

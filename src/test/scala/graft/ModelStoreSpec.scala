@@ -91,6 +91,25 @@ class ModelStoreSpec extends SparkSuite {
     j.unpersist()
   }
 
+  test("IVF index save/serve reproduces the in-session qv3 exactly") {
+    import graft.vector.Similarity
+    val path = Files.createTempDirectory("graft-ivf").toString
+    ModelStore.saveIvfIndex(spark, Sf001, path)
+    val want = Similarity.ivfAnn(spark, Sf001).collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(want.nonEmpty)
+    graft.functions.VectorExprs.register(spark)
+    val q = spark.read.parquet(s"$Sf001/embeddings.parquet")
+      .filter(col("vec_id") % 100 === 0 && col("vec_id") < 100000L)
+      .select(col("vec_id").as("qid"), col("embedding").cast("array<double>").as("av"))
+      .withColumn("na", sqrt(expr("graft_dot(av, av)")))
+    val got = ModelStore.ivfServe(spark, path, q).collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getDouble(2))).toMap
+    // saved centroids + cell-partitioned lists + the same probe/rank
+    // arithmetic → exact equality with the in-session index
+    assert(got === want)
+  }
+
   test("orc round-trip preserves the grid") {
     val path = Files.createTempDirectory("graft-orc").toString
     val grid = TsCore.hourlyGrid(spark, Sf001)
