@@ -121,7 +121,9 @@ object SparkEntry {
     "q58_conformal" -> ((s, d) => graft.timeseries.Forecast.conformalIntervals(s, d)),
     "qd17_dup_weight" -> ((s, d) => graft.text.Dedup.dupWeight(s, d)),
     "qt21_domain_cap" -> ((s, d) => graft.text.TextOps.domainCap(s, d)),
+    "qt22_dsir_weights" -> ((s, d) => graft.text.TextOps.dsirWeights(s, d)),
     "qc1_corpus_build" -> ((s, d) => graft.text.TextOps.corpusBuild(s, d)),
+    "qc2_epoch_shuffle" -> ((s, d) => graft.text.TextOps.epochShuffle(s, d)),
     "qv6_ivfpq_ann" -> ((s, d) => graft.vector.Similarity.ivfPqAnn(s, d)),
     "qv11_sq8_ann" -> ((s, d) => graft.vector.Similarity.sq8Ann(s, d)),
     "qv12_refine_ann" -> ((s, d) => graft.vector.Similarity.refineAnn(s, d)),
@@ -526,6 +528,8 @@ object SparkEntry {
     "q58_conformal" -> graft.timeseries.TsOracle.q58(),
     "qd17_dup_weight" -> graft.text.DocOracle.qd17(),
     "qc1_corpus_build" -> graft.text.DocOracle.qc1(),
+    "qt22_dsir_weights" -> graft.text.DocOracle.qt22(),
+    "qc2_epoch_shuffle" -> graft.text.DocOracle.qc2(),
     "qt21_domain_cap" -> """
       WITH r AS (
         SELECT source, n_chars,

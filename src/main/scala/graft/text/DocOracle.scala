@@ -1237,4 +1237,54 @@ SELECT doc_id, n_chars,
        CASE WHEN ${r4(s"(${all.map(termQ).mkString(" + ")}) / 1000000.0")} < $minBits THEN 1 ELSE 0 END AS low_diversity
 FROM c1"""
   }
+
+  /** qt22 — mirrors TextOps.dsirWeights stage-for-stage: the same
+    * unigram+bigram feature stream, the same md5-prefix bucket hash,
+    * add-one smoothed bucket models, per-bucket log-ratio quantized to
+    * the 1e-6 grid before the exact-integer per-doc sum.
+    */
+  def qt22(target: String = "src0", nBuckets: Int = 64): String =
+    toksCte + shinglesCte(2, "sh2") + s"""
+, ds AS (SELECT doc_id, source FROM documents),
+fs AS (
+  SELECT doc_id, tok AS f FROM toks
+  UNION ALL
+  SELECT doc_id, sh AS f FROM sh2
+), fb AS (
+  SELECT f.doc_id, d.source, ${h("f.f")} % $nBuckets AS b
+  FROM fs f JOIN ds d USING (doc_id)
+), cnt AS (
+  SELECT b,
+         CAST(sum(CASE WHEN source = '$target' THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+         CAST(sum(CASE WHEN source <> '$target' THEN 1 ELSE 0 END) AS BIGINT) AS cr
+  FROM fb GROUP BY b
+), tot AS (SELECT CAST(sum(ct) AS BIGINT) AS tt, CAST(sum(cr) AS BIGINT) AS tr FROM cnt),
+lr AS (
+  SELECT b, CAST(floor((ln((ct + 1.0) / (tt + ${nBuckets}.0)) -
+                        ln((cr + 1.0) / (tr + ${nBuckets}.0))) * 1000000 + 0.5) AS BIGINT) AS lrq
+  FROM cnt, tot
+), pd AS (
+  SELECT f.doc_id, count(*) AS n_feat, CAST(sum(l.lrq) AS BIGINT) AS slr
+  FROM fb f JOIN lr l USING (b) WHERE f.source <> '$target'
+  GROUP BY f.doc_id
+)
+SELECT d.doc_id, d.source,
+       coalesce(p.n_feat, 0) AS n_feat,
+       ${r4("coalesce(p.slr, 0) / 1000000.0")} AS log_w,
+       CAST(CASE WHEN coalesce(p.slr, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS selected
+FROM ds d LEFT JOIN pd p USING (doc_id) WHERE d.source <> '$target'"""
+
+  /** qc2 — mirrors TextOps.epochShuffle: the same 60-bit md5-prefix
+    * key over 'epoch:doc_id', mod-shard, rank within (epoch, shard).
+    */
+  def qc2(nShards: Int = 8, nEpochs: Int = 2): String = s"""
+WITH e AS (SELECT unnest(range($nEpochs)) AS epoch),
+k AS (
+  SELECT e.epoch, d.doc_id,
+         ${h60("CAST(e.epoch AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)")} AS k
+  FROM documents d CROSS JOIN e
+)
+SELECT epoch, doc_id, k % $nShards AS shard,
+       CAST(row_number() OVER (PARTITION BY epoch, k % $nShards ORDER BY k, doc_id) AS BIGINT) AS pos
+FROM k"""
 }

@@ -635,4 +635,86 @@ object TextOps {
         (col("n_docs") - col("n_kept")).as("n_dropped"),
         col("kept_chars"), col("dropped_chars"))
   }
+
+  /** qt22: DSIR importance-resampling weights — targeted data selection
+    * (Xie et al., "Data Selection for Language Models via Importance
+    * Resampling", arXiv:2302.03169, public): score every raw-corpus doc
+    * by how much more likely its hashed n-gram bag is under a
+    * target-domain model than under the raw model. Features are
+    * unigrams + word bigrams hashed into `nBuckets` buckets (the
+    * paper's hashed generative model); both bucket models get add-one
+    * smoothing; the per-doc score is
+    *   log w(x) = Σ_f [log p_target(b(f)) − log p_raw(b(f))]
+    * and `selected` marks docs whose bag looks more target-like than
+    * raw-like (the deterministic stand-in for the paper's Gumbel
+    * resampling draw). Target corpus here = the `target` source's docs
+    * (the "trusted domain" a curator points at); raw = every other doc.
+    *
+    * Determinism: each per-bucket log-ratio quantizes to the 1e-6 grid
+    * before the per-doc sum accumulates as exact longs (qt14/qt17's
+    * discipline) — engine grouping order can't flip a bit.
+    *
+    * Scale shape: the feature stream reuses the session-cached token
+    * and bigram-shingle stages; the bucket models are ONE map-side-
+    * combined agg down to `nBuckets` rows (target and raw counted in
+    * the same pass as conditional sums), broadcast back as a tiny
+    * log-ratio table; the only row-scale exchange is the per-doc
+    * hash agg. No join grows with corpus size × corpus size — exactly
+    * the shape DSIR needs to score a 100 TB crawl in one pass.
+    */
+  def dsirWeights(spark: SparkSession, sfDir: String, target: String = "src0",
+                  nBuckets: Int = 64): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets=$nBuckets")
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "source")
+    val feats = tokens(spark, sfDir).select(col("doc_id"), col("tok").as("f"))
+      .unionByName(shingles(spark, sfDir, 2).select(col("doc_id"), col("sh").as("f")))
+      .join(docs, "doc_id")
+      .select(col("doc_id"), col("source"), (strHash(col("f")) % nBuckets).as("b"))
+    val cnt = feats.groupBy("b").agg(
+      sum(when(col("source") === target, 1L).otherwise(0L)).as("ct"),
+      sum(when(col("source") =!= target, 1L).otherwise(0L)).as("cr"))
+    val tot = cnt.agg(sum("ct").as("tt"), sum("cr").as("tr"))
+    val lr = cnt.crossJoin(broadcast(tot)).select(col("b"),
+      floor((log((col("ct") + lit(1d)) / (col("tt") + lit(nBuckets.toDouble))) -
+             log((col("cr") + lit(1d)) / (col("tr") + lit(nBuckets.toDouble))))
+        * 1000000d + 0.5d).cast("long").as("lrq"))
+    val perDoc = feats.filter(col("source") =!= target)
+      .join(broadcast(lr), "b")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_feat"), sum("lrq").as("slr"))
+    docs.filter(col("source") =!= target)
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("n_feat"), lit(0L)).as("n_feat"),
+        Num.r4(coalesce(col("slr"), lit(0L)) / 1000000d).as("log_w"),
+        when(coalesce(col("slr"), lit(0L)) > 0, 1L).otherwise(0L).as("selected"))
+  }
+
+  /** qc2: deterministic epoch shuffle — the training reader's
+    * data-order contract (Megatron/GPT-NeoX-style document shuffling,
+    * public): for each epoch e, every kept doc gets a shard and an
+    * in-shard position derived purely from hash(epoch, doc_id), so any
+    * worker can recompute the exact read order of any shard of any
+    * epoch without a stored permutation, and a resumed run replays
+    * byte-identically. shard = h60(e ':' doc_id) mod nShards;
+    * pos = rank of h within (epoch, shard), doc_id tie-break.
+    *
+    * Scale shape: one hash exchange on (epoch, shard) + a per-shard
+    * sort — NO global sort, and shards are hash-balanced so no reducer
+    * sees more than ~|corpus|/nShards rows. At 100 TB the writer is
+    * `repartition(epoch, shard).sortWithinPartitions(pos)` with
+    * nShards sized so one shard ≈ one output file; the window here IS
+    * that shape (Exchange hashpartitioning(epoch, shard) + local sort).
+    */
+  def epochShuffle(spark: SparkSession, sfDir: String, nShards: Int = 8,
+                   nEpochs: Int = 2): DataFrame = {
+    require(nShards >= 1 && nEpochs >= 1, s"nShards=$nShards nEpochs=$nEpochs")
+    val epochs = spark.range(nEpochs).select(col("id").as("epoch"))
+    Tables.documents(spark, sfDir).select("doc_id")
+      .crossJoin(broadcast(epochs))
+      .withColumn("k", strHash60(concat_ws(":", col("epoch"), col("doc_id"))))
+      .withColumn("shard", col("k") % nShards)
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("epoch", "shard").orderBy("k", "doc_id")).cast("long"))
+      .select("epoch", "doc_id", "shard", "pos")
+  }
 }

@@ -1028,4 +1028,46 @@ class TextSpec extends SparkSuite {
     assert(got === expect, "kept_chars must cover exactly the 20 lowest doc_ids")
     j.unpersist(); d.unpersist()
   }
+
+  test("qt22 DSIR: raw docs only, feature mass conserved, target-like docs score high") {
+    val d = TextOps.dsirWeights(spark, Sf01, target = "src0").cache()
+    val docs = graft.util.Tables.documents(spark, Sf01)
+    val nRaw = docs.filter(col("source") =!= "src0").count()
+    assert(d.count() === nRaw, "one weight row per raw (non-target) doc")
+    assert(d.filter(col("source") === "src0").count() === 0)
+    // n_feat conservation: the per-doc feature counts must sum to the
+    // raw corpus's unigram + bigram totals (nothing dropped or duped)
+    val nTok = graft.text.TextCore.tokens(spark, Sf01)
+      .join(docs.filter(col("source") =!= "src0").select("doc_id"), "doc_id").count()
+    val nBg = graft.text.TextCore.shingles(spark, Sf01, 2)
+      .join(docs.filter(col("source") =!= "src0").select("doc_id"), "doc_id").count()
+    assert(d.agg(sum("n_feat")).head().getLong(0) === nTok + nBg)
+    // selected flag is exactly the sign of log_w (on the 1e-4 grid,
+    // sign survives quantization for any |slr| >= 1 µ-unit)
+    assert(d.filter((col("selected") === 1L) =!= (col("log_w") > 0.0)).count() === 0)
+    // determinism: a second run is row-identical
+    assert(d.exceptAll(TextOps.dsirWeights(spark, Sf01, target = "src0")).count() === 0)
+    d.unpersist()
+  }
+
+  test("qc2 epoch shuffle: a permutation per epoch, contiguous in-shard positions") {
+    val nShards = 8
+    val d = TextOps.epochShuffle(spark, Sf01, nShards = nShards, nEpochs = 2).cache()
+    val nDocs = graft.util.Tables.documents(spark, Sf01).count()
+    assert(d.count() === 2 * nDocs, "every doc appears exactly once per epoch")
+    assert(d.select("epoch", "doc_id").distinct().count() === 2 * nDocs)
+    assert(d.filter(col("shard") < 0 || col("shard") >= nShards).count() === 0)
+    // positions are 1..n contiguous within every (epoch, shard)
+    val bad = d.groupBy("epoch", "shard")
+      .agg(count(lit(1)).as("n"), min("pos").as("lo"), max("pos").as("hi"))
+      .filter(col("lo") =!= 1L || col("hi") =!= col("n"))
+    assert(bad.count() === 0, "in-shard positions must be a contiguous 1..n rank")
+    // the two epochs are genuinely different orders: some doc changes shard
+    val moved = d.groupBy("doc_id").agg(countDistinct("shard").as("ns"))
+      .filter(col("ns") > 1).count()
+    assert(moved > 0, "epoch must reshuffle shard assignment")
+    // determinism: recompute matches row-for-row
+    assert(d.exceptAll(TextOps.epochShuffle(spark, Sf01, nShards, 2)).count() === 0)
+    d.unpersist()
+  }
 }
