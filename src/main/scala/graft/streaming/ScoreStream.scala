@@ -247,6 +247,44 @@ object ScoreStream {
         (col("reason") === "pass").as("keep"))
   }
 
+  /** Streaming DSIR scorer — the serving half of the saved qt22 model:
+    * arriving documents are scored in flight against the persisted
+    * per-bucket log-ratio table and tagged target-like or not. The
+    * whole model is nBuckets longs, so it rides the plan as a LITERAL
+    * array (no join at all — cheaper than a broadcast join) and the
+    * per-doc score is one `aggregate` over the in-row unigram+bigram
+    * feature array: stateless, zero shuffle, zero state store.
+    * Bigrams come from adjacent pairs of the empty-filtered token
+    * array — exactly the batch window-lead shingle stream — and the
+    * bucket sum accumulates the SAME 1e-6-grid longs, so log_w and
+    * the selected flag are bit-identical to batch qt22 (StreamingSpec
+    * full-corpus parity). A corpus-unseen bucket is still defined in
+    * the dense saved model (smoothed prior), so novel stream features
+    * score rather than null out.
+    */
+  def dsirStream(spark: SparkSession, modelPath: String,
+                 docs: DataFrame): DataFrame = {
+    import graft.timeseries.ModelStore
+    import graft.util.Num
+    val m = ModelStore.dsirLogRatios(spark, modelPath)
+      .orderBy("b").collect().map(_.getLong(1))
+    val nB = m.length
+    require(nB >= 2, s"saved DSIR model has $nB buckets")
+    docs
+      .withColumn("lr", typedLit(m.toSeq))
+      .withColumn("toks", filter(split(col("text"), " "), t => t =!= ""))
+      .withColumn("bgs", when(size(col("toks")) >= 2,
+        expr("transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1]))"))
+        .otherwise(expr("cast(array() as array<string>)")))
+      .withColumn("feats", concat(col("toks"), col("bgs")))
+      .withColumn("slr", expr(s"""aggregate(feats, cast(0 as bigint),
+        (acc, f) -> acc + lr[cast(cast(conv(substring(md5(f),1,8),16,10) as bigint) % $nB as int)])"""))
+      .select(col("doc_id"), col("source"), col("ts"),
+        size(col("feats")).cast("long").as("n_feat"),
+        Num.r4(col("slr") / 1000000d).as("log_w"),
+        when(col("slr") > 0, 1L).otherwise(0L).as("selected"))
+  }
+
   /** Stream-stream event-time interval join — the streaming twin of the
     * batch AS-OF/attribution shape (qe4): every `b` event (e.g. a
     * purchase) joins the `a` events (e.g. views) of the SAME user that

@@ -662,26 +662,45 @@ object TextOps {
     * hash agg. No join grows with corpus size × corpus size — exactly
     * the shape DSIR needs to score a 100 TB crawl in one pass.
     */
-  def dsirWeights(spark: SparkSession, sfDir: String, target: String = "src0",
-                  nBuckets: Int = 64): DataFrame = {
-    require(nBuckets >= 2, s"nBuckets=$nBuckets")
-    val docs = Tables.documents(spark, sfDir).select("doc_id", "source")
-    val feats = tokens(spark, sfDir).select(col("doc_id"), col("tok").as("f"))
+  /** qt22's hashed feature stream: (doc_id, source, bucket). */
+  private def dsirFeatures(spark: SparkSession, sfDir: String,
+                           nBuckets: Int): DataFrame =
+    tokens(spark, sfDir).select(col("doc_id"), col("tok").as("f"))
       .unionByName(shingles(spark, sfDir, 2).select(col("doc_id"), col("sh").as("f")))
-      .join(docs, "doc_id")
+      .join(Tables.documents(spark, sfDir).select("doc_id", "source"), "doc_id")
       .select(col("doc_id"), col("source"), (strHash(col("f")) % nBuckets).as("b"))
-    val cnt = feats.groupBy("b").agg(
+
+  /** qt22's trained model: DENSE per-bucket quantized log-ratio table
+    * (b → lrq), one row for every bucket 0..nBuckets-1. Buckets no
+    * corpus feature hashed into still get the smoothed prior ratio
+    * log((1/(tt+B))/(1/(tr+B))) — in batch those rows never join, but
+    * a STREAMING doc can hash a novel feature there, so the persisted
+    * artifact must define every bucket ([[graft.timeseries.ModelStore.saveDsir]]).
+    */
+  def dsirModel(spark: SparkSession, sfDir: String, target: String = "src0",
+                nBuckets: Int = 64): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets=$nBuckets")
+    val cnt = dsirFeatures(spark, sfDir, nBuckets).groupBy("b").agg(
       sum(when(col("source") === target, 1L).otherwise(0L)).as("ct"),
       sum(when(col("source") =!= target, 1L).otherwise(0L)).as("cr"))
-    val tot = cnt.agg(sum("ct").as("tt"), sum("cr").as("tr"))
-    val lr = cnt.crossJoin(broadcast(tot)).select(col("b"),
+    val dense = spark.range(nBuckets).select(col("id").as("b"))
+      .join(cnt, Seq("b"), "left")
+      .na.fill(0L, Seq("ct", "cr"))
+    val tot = dense.agg(sum("ct").as("tt"), sum("cr").as("tr"))
+    dense.crossJoin(broadcast(tot)).select(col("b"),
       floor((log((col("ct") + lit(1d)) / (col("tt") + lit(nBuckets.toDouble))) -
              log((col("cr") + lit(1d)) / (col("tr") + lit(nBuckets.toDouble))))
         * 1000000d + 0.5d).cast("long").as("lrq"))
+  }
+
+  def dsirWeights(spark: SparkSession, sfDir: String, target: String = "src0",
+                  nBuckets: Int = 64): DataFrame = {
+    val feats = dsirFeatures(spark, sfDir, nBuckets)
     val perDoc = feats.filter(col("source") =!= target)
-      .join(broadcast(lr), "b")
+      .join(broadcast(dsirModel(spark, sfDir, target, nBuckets)), "b")
       .groupBy("doc_id").agg(count(lit(1)).as("n_feat"), sum("lrq").as("slr"))
-    docs.filter(col("source") =!= target)
+    Tables.documents(spark, sfDir).select("doc_id", "source")
+      .filter(col("source") =!= target)
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), col("source"),
         coalesce(col("n_feat"), lit(0L)).as("n_feat"),

@@ -222,6 +222,21 @@ object ModelStore {
       .select(col("qid"), col("vec_id"), Num.r4(col("cos")).as("cos"), col("rnk"))
   }
 
+  /** DSIR model persistence — qt22's trained artifact: the DENSE
+    * per-bucket quantized log-ratio table (every bucket defined, so a
+    * streaming doc hashing a novel feature into a corpus-unseen bucket
+    * still scores — it gets the smoothed prior ratio). nBuckets rows
+    * of two longs: the whole "model" broadcasts anywhere.
+    */
+  def saveDsir(spark: SparkSession, sfDir: String, path: String,
+               target: String = "src0", nBuckets: Int = 64): Unit =
+    graft.text.TextOps.dsirModel(spark, sfDir, target, nBuckets)
+      .write.mode("overwrite").parquet(s"$path/dsir")
+
+  /** The saved DSIR log-ratio table (b, lrq), one row per bucket. */
+  def dsirLogRatios(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/dsir")
+
   def loadAndScore(spark: SparkSession, path: String, patches: DataFrame): DataFrame = {
     graft.functions.VectorExprs.register(spark)
     val packed = packedBank(spark, path)

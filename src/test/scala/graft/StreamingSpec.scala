@@ -239,6 +239,7 @@ class StreamingSpec extends SparkSuite {
 
   case class UEv(ts: Timestamp, user_id: Long)
   case class Doc(ts: Timestamp, doc_id: Long, text: String)
+  case class SDoc(ts: Timestamp, doc_id: Long, source: String, text: String)
   case class LDoc(ts: Timestamp, doc_id: Long, lang: String, text: String)
   case class FRow(ts: Timestamp, series: String, t: Long, y: Double,
                   x1: Double, x2: Double, x3: Double, x4: Double,
@@ -452,6 +453,36 @@ class StreamingSpec extends SparkSuite {
       val got = spark.table("qfilter").collect()
         .map(r => r.getAs[Long]("doc_id") ->
           (r.getAs[String]("reason"), r.getAs[Boolean]("keep"))).toMap
+      assert(got.size === want.size)
+      assert(got === want)
+    } finally q.stop()
+  }
+
+  test("streaming DSIR scorer matches batch qt22 weights over the whole raw corpus") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val path = java.nio.file.Files.createTempDirectory("graft-dsir").toString
+    graft.timeseries.ModelStore.saveDsir(spark, Sf001, path)
+    val want = graft.text.TextOps.dsirWeights(spark, Sf001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3), r.getLong(4))).toMap
+    val docs = spark.read.parquet(s"$Sf001/documents.parquet")
+      .filter(col("source") =!= "src0")
+      .select("doc_id", "source", "text").as[(Long, String, String)].collect()
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val mem = MemoryStream[SDoc]
+    val out = ScoreStream.dsirStream(spark, path, mem.toDF())
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("dsirscore").start()
+    try {
+      // stateless scorer: batch boundaries must not move a single bit
+      val (h1, h2) = docs.splitAt(docs.length / 2)
+      mem.addData(h1.map { case (id, s, t) => SDoc(t0, id, s, t) }.toSeq)
+      q.processAllAvailable()
+      mem.addData(h2.map { case (id, s, t) => SDoc(t0, id, s, t) }.toSeq)
+      q.processAllAvailable()
+      val got = spark.table("dsirscore").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("n_feat"), r.getAs[Double]("log_w"), r.getAs[Long]("selected"))).toMap
       assert(got.size === want.size)
       assert(got === want)
     } finally q.stop()
