@@ -228,7 +228,16 @@ object Dedup {
     * no leaked-mass correction is needed.
     */
   def pageRank(spark: SparkSession, sfDir: String,
-               iters: Int = 3, damping: Double = 0.85): DataFrame = {
+               iters: Int = 3, damping: Double = 0.85): DataFrame =
+    // session-cached: qd14 reports it and qd16's canonical pick ranks
+    // by it — without the cache the 3-round join loop (each round a
+    // localCheckpoint job) re-runs per consumer
+    graft.util.StageCache.cached(spark, sfDir, s"pagerank_${iters}_$damping") {
+      pageRankBuild(spark, sfDir, iters, damping)
+    }
+
+  private def pageRankBuild(spark: SparkSession, sfDir: String,
+                            iters: Int, damping: Double): DataFrame = {
     require(iters >= 1 && iters <= 20, s"iters=$iters")
     require(damping > 0 && damping < 1, s"damping=$damping")
     val edges = symEdges(spark, sfDir)
