@@ -90,6 +90,7 @@ object SparkEntry {
     "q42_rescaled_metrics" -> ((s, d) => graft.timeseries.Forecast.rescaledMetrics(s, d)),
     "q43_calendar_filter" -> ((s, d) => graft.timeseries.TsQueries.q43CalendarFilter(s, d)),
     "qm2_frame_sample" -> ((s, d) => graft.multimodal.BinaryMeta.frameSample(s, d)),
+    "qm7_frame_neardup" -> ((s, d) => graft.multimodal.BinaryMeta.frameNearDup(s, d)),
     "qa10_stratified_sample" -> ((s, d) => Relational.stratifiedSample(s, d)),
     "qa11_salted_agg" -> ((s, d) => Relational.saltedAgg(s, d)),
     "qa12_pivot" -> ((s, d) => Relational.eventPivot(s, d)),
@@ -776,42 +777,8 @@ object SparkEntry {
     },
     "qm1_binary_meta" -> graft.multimodal.BinaryMeta.qm1OracleSql,
     "qm3_phash_neardup" -> graft.multimodal.BinaryMeta.qm3OracleSql(),
-    "qm2_frame_sample" -> """
-      -- BYTE-faithful mirror of BinaryMeta.frameSample: the engine hashes
-      -- UTF-8 payload bytes, so the oracle walks hex(encode(text)) two
-      -- hex chars at a time (octet_length, not length — char indexing
-      -- would silently diverge on any non-ASCII text) and LEFT-joins the
-      -- byte sums so a zero-length payload still emits its (0, 0) frame.
-      WITH m AS (
-        SELECT doc_id, hex(encode(text)) AS hx,
-               CAST(octet_length(encode(text)) AS BIGINT) AS len
-        FROM documents
-      ), fr AS (
-        SELECT doc_id, hx, len, greatest(1, len // 256) AS nframes FROM m
-      ), fi0 AS (
-        SELECT doc_id, hx, len,
-               unnest(range(0, nframes, greatest(1, nframes // 4))) AS fi
-        FROM fr
-      ), f2 AS (
-        SELECT * FROM (
-          SELECT doc_id, hx, len, fi,
-                 row_number() OVER (PARTITION BY doc_id ORDER BY fi) AS rn
-          FROM fi0) WHERE rn <= 4
-      ), fb AS (
-        SELECT doc_id, fi, hx,
-               least(fi*256 + 256, len) - fi*256 AS n_bytes
-        FROM f2
-      ), byteterms AS (
-        SELECT doc_id, fi,
-               CAST(concat('0x', substr(hx, CAST((fi*256 + i - 1) * 2 + 1 AS INT), 2)) AS BIGINT) * i AS term
-        FROM fb, unnest(range(1, n_bytes + 1)) AS u(i)
-      ), hs AS (
-        SELECT doc_id, fi, CAST(sum(term) AS BIGINT) AS frame_hash
-        FROM byteterms GROUP BY doc_id, fi
-      )
-      SELECT f.doc_id, CAST(f.fi AS INT) AS frame_idx, CAST(f.n_bytes AS INT) AS n_bytes,
-             coalesce(h.frame_hash, 0) AS frame_hash
-      FROM fb f LEFT JOIN hs h ON h.doc_id = f.doc_id AND h.fi = f.fi""",
+    "qm2_frame_sample" -> graft.multimodal.BinaryMeta.qm2OracleSql,
+    "qm7_frame_neardup" -> graft.multimodal.BinaryMeta.qm7OracleSql(),
     "qm4_shard_manifest" -> """
       WITH m AS (
         SELECT doc_id, 'text/' || lang AS media_type,

@@ -324,4 +324,113 @@ object BinaryMeta {
       }
     }.toDF()
   }
+
+  /** qm7: video-level near-duplicate pairs from sampled-frame
+    * signatures — the standard frame-fingerprint inverted index (each
+    * sampled frame's signature is a posting; two videos are candidate
+    * dups when postings collide; YouTube-style content matching shape,
+    * public). Composes qm2's bounded frame sampling with qm3's
+    * blocking discipline one level up: the join key is the frame
+    * signature, so the pair space is O(collisions), never all-pairs.
+    *
+    * Scale levers, in the plan: (1) fan-out is bounded — ≤ k distinct
+    * signatures per video enter the index; (2) STOP-FRAME guard — a
+    * signature present in more than `maxDf` videos (black frames,
+    * intros, test cards in a real pipeline) is dropped BEFORE the
+    * self-join, capping any posting list's pair product at maxDf²
+    * (qd4's document-frequency cap, same rationale); (3) the pair
+    * rollup is one hash agg on (doc_a, doc_b). `sim` is the Jaccard
+    * over the two videos' kept signature sets.
+    */
+  def frameNearDup(spark: SparkSession, sfDir: String, frameSize: Int = 256,
+                   k: Int = 4, maxDf: Long = 50L, minShared: Long = 1L): DataFrame = {
+    require(maxDf >= 2 && minShared >= 1, s"maxDf=$maxDf minShared=$minShared")
+    val fr = frameSample(spark, sfDir, frameSize, k)
+      .select("doc_id", "frame_hash").distinct()
+    val kept = fr.join(
+      fr.groupBy("frame_hash").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf).select("frame_hash"),
+      "frame_hash")
+    val nf = kept.groupBy("doc_id").agg(count(lit(1)).as("nf"))
+    val a = kept.select(col("doc_id").as("doc_a"), col("frame_hash"))
+    val b = kept.select(col("doc_id").as("doc_b"), col("frame_hash"))
+    a.join(b, "frame_hash").filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .join(nf.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("nf", "nf_a"), "doc_a")
+      .join(nf.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("nf", "nf_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        graft.util.Num.r4(col("n_shared") / (col("nf_a") + col("nf_b") - col("n_shared")))
+          .as("sim"))
+  }
+
+  /** Shared DuckDB frame CTE chain — the byte-faithful mirror of
+    * [[frameSample]] (hex walk over encode(text), octet_length not
+    * length, zero-length payloads still emit their (0, 0) frame).
+    * `allframes` ends as (doc_id, fi, n_bytes, frame_hash); qm2 and
+    * qm7 compose their finals over it so the two oracles can never
+    * drift apart.
+    */
+  private val framesCteSql: String = """
+      WITH m AS (
+        SELECT doc_id, hex(encode(text)) AS hx,
+               CAST(octet_length(encode(text)) AS BIGINT) AS len
+        FROM documents
+      ), fr AS (
+        SELECT doc_id, hx, len, greatest(1, len // 256) AS nframes FROM m
+      ), fi0 AS (
+        SELECT doc_id, hx, len,
+               unnest(range(0, nframes, greatest(1, nframes // 4))) AS fi
+        FROM fr
+      ), f2 AS (
+        SELECT * FROM (
+          SELECT doc_id, hx, len, fi,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY fi) AS rn
+          FROM fi0) WHERE rn <= 4
+      ), fb AS (
+        SELECT doc_id, fi, hx,
+               least(fi*256 + 256, len) - fi*256 AS n_bytes
+        FROM f2
+      ), byteterms AS (
+        SELECT doc_id, fi,
+               CAST(concat('0x', substr(hx, CAST((fi*256 + i - 1) * 2 + 1 AS INT), 2)) AS BIGINT) * i AS term
+        FROM fb, unnest(range(1, n_bytes + 1)) AS u(i)
+      ), hs AS (
+        SELECT doc_id, fi, CAST(sum(term) AS BIGINT) AS frame_hash
+        FROM byteterms GROUP BY doc_id, fi
+      ), allframes AS (
+        SELECT f.doc_id, f.fi, f.n_bytes, coalesce(h.frame_hash, 0) AS frame_hash
+        FROM fb f LEFT JOIN hs h ON h.doc_id = f.doc_id AND h.fi = f.fi
+      )"""
+
+  /** DuckDB mirror of [[frameSample]] over [[framesCteSql]]. */
+  def qm2OracleSql: String = framesCteSql + """
+      SELECT doc_id, CAST(fi AS INT) AS frame_idx, CAST(n_bytes AS INT) AS n_bytes,
+             frame_hash
+      FROM allframes"""
+
+  /** DuckDB mirror of [[frameNearDup]] over [[framesCteSql]]: distinct
+    * per-doc signatures → df cap → pigeonhole pair join → Jaccard.
+    */
+  def qm7OracleSql(maxDf: Long = 50L, minShared: Long = 1L): String =
+    framesCteSql + s"""
+      , dfr AS (SELECT DISTINCT doc_id, frame_hash FROM allframes),
+      dfc AS (SELECT frame_hash, count(*) AS df FROM dfr GROUP BY frame_hash),
+      keepf AS (
+        SELECT r.doc_id, r.frame_hash
+        FROM dfr r JOIN dfc c USING (frame_hash) WHERE c.df <= $maxDf
+      ), nf AS (SELECT doc_id, count(*) AS nf FROM keepf GROUP BY doc_id),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM keepf a JOIN keepf b
+          ON a.frame_hash = b.frame_hash AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      )
+      SELECT p.doc_a, p.doc_b, p.n_shared,
+             floor((CAST(p.n_shared AS DOUBLE) / (na.nf + nb.nf - p.n_shared))*10000 + 0.5)/10000 AS sim
+      FROM pairs p
+      JOIN nf na ON na.doc_id = p.doc_a
+      JOIN nf nb ON nb.doc_id = p.doc_b
+      WHERE p.n_shared >= $minShared"""
 }

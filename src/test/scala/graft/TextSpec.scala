@@ -605,6 +605,38 @@ class TextSpec extends SparkSuite {
     assert(out === expected)
   }
 
+  test("qm7 frame near-dup == driver frame-signature intersection") {
+    val out = graft.multimodal.BinaryMeta.frameNearDup(spark, Sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val docs = spark.read.parquet(s"$Sf001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).getBytes("UTF-8")).sortBy(_._1)
+    def frames(b: Array[Byte]): Set[Long] = {
+      val nFrames = math.max(1, b.length / 256)
+      val stride = math.max(1, nFrames / 4)
+      Range(0, nFrames, stride).take(4).map { fi =>
+        val from = fi * 256; val until = math.min(from + 256, b.length)
+        var h = 0L
+        for (i <- from until until) h += (b(i) & 0xff).toLong * (i - from + 1)
+        h
+      }.toSet
+    }
+    val sigSets = docs.map { case (id, b) => id -> frames(b) }
+    // df cap: drop signatures present in > 50 docs (none at this SF,
+    // but the recompute applies the rule so defaults can't drift)
+    val df = sigSets.flatMap(_._2).groupBy(identity).map { case (h, xs) => h -> xs.length }
+    val kept = sigSets.map { case (id, s) => id -> s.filter(df(_) <= 50) }
+    val expected = (for {
+      i <- kept.indices; j <- (i + 1) until kept.length
+      shared = (kept(i)._2 & kept(j)._2).size
+      if shared >= 1
+      sim = math.floor(shared.toDouble /
+        (kept(i)._2.size + kept(j)._2.size - shared) * 10000d + 0.5d) / 10000d
+    } yield (kept(i)._1, kept(j)._1) -> (shared.toLong, sim)).toMap
+    assert(out === expected)
+    assert(out.nonEmpty, "the corpus's exact dups must collide on frames")
+  }
+
   test("qd13 dup spans == driver longest-common-run over LSH pairs") {
     val out = Dedup.dupSpans(spark, Sf001).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
