@@ -51,6 +51,7 @@ object SparkEntry {
     "qd4_ngram_jaccard" -> ((s, d) => graft.text.Dedup.ngramJaccard(s, d)),
     "qd5_embed_neardup" -> ((s, d) => graft.vector.Similarity.embedNearDup(s, d)),
     "qv1_cosine_topk" -> ((s, d) => graft.vector.Similarity.cosineTopK(s, d)),
+    "qv16_range_search" -> ((s, d) => graft.vector.Similarity.rangeSearch(s, d)),
     "qv2_lsh_ann" -> ((s, d) => graft.vector.Similarity.lshAnn(s, d)),
     "qv3_ivf_ann" -> ((s, d) => graft.vector.Similarity.ivfAnn(s, d)),
     "qt1_token_count" -> ((s, d) => graft.text.TextOps.tokenCount(s, d)),
@@ -240,6 +241,7 @@ object SparkEntry {
     "qd4_ngram_jaccard" -> graft.text.DocOracle.qd4,
     "qd5_embed_neardup" -> graft.text.DocOracle.qd5(),
     "qv1_cosine_topk" -> graft.text.DocOracle.qv1(),
+    "qv16_range_search" -> graft.text.DocOracle.qv16(),
     "qv2_lsh_ann" -> graft.text.DocOracle.qv2(),
     "qv3_ivf_ann" -> graft.text.DocOracle.qv3(),
     "qv4_ann_eval" -> graft.text.DocOracle.qv4(),

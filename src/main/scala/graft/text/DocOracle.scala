@@ -440,6 +440,19 @@ scored AS (
 )
 SELECT qid, vec_id, ${r4("cos")} AS cos, rnk FROM ranked WHERE rnk <= $k"""
 
+  /** Mirrors Similarity.rangeSearch — qv1's scored chain with a
+    * radius filter on the RAW cosine (quantization after, like qv1's
+    * rank) and no ranking at all.
+    */
+  def qv16(tau: Double = 0.3, maxQueries: Int = 1000): String = vecsCte + s"""
+, q AS (SELECT vec_id AS qid, v, nrm FROM vecs
+        WHERE vec_id % 100 = 0 AND vec_id < ${100L * maxQueries}),
+scored AS (
+  SELECT q.qid, b.vec_id, list_dot_product(q.v, b.v) / (q.nrm * b.nrm) AS cos
+  FROM q JOIN vecs b ON q.qid <> b.vec_id
+)
+SELECT qid, vec_id, ${r4("cos")} AS cos FROM scored WHERE cos >= $tau"""
+
   /** Mirrors Similarity.filteredTopK — qv1's chain with the label
     * equi-predicate in the join.
     */

@@ -86,6 +86,31 @@ object Similarity {
     * machinery serves MIPS unchanged over augmented vectors;
     * VectorExprSpec proves the reduction reproduces this exact top-k.
     */
+  /** qv16: RANGE search — all neighbors within a similarity radius
+    * (FAISS range_search, public): every collection vector with
+    * cos ≥ τ of a query, no k cap. The dedup/recall workloads that
+    * consume it ("everything ≥ 0.95 of this doc") can't be expressed
+    * as top-k: the per-query match count is data-dependent. Exact
+    * baseline shape: broadcast capped query sample + one codegen
+    * graft_dot scan + a filter — NO window, no shuffle at all; the
+    * output is O(matches). Scale path: IVF probes bound the scan by
+    * the triangle inequality (a cell whose centroid is farther than
+    * the radius + cell spread can't contain a match), the same cell
+    * machinery qv3 runs — within-cell arithmetic identical to this
+    * scan.
+    */
+  def rangeSearch(spark: SparkSession, sfDir: String, tau: Double = 0.3,
+                  maxQueries: Int = 1000): DataFrame = {
+    val e = vecs(spark, sfDir)
+    val q = e.filter(col("vec_id") % 100 === 0 && col("vec_id") < lit(100L * maxQueries))
+      .select(col("vec_id").as("qid"), col("v").as("av"), col("nrm").as("na"))
+    val b = e.select(col("vec_id"), col("v").as("bv"), col("nrm").as("nb"))
+    b.crossJoin(broadcast(q)).filter(col("qid") =!= col("vec_id"))
+      .withColumn("cos", dotAB / (col("na") * col("nb")))
+      .filter(col("cos") >= tau)
+      .select(col("qid"), col("vec_id"), Num.r4(col("cos")).as("cos"))
+  }
+
   def mipsTopK(spark: SparkSession, sfDir: String, k: Int = 10,
                maxQueries: Int = 1000): DataFrame = {
     val e = vecs(spark, sfDir)

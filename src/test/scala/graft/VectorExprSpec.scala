@@ -185,6 +185,34 @@ class VectorExprSpec extends SparkSuite {
       col("rnk") =!= col("rnk_d")).count() === 0)
   }
 
+  test("qv16 range search == driver brute-force radius scan; consistent with qv1") {
+    import org.apache.spark.sql.functions._
+    val tau = 0.3
+    val got = graft.vector.Similarity.rangeSearch(spark, Sf01, tau).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val all = spark.read.parquet(s"$Sf01/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>) v").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val nrm = all.map { case (id, v) => id -> math.sqrt(dot(v, v)) }.toMap
+    val expected = (for {
+      (qid, qv) <- all if qid % 100 == 0 && qid < 100000L
+      (vid, bv) <- all if vid != qid
+      cos = dot(qv, bv) / (nrm(qid) * nrm(vid))
+      if cos >= tau
+    } yield (qid, vid) -> math.floor(cos * 10000d + 0.5d) / 10000d).toMap
+    assert(got === expected)
+    assert(got.nonEmpty)
+    // every qv1 top-k row at or above the radius must be in the range set
+    val fromTopK = graft.vector.Similarity.cosineTopK(spark, Sf01).collect()
+      .filter(_.getDouble(2) >= tau + 1e-4)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fromTopK.subsetOf(got.keySet))
+  }
+
   test("qv13 k-means inertia matches MLlib KMeans trained from the same seeds") {
     // the charter's MLlib interop proof: graft's relational Lloyd loop
     // and org.apache.spark.mllib.clustering.KMeans, started from the
