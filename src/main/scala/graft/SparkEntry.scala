@@ -173,6 +173,7 @@ object SparkEntry {
     "q54_refit_backtest" -> ((s, d) => graft.timeseries.Forecast.refitBacktest(s, d)),
     "qe12_survival" -> ((s, d) => graft.analytics.Events.survival(s, d)),
     "qe13_audience_overlap" -> ((s, d) => graft.analytics.Events.audienceOverlap(s, d)),
+    "qe14_dau_mau" -> ((s, d) => graft.analytics.Events.dauMau(s, d)),
     "qp6_completeness" -> ((s, d) => TsQueries.qp6Completeness(s, d)),
     "qt13_boilerplate" -> ((s, d) => graft.text.TextOps.boilerplate(s, d)),
     "qt14_unigram_nll" -> ((s, d) => graft.text.TextOps.unigramNll(s, d)),
@@ -362,6 +363,18 @@ object SparkEntry {
              count(DISTINCT l_tax),
              floor((min(l_tax))*10000 + 0.5)/10000,
              floor((max(l_tax))*10000 + 0.5)/10000 FROM lineitem"""),
+    "qe14_dau_mau" -> """
+      WITH ev AS (
+        SELECT CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 86400) AS BIGINT) AS day,
+               user_id
+        FROM events
+      ), pairs AS (SELECT DISTINCT day, user_id FROM ev),
+      dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM pairs GROUP BY day),
+      fan AS (SELECT day + i AS day, user_id FROM pairs, unnest(range(0, 7)) AS u(i)),
+      mau AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS mau FROM fan GROUP BY day)
+      SELECT d.day, d.dau, m.mau,
+             floor((CAST(d.dau AS DOUBLE) / m.mau)*10000 + 0.5)/10000 AS stickiness
+      FROM dau d JOIN mau m USING (day)""",
     "qe3_retention" -> """
       WITH ev AS (
         SELECT user_id,

@@ -71,6 +71,36 @@ object Events {
       .agg(countDistinct("user_id").as("n_users"))
   }
 
+  /** qe14: rolling active users — per day, DAU, trailing-`window` MAU
+    * and the DAU/MAU stickiness ratio (the engagement dashboard every
+    * event platform ships; rolling DISTINCT is the one windowed metric
+    * plain window functions cannot express).
+    *
+    * Scale shape: the one expensive reduce is the distinct (day, user)
+    * pass — the daily-partial pattern. The trailing window then fans
+    * each daily-active pair to the `window` target days it keeps the
+    * user active for (a bounded ×window blowup over the DISTINCT
+    * pairs, never the raw events) and one (day, user) distinct-agg
+    * closes it. At 100 TB the daily partials become mergeable HLL
+    * register sets (qp2's sketch) and the fan-out collapses into a
+    * 7-sketch merge per day; this exact form is the oracle-checkable
+    * twin of that plan.
+    */
+  def dauMau(spark: SparkSession, sfDir: String, window: Int = 7): DataFrame = {
+    require(window >= 1, s"window=$window")
+    val pairs = epochSec(spark, sfDir)
+      .select(floor(col("tsec") / 86400L).cast("long").as("day"), col("user_id"))
+      .distinct()
+    val dau = pairs.groupBy("day").agg(count(lit(1)).as("dau"))
+    val mau = pairs
+      .select(explode(sequence(col("day"), col("day") + (window - 1))).as("day"),
+        col("user_id"))
+      .groupBy("day").agg(countDistinct("user_id").as("mau"))
+    dau.join(mau, "day")
+      .select(col("day"), col("dau"), col("mau"),
+        graft.util.Num.r4(col("dau").cast("double") / col("mau")).as("stickiness"))
+  }
+
   /** qp2: approximate distinct-count profiling — HyperLogLog++
     * (approx_count_distinct) next to the exact count, one pass each.
     * The `approx_ok` flag asserts the sketch lands within 5% — the

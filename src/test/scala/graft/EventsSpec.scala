@@ -411,4 +411,28 @@ class EventsSpec extends SparkSuite {
     t.groupBy("src").agg(sum("p").as("sp")).collect()
       .foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 1e-3, r.getString(0)))
   }
+
+  test("qe14 dau/mau == driver rolling-distinct recompute; bounds hold") {
+    val out = Events.dauMau(spark, Sf01).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out.nonEmpty)
+    val raw = graft.util.Tables.events(spark, Sf01)
+    val pairs = raw
+      .select(floor(graft.util.Ts.sec(raw) / 86400L).cast("long").as("day"), col("user_id"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byDay = pairs.groupBy(_._1)
+    val expected = byDay.map { case (d, xs) =>
+      val dau = xs.length.toLong
+      val mau = pairs.filter(p => p._1 >= d - 6 && p._1 <= d).map(_._2).distinct.length.toLong
+      d -> (dau, mau, math.floor(dau.toDouble / mau * 10000d + 0.5d) / 10000d)
+    }
+    assert(out === expected)
+    // mau dominates dau; stickiness is a valid ratio; the FIRST observed
+    // day's trailing window holds exactly that day's actives
+    out.foreach { case (_, (dau, mau, st)) =>
+      assert(mau >= dau && st > 0.0 && st <= 1.0)
+    }
+    val firstDay = out.keySet.min
+    assert(out(firstDay)._1 === out(firstDay)._2)
+  }
 }
