@@ -174,6 +174,7 @@ object SparkEntry {
     "qe12_survival" -> ((s, d) => graft.analytics.Events.survival(s, d)),
     "qe13_audience_overlap" -> ((s, d) => graft.analytics.Events.audienceOverlap(s, d)),
     "qe14_dau_mau" -> ((s, d) => graft.analytics.Events.dauMau(s, d)),
+    "qe15_burst_rate" -> ((s, d) => graft.analytics.Events.burstRate(s, d)),
     "qp6_completeness" -> ((s, d) => TsQueries.qp6Completeness(s, d)),
     "qt13_boilerplate" -> ((s, d) => graft.text.TextOps.boilerplate(s, d)),
     "qt14_unigram_nll" -> ((s, d) => graft.text.TextOps.unigramNll(s, d)),
@@ -363,6 +364,18 @@ object SparkEntry {
              count(DISTINCT l_tax),
              floor((min(l_tax))*10000 + 0.5)/10000,
              floor((max(l_tax))*10000 + 0.5)/10000 FROM lineitem"""),
+    "qe15_burst_rate" -> """
+      WITH ev AS (
+        SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec FROM events
+      ), c AS (
+        SELECT user_id,
+               count(*) OVER (PARTITION BY user_id ORDER BY tsec
+                              RANGE BETWEEN 86399 PRECEDING AND CURRENT ROW) AS nw
+        FROM ev
+      )
+      SELECT user_id, count(*) AS n_events, CAST(max(nw) AS BIGINT) AS peak_rate,
+             CAST(CASE WHEN max(nw) >= 8 THEN 1 ELSE 0 END AS BIGINT) AS flagged
+      FROM c GROUP BY user_id""",
     "qe14_dau_mau" -> """
       WITH ev AS (
         SELECT CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 86400) AS BIGINT) AS day,

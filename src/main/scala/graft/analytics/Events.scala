@@ -101,6 +101,34 @@ object Events {
         graft.util.Num.r4(col("dau").cast("double") / col("mau")).as("stickiness"))
   }
 
+  /** qe15: burst-rate audit — per user, the PEAK event count in any
+    * trailing `windowSec` window plus a rate-limit flag (the
+    * bot/abuse screen an event platform runs before events feed
+    * anything downstream). The trailing count is a RANGE-frame window
+    * (event-time seconds, not row positions — ties at one timestamp
+    * share a frame by definition in both engines), which rows-frame
+    * running windows (qa6) cannot express.
+    *
+    * Scale shape: ONE user_id exchange + per-user time-ordered range
+    * frame (running count, state bounded by the densest window) + a
+    * per-user rollup with map-side partials. The skew story is the
+    * flag's own target: a bot user's partition IS the burst — bounded
+    * by that user's event count, the same bound any per-user
+    * sessionization already carries (qe1).
+    */
+  def burstRate(spark: SparkSession, sfDir: String, windowSec: Long = 86400L,
+                thr: Long = 8L): DataFrame = {
+    require(windowSec >= 1 && thr >= 1, s"windowSec=$windowSec thr=$thr")
+    val w = Window.partitionBy("user_id").orderBy("tsec")
+      .rangeBetween(-(windowSec - 1), Window.currentRow)
+    epochSec(spark, sfDir)
+      .select(col("user_id"), col("tsec"))
+      .withColumn("nw", count(lit(1)).over(w))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), max("nw").as("peak_rate"))
+      .withColumn("flagged", when(col("peak_rate") >= thr, 1L).otherwise(0L))
+  }
+
   /** qp2: approximate distinct-count profiling — HyperLogLog++
     * (approx_count_distinct) next to the exact count, one pass each.
     * The `approx_ok` flag asserts the sketch lands within 5% — the

@@ -435,4 +435,22 @@ class EventsSpec extends SparkSuite {
     val firstDay = out.keySet.min
     assert(out(firstDay)._1 === out(firstDay)._2)
   }
+
+  test("qe15 burst rate == driver trailing-window recompute") {
+    val out = Events.burstRate(spark, Sf01).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out.nonEmpty)
+    val raw = graft.util.Tables.events(spark, Sf01)
+    val evs = raw.select(col("user_id"), graft.util.Ts.sec(raw).as("tsec"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = evs.groupBy(_._1).map { case (u, xs) =>
+      val ts = xs.map(_._2).sorted
+      // RANGE frame: for each event, count events in (t-86399, t]
+      val peak = ts.map(t => ts.count(s => s > t - 86400L && s <= t)).max.toLong
+      u -> (ts.length.toLong, peak, if (peak >= 8L) 1L else 0L)
+    }
+    assert(out === expected)
+    // the audit must separate: some users flagged, some not, at sf0.01
+    assert(out.values.exists(_._3 == 1L) && out.values.exists(_._3 == 0L))
+  }
 }
