@@ -88,9 +88,13 @@ object Events {
     */
   def dauMau(spark: SparkSession, sfDir: String, window: Int = 7): DataFrame = {
     require(window >= 1, s"window=$window")
-    val pairs = epochSec(spark, sfDir)
-      .select(floor(col("tsec") / 86400L).cast("long").as("day"), col("user_id"))
-      .distinct()
+    // session-cached: the distinct (day, user) reduce is the query's
+    // one expensive pass — DAU and the MAU fan-out both read it
+    val pairs = graft.util.StageCache.cached(spark, sfDir, "daupairs") {
+      epochSec(spark, sfDir)
+        .select(floor(col("tsec") / 86400L).cast("long").as("day"), col("user_id"))
+        .distinct()
+    }
     val dau = pairs.groupBy("day").agg(count(lit(1)).as("dau"))
     val mau = pairs
       .select(explode(sequence(col("day"), col("day") + (window - 1))).as("day"),

@@ -345,12 +345,18 @@ object BinaryMeta {
   def frameNearDup(spark: SparkSession, sfDir: String, frameSize: Int = 256,
                    k: Int = 4, maxDf: Long = 50L, minShared: Long = 1L): DataFrame = {
     require(maxDf >= 2 && minShared >= 1, s"maxDf=$maxDf minShared=$minShared")
-    val fr = frameSample(spark, sfDir, frameSize, k)
-      .select("doc_id", "frame_hash").distinct()
-    val kept = fr.join(
-      fr.groupBy("frame_hash").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= maxDf).select("frame_hash"),
-      "frame_hash")
+    // session-cached: the capped signature set feeds FOUR consumers
+    // (df filter, per-doc counts, both sides of the pair join) — without
+    // materialization each re-runs the mapPartitions decode + distinct
+    val kept = graft.util.StageCache.cached(spark, sfDir,
+        s"framekept_${frameSize}_${k}_$maxDf") {
+      val fr = frameSample(spark, sfDir, frameSize, k)
+        .select("doc_id", "frame_hash").distinct()
+      fr.join(
+        fr.groupBy("frame_hash").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDf).select("frame_hash"),
+        "frame_hash")
+    }
     val nf = kept.groupBy("doc_id").agg(count(lit(1)).as("nf"))
     val a = kept.select(col("doc_id").as("doc_a"), col("frame_hash"))
     val b = kept.select(col("doc_id").as("doc_b"), col("frame_hash"))
