@@ -126,6 +126,7 @@ object SparkEntry {
     "qt22_dsir_weights" -> ((s, d) => graft.text.TextOps.dsirWeights(s, d)),
     "qc1_corpus_build" -> ((s, d) => graft.text.TextOps.corpusBuild(s, d)),
     "qc2_epoch_shuffle" -> ((s, d) => graft.text.TextOps.epochShuffle(s, d)),
+    "qc3_dataset_card" -> ((s, d) => graft.text.TextOps.datasetCard(s, d)),
     "qv6_ivfpq_ann" -> ((s, d) => graft.vector.Similarity.ivfPqAnn(s, d)),
     "qv11_sq8_ann" -> ((s, d) => graft.vector.Similarity.sq8Ann(s, d)),
     "qv12_refine_ann" -> ((s, d) => graft.vector.Similarity.refineAnn(s, d)),
@@ -559,6 +560,7 @@ object SparkEntry {
     "qc1_corpus_build" -> graft.text.DocOracle.qc1(),
     "qt22_dsir_weights" -> graft.text.DocOracle.qt22(),
     "qc2_epoch_shuffle" -> graft.text.DocOracle.qc2(),
+    "qc3_dataset_card" -> graft.text.DocOracle.qc3(),
     "qt21_domain_cap" -> """
       WITH r AS (
         SELECT source, n_chars,

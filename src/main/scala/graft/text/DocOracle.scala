@@ -240,11 +240,15 @@ SELECT doc_id, cluster_id FROM lab""")
     * chains composed into one funnel (qd12's shingle CTEs renamed
     * shd5/ev5/hits5 to avoid colliding with the LSH chain's shd).
     */
-  def qc1(cap: Int = 20, evalMod: Long = 50L,
-          nPerm: Int = 16, bandRows: Int = 4,
-          minTok: Long = 25L, minStopRatio: Double = 0.01,
-          maxDupFrac: Double = 0.65, maxTopFrac: Double = 0.2): String = {
-    val base = (toksCte + shinglesCte(3, "sh3") + lshEdgesCte(nPerm, bandRows) + ccCte +
+  /** qc1/qc3's shared funnel chain, ending at `fin` (per-doc staged
+    * keep flags) — one SQL definition of "survived" for both reports,
+    * mirroring TextOps.corpusFlags.
+    */
+  private def corpusFinCte(cap: Int, evalMod: Long,
+                           nPerm: Int, bandRows: Int,
+                           minTok: Long, minStopRatio: Double,
+                           maxDupFrac: Double, maxTopFrac: Double): String =
+    toksCte + shinglesCte(3, "sh3") + lshEdgesCte(nPerm, bandRows) + ccCte +
       deconHitsCte(5, evalMod, "5") + qualitySigCte + s"""
 , rs AS (
   SELECT doc_id,
@@ -268,14 +272,47 @@ keepers AS (
   SELECT *, sum(CASE WHEN d_keep THEN 1 ELSE 0 END) OVER
         (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS crank
   FROM st3
-), fin AS (SELECT *, (d_keep AND crank <= $cap) AS final_keep FROM st4)
+), fin AS (SELECT *, (d_keep AND crank <= $cap) AS final_keep FROM st4)"""
+
+  def qc1(cap: Int = 20, evalMod: Long = 50L,
+          nPerm: Int = 16, bandRows: Int = 4,
+          minTok: Long = 25L, minStopRatio: Double = 0.01,
+          maxDupFrac: Double = 0.65, maxTopFrac: Double = 0.2): String = {
+    val base = corpusFinCte(cap, evalMod, nPerm, bandRows,
+      minTok, minStopRatio, maxDupFrac, maxTopFrac) + """
 SELECT source, count(*) AS n_docs,
   CAST(sum(CASE WHEN q_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
   CAST(sum(CASE WHEN c_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_decontam,
   CAST(sum(CASE WHEN d_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_dedup,
   CAST(sum(CASE WHEN final_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
   CAST(sum(CASE WHEN final_keep THEN n_chars ELSE 0 END) AS BIGINT) AS final_chars
-FROM fin GROUP BY source""")
+FROM fin GROUP BY source"""
+    base.replaceFirst("^\nWITH ", "\nWITH RECURSIVE ")
+  }
+
+  /** Mirrors TextOps.datasetCard — the same funnel chain, final
+    * survivors joined with lang and token volumes, (source, lang)
+    * rollup with corpus-share ratios.
+    */
+  def qc3(cap: Int = 20, evalMod: Long = 50L,
+          nPerm: Int = 16, bandRows: Int = 4,
+          minTok: Long = 25L, minStopRatio: Double = 0.01,
+          maxDupFrac: Double = 0.65, maxTopFrac: Double = 0.2): String = {
+    val base = corpusFinCte(cap, evalMod, nPerm, bandRows,
+      minTok, minStopRatio, maxDupFrac, maxTopFrac) + s"""
+, card_nt AS (SELECT doc_id, count(*) AS nt FROM toks GROUP BY doc_id),
+card_per AS (
+  SELECT f.source, d.lang, count(*) AS n_docs,
+         CAST(sum(coalesce(n.nt, 0)) AS BIGINT) AS n_tokens,
+         CAST(sum(f.n_chars) AS BIGINT) AS n_chars
+  FROM fin f JOIN documents d USING (doc_id) LEFT JOIN card_nt n USING (doc_id)
+  WHERE f.final_keep GROUP BY f.source, d.lang
+), card_tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS td,
+                       CAST(sum(n_tokens) AS BIGINT) AS tt FROM card_per)
+SELECT source, lang, n_docs, n_tokens, n_chars,
+       ${r4("CAST(n_docs AS DOUBLE) / td")} AS doc_share,
+       ${r4("CAST(n_tokens AS DOUBLE) / tt")} AS tok_share
+FROM card_per, card_tot"""
     base.replaceFirst("^\nWITH ", "\nWITH RECURSIVE ")
   }
 

@@ -572,10 +572,15 @@ object TextOps {
     * count, one rollup. Nothing here adds a shuffle the stages didn't
     * already pay.
     */
-  def corpusBuild(spark: SparkSession, sfDir: String, cap: Int = 20,
-                  evalMod: Long = 50L): DataFrame = {
+  /** The per-document staged keep flags of the corpus-build funnel —
+    * qc1 rolls them up per source, qc3's datasheet describes the final
+    * survivor set. One frame so the two reports can never disagree on
+    * which documents survived.
+    */
+  private[text] def corpusFlags(spark: SparkSession, sfDir: String, cap: Int,
+                                evalMod: Long): DataFrame = {
     require(cap >= 1, s"cap=$cap")
-    val docs = Tables.documents(spark, sfDir).select("doc_id", "source", "n_chars")
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "source", "lang", "n_chars")
     val q = qualityFilter(spark, sfDir).select(col("doc_id"), col("keep").as("q_keep"))
     val con = Dedup.decontaminate(spark, sfDir, 5, evalMod)
       .select(col("doc_id"), col("contaminated"))
@@ -594,6 +599,11 @@ object TextOps {
       .withColumn("d_keep", col("c_keep") && col("doc_id") === col("keeper"))
       .withColumn("crank", sum(when(col("d_keep"), 1L).otherwise(0L)).over(wCap))
       .withColumn("final_keep", col("d_keep") && col("crank") <= cap)
+  }
+
+  def corpusBuild(spark: SparkSession, sfDir: String, cap: Int = 20,
+                  evalMod: Long = 50L): DataFrame =
+    corpusFlags(spark, sfDir, cap, evalMod)
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("q_keep"), 1L).otherwise(0L)).as("n_quality"),
@@ -601,6 +611,38 @@ object TextOps {
         sum(when(col("d_keep"), 1L).otherwise(0L)).as("n_dedup"),
         sum(when(col("final_keep"), 1L).otherwise(0L)).as("n_final"),
         sum(when(col("final_keep"), col("n_chars")).otherwise(0L)).as("final_chars"))
+
+  /** qc3: the DATASHEET of the curated corpus — the data-composition
+    * table a model card ships (Datasheets for Datasets, Gebru et al.
+    * arXiv:1803.09010 §3.2; the "training data" section of every LLM
+    * report, public): for the documents that SURVIVE qc1's full
+    * funnel, the (source, lang) composition — doc/token/char volume
+    * and each cell's share of the final corpus. Built over the same
+    * per-doc staged frame as qc1 (one definition of "survived"), plus
+    * the session-cached token stage for volumes.
+    *
+    * Scale shape: the funnel stages are the cost and they're shared;
+    * the datasheet itself adds one |survivors| token join + a
+    * (source, lang) rollup with map-side partials + two one-row
+    * scalar broadcasts. Nothing new crosses an exchange at corpus
+    * scale.
+    */
+  def datasetCard(spark: SparkSession, sfDir: String, cap: Int = 20,
+                  evalMod: Long = 50L): DataFrame = {
+    val fin = corpusFlags(spark, sfDir, cap, evalMod)
+      .filter(col("final_keep"))
+      .select("doc_id", "source", "lang", "n_chars")
+    val nt = tokens(spark, sfDir).groupBy("doc_id").agg(count(lit(1)).as("nt"))
+    val per = fin.join(nt, Seq("doc_id"), "left")
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("nt"), lit(0L))).as("n_tokens"),
+        sum("n_chars").as("n_chars"))
+    val tot = per.agg(sum("n_docs").as("td"), sum("n_tokens").as("tt"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        Num.r4(col("n_docs").cast("double") / col("td")).as("doc_share"),
+        Num.r4(col("n_tokens").cast("double") / col("tt")).as("tok_share"))
   }
 
   /** qt21: per-source document cap — C4/Dolma-style corpus-balance

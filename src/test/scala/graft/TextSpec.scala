@@ -605,6 +605,25 @@ class TextSpec extends SparkSuite {
     assert(out === expected)
   }
 
+  test("qc3 datasheet reconciles with qc1's funnel exactly") {
+    val card = TextOps.datasetCard(spark, Sf01).cache()
+    val funnel = TextOps.corpusBuild(spark, Sf01).cache()
+    // per source: the datasheet's doc/char masses are qc1's final set
+    val agg = card.groupBy("source")
+      .agg(sum("n_docs").as("cd"), sum("n_chars").as("cc"))
+    val j = funnel.join(agg, Seq("source"), "left").cache()
+    assert(j.filter(col("n_final") > 0 &&
+      (col("cd").isNull || col("cd") =!= col("n_final") || col("cc") =!= col("final_chars")))
+      .count() === 0)
+    assert(j.filter(col("n_final") === 0 && col("cd").isNotNull).count() === 0)
+    // shares are a distribution over the final corpus (1e-4 grid × cells)
+    val n = card.count()
+    val sums = card.agg(sum("doc_share"), sum("tok_share")).head()
+    assert(math.abs(sums.getDouble(0) - 1.0) <= n * 1e-4)
+    assert(math.abs(sums.getDouble(1) - 1.0) <= n * 1e-4)
+    j.unpersist(); funnel.unpersist(); card.unpersist()
+  }
+
   test("qm7 frame near-dup == driver frame-signature intersection") {
     val out = graft.multimodal.BinaryMeta.frameNearDup(spark, Sf001).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
