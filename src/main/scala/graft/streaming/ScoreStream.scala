@@ -494,6 +494,47 @@ object ScoreStream {
       }
   }
 
+  case class RateState(times: Seq[Long])
+  case class RateVerdict(userId: Long, tsec: Long, nw: Long, flagged: Boolean)
+
+  /** Streaming twin of qe15's burst-rate audit — RATE LIMITING in
+    * flight: per user, each arriving event is stamped with the count
+    * of that user's events in the trailing `windowSec` (RANGE-frame
+    * semantics: events sharing a timestamp see the same full-second
+    * count) and flagged when the rate crosses `thr`. State per user is
+    * the in-window event times ONLY (eviction below t − windowSec on
+    * every arrival), so the state bound is the densest window — a
+    * bot's burst — not the stream's history; the audit's own threshold
+    * is what keeps that bound small in production (flagged users get
+    * throttled upstream). Events within a micro-batch sort by time, so
+    * the verdict stream equals the batch per-event counts whenever
+    * arrival respects event order per user (StreamingSpec asserts the
+    * per-user peak equals batch qe15's peak_rate over the corpus).
+    */
+  def burstRateStream(events: org.apache.spark.sql.Dataset[(Long, Long)],
+                      windowSec: Long = 86400L, thr: Long = 8L)
+      : org.apache.spark.sql.Dataset[RateVerdict] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    require(windowSec >= 1 && thr >= 1, s"windowSec=$windowSec thr=$thr")
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long)], state: GroupState[RateState]) =>
+          var times = state.getOption.map(_.times.toVector).getOrElse(Vector.empty[Long])
+          val sorted = rows.map(_._2).toVector.sorted
+          val out = new scala.collection.mutable.ArrayBuffer[RateVerdict](sorted.size)
+          // RANGE-frame parity: all events at one timestamp count each
+          // other, so emit per distinct second with that second's total
+          for ((t, grp) <- sorted.groupBy(identity).toSeq.sortBy(_._1)) {
+            times = (times ++ grp).filter(_ > t - windowSec)
+            val nw = times.count(s => s > t - windowSec && s <= t).toLong
+            grp.foreach(_ => out += RateVerdict(user, t, nw, nw >= thr))
+          }
+          state.update(RateState(times))
+          out.iterator
+      }
+  }
+
   case class PackState(cum: Long)
   case class ShardAssign(source: String, lang: String, docId: Long,
                          nToks: Long, shard: Long)

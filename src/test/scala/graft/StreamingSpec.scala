@@ -201,6 +201,36 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming burst rate: per-user peaks equal batch qe15 under ordered arrival") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val raw = graft.util.Tables.events(spark, Sf001)
+    val evs = raw.select(col("user_id"), graft.util.Ts.sec(raw).as("tsec"))
+      .as[(Long, Long)].collect().sortBy(e => (e._2, e._1))
+    // split so no (user, tsec) group straddles the batch boundary —
+    // RANGE-frame semantics need a second's cohort to arrive together
+    var cut = evs.length / 2
+    while (cut < evs.length && evs(cut) == evs(cut - 1)) cut += 1
+    val mem = MemoryStream[(Long, Long)]
+    val q = ScoreStream.burstRateStream(mem.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("burst_stream").start()
+    try {
+      val (h1, h2) = evs.splitAt(cut)
+      mem.addData(h1.toSeq); q.processAllAvailable()
+      mem.addData(h2.toSeq); q.processAllAvailable()
+      val got = spark.table("burst_stream").as[ScoreStream.RateVerdict].collect()
+      assert(got.length === evs.length, "one verdict per event")
+      val gotPeak = got.groupBy(_.userId)
+        .map { case (u, vs) => u -> (vs.length.toLong, vs.map(_.nw).max) }
+      val batch = graft.analytics.Events.burstRate(spark, Sf001).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(gotPeak === batch)
+      // the flag is the peak's threshold crossing, bit-for-bit
+      got.foreach(v => assert(v.flagged === (v.nw >= 8L)))
+    } finally q.stop()
+  }
+
   test("streaming attribution matches the batch qe10 rollup across a batch split") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
