@@ -122,6 +122,7 @@ object SparkEntry {
     "q57_learned_cleaning" -> ((s, d) => graft.timeseries.Forecast.learnedCleaningImpact(s, d)),
     "q58_conformal" -> ((s, d) => graft.timeseries.Forecast.conformalIntervals(s, d)),
     "qd17_dup_weight" -> ((s, d) => graft.text.Dedup.dupWeight(s, d)),
+    "qd18_containment" -> ((s, d) => graft.text.Dedup.containment(s, d)),
     "qt21_domain_cap" -> ((s, d) => graft.text.TextOps.domainCap(s, d)),
     "qt22_dsir_weights" -> ((s, d) => graft.text.TextOps.dsirWeights(s, d)),
     "qc1_corpus_build" -> ((s, d) => graft.text.TextOps.corpusBuild(s, d)),
@@ -557,6 +558,7 @@ object SparkEntry {
     "q57_learned_cleaning" -> graft.timeseries.TsOracle.q57(),
     "q58_conformal" -> graft.timeseries.TsOracle.q58(),
     "qd17_dup_weight" -> graft.text.DocOracle.qd17(),
+    "qd18_containment" -> graft.text.DocOracle.qd18(),
     "qc1_corpus_build" -> graft.text.DocOracle.qc1(),
     "qt22_dsir_weights" -> graft.text.DocOracle.qt22(),
     "qc2_epoch_shuffle" -> graft.text.DocOracle.qc2(),

@@ -423,6 +423,55 @@ object Dedup {
         Num.r4(col("inter") / (col("sza") + col("szb") - col("inter"))).as("jaccard"))
   }
 
+  /** qd18: containment mining — ASYMMETRIC near-dup detection
+    * (Broder 1997's containment c(A,B) = |S(A)∩S(B)| / min(|S(A)|,
+    * |S(B)|), "On the resemblance and containment of documents",
+    * public): the doc-IN-doc signal the Jaccard-tuned LSH graph
+    * structurally misses — a short doc fully quoted inside a long one
+    * has low resemblance (so qd2 never pairs it) but containment ≈ 1.
+    *
+    * Blocking is RARE-SHINGLE postings, not LSH bands: shingles in
+    * ≤ maxDf docs post their docs; pairs sharing ≥ minShared rare
+    * shingles become candidates (stop-shingle df cap bounds any
+    * posting list's pair product — qm7/qd4's discipline); the EXACT
+    * intersection then runs once per candidate over the packed sorted
+    * hash arrays (qd4's merge-walk codegen kernel, arrays moved once
+    * through shuffle-hash joins). The distinct-shingle-hash stage is
+    * session-cached — FIVE consumers read one materialization.
+    */
+  def containment(spark: SparkSession, sfDir: String, n: Int = 3,
+                  maxDf: Long = 20L, minShared: Long = 3L,
+                  thr: Double = 0.5): DataFrame = {
+    require(maxDf >= 2 && minShared >= 1, s"maxDf=$maxDf minShared=$minShared")
+    graft.functions.VectorExprs.register(spark)
+    val shd = graft.util.StageCache.cached(spark, sfDir, s"shd60_$n") {
+      shingles(spark, sfDir, n)
+        .select(col("doc_id"), strHash60(col("sh")).as("shh")).distinct()
+    }
+    val rare = shd.join(
+      shd.groupBy("shh").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf).select("shh"),
+      "shh")
+    val cand = rare.select(col("doc_id").as("doc_a"), col("shh"))
+      .join(rare.select(col("doc_id").as("doc_b"), col("shh")), "shh")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_rare"))
+      .filter(col("n_rare") >= minShared)
+    val shArr = shd.groupBy("doc_id")
+      .agg(sort_array(collect_list("shh")).as("shs"), count(lit(1)).as("sz"))
+    val c = expr("graft_sorted_inter(sa, sb)").cast("long") / least(col("sza"), col("szb"))
+    cand
+      .join(shArr.select(col("doc_id").as("doc_a"), col("shs").as("sa"),
+        col("sz").as("sza")).hint("shuffle_hash"), Seq("doc_a"))
+      .join(shArr.select(col("doc_id").as("doc_b"), col("shs").as("sb"),
+        col("sz").as("szb")).hint("shuffle_hash"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_rare"),
+        expr("graft_sorted_inter(sa, sb)").cast("long").as("inter"),
+        col("sza"), col("szb"),
+        Num.r4(c).as("containment"),
+        when(c >= thr, 1L).otherwise(0L).as("contained"))
+  }
+
   /** qd13: longest shared token span per near-dup candidate pair — the
     * exact-substring-duplication signal (Lee et al. 2022,
     * "Deduplicating Training Data Makes Language Models Better",

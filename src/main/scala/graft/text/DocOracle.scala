@@ -110,6 +110,33 @@ sharr AS (
 SELECT doc_a, doc_b, ${r4("inter / (sza + szb - inter)")} AS jaccard
 FROM inter WHERE inter > 0"""
 
+  /** Mirrors Dedup.containment — rare-shingle postings → candidate
+    * pairs → exact list_intersect over the same 60-bit hashes.
+    */
+  def qd18(maxDf: Long = 20L, minShared: Long = 3L, thr: Double = 0.5): String =
+    toksCte + shinglesCte(3, "sh3") + s"""
+, shd AS (SELECT DISTINCT doc_id, ${h60("sh")} AS shh FROM sh3),
+dfc AS (SELECT shh, count(*) AS df FROM shd GROUP BY shh),
+rare AS (SELECT s.doc_id, s.shh FROM shd s JOIN dfc USING (shh) WHERE df <= $maxDf),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_rare
+  FROM rare a JOIN rare b ON a.shh = b.shh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= $minShared
+), sharr AS (
+  SELECT doc_id, list_sort(list(shh)) AS shs, count(*) AS sz FROM shd GROUP BY doc_id
+), inter AS (
+  SELECT c.doc_a, c.doc_b, c.n_rare,
+         CAST(len(list_intersect(sa.shs, sb.shs)) AS BIGINT) AS inter,
+         sa.sz AS sza, sb.sz AS szb
+  FROM cand c JOIN sharr sa ON sa.doc_id = c.doc_a
+              JOIN sharr sb ON sb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, n_rare, inter, sza, szb,
+       ${r4("CAST(inter AS DOUBLE) / least(sza, szb)")} AS containment,
+       CAST(CASE WHEN CAST(inter AS DOUBLE) / least(sza, szb) >= $thr
+                 THEN 1 ELSE 0 END AS BIGINT) AS contained
+FROM inter"""
+
   /** qd8: MinHash estimate vs exact Jaccard for LSH candidate pairs. */
   def qd8(nPerm: Int = 16, bandRows: Int = 4): String = toksCte + shinglesCte(3, "sh3") + s"""
 , shd AS (SELECT DISTINCT doc_id, sh, ${h("sh")} AS bh FROM sh3),

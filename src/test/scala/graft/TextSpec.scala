@@ -656,6 +656,40 @@ class TextSpec extends SparkSuite {
     assert(out.nonEmpty, "the corpus's exact dups must collide on frames")
   }
 
+  test("qd18 containment == driver rare-shingle recompute; bounds hold") {
+    val out = Dedup.containment(spark, Sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6), r.getLong(7)))
+      .toMap
+    val docs = spark.read.parquet(s"$Sf001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty)).sortBy(_._1)
+    // 60-bit md5-prefix hash of each distinct 3-shingle, as TextCore does
+    def shSet(t: Array[String]): Set[Long] =
+      t.sliding(3).filter(_.length == 3).map { w =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(w.mkString(" ").getBytes("UTF-8"))
+        java.lang.Long.parseLong(d.take(8).map("%02x".format(_)).mkString.take(15), 16)
+      }.toSet
+    val sets = docs.map { case (id, t) => id -> shSet(t) }
+    val df = sets.flatMap(_._2).groupBy(identity).map { case (h, xs) => h -> xs.length }
+    val expected = (for {
+      i <- sets.indices; j <- (i + 1) until sets.length
+      nRare = (sets(i)._2 & sets(j)._2).count(df(_) <= 20)
+      if nRare >= 3
+      inter = (sets(i)._2 & sets(j)._2).size.toLong
+      (sza, szb) = (sets(i)._2.size.toLong, sets(j)._2.size.toLong)
+      c = inter.toDouble / math.min(sza, szb)
+    } yield (sets(i)._1, sets(j)._1) ->
+      (nRare.toLong, inter, sza, szb,
+        math.floor(c * 10000d + 0.5d) / 10000d, if (c >= 0.5) 1L else 0L)).toMap
+    assert(out === expected)
+    assert(out.nonEmpty)
+    out.values.foreach { case (nRare, inter, sza, szb, c, _) =>
+      assert(nRare <= inter && inter <= math.min(sza, szb) && c > 0.0 && c <= 1.0)
+    }
+  }
+
   test("qd13 dup spans == driver longest-common-run over LSH pairs") {
     val out = Dedup.dupSpans(spark, Sf001).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
