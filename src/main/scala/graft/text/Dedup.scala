@@ -373,16 +373,29 @@ object Dedup {
     * exactly one key — no theta-join, no post-hoc distinct.
     */
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame =
-    ngramJaccardFrom(
+    ngramJaccardFromHashed(
       Tables.documents(spark, sfDir),
-      shingles(spark, sfDir, 3))
+      shd60(spark, sfDir, 3))
+
+  /** Distinct (doc_id, 60-bit shingle hash) — session-cached: qd4's
+    * packed arrays and qd18's rare-shingle postings both start here.
+    */
+  private[graft] def shd60(spark: SparkSession, sfDir: String, n: Int): DataFrame =
+    graft.util.StageCache.cached(spark, sfDir, s"shd60_$n") {
+      shingles(spark, sfDir, n)
+        .select(col("doc_id"), strHash60(col("sh")).as("shh")).distinct()
+    }
 
   /** qd4 core over explicit inputs (docs: doc_id/lang/n_chars/…;
     * shingleRows: doc_id/sh) — separated so specs can drive synthetic
     * corpora through the exact operator plan.
     */
-  private[graft] def ngramJaccardFrom(docsIn: DataFrame, shingleRows: DataFrame): DataFrame = {
-    graft.functions.VectorExprs.register(shingleRows.sparkSession)
+  private[graft] def ngramJaccardFrom(docsIn: DataFrame, shingleRows: DataFrame): DataFrame =
+    ngramJaccardFromHashed(docsIn,
+      shingleRows.select(col("doc_id"), strHash60(col("sh")).as("shh")).distinct())
+
+  private def ngramJaccardFromHashed(docsIn: DataFrame, shd: DataFrame): DataFrame = {
+    graft.functions.VectorExprs.register(shd.sparkSession)
     val docs = docsIn
       .select(col("doc_id"), col("lang"), floor(col("n_chars") / 20).as("blk"))
     val probes = docs
@@ -401,8 +414,7 @@ object Dedup {
     // (~50M rows × 2 shuffles at sf0.1; the array form moves each
     // pair's two ~0.4 KB arrays exactly once, and the per-doc array
     // table is small enough to broadcast until the corpus is huge).
-    val shArr = shingleRows
-      .select(col("doc_id"), strHash60(col("sh")).as("shh")).distinct()
+    val shArr = shd
       .groupBy("doc_id")
       .agg(sort_array(collect_list("shh")).as("shs"), count(lit(1)).as("sz"))
       .localCheckpoint(eager = false)
@@ -444,10 +456,7 @@ object Dedup {
                   thr: Double = 0.5): DataFrame = {
     require(maxDf >= 2 && minShared >= 1, s"maxDf=$maxDf minShared=$minShared")
     graft.functions.VectorExprs.register(spark)
-    val shd = graft.util.StageCache.cached(spark, sfDir, s"shd60_$n") {
-      shingles(spark, sfDir, n)
-        .select(col("doc_id"), strHash60(col("sh")).as("shh")).distinct()
-    }
+    val shd = shd60(spark, sfDir, n)
     val rare = shd.join(
       shd.groupBy("shh").agg(count(lit(1)).as("df"))
         .filter(col("df") <= maxDf).select("shh"),
