@@ -605,6 +605,31 @@ class TextSpec extends SparkSuite {
     assert(out === expected)
   }
 
+  test("qc2 permutation contract holds for any shard count / epoch count") {
+    val nDocs = graft.util.Tables.documents(spark, Sf001).count()
+    for (nShards <- Seq(1, 3)) {
+      val d = TextOps.epochShuffle(spark, Sf001, nShards = nShards, nEpochs = 3).cache()
+      assert(d.count() === 3 * nDocs)
+      assert(d.select("epoch", "doc_id").distinct().count() === 3 * nDocs)
+      val bad = d.groupBy("epoch", "shard")
+        .agg(count(lit(1)).as("n"), min("pos").as("lo"), max("pos").as("hi"))
+        .filter(col("lo") =!= 1L || col("hi") =!= col("n"))
+      assert(bad.count() === 0, s"nShards=$nShards: positions must stay contiguous")
+      assert(d.filter(col("shard") < 0 || col("shard") >= nShards).count() === 0)
+      d.unpersist()
+    }
+  }
+
+  test("qt22 feature counts are bucket-width invariant") {
+    // n_feat counts features, not buckets — rehashing into a different
+    // width must leave every doc's count (and the row set) unchanged
+    val a = TextOps.dsirWeights(spark, Sf001, nBuckets = 16)
+      .select("doc_id", "n_feat")
+    val b = TextOps.dsirWeights(spark, Sf001, nBuckets = 256)
+      .select("doc_id", "n_feat")
+    assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
+  }
+
   test("qc3 datasheet reconciles with qc1's funnel exactly") {
     val card = TextOps.datasetCard(spark, Sf01).cache()
     val funnel = TextOps.corpusBuild(spark, Sf01).cache()
