@@ -125,6 +125,7 @@ object SparkEntry {
     "qd18_containment" -> ((s, d) => graft.text.Dedup.containment(s, d)),
     "qt21_domain_cap" -> ((s, d) => graft.text.TextOps.domainCap(s, d)),
     "qt22_dsir_weights" -> ((s, d) => graft.text.TextOps.dsirWeights(s, d)),
+    "qt23_pii_redact" -> ((s, d) => graft.text.TextOps.piiRedact(s, d)),
     "qc1_corpus_build" -> ((s, d) => graft.text.TextOps.corpusBuild(s, d)),
     "qc2_epoch_shuffle" -> ((s, d) => graft.text.TextOps.epochShuffle(s, d)),
     "qc3_dataset_card" -> ((s, d) => graft.text.TextOps.datasetCard(s, d)),
@@ -561,6 +562,7 @@ object SparkEntry {
     "qd18_containment" -> graft.text.DocOracle.qd18(),
     "qc1_corpus_build" -> graft.text.DocOracle.qc1(),
     "qt22_dsir_weights" -> graft.text.DocOracle.qt22(),
+    "qt23_pii_redact" -> graft.text.DocOracle.qt23(),
     "qc2_epoch_shuffle" -> graft.text.DocOracle.qc2(),
     "qc3_dataset_card" -> graft.text.DocOracle.qc3(),
     "qt21_domain_cap" -> """

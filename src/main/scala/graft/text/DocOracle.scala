@@ -1293,6 +1293,29 @@ SELECT doc_id, n_email, n_phone, n_ipv4,
 FROM pii"""
   }
 
+  /** Mirrors TextOps.piiRedact — the same patterns, placeholders and
+    * chain order over the progressively redacted string ('g' flag =
+    * Spark's replace-all default).
+    */
+  def qt23(): String = {
+    val stages = graft.text.TextOps.piiPatterns.zipWithIndex.map {
+      case ((name, pat), i) =>
+        val p = pat.replace("'", "''")
+        val repl = graft.text.TextOps.piiPlaceholders(name)
+        val carry = (1 to i).map(j => s"c$j, ").mkString
+        s"""r${i + 1} AS (
+  SELECT doc_id, ${carry}regexp_replace(t$i, '$p', '$repl', 'g') AS t${i + 1},
+         CAST(len(regexp_extract_all(t$i, '$p')) AS BIGINT) AS c${i + 1}
+  FROM r$i)"""
+    }
+    val k = graft.text.TextOps.piiPatterns.length
+    s"""WITH r0 AS (SELECT doc_id, text AS t0 FROM documents),
+${stages.mkString(",\n")}
+SELECT doc_id, t$k AS text_redacted,
+       ${(1 to k).map(i => s"c$i").mkString(" + ")} AS n_redact
+FROM r$k"""
+  }
+
   def qt16(minBits: Double = 3.0): String = {
     val counts = graft.text.TextOps.entropyAlphabet.zipWithIndex.map { case (c, i) =>
       val lit = if (c == "'") "''" else c

@@ -483,6 +483,37 @@ object TextOps {
         when(piiPatterns.map(p => col(s"n_${p._1}")).reduce(_ + _) > 0, 1).otherwise(0))
   }
 
+  /** Placeholder each PII pattern redacts to — shared with the qt23
+    * oracle so both engines rewrite identically.
+    */
+  private[text] val piiPlaceholders: Map[String, String] =
+    Map("email" -> "<EMAIL>", "phone" -> "<PHONE>", "ipv4" -> "<IP>")
+
+  /** qt23: PII REDACTION — the rewrite half of qt19's scan (scan gates,
+    * redact ships): every match of the shared engine-agreeing pattern
+    * list is replaced with its typed placeholder, and the doc carries
+    * its replacement count. Patterns chain in a FIXED order over the
+    * progressively redacted string in both engines, so cross-pattern
+    * interactions (an IPv4 swallowed by an email's domain) resolve
+    * identically — the count is per-stage, which is why it can differ
+    * from qt19's independent per-pattern counts by design.
+    *
+    * Scale shape: qt19's — a stateless zero-shuffle codegen projection;
+    * the corpus rewrite is embarrassingly parallel and composes with
+    * any downstream writer.
+    */
+  def piiRedact(spark: SparkSession, sfDir: String): DataFrame =
+    piiRedactCore(Tables.documents(spark, sfDir))
+
+  private[graft] def piiRedactCore(docs: DataFrame): DataFrame = {
+    val start: (Column, Column) = (col("text"), lit(0L))
+    val (red, n) = piiPatterns.foldLeft(start) { case ((t, acc), (name, pat)) =>
+      (regexp_replace(t, pat, piiPlaceholders(name)),
+        acc + size(regexp_extract_all(t, lit(pat), lit(0))).cast("long"))
+    }
+    docs.select(col("doc_id"), red.as("text_redacted"), n.as("n_redact"))
+  }
+
   /** The character alphabet qt16 histograms over — this corpus is
     * lowercase words + spaces, so 26 letters + ' ' covers it; anything
     * else lands in the `other` bucket. Shared with DocOracle.qt16 so

@@ -790,8 +790,19 @@ FROM pows"""
     * expression [[featurePred]] over these exact doubles is what makes
     * saved-model scoring bit-identical to the in-session fit.
     */
+  /** Session-cached for the same reason as Impute.imputerCoefs: the
+    * fitted model is ONE realization per session — raw-double stat
+    * sums are partition-order-sensitive in the last ulp, so save and
+    * serve must read the same materialization.
+    */
   private[graft] def featureCoefs(spark: SparkSession, sfDir: String,
-                                  lambda: Double = 0.001, rollH: Int = 12): DataFrame = {
+                                  lambda: Double = 0.001, rollH: Int = 12): DataFrame =
+    graft.util.StageCache.cached(spark, sfDir, s"featurecoefs_${lambda}_$rollH") {
+      featureCoefsBuild(spark, sfDir, lambda, rollH)
+    }
+
+  private def featureCoefsBuild(spark: SparkSession, sfDir: String,
+                                lambda: Double, rollH: Int): DataFrame = {
     require(lambda > 0, s"lambda=$lambda: ridge needs a positive diagonal")
     val p = 6
     val base = featureBase(spark, sfDir, rollH)

@@ -94,8 +94,24 @@ object Impute {
     * over these exact doubles makes saved-model imputation
     * bit-identical to the in-session fit.
     */
+  /** Session-cached: the FIT is one materialization per session — every
+    * consumer (q55's apply, q57's eval, ModelStore.saveImputer, the
+    * spec's live path) reads the SAME realized coefficients. Without
+    * this, the raw-double sufficient-statistics sums re-run per
+    * consumer with a different partition merge order, and two
+    * realizations can differ in the last ulp — exactly the
+    * intermittent bit-for-bit mismatch ModelStoreSpec caught. A fitted
+    * model is a session ARTIFACT, not a recomputable view: serve from
+    * the materialization (or the saved parquet), never refit inline.
+    */
   private[graft] def imputerCoefs(spark: SparkSession, sfDir: String,
-                                  maskSize: Int = 8, lambda: Double = 0.01): DataFrame = {
+                                  maskSize: Int = 8, lambda: Double = 0.01): DataFrame =
+    graft.util.StageCache.cached(spark, sfDir, s"imputercoefs_${maskSize}_$lambda") {
+      imputerCoefsBuild(spark, sfDir, maskSize, lambda)
+    }
+
+  private def imputerCoefsBuild(spark: SparkSession, sfDir: String,
+                                maskSize: Int, lambda: Double): DataFrame = {
     require(lambda > 0, s"lambda=$lambda: ridge needs a positive diagonal")
     import graft.util.Joins
     val bound = TsCore.splitBoundary(spark, sfDir)

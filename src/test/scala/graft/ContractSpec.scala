@@ -35,14 +35,14 @@ class ContractSpec extends AnyFunSuite {
 
   test("the bench JSON line fits the driver's 2000-byte output window") {
     // project the worst case Bench can emit: every query at the widest
-    // 4-char adaptive rendering ("99.9" / "999"), the fixed envelope,
+    // 3-char adaptive rendering ("9.9" / "999"), the fixed envelope,
     // the sf basename, AND an errors array of 8 failed names (modeled
     // conservatively WITHOUT removing their per-query entries) —
     // truncation here is the BENCH_r03/r04 'parsed: null' failure mode,
     // caught at build time instead of round end
     val keys = SparkEntry.queries.keySet.toSeq.sorted
     val worstQueries = keys
-      .map(k => "\"" + k.takeWhile(_ != '_') + "\":99.9")
+      .map(k => "\"" + k.takeWhile(_ != '_') + "\":999")
       .mkString("{", ",", "}")
     val worstErrs = keys.take(8).map(k => "\"" + k.takeWhile(_ != '_') + "\"")
       .mkString(""","errors":[""", ",", "]")

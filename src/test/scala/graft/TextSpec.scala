@@ -861,6 +861,28 @@ class TextSpec extends SparkSuite {
     assert(got(6L) === ((0L, 0L, 0L, 0)))
   }
 
+  test("qt23 PII redact rewrites planted matches and counts them") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "contact alice.smith+x@example.co.uk or bob@sub.domain.org thanks"),
+      (2L, "server 10.0.0.1 talked to 192.168.001.254 then died"),
+      (3L, "call 555-123-4567 today"),
+      (4L, "no sensitive content here"),
+      (5L, "")).toDF("doc_id", "text")
+    val got = graft.text.TextOps.piiRedactCore(docs).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got(1L) === (("contact <EMAIL> or <EMAIL> thanks", 2L)))
+    assert(got(2L) === (("server <IP> talked to <IP> then died", 2L)))
+    assert(got(3L) === (("call <PHONE> today", 1L)))
+    assert(got(4L) === (("no sensitive content here", 0L)))
+    assert(got(5L) === (("", 0L)))
+    // on the real corpus the redacted text must contain no residual match
+    val res = graft.text.TextOps.piiRedact(spark, Sf001)
+    val residual = graft.text.TextOps.piiScanCore(
+      res.select(col("doc_id"), col("text_redacted").as("text")))
+    assert(residual.filter(col("has_pii") === 1).count() === 0)
+  }
+
   test("qv13 k-means == driver Lloyd recompute; inertia non-increasing over rounds") {
     def r4(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
     def r6(x: Double): Double = math.floor(x * 1000000 + 0.5) / 1000000
