@@ -609,7 +609,16 @@ object TextOps {
     * which documents survived.
     */
   private[text] def corpusFlags(spark: SparkSession, sfDir: String, cap: Int,
-                                evalMod: Long): DataFrame = {
+                                evalMod: Long): DataFrame =
+    // session-cached: the funnel's join/window chain is the cost both
+    // qc1 and qc3 pay — one materialization (the staged per-doc flags
+    // table a real build would persist between the report and the card)
+    graft.util.StageCache.cached(spark, sfDir, s"corpusflags_${cap}_$evalMod") {
+      corpusFlagsBuild(spark, sfDir, cap, evalMod)
+    }
+
+  private def corpusFlagsBuild(spark: SparkSession, sfDir: String, cap: Int,
+                               evalMod: Long): DataFrame = {
     require(cap >= 1, s"cap=$cap")
     val docs = Tables.documents(spark, sfDir).select("doc_id", "source", "lang", "n_chars")
     val q = qualityFilter(spark, sfDir).select(col("doc_id"), col("keep").as("q_keep"))
