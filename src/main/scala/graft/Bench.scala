@@ -103,17 +103,17 @@ object Bench {
     // (centiseconds under 10 s, deciseconds above — both far inside the
     // measured ~25% run noise) and the sfDir BASENAME keep the typical
     // line ~1830 bytes; ContractSpec bounds the projected worst case.
-    // value width caps at 4 chars ("9.99" / "99.9" / "999"): the
-    // coarser precision on slower queries is far inside the ~25%
-    // single-run noise, and the fixed width is what keeps the
-    // worst-case line (with an errors array) inside the window
-    // value width caps at 3 chars ("9.9" / "99" / "999"): 166 queries at
-    // 4-char values pushed the projected worst-case line past the
-    // driver's 2000-byte window (ContractSpec); decisecond precision
-    // under 10 s stays far inside the measured ~25% single-run noise
+    // value width caps at 3 chars ("9.9" / "99" / "999") — ENFORCED,
+    // not assumed: %.1f rounds 9.95..10 up to the 4-char "10.0" and
+    // %.0f is 4 chars from 999.5, so the bands pre-round and clamp.
+    // 166 queries at 4-char values would push the projected worst-case
+    // line past the driver's 2000-byte window (ContractSpec models the
+    // uniform-3-char worst case); decisecond precision under 10 s is
+    // far inside the measured ~25% single-run noise, and a 999-capped
+    // value only ever misreports a query that already ran >16 minutes.
     val qs = results.map { case (k, v) =>
       "\"" + k.takeWhile(_ != '_') + "\":" +
-        (if (v < 10) f"$v%.1f" else f"$v%.0f")
+        (if (v < 9.95) f"$v%.1f" else f"${math.min(v, 999.0)}%.0f")
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val errs =

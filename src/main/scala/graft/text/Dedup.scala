@@ -466,8 +466,11 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_rare"))
       .filter(col("n_rare") >= minShared)
+    // localCheckpoint: joined on BOTH pair sides (qd4's discipline) —
+    // without it the corpus-wide collect_list agg would run twice
     val shArr = shd.groupBy("doc_id")
       .agg(sort_array(collect_list("shh")).as("shs"), count(lit(1)).as("sz"))
+      .localCheckpoint(eager = false)
     val c = expr("graft_sorted_inter(sa, sb)").cast("long") / least(col("sza"), col("szb"))
     cand
       .join(shArr.select(col("doc_id").as("doc_a"), col("shs").as("sa"),

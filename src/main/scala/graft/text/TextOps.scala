@@ -744,13 +744,19 @@ object TextOps {
     * hash agg. No join grows with corpus size × corpus size — exactly
     * the shape DSIR needs to score a 100 TB crawl in one pass.
     */
-  /** qt22's hashed feature stream: (doc_id, source, bucket). */
+  /** qt22's hashed feature stream: (doc_id, source, bucket).
+    * Session-cached — the model fit and the per-doc scoring pass both
+    * read it, and ModelStore.saveDsir + an in-session score would
+    * otherwise re-run the explode+hash chain per consumer.
+    */
   private def dsirFeatures(spark: SparkSession, sfDir: String,
                            nBuckets: Int): DataFrame =
-    tokens(spark, sfDir).select(col("doc_id"), col("tok").as("f"))
-      .unionByName(shingles(spark, sfDir, 2).select(col("doc_id"), col("sh").as("f")))
-      .join(Tables.documents(spark, sfDir).select("doc_id", "source"), "doc_id")
-      .select(col("doc_id"), col("source"), (strHash(col("f")) % nBuckets).as("b"))
+    graft.util.StageCache.cached(spark, sfDir, s"dsirfeat_$nBuckets") {
+      tokens(spark, sfDir).select(col("doc_id"), col("tok").as("f"))
+        .unionByName(shingles(spark, sfDir, 2).select(col("doc_id"), col("sh").as("f")))
+        .join(Tables.documents(spark, sfDir).select("doc_id", "source"), "doc_id")
+        .select(col("doc_id"), col("source"), (strHash(col("f")) % nBuckets).as("b"))
+    }
 
   /** qt22's trained model: DENSE per-bucket quantized log-ratio table
     * (b → lrq), one row for every bucket 0..nBuckets-1. Buckets no
@@ -760,7 +766,15 @@ object TextOps {
     * artifact must define every bucket ([[graft.timeseries.ModelStore.saveDsir]]).
     */
   def dsirModel(spark: SparkSession, sfDir: String, target: String = "src0",
-                nBuckets: Int = 64): DataFrame = {
+                nBuckets: Int = 64): DataFrame =
+    // session-cached (model-as-artifact discipline): the fit runs once;
+    // saveDsir and every in-session scorer read the same realization
+    graft.util.StageCache.cached(spark, sfDir, s"dsirmodel_${target}_$nBuckets") {
+      dsirModelBuild(spark, sfDir, target, nBuckets)
+    }
+
+  private def dsirModelBuild(spark: SparkSession, sfDir: String, target: String,
+                             nBuckets: Int): DataFrame = {
     require(nBuckets >= 2, s"nBuckets=$nBuckets")
     val cnt = dsirFeatures(spark, sfDir, nBuckets).groupBy("b").agg(
       sum(when(col("source") === target, 1L).otherwise(0L)).as("ct"),
