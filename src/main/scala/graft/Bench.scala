@@ -111,9 +111,14 @@ object Bench {
     // uniform-3-char worst case); decisecond precision under 10 s is
     // far inside the measured ~25% single-run noise, and a 999-capped
     // value only ever misreports a query that already ran >16 minutes.
+    // Locale.ROOT, not the f-interpolator: f"%.1f" uses the JVM default
+    // locale, and a comma-decimal locale (de_DE…) would emit "9,9" —
+    // invalid JSON, the same driver parse failure by another road.
+    def num(fmt: String, x: Double): String =
+      String.format(java.util.Locale.ROOT, fmt, Double.box(x))
     val qs = results.map { case (k, v) =>
       "\"" + k.takeWhile(_ != '_') + "\":" +
-        (if (v < 9.95) f"$v%.1f" else f"${math.min(v, 999.0)}%.0f")
+        (if (v < 9.95) num("%.1f", v) else num("%.0f", math.min(v, 999.0)))
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val errs =
@@ -121,7 +126,7 @@ object Bench {
       else failed.map(n => "\"" + n.takeWhile(_ != '_') + "\"")
         .mkString(""","errors":[""", ",", "]")
     val sfTag = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$errs,"sf":"$sfTag"}""")
+    println(s"""{"metric":"total","value":${num("%.3f", total)},"unit":"sec","queries":$qs$errs,"sf":"$sfTag"}""")
     spark.stop()
   }
 }

@@ -350,8 +350,12 @@ object BinaryMeta {
     // materialization each re-runs the mapPartitions decode + distinct
     val kept = graft.util.StageCache.cached(spark, sfDir,
         s"framekept_${frameSize}_${k}_$maxDf") {
+      // fr checkpoints first: it sits on both sides of the df-cap join,
+      // and without materialization the mapPartitions decode + distinct
+      // would run twice inside this one build
       val fr = frameSample(spark, sfDir, frameSize, k)
         .select("doc_id", "frame_hash").distinct()
+        .localCheckpoint(eager = false)
       fr.join(
         fr.groupBy("frame_hash").agg(count(lit(1)).as("df"))
           .filter(col("df") <= maxDf).select("frame_hash"),

@@ -512,26 +512,45 @@ object ScoreStream {
     * per-user peak equals batch qe15's peak_rate over the corpus).
     */
   def burstRateStream(events: org.apache.spark.sql.Dataset[(Long, Long)],
-                      windowSec: Long = 86400L, thr: Long = 8L)
+                      windowSec: Long = 86400L, thr: Long = 8L,
+                      idleTtl: Option[String] = None)
       : org.apache.spark.sql.Dataset[RateVerdict] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import events.sparkSession.implicits._
     require(windowSec >= 1 && thr >= 1, s"windowSec=$windowSec thr=$thr")
+    // TOTAL-state bound: per-key state is bounded by the densest window,
+    // but eviction only runs on a key's own arrivals, so keys ever seen
+    // accumulate. Production passes idleTtl = Some("2 hours"): idle
+    // keys' state drops on the processing-time timeout and the store
+    // tracks ACTIVE users only (a returning user restarts with an empty
+    // window — with any ttl ≥ windowSec under prompt delivery that
+    // loses nothing). Default None keeps NoTimeout for deterministic
+    // batch-parity tests: pending processing-time timeouts make
+    // processAllAvailable wait on the no-data timeout batch.
+    val mode =
+      if (idleTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events.groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState(OutputMode.Append, mode) {
         (user: Long, rows: Iterator[(Long, Long)], state: GroupState[RateState]) =>
-          var times = state.getOption.map(_.times.toVector).getOrElse(Vector.empty[Long])
-          val sorted = rows.map(_._2).toVector.sorted
-          val out = new scala.collection.mutable.ArrayBuffer[RateVerdict](sorted.size)
-          // RANGE-frame parity: all events at one timestamp count each
-          // other, so emit per distinct second with that second's total
-          for ((t, grp) <- sorted.groupBy(identity).toSeq.sortBy(_._1)) {
-            times = (times ++ grp).filter(_ > t - windowSec)
-            val nw = times.count(s => s > t - windowSec && s <= t).toLong
-            grp.foreach(_ => out += RateVerdict(user, t, nw, nw >= thr))
+          if (!rows.hasNext) {
+            if (state.hasTimedOut) state.remove()
+            Iterator.empty
+          } else {
+            var times = state.getOption.map(_.times.toVector).getOrElse(Vector.empty[Long])
+            val sorted = rows.map(_._2).toVector.sorted
+            val out = new scala.collection.mutable.ArrayBuffer[RateVerdict](sorted.size)
+            // RANGE-frame parity: all events at one timestamp count each
+            // other, so emit per distinct second with that second's total
+            for ((t, grp) <- sorted.groupBy(identity).toSeq.sortBy(_._1)) {
+              times = (times ++ grp).filter(_ > t - windowSec)
+              val nw = times.count(s => s > t - windowSec && s <= t).toLong
+              grp.foreach(_ => out += RateVerdict(user, t, nw, nw >= thr))
+            }
+            state.update(RateState(times))
+            idleTtl.foreach(state.setTimeoutDuration)
+            out.iterator
           }
-          state.update(RateState(times))
-          out.iterator
       }
   }
 

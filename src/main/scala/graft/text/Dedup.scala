@@ -373,9 +373,9 @@ object Dedup {
     * exactly one key — no theta-join, no post-hoc distinct.
     */
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame =
-    ngramJaccardFromHashed(
+    ngramJaccardFromArr(
       Tables.documents(spark, sfDir),
-      shd60(spark, sfDir, 3))
+      shArr60(spark, sfDir, 3))
 
   /** Distinct (doc_id, 60-bit shingle hash) — session-cached: qd4's
     * packed arrays and qd18's rare-shingle postings both start here.
@@ -386,16 +386,30 @@ object Dedup {
         .select(col("doc_id"), strHash60(col("sh")).as("shh")).distinct()
     }
 
+  /** Per-doc packed sorted hash arrays over [[shd60]] — session-cached:
+    * qd4's pair intersection and qd18's containment verify both join
+    * this table on BOTH pair sides; one collect_list materialization
+    * serves all four probes.
+    */
+  private[graft] def shArr60(spark: SparkSession, sfDir: String, n: Int): DataFrame =
+    graft.util.StageCache.cached(spark, sfDir, s"sharr60_$n") {
+      shd60(spark, sfDir, n).groupBy("doc_id")
+        .agg(sort_array(collect_list("shh")).as("shs"), count(lit(1)).as("sz"))
+    }
+
   /** qd4 core over explicit inputs (docs: doc_id/lang/n_chars/…;
     * shingleRows: doc_id/sh) — separated so specs can drive synthetic
     * corpora through the exact operator plan.
     */
   private[graft] def ngramJaccardFrom(docsIn: DataFrame, shingleRows: DataFrame): DataFrame =
-    ngramJaccardFromHashed(docsIn,
-      shingleRows.select(col("doc_id"), strHash60(col("sh")).as("shh")).distinct())
+    ngramJaccardFromArr(docsIn,
+      shingleRows.select(col("doc_id"), strHash60(col("sh")).as("shh")).distinct()
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list("shh")).as("shs"), count(lit(1)).as("sz"))
+        .localCheckpoint(eager = false))
 
-  private def ngramJaccardFromHashed(docsIn: DataFrame, shd: DataFrame): DataFrame = {
-    graft.functions.VectorExprs.register(shd.sparkSession)
+  private def ngramJaccardFromArr(docsIn: DataFrame, shArr: DataFrame): DataFrame = {
+    graft.functions.VectorExprs.register(shArr.sparkSession)
     val docs = docsIn
       .select(col("doc_id"), col("lang"), floor(col("n_chars") / 20).as("blk"))
     val probes = docs
@@ -414,10 +428,6 @@ object Dedup {
     // (~50M rows × 2 shuffles at sf0.1; the array form moves each
     // pair's two ~0.4 KB arrays exactly once, and the per-doc array
     // table is small enough to broadcast until the corpus is huge).
-    val shArr = shd
-      .groupBy("doc_id")
-      .agg(sort_array(collect_list("shh")).as("shs"), count(lit(1)).as("sz"))
-      .localCheckpoint(eager = false)
     // shuffle-hash, not sort-merge: the pair stream carries the ~0.4 KB
     // arrays after the first join, and SMJ would SORT that wide stream
     // on doc_b (memory churn ≫ the join itself); SHJ hashes the small
@@ -466,11 +476,7 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_rare"))
       .filter(col("n_rare") >= minShared)
-    // localCheckpoint: joined on BOTH pair sides (qd4's discipline) —
-    // without it the corpus-wide collect_list agg would run twice
-    val shArr = shd.groupBy("doc_id")
-      .agg(sort_array(collect_list("shh")).as("shs"), count(lit(1)).as("sz"))
-      .localCheckpoint(eager = false)
+    val shArr = shArr60(spark, sfDir, n)
     val c = expr("graft_sorted_inter(sa, sb)").cast("long") / least(col("sza"), col("szb"))
     cand
       .join(shArr.select(col("doc_id").as("doc_a"), col("shs").as("sa"),

@@ -673,11 +673,14 @@ object TextOps {
       .filter(col("final_keep"))
       .select("doc_id", "source", "lang", "n_chars")
     val nt = tokens(spark, sfDir).groupBy("doc_id").agg(count(lit(1)).as("nt"))
+    // per checkpoints: the totals agg and the final share projection
+    // both consume it — one survivor join + rollup, not two
     val per = fin.join(nt, Seq("doc_id"), "left")
       .groupBy("source", "lang")
       .agg(count(lit(1)).as("n_docs"),
         sum(coalesce(col("nt"), lit(0L))).as("n_tokens"),
         sum("n_chars").as("n_chars"))
+      .localCheckpoint(eager = false)
     val tot = per.agg(sum("n_docs").as("td"), sum("n_tokens").as("tt"))
     per.crossJoin(broadcast(tot))
       .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"), col("n_chars"),
@@ -779,9 +782,13 @@ object TextOps {
     val cnt = dsirFeatures(spark, sfDir, nBuckets).groupBy("b").agg(
       sum(when(col("source") === target, 1L).otherwise(0L)).as("ct"),
       sum(when(col("source") =!= target, 1L).otherwise(0L)).as("cr"))
+    // dense checkpoints (≤ nBuckets rows): the totals agg and the
+    // log-ratio projection both consume it — the corpus-wide bucket
+    // count runs once, not twice
     val dense = spark.range(nBuckets).select(col("id").as("b"))
       .join(cnt, Seq("b"), "left")
       .na.fill(0L, Seq("ct", "cr"))
+      .localCheckpoint(eager = false)
     val tot = dense.agg(sum("ct").as("tt"), sum("cr").as("tr"))
     dense.crossJoin(broadcast(tot)).select(col("b"),
       floor((log((col("ct") + lit(1d)) / (col("tt") + lit(nBuckets.toDouble))) -
