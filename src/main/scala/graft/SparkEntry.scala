@@ -29,7 +29,11 @@ object SparkEntry {
     "q08_patchify" -> ((s, d) => TsQueries.q08Patchify(s, d)),
     "q09_knn_score" -> ((s, d) => graft.timeseries.Detect.knnScore(s, d)),
     "q10_gaussian_score" -> ((s, d) => graft.timeseries.Detect.gaussianScore(s, d)),
-    "q11_lof_weight" -> ((s, d) => graft.timeseries.Detect.lofWeightExact(s, d)),
+    // q11/q12 register the CAPPED reference-set path (the 100 TB
+    // default) — exact ≡ uncapped at every test scale (positions hold
+    // ≪ maxRef windows; DetectSpec asserts bit-equality), so the exact
+    // DuckDB oracles below remain the correctness anchor
+    "q11_lof_weight" -> ((s, d) => graft.timeseries.Detect.lofWeight(s, d)),
     "q12_knn_dist_weight" -> ((s, d) => graft.timeseries.Detect.nearestDistWeight(s, d)),
     "q13_coreset" -> ((s, d) => graft.timeseries.Coreset.coreset(s, d)),
     "q14_consec_runs" -> ((s, d) => graft.timeseries.Postprocess.consecRuns(s, d)),
@@ -379,14 +383,14 @@ object SparkEntry {
       SELECT user_id, count(*) AS n_events, CAST(max(nw) AS BIGINT) AS peak_rate,
              CAST(CASE WHEN max(nw) >= 8 THEN 1 ELSE 0 END AS BIGINT) AS flagged
       FROM c GROUP BY user_id""",
-    "qe14_dau_mau" -> """
+    "qe14_dau_mau" -> s"""
       WITH ev AS (
         SELECT CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 86400) AS BIGINT) AS day,
                user_id
         FROM events
       ), pairs AS (SELECT DISTINCT day, user_id FROM ev),
       dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM pairs GROUP BY day),
-      fan AS (SELECT day + i AS day, user_id FROM pairs, unnest(range(0, 7)) AS u(i)),
+      fan AS (SELECT day + i AS day, user_id FROM pairs, unnest(range(0, ${graft.analytics.Events.DauMauWindow})) AS u(i)),
       mau AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS mau FROM fan GROUP BY day)
       SELECT d.day, d.dau, m.mau,
              floor((CAST(d.dau AS DOUBLE) / m.mau)*10000 + 0.5)/10000 AS stickiness
@@ -811,7 +815,7 @@ object SparkEntry {
     },
     "qm1_binary_meta" -> graft.multimodal.BinaryMeta.qm1OracleSql,
     "qm3_phash_neardup" -> graft.multimodal.BinaryMeta.qm3OracleSql(),
-    "qm2_frame_sample" -> graft.multimodal.BinaryMeta.qm2OracleSql,
+    "qm2_frame_sample" -> graft.multimodal.BinaryMeta.qm2OracleSql(),
     "qm7_frame_neardup" -> graft.multimodal.BinaryMeta.qm7OracleSql(),
     "qm4_shard_manifest" -> """
       WITH m AS (

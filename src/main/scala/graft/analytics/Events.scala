@@ -86,7 +86,12 @@ object Events {
     * 7-sketch merge per day; this exact form is the oracle-checkable
     * twin of that plan.
     */
-  def dauMau(spark: SparkSession, sfDir: String, window: Int = 7): DataFrame = {
+  /** qe14's registered trailing-window width — interpolated into the
+    * SparkEntry oracle so the two sides cannot drift (ADVICE r9).
+    */
+  val DauMauWindow: Int = 7
+
+  def dauMau(spark: SparkSession, sfDir: String, window: Int = DauMauWindow): DataFrame = {
     require(window >= 1, s"window=$window")
     // session-cached: the distinct (day, user) reduce is the query's
     // one expensive pass — DAU and the MAU fan-out both read it

@@ -379,31 +379,33 @@ object BinaryMeta {
     * length, zero-length payloads still emit their (0, 0) frame).
     * `allframes` ends as (doc_id, fi, n_bytes, frame_hash); qm2 and
     * qm7 compose their finals over it so the two oracles can never
-    * drift apart.
+    * drift apart. frameSize/k are interpolated the same way the Spark
+    * side parameterizes them, so a non-default call site cannot
+    * silently diverge from its oracle.
     */
-  private val framesCteSql: String = """
+  private def framesCteSql(frameSize: Int = 256, k: Int = 4): String = s"""
       WITH m AS (
         SELECT doc_id, hex(encode(text)) AS hx,
                CAST(octet_length(encode(text)) AS BIGINT) AS len
         FROM documents
       ), fr AS (
-        SELECT doc_id, hx, len, greatest(1, len // 256) AS nframes FROM m
+        SELECT doc_id, hx, len, greatest(1, len // $frameSize) AS nframes FROM m
       ), fi0 AS (
         SELECT doc_id, hx, len,
-               unnest(range(0, nframes, greatest(1, nframes // 4))) AS fi
+               unnest(range(0, nframes, greatest(1, nframes // $k))) AS fi
         FROM fr
       ), f2 AS (
         SELECT * FROM (
           SELECT doc_id, hx, len, fi,
                  row_number() OVER (PARTITION BY doc_id ORDER BY fi) AS rn
-          FROM fi0) WHERE rn <= 4
+          FROM fi0) WHERE rn <= $k
       ), fb AS (
         SELECT doc_id, fi, hx,
-               least(fi*256 + 256, len) - fi*256 AS n_bytes
+               least(fi*$frameSize + $frameSize, len) - fi*$frameSize AS n_bytes
         FROM f2
       ), byteterms AS (
         SELECT doc_id, fi,
-               CAST(concat('0x', substr(hx, CAST((fi*256 + i - 1) * 2 + 1 AS INT), 2)) AS BIGINT) * i AS term
+               CAST(concat('0x', substr(hx, CAST((fi*$frameSize + i - 1) * 2 + 1 AS INT), 2)) AS BIGINT) * i AS term
         FROM fb, unnest(range(1, n_bytes + 1)) AS u(i)
       ), hs AS (
         SELECT doc_id, fi, CAST(sum(term) AS BIGINT) AS frame_hash
@@ -414,7 +416,8 @@ object BinaryMeta {
       )"""
 
   /** DuckDB mirror of [[frameSample]] over [[framesCteSql]]. */
-  def qm2OracleSql: String = framesCteSql + """
+  def qm2OracleSql(frameSize: Int = 256, k: Int = 4): String =
+    framesCteSql(frameSize, k) + """
       SELECT doc_id, CAST(fi AS INT) AS frame_idx, CAST(n_bytes AS INT) AS n_bytes,
              frame_hash
       FROM allframes"""
@@ -422,8 +425,9 @@ object BinaryMeta {
   /** DuckDB mirror of [[frameNearDup]] over [[framesCteSql]]: distinct
     * per-doc signatures → df cap → pigeonhole pair join → Jaccard.
     */
-  def qm7OracleSql(maxDf: Long = 50L, minShared: Long = 1L): String =
-    framesCteSql + s"""
+  def qm7OracleSql(frameSize: Int = 256, k: Int = 4,
+                   maxDf: Long = 50L, minShared: Long = 1L): String =
+    framesCteSql(frameSize, k) + s"""
       , dfr AS (SELECT DISTINCT doc_id, frame_hash FROM allframes),
       dfc AS (SELECT frame_hash, count(*) AS df FROM dfr GROUP BY frame_hash),
       keepf AS (

@@ -266,8 +266,16 @@ object ScoreStream {
                  docs: DataFrame): DataFrame = {
     import graft.timeseries.ModelStore
     import graft.util.Num
-    val m = ModelStore.dsirLogRatios(spark, modelPath)
-      .orderBy("b").collect().map(_.getLong(1))
+    val rows = ModelStore.dsirLogRatios(spark, modelPath).orderBy("b").collect()
+    // the scorer indexes by ARRAY POSITION and takes features mod
+    // m.length, so the saved table must be the dense 0..n-1 bucket grid:
+    // a corrupt/partial artifact (any missing bucket row) would silently
+    // shift every index and misscore all docs — fail fast instead
+    rows.zipWithIndex.foreach { case (r, i) =>
+      require(r.getLong(0) == i.toLong,
+        s"saved DSIR model is not dense: bucket row $i has b=${r.getLong(0)}")
+    }
+    val m = rows.map(_.getLong(1))
     val nB = m.length
     require(nB >= 2, s"saved DSIR model has $nB buckets")
     docs
@@ -518,6 +526,15 @@ object ScoreStream {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import events.sparkSession.implicits._
     require(windowSec >= 1 && thr >= 1, s"windowSec=$windowSec thr=$thr")
+    // a ttl shorter than the window would evict IN-WINDOW state and
+    // silently undercount nw/peak_rate — fail at construction instead
+    idleTtl.foreach { s =>
+      val d = scala.util.Try(scala.concurrent.duration.Duration(s)).getOrElse(
+        throw new IllegalArgumentException(s"idleTtl '$s' is not a parsable duration"))
+      require(d.isFinite && d.toSeconds >= windowSec,
+        s"idleTtl '$s' (${d.toSeconds}s) must be >= windowSec=${windowSec}s: " +
+          "a shorter ttl evicts in-window state and undercounts rates")
+    }
     // TOTAL-state bound: per-key state is bounded by the densest window,
     // but eviction only runs on a key's own arrivals, so keys ever seen
     // accumulate. Production passes idleTtl = Some("2 hours"): idle

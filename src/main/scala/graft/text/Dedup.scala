@@ -161,23 +161,46 @@ object Dedup {
         coalesce(col("is_dup"), lit(false)).as("is_dup"))
   }
 
-  /** qd3: 32-bit SimHash fingerprints; candidates share ≥1 of 4 hash
-    * bytes (pigeonhole: hamming ≤ 3 guarantees a shared byte), emit
-    * pairs with hamming ≤ maxHam.
+  /** qd3's fingerprint geometry — 60 bits (strHash60's width: 15 hex
+    * chars stay below int64 in BOTH engines) split into 4 pigeonhole
+    * chunks of 15 bits. Shared with the oracle so the two sides cannot
+    * drift.
+    */
+  val SimhashBits: Int = 60
+  val SimhashChunks: Int = 4
+  val SimhashChunkBits: Int = SimhashBits / SimhashChunks // 15 → 32768 buckets/chunk
+
+  /** qd3: 60-bit SimHash fingerprints; candidates share ≥1 of the 4
+    * 15-bit chunks (pigeonhole: hamming ≤ 3 GUARANTEES a shared chunk;
+    * wider hamming is found opportunistically), emit pairs with
+    * hamming ≤ maxHam.
+    *
+    * Scale: blocking width is the pair-product bound. Each (chunk,
+    * value) bucket self-joins, so the expected candidate volume is
+    * nChunks · Σ_v |bucket_v|² ≈ nChunks · N²/2^chunkBits for
+    * hash-uniform fingerprints — 15-bit chunks give 32768 buckets per
+    * chunk (vs 256 at the old 8-bit width: 128× fewer collisions), so
+    * the quadratic term stays paid only by GENUINE near-dup clusters.
+    * Skewed buckets (boilerplate-dominated corpora make fingerprints
+    * non-uniform) get the qd4/qd18 df-cap discipline: drop bucket
+    * values whose document frequency exceeds a cap before the
+    * self-join — at 100 TB that cap is the operator's safety valve,
+    * here the chunk width alone bounds the test scales.
     */
   def simhash(spark: SparkSession, sfDir: String, maxHam: Int = 8): DataFrame = {
-    // Single pass: 32 conditional sums per token row instead of a 32×
+    // Single pass: 60 conditional sums per token row instead of a 60×
     // row explosion — the shuffle carries one row per doc.
-    val th = tokens(spark, sfDir).withColumn("th", strHash(col("tok")))
-    val bitSums = (0 until 32).map(b =>
+    val th = tokens(spark, sfDir).withColumn("th", graft.text.TextCore.strHash60(col("tok")))
+    val bitSums = (0 until SimhashBits).map(b =>
       sum(when(expr(s"shiftright(th, $b) & 1") === 1, 1).otherwise(-1)).as(s"s$b"))
     val sh = th.groupBy("doc_id")
       .agg(bitSums.head, bitSums.tail: _*)
-      .withColumn("sh", (0 until 32).map(b =>
+      .withColumn("sh", (0 until SimhashBits).map(b =>
         when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _))
       .select("doc_id", "sh")
-    val chunks = sh.withColumn("c", explode(sequence(lit(0), lit(3))))
-      .withColumn("cv", expr("shiftright(sh, cast(8 * c as int)) & 255"))
+    val mask = (1L << SimhashChunkBits) - 1
+    val chunks = sh.withColumn("c", explode(sequence(lit(0), lit(SimhashChunks - 1))))
+      .withColumn("cv", expr(s"shiftright(sh, cast($SimhashChunkBits * c as int)) & $mask"))
     val a = chunks.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("c"), col("cv"))
     val b = chunks.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("c"), col("cv"))
     a.join(b, Seq("c", "cv")).filter(col("doc_a") < col("doc_b"))

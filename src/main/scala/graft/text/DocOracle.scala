@@ -67,10 +67,15 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
 FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id"""
 
-  def qd3(maxHam: Int = 8): String = toksCte + s"""
-, th AS (SELECT doc_id, ${h("tok")} AS th FROM toks),
+  def qd3(maxHam: Int = 8): String = {
+    val nb = Dedup.SimhashBits
+    val nc = Dedup.SimhashChunks
+    val cb = Dedup.SimhashChunkBits
+    val mask = (1L << cb) - 1
+    toksCte + s"""
+, th AS (SELECT doc_id, ${h60("tok")} AS th FROM toks),
 bits AS (
-  SELECT doc_id, unnest(range(32)) AS b, th FROM th
+  SELECT doc_id, unnest(range($nb)) AS b, th FROM th
 ), contribs AS (
   SELECT doc_id, b, CASE WHEN ((th >> CAST(b AS INT)) & 1) = 1 THEN 1 ELSE -1 END AS contrib
   FROM bits
@@ -80,15 +85,16 @@ bits AS (
   SELECT doc_id, sum((CASE WHEN s > 0 THEN 1::BIGINT ELSE 0::BIGINT END) << CAST(b AS INT)) AS sh
   FROM bitsum GROUP BY doc_id
 ), chunks AS (
-  SELECT doc_id, sh, unnest(range(4)) AS c FROM shash
+  SELECT doc_id, sh, unnest(range($nc)) AS c FROM shash
 ), chunkv AS (
-  SELECT doc_id, sh, c, (sh >> CAST(8 * c AS INT)) & 255 AS cv FROM chunks
+  SELECT doc_id, sh, c, (sh >> CAST($cb * c AS INT)) & $mask AS cv FROM chunks
 ), cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh AS sh_a, b.sh AS sh_b
   FROM chunkv a JOIN chunkv b ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id
 )
 SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b)) AS hamming
 FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= $maxHam"""
+  }
 
   val qd4: String = toksCte + shinglesCte(3, "sh3") + s"""
 , shd AS (SELECT DISTINCT doc_id, ${h60("sh")} AS shh FROM sh3),

@@ -160,18 +160,46 @@ object Detect {
         sqrt(dist2("a_", "b_")).as("d"))
   }
 
+  /** Pairwise distances against a CAPPED reference set: every patch is
+    * still scored, but the neighbour-candidate side is truncated to the
+    * deterministic first `maxRef` window ids per position, bounding the
+    * per-position pair product at O(n·maxRef) — the 100 TB contract for
+    * both q11 (LOF) and q12 (nearest-dist). With maxRef ≥ the position's
+    * window count the result is EXACTLY the uncapped pairwise
+    * (DetectSpec asserts bit-equality), so the oracle stays the exact
+    * mirror at test scales.
+    */
+  private def pairwiseRef(bank: DataFrame, maxRef: Int): DataFrame = {
+    val pwAll = pairwise(bank)
+    if (maxRef == Int.MaxValue) pwAll
+    else {
+      val wRef = Window.partitionBy("pos").orderBy("nid")
+      val refIds = pwAll.select("pos", "nid").distinct()
+        .withColumn("rr", row_number().over(wRef)).filter(col("rr") <= maxRef)
+        .select("pos", "nid")
+      pwAll.join(refIds, Seq("pos", "nid"))
+    }
+  }
+
   /** q12: nearest-neighbour distance patch weight ("nearest" method, ref
     * softpatch.py _compute_nearest_distance: topk(2, smallest) over a
-    * self-inclusive distance matrix = 0 + d(nearest other)).
+    * self-inclusive distance matrix = 0 + d(nearest other)). The PUBLIC
+    * default (and the registered q12) runs the capped reference set —
+    * exact whenever positions hold ≤ maxRef windows (all test scales).
     */
-  def nearestDistWeight(spark: SparkSession, sfDir: String): DataFrame =
-    TsCore.cached(spark, sfDir, "nnweight") {
+  def nearestDistWeight(spark: SparkSession, sfDir: String,
+                        maxRef: Int = 10000): DataFrame =
+    TsCore.cached(spark, sfDir, s"nnweight_$maxRef") {
       val (bank, _) = TsCore.bankAndTest(spark, sfDir)
-      pairwise(bank)
+      pairwiseRef(bank, maxRef)
         .groupBy("pos", "id")
         .agg(Num.r4(min("d")).as("w_nearest"))
         .select(col("id"), col("pos"), col("w_nearest"))
     }
+
+  /** Exact (uncapped) q12 — the spec's small-N anchor. */
+  def nearestDistWeightExact(spark: SparkSession, sfDir: String): DataFrame =
+    nearestDistWeight(spark, sfDir, maxRef = Int.MaxValue)
 
   /** q23: end-to-end SoftPatch pipeline (ref softpatch.py fit + predict):
     * nearest-dist patch weights (+1) on the bank → denoise (drop the top
@@ -226,13 +254,14 @@ object Detect {
     * lrd(a) = k / Σ_{b∈kNN(a)} reach(a,b); lof(a) = mean lrd(b)/lrd(a).
     * The reference adds 1e-6 to all distances before the top-k.
     *
-    * The PUBLIC default is the CAPPED path (maxRef = 10000): per-position
-    * pairwise LOF is O(n²) in windows-per-position — the quadratic term a
-    * 100 TB bank cannot pay. Whenever the position has ≤ maxRef windows
-    * the cap is EXACTLY the uncapped LOF (DetectSpec asserts
-    * bit-equality), so local results are unchanged; only beyond the cap
-    * does the reference set truncate. The registered q11 query pins the
-    * exact uncapped semantics via [[lofWeightExact]] (the oracle anchor).
+    * The PUBLIC default — and since r10 the REGISTERED q11 — is the
+    * CAPPED path (maxRef = 10000): per-position pairwise LOF is O(n²) in
+    * windows-per-position — the quadratic term a 100 TB bank cannot pay.
+    * Whenever the position has ≤ maxRef windows the cap is EXACTLY the
+    * uncapped LOF (DetectSpec asserts bit-equality), so the exact DuckDB
+    * oracle stays valid at every test scale; only beyond the cap does
+    * the reference set truncate. [[lofWeightExact]] remains the spec's
+    * small-N anchor.
     */
   def lofWeight(spark: SparkSession, sfDir: String, k: Int = 6): DataFrame =
     lofWeightCapped(spark, sfDir, k)
@@ -254,17 +283,7 @@ object Detect {
   def lofWeightCapped(spark: SparkSession, sfDir: String, k: Int = 6,
                       maxRef: Int = 10000): DataFrame = {
     val (bank, _) = TsCore.bankAndTest(spark, sfDir)
-    val pwAll = pairwise(bank)
-    val pwRef =
-      if (maxRef == Int.MaxValue) pwAll
-      else {
-        val wRef = Window.partitionBy("pos").orderBy("nid")
-        val refIds = pwAll.select("pos", "nid").distinct()
-          .withColumn("rr", row_number().over(wRef)).filter(col("rr") <= maxRef)
-          .select("pos", "nid")
-        pwAll.join(refIds, Seq("pos", "nid"))
-      }
-    val pw = pwRef.withColumn("d", col("d") + 1e-6)
+    val pw = pairwiseRef(bank, maxRef).withColumn("d", col("d") + 1e-6)
     val wNbr = Window.partitionBy("pos", "id").orderBy(col("d"), col("nid"))
     val knn = pw.withColumn("rn", row_number().over(wNbr)).filter(col("rn") <= k)
     val kdist = knn.groupBy("pos", "id").agg(max("d").as("kdist"))

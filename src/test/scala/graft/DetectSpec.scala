@@ -51,6 +51,19 @@ class DetectSpec extends SparkSuite {
       "capped(maxRef >= n) must be exactly the uncapped LOF")
   }
 
+  test("default (capped) q12 nearest-dist is bit-identical to exact when maxRef >= n") {
+    // q12's registered default caps the reference set like q11's; the
+    // local bank is far below the cap, so it must EQUAL the uncapped
+    // oracle path bit-for-bit
+    val exact = Detect.nearestDistWeightExact(spark, Sf01)
+      .withColumnRenamed("w_nearest", "w_exact")
+    val default = Detect.nearestDistWeight(spark, Sf01)
+    val j = exact.join(default, Seq("id", "pos"))
+    assert(j.count() === exact.count())
+    assert(j.filter(col("w_nearest") =!= col("w_exact")).count() === 0,
+      "capped(maxRef >= n) must be exactly the uncapped nearest-dist weight")
+  }
+
   test("capped LOF approximates uncapped and bounds the reference set") {
     val full = Detect.lofWeightExact(spark, Sf01)
     val capped = Detect.lofWeightCapped(spark, Sf01, maxRef = 40)

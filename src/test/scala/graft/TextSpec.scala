@@ -57,10 +57,16 @@ class TextSpec extends SparkSuite {
     }
   }
 
-  test("simhash hamming bounded by fingerprint width") {
-    val s = Dedup.simhash(spark, Sf001, maxHam = 16).cache()
+  test("simhash hamming bounded by fingerprint width; chunk geometry consistent") {
+    // the pigeonhole guarantee (hamming <= nChunks-1 always shares a
+    // chunk) and the pair-product bound both require the chunks to
+    // tile the fingerprint exactly
+    assert(Dedup.SimhashChunks * Dedup.SimhashChunkBits === Dedup.SimhashBits)
+    assert(Dedup.SimhashChunkBits >= 12,
+      "chunk width is the blocking bound: <12 bits re-opens the N^2/256 cliff")
+    val s = Dedup.simhash(spark, Sf001, maxHam = 40).cache()
     assert(s.count() > 0)
-    assert(s.filter(col("hamming") < 0 || col("hamming") > 32).count() === 0)
+    assert(s.filter(col("hamming") < 0 || col("hamming") > Dedup.SimhashBits).count() === 0)
   }
 
   test("jaccard in [0,1]") {
