@@ -125,6 +125,8 @@ object SparkEntry {
     "q56_feature_forecast" -> ((s, d) => graft.timeseries.Forecast.featureForecast(s, d)),
     "q57_learned_cleaning" -> ((s, d) => graft.timeseries.Forecast.learnedCleaningImpact(s, d)),
     "q58_conformal" -> ((s, d) => graft.timeseries.Forecast.conformalIntervals(s, d)),
+    "q59_decompose_forecast" -> ((s, d) => graft.timeseries.Forecast.decomposeForecast(s, d)),
+    "q60_recursive_forecast" -> ((s, d) => graft.timeseries.Forecast.recursiveForecast(s, d)),
     "qd17_dup_weight" -> ((s, d) => graft.text.Dedup.dupWeight(s, d)),
     "qd18_containment" -> ((s, d) => graft.text.Dedup.containment(s, d)),
     "qt21_domain_cap" -> ((s, d) => graft.text.TextOps.domainCap(s, d)),
@@ -562,6 +564,8 @@ object SparkEntry {
     "q56_feature_forecast" -> graft.timeseries.TsOracle.q56(),
     "q57_learned_cleaning" -> graft.timeseries.TsOracle.q57(),
     "q58_conformal" -> graft.timeseries.TsOracle.q58(),
+    "q59_decompose_forecast" -> graft.timeseries.TsOracle.q59(),
+    "q60_recursive_forecast" -> graft.timeseries.TsOracle.q60(),
     "qd17_dup_weight" -> graft.text.DocOracle.qd17(),
     "qd18_containment" -> graft.text.DocOracle.qd18(),
     "qc1_corpus_build" -> graft.text.DocOracle.qc1(),

@@ -1082,7 +1082,10 @@ WHERE b.t >= rgsplit.tsplit"""
 )""" + folds + "\n" + union
   }
 
-  def q22: String = prefix + splitTCte + s"""
+  /** q22's lag/fit chain through coefs2 — shared verbatim with q60 so
+    * the recursive strategy runs on EXACTLY the coefficients q22 fits.
+    */
+  private val q22CoefCtes: String = s"""
 , lagged AS (
   SELECT f.series, f.t, f.v_filled AS y,
          lag(f.v_filled, 1) OVER w AS x1,
@@ -1118,7 +1121,10 @@ means AS (
   FROM stats s JOIN means m USING (series)
 ), coefs2 AS (
   SELECT series, b1, b2, b3, my - b1 * m1 - b2 * m2 - b3 * m3 AS b0 FROM coefs
-), testf AS (
+)"""
+
+  def q22: String = prefix + splitTCte + q22CoefCtes + s"""
+, testf AS (
   SELECT f.series, f.y, c.b0 + c.b1 * f.x1 + c.b2 * f.x2 + c.b3 * f.x3 AS p,
          c.b0, c.b1, c.b2, c.b3
   FROM basef f JOIN coefs2 c USING (series) WHERE f.t >= f.tsplit
@@ -1127,6 +1133,43 @@ SELECT series, count(*) AS n,
   ${r4("max(b0)")} AS b0, ${r4("max(b1)")} AS b1, ${r4("max(b2)")} AS b2, ${r4("max(b3)")} AS b3,
   ${r4("avg(abs(y - p))")} AS mae, ${r4("sqrt(avg((y - p) * (y - p)))")} AS rmse
 FROM testf GROUP BY series"""
+
+  /** q60: mirrors Forecast.recursiveForecast — q22's coefficient chain
+    * + one lag CTE over the dense spine + the SAME left-assoc unrolled
+    * recurrence per horizon + scaled-int error sums.
+    */
+  def q60(horizons: Seq[Int] = Seq(1, 6, 12, 24)): String = {
+    import TsCore.{DaySize, WeekLag}
+    val allOffs = horizons.flatMap(Forecast.recursiveOffsets).distinct.sorted
+    val lagCols = allOffs.map(i => s"lag(f.v_filled, $i) OVER w AS l$i").mkString(",\n         ")
+    def predSql(h: Int): String = {
+      var p = s"l$h"
+      for (j <- 1 to h)
+        p = s"(b0 + b1 * $p + b2 * l${h - j + DaySize} + b3 * l${h - j + WeekLag})"
+      p
+    }
+    val selects = horizons.map { h =>
+      val ok = (Seq("y IS NOT NULL", "NOT isnan(b0)") ++
+        Forecast.recursiveOffsets(h).map(i => s"l$i IS NOT NULL")).mkString(" AND ")
+      val p = predSql(h)
+      s"""SELECT series, $h AS horizon, count(*) AS n,
+  ${r4(s"sum(CAST(floor(abs(y - $p)*10000 + 0.5) AS BIGINT)) / 10000.0 / count(*)")} AS mae,
+  ${r4(s"sqrt(sum(CAST(floor((y - $p)*(y - $p)*10000 + 0.5) AS BIGINT)) / 10000.0 / count(*))")} AS rmse
+FROM e60 WHERE $ok GROUP BY series"""
+    }.mkString("\nUNION ALL\n")
+    prefix + splitTCte + q22CoefCtes + s"""
+, l60 AS (
+  SELECT f.series, f.t, f.v_filled AS y,
+         $lagCols,
+         b.tsplit
+  FROM filled f JOIN boundt b USING (series)
+  WINDOW w AS (PARTITION BY f.series ORDER BY f.t)
+), e60 AS (
+  SELECT l.*, c.b0, c.b1, c.b2, c.b3
+  FROM l60 l JOIN coefs2 c USING (series) WHERE l.t >= l.tsplit
+)
+""" + selects
+  }
 
   /** q39: q22's chain instantiated once per horizon with origin-shifted
     * lags (h, h+23, h+167); identical Cramer expressions for bit parity.
@@ -1413,6 +1456,56 @@ FROM dbase b JOIN dseas s ON b.series = s.series AND b.t % $DaySize = s.pos"""
 )
 SELECT series, n, ${str("tr")} AS trend_strength, ${str("sr")} AS seasonal_strength
 FROM g"""
+  }
+
+  /** q59: mirrors Forecast.decomposeForecast — q48's trend CTEs +
+    * train-only seasonal profile + two exact (series, t−168)
+    * self-joins + scaled-int error sums.
+    */
+  def q59(half: Int = 12): String = {
+    val w = 2 * half + 1
+    prefix + splitTCte + s"""
+, dcum AS (
+  SELECT series, t, v_filled,
+    sum(coalesce(v_filled, 0.0)) OVER wc AS cum,
+    count(v_filled) OVER wc AS cnt
+  FROM filled
+  WINDOW wc AS (PARTITION BY series ORDER BY t ROWS UNBOUNDED PRECEDING)
+), dfrm AS (
+  SELECT series, t, v_filled,
+    lead(cum, $half) OVER ws - coalesce(lag(cum, ${half + 1}) OVER ws, 0.0) AS fsum,
+    lead(cnt, $half) OVER ws - coalesce(lag(cnt, ${half + 1}) OVER ws, 0) AS fn
+  FROM dcum WINDOW ws AS (PARTITION BY series ORDER BY t)
+), dbase AS (
+  SELECT series, t, v_filled, fsum / $w AS trend, v_filled - fsum / $w AS detr
+  FROM dfrm WHERE v_filled IS NOT NULL AND fn = $w
+), b59 AS (
+  SELECT d.series, d.t, d.v_filled, d.trend, d.detr, bo.tsplit
+  FROM dbase d JOIN boundt bo USING (series)
+), seas59 AS (
+  SELECT series, t % $DaySize AS pos,
+    sum(CAST(floor(detr*10000 + 0.5) AS BIGINT)) / 10000.0 / count(*) AS seas
+  FROM b59 WHERE t < tsplit GROUP BY series, t % $DaySize
+), trlag59 AS (
+  SELECT series, t + ${TsCore.WeekLag} AS t, trend AS tr_lag FROM dbase
+), ylag59 AS (
+  SELECT series, t + ${TsCore.WeekLag} AS t, v_filled AS p_dir FROM dbase
+), ev59 AS (
+  SELECT b.series, b.v_filled AS y, tl.tr_lag + s.seas AS p_dec, yl.p_dir
+  FROM b59 b
+  JOIN trlag59 tl USING (series, t)
+  JOIN ylag59 yl USING (series, t)
+  JOIN seas59 s ON s.series = b.series AND b.t % $DaySize = s.pos
+  WHERE b.t >= b.tsplit
+), un59 AS (
+  SELECT series, 'decomposed' AS variant, y, p_dec AS p FROM ev59
+  UNION ALL
+  SELECT series, 'direct' AS variant, y, p_dir AS p FROM ev59
+)
+SELECT series, variant, count(*) AS n,
+  ${r4("sum(CAST(floor(abs(y - p)*10000 + 0.5) AS BIGINT)) / 10000.0 / count(*)")} AS mae,
+  ${r4("sqrt(sum(CAST(floor((y - p)*(y - p)*10000 + 0.5) AS BIGINT)) / 10000.0 / count(*))")} AS rmse
+FROM un59 GROUP BY series, variant"""
   }
 
   def q32(lags: Seq[Int] = Seq(1, 24, 168)): String = prefix + s"""

@@ -74,6 +74,45 @@ class ForecastImputeSpec extends SparkSuite {
     piv.unpersist(); d.unpersist()
   }
 
+  test("q59: decompose-then-forecast beats the direct seasonal-naive per series") {
+    // the SCINet_decompose rationale: forecasting components separately
+    // drops the week-old residual noise the direct y(t-168) predictor
+    // carries, so the decomposed MAE must win on the same eval points
+    val d = Forecast.decomposeForecast(spark, Sf01).cache()
+    val piv = d.groupBy("series").pivot("variant", Seq("decomposed", "direct"))
+      .agg(first("mae")).cache()
+    assert(piv.count() === 5)
+    assert(piv.filter(col("decomposed") >= col("direct")).count() === 0,
+      "component-wise forecast must beat direct seasonal-naive on every series")
+    // both variants score the SAME evaluation points (fair comparison)
+    val ns = d.groupBy("series").agg(countDistinct("n").as("nn"))
+    assert(ns.filter(col("nn") =!= 1).count() === 0)
+    piv.unpersist(); d.unpersist()
+  }
+
+  test("q60 recursive forecast: h=1 is exactly q22; recursion converges geometrically") {
+    val r = Forecast.recursiveForecast(spark, Sf01).cache()
+    // h=1: one decode step = q22's prediction on q22's eval points —
+    // the per-series MAE/RMSE must match the direct fit bit-for-bit
+    val q22 = Forecast.olsForecast(spark, Sf01)
+      .select(col("series"), col("mae").as("mae22"), col("rmse").as("rmse22"))
+    val j1 = r.filter(col("horizon") === 1).join(q22, "series")
+    assert(j1.count() === 5)
+    assert(j1.filter(col("mae") =!= col("mae22") || col("rmse") =!= col("rmse22")).count() === 0,
+      "one unrolled step must equal q22's direct prediction exactly")
+    // every horizon scores the same dense-spine eval footprint here
+    val ns = r.groupBy("series").agg(countDistinct("n").as("nn"))
+    assert(ns.filter(col("nn") =!= 1).count() === 0)
+    // the recursion is a geometric expansion in b1 (|b1| < 1 on this
+    // data): by h=12 the b1^h self-feed term is below the 1e-4 grid, so
+    // deeper unrolling cannot move the quantized error — a wrong lag
+    // indexing or fold order in the unroll WOULD move it
+    val piv = r.groupBy("series").pivot("horizon", Seq(12, 24)).agg(first("mae"))
+    assert(piv.filter(abs(col("12") - col("24")) > 2e-4).count() === 0,
+      "recursive predictions must converge once b1^h is below the r4 grid")
+    r.unpersist()
+  }
+
   test("linear imputation leaves clean points untouched") {
     val li = Impute.imputeLinear(spark, Sf01).cache()
     val orig = TsCore.injected(spark, Sf01)
