@@ -127,6 +127,9 @@ object SparkEntry {
     "q58_conformal" -> ((s, d) => graft.timeseries.Forecast.conformalIntervals(s, d)),
     "q59_decompose_forecast" -> ((s, d) => graft.timeseries.Forecast.decomposeForecast(s, d)),
     "q60_recursive_forecast" -> ((s, d) => graft.timeseries.Forecast.recursiveForecast(s, d)),
+    // rows-only (declared in ContractSpec): boosted-tree split search
+    // has no SQL analogue; quality gated in ForecastImputeSpec
+    "q61_gbt_forecast" -> ((s, d) => graft.timeseries.MllibForecast.gbtForecast(s, d)),
     "qd17_dup_weight" -> ((s, d) => graft.text.Dedup.dupWeight(s, d)),
     "qd18_containment" -> ((s, d) => graft.text.Dedup.containment(s, d)),
     "qt21_domain_cap" -> ((s, d) => graft.text.TextOps.domainCap(s, d)),

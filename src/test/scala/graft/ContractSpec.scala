@@ -16,11 +16,12 @@ class ContractSpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracle entries without a query: $orphans")
   }
 
-  test("the rows-only set is exactly the declared q13/q26") {
-    // q13's greedy k-center and q26's MLlib L-BFGS internals are the
-    // only computations with no SQL analogue; both are spec-verified
+  test("the rows-only set is exactly the declared q13/q26/q61") {
+    // q13's greedy k-center, q26's MLlib solver internals and q61's
+    // boosted-tree split search are the only computations with no SQL
+    // analogue; all three are spec-verified
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly === Set("q13_coreset", "q26_mllib_forecast"),
+    assert(rowsOnly === Set("q13_coreset", "q26_mllib_forecast", "q61_gbt_forecast"),
       "a query lost (or gained) its oracle without the declaration moving")
   }
 

@@ -113,6 +113,18 @@ class ForecastImputeSpec extends SparkSuite {
     r.unpersist()
   }
 
+  test("q61 GBT forecast beats the linear q22 corpus-wide (deterministic seed)") {
+    val g = MllibForecast.gbtForecast(spark, Sf01).cache()
+    assert(g.count() === 5)
+    assert(g.filter(col("mae").isNull || isnan(col("mae")) || col("mae") <= 0).count() === 0)
+    val gbtTot = g.agg(sum("mae")).head.getDouble(0)
+    val q22Tot = Forecast.olsForecast(spark, Sf01).agg(sum("mae")).head.getDouble(0)
+    // the nonlinear model must justify itself against the closed form —
+    // the same corpus-wide gate q56's ridge passes
+    assert(gbtTot < q22Tot, s"GBT total MAE $gbtTot vs q22 $q22Tot")
+    g.unpersist()
+  }
+
   test("linear imputation leaves clean points untouched") {
     val li = Impute.imputeLinear(spark, Sf01).cache()
     val orig = TsCore.injected(spark, Sf01)
