@@ -122,6 +122,33 @@ object Ingest {
         expr(s"try_cast(`$loadCol` AS DOUBLE)").as("value"))
       .filter(col("ts").isNotNull && col("value").isNotNull)
 
+  /** AEMO raw price-and-demand feed: the layout collect_aemo_data.py
+    * (:1-18) downloads — one directory per region (NSW/QLD/…), one CSV
+    * per month inside it, columns "SETTLEMENTDATE" (format
+    * yyyy/MM/dd HH:mm:ss — process_aemo.py:44 pd.to_datetime format) +
+    * "TOTALDEMAND" (process_aemo.py:19-20 defaults). The series id is
+    * the REGION DIRECTORY name (the collector's save layout), and
+    * duplicate (series, ts) rows — the raw feed repeats month-boundary
+    * settlement rows across adjacent files with identical values
+    * (process_aemo.py:56 drops duplicate indices) — collapse via
+    * min(value), the deterministic distributed counterpart of the
+    * reference's keep-first.
+    */
+  def readAemoCsv(spark: SparkSession, root: String,
+                  dateCol: String = "SETTLEMENTDATE",
+                  loadCol: String = "TOTALDEMAND"): DataFrame = {
+    val decoded = coalesce(expr("try_url_decode(input_file_name())"), input_file_name())
+    val region = regexp_extract(decoded, "([^/]+)/[^/]+\\.csv$", 1)
+    spark.read.option("header", "true").option("mode", "DROPMALFORMED")
+      .csv(s"$root/*/*.csv")
+      .select(region.as("series"),
+        expr(s"try_to_timestamp(`$dateCol`, 'yyyy/MM/dd HH:mm:ss')").as("ts"),
+        expr(s"try_cast(`$loadCol` AS DOUBLE)").as("value"))
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .groupBy("series", "ts")
+      .agg(org.apache.spark.sql.functions.min("value").as("value"))
+  }
+
   /** Yahoo anomaly benchmark: one CSV per series under `root`, columns
     * "timestamp" (epoch seconds) + "value" + "is_anomaly" ground truth
     * (process_yahoo_benchmark.py:17-20 defaults).

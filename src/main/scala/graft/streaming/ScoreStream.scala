@@ -223,12 +223,18 @@ object ScoreStream {
     * (TextOps.qualityVerdict), so verdicts are bit-identical —
     * StreamingSpec asserts full-corpus parity.
     */
-  def qualityFilterStream(docs: DataFrame, minTok: Long = 25L,
-                          minStopRatio: Double = 0.01, maxDupFrac: Double = 0.65,
-                          maxTopFrac: Double = 0.2): DataFrame = {
+  /** The stateless per-row quality block shared by qualityFilterStream
+    * and corpusFunnelStream: appends `toks` (the empty-filtered token
+    * array — downstream shingling reuses it) and `reason` (the batch
+    * qt10 verdict cascade) to the incoming frame. One definition so the
+    * two streaming consumers can never diverge from each other or from
+    * batch TextOps.qualityVerdict.
+    */
+  private def qualitySignals(docs: DataFrame, minTok: Long, minStopRatio: Double,
+                             maxDupFrac: Double, maxTopFrac: Double): DataFrame = {
     import graft.util.Num
     val stop = graft.text.TextOps.Stopwords("en")
-    val per = docs
+    docs
       .withColumn("toks", filter(split(col("text"), " "), t => t =!= ""))
       .withColumn("n_tok", size(col("toks")).cast("long"))
       .withColumn("uniq", array_distinct(col("toks")))
@@ -237,15 +243,20 @@ object ScoreStream {
         array_max(expr("transform(uniq, u -> size(filter(toks, x -> x = u)))")).cast("long"))
       .withColumn("n_stop",
         size(filter(col("toks"), t => t.isInCollection(stop))).cast("long"))
-    per.select(col("doc_id"), col("lang"), col("ts"), col("n_tok"),
-        Num.r4(coalesce(col("n_stop") / col("n_tok"), lit(0.0))).as("stop_ratio"),
-        Num.r4(coalesce((col("n_tok") - col("n_uniq")) / col("n_tok"), lit(0.0))).as("dup_frac"),
-        Num.r4(coalesce(col("top_tf") / col("n_tok"), lit(0.0))).as("top_frac"))
+      .withColumn("stop_ratio", Num.r4(coalesce(col("n_stop") / col("n_tok"), lit(0.0))))
+      .withColumn("dup_frac",
+        Num.r4(coalesce((col("n_tok") - col("n_uniq")) / col("n_tok"), lit(0.0))))
+      .withColumn("top_frac", Num.r4(coalesce(col("top_tf") / col("n_tok"), lit(0.0))))
       .withColumn("reason",
         graft.text.TextOps.qualityVerdict(minTok, minStopRatio, maxDupFrac, maxTopFrac))
+  }
+
+  def qualityFilterStream(docs: DataFrame, minTok: Long = 25L,
+                          minStopRatio: Double = 0.01, maxDupFrac: Double = 0.65,
+                          maxTopFrac: Double = 0.2): DataFrame =
+    qualitySignals(docs, minTok, minStopRatio, maxDupFrac, maxTopFrac)
       .select(col("doc_id"), col("lang"), col("ts"), col("reason"),
         (col("reason") === "pass").as("keep"))
-  }
 
   /** Streaming DSIR scorer — the serving half of the saved qt22 model:
     * arriving documents are scored in flight against the persisted
@@ -603,6 +614,96 @@ object ScoreStream {
             CapVerdict(source, id, nc, kept)
           }
           state.update(CapState(n))
+          out.iterator
+      }
+  }
+
+  case class FunnelRow(source: String, docId: Long, nChars: Long,
+                       qKeep: Boolean, cKeep: Boolean, dKeep: Boolean,
+                       reason: String)
+  case class FunnelVerdict(source: String, docId: Long, nChars: Long,
+                           qKeep: Boolean, cKeep: Boolean, dKeep: Boolean,
+                           finalKeep: Boolean, reason: String)
+
+  /** Streaming twin of qc1's corpus-build funnel — ADMISSION CONTROL
+    * for a training corpus, in flight: every arriving document runs the
+    * full quality → decontaminate → dedup → source-cap cascade and is
+    * tagged with its verdict and first failing stage. Composition of
+    * the pieces the individual twins already established:
+    *
+    *  - quality gate: stateless row arithmetic ([[qualitySignals]],
+    *    bit-identical to batch qt10);
+    *  - decontamination probe: the eval-suite 5-gram hash set is BOUNDED
+    *    by design (qd12's scale contract — benchmarks are small), so it
+    *    rides the plan as a sorted LITERAL array and the probe is one
+    *    codegen'd graft_sorted_inter over the doc's in-row distinct
+    *    shingle hashes — stateless, no join, no state store;
+    *  - dedup: stream-static probe of the PERSISTED per-doc keeper table
+    *    (the funnel artifact the batch build maintains — qd9's
+    *    serve-the-artifact discipline; a doc absent from it is its own
+    *    keeper);
+    *  - source cap: the ONE stateful stage — a Long per source
+    *    (domainCapStream's state bound), first-come semantics equal to
+    *    the batch doc_id-order cap exactly when arrival is ingestion
+    *    order (StreamingSpec feeds ordered batches and asserts per-doc
+    *    equality of every stage flag against batch corpusFlags).
+    */
+  def corpusFunnelStream(docs: DataFrame, evalHashes: Array[Long],
+                         keepers: DataFrame, cap: Int = 20, evalMod: Long = 50L,
+                         n: Int = 5, minTok: Long = 25L,
+                         minStopRatio: Double = 0.01, maxDupFrac: Double = 0.65,
+                         maxTopFrac: Double = 0.2)
+      : org.apache.spark.sql.Dataset[FunnelVerdict] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import docs.sparkSession.implicits._
+    require(cap >= 1, s"cap=$cap")
+    require(evalMod >= 2, s"evalMod=$evalMod: evalMod=1 would make EVERY doc the eval split")
+    require(n >= 1, s"n=$n")
+    graft.functions.VectorExprs.register(docs.sparkSession)
+    val evalSorted: Seq[Long] = evalHashes.distinct.sorted.toSeq
+    // distinct 5-gram shingle hashes, sorted in-row (batch TextCore
+    // strHash60 formula), intersected with the literal eval set —
+    // n_hits counts the SAME distinct-hash hits batch qd12 counts
+    val shExpr = s"""CASE WHEN size(toks) >= $n THEN
+      array_sort(array_distinct(transform(sequence(0, size(toks) - $n),
+        i -> CAST(conv(substring(md5(array_join(slice(toks, i + 1, $n), ' ')), 1, 15), 16, 10) AS BIGINT))))
+      ELSE CAST(array() AS ARRAY<BIGINT>) END"""
+    val withCon = qualitySignals(docs, minTok, minStopRatio, maxDupFrac, maxTopFrac)
+      .withColumn("shs", expr(shExpr))
+      .withColumn("ev", typedLit(evalSorted))
+      .withColumn("n_hits", expr("graft_sorted_inter(shs, ev)"))
+      .withColumn("q_keep", col("reason") === "pass")
+      .withColumn("clean", when(col("doc_id") % evalMod === 0, lit(false))
+        .otherwise(col("n_hits") === 0))
+      .withColumn("c_keep", col("q_keep") && col("clean"))
+      .join(keepers.select(col("doc_id"), col("keeper")), Seq("doc_id"), "left")
+      .withColumn("d_keep",
+        col("c_keep") && coalesce(col("doc_id") === col("keeper"), lit(true)))
+      .withColumn("stage_reason",
+        when(col("reason") =!= "pass", col("reason"))
+          .when(col("doc_id") % evalMod === 0, lit("holdout"))
+          .when(col("n_hits") > 0, lit("contaminated"))
+          .when(!col("d_keep"), lit("dup"))
+          .otherwise(lit("pending")))
+    withCon
+      .select(col("source"), col("doc_id").as("docId"), col("n_chars").as("nChars"),
+        col("q_keep").as("qKeep"), col("c_keep").as("cKeep"), col("d_keep").as("dKeep"),
+        col("stage_reason").as("reason"))
+      .as[FunnelRow]
+      .groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (source: String, rows: Iterator[FunnelRow], state: GroupState[CapState]) =>
+          var nAdm = state.getOption.map(_.n).getOrElse(0L)
+          val out = rows.toVector.sortBy(_.docId).map { r =>
+            if (r.dKeep) {
+              nAdm += 1
+              val kept = nAdm <= cap
+              FunnelVerdict(source, r.docId, r.nChars, r.qKeep, r.cKeep, r.dKeep,
+                kept, if (kept) "admitted" else "source_cap")
+            } else FunnelVerdict(source, r.docId, r.nChars, r.qKeep, r.cKeep,
+              r.dKeep, finalKeep = false, r.reason)
+          }
+          state.update(CapState(nAdm))
           out.iterator
       }
   }

@@ -608,8 +608,8 @@ object TextOps {
     * survivor set. One frame so the two reports can never disagree on
     * which documents survived.
     */
-  private[text] def corpusFlags(spark: SparkSession, sfDir: String, cap: Int,
-                                evalMod: Long): DataFrame =
+  private[graft] def corpusFlags(spark: SparkSession, sfDir: String, cap: Int,
+                                 evalMod: Long): DataFrame =
     // session-cached: the funnel's join/window chain is the cost both
     // qc1 and qc3 pay — one materialization (the staged per-doc flags
     // table a real build would persist between the report and the card)

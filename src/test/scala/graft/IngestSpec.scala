@@ -138,4 +138,34 @@ class IngestSpec extends SparkSuite {
     assert(y.filter(col("is_anom") === 1).count() === 1)
     assert(y.schema("ts").dataType.typeName === "timestamp")
   }
+
+  test("AEMO raw loader: region dirs of monthly CSVs, dup settlement rows collapse") {
+    def writeCsv(dir: java.nio.file.Path, name: String, lines: Seq[String]): Unit =
+      Files.write(dir.resolve(name), String.join("\n", lines: _*).getBytes)
+    // collect_aemo_data.py layout: <root>/<REGION>/<yyyymm>.csv with the
+    // public PRICE_AND_DEMAND column set; the Jan file repeats Dec's
+    // boundary settlement row (same value) and carries a malformed row
+    val root = Files.createTempDirectory("graft-aemo")
+    val nsw = Files.createDirectory(root.resolve("NSW"))
+    val qld = Files.createDirectory(root.resolve("QLD"))
+    val hdr = "REGION,SETTLEMENTDATE,TOTALDEMAND,RRP,PERIODTYPE"
+    writeCsv(nsw, "201512.csv", Seq(hdr,
+      "NSW1,2015/12/31 23:30:00,7001.5,40.1,TRADE",
+      "NSW1,2016/01/01 00:00:00,6950.25,39.0,TRADE"))
+    writeCsv(nsw, "201601.csv", Seq(hdr,
+      "NSW1,2016/01/01 00:00:00,6950.25,39.0,TRADE",
+      "NSW1,2016/01/01 00:30:00,6888.0,38.5,TRADE",
+      "NSW1,not-a-date,oops,x,TRADE"))
+    writeCsv(qld, "201601.csv", Seq(hdr,
+      "QLD1,2016/01/01 00:00:00,5800.0,35.0,TRADE"))
+    val a = Ingest.readAemoCsv(spark, root.toString).cache()
+    assert(a.schema.fieldNames === Array("series", "ts", "value"))
+    // 5 well-formed rows − 1 month-boundary duplicate = 4
+    assert(a.count() === 4, "duplicate settlement row must collapse, malformed row drop")
+    assert(a.select("series").distinct().collect().map(_.getString(0)).sorted
+      === Array("NSW", "QLD"), "series comes from the region directory")
+    val dup = a.filter(col("series") === "NSW" &&
+      col("ts") === java.sql.Timestamp.valueOf("2016-01-01 00:00:00"))
+    assert(dup.count() === 1 && dup.head.getDouble(2) === 6950.25)
+  }
 }

@@ -269,6 +269,8 @@ class StreamingSpec extends SparkSuite {
 
   case class UEv(ts: Timestamp, user_id: Long)
   case class Doc(ts: Timestamp, doc_id: Long, text: String)
+  case class CDoc(ts: Timestamp, doc_id: Long, source: String, lang: String,
+                  text: String, n_chars: Long)
   case class SDoc(ts: Timestamp, doc_id: Long, source: String, text: String)
   case class LDoc(ts: Timestamp, doc_id: Long, lang: String, text: String)
   case class FRow(ts: Timestamp, series: String, t: Long, y: Double,
@@ -694,6 +696,61 @@ class StreamingSpec extends SparkSuite {
       val back = spark.read.parquet(s"$dir/out")
       assert(back.count() > 0, "closed windows must land in the parquet sink")
       assert(back.columns.toSet === Set("series", "wstart", "wmean", "n", "score"))
+    } finally q.stop()
+  }
+
+  test("streaming corpus funnel matches batch qc1 stage flags under ordered arrival") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // batch truth: the per-doc staged flags qc1/qc3 roll up
+    val flags = graft.text.TextOps.corpusFlags(spark, Sf001, 20, 50L).collect()
+    val want = flags.map { r =>
+      def b(n: String) = !r.isNullAt(r.fieldIndex(n)) && r.getBoolean(r.fieldIndex(n))
+      r.getLong(r.fieldIndex("doc_id")) ->
+        ((b("q_keep"), b("c_keep"), b("d_keep"), b("final_keep")))
+    }.toMap
+    // static artifacts the production funnel persists: the eval-suite
+    // shingle hash set (bounded) and the per-doc keeper table
+    val evalHashes = graft.text.TextCore.shingles(spark, Sf001, 5)
+      .filter(col("doc_id") % 50L === 0)
+      .select(graft.text.TextCore.strHash60(col("sh")).as("h"))
+      .distinct().as[Long].collect()
+    val keepers = flags.map { r =>
+      (r.getLong(r.fieldIndex("doc_id")),
+        if (r.isNullAt(r.fieldIndex("keeper"))) None
+        else Some(r.getLong(r.fieldIndex("keeper"))))
+    }.toSeq.toDF("doc_id", "keeper")
+    val docs = spark.read.parquet(s"$Sf001/documents.parquet")
+      .select("doc_id", "source", "lang", "text", "n_chars")
+      .orderBy("doc_id").collect()
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val mem = MemoryStream[CDoc]
+    val out = ScoreStream.corpusFunnelStream(mem.toDF(), evalHashes, keepers)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("funnel").start()
+    try {
+      // ingestion (doc_id) order split across TWO microbatches: the
+      // per-source cap state must carry across the boundary
+      val rows = docs.map(r => CDoc(t0, r.getLong(0), r.getString(1),
+        r.getString(2), r.getString(3), r.getLong(4)))
+      val (h1, h2) = rows.splitAt(rows.length / 2)
+      mem.addData(h1.toSeq); q.processAllAvailable()
+      mem.addData(h2.toSeq); q.processAllAvailable()
+      val got = spark.table("funnel").collect().map { r =>
+        r.getAs[Long]("docId") ->
+          ((r.getAs[Boolean]("qKeep"), r.getAs[Boolean]("cKeep"),
+            r.getAs[Boolean]("dKeep"), r.getAs[Boolean]("finalKeep"),
+            r.getAs[String]("reason")))
+      }.toMap
+      assert(got.size === want.size)
+      for ((id, (qk, ck, dk, fk)) <- want) {
+        val (gq, gc, gd, gf, reason) = got(id)
+        assert((gq, gc, gd, gf) === ((qk, ck, dk, fk)), s"doc $id (reason=$reason)")
+        if (fk) assert(reason === "admitted", s"doc $id")
+      }
+      // the funnel is a funnel: some docs fail each of the major stages
+      val reasons = got.values.map(_._5).toSet
+      assert(reasons.contains("admitted") && reasons.contains("dup"))
     } finally q.stop()
   }
 
