@@ -162,23 +162,34 @@ object Detect {
 
   /** Pairwise distances against a CAPPED reference set: every patch is
     * still scored, but the neighbour-candidate side is truncated to the
-    * deterministic first `maxRef` window ids per position, bounding the
-    * per-position pair product at O(n·maxRef) — the 100 TB contract for
-    * both q11 (LOF) and q12 (nearest-dist). With maxRef ≥ the position's
-    * window count the result is EXACTLY the uncapped pairwise
-    * (DetectSpec asserts bit-equality), so the oracle stays the exact
-    * mirror at test scales.
+    * deterministic first `maxRef` window ids per position BEFORE the
+    * pairwise join, bounding the per-position pair product at
+    * O(n·maxRef) in the plan itself (the b-side input shrinks — not a
+    * post-join filter over the quadratic stream) — the 100 TB contract
+    * for both q11 (LOF) and q12 (nearest-dist). With maxRef ≥ the
+    * position's window count the result is EXACTLY the uncapped
+    * pairwise (DetectSpec asserts bit-equality), so the oracle stays
+    * the exact mirror at test scales.
     */
   private def pairwiseRef(bank: DataFrame, maxRef: Int): DataFrame = {
-    val pwAll = pairwise(bank)
-    if (maxRef == Int.MaxValue) pwAll
-    else {
-      val wRef = Window.partitionBy("pos").orderBy("nid")
-      val refIds = pwAll.select("pos", "nid").distinct()
-        .withColumn("rr", row_number().over(wRef)).filter(col("rr") <= maxRef)
-        .select("pos", "nid")
-      pwAll.join(refIds, Seq("pos", "nid"))
-    }
+    val pid = concat_ws("#", col("series"), col("win"))
+    val withId = bank.withColumn("id", pid)
+    val bref =
+      if (maxRef == Int.MaxValue) withId
+      else {
+        // the candidate roster is the bank's own (pos, id) set — tiny
+        // relative to the pair stream; rank it, keep the first maxRef
+        val wRef = Window.partitionBy("pos").orderBy("id")
+        val refIds = withId.select("pos", "id").distinct()
+          .withColumn("rr", row_number().over(wRef)).filter(col("rr") <= maxRef)
+          .select("pos", "id")
+        withId.join(refIds, Seq("pos", "id"))
+      }
+    val a = renamed(withId, "a_")
+    val b = renamed(bref, "b_")
+    a.join(b, col("a_pos") === col("b_pos") && col("a_id") =!= col("b_id"))
+      .select(col("a_pos").as("pos"), col("a_id").as("id"), col("b_id").as("nid"),
+        sqrt(dist2("a_", "b_")).as("d"))
   }
 
   /** q12: nearest-neighbour distance patch weight ("nearest" method, ref
