@@ -182,12 +182,17 @@ object Dedup {
     * chunk (vs 256 at the old 8-bit width: 128× fewer collisions), so
     * the quadratic term stays paid only by GENUINE near-dup clusters.
     * Skewed buckets (boilerplate-dominated corpora make fingerprints
-    * non-uniform) get the qd4/qd18 df-cap discipline: drop bucket
-    * values whose document frequency exceeds a cap before the
-    * self-join — at 100 TB that cap is the operator's safety valve,
-    * here the chunk width alone bounds the test scales.
+    * non-uniform) get the qd4/qd18 df-cap discipline via `maxDf`: a
+    * (chunk, value) bucket holding more than maxDf documents is
+    * dropped BEFORE the self-join (a stop-chunk, like qd4's
+    * stop-shingles), capping every bucket's pair product at maxDf².
+    * Default OFF (Long.MaxValue) so the registered query stays the
+    * exact oracle mirror; at 100 TB you turn it on and the recall loss
+    * is confined to the degenerate near-identical mega-clusters the
+    * cap exists to defuse.
     */
-  def simhash(spark: SparkSession, sfDir: String, maxHam: Int = 8): DataFrame = {
+  def simhash(spark: SparkSession, sfDir: String, maxHam: Int = 8,
+              maxDf: Long = Long.MaxValue): DataFrame = {
     // Single pass: 60 conditional sums per token row instead of a 60×
     // row explosion — the shuffle carries one row per doc.
     val th = tokens(spark, sfDir).withColumn("th", graft.text.TextCore.strHash60(col("tok")))
@@ -199,8 +204,18 @@ object Dedup {
         when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _))
       .select("doc_id", "sh")
     val mask = (1L << SimhashChunkBits) - 1
-    val chunks = sh.withColumn("c", explode(sequence(lit(0), lit(SimhashChunks - 1))))
+    val chunksAll = sh.withColumn("c", explode(sequence(lit(0), lit(SimhashChunks - 1))))
       .withColumn("cv", expr(s"shiftright(sh, cast($SimhashChunkBits * c as int)) & $mask"))
+    val chunks =
+      if (maxDf == Long.MaxValue) chunksAll
+      else {
+        // stop-chunk gate: the df table is tiny (≤ nChunks·2^chunkBits
+        // rows) and the checkpoint keeps the fingerprint agg from
+        // running once per join side
+        val ck = chunksAll.localCheckpoint(eager = false)
+        ck.join(ck.groupBy("c", "cv").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDf).select("c", "cv"), Seq("c", "cv"))
+      }
     val a = chunks.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("c"), col("cv"))
     val b = chunks.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("c"), col("cv"))
     a.join(b, Seq("c", "cv")).filter(col("doc_a") < col("doc_b"))

@@ -548,6 +548,8 @@ object Forecast {
       col("trend").as("tr_lag"))
     val yLag = base.select(col("series"), (col("t") + TsCore.WeekLag).as("t"),
       col("v_filled").as("p_dir"))
+    // checkpointed: BOTH variant branches of the union read ev — without
+    // materialization each re-runs the three-join eval chain
     val ev = b.filter(col("t") >= col("tsplit"))
       .join(trLag, Seq("series", "t"))
       .join(yLag, Seq("series", "t"))
@@ -555,6 +557,7 @@ object Forecast {
       .transform(Joins.dimJoin(_, seasTr, Seq("series", "pos"), None))
       .select(col("series"), col("v_filled").as("y"),
         (col("tr_lag") + col("seas")).as("p_dec"), col("p_dir"))
+      .localCheckpoint(eager = false)
     val both = ev.select(col("series"), lit("decomposed").as("variant"),
         col("y"), col("p_dec").as("p"))
       .unionByName(ev.select(col("series"), lit("direct").as("variant"),

@@ -107,40 +107,97 @@ object MllibForecast {
     * boosting acts as a regularized additive fit and edges out both
     * q22 and the 6-feature ridge.
     */
-  def gbtForecast(spark: SparkSession, sfDir: String,
-                  maxIter: Int = 30, maxDepth: Int = 2,
-                  seed: Long = 42L): DataFrame = {
-    val base = Forecast.featureBase(spark, sfDir)
-    val stats = base.filter(col("t") < col("tsplit"))
-      .groupBy("series").agg(avg("y").as("my"), stddev_samp("y").as("sy"))
+  /** Per-series train mean/std — the standardization half of the q61
+    * artifact. Session-cached (the model-as-artifact discipline):
+    * ModelStore.saveGbt and every in-session consumer read the SAME
+    * realization, so saved and served predictions can't drift by a
+    * partition-order ulp in the stats.
+    */
+  private[graft] def gbtStats(spark: SparkSession, sfDir: String): DataFrame =
+    graft.util.StageCache.cached(spark, sfDir, "gbtstats") {
+      Forecast.featureBase(spark, sfDir).filter(col("t") < col("tsplit"))
+        .groupBy("series").agg(avg("y").as("my"), stddev_samp("y").as("sy"))
+    }
+
+  /** The z-space frame the GBT trains/predicts on: every lag feature
+    * and the label standardized by the series' train (my, sy), plus
+    * hour-of-day. Shared by fit, in-session apply and the ModelStore
+    * serve path.
+    */
+  private def gbtZFrame(base: DataFrame, stats: DataFrame): DataFrame = {
     val zCols = (1 to 6).map(i =>
       ((col(s"x$i") - col("my")) / col("sy")).as(s"zx$i"))
-    val b = Joins.dimJoin(base, stats, Seq("series"), None)
+    Joins.dimJoin(base, stats, Seq("series"), None)
       .filter(col("sy") > 0)
       .withColumn("zy", (col("y") - col("my")) / col("sy"))
       .withColumn("hod", (col("t") % TsCore.DaySize).cast("double"))
       .select(Seq(col("series"), col("t"), col("tsplit"), col("y"),
         col("my"), col("sy"), col("zy"), col("hod")) ++ zCols: _*)
-    val assembler = new VectorAssembler()
-      .setInputCols(((1 to 6).map(i => s"zx$i") :+ "hod").toArray)
-      .setOutputCol("features")
-    val gbt = new GBTRegressor()
-      .setFeaturesCol("features").setLabelCol("zy")
-      .setMaxIter(maxIter).setMaxDepth(maxDepth).setSeed(seed)
-    val train = assembler.transform(b.filter(col("t") < col("tsplit")))
-    // empty/sparse edge (EmptyInputSpec, sf0.001): GBT.fit throws on an
-    // empty dataset — an empty feed yields an empty report, not a crash
-    if (train.isEmpty)
-      return b.limit(0).select(col("series"), lit(0L).as("n"),
-        lit(0.0).as("mae"), lit(0.0).as("rmse"))
-    val model = gbt.fit(train)
-    val pred = model.transform(assembler.transform(b.filter(col("t") >= col("tsplit"))))
+  }
+
+  private def gbtAssembler: VectorAssembler = new VectorAssembler()
+    .setInputCols(((1 to 6).map(i => s"zx$i") :+ "hod").toArray)
+    .setOutputCol("features")
+
+  // fitted-model session cache (the model analogue of StageCache: a
+  // GBTRegressionModel is a few KB of tree arrays, no RDD references)
+  private val gbtCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int, Int, Long),
+    org.apache.spark.ml.regression.GBTRegressionModel]()
+
+  /** Fit (or reuse) the session's q61 model; None on an empty train
+    * split (EmptyInputSpec's sparse edge — GBT.fit throws on empty).
+    */
+  private[graft] def gbtModel(spark: SparkSession, sfDir: String,
+                                   maxIter: Int, maxDepth: Int, seed: Long)
+      : Option[org.apache.spark.ml.regression.GBTRegressionModel] = {
+    val key = (spark, sfDir, maxIter, maxDepth, seed)
+    val hit = gbtCache.get(key)
+    if (hit != null) return Some(hit)
+    val b = gbtZFrame(Forecast.featureBase(spark, sfDir), gbtStats(spark, sfDir))
+    val train = gbtAssembler.transform(b.filter(col("t") < col("tsplit")))
+    if (train.isEmpty) None
+    else {
+      val gbt = new GBTRegressor()
+        .setFeaturesCol("features").setLabelCol("zy")
+        .setMaxIter(maxIter).setMaxDepth(maxDepth).setSeed(seed)
+      gbtCache.putIfAbsent(key, gbt.fit(train))
+      Some(gbtCache.get(key))
+    }
+  }
+
+  /** Apply a (loaded or fitted) q61 model to a featureBase-shaped frame
+    * using the given standardization stats: per-row un-standardized
+    * prediction `p` alongside the originals. The ModelStore serve path
+    * (loadAndGbtForecast) and the in-session forecast share this one
+    * definition, so saved and live predictions are bit-identical
+    * (ModelStoreSpec).
+    */
+  private[graft] def gbtApply(
+      model: org.apache.spark.ml.regression.GBTRegressionModel,
+      stats: DataFrame, base: DataFrame): DataFrame =
+    model.transform(gbtAssembler.transform(gbtZFrame(base, stats)))
       .withColumn("p", col("prediction") * col("sy") + col("my"))
-    pred.groupBy("series").agg(
-        count(lit(1)).as("n"),
-        avg(abs(col("y") - col("p"))).as("mae"),
-        sqrt(avg((col("y") - col("p")) * (col("y") - col("p")))).as("rmse"))
-      .select(col("series"), col("n"),
-        Num.r4(col("mae")).as("mae"), Num.r4(col("rmse")).as("rmse"))
+      .select("series", "t", "y", "p")
+
+  def gbtForecast(spark: SparkSession, sfDir: String,
+                  maxIter: Int = 30, maxDepth: Int = 2,
+                  seed: Long = 42L): DataFrame = {
+    val base = Forecast.featureBase(spark, sfDir)
+    gbtModel(spark, sfDir, maxIter, maxDepth, seed) match {
+      case None =>
+        // empty/sparse edge: an empty feed yields an empty report
+        base.limit(0).select(col("series"), lit(0L).as("n"),
+          lit(0.0).as("mae"), lit(0.0).as("rmse"))
+      case Some(model) =>
+        val pred = gbtApply(model, gbtStats(spark, sfDir),
+          base.filter(col("t") >= col("tsplit")))
+        pred.groupBy("series").agg(
+            count(lit(1)).as("n"),
+            avg(abs(col("y") - col("p"))).as("mae"),
+            sqrt(avg((col("y") - col("p")) * (col("y") - col("p")))).as("rmse"))
+          .select(col("series"), col("n"),
+            Num.r4(col("mae")).as("mae"), Num.r4(col("rmse")).as("rmse"))
+    }
   }
 }

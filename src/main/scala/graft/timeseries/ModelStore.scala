@@ -237,6 +237,35 @@ object ModelStore {
   def dsirLogRatios(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/dsir")
 
+  /** q61 GBT persistence — the nonlinear half of the forecast
+    * lifecycle: MLlib's own model writer serializes the boosted trees
+    * EXACTLY (split thresholds and leaf values are doubles in the
+    * parquet metadata), and the per-series standardization stats save
+    * alongside from their session-cached realization — so a reloaded
+    * model's predictions are bit-identical to the in-session fit
+    * (ModelStoreSpec).
+    */
+  def saveGbt(spark: SparkSession, sfDir: String, path: String,
+              maxIter: Int = 30, maxDepth: Int = 2, seed: Long = 42L): Unit = {
+    val model = MllibForecast.gbtModel(spark, sfDir, maxIter, maxDepth, seed)
+      .getOrElse(throw new IllegalStateException(
+        s"saveGbt: empty train split under $sfDir — nothing to persist"))
+    model.write.overwrite().save(s"$path/gbt")
+    MllibForecast.gbtStats(spark, sfDir)
+      .write.mode("overwrite").parquet(s"$path/gbtstats")
+  }
+
+  /** Reload the saved q61 artifact and predict over a featureBase-shaped
+    * frame — no refit; shares the apply definition with the in-session
+    * forecast.
+    */
+  def loadAndGbtForecast(spark: SparkSession, path: String,
+                         base: DataFrame): DataFrame = {
+    val model = org.apache.spark.ml.regression.GBTRegressionModel.load(s"$path/gbt")
+    val stats = spark.read.parquet(s"$path/gbtstats")
+    MllibForecast.gbtApply(model, stats, base)
+  }
+
   def loadAndScore(spark: SparkSession, path: String, patches: DataFrame): DataFrame = {
     graft.functions.VectorExprs.register(spark)
     val packed = packedBank(spark, path)

@@ -45,6 +45,26 @@ class ModelStoreSpec extends SparkSuite {
     j.unpersist()
   }
 
+  test("GBT model save/load reproduces in-session predictions bit-for-bit") {
+    import graft.timeseries.{Forecast, MllibForecast}
+    val path = Files.createTempDirectory("graft-gbt").toString
+    ModelStore.saveGbt(spark, Sf01, path)
+    val base = Forecast.featureBase(spark, Sf01).filter(col("t") >= col("tsplit"))
+    val reloaded = ModelStore.loadAndGbtForecast(spark, path, base)
+      .select(col("series"), col("t"), col("p").as("pr"))
+    val live = MllibForecast.gbtApply(
+        MllibForecast.gbtModel(spark, Sf01, 30, 2, 42L).get,
+        MllibForecast.gbtStats(spark, Sf01), base)
+      .select(col("series"), col("t"), col("p").as("pl"))
+    val j = reloaded.join(live, Seq("series", "t")).cache()
+    assert(j.count() > 0 && j.count() === live.count())
+    // MLlib's writer serializes split thresholds and leaf doubles
+    // exactly; stats come from the shared session-cached realization →
+    // identical IEEE apply chain → exact equality, no tolerance
+    assert(j.filter(col("pr") =!= col("pl")).count() === 0)
+    j.unpersist()
+  }
+
   test("imputer model save/load reproduces in-session span imputations bit-for-bit") {
     import graft.timeseries.Impute
     val path = Files.createTempDirectory("graft-imp").toString

@@ -69,6 +69,17 @@ class TextSpec extends SparkSuite {
     assert(s.filter(col("hamming") < 0 || col("hamming") > Dedup.SimhashBits).count() === 0)
   }
 
+  test("simhash stop-chunk cap yields a subset of the uncapped pairs") {
+    // maxDf is the 100 TB skew valve: capped candidates must be a
+    // subset (a bucket drop can only remove pairs, never invent them)
+    val full = Dedup.simhash(spark, Sf001, maxHam = 40).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.simhash(spark, Sf001, maxHam = 40, maxDf = 3L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(full))
+    assert(capped.size < full.size, "a tight cap must actually drop crowded buckets")
+  }
+
   test("jaccard in [0,1]") {
     val j = Dedup.ngramJaccard(spark, Sf001).cache()
     assert(j.count() > 0)
