@@ -357,6 +357,27 @@ object ScoreStream {
         abs(col("y") - col("p")).as("abs_err"))
   }
 
+  /** Streaming GBT forecaster — the serving half of the saved q61
+    * model (forecastStream's NONLINEAR sibling): feature rows stream
+    * in (series, ts, t, y, x1..x6), standardize against the broadcast
+    * per-series stats, run the loaded boosted-tree ensemble's
+    * transform (a stateless prediction UDF — MLlib transformers apply
+    * to streaming frames unchanged) and un-standardize. The apply
+    * chain is the SHARED MllibForecast.gbtApply, so streamed
+    * predictions are bit-identical to ModelStore.loadAndGbtForecast
+    * (StreamingSpec parity). The stats join broadcasts deliberately —
+    * the pinned-model serving shape (see forecastStream's note).
+    */
+  def gbtStream(spark: SparkSession, modelPath: String,
+                feats: DataFrame): DataFrame = {
+    import graft.timeseries.MllibForecast
+    val model = org.apache.spark.ml.regression.GBTRegressionModel.load(s"$modelPath/gbt")
+    val stats = spark.read.parquet(s"$modelPath/gbtstats")
+    MllibForecast.gbtApply(model, broadcast(stats), feats)
+      .select(col("series"), col("ts"), col("t"), col("y"), col("p"),
+        abs(col("y") - col("p")).as("abs_err"))
+  }
+
   /** Streaming span imputer — the serving half of the saved q55 model
     * (forecastStream's sibling): flagged-span feature rows stream in
     * (series, ts, win, pos, o, xl, xr, xs — Impute.imputePoints' schema

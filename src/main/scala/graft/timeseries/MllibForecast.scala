@@ -127,12 +127,15 @@ object MllibForecast {
   private def gbtZFrame(base: DataFrame, stats: DataFrame): DataFrame = {
     val zCols = (1 to 6).map(i =>
       ((col(s"x$i") - col("my")) / col("sy")).as(s"zx$i"))
+    // tsplit/ts pass through when present: the batch fit carries
+    // tsplit, the streaming serve path carries the event time instead
+    val passthrough = Seq("series", "t", "tsplit", "ts", "y")
+      .filter(base.columns.contains).map(col)
     Joins.dimJoin(base, stats, Seq("series"), None)
       .filter(col("sy") > 0)
       .withColumn("zy", (col("y") - col("my")) / col("sy"))
       .withColumn("hod", (col("t") % TsCore.DaySize).cast("double"))
-      .select(Seq(col("series"), col("t"), col("tsplit"), col("y"),
-        col("my"), col("sy"), col("zy"), col("hod")) ++ zCols: _*)
+      .select(passthrough ++ Seq(col("my"), col("sy"), col("zy"), col("hod")) ++ zCols: _*)
   }
 
   private def gbtAssembler: VectorAssembler = new VectorAssembler()
@@ -175,10 +178,13 @@ object MllibForecast {
     */
   private[graft] def gbtApply(
       model: org.apache.spark.ml.regression.GBTRegressionModel,
-      stats: DataFrame, base: DataFrame): DataFrame =
+      stats: DataFrame, base: DataFrame): DataFrame = {
+    val keep = Seq("series", "t", "y", "p") ++
+      (if (base.columns.contains("ts")) Seq("ts") else Nil)
     model.transform(gbtAssembler.transform(gbtZFrame(base, stats)))
       .withColumn("p", col("prediction") * col("sy") + col("my"))
-      .select("series", "t", "y", "p")
+      .select(keep.map(col): _*)
+  }
 
   def gbtForecast(spark: SparkSession, sfDir: String,
                   maxIter: Int = 30, maxDepth: Int = 2,

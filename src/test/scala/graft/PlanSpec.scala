@@ -350,4 +350,21 @@ class PlanSpec extends SparkSuite {
       org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
     assert(cg.contains("WholeStageCodegen"), cg.take(2000))
   }
+
+  test("round-10 forecast ops keep their scale shapes (q59/q60)") {
+    spark.catalog.clearCache()
+    // q59: the trend+detr base serves from the session-cached stage and
+    // the eval frame is checkpointed — the query plan itself derives NO
+    // window pass (a Window operator here would mean the prefix-sum
+    // trend chain is being rebuilt per consumer)
+    val p59 = plan(graft.timeseries.Forecast.decomposeForecast(spark, Sf01))
+    assert(!p59.contains("Window"),
+      s"q59 must read the cached decomposition base, not rebuild it:\n${p59.take(900)}")
+    // q60: every lag column for every horizon comes out of ONE
+    // per-series window pass (the unrolled decode loop is projection
+    // arithmetic, not extra sorts) — the l1 lag is defined exactly once
+    val p60 = plan(graft.timeseries.Forecast.recursiveForecast(spark, Sf01))
+    assert("AS l1#".r.findAllIn(p60).size == 1,
+      s"q60 must materialize its lag frame in one window pass:\n${p60.take(900)}")
+  }
 }

@@ -550,6 +550,36 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming GBT scorer matches the saved-model batch predictions exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.timeseries.{Forecast, ModelStore}
+    val path = java.nio.file.Files.createTempDirectory("graft-gbts").toString
+    ModelStore.saveGbt(spark, Sf01, path)
+    val base = Forecast.featureBase(spark, Sf01).filter(col("t") >= col("tsplit"))
+    val want = ModelStore.loadAndGbtForecast(spark, path, base).collect()
+      .map(r => (r.getAs[String]("series"), r.getAs[Long]("t")) -> r.getAs[Double]("p")).toMap
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows = base.select("series", "t", "y", "x1", "x2", "x3", "x4", "x5", "x6")
+      .collect().map(r => FRow(t0, r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6),
+        r.getDouble(7), r.getDouble(8)))
+    val mem = MemoryStream[FRow]
+    val out = ScoreStream.gbtStream(spark, path, mem.toDF())
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("gbts").start()
+    try {
+      val (h1, h2) = rows.splitAt(rows.length / 2)
+      mem.addData(h1.toSeq); q.processAllAvailable()
+      mem.addData(h2.toSeq); q.processAllAvailable()
+      val got = spark.table("gbts").collect()
+        .map(r => (r.getAs[String]("series"), r.getAs[Long]("t")) -> r.getAs[Double]("p")).toMap
+      assert(got.size === want.size)
+      // same serialized trees + same shared apply chain → exact equality
+      assert(got === want)
+    } finally q.stop()
+  }
+
   case class QVec(ts: Timestamp, qid: Long, av: Array[Double])
 
   test("streaming vector search over a saved SQ8 index matches batch qv11 exactly") {
