@@ -87,13 +87,16 @@ object Ingest {
   // per-file series id comes from the file name, matching the
   // one-CSV-per-building/series layout of the raw datasets.
 
-  private def seriesFromFile: org.apache.spark.sql.Column = {
-    // input_file_name() is a percent-encoded file URI — decode it so
-    // "bldg a.csv" yields series "bldg a", not "bldg%20a"; fall back to
-    // the raw name if the URI contains a stray malformed % escape
-    val decoded = coalesce(expr("try_url_decode(input_file_name())"), input_file_name())
-    regexp_extract(decoded, "([^/]+)\\.csv$", 1)
-  }
+  // input_file_name() is a percent-encoded file URI — decode it so
+  // "bldg a.csv" yields series "bldg a", not "bldg%20a"; fall back to
+  // the raw name if the URI contains a stray malformed % escape.
+  // ONE definition: every loader deriving its series from the path
+  // (file-per-series park/yahoo, dir-per-region AEMO) shares it.
+  private def decodedFilePath: org.apache.spark.sql.Column =
+    coalesce(expr("try_url_decode(input_file_name())"), input_file_name())
+
+  private def seriesFromFile: org.apache.spark.sql.Column =
+    regexp_extract(decodedFilePath, "([^/]+)\\.csv$", 1)
 
   /** Park smart-meter export: one CSV per building under `root`, columns
     * "Time" + "Power (kW)" (process_park.py:20-22 defaults).
@@ -137,8 +140,7 @@ object Ingest {
   def readAemoCsv(spark: SparkSession, root: String,
                   dateCol: String = "SETTLEMENTDATE",
                   loadCol: String = "TOTALDEMAND"): DataFrame = {
-    val decoded = coalesce(expr("try_url_decode(input_file_name())"), input_file_name())
-    val region = regexp_extract(decoded, "([^/]+)/[^/]+\\.csv$", 1)
+    val region = regexp_extract(decodedFilePath, "([^/]+)/[^/]+\\.csv$", 1)
     spark.read.option("header", "true").option("mode", "DROPMALFORMED")
       .csv(s"$root/*/*.csv")
       .select(region.as("series"),

@@ -188,7 +188,7 @@ object ScoreStream {
     // per-row shingle hash array (batch TextCore.strHash formula)
     val hs = toks.withColumn("hs", expr(
       "CASE WHEN size(toks) >= 3 THEN transform(sequence(0, size(toks) - 3), " +
-        "i -> CAST(conv(substring(md5(array_join(slice(toks, i + 1, 3), ' ')), 1, 8), 16, 10) AS BIGINT)) " +
+        s"i -> ${graft.text.TextCore.strHashExpr("array_join(slice(toks, i + 1, 3), ' ')")}) " +
         "ELSE CAST(array() AS ARRAY<BIGINT>) END"))
     // nPerm affine minhash mins — array_min over the same mixes as batch
     val mins = (0 until nPerm).map(j =>
@@ -297,7 +297,7 @@ object ScoreStream {
         .otherwise(expr("cast(array() as array<string>)")))
       .withColumn("feats", concat(col("toks"), col("bgs")))
       .withColumn("slr", expr(s"""aggregate(feats, cast(0 as bigint),
-        (acc, f) -> acc + lr[cast(cast(conv(substring(md5(f),1,8),16,10) as bigint) % $nB as int)])"""))
+        (acc, f) -> acc + lr[cast(${graft.text.TextCore.strHashExpr("f")} % $nB as int)])"""))
       .select(col("doc_id"), col("source"), col("ts"),
         size(col("feats")).cast("long").as("n_feat"),
         Num.r4(col("slr") / 1000000d).as("log_w"),
@@ -559,12 +559,25 @@ object ScoreStream {
     import events.sparkSession.implicits._
     require(windowSec >= 1 && thr >= 1, s"windowSec=$windowSec thr=$thr")
     // a ttl shorter than the window would evict IN-WINDOW state and
-    // silently undercount nw/peak_rate — fail at construction instead
+    // silently undercount nw/peak_rate — fail at construction instead.
+    // Parse with Spark's own CalendarInterval reader (the grammar
+    // setTimeoutDuration actually accepts, incl. compound strings like
+    // "1 hour 30 minutes"), falling back to scala Duration syntax.
     idleTtl.foreach { s =>
-      val d = scala.util.Try(scala.concurrent.duration.Duration(s)).getOrElse(
-        throw new IllegalArgumentException(s"idleTtl '$s' is not a parsable duration"))
-      require(d.isFinite && d.toSeconds >= windowSec,
-        s"idleTtl '$s' (${d.toSeconds}s) must be >= windowSec=${windowSec}s: " +
+      val ms: Long = {
+        val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+          .safeStringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+        if (iv != null) {
+          require(iv.months == 0,
+            s"idleTtl '$s': month-based intervals have no fixed length — use days/hours")
+          iv.days * 86400000L + iv.microseconds / 1000L
+        } else scala.util.Try(scala.concurrent.duration.Duration(s)).toOption
+          .filter(_.isFinite).map(_.toMillis)
+          .getOrElse(throw new IllegalArgumentException(
+            s"idleTtl '$s' is not a parsable duration"))
+      }
+      require(ms >= windowSec * 1000L,
+        s"idleTtl '$s' (${ms}ms) must be >= windowSec=${windowSec}s: " +
           "a shorter ttl evicts in-window state and undercounts rates")
     }
     // TOTAL-state bound: per-key state is bounded by the densest window,
@@ -685,9 +698,10 @@ object ScoreStream {
     // distinct 5-gram shingle hashes, sorted in-row (batch TextCore
     // strHash60 formula), intersected with the literal eval set —
     // n_hits counts the SAME distinct-hash hits batch qd12 counts
+    val shHash = graft.text.TextCore.strHash60Expr(s"array_join(slice(toks, i + 1, $n), ' ')")
     val shExpr = s"""CASE WHEN size(toks) >= $n THEN
       array_sort(array_distinct(transform(sequence(0, size(toks) - $n),
-        i -> CAST(conv(substring(md5(array_join(slice(toks, i + 1, $n), ' ')), 1, 15), 16, 10) AS BIGINT))))
+        i -> $shHash)))
       ELSE CAST(array() AS ARRAY<BIGINT>) END"""
     val withCon = qualitySignals(docs, minTok, minStopRatio, maxDupFrac, maxTopFrac)
       .withColumn("shs", expr(shExpr))

@@ -29,6 +29,17 @@ object TextCore {
   def strHash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** SQL-expression forms of the two hashes for IN-ROW use (streaming
+    * higher-order functions can't call Column helpers inside
+    * transform(...)); one definition so a width change can never leave
+    * a streaming twin hashing differently from its batch operator.
+    */
+  def strHashExpr(e: String): String =
+    s"CAST(conv(substring(md5($e), 1, 8), 16, 10) AS BIGINT)"
+
+  def strHash60Expr(e: String): String =
+    s"CAST(conv(substring(md5($e), 1, 15), 16, 10) AS BIGINT)"
+
   /** (doc_id, i, tok) — whitespace tokens with their original index.
     * Session-cached: six text operators start from this explode.
     */

@@ -147,19 +147,6 @@ object Detect {
           Num.r4(sqrt(form)).as("mdist"))
     }
 
-  /** Pairwise distances within a patch position over the bank.
-    * At scale: per-position sampling caps bound the quadratic term; the
-    * position axis itself is the parallelism (partition key).
-    */
-  private def pairwise(bank: DataFrame): DataFrame = {
-    val pid = concat_ws("#", col("series"), col("win"))
-    val a = renamed(bank.withColumn("id", pid), "a_")
-    val b = renamed(bank.withColumn("id", pid), "b_")
-    a.join(b, col("a_pos") === col("b_pos") && col("a_id") =!= col("b_id"))
-      .select(col("a_pos").as("pos"), col("a_id").as("id"), col("b_id").as("nid"),
-        sqrt(dist2("a_", "b_")).as("d"))
-  }
-
   /** Pairwise distances against a CAPPED reference set: every patch is
     * still scored, but the neighbour-candidate side is truncated to the
     * deterministic first `maxRef` window ids per position BEFORE the

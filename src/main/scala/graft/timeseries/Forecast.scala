@@ -592,7 +592,9 @@ object Forecast {
     * whole k-step loop is a nested column expression, no iteration, no
     * driver data movement. At h=1 the recursion IS q22's prediction
     * (ForecastImputeSpec asserts the per-series MAE matches q22 on the
-    * shared eval points), and the error-by-horizon curve against q39's
+    * shared eval points within one r4 quantization step — the error
+    * AGGREGATION differs: q60 sums per-row quantized errors, order-free;
+    * q22 averages raw floats), and the error-by-horizon curve against q39's
     * DIRECT strategy reproduces the textbook comparison: recursive
     * degrades with horizon as its own errors compound.
     *

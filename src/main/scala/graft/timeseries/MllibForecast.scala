@@ -154,6 +154,11 @@ object MllibForecast {
   private[graft] def gbtModel(spark: SparkSession, sfDir: String,
                                    maxIter: Int, maxDepth: Int, seed: Long)
       : Option[org.apache.spark.ml.regression.GBTRegressionModel] = {
+    // StageCache's eviction discipline: entries pin their SparkSession,
+    // so sweep stopped sessions on every access (weak refs can't work —
+    // see StageCache's lifecycle note)
+    val it = gbtCache.keySet().iterator()
+    while (it.hasNext) { if (it.next()._1.sparkContext.isStopped) it.remove() }
     val key = (spark, sfDir, maxIter, maxDepth, seed)
     val hit = gbtCache.get(key)
     if (hit != null) return Some(hit)

@@ -92,14 +92,18 @@ class ForecastImputeSpec extends SparkSuite {
 
   test("q60 recursive forecast: h=1 is exactly q22; recursion converges geometrically") {
     val r = Forecast.recursiveForecast(spark, Sf01).cache()
-    // h=1: one decode step = q22's prediction on q22's eval points —
-    // the per-series MAE/RMSE must match the direct fit bit-for-bit
+    // h=1: one decode step = q22's prediction on q22's eval points.
+    // The PREDICTIONS are identical; the reported MAE differs only by
+    // aggregation scheme (q60 sums per-row 1e-4-quantized errors —
+    // order-free; q22 averages raw floats then rounds), so the two
+    // figures can part by at most one quantization step
     val q22 = Forecast.olsForecast(spark, Sf01)
       .select(col("series"), col("mae").as("mae22"), col("rmse").as("rmse22"))
     val j1 = r.filter(col("horizon") === 1).join(q22, "series")
     assert(j1.count() === 5)
-    assert(j1.filter(col("mae") =!= col("mae22") || col("rmse") =!= col("rmse22")).count() === 0,
-      "one unrolled step must equal q22's direct prediction exactly")
+    assert(j1.filter(abs(col("mae") - col("mae22")) > 1.01e-4 ||
+        abs(col("rmse") - col("rmse22")) > 1.01e-4).count() === 0,
+      "one unrolled step must equal q22's direct prediction up to the r4 grid")
     // every horizon scores the same dense-spine eval footprint here
     val ns = r.groupBy("series").agg(countDistinct("n").as("nn"))
     assert(ns.filter(col("nn") =!= 1).count() === 0)

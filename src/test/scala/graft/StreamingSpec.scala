@@ -784,6 +784,25 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("burstRateStream validates idleTtl against the window at construction") {
+    import spark.implicits._
+    val ds = Seq((1L, 10L)).toDS()
+    // Spark's CalendarInterval grammar (incl. compound strings — what
+    // setTimeoutDuration actually accepts) passes when ttl >= window
+    ScoreStream.burstRateStream(ds, windowSec = 3600, idleTtl = Some("1 hour 30 minutes"))
+    ScoreStream.burstRateStream(ds, windowSec = 3600, idleTtl = Some("2 hours"))
+    intercept[IllegalArgumentException] {
+      ScoreStream.burstRateStream(ds, windowSec = 3600, idleTtl = Some("5 minutes"))
+    }
+    intercept[IllegalArgumentException] {
+      ScoreStream.burstRateStream(ds, windowSec = 3600, idleTtl = Some("not a duration"))
+    }
+    intercept[IllegalArgumentException] {
+      // months have no fixed length — must be rejected, not guessed
+      ScoreStream.burstRateStream(ds, windowSec = 3600, idleTtl = Some("1 month"))
+    }
+  }
+
   test("streaming plan survives a static-bank broadcast join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
