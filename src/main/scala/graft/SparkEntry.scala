@@ -96,6 +96,7 @@ object SparkEntry {
     "q43_calendar_filter" -> ((s, d) => graft.timeseries.TsQueries.q43CalendarFilter(s, d)),
     "qm2_frame_sample" -> ((s, d) => graft.multimodal.BinaryMeta.frameSample(s, d)),
     "qm7_frame_neardup" -> ((s, d) => graft.multimodal.BinaryMeta.frameNearDup(s, d)),
+    "qm8_media_clusters" -> ((s, d) => graft.multimodal.BinaryMeta.mediaClusters(s, d)),
     "qa10_stratified_sample" -> ((s, d) => Relational.stratifiedSample(s, d)),
     "qa11_salted_agg" -> ((s, d) => Relational.saltedAgg(s, d)),
     "qa12_pivot" -> ((s, d) => Relational.eventPivot(s, d)),
@@ -150,6 +151,7 @@ object SparkEntry {
     "qp5_skew_profile" -> ((s, d) => graft.analytics.Events.skewProfile(s, d)),
     "qt11_pack_shards" -> ((s, d) => graft.text.TextOps.packShards(s, d)),
     "qe6_transitions" -> ((s, d) => graft.analytics.Events.transitions(s, d)),
+    "qe16_next_event" -> ((s, d) => graft.analytics.Events.nextEventEval(s, d)),
     "q45_cusum" -> ((s, d) => graft.timeseries.Intervals.cusum(s, d)),
     "q46_episodes" -> ((s, d) => graft.timeseries.Intervals.episodes(s, d)),
     "q47_median_filter" -> ((s, d) => graft.timeseries.Intervals.medianFilter(s, d)),
@@ -635,6 +637,33 @@ object SparkEntry {
       SELECT src, dst, n,
              floor((n * 1.0 / sum(n) OVER (PARTITION BY src))*10000 + 0.5)/10000 AS p
       FROM cnt""",
+    "qe16_next_event" -> """
+      WITH ev AS (
+        SELECT event_id, user_id, event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) AS tsec FROM events
+      ), st0 AS (
+        SELECT event_type AS src, tsec,
+               lead(event_type) OVER w AS dst,
+               lead(tsec) OVER w AS dtsec
+        FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id)
+      ), st AS (SELECT * FROM st0 WHERE dst IS NOT NULL),
+      rng AS (
+        SELECT min(tsec) + CAST(floor((max(tsec) - min(tsec)) * 0.7) AS BIGINT) AS tcut
+        FROM st
+      ), cnt AS (
+        SELECT src, dst, count(*) AS n
+        FROM st, rng WHERE dtsec < tcut GROUP BY src, dst
+      ), model AS (
+        SELECT src, dst AS pred_dst FROM (
+          SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY n DESC, dst) AS rn
+          FROM cnt) WHERE rn = 1
+      )
+      SELECT s.src, m.pred_dst, count(*) AS n_test,
+             CAST(sum(CASE WHEN s.dst = m.pred_dst THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+             floor((CAST(sum(CASE WHEN s.dst = m.pred_dst THEN 1 ELSE 0 END) AS BIGINT) * 1.0 / count(*))*10000 + 0.5)/10000 AS acc
+      FROM st s CROSS JOIN rng LEFT JOIN model m USING (src)
+      WHERE s.dtsec >= rng.tcut
+      GROUP BY s.src, m.pred_dst""",
     "qa14_incremental_agg" -> """
       SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
              sum(CAST(floor((l_quantity)*10000 + 0.5) AS BIGINT)) / 10000.0 AS sum_qty,
@@ -824,6 +853,7 @@ object SparkEntry {
     "qm3_phash_neardup" -> graft.multimodal.BinaryMeta.qm3OracleSql(),
     "qm2_frame_sample" -> graft.multimodal.BinaryMeta.qm2OracleSql(),
     "qm7_frame_neardup" -> graft.multimodal.BinaryMeta.qm7OracleSql(),
+    "qm8_media_clusters" -> graft.multimodal.BinaryMeta.qm8OracleSql(),
     "qm4_shard_manifest" -> """
       WITH m AS (
         SELECT doc_id, 'text/' || lang AS media_type,

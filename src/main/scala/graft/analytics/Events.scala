@@ -408,6 +408,50 @@ object Events {
       .withColumn("p", Num.r4(col("n") / sum("n").over(Window.partitionBy("src"))))
   }
 
+  /** qe16: next-event prediction evaluation — qe6's transition model
+    * taken to its USE: fit the per-source argmax next-event predictor
+    * on the transitions completing before a time cut (70% of the span),
+    * then score top-1 accuracy on the held-out transitions (the
+    * train/serve shape of every next-action model behind a
+    * recommendation surface; the Markov baseline is the standard
+    * reference point, public).
+    *
+    * Scale shape: ONE per-user window pass derives the steps (qe6's
+    * axis), the cut is a 2-scalar broadcast, the fitted model is a
+    * ≤ |types|-row argmax (row_number over the |types|² count table —
+    * BI-table sized regardless of input), and the eval is one hash agg
+    * over the test steps with the model attached by the size-aware
+    * dimJoin. A source unseen in training predicts NULL and scores 0 —
+    * reported, not dropped.
+    */
+  def nextEventEval(spark: SparkSession, sfDir: String,
+                    frac: Double = 0.7): DataFrame = {
+    import graft.util.Num
+    require(frac > 0 && frac < 1, s"frac=$frac")
+    val w = Window.partitionBy("user_id").orderBy("tsec", "event_id")
+    val steps = epochSec(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("tsec"), col("event_type").as("src"))
+      .withColumn("dst", lead("src", 1).over(w))
+      .withColumn("dtsec", lead("tsec", 1).over(w))
+      .filter(col("dst").isNotNull)
+    val rng = steps.agg((min("tsec") +
+      floor((max("tsec") - min("tsec")) * frac).cast("long")).as("tcut"))
+    val st = steps.crossJoin(broadcast(rng))
+    val model = st.filter(col("dtsec") < col("tcut"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("src").orderBy(col("n").desc, col("dst").asc)))
+      .filter(col("rn") === 1)
+      .select(col("src"), col("dst").as("pred_dst"))
+    st.filter(col("dtsec") >= col("tcut"))
+      .transform(graft.util.Joins.dimJoin(_, model, Seq("src"), None, "left"))
+      .groupBy("src", "pred_dst")
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("dst") === col("pred_dst"), 1L).otherwise(0L)).as("n_correct"))
+      .select(col("src"), col("pred_dst"), col("n_test"), col("n_correct"),
+        Num.r4(col("n_correct") / col("n_test")).as("acc"))
+  }
+
   /** qp8: feature correlation matrix — Pearson correlation for every
     * pair of lineitem's numeric columns (the multicollinearity audit a
     * feature pipeline runs before training). Two passes in q39's

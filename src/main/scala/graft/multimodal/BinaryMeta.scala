@@ -342,13 +342,14 @@ object BinaryMeta {
     * rollup is one hash agg on (doc_a, doc_b). `sim` is the Jaccard
     * over the two videos' kept signature sets.
     */
-  def frameNearDup(spark: SparkSession, sfDir: String, frameSize: Int = 256,
-                   k: Int = 4, maxDf: Long = 50L, minShared: Long = 1L): DataFrame = {
-    require(maxDf >= 2 && minShared >= 1, s"maxDf=$maxDf minShared=$minShared")
-    // session-cached: the capped signature set feeds FOUR consumers
-    // (df filter, per-doc counts, both sides of the pair join) — without
-    // materialization each re-runs the mapPartitions decode + distinct
-    val kept = graft.util.StageCache.cached(spark, sfDir,
+  /** The df-capped distinct (doc_id, frame_hash) signature set —
+    * session-cached: the df filter, per-doc counts, both sides of
+    * qm7's pair join AND qm8's canonical election all read one
+    * materialization.
+    */
+  private[multimodal] def keptFrames(spark: SparkSession, sfDir: String,
+                                     frameSize: Int, k: Int, maxDf: Long): DataFrame =
+    graft.util.StageCache.cached(spark, sfDir,
         s"framekept_${frameSize}_${k}_$maxDf") {
       // fr checkpoints first: it sits on both sides of the df-cap join,
       // and without materialization the mapPartitions decode + distinct
@@ -361,6 +362,11 @@ object BinaryMeta {
           .filter(col("df") <= maxDf).select("frame_hash"),
         "frame_hash")
     }
+
+  def frameNearDup(spark: SparkSession, sfDir: String, frameSize: Int = 256,
+                   k: Int = 4, maxDf: Long = 50L, minShared: Long = 1L): DataFrame = {
+    require(maxDf >= 2 && minShared >= 1, s"maxDf=$maxDf minShared=$minShared")
+    val kept = keptFrames(spark, sfDir, frameSize, k, maxDf)
     val nf = kept.groupBy("doc_id").agg(count(lit(1)).as("nf"))
     val a = kept.select(col("doc_id").as("doc_a"), col("frame_hash"))
     val b = kept.select(col("doc_id").as("doc_b"), col("frame_hash"))
@@ -372,6 +378,41 @@ object BinaryMeta {
       .select(col("doc_a"), col("doc_b"), col("n_shared"),
         graft.util.Num.r4(col("n_shared") / (col("nf_a") + col("nf_b") - col("n_shared")))
           .as("sim"))
+  }
+
+  /** qm8: media duplicate-cluster resolution — connected components
+    * over qm7's frame near-dup pairs plus a CANONICAL-copy election
+    * per cluster (the "which upload do we keep" decision a video
+    * dedup pipeline ends with; YouTube/content-ID shape, public).
+    * Composition of established machinery one level up: qm7's bounded
+    * candidate graph (stop-frame df cap keeps it O(collisions)) feeds
+    * the SAME pointer-doubling min-label propagation qd6 uses
+    * (Dedup.ccFrom — O(log diameter) rounds, no driver union-find),
+    * and the canonical member is elected per cluster by kept-signature
+    * count (most intact copy) with lowest-id tie-break — qd16's
+    * election discipline on media evidence.
+    *
+    * Output: one row per clustered video — (doc_id, cluster_id, nf,
+    * cluster_size, is_canon). Singletons (no near-dup pair) don't
+    * appear, matching qd6's edge-scoped labels.
+    */
+  def mediaClusters(spark: SparkSession, sfDir: String, frameSize: Int = 256,
+                    k: Int = 4, maxDf: Long = 50L, minShared: Long = 1L): DataFrame = {
+    val pairs = frameNearDup(spark, sfDir, frameSize, k, maxDf, minShared)
+      .select("doc_a", "doc_b")
+    val edges = pairs.unionByName(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))).distinct()
+    val labels = graft.text.Dedup.ccFrom(edges)
+    val nf = keptFrames(spark, sfDir, frameSize, k, maxDf)
+      .groupBy("doc_id").agg(count(lit(1)).as("nf"))
+    val cw = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id").orderBy(col("nf").desc, col("doc_id").asc)
+    val sw = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
+    labels.join(nf, "doc_id")
+      .withColumn("cluster_size", count(lit(1)).over(sw))
+      .withColumn("rn", row_number().over(cw))
+      .select(col("doc_id"), col("cluster_id"), col("nf"), col("cluster_size"),
+        when(col("rn") === 1, 1).otherwise(0).as("is_canon"))
   }
 
   /** Shared DuckDB frame CTE chain — the byte-faithful mirror of
@@ -422,11 +463,11 @@ object BinaryMeta {
              frame_hash
       FROM allframes"""
 
-  /** DuckDB mirror of [[frameNearDup]] over [[framesCteSql]]: distinct
-    * per-doc signatures → df cap → pigeonhole pair join → Jaccard.
+  /** qm7/qm8's shared kept-signature/pair CTE chain over
+    * [[framesCteSql]]: distinct per-doc signatures → df cap →
+    * pigeonhole pair join.
     */
-  def qm7OracleSql(frameSize: Int = 256, k: Int = 4,
-                   maxDf: Long = 50L, minShared: Long = 1L): String =
+  private def framePairsCteSql(frameSize: Int, k: Int, maxDf: Long): String =
     framesCteSql(frameSize, k) + s"""
       , dfr AS (SELECT DISTINCT doc_id, frame_hash FROM allframes),
       dfc AS (SELECT frame_hash, count(*) AS df FROM dfr GROUP BY frame_hash),
@@ -440,11 +481,45 @@ object BinaryMeta {
         FROM keepf a JOIN keepf b
           ON a.frame_hash = b.frame_hash AND a.doc_id < b.doc_id
         GROUP BY 1, 2
-      )
+      )"""
+
+  /** DuckDB mirror of [[frameNearDup]]: the shared pair chain + Jaccard. */
+  def qm7OracleSql(frameSize: Int = 256, k: Int = 4,
+                   maxDf: Long = 50L, minShared: Long = 1L): String =
+    framePairsCteSql(frameSize, k, maxDf) + s"""
       SELECT p.doc_a, p.doc_b, p.n_shared,
              floor((CAST(p.n_shared AS DOUBLE) / (na.nf + nb.nf - p.n_shared))*10000 + 0.5)/10000 AS sim
       FROM pairs p
       JOIN nf na ON na.doc_id = p.doc_a
       JOIN nf nb ON nb.doc_id = p.doc_b
       WHERE p.n_shared >= $minShared"""
+
+  /** DuckDB mirror of [[mediaClusters]]: the shared pair chain +
+    * recursive-CTE transitive closure (qd6's oracle discipline) +
+    * per-cluster canonical election.
+    */
+  def qm8OracleSql(frameSize: Int = 256, k: Int = 4,
+                   maxDf: Long = 50L, minShared: Long = 1L): String = {
+    val sql = framePairsCteSql(frameSize, k, maxDf) + s"""
+      , fpairs AS (SELECT doc_a, doc_b FROM pairs WHERE n_shared >= $minShared),
+      edges AS (
+        SELECT doc_a, doc_b FROM fpairs
+        UNION SELECT doc_b AS doc_a, doc_a AS doc_b FROM fpairs
+      ), reach AS (
+        SELECT doc_a AS src, doc_a AS dst FROM (SELECT DISTINCT doc_a FROM edges)
+        UNION
+        SELECT r.src, e.doc_b AS dst FROM reach r JOIN edges e ON r.dst = e.doc_a
+      ), lab AS (
+        SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+      ), clus AS (
+        SELECT l.doc_id, l.cluster_id, CAST(n.nf AS BIGINT) AS nf,
+               CAST(count(*) OVER (PARTITION BY l.cluster_id) AS BIGINT) AS cluster_size,
+               row_number() OVER (PARTITION BY l.cluster_id ORDER BY n.nf DESC, l.doc_id) AS rn
+        FROM lab l JOIN nf n USING (doc_id)
+      )
+      SELECT doc_id, cluster_id, nf, cluster_size,
+             CASE WHEN rn = 1 THEN 1 ELSE 0 END AS is_canon
+      FROM clus"""
+    sql.replaceFirst("WITH m AS", "WITH RECURSIVE m AS")
+  }
 }

@@ -453,4 +453,50 @@ class EventsSpec extends SparkSuite {
     // the audit must separate: some users flagged, some not, at sf0.01
     assert(out.values.exists(_._3 == 1L) && out.values.exists(_._3 == 0L))
   }
+
+  test("qe16 next-event eval: one row per source, accuracy bounded, beats 1/|types|") {
+    val r = Events.nextEventEval(spark, Sf01).cache()
+    val rows = r.collect()
+    assert(rows.nonEmpty)
+    // one verdict row per (src, its single predicted dst)
+    assert(rows.map(_.getString(0)).distinct.length === rows.length)
+    for (row <- rows) {
+      val (nTest, nCorrect, acc) = (row.getLong(2), row.getLong(3), row.getDouble(4))
+      assert(nTest > 0 && nCorrect >= 0 && nCorrect <= nTest)
+      assert(acc >= 0.0 && acc <= 1.0)
+    }
+    // the Markov argmax must beat uniform guessing over the observed
+    // destination alphabet on aggregate (else the model learned nothing)
+    val nTypes = rows.length.toDouble
+    val total = rows.map(_.getLong(2)).sum.toDouble
+    val correct = rows.map(_.getLong(3)).sum.toDouble
+    assert(correct / total >= 1.0 / nTypes - 1e-9,
+      s"aggregate top-1 accuracy ${correct / total} below chance 1/$nTypes")
+    r.unpersist()
+  }
+
+  test("qm8 media clusters: one canonical per cluster, labels close qm7's pairs") {
+    import graft.multimodal.BinaryMeta
+    val c = BinaryMeta.mediaClusters(spark, Sf01).cache()
+    val rows = c.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+    assert(rows.nonEmpty)
+    val byCluster = rows.groupBy(_._2)
+    for ((cid, members) <- byCluster) {
+      assert(members.count(_._5 == 1) === 1, s"cluster $cid canonical count")
+      assert(members.forall(_._4 == members.length.toLong), s"cluster $cid size")
+      assert(cid === members.map(_._1).min, s"cluster $cid label is min doc_id")
+      // the canonical is the most-intact copy (max nf, min id tie-break)
+      val canon = members.find(_._5 == 1).get
+      val best = members.minBy(m => (-m._3, m._1))
+      assert(canon._1 === best._1, s"cluster $cid canonical election")
+    }
+    // every qm7 pair's endpoints landed in the same cluster
+    val label = rows.map(m => m._1 -> m._2).toMap
+    val pairs = BinaryMeta.frameNearDup(spark, Sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    for ((a, b) <- pairs) assert(label(a) === label(b), s"pair ($a,$b) split")
+    c.unpersist()
+  }
 }
