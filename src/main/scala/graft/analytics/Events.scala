@@ -429,11 +429,14 @@ object Events {
     import graft.util.Num
     require(frac > 0 && frac < 1, s"frac=$frac")
     val w = Window.partitionBy("user_id").orderBy("tsec", "event_id")
+    // checkpointed: the cut scalar, the model fit and the eval all read
+    // the per-user window stage — one sort/window execution, not three
     val steps = epochSec(spark, sfDir)
       .select(col("user_id"), col("event_id"), col("tsec"), col("event_type").as("src"))
       .withColumn("dst", lead("src", 1).over(w))
       .withColumn("dtsec", lead("tsec", 1).over(w))
       .filter(col("dst").isNotNull)
+      .localCheckpoint(eager = false)
     val rng = steps.agg((min("tsec") +
       floor((max("tsec") - min("tsec")) * frac).cast("long")).as("tcut"))
     val st = steps.crossJoin(broadcast(rng))

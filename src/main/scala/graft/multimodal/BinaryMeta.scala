@@ -398,10 +398,15 @@ object BinaryMeta {
     */
   def mediaClusters(spark: SparkSession, sfDir: String, frameSize: Int = 256,
                     k: Int = 4, maxDf: Long = 50L, minShared: Long = 1L): DataFrame = {
-    val pairs = frameNearDup(spark, sfDir, frameSize, k, maxDf, minShared)
-      .select("doc_a", "doc_b")
-    val edges = pairs.unionByName(
-      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))).distinct()
+    // session-cached (symEdges' discipline): ccFrom's eager rounds
+    // would otherwise re-run the whole pair join per iteration
+    val edges = graft.util.StageCache.cached(spark, sfDir,
+        s"qm8edges_${frameSize}_${k}_${maxDf}_$minShared") {
+      val pairs = frameNearDup(spark, sfDir, frameSize, k, maxDf, minShared)
+        .select("doc_a", "doc_b")
+      pairs.unionByName(
+        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))).distinct()
+    }
     val labels = graft.text.Dedup.ccFrom(edges)
     val nf = keptFrames(spark, sfDir, frameSize, k, maxDf)
       .groupBy("doc_id").agg(count(lit(1)).as("nf"))

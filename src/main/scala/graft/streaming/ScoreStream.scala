@@ -560,22 +560,18 @@ object ScoreStream {
     require(windowSec >= 1 && thr >= 1, s"windowSec=$windowSec thr=$thr")
     // a ttl shorter than the window would evict IN-WINDOW state and
     // silently undercount nw/peak_rate — fail at construction instead.
-    // Parse with Spark's own CalendarInterval reader (the grammar
-    // setTimeoutDuration actually accepts, incl. compound strings like
-    // "1 hour 30 minutes"), falling back to scala Duration syntax.
+    // Parse with Spark's own CalendarInterval reader and ONLY that:
+    // it is the grammar setTimeoutDuration itself re-parses with, so
+    // accepting anything wider here (e.g. scala-Duration's "2h") would
+    // pass validation and then crash the query mid-flight.
     idleTtl.foreach { s =>
-      val ms: Long = {
-        val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
-          .safeStringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(s))
-        if (iv != null) {
-          require(iv.months == 0,
-            s"idleTtl '$s': month-based intervals have no fixed length — use days/hours")
-          iv.days * 86400000L + iv.microseconds / 1000L
-        } else scala.util.Try(scala.concurrent.duration.Duration(s)).toOption
-          .filter(_.isFinite).map(_.toMillis)
-          .getOrElse(throw new IllegalArgumentException(
-            s"idleTtl '$s' is not a parsable duration"))
-      }
+      val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+        .safeStringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      require(iv != null,
+        s"idleTtl '$s' is not a valid Spark interval (e.g. '2 hours', '1 hour 30 minutes')")
+      require(iv.months == 0,
+        s"idleTtl '$s': month-based intervals have no fixed length — use days/hours")
+      val ms = iv.days * 86400000L + iv.microseconds / 1000L
       require(ms >= windowSec * 1000L,
         s"idleTtl '$s' (${ms}ms) must be >= windowSec=${windowSec}s: " +
           "a shorter ttl evicts in-window state and undercounts rates")

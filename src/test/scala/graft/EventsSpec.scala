@@ -466,12 +466,15 @@ class EventsSpec extends SparkSuite {
       assert(acc >= 0.0 && acc <= 1.0)
     }
     // the Markov argmax must beat uniform guessing over the observed
-    // destination alphabet on aggregate (else the model learned nothing)
-    val nTypes = rows.length.toDouble
+    // DESTINATION alphabet on aggregate (else the model learned
+    // nothing) — the chance denominator is |distinct dst|, not the
+    // number of source rows
+    val nDst = Events.transitions(spark, Sf01)
+      .select("dst").distinct().count().toDouble
     val total = rows.map(_.getLong(2)).sum.toDouble
     val correct = rows.map(_.getLong(3)).sum.toDouble
-    assert(correct / total >= 1.0 / nTypes - 1e-9,
-      s"aggregate top-1 accuracy ${correct / total} below chance 1/$nTypes")
+    assert(correct / total >= 1.0 / nDst - 1e-9,
+      s"aggregate top-1 accuracy ${correct / total} below chance 1/$nDst")
     r.unpersist()
   }
 

@@ -101,9 +101,15 @@ class ForecastImputeSpec extends SparkSuite {
       .select(col("series"), col("mae").as("mae22"), col("rmse").as("rmse22"))
     val j1 = r.filter(col("horizon") === 1).join(q22, "series")
     assert(j1.count() === 5)
+    // MAE: both figures sit on the 1e-4 grid ≤ 1.5e-4 apart → max gap
+    // one grid step. RMSE: the 0.5e-4 MSE shift propagates through
+    // sqrt as |Δmse|/(rmse_a + rmse_b) — bound it exactly, not by the
+    // grid (on small-error series sqrt AMPLIFIES the quantization)
+    val rmseBound = lit(1.01e-4) +
+      lit(0.51e-4) / greatest(col("rmse") + col("rmse22"), lit(1e-6))
     assert(j1.filter(abs(col("mae") - col("mae22")) > 1.01e-4 ||
-        abs(col("rmse") - col("rmse22")) > 1.01e-4).count() === 0,
-      "one unrolled step must equal q22's direct prediction up to the r4 grid")
+        abs(col("rmse") - col("rmse22")) > rmseBound).count() === 0,
+      "one unrolled step must equal q22's direct prediction up to quantization")
     // every horizon scores the same dense-spine eval footprint here
     val ns = r.groupBy("series").agg(countDistinct("n").as("nn"))
     assert(ns.filter(col("nn") =!= 1).count() === 0)
