@@ -576,7 +576,7 @@ object Forecast {
     * the daily/weekly actuals each unrolled step consumes. Shared with
     * the oracle generator so the two sides unroll identically.
     */
-  private[timeseries] def recursiveOffsets(h: Int): Seq[Int] =
+  private[graft] def recursiveOffsets(h: Int): Seq[Int] =
     (h +: ((1 to h).map(j => h - j + TsCore.DaySize) ++
            (1 to h).map(j => h - j + TsCore.WeekLag))).distinct.sorted
 

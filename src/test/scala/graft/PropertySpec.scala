@@ -77,4 +77,40 @@ class PropertySpec extends AnyFunSuite {
       assert(lcgScalar(k, 2) !== u, s"salts must separate draws for key $k")
     }
   }
+
+  test("simhash pigeonhole: hamming <= nChunks-1 always shares a chunk (500 instances)") {
+    import graft.text.Dedup.{SimhashBits, SimhashChunkBits, SimhashChunks}
+    val rnd = new Random(7)
+    val mask = (1L << SimhashChunkBits) - 1
+    def chunks(v: Long): Seq[Long] =
+      (0 until SimhashChunks).map(c => (v >>> (SimhashChunkBits * c)) & mask)
+    for (_ <- 1 to 500) {
+      val a = rnd.nextLong() & ((1L << SimhashBits) - 1)
+      // flip up to nChunks-1 random bits — the blocking GUARANTEE zone
+      val nFlips = 1 + rnd.nextInt(SimhashChunks - 1)
+      val b = (1 to nFlips).foldLeft(a)((v, _) => v ^ (1L << rnd.nextInt(SimhashBits)))
+      val shared = chunks(a).zip(chunks(b)).exists { case (x, y) => x == y }
+      assert(shared,
+        s"fingerprints ${a.toBinaryString}/${b.toBinaryString} with <= ${SimhashChunks - 1} " +
+          "flipped bits must collide in >= 1 pigeonhole chunk")
+    }
+  }
+
+  test("q60 recursive offsets: exactly the lags the unrolled decode loop reads") {
+    import graft.timeseries.{Forecast, TsCore}
+    for (h <- 1 to TsCore.DaySize) {
+      val offs = Forecast.recursiveOffsets(h).toSet
+      // the recursion's own feed plus each step's daily/weekly actuals
+      val expect = (Set(h)
+        ++ (1 to h).map(j => h - j + TsCore.DaySize)
+        ++ (1 to h).map(j => h - j + TsCore.WeekLag))
+      assert(offs === expect, s"h=$h")
+      // every consumed lag references the PAST relative to the target
+      assert(offs.forall(_ >= 1), s"h=$h: a non-positive lag would leak the future")
+      // ... and only actuals at or before the forecast origin: the
+      // daily/weekly terms must not read values newer than t-h except
+      // through the recursion itself (offset >= DaySize > h for h <= 24)
+      assert((offs - h).forall(_ >= TsCore.DaySize), s"h=$h")
+    }
+  }
 }
