@@ -691,6 +691,13 @@ object ScoreStream {
     require(n >= 1, s"n=$n")
     graft.functions.VectorExprs.register(docs.sparkSession)
     val evalSorted: Seq[Long] = evalHashes.distinct.sorted.toSeq
+    // the literal-array probe is the right shape ONLY while the eval
+    // suite is benchmark-sized (qd12's contract); past this bound the
+    // plan literal itself becomes the bottleneck — use the join-based
+    // decontaminateStream instead and fail loudly here
+    require(evalSorted.size <= (1 << 20),
+      s"eval suite has ${evalSorted.size} shingle hashes — too large for a plan " +
+        "literal; probe it with decontaminateStream's stream-static join instead")
     // distinct 5-gram shingle hashes, sorted in-row (batch TextCore
     // strHash60 formula), intersected with the literal eval set —
     // n_hits counts the SAME distinct-hash hits batch qd12 counts
