@@ -866,6 +866,124 @@ FROM pows"""
         Num.r4(col("s.mae")).as("mae"), Num.r4(col("s.rmse")).as("rmse"))
   }
 
+  /** q62: DRIFT-TRIGGERED REFIT AUDIT — the model-maintenance loop a
+    * deployed forecaster runs (the operational complement of q54's
+    * backtest; drift-gated retraining is the standard MLOps policy,
+    * public): per series,
+    *
+    *   1. PSI between the value distribution before and after the
+    *      train cut (qp7's smoothed 10-bin formula on the same
+    *      1e-6-int term grid) — the "has the world moved" signal;
+    *   2. the STALE model (q22's 3-lag OLS trained before cutA) vs a
+    *      REFRESHED refit (trained before cutB, i.e. including the
+    *      post-deployment data) evaluated on the SAME final slice
+    *      [cutB, end) — the "would retraining have helped" answer.
+    *
+    * Output: (series, psi, drifted, n, mae_stale, mae_refit) — the
+    * table a maintenance job turns into refit decisions.
+    *
+    * Scale shape: one lag pass; BOTH fits are conditional sufficient-
+    * statistics aggs in the same two passes (q54's fold discipline —
+    * no per-model scan); the PSI chain is one filled pass + a
+    * |series|×nBins agg; everything joins per series via the
+    * size-aware dimJoin.
+    */
+  def refitTrigger(spark: SparkSession, sfDir: String, fracA: Double = 0.7,
+                   fracB: Double = 0.85, nBins: Int = 10,
+                   thr: Double = 0.1): DataFrame = {
+    require(0 < fracA && fracA < fracB && fracB < 1,
+      s"need 0 < fracA=$fracA < fracB=$fracB < 1")
+    require(nBins >= 2, s"nBins=$nBins")
+    // lags straight off the filled spine — NOT lagBase: its q22-semantic
+    // boundary join (complete-window split) would empty the frame on
+    // sparse feeds where no day window completes, and q62's cuts come
+    // from the feature range itself (q54's discipline)
+    val base = withLags(spark, sfDir)
+      .filter(col("y").isNotNull && col("x1").isNotNull &&
+        col("x2").isNotNull && col("x3").isNotNull)
+    val rng = base.groupBy("series").agg(min("t").as("t0"), max("t").as("t1"))
+    val cuts = rng.select(col("series"),
+      (col("t0") + floor((col("t1") - col("t0") + 1) * fracA).cast("long")).as("cutA"),
+      (col("t0") + floor((col("t1") - col("t0") + 1) * fracB).cast("long")).as("cutB"))
+    val withB = graft.util.Joins.dimJoin(base, cuts, Seq("series"), None)
+    val cn = Seq("cutA", "cutB")
+    def trainOk(c: String) = col("t") < col(c)
+    val meanAggs = cn.flatMap { c => Seq(
+      avg(when(trainOk(c), col("y"))).as(s"my_$c"),
+      avg(when(trainOk(c), col("x1"))).as(s"m1_$c"),
+      avg(when(trainOk(c), col("x2"))).as(s"m2_$c"),
+      avg(when(trainOk(c), col("x3"))).as(s"m3_$c")) }
+    val means = withB.groupBy("series").agg(meanAggs.head, meanAggs.tail: _*)
+    def cc(c: String, a: String, ma: String, b: String, mb: String) =
+      sum(when(trainOk(c), (col(a) - col(ma)) * (col(b) - col(mb))))
+    val statAggs = cn.flatMap { c => Seq(
+      cc(c, "x1", s"m1_$c", "x1", s"m1_$c").as(s"s11_$c"),
+      cc(c, "x1", s"m1_$c", "x2", s"m2_$c").as(s"s12_$c"),
+      cc(c, "x1", s"m1_$c", "x3", s"m3_$c").as(s"s13_$c"),
+      cc(c, "x2", s"m2_$c", "x2", s"m2_$c").as(s"s22_$c"),
+      cc(c, "x2", s"m2_$c", "x3", s"m3_$c").as(s"s23_$c"),
+      cc(c, "x3", s"m3_$c", "x3", s"m3_$c").as(s"s33_$c"),
+      cc(c, "x1", s"m1_$c", "y", s"my_$c").as(s"sy1_$c"),
+      cc(c, "x2", s"m2_$c", "y", s"my_$c").as(s"sy2_$c"),
+      cc(c, "x3", s"m3_$c", "y", s"my_$c").as(s"sy3_$c")) }
+    val stats = graft.util.Joins.dimJoin(withB, means, Seq("series"), None)
+      .groupBy("series").agg(statAggs.head, statAggs.tail: _*)
+    val coefCols = cn.flatMap { c =>
+      def s(n: String) = col(s"$n$c")
+      val det = s("s11_") * (s("s22_") * s("s33_") - s("s23_") * s("s23_")) -
+        s("s12_") * (s("s12_") * s("s33_") - s("s23_") * s("s13_")) +
+        s("s13_") * (s("s12_") * s("s23_") - s("s22_") * s("s13_"))
+      val b1 = (s("sy1_") * (s("s22_") * s("s33_") - s("s23_") * s("s23_")) -
+        s("s12_") * (s("sy2_") * s("s33_") - s("s23_") * s("sy3_")) +
+        s("s13_") * (s("sy2_") * s("s23_") - s("s22_") * s("sy3_"))) / det
+      val b2 = (s("s11_") * (s("sy2_") * s("s33_") - s("sy3_") * s("s23_")) -
+        s("sy1_") * (s("s12_") * s("s33_") - s("s23_") * s("s13_")) +
+        s("s13_") * (s("s12_") * s("sy3_") - s("sy2_") * s("s13_"))) / det
+      val b3 = (s("s11_") * (s("s22_") * s("sy3_") - s("s23_") * s("sy2_")) -
+        s("s12_") * (s("s12_") * s("sy3_") - s("sy2_") * s("s13_")) +
+        s("sy1_") * (s("s12_") * s("s23_") - s("s22_") * s("s13_"))) / det
+      Seq(b1.as(s"b1_$c"), b2.as(s"b2_$c"), b3.as(s"b3_$c"),
+        (s("my_") - b1 * s("m1_") - b2 * s("m2_") - b3 * s("m3_")).as(s"b0_$c"))
+    }
+    val coefs = graft.util.Joins.dimJoin(stats, means, Seq("series"), None)
+      .select(col("series") +: coefCols: _*)
+    def p(c: String) = col(s"b0_$c") + col(s"b1_$c") * col("x1") +
+      col(s"b2_$c") * col("x2") + col(s"b3_$c") * col("x3")
+    val evalOk = col("t") >= col("cutB")
+    val errs = graft.util.Joins.dimJoin(withB, coefs, Seq("series"), None)
+      .groupBy("series").agg(
+        sum(when(evalOk, 1L)).as("n"),
+        avg(when(evalOk, abs(col("y") - p("cutA")))).as("mae_stale"),
+        avg(when(evalOk, abs(col("y") - p("cutB")))).as("mae_refit"))
+      .filter(col("n") > 0)
+    // PSI of the value distribution across the cutA boundary — qp7's
+    // smoothed formula, boundary swapped from the midpoint to the cut
+    val wp = Window.partitionBy("series")
+    val pts = TsCore.filled(spark, sfDir).filter(col("v_filled").isNotNull)
+      .transform(graft.util.Joins.dimJoin(_, cuts.select("series", "cutA"), Seq("series"), None))
+      .withColumn("mn", min("v_filled").over(wp))
+      .withColumn("mx", max("v_filled").over(wp))
+      .withColumn("bin", when(col("mx") === col("mn"), 0L).otherwise(
+        least(floor((col("v_filled") - col("mn")) / (col("mx") - col("mn")) * nBins),
+          lit(nBins - 1L))))
+      .withColumn("half", when(col("t") < col("cutA"), 0).otherwise(1))
+    val cnt = pts.groupBy("series", "bin").agg(
+      sum(when(col("half") === 0, 1L).otherwise(0L)).as("n0"),
+      sum(when(col("half") === 1, 1L).otherwise(0L)).as("n1"))
+    val sm = lit(0.5)
+    val psi = cnt
+      .withColumn("pt", (col("n0") + sm) / (sum("n0").over(wp) + sm * nBins))
+      .withColumn("qt", (col("n1") + sm) / (sum("n1").over(wp) + sm * nBins))
+      .withColumn("termq",
+        floor((col("pt") - col("qt")) * log(col("pt") / col("qt")) * 1000000d + 0.5d).cast("long"))
+      .groupBy("series").agg(Num.r4(sum("termq") / 1000000d).as("psi"))
+    graft.util.Joins.dimJoin(errs, psi, Seq("series"), None)
+      .select(col("series"), col("psi"),
+        when(col("psi") > thr, 1).otherwise(0).as("drifted"), col("n"),
+        Num.r4(col("mae_stale")).as("mae_stale"),
+        Num.r4(col("mae_refit")).as("mae_refit"))
+  }
+
   /** q56: wide-context ridge forecaster — the closed-form stand-in for
     * the reference's sequence forecasters (seq2seq GRU wrapper.py:129,
     * SCINet.py): their encoders consume the WHOLE input window, where

@@ -1123,6 +1123,100 @@ means AS (
   SELECT series, b1, b2, b3, my - b1 * m1 - b2 * m2 - b3 * m3 AS b0 FROM coefs
 )"""
 
+  /** q62: mirrors Forecast.refitTrigger — q54's fold machinery with
+    * cuts A/B evaluated on the shared final slice, plus qp7's PSI
+    * chain with the boundary swapped to cutA.
+    */
+  def q62(fracA: Double = 0.7, fracB: Double = 0.85, nBins: Int = 10,
+          thr: Double = 0.1): String = {
+    val fits = Seq("A" -> "cutA", "B" -> "cutB").map { case (sfx, cut) =>
+      s"""
+, train_$sfx AS (
+  SELECT f.* FROM basef62 f JOIN cut62 c USING (series) WHERE f.t < c.$cut
+), means_$sfx AS (
+  SELECT series, avg(y) AS my, avg(x1) AS m1, avg(x2) AS m2, avg(x3) AS m3
+  FROM train_$sfx GROUP BY series
+), stats_$sfx AS (
+  SELECT t.series,
+    sum((x1 - m1) * (x1 - m1)) AS s11, sum((x1 - m1) * (x2 - m2)) AS s12,
+    sum((x1 - m1) * (x3 - m3)) AS s13, sum((x2 - m2) * (x2 - m2)) AS s22,
+    sum((x2 - m2) * (x3 - m3)) AS s23, sum((x3 - m3) * (x3 - m3)) AS s33,
+    sum((x1 - m1) * (y - my)) AS sy1, sum((x2 - m2) * (y - my)) AS sy2,
+    sum((x3 - m3) * (y - my)) AS sy3
+  FROM train_$sfx t JOIN means_$sfx USING (series) GROUP BY t.series
+), coefs_$sfx AS (
+  SELECT s.series,
+    (sy1 * (s22 * s33 - s23 * s23) - s12 * (sy2 * s33 - s23 * sy3) + s13 * (sy2 * s23 - s22 * sy3))
+      / (s11 * (s22 * s33 - s23 * s23) - s12 * (s12 * s33 - s23 * s13) + s13 * (s12 * s23 - s22 * s13)) AS b1,
+    (s11 * (sy2 * s33 - sy3 * s23) - sy1 * (s12 * s33 - s23 * s13) + s13 * (s12 * sy3 - sy2 * s13))
+      / (s11 * (s22 * s33 - s23 * s23) - s12 * (s12 * s33 - s23 * s13) + s13 * (s12 * s23 - s22 * s13)) AS b2,
+    (s11 * (s22 * sy3 - s23 * sy2) - s12 * (s12 * sy3 - sy2 * s13) + sy1 * (s12 * s23 - s22 * s13))
+      / (s11 * (s22 * s33 - s23 * s23) - s12 * (s12 * s33 - s23 * s13) + s13 * (s12 * s23 - s22 * s13)) AS b3,
+    m.my, m.m1, m.m2, m.m3
+  FROM stats_$sfx s JOIN means_$sfx m USING (series)
+), coefs2_$sfx AS (
+  SELECT series, b1, b2, b3, my - b1 * m1 - b2 * m2 - b3 * m3 AS b0 FROM coefs_$sfx
+)"""
+    }.mkString
+    prefix + s"""
+, lagged62 AS (
+  SELECT series, t, v_filled AS y,
+         lag(v_filled, 1) OVER w AS x1,
+         lag(v_filled, ${TsCore.DaySize}) OVER w AS x2,
+         lag(v_filled, ${TsCore.WeekLag}) OVER w AS x3
+  FROM filled
+  WINDOW w AS (PARTITION BY series ORDER BY t)
+), basef62 AS (
+  SELECT * FROM lagged62
+  WHERE y IS NOT NULL AND x1 IS NOT NULL AND x2 IS NOT NULL AND x3 IS NOT NULL
+), rng62 AS (
+  SELECT series, min(t) AS t0, max(t) AS t1 FROM basef62 GROUP BY series
+), cut62 AS (
+  SELECT series,
+    t0 + CAST(floor((t1 - t0 + 1) * $fracA) AS BIGINT) AS cutA,
+    t0 + CAST(floor((t1 - t0 + 1) * $fracB) AS BIGINT) AS cutB
+  FROM rng62
+)""" + fits + s"""
+, res62 AS (
+  SELECT f.series, count(*) AS n,
+    ${r4("avg(abs(f.y - (a.b0 + a.b1 * f.x1 + a.b2 * f.x2 + a.b3 * f.x3)))")} AS mae_stale,
+    ${r4("avg(abs(f.y - (b.b0 + b.b1 * f.x1 + b.b2 * f.x2 + b.b3 * f.x3)))")} AS mae_refit
+  FROM basef62 f JOIN cut62 c USING (series)
+  JOIN coefs2_A a USING (series) JOIN coefs2_B b USING (series)
+  WHERE f.t >= c.cutB GROUP BY f.series
+), drpts62 AS (
+  SELECT f.series, f.t, f.v_filled, c.cutA,
+    min(f.v_filled) OVER ws AS mn, max(f.v_filled) OVER ws AS mx
+  FROM filled f JOIN cut62 c USING (series)
+  WHERE f.v_filled IS NOT NULL
+  WINDOW ws AS (PARTITION BY f.series)
+), drbin62 AS (
+  SELECT series,
+    CASE WHEN mx = mn THEN 0
+         ELSE least(CAST(floor((v_filled - mn) / (mx - mn) * $nBins) AS BIGINT), ${nBins - 1}) END AS bin,
+    CASE WHEN t < cutA THEN 0 ELSE 1 END AS half
+  FROM drpts62
+), drcnt62 AS (
+  SELECT series, bin,
+    CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+    CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+  FROM drbin62 GROUP BY series, bin
+), drterm62 AS (
+  SELECT series,
+    (n0 + 0.5) / (sum(n0) OVER ws + 0.5 * $nBins) AS p,
+    (n1 + 0.5) / (sum(n1) OVER ws + 0.5 * $nBins) AS q
+  FROM drcnt62 WINDOW ws AS (PARTITION BY series)
+), psi62 AS (
+  SELECT series,
+    ${r4("sum(CAST(floor((p - q) * ln(p / q) * 1000000 + 0.5) AS BIGINT)) / 1000000.0")} AS psi
+  FROM drterm62 GROUP BY series
+)
+SELECT r.series, s.psi, CASE WHEN s.psi > $thr THEN 1 ELSE 0 END AS drifted,
+       r.n, r.mae_stale, r.mae_refit
+FROM res62 r JOIN psi62 s USING (series)
+WHERE r.n > 0"""
+  }
+
   def q22: String = prefix + splitTCte + q22CoefCtes + s"""
 , testf AS (
   SELECT f.series, f.y, c.b0 + c.b1 * f.x1 + c.b2 * f.x2 + c.b3 * f.x3 AS p,

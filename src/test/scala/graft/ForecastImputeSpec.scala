@@ -135,6 +135,26 @@ class ForecastImputeSpec extends SparkSuite {
     g.unpersist()
   }
 
+  test("q62 refit trigger: psi/flag consistent, both models sane on the shared slice") {
+    val r = Forecast.refitTrigger(spark, Sf01).cache()
+    val rows = r.collect()
+    assert(rows.length === 5)
+    for (row <- rows) {
+      val (psi, drifted) = (row.getDouble(1), row.getInt(2))
+      assert(psi >= 0.0, s"${row.getString(0)}: psi $psi")
+      assert(drifted === (if (psi > 0.1) 1 else 0), "flag must restate the threshold")
+      val (st, rf) = (row.getDouble(4), row.getDouble(5))
+      assert(st > 0 && rf > 0 && row.getLong(3) > 0)
+      // this feed is near-stationary (all psi < 0.1): the refreshed
+      // model sees 15% more data but the same regime, so the two MAEs
+      // must agree closely — a large gap would mean the conditional
+      // two-cut fit diverged from the per-cut refit it claims to be
+      assert(math.abs(rf - st) / st < 0.1,
+        s"${row.getString(0)}: stale $st vs refit $rf")
+    }
+    r.unpersist()
+  }
+
   test("linear imputation leaves clean points untouched") {
     val li = Impute.imputeLinear(spark, Sf01).cache()
     val orig = TsCore.injected(spark, Sf01)
