@@ -105,6 +105,7 @@ object SparkEntry {
     "q37_seasonal_residual" -> ((s, d) => graft.timeseries.Intervals.seasonalResidual(s, d)),
     "q38_cleaning_impact" -> ((s, d) => graft.timeseries.Forecast.cleaningImpact(s, d)),
     "qv4_ann_eval" -> ((s, d) => graft.vector.Similarity.annEval(s, d)),
+    "qv17_probe_sweep" -> ((s, d) => graft.vector.Similarity.probeSweep(s, d)),
     "qt8_langid_eval" -> ((s, d) => graft.text.TextOps.langIdEval(s, d)),
     "qd8_minhash_est" -> ((s, d) => graft.text.Dedup.minhashEstimate(s, d)),
     "qd9_incremental_dedup" -> ((s, d) => graft.text.Dedup.incrementalDedup(s, d)),
@@ -262,6 +263,7 @@ object SparkEntry {
     "qv2_lsh_ann" -> graft.text.DocOracle.qv2(),
     "qv3_ivf_ann" -> graft.text.DocOracle.qv3(),
     "qv4_ann_eval" -> graft.text.DocOracle.qv4(),
+    "qv17_probe_sweep" -> graft.text.DocOracle.qv17(),
     "qt1_token_count" -> graft.text.DocOracle.qt1,
     "qt2_quality_score" -> graft.text.DocOracle.qt2,
     "qt3_lang_id" -> graft.text.DocOracle.qt3,

@@ -897,6 +897,59 @@ SELECT qid, vec_id, ${r4("ad2")} AS ad2, rnk FROM ranked WHERE rnk <= $k"""
         " AND t0.qid = cd.qid", "") + s"""
 SELECT qid, vec_id, ${r4("ad2")} AS ad2, rnk FROM ranked WHERE rnk <= $k"""
 
+  /** qv17: mirrors Similarity.probeSweep — qv3's probe/candidate chain
+    * with the cell rank kept, one swept rank+recall branch per probe
+    * level, UNION ALL (the levels nest, so level p is WHERE crank <= p).
+    */
+  def qv17(nCells: Int = 16, probes: Seq[Int] = Seq(1, 2, 4, 8),
+           k: Int = 5): String = {
+    val maxP = probes.max
+    val levels = probes.map { p =>
+      s"""SELECT $p AS nprobe, count(*) AS n_exact,
+       CAST(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       ${r4("sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END) / count(*)")} AS recall
+FROM exact17 e LEFT JOIN (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+    FROM scored17 WHERE crank <= $p
+  ) WHERE rnk <= $k
+) i ON i.qid = e.qid AND i.vec_id = e.vec_id"""
+    }.mkString("\nUNION ALL\n")
+    vecsCte + assignCte(nCells) + s"""
+, centroids AS (
+  SELECT a.cell, p.d, avg(p.x) AS c
+  FROM pos p JOIN assigned a USING (vec_id) GROUP BY a.cell, p.d
+), qpos AS (
+  SELECT vec_id AS qid, d, x FROM pos WHERE vec_id % 100 = 0 AND vec_id < 100000
+), prober17 AS (
+  SELECT qid, cell, rn AS crank FROM (
+    SELECT qp.qid, c.cell,
+           row_number() OVER (PARTITION BY qp.qid
+                              ORDER BY sum((qp.x - c.c) * (qp.x - c.c)), c.cell) AS rn
+    FROM qpos qp JOIN centroids c ON qp.d = c.d
+    GROUP BY qp.qid, c.cell
+  ) WHERE rn <= $maxP
+), scored17 AS (
+  SELECT pr.qid, a.vec_id, pr.crank,
+         list_dot_product(q.v, b.v) / (q.nrm * b.nrm) AS cos
+  FROM prober17 pr JOIN assigned a USING (cell)
+  JOIN vecs q ON q.vec_id = pr.qid
+  JOIN vecs b ON b.vec_id = a.vec_id
+  WHERE pr.qid <> a.vec_id
+), exact17 AS (
+  SELECT qid, vec_id FROM (
+    SELECT q.qid, b.vec_id,
+           row_number() OVER (PARTITION BY q.qid
+                              ORDER BY list_dot_product(q.v, b.v) / (q.nrm * b.nrm) DESC,
+                                       b.vec_id) AS rnk
+    FROM (SELECT vec_id AS qid, v, nrm FROM vecs WHERE vec_id % 100 = 0 AND vec_id < 100000) q
+    JOIN vecs b ON b.vec_id <> q.qid
+  ) WHERE rnk <= $k
+)
+""" + levels
+  }
+
   /** qv4 = qv3's IVF result joined against the exact top-k → recall. */
   def qv4(nCells: Int = 16, nProbe: Int = 2, k: Int = 5): String =
     qv3(nCells, nProbe, k).replace(

@@ -342,6 +342,68 @@ object Similarity {
       .select(col("qid"), col("vec_id"), Num.r4(col("cos")).as("cos"), col("rnk"))
   }
 
+  /** qv17: IVF probe-sweep tuning curve — recall@k as a function of
+    * nProbe, in ONE plan (the recall-vs-cost curve every ANN
+    * deployment publishes before pinning its probe count; the FAISS
+    * tuning methodology, public). q27's sweep discipline applied to
+    * the index: candidates are gathered ONCE for the largest swept
+    * probe level with their cell's probe rank attached, fanned to the
+    * swept levels they are visible at (bounded ×|sweep| over the
+    * candidate stream — the level sets NEST, so level p is exactly
+    * "cell rank ≤ p"), ranked per (level, query) and joined against
+    * the exact top-k. Monotone nondecreasing recall by construction;
+    * the nProbe=2 point reproduces qv4's single-point eval exactly
+    * (VectorExprSpec-adjacent anchor in the spec).
+    *
+    * Scale shape: queries are the bounded deterministic sample (the
+    * family's qFilter contract), so the candidate stream is
+    * |sample| × the probed cells' contents — the sweep's price is the
+    * largest level's scan, paid once, not per level; everything above
+    * it is one fan + one window + one hash agg.
+    */
+  def probeSweep(spark: SparkSession, sfDir: String, nCells: Int = 16,
+                 probes: Seq[Int] = Seq(1, 2, 4, 8), k: Int = 5): DataFrame = {
+    require(probes.nonEmpty && probes.forall(p => p >= 1 && p <= nCells),
+      s"probes=$probes must sit in [1, nCells=$nCells]")
+    val maxP = probes.max
+    val e = vecs(spark, sfDir)
+    val assign = cellAssignment(spark, sfDir, nCells)
+    val centArr = ivfCentroids(spark, sfDir, nCells)
+    val q = e.filter(qFilter)
+    val wP = Window.partitionBy("qid").orderBy(col("d2"), col("cell"))
+    // ivfProbes' ranking with the rank KEPT — crank is the candidate's
+    // minimal visible probe level
+    val probeRank = q.select(col("vec_id").as("qid"), col("v"))
+      .crossJoin(broadcast(centArr))
+      .withColumn("d2", expr("graft_l2(v, cv)"))
+      .withColumn("crank", row_number().over(wP)).filter(col("crank") <= maxP)
+      .select("qid", "cell", "crank")
+    val qv = q.select(col("vec_id").as("qid"), col("v").as("av"), col("nrm").as("na"))
+    val bv = e.select(col("vec_id"), col("v").as("bv"), col("nrm").as("nb"))
+    // checkpointed: every swept level's rank branch reads the scored
+    // candidate stream — one scan of the largest level, not |sweep|
+    val scored = probeRank.join(assign, "cell").filter(col("qid") =!= col("vec_id"))
+      .join(broadcast(qv), "qid").join(bv, "vec_id")
+      .withColumn("cos", dotAB / (col("na") * col("nb")))
+      .select("qid", "vec_id", "crank", "cos")
+      .localCheckpoint(eager = false)
+    val fan = scored.select(col("qid"), col("vec_id"), col("cos"),
+        explode(array(probes.map(p =>
+          when(col("crank") <= p, lit(p))): _*)).as("nprobe"))
+      .filter(col("nprobe").isNotNull)
+    val wR = Window.partitionBy("nprobe", "qid").orderBy(col("cos").desc, col("vec_id"))
+    val topk = fan.withColumn("rnk", row_number().over(wR)).filter(col("rnk") <= k)
+    val exact = cosineTopK(spark, sfDir, k).select(col("qid"), col("vec_id"))
+      .withColumn("nprobe", explode(array(probes.map(lit): _*)))
+    exact.join(topk.select(col("nprobe"), col("qid"), col("vec_id"), lit(1).as("hit")),
+        Seq("nprobe", "qid", "vec_id"), "left")
+      .groupBy("nprobe")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+      .select(col("nprobe"), col("n_exact"), col("n_hit"),
+        Num.r4(col("n_hit") / col("n_exact")).as("recall"))
+  }
+
   /** qv5: product-quantization ANN with asymmetric distance computation
     * (PQ/ADC — Jégou et al. 2011, public). The 64-dim vectors split into
     * nSub=4 16-dim subspaces; each subspace trains a tiny nCode-entry

@@ -239,4 +239,22 @@ class VectorExprSpec extends SparkSuite {
       s"mllib cost $mlCost vs graft inertia $ours")
     data.unpersist()
   }
+
+  test("qv17 probe sweep: recall monotone in nprobe; the nprobe=2 point IS qv4") {
+    import graft.vector.Similarity
+    val curve = Similarity.probeSweep(spark, Sf01).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(curve.map(_._1).toSeq === Seq(1, 2, 4, 8))
+    // nested candidate sets → recall can never drop as probes widen
+    for (Seq((p1, (_, _, r1)), (p2, (_, _, r2))) <- curve.sliding(2).map(_.toSeq))
+      assert(r2 >= r1, s"recall dropped $r1 -> $r2 from nprobe $p1 -> $p2")
+    // the swept curve's nprobe=2 point must reproduce qv4's single-point
+    // eval exactly (same index, same probes, same exact baseline)
+    val qv4 = Similarity.annEval(spark, Sf01).head
+    val (n2, h2, r2) = curve.toMap.apply(2)
+    assert((n2, h2, r2) ===
+      ((qv4.getLong(0), qv4.getLong(1), qv4.getDouble(2))),
+      "sweep level 2 diverged from qv4's dedicated eval")
+  }
 }
