@@ -776,6 +776,62 @@ FROM pows"""
     * millions of meters they are tens of MB and must not be
     * unconditionally broadcast.
     */
+  /** Conditional MULTI-MODEL OLS fit over a lag+cuts frame: for each
+    * suffix `s` with train predicate ok(s), the per-series
+    * (b0_s..b3_s) coefficients from the two conditional sufficient-
+    * statistics passes — olsFit's exact expression structure
+    * (means → centered scatter → Cramer), generated ONCE and shared by
+    * q54's expanding folds and q62's stale/refit cuts so the
+    * determinant algebra cannot diverge between them. A conditional
+    * aggregate visits the same rows in the same scan order as the
+    * filtered frame it replaces, so each model's coefficients are
+    * bit-identical to a dedicated per-cut solve.
+    */
+  private def condOlsCoefs(withB: DataFrame, sufs: Seq[String],
+                           ok: String => Column): DataFrame = {
+    val meanAggs = sufs.flatMap { sf => Seq(
+      avg(when(ok(sf), col("y"))).as(s"my_$sf"),
+      avg(when(ok(sf), col("x1"))).as(s"m1_$sf"),
+      avg(when(ok(sf), col("x2"))).as(s"m2_$sf"),
+      avg(when(ok(sf), col("x3"))).as(s"m3_$sf")) }
+    val means = withB.groupBy("series").agg(meanAggs.head, meanAggs.tail: _*)
+    def cc(sf: String, a: String, ma: String, b: String, mb: String) =
+      sum(when(ok(sf), (col(a) - col(ma)) * (col(b) - col(mb))))
+    val statAggs = sufs.flatMap { sf => Seq(
+      cc(sf, "x1", s"m1_$sf", "x1", s"m1_$sf").as(s"s11_$sf"),
+      cc(sf, "x1", s"m1_$sf", "x2", s"m2_$sf").as(s"s12_$sf"),
+      cc(sf, "x1", s"m1_$sf", "x3", s"m3_$sf").as(s"s13_$sf"),
+      cc(sf, "x2", s"m2_$sf", "x2", s"m2_$sf").as(s"s22_$sf"),
+      cc(sf, "x2", s"m2_$sf", "x3", s"m3_$sf").as(s"s23_$sf"),
+      cc(sf, "x3", s"m3_$sf", "x3", s"m3_$sf").as(s"s33_$sf"),
+      cc(sf, "x1", s"m1_$sf", "y", s"my_$sf").as(s"sy1_$sf"),
+      cc(sf, "x2", s"m2_$sf", "y", s"my_$sf").as(s"sy2_$sf"),
+      cc(sf, "x3", s"m3_$sf", "y", s"my_$sf").as(s"sy3_$sf")) }
+    val stats = graft.util.Joins.dimJoin(withB, means, Seq("series"), None)
+      .groupBy("series").agg(statAggs.head, statAggs.tail: _*)
+    // per-model Cramer's rule — the exact expression structure of
+    // olsFit (and TsOracle.q54/q62), on suffixed columns
+    val coefCols = sufs.flatMap { sf =>
+      def s(n: String) = col(s"$n$sf")
+      val det = s("s11_") * (s("s22_") * s("s33_") - s("s23_") * s("s23_")) -
+        s("s12_") * (s("s12_") * s("s33_") - s("s23_") * s("s13_")) +
+        s("s13_") * (s("s12_") * s("s23_") - s("s22_") * s("s13_"))
+      val b1 = (s("sy1_") * (s("s22_") * s("s33_") - s("s23_") * s("s23_")) -
+        s("s12_") * (s("sy2_") * s("s33_") - s("s23_") * s("sy3_")) +
+        s("s13_") * (s("sy2_") * s("s23_") - s("s22_") * s("sy3_"))) / det
+      val b2 = (s("s11_") * (s("sy2_") * s("s33_") - s("sy3_") * s("s23_")) -
+        s("sy1_") * (s("s12_") * s("s33_") - s("s23_") * s("s13_")) +
+        s("s13_") * (s("s12_") * s("sy3_") - s("sy2_") * s("s13_"))) / det
+      val b3 = (s("s11_") * (s("s22_") * s("sy3_") - s("s23_") * s("sy2_")) -
+        s("s12_") * (s("s12_") * s("sy3_") - s("sy2_") * s("s13_")) +
+        s("sy1_") * (s("s12_") * s("s23_") - s("s22_") * s("s13_"))) / det
+      Seq(b1.as(s"b1_$sf"), b2.as(s"b2_$sf"), b3.as(s"b3_$sf"),
+        (s("my_") - b1 * s("m1_") - b2 * s("m2_") - b3 * s("m3_")).as(s"b0_$sf"))
+    }
+    graft.util.Joins.dimJoin(stats, means, Seq("series"), None)
+      .select(col("series") +: coefCols: _*)
+  }
+
   def refitBacktest(spark: SparkSession, sfDir: String,
                     fracs: Seq[Double] = Seq(0.7, 0.8, 0.9)): DataFrame = {
     require(fracs.nonEmpty && fracs == fracs.sorted && fracs.distinct == fracs
@@ -798,49 +854,8 @@ FROM pows"""
     }
     def trainOk(i: Int) = col("t") < col(s"cut$i")
     def testOk(i: Int) = col("t") >= col(s"cut$i") && col("t") < col(s"cut${i + 1}")
-    // pass 1: per-fold train means (olsFit's means, conditional)
-    val meanAggs = fracs.indices.flatMap { i => Seq(
-      avg(when(trainOk(i), col("y"))).as(s"my_$i"),
-      avg(when(trainOk(i), col("x1"))).as(s"m1_$i"),
-      avg(when(trainOk(i), col("x2"))).as(s"m2_$i"),
-      avg(when(trainOk(i), col("x3"))).as(s"m3_$i")) }
-    val means = withB.groupBy("series").agg(meanAggs.head, meanAggs.tail: _*)
-    // pass 2: per-fold centered sums (olsFit's scatter, conditional)
-    def cc(i: Int, a: String, ma: String, b: String, mb: String) =
-      sum(when(trainOk(i), (col(a) - col(ma)) * (col(b) - col(mb))))
-    val statAggs = fracs.indices.flatMap { i => Seq(
-      cc(i, "x1", s"m1_$i", "x1", s"m1_$i").as(s"s11_$i"),
-      cc(i, "x1", s"m1_$i", "x2", s"m2_$i").as(s"s12_$i"),
-      cc(i, "x1", s"m1_$i", "x3", s"m3_$i").as(s"s13_$i"),
-      cc(i, "x2", s"m2_$i", "x2", s"m2_$i").as(s"s22_$i"),
-      cc(i, "x2", s"m2_$i", "x3", s"m3_$i").as(s"s23_$i"),
-      cc(i, "x3", s"m3_$i", "x3", s"m3_$i").as(s"s33_$i"),
-      cc(i, "x1", s"m1_$i", "y", s"my_$i").as(s"sy1_$i"),
-      cc(i, "x2", s"m2_$i", "y", s"my_$i").as(s"sy2_$i"),
-      cc(i, "x3", s"m3_$i", "y", s"my_$i").as(s"sy3_$i")) }
-    val stats = graft.util.Joins.dimJoin(withB, means, Seq("series"), None)
-      .groupBy("series").agg(statAggs.head, statAggs.tail: _*)
-    // per-fold Cramer's rule — the exact expression structure of olsFit
-    // (and TsOracle.q54), on fold-suffixed columns
-    val coefCols = fracs.indices.flatMap { i =>
-      def s(n: String) = col(s"$n$i")
-      val det = s("s11_") * (s("s22_") * s("s33_") - s("s23_") * s("s23_")) -
-        s("s12_") * (s("s12_") * s("s33_") - s("s23_") * s("s13_")) +
-        s("s13_") * (s("s12_") * s("s23_") - s("s22_") * s("s13_"))
-      val b1 = (s("sy1_") * (s("s22_") * s("s33_") - s("s23_") * s("s23_")) -
-        s("s12_") * (s("sy2_") * s("s33_") - s("s23_") * s("sy3_")) +
-        s("s13_") * (s("sy2_") * s("s23_") - s("s22_") * s("sy3_"))) / det
-      val b2 = (s("s11_") * (s("sy2_") * s("s33_") - s("sy3_") * s("s23_")) -
-        s("sy1_") * (s("s12_") * s("s33_") - s("s23_") * s("s13_")) +
-        s("s13_") * (s("s12_") * s("sy3_") - s("sy2_") * s("s13_"))) / det
-      val b3 = (s("s11_") * (s("s22_") * s("sy3_") - s("s23_") * s("sy2_")) -
-        s("s12_") * (s("s12_") * s("sy3_") - s("sy2_") * s("s13_")) +
-        s("sy1_") * (s("s12_") * s("s23_") - s("s22_") * s("s13_"))) / det
-      Seq(b1.as(s"b1_$i"), b2.as(s"b2_$i"), b3.as(s"b3_$i"),
-        (s("my_") - b1 * s("m1_") - b2 * s("m2_") - b3 * s("m3_")).as(s"b0_$i"))
-    }
-    val coefs = graft.util.Joins.dimJoin(stats, means, Seq("series"), None)
-      .select(col("series") +: coefCols: _*)
+    val coefs = condOlsCoefs(withB, fracs.indices.map(_.toString),
+      s => trainOk(s.toInt))
     // pass 3: per-fold test errors over the fold's slice
     val errAggs = fracs.indices.flatMap { i =>
       val p = col(s"b0_$i") + col(s"b1_$i") * col("x1") +
@@ -905,78 +920,35 @@ FROM pows"""
     val cuts = rng.select(col("series"),
       (col("t0") + floor((col("t1") - col("t0") + 1) * fracA).cast("long")).as("cutA"),
       (col("t0") + floor((col("t1") - col("t0") + 1) * fracB).cast("long")).as("cutB"))
-    val withB = graft.util.Joins.dimJoin(base, cuts, Seq("series"), None)
-    val cn = Seq("cutA", "cutB")
-    def trainOk(c: String) = col("t") < col(c)
-    val meanAggs = cn.flatMap { c => Seq(
-      avg(when(trainOk(c), col("y"))).as(s"my_$c"),
-      avg(when(trainOk(c), col("x1"))).as(s"m1_$c"),
-      avg(when(trainOk(c), col("x2"))).as(s"m2_$c"),
-      avg(when(trainOk(c), col("x3"))).as(s"m3_$c")) }
-    val means = withB.groupBy("series").agg(meanAggs.head, meanAggs.tail: _*)
-    def cc(c: String, a: String, ma: String, b: String, mb: String) =
-      sum(when(trainOk(c), (col(a) - col(ma)) * (col(b) - col(mb))))
-    val statAggs = cn.flatMap { c => Seq(
-      cc(c, "x1", s"m1_$c", "x1", s"m1_$c").as(s"s11_$c"),
-      cc(c, "x1", s"m1_$c", "x2", s"m2_$c").as(s"s12_$c"),
-      cc(c, "x1", s"m1_$c", "x3", s"m3_$c").as(s"s13_$c"),
-      cc(c, "x2", s"m2_$c", "x2", s"m2_$c").as(s"s22_$c"),
-      cc(c, "x2", s"m2_$c", "x3", s"m3_$c").as(s"s23_$c"),
-      cc(c, "x3", s"m3_$c", "x3", s"m3_$c").as(s"s33_$c"),
-      cc(c, "x1", s"m1_$c", "y", s"my_$c").as(s"sy1_$c"),
-      cc(c, "x2", s"m2_$c", "y", s"my_$c").as(s"sy2_$c"),
-      cc(c, "x3", s"m3_$c", "y", s"my_$c").as(s"sy3_$c")) }
-    val stats = graft.util.Joins.dimJoin(withB, means, Seq("series"), None)
-      .groupBy("series").agg(statAggs.head, statAggs.tail: _*)
-    val coefCols = cn.flatMap { c =>
-      def s(n: String) = col(s"$n$c")
-      val det = s("s11_") * (s("s22_") * s("s33_") - s("s23_") * s("s23_")) -
-        s("s12_") * (s("s12_") * s("s33_") - s("s23_") * s("s13_")) +
-        s("s13_") * (s("s12_") * s("s23_") - s("s22_") * s("s13_"))
-      val b1 = (s("sy1_") * (s("s22_") * s("s33_") - s("s23_") * s("s23_")) -
-        s("s12_") * (s("sy2_") * s("s33_") - s("s23_") * s("sy3_")) +
-        s("s13_") * (s("sy2_") * s("s23_") - s("s22_") * s("sy3_"))) / det
-      val b2 = (s("s11_") * (s("sy2_") * s("s33_") - s("sy3_") * s("s23_")) -
-        s("sy1_") * (s("s12_") * s("s33_") - s("s23_") * s("s13_")) +
-        s("s13_") * (s("s12_") * s("sy3_") - s("sy2_") * s("s13_"))) / det
-      val b3 = (s("s11_") * (s("s22_") * s("sy3_") - s("s23_") * s("sy2_")) -
-        s("s12_") * (s("s12_") * s("sy3_") - s("sy2_") * s("s13_")) +
-        s("sy1_") * (s("s12_") * s("s23_") - s("s22_") * s("s13_"))) / det
-      Seq(b1.as(s"b1_$c"), b2.as(s"b2_$c"), b3.as(s"b3_$c"),
-        (s("my_") - b1 * s("m1_") - b2 * s("m2_") - b3 * s("m3_")).as(s"b0_$c"))
+    // materialize the lag+cuts frame ONCE (q54's discipline): the two
+    // conditional fit passes and the error pass otherwise each
+    // re-derive the per-series window sort
+    val withB = TsCore.cached(spark, sfDir, s"q62lags_${fracA}_$fracB") {
+      graft.util.Joins.dimJoin(base, cuts, Seq("series"), None)
     }
-    val coefs = graft.util.Joins.dimJoin(stats, means, Seq("series"), None)
-      .select(col("series") +: coefCols: _*)
+    val coefs = condOlsCoefs(withB, Seq("cutA", "cutB"), c => col("t") < col(c))
     def p(c: String) = col(s"b0_$c") + col(s"b1_$c") * col("x1") +
       col(s"b2_$c") * col("x2") + col(s"b3_$c") * col("x3")
     val evalOk = col("t") >= col("cutB")
     val errs = graft.util.Joins.dimJoin(withB, coefs, Seq("series"), None)
       .groupBy("series").agg(
         sum(when(evalOk, 1L)).as("n"),
+        // b0s ride along (constant per series) for the null guard below
+        max(col("b0_cutA")).as("b0_cutA"), max(col("b0_cutB")).as("b0_cutB"),
         avg(when(evalOk, abs(col("y") - p("cutA")))).as("mae_stale"),
         avg(when(evalOk, abs(col("y") - p("cutB")))).as("mae_refit"))
-      .filter(col("n") > 0)
+      // q54's guard: a series with an EMPTY train split has null
+      // coefficients here but is dropped entirely by the oracle's
+      // inner-join chain — drop it the same way (NaN from a singular
+      // system still passes, matching the oracle's NaN row)
+      .filter(col("n") > 0 && col("b0_cutA").isNotNull && col("b0_cutB").isNotNull)
     // PSI of the value distribution across the cutA boundary — qp7's
-    // smoothed formula, boundary swapped from the midpoint to the cut
-    val wp = Window.partitionBy("series")
+    // formula via the SHARED TsQueries.psiOf chain, boundary swapped
+    // from the midpoint to the cut
     val pts = TsCore.filled(spark, sfDir).filter(col("v_filled").isNotNull)
       .transform(graft.util.Joins.dimJoin(_, cuts.select("series", "cutA"), Seq("series"), None))
-      .withColumn("mn", min("v_filled").over(wp))
-      .withColumn("mx", max("v_filled").over(wp))
-      .withColumn("bin", when(col("mx") === col("mn"), 0L).otherwise(
-        least(floor((col("v_filled") - col("mn")) / (col("mx") - col("mn")) * nBins),
-          lit(nBins - 1L))))
-      .withColumn("half", when(col("t") < col("cutA"), 0).otherwise(1))
-    val cnt = pts.groupBy("series", "bin").agg(
-      sum(when(col("half") === 0, 1L).otherwise(0L)).as("n0"),
-      sum(when(col("half") === 1, 1L).otherwise(0L)).as("n1"))
-    val sm = lit(0.5)
-    val psi = cnt
-      .withColumn("pt", (col("n0") + sm) / (sum("n0").over(wp) + sm * nBins))
-      .withColumn("qt", (col("n1") + sm) / (sum("n1").over(wp) + sm * nBins))
-      .withColumn("termq",
-        floor((col("pt") - col("qt")) * log(col("pt") / col("qt")) * 1000000d + 0.5d).cast("long"))
-      .groupBy("series").agg(Num.r4(sum("termq") / 1000000d).as("psi"))
+    val psi = TsQueries.psiOf(pts, when(col("t") < col("cutA"), 0).otherwise(1), nBins)
+      .select("series", "psi")
     graft.util.Joins.dimJoin(errs, psi, Seq("series"), None)
       .select(col("series"), col("psi"),
         when(col("psi") > thr, 1).otherwise(0).as("drifted"), col("n"),

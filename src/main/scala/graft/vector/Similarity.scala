@@ -313,8 +313,13 @@ object Similarity {
       .join(cellAssignment(spark, sfDir, nCells), "vec_id")
       .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
 
-  private[graft] def ivfProbes(spark: SparkSession, sfDir: String,
-                               nCells: Int, nProbe: Int): DataFrame = {
+  /** The probe ranking WITH the rank kept (crank = the candidate
+    * cell's probe level) — the one definition of "which cells does a
+    * query probe, in what order"; qv3/qv6 drop the rank, qv17 sweeps
+    * over it.
+    */
+  private[graft] def ivfProbeRanks(spark: SparkSession, sfDir: String,
+                                   nCells: Int, maxProbe: Int): DataFrame = {
     val e = vecs(spark, sfDir)
     val centArr = ivfCentroids(spark, sfDir, nCells)
     val q = e.filter(qFilter)
@@ -322,9 +327,13 @@ object Similarity {
     q.select(col("vec_id").as("qid"), col("v"))
       .crossJoin(broadcast(centArr))
       .withColumn("d2", expr("graft_l2(v, cv)"))
-      .withColumn("rn", row_number().over(wP)).filter(col("rn") <= nProbe)
-      .select("qid", "cell")
+      .withColumn("crank", row_number().over(wP)).filter(col("crank") <= maxProbe)
+      .select("qid", "cell", "crank")
   }
+
+  private[graft] def ivfProbes(spark: SparkSession, sfDir: String,
+                               nCells: Int, nProbe: Int): DataFrame =
+    ivfProbeRanks(spark, sfDir, nCells, nProbe).select("qid", "cell")
 
   def ivfAnn(spark: SparkSession, sfDir: String, nCells: Int = 16, nProbe: Int = 2, k: Int = 5): DataFrame = {
     val e = vecs(spark, sfDir)
@@ -363,30 +372,23 @@ object Similarity {
     */
   def probeSweep(spark: SparkSession, sfDir: String, nCells: Int = 16,
                  probes: Seq[Int] = Seq(1, 2, 4, 8), k: Int = 5): DataFrame = {
-    require(probes.nonEmpty && probes.forall(p => p >= 1 && p <= nCells),
-      s"probes=$probes must sit in [1, nCells=$nCells]")
+    require(probes.nonEmpty && probes.distinct == probes &&
+      probes.forall(p => p >= 1 && p <= nCells),
+      s"probes=$probes must be distinct levels in [1, nCells=$nCells]: " +
+        "a duplicated level would double-count both sides of the recall join")
     val maxP = probes.max
     val e = vecs(spark, sfDir)
     val assign = cellAssignment(spark, sfDir, nCells)
-    val centArr = ivfCentroids(spark, sfDir, nCells)
     val q = e.filter(qFilter)
-    val wP = Window.partitionBy("qid").orderBy(col("d2"), col("cell"))
-    // ivfProbes' ranking with the rank KEPT — crank is the candidate's
-    // minimal visible probe level
-    val probeRank = q.select(col("vec_id").as("qid"), col("v"))
-      .crossJoin(broadcast(centArr))
-      .withColumn("d2", expr("graft_l2(v, cv)"))
-      .withColumn("crank", row_number().over(wP)).filter(col("crank") <= maxP)
-      .select("qid", "cell", "crank")
+    val probeRank = ivfProbeRanks(spark, sfDir, nCells, maxP)
     val qv = q.select(col("vec_id").as("qid"), col("v").as("av"), col("nrm").as("na"))
     val bv = e.select(col("vec_id"), col("v").as("bv"), col("nrm").as("nb"))
-    // checkpointed: every swept level's rank branch reads the scored
-    // candidate stream — one scan of the largest level, not |sweep|
+    // the largest level's candidates are scored ONCE; the explode fan
+    // below replicates rows (not recomputation), so no checkpoint
     val scored = probeRank.join(assign, "cell").filter(col("qid") =!= col("vec_id"))
       .join(broadcast(qv), "qid").join(bv, "vec_id")
       .withColumn("cos", dotAB / (col("na") * col("nb")))
       .select("qid", "vec_id", "crank", "cos")
-      .localCheckpoint(eager = false)
     val fan = scored.select(col("qid"), col("vec_id"), col("cos"),
         explode(array(probes.map(p =>
           when(col("crank") <= p, lit(p))): _*)).as("nprobe"))
