@@ -133,6 +133,7 @@ object SparkEntry {
     // has no SQL analogue; quality gated in ForecastImputeSpec
     "q61_gbt_forecast" -> ((s, d) => graft.timeseries.MllibForecast.gbtForecast(s, d)),
     "q62_refit_trigger" -> ((s, d) => graft.timeseries.Forecast.refitTrigger(s, d)),
+    "q63_interval_score" -> ((s, d) => graft.timeseries.Forecast.intervalScore(s, d)),
     "qd17_dup_weight" -> ((s, d) => graft.text.Dedup.dupWeight(s, d)),
     "qd18_containment" -> ((s, d) => graft.text.Dedup.containment(s, d)),
     "qt21_domain_cap" -> ((s, d) => graft.text.TextOps.domainCap(s, d)),
@@ -575,6 +576,7 @@ object SparkEntry {
     "q59_decompose_forecast" -> graft.timeseries.TsOracle.q59(),
     "q60_recursive_forecast" -> graft.timeseries.TsOracle.q60(),
     "q62_refit_trigger" -> graft.timeseries.TsOracle.q62(),
+    "q63_interval_score" -> graft.timeseries.TsOracle.q63(),
     "qd17_dup_weight" -> graft.text.DocOracle.qd17(),
     "qd18_containment" -> graft.text.DocOracle.qd18(),
     "qc1_corpus_build" -> graft.text.DocOracle.qc1(),

@@ -1242,4 +1242,49 @@ FROM pows"""
         (col("qhatq") / 10000d).as("qhat"),
         Num.r4(col("n_cov") / col("n_test").cast("double")).as("coverage"))
   }
+
+  /** q63: PROPER SCORING of q58's prediction intervals — coverage
+    * alone rewards a band that is merely wide; the Winkler interval
+    * score (Gneiting & Raftery 2007 §6.2, the standard interval
+    * metric: width + (2/α)·overshoot) and the pinball/quantile losses
+    * of the band edges at τ = α/2 and 1−α/2 (the M5-uncertainty /
+    * quantile-regression objective) penalize width AND miscoverage
+    * together — the numbers a forecast evaluation actually ranks
+    * interval methods by.
+    *
+    * Per-point scores are deterministic arithmetic on the r4-grid
+    * y/p and the integer-exact q̂, so each is quantized to the 1e-4
+    * grid and summed as int64 (order-free, both engines identical).
+    * Scale shape: q58's cached residual spine + the |series|-row q̂
+    * frame + ONE test-split aggregation — nothing new crosses an
+    * exchange.
+    */
+  def intervalScore(spark: SparkSession, sfDir: String,
+                    alpha: Double = 0.1): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha=$alpha")
+    val tl = alpha / 2
+    val tu = 1 - alpha / 2
+    val over = 2.0 / alpha
+    val test = conformalResiduals(spark, sfDir)
+      .filter(col("t") >= col("tsplit"))
+      .transform(Joins.dimJoin(_, conformalQhat(spark, sfDir, alpha), Seq("series"), None))
+      .withColumn("qh", col("qhatq") / 10000d)
+      .withColumn("lo", col("p") - col("qh"))
+      .withColumn("hi", col("p") + col("qh"))
+    val wink = col("hi") - col("lo") +
+      when(col("y") < col("lo"), (col("lo") - col("y")) * over).otherwise(0.0) +
+      when(col("y") > col("hi"), (col("y") - col("hi")) * over).otherwise(0.0)
+    def pin(tau: Double, q: Column): Column =
+      when(col("y") >= q, (col("y") - q) * tau).otherwise((q - col("y")) * (1 - tau))
+    def q4(c: Column) = floor(c * 10000d + 0.5d).cast("long")
+    test.groupBy("series", "qhatq")
+      .agg(count(lit(1)).as("n_test"),
+        sum(q4(wink)).as("sw"),
+        sum(q4(pin(tl, col("lo")))).as("sl"),
+        sum(q4(pin(tu, col("hi")))).as("su"))
+      .select(col("series"), col("n_test"), (col("qhatq") / 10000d).as("qhat"),
+        Num.r4(col("sw") / 10000d / col("n_test")).as("winkler"),
+        Num.r4(col("sl") / 10000d / col("n_test")).as("pinball_lo"),
+        Num.r4(col("su") / 10000d / col("n_test")).as("pinball_hi"))
+  }
 }

@@ -985,6 +985,53 @@ FROM ar58 t JOIN qh58 q USING (series)
 WHERE t.t >= t.tsplit
 GROUP BY t.series, q.n_cal, q.qhatq"""
 
+  /** q63: mirrors Forecast.intervalScore — q58's residual/q̂ chain +
+    * per-point Winkler and pinball arithmetic on the test split,
+    * scaled-int sums. The Scala doubles (2/α, τ) interpolate as their
+    * shortest-repr literals, which DuckDB parses back to the identical
+    * IEEE values.
+    */
+  def q63(alpha: Double = 0.1): String = {
+    val tl = alpha / 2
+    val tu = 1 - alpha / 2
+    val over = 2.0 / alpha
+    prefix + splitTCte + s"""
+, sn63 AS (
+  SELECT f.series, f.t, f.v_filled AS y,
+         lag(f.v_filled, ${TsCore.WeekLag}) OVER (PARTITION BY f.series ORDER BY f.t) AS p,
+         b.tsplit, b.tsplit - ${TsCore.WeekLag} AS tcal
+  FROM filled f JOIN boundt b USING (series)
+), ar63 AS (
+  SELECT series, t, y, p, tsplit, tcal,
+         CAST(floor(abs(y - p)*10000 + 0.5) AS BIGINT) AS arq
+  FROM sn63 WHERE y IS NOT NULL AND p IS NOT NULL
+), cal63 AS (
+  SELECT series, t, arq, count(*) OVER (PARTITION BY series) AS ncal,
+         row_number() OVER (PARTITION BY series ORDER BY arq, t) AS rn
+  FROM ar63 WHERE t >= tcal AND t < tsplit
+), qh63 AS (
+  SELECT series, arq AS qhatq FROM cal63
+  WHERE rn = CAST(least(ceil(${1.0 - alpha} * (ncal + 1)), ncal) AS BIGINT)
+), t63 AS (
+  SELECT a.series, q.qhatq, a.y,
+         a.p - q.qhatq / 10000.0 AS lo, a.p + q.qhatq / 10000.0 AS hi
+  FROM ar63 a JOIN qh63 q USING (series) WHERE a.t >= a.tsplit
+), sc63 AS (
+  SELECT series, qhatq,
+    (hi - lo)
+      + (CASE WHEN y < lo THEN (lo - y) * $over ELSE 0.0 END)
+      + (CASE WHEN y > hi THEN (y - hi) * $over ELSE 0.0 END) AS wink,
+    CASE WHEN y >= lo THEN (y - lo) * $tl ELSE (lo - y) * ${1 - tl} END AS pl,
+    CASE WHEN y >= hi THEN (y - hi) * $tu ELSE (hi - y) * ${1 - tu} END AS pu
+  FROM t63
+)
+SELECT series, count(*) AS n_test, qhatq / 10000.0 AS qhat,
+  ${r4("sum(CAST(floor(wink*10000 + 0.5) AS BIGINT)) / 10000.0 / count(*)")} AS winkler,
+  ${r4("sum(CAST(floor(pl*10000 + 0.5) AS BIGINT)) / 10000.0 / count(*)")} AS pinball_lo,
+  ${r4("sum(CAST(floor(pu*10000 + 0.5) AS BIGINT)) / 10000.0 / count(*)")} AS pinball_hi
+FROM sc63 GROUP BY series, qhatq"""
+  }
+
   /** q53: hierarchical reconciliation — mirrors Forecast.reconcile:
     * seasonal-naive bottoms, daily-persistence total, proportional
     * top-down rescale, all sums as 1e-4 scaled int64.

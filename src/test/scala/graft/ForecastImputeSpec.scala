@@ -155,6 +155,28 @@ class ForecastImputeSpec extends SparkSuite {
     r.unpersist()
   }
 
+  test("q63 interval score: Winkler == (2/alpha)(pinball_lo + pinball_hi); width floor") {
+    val alpha = 0.1
+    val r = Forecast.intervalScore(spark, Sf01, alpha).cache()
+    val rows = r.collect()
+    assert(rows.length === 5)
+    for (row <- rows) {
+      val (qh, w, pl, pu) = (row.getDouble(2), row.getDouble(3),
+        row.getDouble(4), row.getDouble(5))
+      // the textbook decomposition (Gneiting & Raftery 2007): the
+      // interval score IS the scaled sum of the edge pinball losses —
+      // exact per point, so the independently-quantized means must
+      // agree to a few grid steps
+      assert(math.abs(w - (2 / alpha) * (pl + pu)) < 0.01,
+        s"${row.getString(0)}: winkler $w vs 20*(pinball sum) ${(2 / alpha) * (pl + pu)}")
+      // a symmetric band of half-width qhat can never score below its
+      // own width; the excess is the miscoverage penalty
+      assert(w >= 2 * qh - 1e-9, s"${row.getString(0)}: winkler $w below width ${2 * qh}")
+      assert(pl > 0 && pu > 0 && row.getLong(1) > 0)
+    }
+    r.unpersist()
+  }
+
   test("linear imputation leaves clean points untouched") {
     val li = Impute.imputeLinear(spark, Sf01).cache()
     val orig = TsCore.injected(spark, Sf01)
