@@ -1229,12 +1229,20 @@ FROM pows"""
     * test-split aggregation. The |series|-scale boundary and q̂ frames
     * join through dimJoin's size-aware path.
     */
+  /** The conformal TEST split with its per-series q̂ attached — ONE
+    * definition of "the band on the held-out region" shared by q58's
+    * coverage report and q63's proper-scoring report, so the scored
+    * bands can never drift from the calibrated ones.
+    */
+  private def conformalTest(spark: SparkSession, sfDir: String,
+                            alpha: Double): DataFrame =
+    conformalResiduals(spark, sfDir)
+      .filter(col("t") >= col("tsplit"))
+      .transform(Joins.dimJoin(_, conformalQhat(spark, sfDir, alpha), Seq("series"), None))
+
   def conformalIntervals(spark: SparkSession, sfDir: String,
                          alpha: Double = 0.1): DataFrame = {
-    val sn = conformalResiduals(spark, sfDir)
-    val qhat = conformalQhat(spark, sfDir, alpha)
-    sn.filter(col("t") >= col("tsplit"))
-      .transform(Joins.dimJoin(_, qhat, Seq("series"), None))
+    conformalTest(spark, sfDir, alpha)
       .groupBy("series", "n_cal", "qhatq")
       .agg(count(lit(1)).as("n_test"),
         sum(when(col("arq") <= col("qhatq"), 1L).otherwise(0L)).as("n_cov"))
@@ -1261,13 +1269,10 @@ FROM pows"""
     */
   def intervalScore(spark: SparkSession, sfDir: String,
                     alpha: Double = 0.1): DataFrame = {
-    require(alpha > 0 && alpha < 1, s"alpha=$alpha")
     val tl = alpha / 2
     val tu = 1 - alpha / 2
     val over = 2.0 / alpha
-    val test = conformalResiduals(spark, sfDir)
-      .filter(col("t") >= col("tsplit"))
-      .transform(Joins.dimJoin(_, conformalQhat(spark, sfDir, alpha), Seq("series"), None))
+    val test = conformalTest(spark, sfDir, alpha)
       .withColumn("qh", col("qhatq") / 10000d)
       .withColumn("lo", col("p") - col("qh"))
       .withColumn("hi", col("p") + col("qh"))

@@ -957,17 +957,20 @@ SELECT series, count(*) AS n,
 FROM sn WHERE t >= tsplit AND y IS NOT NULL AND p IS NOT NULL
 GROUP BY series"""
 
-  /** Mirrors Forecast.conformalIntervals — same 1e-4 int residual grid,
-    * same ⌈(1−α)(n+1)⌉ order-statistic rank, same integer coverage.
+  /** q58/q63's shared conformal chain: residuals on the 1e-4 int grid
+    * (y/p carried through — q63 scores the band against them; DuckDB
+    * prunes them from q58's plan) + the ⌈(1−α)(n+1)⌉ order-statistic
+    * q̂ per series. ONE definition so the scored bands can never drift
+    * from the calibrated ones.
     */
-  def q58(alpha: Double = 0.1): String = prefix + splitTCte + s"""
+  private def conformalCte(alpha: Double): String = s"""
 , sn58 AS (
   SELECT f.series, f.t, f.v_filled AS y,
          lag(f.v_filled, ${TsCore.WeekLag}) OVER (PARTITION BY f.series ORDER BY f.t) AS p,
          b.tsplit, b.tsplit - ${TsCore.WeekLag} AS tcal
   FROM filled f JOIN boundt b USING (series)
 ), ar58 AS (
-  SELECT series, t, tsplit, tcal,
+  SELECT series, t, y, p, tsplit, tcal,
          CAST(floor(abs(y - p)*10000 + 0.5) AS BIGINT) AS arq
   FROM sn58 WHERE y IS NOT NULL AND p IS NOT NULL
 ), cal58 AS (
@@ -977,7 +980,12 @@ GROUP BY series"""
 ), qh58 AS (
   SELECT series, ncal AS n_cal, arq AS qhatq FROM cal58
   WHERE rn = CAST(least(ceil(${1.0 - alpha} * (ncal + 1)), ncal) AS BIGINT)
-)
+)"""
+
+  /** Mirrors Forecast.conformalIntervals — same 1e-4 int residual grid,
+    * same ⌈(1−α)(n+1)⌉ order-statistic rank, same integer coverage.
+    */
+  def q58(alpha: Double = 0.1): String = prefix + splitTCte + conformalCte(alpha) + s"""
 SELECT t.series, q.n_cal, count(*) AS n_test,
        q.qhatq / 10000.0 AS qhat,
        ${r4("sum(CASE WHEN t.arq <= q.qhatq THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE)")} AS coverage
@@ -995,27 +1003,11 @@ GROUP BY t.series, q.n_cal, q.qhatq"""
     val tl = alpha / 2
     val tu = 1 - alpha / 2
     val over = 2.0 / alpha
-    prefix + splitTCte + s"""
-, sn63 AS (
-  SELECT f.series, f.t, f.v_filled AS y,
-         lag(f.v_filled, ${TsCore.WeekLag}) OVER (PARTITION BY f.series ORDER BY f.t) AS p,
-         b.tsplit, b.tsplit - ${TsCore.WeekLag} AS tcal
-  FROM filled f JOIN boundt b USING (series)
-), ar63 AS (
-  SELECT series, t, y, p, tsplit, tcal,
-         CAST(floor(abs(y - p)*10000 + 0.5) AS BIGINT) AS arq
-  FROM sn63 WHERE y IS NOT NULL AND p IS NOT NULL
-), cal63 AS (
-  SELECT series, t, arq, count(*) OVER (PARTITION BY series) AS ncal,
-         row_number() OVER (PARTITION BY series ORDER BY arq, t) AS rn
-  FROM ar63 WHERE t >= tcal AND t < tsplit
-), qh63 AS (
-  SELECT series, arq AS qhatq FROM cal63
-  WHERE rn = CAST(least(ceil(${1.0 - alpha} * (ncal + 1)), ncal) AS BIGINT)
-), t63 AS (
+    prefix + splitTCte + conformalCte(alpha) + s"""
+, t63 AS (
   SELECT a.series, q.qhatq, a.y,
          a.p - q.qhatq / 10000.0 AS lo, a.p + q.qhatq / 10000.0 AS hi
-  FROM ar63 a JOIN qh63 q USING (series) WHERE a.t >= a.tsplit
+  FROM ar58 a JOIN qh58 q USING (series) WHERE a.t >= a.tsplit
 ), sc63 AS (
   SELECT series, qhatq,
     (hi - lo)
