@@ -944,9 +944,13 @@ FROM pows"""
       .filter(col("n") > 0 && col("b0_cutA").isNotNull && col("b0_cutB").isNotNull)
     // PSI of the value distribution across the cutA boundary — qp7's
     // formula via the SHARED TsQueries.psiOf chain, boundary swapped
-    // from the midpoint to the cut
+    // from the midpoint to the cut. The cut comes OFF THE CACHED frame
+    // (distinct over |series| rows), not the raw cuts subtree — joining
+    // `cuts` here would rebuild the whole lag pass for the PSI branch
+    // (PlanSpec gates this)
     val pts = TsCore.filled(spark, sfDir).filter(col("v_filled").isNotNull)
-      .transform(graft.util.Joins.dimJoin(_, cuts.select("series", "cutA"), Seq("series"), None))
+      .transform(graft.util.Joins.dimJoin(_,
+        withB.select("series", "cutA").distinct(), Seq("series"), None))
     val psi = TsQueries.psiOf(pts, when(col("t") < col("cutA"), 0).otherwise(1), nBins)
       .select("series", "psi")
     graft.util.Joins.dimJoin(errs, psi, Seq("series"), None)

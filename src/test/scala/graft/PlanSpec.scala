@@ -351,6 +351,32 @@ class PlanSpec extends SparkSuite {
     assert(cg.contains("WholeStageCodegen"), cg.take(2000))
   }
 
+  test("round-10 part-2 ops keep their scale shapes (q62/q63/qv17)") {
+    spark.catalog.clearCache()
+    // q62: the lag+cuts frame is session-cached — the conditional fit
+    // and error passes read the materialization, so the query plan
+    // derives NO per-series lag window of its own (its two windows are
+    // the PSI chain's mn/mx and bin-total passes over filled)
+    val p62 = plan(graft.timeseries.Forecast.refitTrigger(spark, Sf01))
+    assert(!p62.contains("lag(y"),
+      s"q62 must read the cached lag frame, not rebuild it:\n${p62.take(900)}")
+    // q63: one test-split aggregation over the cached residual spine —
+    // the plan carries exactly one rank window (the order-statistic
+    // q-hat) and no lag pass
+    val p63 = plan(graft.timeseries.Forecast.intervalScore(spark, Sf01))
+    assert(!p63.contains("lag("),
+      s"q63 must read the cached residual spine:\n${p63.take(900)}")
+    assert("row_number".r.findAllIn(p63).size == 1,
+      s"q63's only window is the q-hat order statistic:\n${p63.take(900)}")
+    // qv17: ONE probe-rank window feeds every swept level (the fan is
+    // an explode over the scored stream, not a per-level re-rank of
+    // candidates — the only other rank windows are the per-level top-k
+    // and the exact baseline)
+    val p17 = plan(graft.vector.Similarity.probeSweep(spark, Sf01))
+    assert("AS crank#".r.findAllIn(p17).size == 1,
+      s"qv17 must rank probes once:\n${p17.take(900)}")
+  }
+
   test("round-10 forecast ops keep their scale shapes (q59/q60)") {
     spark.catalog.clearCache()
     // q59: the trend+detr base serves from the session-cached stage and
