@@ -132,10 +132,14 @@ object Ingest {
     * "TOTALDEMAND" (process_aemo.py:19-20 defaults). The series id is
     * the REGION DIRECTORY name (the collector's save layout), and
     * duplicate (series, ts) rows — the raw feed repeats month-boundary
-    * settlement rows across adjacent files with identical values
-    * (process_aemo.py:56 drops duplicate indices) — collapse via
-    * min(value), the deterministic distributed counterpart of the
-    * reference's keep-first.
+    * settlement rows across adjacent files (process_aemo.py:56 drops
+    * duplicate indices, i.e. keeps the FIRST) — collapse via a true
+    * distributed keep-first: min_by on (source file, value), so the
+    * earlier month file's reading wins even when a later file carries a
+    * REVISED value for the same settlement instant (the yyyymm file
+    * naming makes lexicographic file order = chronological ingest
+    * order; the value tie-break only orders exact-duplicate rows
+    * within one file).
     */
   def readAemoCsv(spark: SparkSession, root: String,
                   dateCol: String = "SETTLEMENTDATE",
@@ -145,10 +149,11 @@ object Ingest {
       .csv(s"$root/*/*.csv")
       .select(region.as("series"),
         expr(s"try_to_timestamp(`$dateCol`, 'yyyy/MM/dd HH:mm:ss')").as("ts"),
-        expr(s"try_cast(`$loadCol` AS DOUBLE)").as("value"))
+        expr(s"try_cast(`$loadCol` AS DOUBLE)").as("value"),
+        decodedFilePath.as("src"))
       .filter(col("ts").isNotNull && col("value").isNotNull)
       .groupBy("series", "ts")
-      .agg(org.apache.spark.sql.functions.min("value").as("value"))
+      .agg(expr("min_by(value, struct(src, value))").as("value"))
   }
 
   /** Yahoo anomaly benchmark: one CSV per series under `root`, columns

@@ -695,7 +695,10 @@ object ScoreStream {
     // suite is benchmark-sized (qd12's contract); past this bound the
     // plan literal itself becomes the bottleneck — use the join-based
     // decontaminateStream instead and fail loudly here
-    require(evalSorted.size <= (1 << 20),
+    // 2^16 longs ≈ 0.5 MB embedded literal — past a few tens of
+    // thousands of hashes the typedLit array degrades plan
+    // serialization/codegen long before memory does, so bound tightly
+    require(evalSorted.size <= (1 << 16),
       s"eval suite has ${evalSorted.size} shingle hashes — too large for a plan " +
         "literal; probe it with decontaminateStream's stream-static join instead")
     // distinct 5-gram shingle hashes, sorted in-row (batch TextCore

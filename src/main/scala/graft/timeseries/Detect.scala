@@ -167,7 +167,21 @@ object Detect {
         // the candidate roster is the bank's own (pos, id) set — tiny
         // relative to the pair stream; rank it, keep the first maxRef
         val wRef = Window.partitionBy("pos").orderBy("id")
-        val refIds = withId.select("pos", "id").distinct()
+        val roster = withId.select("pos", "id").distinct()
+        // LOUD truncation guard (one tiny agg on the roster, built once
+        // per session under TsCore.cached): the registered q11/q12 stay
+        // bit-identical to their exact-uncapped DuckDB oracles ONLY
+        // while no position exceeds maxRef windows — if a scale bump
+        // ever trips the cap, a parity break must point HERE, not at
+        // the pairwise logic
+        val over = roster.groupBy("pos").count()
+          .filter(col("count") > maxRef).count()
+        if (over > 0)
+          Console.err.println(
+            s"[graft] pairwiseRef: cap maxRef=$maxRef TRUNCATES $over " +
+              "position(s) — capped result now diverges from the exact " +
+              "pairwise (and its oracle) by design")
+        val refIds = roster
           .withColumn("rr", row_number().over(wRef)).filter(col("rr") <= maxRef)
           .select("pos", "id")
         withId.join(refIds, Seq("pos", "id"))

@@ -517,9 +517,17 @@ object Forecast {
     * analogue at the week-ahead horizon the pipeline evaluates
     * (q21/q38's h=168):
     *
-    *   - trend     → week-lag persistence on q48's moving-average trend
+    *   - trend     → week-lag persistence on q48's CENTERED ±half
+    *                 moving-average trend: trend(t−168) reads actuals
+    *                 in [t−168−half, t−168+half], i.e. up to `half`
+    *                 steps PAST the week-ahead origin (12 by default).
+    *                 The direct y(t−168) baseline sees none of that, so
+    *                 part of the decomposed win is this wider (still
+    *                 week-stale) input window — the spec therefore
+    *                 gates the CORPUS-WIDE MAE ordering, not a
+    *                 per-series sweep
     *   - seasonal  → the TRAIN-REGION hour-of-day profile of the
-    *                 detrended signal (no test leakage — unlike q48's
+    *                 detrended signal (train-only — unlike q48's
     *                 full-series profile, this one is a forecast input)
     *   - residual  → 0 (the unpredictable part is dropped, which is the
     *                 decomposition forecast's entire advantage)
@@ -607,6 +615,9 @@ object Forecast {
                         horizons: Seq[Int] = Seq(1, 6, 12, 24)): DataFrame = {
     require(horizons.nonEmpty && horizons.forall(h => h >= 1 && h <= TsCore.DaySize),
       s"horizons=$horizons: recursion past one day would feed predicted daily lags")
+    require(horizons.distinct == horizons,
+      s"horizons=$horizons must be distinct: a duplicate produces duplicate " +
+        "n_h/sae_h/sse_h agg aliases and an ambiguous-column failure downstream")
     val coefs = olsFit(lagBase(spark, sfDir).filter(col("t") < col("tsplit")))
     val w = Window.partitionBy("series").orderBy("t")
     val allOffs = horizons.flatMap(recursiveOffsets).distinct.sorted

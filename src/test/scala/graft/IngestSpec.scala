@@ -156,16 +156,28 @@ class IngestSpec extends SparkSuite {
       "NSW1,2016/01/01 00:00:00,6950.25,39.0,TRADE",
       "NSW1,2016/01/01 00:30:00,6888.0,38.5,TRADE",
       "NSW1,not-a-date,oops,x,TRADE"))
+    writeCsv(qld, "201512.csv", Seq(hdr,
+      "QLD1,2015/12/31 23:30:00,5750.0,34.0,TRADE"))
     writeCsv(qld, "201601.csv", Seq(hdr,
+      // REVISED boundary value, deliberately SMALLER than Dec's 5750 so
+      // a min(value) tie-break would pick the wrong row — keep-first
+      // must take the Dec file's reading
+      "QLD1,2015/12/31 23:30:00,5600.0,34.5,TRADE",
       "QLD1,2016/01/01 00:00:00,5800.0,35.0,TRADE"))
     val a = Ingest.readAemoCsv(spark, root.toString).cache()
     assert(a.schema.fieldNames === Array("series", "ts", "value"))
-    // 5 well-formed rows − 1 month-boundary duplicate = 4
-    assert(a.count() === 4, "duplicate settlement row must collapse, malformed row drop")
+    // 7 well-formed rows − 2 month-boundary duplicates = 5
+    assert(a.count() === 5, "duplicate settlement rows must collapse, malformed row drop")
     assert(a.select("series").distinct().collect().map(_.getString(0)).sorted
       === Array("NSW", "QLD"), "series comes from the region directory")
     val dup = a.filter(col("series") === "NSW" &&
       col("ts") === java.sql.Timestamp.valueOf("2016-01-01 00:00:00"))
     assert(dup.count() === 1 && dup.head.getDouble(2) === 6950.25)
+    // a REVISED duplicate (different value in the later month file) must
+    // resolve keep-first: the earlier file's reading wins, not min(value)
+    val rev = a.filter(col("series") === "QLD" &&
+      col("ts") === java.sql.Timestamp.valueOf("2015-12-31 23:30:00"))
+    assert(rev.count() === 1 && rev.head.getDouble(2) === 5750.0,
+      "revised-value duplicate must keep the FIRST file's reading")
   }
 }
