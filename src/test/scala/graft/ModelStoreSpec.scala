@@ -53,7 +53,7 @@ class ModelStoreSpec extends SparkSuite {
     val reloaded = ModelStore.loadAndGbtForecast(spark, path, base)
       .select(col("series"), col("t"), col("p").as("pr"))
     val live = MllibForecast.gbtApply(
-        MllibForecast.gbtModel(spark, Sf01, 30, 2, 42L).get,
+        MllibForecast.gbtModel(spark, Sf01, 20, 2, 42L).get,
         MllibForecast.gbtStats(spark, Sf01), base)
       .select(col("series"), col("t"), col("p").as("pl"))
     val j = reloaded.join(live, Seq("series", "t")).cache()
