@@ -134,6 +134,7 @@ object SparkEntry {
     "q61_gbt_forecast" -> ((s, d) => graft.timeseries.MllibForecast.gbtForecast(s, d)),
     "q62_refit_trigger" -> ((s, d) => graft.timeseries.Forecast.refitTrigger(s, d)),
     "q63_interval_score" -> ((s, d) => graft.timeseries.Forecast.intervalScore(s, d)),
+    "q64_forecast_scorecard" -> ((s, d) => graft.timeseries.Forecast.forecastScorecard(s, d)),
     "qd17_dup_weight" -> ((s, d) => graft.text.Dedup.dupWeight(s, d)),
     "qd18_containment" -> ((s, d) => graft.text.Dedup.containment(s, d)),
     "qt21_domain_cap" -> ((s, d) => graft.text.TextOps.domainCap(s, d)),
@@ -577,6 +578,7 @@ object SparkEntry {
     "q60_recursive_forecast" -> graft.timeseries.TsOracle.q60(),
     "q62_refit_trigger" -> graft.timeseries.TsOracle.q62(),
     "q63_interval_score" -> graft.timeseries.TsOracle.q63(),
+    "q64_forecast_scorecard" -> graft.timeseries.TsOracle.q64,
     "qd17_dup_weight" -> graft.text.DocOracle.qd17(),
     "qd18_containment" -> graft.text.DocOracle.qd18(),
     "qc1_corpus_build" -> graft.text.DocOracle.qc1(),

@@ -170,6 +170,20 @@ object Dedup {
   val SimhashChunks: Int = 4
   val SimhashChunkBits: Int = SimhashBits / SimhashChunks // 15 → 32768 buckets/chunk
 
+  /** qd3's default stop-chunk document-frequency cap — ON by default
+    * (r11), and MIRRORED in the DuckDB oracle, so the registered plan
+    * and the 100 TB plan are the same plan and parity holds even when
+    * the cap binds. Sizing rule: a (chunk, value) bucket's pair product
+    * is capped at maxDf² ≈ 10⁸ comparisons — a seconds-scale join even
+    * if every bucket saturates. Hash-uniform fingerprints load each
+    * bucket at N/2^15, so the default never binds below N ≈ 300M docs
+    * per uniform bucket load; corpora beyond that (or with
+    * boilerplate-skewed fingerprints) either raise it proportionally
+    * or accept recall loss confined to the degenerate near-identical
+    * mega-buckets the cap exists to defuse.
+    */
+  val SimhashMaxDf: Long = 10000L
+
   /** qd3: 60-bit SimHash fingerprints; candidates share ≥1 of the 4
     * 15-bit chunks (pigeonhole: hamming ≤ 3 GUARANTEES a shared chunk;
     * wider hamming is found opportunistically), emit pairs with
@@ -186,13 +200,14 @@ object Dedup {
     * (chunk, value) bucket holding more than maxDf documents is
     * dropped BEFORE the self-join (a stop-chunk, like qd4's
     * stop-shingles), capping every bucket's pair product at maxDf².
-    * Default OFF (Long.MaxValue) so the registered query stays the
-    * exact oracle mirror; at 100 TB you turn it on and the recall loss
-    * is confined to the degenerate near-identical mega-clusters the
-    * cap exists to defuse.
+    * Default ON at `SimhashMaxDf` (see its sizing rule) and mirrored
+    * in the oracle SQL — the registered query runs the production
+    * stop-chunk plan and stays oracle-checked whether or not the cap
+    * binds. Long.MaxValue disables the gate (the spec's uncapped
+    * anchor).
     */
   def simhash(spark: SparkSession, sfDir: String, maxHam: Int = 8,
-              maxDf: Long = Long.MaxValue): DataFrame = {
+              maxDf: Long = SimhashMaxDf): DataFrame = {
     // Single pass: 60 conditional sums per token row instead of a 60×
     // row explosion — the shuffle carries one row per doc.
     val th = tokens(spark, sfDir).withColumn("th", graft.text.TextCore.strHash60(col("tok")))

@@ -67,7 +67,7 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
 FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id"""
 
-  def qd3(maxHam: Int = 8): String = {
+  def qd3(maxHam: Int = 8, maxDf: Long = Dedup.SimhashMaxDf): String = {
     val nb = Dedup.SimhashBits
     val nc = Dedup.SimhashChunks
     val cb = Dedup.SimhashChunkBits
@@ -86,8 +86,13 @@ bits AS (
   FROM bitsum GROUP BY doc_id
 ), chunks AS (
   SELECT doc_id, sh, unnest(range($nc)) AS c FROM shash
-), chunkv AS (
+), chunkv0 AS (
   SELECT doc_id, sh, c, (sh >> CAST($cb * c AS INT)) & $mask AS cv FROM chunks
+), chunkdf AS (
+  SELECT c, cv FROM chunkv0 GROUP BY c, cv HAVING count(*) <= $maxDf
+), chunkv AS (
+  SELECT v.doc_id, v.sh, v.c, v.cv
+  FROM chunkv0 v JOIN chunkdf d ON v.c = d.c AND v.cv = d.cv
 ), cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh AS sh_a, b.sh AS sh_b
   FROM chunkv a JOIN chunkv b ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id

@@ -139,6 +139,66 @@ object Forecast {
       sqrt(avg((col("y") - col("p")) * (col("y") - col("p")))).as("rmse"))
   }
 
+  /** q64: the reference's FULL forecast-evaluation scorecard — the five
+    * metrics its seq2seq/SCINet eval loop reports per forecaster
+    * (forecasting/seq2seq/wrapper.py:103-126: sMAPE = mean(2|p−y| /
+    * (|p|+|y|))·100, MAE, MSE, RMSE = √MSE, R² = 1 − Σ(y−p)²/Σ(y−ȳ)²),
+    * computed per (series, variant) for the two closed-form stand-ins
+    * that share ONE eval spine: q22's OLS lag model and the
+    * seasonal-naive — which on the lag frame is simply x3 = y(t−168),
+    * so both variants score EXACTLY the same rows by construction
+    * (apples-to-apples, no separate footprint reconciliation).
+    *
+    * Determinism: every per-row term is quantized BEFORE the sum
+    * (sMAPE ratios on the 1e-6 grid, absolute/squared errors on the
+    * 1e-4 grid, ȳ from the exact integer sum of 1e-4-quantized y), so
+    * all five metrics are order-free and bit-identical across engines;
+    * R² is the exact integer ratio 1 − sse/ssy (the shared 1e-4 scale
+    * cancels, as does n). Zero-variance targets yield NULL R² (the
+    * 0/0 case), zero-magnitude (y, p) pairs contribute a 0 sMAPE term
+    * — both mirrored in the oracle.
+    *
+    * Scale shape: q22's one-pass sufficient-statistics fit, a
+    * |series|-row coefficient join, one checkpointed eval frame read
+    * by the ȳ pass and both variant branches, and ONE final
+    * (series, variant) hash-agg — nothing new shuffles at 100 TB.
+    */
+  def forecastScorecard(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = lagBase(spark, sfDir)
+    val coefs = olsFit(base.filter(col("t") < col("tsplit")))
+    val test = base.filter(col("t") >= col("tsplit"))
+      .transform(Joins.dimJoin(_, coefs, Seq("series"), None))
+      .filter(!isnan(col("b0"))) // degenerate fits drop (q60's guard)
+      .withColumn("p_ols", col("b0") + col("b1") * col("x1") +
+        col("b2") * col("x2") + col("b3") * col("x3"))
+      .localCheckpoint(eager = false) // ybar + both variant branches
+    val ybar = test.groupBy("series").agg(
+      sum(floor(col("y") * 10000d + 0.5d).cast("long")).as("syq"),
+      count(lit(1)).as("ny"))
+    val both = test.select(col("series"), lit("ols").as("variant"),
+        col("y"), col("p_ols").as("p"))
+      .unionByName(test.select(col("series"),
+        lit("seasonal_naive").as("variant"), col("y"), col("x3").as("p")))
+    val yb = col("syq") / 10000d / col("ny")
+    val smTerm = when(abs(col("p")) + abs(col("y")) === 0.0, 0L)
+      .otherwise(floor(lit(2d) * abs(col("y") - col("p")) /
+        (abs(col("p")) + abs(col("y"))) * 1000000d + 0.5d).cast("long"))
+    Joins.dimJoin(both, ybar, Seq("series"), None)
+      .groupBy("series", "variant").agg(
+        count(lit(1)).as("n"),
+        sum(smTerm).as("ssm"),
+        sum(floor(abs(col("y") - col("p")) * 10000d + 0.5d).cast("long")).as("sae"),
+        sum(floor((col("y") - col("p")) * (col("y") - col("p")) * 10000d + 0.5d).cast("long")).as("sse"),
+        sum(floor((col("y") - yb) * (col("y") - yb) * 10000d + 0.5d).cast("long")).as("ssy"))
+      .select(col("series"), col("variant"), col("n"),
+        Num.r4(col("ssm") / 1000000d / col("n") * 100d).as("smape"),
+        Num.r4(col("sae") / 10000d / col("n")).as("mae"),
+        Num.r4(col("sse") / 10000d / col("n")).as("mse"),
+        Num.r4(sqrt(col("sse") / 10000d / col("n"))).as("rmse"),
+        when(col("ssy") === 0L, lit(null).cast("double"))
+          .otherwise(Num.r4(lit(1d) - col("sse").cast("double") / col("ssy"))).as("r2"))
+  }
+
   /** q39: model-based multi-horizon forecast via the DIRECT strategy —
     * one OLS model per horizon h, regressing y_t on the lags available
     * at the forecast origin t−h: (h, h+23, h+167) — i.e. q22's

@@ -1267,6 +1267,46 @@ SELECT series, count(*) AS n,
   ${r4("avg(abs(y - p))")} AS mae, ${r4("sqrt(avg((y - p) * (y - p)))")} AS rmse
 FROM testf GROUP BY series"""
 
+  /** q64: mirrors Forecast.forecastScorecard — q22's coefficient chain,
+    * the shared OLS/seasonal-naive eval spine (p_sn = x3 on the lag
+    * frame), and the reference's five metrics (wrapper.py:103-126)
+    * from the SAME pre-sum-quantized term grids: sMAPE terms on 1e-6,
+    * error terms on 1e-4, ȳ from the exact integer y sum, R² as the
+    * exact integer ratio.
+    */
+  def q64: String = prefix + splitTCte + q22CoefCtes + s"""
+, testsc AS (
+  SELECT f.series, f.y,
+         c.b0 + c.b1 * f.x1 + c.b2 * f.x2 + c.b3 * f.x3 AS p_ols,
+         f.x3 AS p_sn
+  FROM basef f JOIN coefs2 c USING (series)
+  WHERE f.t >= f.tsplit AND NOT isnan(c.b0)
+), ybar64 AS (
+  SELECT series, sum(CAST(floor(y * 10000 + 0.5) AS BIGINT)) AS syq,
+         count(*) AS ny
+  FROM testsc GROUP BY series
+), both64 AS (
+  SELECT series, 'ols' AS variant, y, p_ols AS p FROM testsc
+  UNION ALL
+  SELECT series, 'seasonal_naive' AS variant, y, p_sn AS p FROM testsc
+), agg64 AS (
+  SELECT b.series, b.variant, count(*) AS n,
+    sum(CASE WHEN abs(b.p) + abs(b.y) = 0 THEN CAST(0 AS BIGINT)
+         ELSE CAST(floor(2 * abs(b.y - b.p) / (abs(b.p) + abs(b.y)) * 1000000 + 0.5) AS BIGINT) END) AS ssm,
+    sum(CAST(floor(abs(b.y - b.p) * 10000 + 0.5) AS BIGINT)) AS sae,
+    sum(CAST(floor((b.y - b.p) * (b.y - b.p) * 10000 + 0.5) AS BIGINT)) AS sse,
+    sum(CAST(floor((b.y - yb.syq / 10000.0 / yb.ny) * (b.y - yb.syq / 10000.0 / yb.ny) * 10000 + 0.5) AS BIGINT)) AS ssy
+  FROM both64 b JOIN ybar64 yb USING (series)
+  GROUP BY b.series, b.variant
+)
+SELECT series, variant, n,
+  ${r4("ssm / 1000000.0 / n * 100")} AS smape,
+  ${r4("sae / 10000.0 / n")} AS mae,
+  ${r4("sse / 10000.0 / n")} AS mse,
+  ${r4("sqrt(sse / 10000.0 / n)")} AS rmse,
+  CASE WHEN ssy = 0 THEN NULL ELSE ${r4("1 - CAST(sse AS DOUBLE) / ssy")} END AS r2
+FROM agg64"""
+
   /** q60: mirrors Forecast.recursiveForecast — q22's coefficient chain
     * + one lag CTE over the dense spine + the SAME left-assoc unrolled
     * recurrence per horizon + scaled-int error sums.

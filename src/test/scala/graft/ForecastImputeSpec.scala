@@ -142,6 +142,47 @@ class ForecastImputeSpec extends SparkSuite {
     g.unpersist()
   }
 
+  test("q64 scorecard: the five wrapper.py metrics are internally consistent") {
+    val sc = Forecast.forecastScorecard(spark, Sf01).cache()
+    val rows = sc.collect()
+    // 5 series × 2 variants, shared eval footprint
+    assert(rows.length === 10)
+    val byKey = rows.map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    for (((series, _), r) <- byKey) {
+      val (n, smape, mae, mse, rmse, r2) = (r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7))
+      assert(n > 0)
+      // sMAPE is bounded in [0, 200] by construction
+      assert(smape >= 0 && smape <= 200, s"$series smape $smape")
+      // RMSE restates MSE through sqrt (same integer sum): allow only
+      // the two output roundings
+      assert(math.abs(rmse * rmse - mse) <= 2e-4 * (2 * rmse + 1),
+        s"$series rmse² ${rmse * rmse} vs mse $mse")
+      // RMSE ≥ MAE (Jensen), R² < 1 always
+      assert(rmse >= mae - 2e-4, s"$series rmse $rmse < mae $mae")
+      assert(r2 < 1.0, s"$series r2 $r2")
+      // both variants score the same n (shared spine by construction)
+      assert(byKey((series, "ols")).getLong(2) === n)
+    }
+    for (series <- byKey.keys.map(_._1)) {
+      val ols = byKey((series, "ols"))
+      val sn = byKey((series, "seasonal_naive"))
+      // the fitted model beats the naive on its own train objective
+      // (MSE), hence also on R² — they share Σ(y−ȳ)²; MAE/sMAPE have
+      // no such guarantee and are deliberately not gated
+      assert(ols.getDouble(5) <= sn.getDouble(5),
+        s"$series: OLS mse ${ols.getDouble(5)} vs naive ${sn.getDouble(5)}")
+      assert(ols.getDouble(7) >= sn.getDouble(7))
+      // cross-check MAE against q22's own report (same predictor, same
+      // points; q22 averages raw floats — one grid step of slack)
+      val q22Mae = Forecast.olsForecast(spark, Sf01)
+        .filter(col("series") === series).head.getAs[Double]("mae")
+      assert(math.abs(ols.getDouble(4) - q22Mae) <= 1.01e-4,
+        s"$series: scorecard mae ${ols.getDouble(4)} vs q22 $q22Mae")
+    }
+    sc.unpersist()
+  }
+
   test("q62 refit trigger: psi/flag consistent, both models sane on the shared slice") {
     val r = Forecast.refitTrigger(spark, Sf01).cache()
     val rows = r.collect()

@@ -72,12 +72,17 @@ class TextSpec extends SparkSuite {
   test("simhash stop-chunk cap yields a subset of the uncapped pairs") {
     // maxDf is the 100 TB skew valve: capped candidates must be a
     // subset (a bucket drop can only remove pairs, never invent them)
-    val full = Dedup.simhash(spark, Sf001, maxHam = 40).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.simhash(spark, Sf001, maxHam = 40, maxDf = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val capped = Dedup.simhash(spark, Sf001, maxHam = 40, maxDf = 3L).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(capped.subsetOf(full))
     assert(capped.size < full.size, "a tight cap must actually drop crowded buckets")
+    // the REGISTERED default cap must not bind at test scale — parity
+    // there exercises the stop-chunk plan with zero recall loss
+    val dflt = Dedup.simhash(spark, Sf001, maxHam = 40).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dflt === full, "default SimhashMaxDf should not bind at sf0.001")
   }
 
   test("jaccard in [0,1]") {
