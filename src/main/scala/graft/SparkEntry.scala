@@ -97,6 +97,7 @@ object SparkEntry {
     "qm2_frame_sample" -> ((s, d) => graft.multimodal.BinaryMeta.frameSample(s, d)),
     "qm7_frame_neardup" -> ((s, d) => graft.multimodal.BinaryMeta.frameNearDup(s, d)),
     "qm8_media_clusters" -> ((s, d) => graft.multimodal.BinaryMeta.mediaClusters(s, d)),
+    "qm9_imageio_decode" -> ((s, d) => graft.multimodal.BinaryMeta.imageioFeatures(s, d)),
     "qa10_stratified_sample" -> ((s, d) => Relational.stratifiedSample(s, d)),
     "qa11_salted_agg" -> ((s, d) => Relational.saltedAgg(s, d)),
     "qa12_pivot" -> ((s, d) => Relational.eventPivot(s, d)),
@@ -862,6 +863,7 @@ object SparkEntry {
     "qm2_frame_sample" -> graft.multimodal.BinaryMeta.qm2OracleSql(),
     "qm7_frame_neardup" -> graft.multimodal.BinaryMeta.qm7OracleSql(),
     "qm8_media_clusters" -> graft.multimodal.BinaryMeta.qm8OracleSql(),
+    "qm9_imageio_decode" -> graft.multimodal.BinaryMeta.qm9OracleSql(),
     "qm4_shard_manifest" -> """
       WITH m AS (
         SELECT doc_id, 'text/' || lang AS media_type,

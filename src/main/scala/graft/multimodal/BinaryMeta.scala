@@ -42,30 +42,36 @@ object BinaryMeta {
       else math.floor(math.pow(b / 255.0, k.toDouble) * 1e8 + 0.5).toLong
     }
 
-  /** STUB decode: deterministic per-byte "feature extraction" — byte
-    * count, byte sum and the first four normalized-byte moments. A real
-    * implementation would decode the payload (image/audio frame) here;
-    * the moment arithmetic is exact table-driven integers (see
-    * [[BytePow]]) so the stub's output is SQL-checkable.
+  /** The SHARED featurize kernel: byte count, byte sum and the first
+    * four normalized-byte moments of a decoded byte plane — exact
+    * table-driven integers (see [[BytePow]]), so any decoder feeding it
+    * stays SQL-checkable. The stub path feeds it the payload itself;
+    * the real qm9 path feeds it ImageIO's decoded pixel plane.
+    */
+  private[graft] def momentFeatures(docId: Long, bytes: Array[Byte]): MediaFeatures = {
+    var s = 0L
+    val q = new Array[Long](5)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      s += b
+      q(1) += BytePow(1)(b); q(2) += BytePow(2)(b)
+      q(3) += BytePow(3)(b); q(4) += BytePow(4)(b)
+      i += 1
+    }
+    def moment(k: Int): Double =
+      if (bytes.isEmpty) 0.0
+      else math.floor(q(k) / 1e8 / bytes.length * 10000d + 0.5d) / 10000d
+    MediaFeatures(docId, bytes.length, s, moment(1), moment(2), moment(3), moment(4))
+  }
+
+  /** STUB decode: deterministic per-byte "feature extraction" over the
+    * raw payload. A real implementation would decode the payload
+    * (image/audio frame) first — qm9 does exactly that through the
+    * same [[momentFeatures]] kernel.
     */
   private def decodeBatch(batch: Seq[MediaRow]): Seq[MediaFeatures] =
-    batch.map { r =>
-      val bytes = r.payload
-      var s = 0L
-      val q = new Array[Long](5)
-      var i = 0
-      while (i < bytes.length) {
-        val b = bytes(i) & 0xff
-        s += b
-        q(1) += BytePow(1)(b); q(2) += BytePow(2)(b)
-        q(3) += BytePow(3)(b); q(4) += BytePow(4)(b)
-        i += 1
-      }
-      def moment(k: Int): Double =
-        if (bytes.isEmpty) 0.0
-        else math.floor(q(k) / 1e8 / bytes.length * 10000d + 0.5d) / 10000d
-      MediaFeatures(r.doc_id, bytes.length, s, moment(1), moment(2), moment(3), moment(4))
-    }
+    batch.map(r => momentFeatures(r.doc_id, r.payload))
 
   /** qm1: batched partition-local featurization over the media table. */
   def mediaFeatures(spark: SparkSession, sfDir: String, batchSize: Int = 64): DataFrame = {
@@ -73,6 +79,142 @@ object BinaryMeta {
     mediaTable(spark, sfDir)
       .mapPartitions(_.grouped(batchSize).flatMap(decodeBatch))
       .toDF()
+  }
+
+  case class ImageFeatures(doc_id: Long, width: Int, height: Int, n_pixels: Int,
+                           byte_sum: Long, f0: Double, f1: Double, f2: Double, f3: Double)
+
+  /** Deterministic gray-PNG synthesis for qm9's ingest side: payload
+    * bytes laid row-major into a `side`-wide TYPE_BYTE_GRAY image
+    * (height = ⌈len/side⌉, min 1; tail zero-padded), PNG-encoded via
+    * the JDK's ImageIO writer. 8-bit gray PNG is lossless and Java's
+    * PNG codec stores raster samples verbatim, so the decode side
+    * recovers the exact pixel plane — which is what makes the REAL
+    * decoder's output SQL-checkable.
+    */
+  private[graft] def encodeGrayPng(payload: Array[Byte], side: Int): Array[Byte] = {
+    val h = math.max(1, (payload.length + side - 1) / side)
+    val img = new java.awt.image.BufferedImage(
+      side, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var i = 0
+    while (i < side * h) {
+      raster.setSample(i % side, i / side, 0,
+        if (i < payload.length) payload(i) & 0xff else 0)
+      i += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL image decode via the JDK-standard javax.imageio: any
+    * ImageIO-supported payload (PNG/BMP/GIF/JPEG…) → (width, height,
+    * gray pixel plane in row-major order). Samples are read off the
+    * RASTER (band-averaged for color images), NOT getRGB — getRGB runs
+    * a colorspace conversion that would gamma-shift gray samples and
+    * break the exact round-trip the spec asserts. None for payloads no
+    * installed reader recognizes (the honest decode-failure surface a
+    * production pipeline must carry).
+    */
+  private[graft] def imageioGray(png: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    if (img == null) None
+    else {
+      val raster = img.getRaster
+      val w = img.getWidth
+      val h = img.getHeight
+      val nb = raster.getNumBands
+      val out = new Array[Byte](w * h)
+      var y = 0
+      var i = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          var s = 0
+          var b = 0
+          while (b < nb) { s += raster.getSample(x, y, b); b += 1 }
+          out(i) = (s / nb).toByte
+          i += 1; x += 1
+        }
+        y += 1
+      }
+      Some((w, h, out))
+    }
+  }
+
+  /** qm9: the qm decode seam with a REAL decoder plugged in — proof the
+    * batched-mapPartitions contract qm1 stubs actually carries a public
+    * codec unchanged. Each payload is deterministically synthesized
+    * into a gray PNG (the ingest fake — this container has no media
+    * corpus), decoded back with javax.imageio (genuine PNG parsing:
+    * signature, IHDR, zlib inflate, defilter), and featurized by the
+    * SAME [[momentFeatures]] kernel the stub path uses — downstream of
+    * the decoder nothing changes, which is the seam's whole contract.
+    * Because the gray-PNG round-trip is exact, the output is fully
+    * SQL-checkable: the oracle is qm1's hex walk with the denominator
+    * padded to the pixel plane (width × ⌈len/side⌉, zero pixels add 0
+    * to every sum but count in the mean).
+    *
+    * Scale shape: identical to qm1 — stateless batched mapPartitions,
+    * no shuffle, no state; decode cost is per-row CPU that scales
+    * embarrassingly. ImageIO's executor-local disk cache is disabled
+    * (setUseCache(false)) so decode never touches scratch disk.
+    */
+  def imageioFeatures(spark: SparkSession, sfDir: String,
+                      batchSize: Int = 64, side: Int = 16): DataFrame = {
+    import spark.implicits._
+    require(side >= 1, s"side=$side")
+    mediaTable(spark, sfDir).mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val png = encodeGrayPng(r.payload, side)
+          val (w, h, pixels) = imageioGray(png).getOrElse((0, 0, Array.empty[Byte]))
+          val mf = momentFeatures(r.doc_id, pixels)
+          ImageFeatures(r.doc_id, w, h, mf.n_bytes, mf.byte_sum,
+            mf.f0, mf.f1, mf.f2, mf.f3)
+        }
+      }
+    }.toDF()
+  }
+
+  /** DuckDB mirror of [[imageioFeatures]]: the qm1 hex walk with the
+    * moment denominator padded to the decoded pixel plane — valid
+    * because the gray-PNG round-trip is sample-exact and zero pad
+    * pixels contribute nothing to any sum.
+    */
+  def qm9OracleSql(side: Int = 16): String = {
+    def tbl(k: Int): String = BytePow(k).mkString("[", ", ", "]")
+    s"""
+      WITH m AS (
+        SELECT doc_id, hex(encode(text)) AS hx,
+               CAST(octet_length(encode(text)) AS BIGINT) AS len
+        FROM documents
+      ), dims AS (
+        SELECT doc_id, len,
+               greatest(CAST(ceil(len / $side.0) AS BIGINT), 1) AS h
+        FROM m
+      ), bytes AS (
+        SELECT doc_id,
+               CAST(concat('0x', substr(hx, CAST((i - 1) * 2 + 1 AS INT), 2)) AS BIGINT) AS b
+        FROM m, unnest(range(1, len + 1)) AS u(i)
+      ), sums AS (
+        SELECT doc_id, CAST(sum(b) AS BIGINT) AS bsum,
+               CAST(sum((${tbl(1)})[CAST(b AS INT) + 1]) AS BIGINT) AS q1,
+               CAST(sum((${tbl(2)})[CAST(b AS INT) + 1]) AS BIGINT) AS q2,
+               CAST(sum((${tbl(3)})[CAST(b AS INT) + 1]) AS BIGINT) AS q3,
+               CAST(sum((${tbl(4)})[CAST(b AS INT) + 1]) AS BIGINT) AS q4
+        FROM bytes GROUP BY doc_id
+      )
+      SELECT d.doc_id, $side AS width, CAST(d.h AS INT) AS height,
+             CAST($side * d.h AS INT) AS n_pixels,
+             coalesce(s.bsum, 0) AS byte_sum,
+             floor(coalesce(s.q1, 0)/1e8/($side * d.h)*10000 + 0.5)/10000 AS f0,
+             floor(coalesce(s.q2, 0)/1e8/($side * d.h)*10000 + 0.5)/10000 AS f1,
+             floor(coalesce(s.q3, 0)/1e8/($side * d.h)*10000 + 0.5)/10000 AS f2,
+             floor(coalesce(s.q4, 0)/1e8/($side * d.h)*10000 + 0.5)/10000 AS f3
+      FROM dims d LEFT JOIN sums s USING (doc_id)"""
   }
 
   /** DuckDB mirror of [[mediaFeatures]]: qm2's byte-faithful hex walk

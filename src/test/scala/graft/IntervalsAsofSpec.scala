@@ -243,6 +243,40 @@ class IntervalsAsofSpec extends SparkSuite {
     assert(f.filter(col("n_bytes") > 256 || col("n_bytes") <= 0).count() === 0)
   }
 
+  test("qm9: real ImageIO decode round-trips exactly and shares the stub's featurize chain") {
+    import graft.multimodal.BinaryMeta
+    // the seam contract, proven on the REAL codec: synth PNG → ImageIO
+    // decode recovers the exact padded pixel plane, so qm9's features
+    // equal the SHARED moment kernel applied to that plane directly —
+    // stub and real decoder differ ONLY at the decode call
+    val side = 16
+    val payloads = Seq(
+      "hello multimodal world".getBytes("UTF-8"),
+      Array.tabulate(300)(i => (i % 251).toByte),
+      Array[Byte](0, -1, 127, -128),
+      Array.empty[Byte])
+    for (p <- payloads) {
+      val png = BinaryMeta.encodeGrayPng(p, side)
+      // a genuine PNG came out of the writer
+      assert(png.take(4).map(_ & 0xff).toSeq === Seq(0x89, 0x50, 0x4e, 0x47))
+      val (w, h, pixels) = BinaryMeta.imageioGray(png).get
+      val expH = math.max(1, (p.length + side - 1) / side)
+      assert(w === side && h === expH)
+      val padded = p.padTo(side * expH, 0.toByte)
+      assert(pixels.toSeq === padded.toSeq, "gray PNG round-trip must be sample-exact")
+      // downstream chain unchanged: the shared kernel on the decoded
+      // plane IS the stub kernel on the padded payload
+      assert(BinaryMeta.momentFeatures(7L, pixels) === BinaryMeta.momentFeatures(7L, padded))
+    }
+    // an undecodable payload surfaces as None, not garbage
+    assert(BinaryMeta.imageioGray("not a png".getBytes("UTF-8")).isEmpty)
+    // the registered query runs the real decoder distributed
+    val f = BinaryMeta.imageioFeatures(spark, Sf01).cache()
+    assert(f.count() > 0)
+    assert(f.filter(col("width") =!= side || col("n_pixels") =!= col("width") * col("height")).count() === 0)
+    f.unpersist()
+  }
+
   test("cleaning impact: imputed series forecasts better than contaminated (the reference's headline claim)") {
     val ci = Forecast.cleaningImpact(spark, Sf01).cache()
     val wide = ci.groupBy("series")
