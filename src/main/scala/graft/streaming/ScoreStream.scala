@@ -378,6 +378,92 @@ object ScoreStream {
         abs(col("y") - col("p")).as("abs_err"))
   }
 
+  /** Streaming dual-model refit scorer — the stateless half of q62's
+    * serving twin: feature rows (series, ts, t, y, x1..x3) score
+    * against BOTH saved models of the q62 decision artifact (the
+    * stale cutA fit and the refreshed cutB fit) in one broadcast
+    * stream-static join, emitting the prediction pair per row. The
+    * apply chain is the SHARED Forecast.refitPred, so streamed
+    * predictions are bit-identical to ModelStore.loadAndRefitScore
+    * (StreamingSpec parity). Pinned-model broadcast — see
+    * forecastStream's note.
+    */
+  def refitScoreStream(spark: SparkSession, modelPath: String,
+                       feats: DataFrame): DataFrame = {
+    import graft.timeseries.{Forecast, ModelStore}
+    feats
+      .join(broadcast(ModelStore.refitModels(spark, modelPath)
+        .drop("cutA", "cutB")), "series")
+      .withColumn("p_stale", Forecast.refitPred("cutA"))
+      .withColumn("p_refit", Forecast.refitPred("cutB"))
+      .select(col("series"), col("ts"), col("t"), col("y"),
+        col("p_stale"), col("p_refit"))
+  }
+
+  /** Streaming refit-decision monitor — the windowed half of q62's
+    * serving twin (the 20th streaming twin): the drift-gated
+    * retraining loop run IN FLIGHT against the saved artifact pair.
+    * Each watermarked tumbling window emits, per series:
+    *
+    *   psi        live-window PSI vs the saved train-half baseline
+    *              (driftStream's fold — same 0.5 smoothing, 1e-6
+    *              pre-sum term quantization, empty-both-sides bins
+    *              skipped, so a window covering batch q62's whole
+    *              live half reproduces its PSI bit for bit)
+    *   drifted    psi > thr (batch q62's verdict column)
+    *   n_live     window row count (the PSI mass)
+    *   n_eval     rows where both models scored (non-null lags)
+    *   mae_stale / mae_refit
+    *              window MAE of each saved model, from 1e-4-quantized
+    *              per-row error sums — order-free (batch q62 averages
+    *              raw floats, so the two figures agree to one r4 grid
+    *              step; the stream can't replay a float sum order)
+    *
+    * ONE watermarked aggregation holds the nBins conditional bin sums
+    * AND both error sums — no second agg, no stream-stream join; the
+    * PSI fold and the refit verdict are stateless projections over the
+    * wide row. State: one row per (window, series), watermark-evicted.
+    */
+  def refitStream(spark: SparkSession, modelPath: String, feats: DataFrame,
+                  nBins: Int = 10, thr: Double = 0.1,
+                  windowDur: String = "1 hour",
+                  watermark: String = "2 hours"): DataFrame = {
+    import graft.timeseries.ModelStore
+    require(nBins >= 2, s"nBins=$nBins")
+    val baseline = ModelStore.refitBaseline(spark, modelPath)
+    val scored = refitScoreStream(spark, modelPath, feats.withWatermark("ts", watermark))
+      .join(broadcast(baseline.select("series", "mn", "mx")), "series")
+      .withColumn("bin", when(col("mx") === col("mn"), 0L).otherwise(
+        greatest(lit(0L), least(
+          floor((col("y") - col("mn")) / (col("mx") - col("mn")) * nBins),
+          lit(nBins - 1L)))))
+      .withColumn("aes", floor(abs(col("y") - col("p_stale")) * 10000d + 0.5d).cast("long"))
+      .withColumn("aer", floor(abs(col("y") - col("p_refit")) * 10000d + 0.5d).cast("long"))
+    val binAggs = (0 until nBins).map(b =>
+      sum(when(col("bin") === b, 1L).otherwise(0L)).as(s"n$b"))
+    val aggs = binAggs ++ Seq(
+      count(lit(1)).as("n_live"), count(col("aes")).as("n_eval"),
+      sum("aes").as("saes"), sum("aer").as("saer"))
+    val live = scored.groupBy(window(col("ts"), windowDur), col("series"))
+      .agg(aggs.head, aggs.tail: _*)
+    val joined = live.join(broadcast(baseline), "series")
+    val sm = 0.5
+    val tot0 = (0 until nBins).map(b => col(s"c$b")).reduce(_ + _)
+    val tot1 = (0 until nBins).map(b => col(s"n$b")).reduce(_ + _)
+    val terms = (0 until nBins).map { b =>
+      val p = (col(s"c$b") + sm) / (tot0 + sm * nBins)
+      val q = (col(s"n$b") + sm) / (tot1 + sm * nBins)
+      when(col(s"c$b") + col(s"n$b") > 0,
+        floor((p - q) * log(p / q) * 1000000d + 0.5d).cast("long")).otherwise(0L)
+    }.reduce(_ + _)
+    val psi = graft.util.Num.r4(terms / 1000000d)
+    joined.select(col("window.start").as("w_start"), col("series"),
+      psi.as("psi"), when(psi > thr, 1).otherwise(0).as("drifted"),
+      col("n_live"), col("n_eval"),
+      graft.util.Num.r4(col("saes") / 10000d / col("n_eval")).as("mae_stale"),
+      graft.util.Num.r4(col("saer") / 10000d / col("n_eval")).as("mae_refit"))
+  }
+
   /** Streaming span imputer — the serving half of the saved q55 model
     * (forecastStream's sibling): flagged-span feature rows stream in
     * (series, ts, win, pos, o, xl, xr, xs — Impute.imputePoints' schema

@@ -974,16 +974,18 @@ FROM pows"""
     * |series|×nBins agg; everything joins per series via the
     * size-aware dimJoin.
     */
-  def refitTrigger(spark: SparkSession, sfDir: String, fracA: Double = 0.7,
-                   fracB: Double = 0.85, nBins: Int = 10,
-                   thr: Double = 0.1): DataFrame = {
+  /** q62's cached lag+cut frame: lags straight off the filled spine —
+    * NOT lagBase: its q22-semantic boundary join (complete-window
+    * split) would empty the frame on sparse feeds where no day window
+    * completes, and q62's cuts come from the feature range itself
+    * (q54's discipline). Materialized ONCE so the conditional fit
+    * passes, the error pass and the artifact build never re-derive the
+    * per-series window sort.
+    */
+  private[graft] def refitLags(spark: SparkSession, sfDir: String,
+                               fracA: Double = 0.7, fracB: Double = 0.85): DataFrame = {
     require(0 < fracA && fracA < fracB && fracB < 1,
       s"need 0 < fracA=$fracA < fracB=$fracB < 1")
-    require(nBins >= 2, s"nBins=$nBins")
-    // lags straight off the filled spine — NOT lagBase: its q22-semantic
-    // boundary join (complete-window split) would empty the frame on
-    // sparse feeds where no day window completes, and q62's cuts come
-    // from the feature range itself (q54's discipline)
     val base = withLags(spark, sfDir)
       .filter(col("y").isNotNull && col("x1").isNotNull &&
         col("x2").isNotNull && col("x3").isNotNull)
@@ -991,15 +993,72 @@ FROM pows"""
     val cuts = rng.select(col("series"),
       (col("t0") + floor((col("t1") - col("t0") + 1) * fracA).cast("long")).as("cutA"),
       (col("t0") + floor((col("t1") - col("t0") + 1) * fracB).cast("long")).as("cutB"))
-    // materialize the lag+cuts frame ONCE (q54's discipline): the two
-    // conditional fit passes and the error pass otherwise each
-    // re-derive the per-series window sort
-    val withB = TsCore.cached(spark, sfDir, s"q62lags_${fracA}_$fracB") {
+    TsCore.cached(spark, sfDir, s"q62lags_${fracA}_$fracB") {
       graft.util.Joins.dimJoin(base, cuts, Seq("series"), None)
     }
-    val coefs = condOlsCoefs(withB, Seq("cutA", "cutB"), c => col("t") < col(c))
-    def p(c: String) = col(s"b0_$c") + col(s"b1_$c") * col("x1") +
+  }
+
+  /** q62's fitted DECISION ARTIFACT: per series the two cut points and
+    * the STALE (cutA-trained) + REFRESHED (cutB-trained) coefficient
+    * sets — ONE session-cached realization (the model-as-artifact
+    * discipline: raw-double sufficient-statistics sums are
+    * partition-order-sensitive in the last ulp, so the in-session q62,
+    * ModelStore.saveRefitAudit and the streaming twin's batch anchor
+    * must all read the SAME materialization).
+    */
+  private[graft] def refitArtifact(spark: SparkSession, sfDir: String,
+                                   fracA: Double = 0.7, fracB: Double = 0.85): DataFrame =
+    TsCore.cached(spark, sfDir, s"q62art_${fracA}_$fracB") {
+      val withB = refitLags(spark, sfDir, fracA, fracB)
+      graft.util.Joins.dimJoin(
+        withB.select("series", "cutA", "cutB").distinct(),
+        condOlsCoefs(withB, Seq("cutA", "cutB"), c => col("t") < col(c)),
+        Seq("series"), None)
+    }
+
+  /** The stale/refreshed prediction off a refitArtifact-joined row —
+    * ONE definition shared by batch q62, ModelStore.loadAndRefitScore
+    * and streaming refitScoreStream (bit-parity by construction).
+    */
+  private[graft] def refitPred(c: String): Column =
+    col(s"b0_$c") + col(s"b1_$c") * col("x1") +
       col(s"b2_$c") * col("x2") + col(s"b3_$c") * col("x3")
+
+  /** q62's drift baseline for the streaming twin: per series the FULL
+    * value range (psiOf bins against global mn/mx — both halves) and
+    * the train-half (t < cutA) bin counts pivoted wide — the
+    * |series|-row artifact the monitor persists and broadcasts
+    * (driftBaseline's shape with the boundary swapped to cutA).
+    */
+  private[graft] def refitBaseline(spark: SparkSession, sfDir: String,
+                                   fracA: Double = 0.7, fracB: Double = 0.85,
+                                   nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, s"nBins=$nBins")
+    val wp = Window.partitionBy("series")
+    val cuts = refitLags(spark, sfDir, fracA, fracB)
+      .select("series", "cutA").distinct()
+    val pts = TsCore.filled(spark, sfDir).filter(col("v_filled").isNotNull)
+      .transform(graft.util.Joins.dimJoin(_, cuts, Seq("series"), None))
+      .withColumn("mn", min("v_filled").over(wp))
+      .withColumn("mx", max("v_filled").over(wp))
+      .withColumn("bin", when(col("mx") === col("mn"), 0L).otherwise(
+        least(floor((col("v_filled") - col("mn")) / (col("mx") - col("mn")) * nBins),
+          lit(nBins - 1L))))
+    val binAggs = (0 until nBins).map(b =>
+      sum(when(col("bin") === b, 1L).otherwise(0L)).as(s"c$b"))
+    pts.filter(col("t") < col("cutA")).groupBy("series")
+      .agg(max("mn").as("mn"), (max("mx").as("mx") +: binAggs): _*)
+  }
+
+  def refitTrigger(spark: SparkSession, sfDir: String, fracA: Double = 0.7,
+                   fracB: Double = 0.85, nBins: Int = 10,
+                   thr: Double = 0.1): DataFrame = {
+    require(nBins >= 2, s"nBins=$nBins")
+    val withB = refitLags(spark, sfDir, fracA, fracB)
+    // the session-cached artifact (shared with ModelStore/the stream
+    // twin); withB already carries the cuts, so only the coefs join in
+    val coefs = refitArtifact(spark, sfDir, fracA, fracB).drop("cutA", "cutB")
+    def p(c: String) = refitPred(c)
     val evalOk = col("t") >= col("cutB")
     val errs = graft.util.Joins.dimJoin(withB, coefs, Seq("series"), None)
       .groupBy("series").agg(

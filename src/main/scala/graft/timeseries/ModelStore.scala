@@ -266,6 +266,44 @@ object ModelStore {
     MllibForecast.gbtApply(model, stats, base)
   }
 
+  /** Refit-audit persistence — q62's decision artifact: the per-series
+    * stale/refreshed coefficient pair with the cuts, plus the PSI
+    * baseline profile (full-range bounds + train-half bin counts at
+    * the cutA boundary). Both saved RAW off the session-cached
+    * realizations, so the streaming twin's verdicts can't drift a ulp
+    * from the in-session q62.
+    */
+  def saveRefitAudit(spark: SparkSession, sfDir: String, path: String,
+                     fracA: Double = 0.7, fracB: Double = 0.85,
+                     nBins: Int = 10): Unit = {
+    Forecast.refitArtifact(spark, sfDir, fracA, fracB)
+      .write.mode("overwrite").parquet(s"$path/refit_models")
+    Forecast.refitBaseline(spark, sfDir, fracA, fracB, nBins)
+      .write.mode("overwrite").parquet(s"$path/refit_baseline")
+  }
+
+  /** The saved stale/refreshed coefficient pair (series, cutA, cutB,
+    * b0_cutA..b3_cutA, b0_cutB..b3_cutB).
+    */
+  def refitModels(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/refit_models")
+
+  /** The saved q62 PSI baseline (series, mn, mx, c0..c{nBins−1}). */
+  def refitBaseline(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/refit_baseline")
+
+  /** Score feature rows (series, x1..x3, …) against BOTH saved q62
+    * models — the batch anchor streaming refitScoreStream must equal
+    * bit-for-bit (shared Forecast.refitPred apply chain).
+    */
+  def loadAndRefitScore(spark: SparkSession, path: String,
+                        feats: DataFrame): DataFrame =
+    graft.util.Joins.dimJoin(feats,
+        refitModels(spark, path).drop("cutA", "cutB"), Seq("series"), None)
+      .withColumn("p_stale", Forecast.refitPred("cutA"))
+      .withColumn("p_refit", Forecast.refitPred("cutB"))
+      .drop(Seq("cutA", "cutB").flatMap(c => (0 to 3).map(i => s"b${i}_$c")): _*)
+
   def loadAndScore(spark: SparkSession, path: String, patches: DataFrame): DataFrame = {
     graft.functions.VectorExprs.register(spark)
     val packed = packedBank(spark, path)

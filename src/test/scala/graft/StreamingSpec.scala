@@ -283,6 +283,86 @@ class StreamingSpec extends SparkSuite {
                       f5: Double, f6: Double, f7: Double, f8: Double)
   case class CRow(ts: Timestamp, series: String, y: Double, p: Double)
 
+  test("streaming refit audit: scores exact vs the saved pair; whole-window psi/verdict equals batch q62") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.timeseries.{Forecast, ModelStore}
+    val path = java.nio.file.Files.createTempDirectory("graft-refit").toString
+    ModelStore.saveRefitAudit(spark, Sf01, path)
+    // batch anchor — reads the SAME session-cached artifact realization
+    val batch = Forecast.refitTrigger(spark, Sf01).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getInt(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))).toMap
+    def fRows(fromCol: String): Array[FRow] =
+      Forecast.refitLags(spark, Sf01).filter(col("t") >= col(fromCol))
+        .select("series", "t", "y", "x1", "x2", "x3").collect()
+        .map(r => FRow(new Timestamp(r.getLong(1) * 3600000L), r.getString(0),
+          r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5), 0.0, 0.0, 0.0))
+    val liveA = fRows("cutA") // batch q62's whole PSI live half
+    val liveB = fRows("cutB") // batch q62's error-eval slice
+    // (1) stateless dual scorer == the batch ModelStore apply, bit-for-bit
+    val feats = liveA.toIndexedSeq
+      .map(f => (f.ts, f.series, f.t, f.y, f.x1, f.x2, f.x3))
+      .toDF("ts", "series", "t", "y", "x1", "x2", "x3")
+    val want = ModelStore.loadAndRefitScore(spark, path, feats).collect()
+      .map(r => (r.getAs[String]("series"), r.getAs[Long]("t")) ->
+        ((r.getAs[Double]("p_stale"), r.getAs[Double]("p_refit")))).toMap
+    val mem = MemoryStream[FRow]
+    val q = ScoreStream.refitScoreStream(spark, path, mem.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("refit_scores").start()
+    try {
+      val (h1, h2) = liveA.splitAt(liveA.length / 2)
+      mem.addData(h1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(h2.toIndexedSeq); q.processAllAvailable()
+      val got = spark.table("refit_scores").collect()
+        .map(r => (r.getAs[String]("series"), r.getAs[Long]("t")) ->
+          ((r.getAs[Double]("p_stale"), r.getAs[Double]("p_refit")))).toMap
+      assert(got === want, "streamed dual-model scores must equal the batch apply exactly")
+    } finally q.stop()
+    // (2) decision window over the whole live half: PSI and the drift
+    // verdict are BIT-IDENTICAL to batch q62 (same quantized fold)
+    // far past the 36500-day window's END (+watermark) so append mode
+    // closes every real window
+    def flush(m: MemoryStream[FRow]): FRow =
+      liveA.head.copy(series = "zz_flush",
+        ts = new Timestamp(liveA.map(_.ts.getTime).max + 36500L * 86400000L * 2))
+    val memD = MemoryStream[FRow]
+    val qd = ScoreStream.refitStream(spark, path, memD.toDF(), windowDur = "36500 days")
+      .writeStream.outputMode("append").format("memory").queryName("refit_decisions").start()
+    try {
+      memD.addData(liveA.toIndexedSeq); qd.processAllAvailable()
+      memD.addData(flush(memD)); qd.processAllAvailable()
+      val got = spark.table("refit_decisions").filter(col("series") =!= "zz_flush")
+        .collect().map(r => r.getAs[String]("series") ->
+          ((r.getAs[Double]("psi"), r.getAs[Int]("drifted")))).toMap
+      assert(got.keySet === batch.keySet)
+      for ((s, (psi, drifted)) <- got) {
+        assert(psi === batch(s)._1, s"$s: stream psi $psi vs batch ${batch(s)._1}")
+        assert(drifted === batch(s)._2)
+      }
+    } finally qd.stop()
+    // (3) the error window on batch q62's own eval slice (t >= cutB):
+    // same footprint, MAEs agree to one r4 step (the stream sums
+    // quantized per-row errors — order-free; batch averages raw floats)
+    val memE = MemoryStream[FRow]
+    val qe = ScoreStream.refitStream(spark, path, memE.toDF(), windowDur = "36500 days")
+      .writeStream.outputMode("append").format("memory").queryName("refit_errs").start()
+    try {
+      memE.addData(liveB.toIndexedSeq); qe.processAllAvailable()
+      memE.addData(flush(memE)); qe.processAllAvailable()
+      val got = spark.table("refit_errs").filter(col("series") =!= "zz_flush")
+        .collect().map(r => r.getAs[String]("series") ->
+          ((r.getAs[Long]("n_eval"), r.getAs[Double]("mae_stale"),
+            r.getAs[Double]("mae_refit")))).toMap
+      for ((s, (n, st, rf)) <- got) {
+        assert(n === batch(s)._3, s"$s: eval footprint $n vs batch ${batch(s)._3}")
+        assert(math.abs(st - batch(s)._4) <= 1.01e-4, s"$s stale $st vs ${batch(s)._4}")
+        assert(math.abs(rf - batch(s)._5) <= 1.01e-4, s"$s refit $rf vs ${batch(s)._5}")
+      }
+    } finally qe.stop()
+  }
+
   test("streaming scorer over a saved ModelStore bank matches batch pipeline scores") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
