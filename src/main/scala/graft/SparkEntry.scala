@@ -292,7 +292,8 @@ object SparkEntry {
              CAST(floor(epoch(l_shipdate)) AS BIGINT) AS ship_epoch,
              floor((sum(l_extendedprice * (1.0 - l_discount))
                     OVER (PARTITION BY l_suppkey
-                          ORDER BY l_shipdate, l_orderkey, l_linenumber
+                          ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                                   l_extendedprice, l_discount
                           ROWS UNBOUNDED PRECEDING))*10000 + 0.5)/10000 AS running_rev
       FROM lineitem""",
     "qt5_json_extract" -> """

@@ -77,11 +77,21 @@ object Relational {
   /** qa6: per-supplier running revenue over ship date — the ordered
     * analytic pattern (one shuffle on the partition key, in-partition
     * sort only).
+    *
+    * The window order ends in (l_extendedprice, l_discount) because
+    * (ship_epoch, l_orderkey, l_linenumber) is NOT unique in the
+    * synthetic lineitem (the sf1 soak found one supplier with two rows
+    * tied on all three but ≠ revenue — a running sum over a non-total
+    * order is engine-dependent at the tie). With the value columns in
+    * the order, any two rows still tied are bit-identical, so their
+    * relative order can no longer change any running sum.
     */
   def runningRevenue(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window.partitionBy("l_suppkey").orderBy("ship_epoch", "l_orderkey", "l_linenumber")
+    val w = Window.partitionBy("l_suppkey").orderBy(col("ship_epoch"),
+      col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"), col("l_discount"))
     Tables.lineitem(spark, sfDir)
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"), col("l_discount"),
         col("l_shipdate").cast("timestamp").cast("long").as("ship_epoch"),
         (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
       .withColumn("running_rev", Num.r4(sum("rev").over(

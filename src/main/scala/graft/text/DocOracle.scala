@@ -50,15 +50,33 @@ ${name}_raw AS (
   val qd1: String =
     "SELECT md5(text) AS h, count(*) AS n_dups, min(doc_id) AS keeper FROM documents GROUP BY md5(text)"
 
+  /** shd → minh(doc_id, j, mh): the nPerm permutation minima as nPerm
+    * min-aggregates in ONE pass over shd, zip-unnested back to rows —
+    * row-for-row identical to the old perms/hashed nPerm× fan-out
+    * (min over j of ((j·31+17)·bh + j·7919) mod p per doc), but the
+    * peak intermediate is |shd|, not nPerm·|shd|: the fanned-out form
+    * is what exhausted DuckDB's spill space on the sf1 soak's
+    * qc3/qd14/qd16 oracles.
+    */
+  private def minhCte(nPerm: Int): String = {
+    val mins = (0 until nPerm).map(j =>
+      s"min((($j * 31 + 17) * bh + $j * 7919) % 2147483647) AS m$j")
+      .mkString(",\n         ")
+    val js = (0 until nPerm).mkString("[", ", ", "]")
+    val ms = (0 until nPerm).map(j => s"m$j").mkString("[", ", ", "]")
+    s"""
+minw AS (
+  SELECT doc_id,
+         $mins
+  FROM shd GROUP BY doc_id
+), minh AS MATERIALIZED (
+  SELECT doc_id, unnest($js) AS j, unnest($ms) AS mh FROM minw
+)"""
+  }
+
   def qd2(nPerm: Int = 16, bandRows: Int = 4): String = toksCte + shinglesCte(3, "sh3") + s"""
 , shd AS (SELECT DISTINCT doc_id, sh, ${h("sh")} AS bh FROM sh3),
-perms AS (
-  SELECT doc_id, bh, unnest(range($nPerm)) AS j FROM shd
-), hashed AS (
-  SELECT doc_id, j, ((j * 31 + 17) * bh + j * 7919) % 2147483647 AS hh FROM perms
-), minh AS (
-  SELECT doc_id, j, min(hh) AS mh FROM hashed GROUP BY doc_id, j
-), bands AS (
+${minhCte(nPerm)}, bands AS MATERIALIZED (
   SELECT doc_id, CAST(floor(j / $bandRows) AS BIGINT) AS band,
          sum(mh * ${bandCase(bandRows)}) AS sig
   FROM minh GROUP BY doc_id, CAST(floor(j / $bandRows) AS BIGINT)
@@ -151,14 +169,12 @@ FROM inter"""
   /** qd8: MinHash estimate vs exact Jaccard for LSH candidate pairs. */
   def qd8(nPerm: Int = 16, bandRows: Int = 4): String = toksCte + shinglesCte(3, "sh3") + s"""
 , shd AS (SELECT DISTINCT doc_id, sh, ${h("sh")} AS bh FROM sh3),
-perms AS (SELECT doc_id, bh, unnest(range($nPerm)) AS j FROM shd),
-hashed AS (SELECT doc_id, j, ((j * 31 + 17) * bh + j * 7919) % 2147483647 AS hh FROM perms),
-minh AS (SELECT doc_id, j, min(hh) AS mh FROM hashed GROUP BY doc_id, j),
-bands AS (
+${minhCte(nPerm)},
+bands AS MATERIALIZED (
   SELECT doc_id, CAST(floor(j / $bandRows) AS BIGINT) AS band,
          sum(mh * ${bandCase(bandRows)}) AS sig
   FROM minh GROUP BY doc_id, CAST(floor(j / $bandRows) AS BIGINT)
-), cpairs AS (
+), cpairs AS MATERIALIZED (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
 ), est AS (
@@ -195,20 +211,14 @@ JOIN sizes zb ON zb.doc_id = e.doc_b"""
     */
   private def lshEdgesCte(nPerm: Int, bandRows: Int): String = s"""
 , shd AS (SELECT DISTINCT doc_id, sh, ${h("sh")} AS bh FROM sh3),
-perms AS (
-  SELECT doc_id, bh, unnest(range($nPerm)) AS j FROM shd
-), hashed AS (
-  SELECT doc_id, j, ((j * 31 + 17) * bh + j * 7919) % 2147483647 AS hh FROM perms
-), minh AS (
-  SELECT doc_id, j, min(hh) AS mh FROM hashed GROUP BY doc_id, j
-), bands AS (
+${minhCte(nPerm)}, bands AS MATERIALIZED (
   SELECT doc_id, CAST(floor(j / $bandRows) AS BIGINT) AS band,
          sum(mh * ${bandCase(bandRows)}) AS sig
   FROM minh GROUP BY doc_id, CAST(floor(j / $bandRows) AS BIGINT)
-), cpairs AS (
+), cpairs AS MATERIALIZED (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-), edges AS (
+), edges AS MATERIALIZED (
   SELECT doc_a, doc_b FROM cpairs
   UNION SELECT doc_b, doc_a FROM cpairs
 )"""
@@ -379,20 +389,20 @@ FROM labeled l JOIN sizes s USING (cluster_id)""")
     */
   private def prRoundsCte(iters: Int, damping: Double): String = {
     val rounds = (1 to iters).map { i =>
-      s"""c$i AS (
+      s"""c$i AS MATERIALIZED (
   SELECT e.doc_b AS doc_id,
          CAST(sum(CAST(floor(p.prq / CAST(p.deg AS DOUBLE) + 0.5) AS BIGINT)) AS BIGINT) AS s
   FROM edges e JOIN pr${i - 1} p ON e.doc_a = p.doc_id GROUP BY e.doc_b
-), pr$i AS (
+), pr$i AS MATERIALIZED (
   SELECT p.doc_id, p.deg, p.cq,
          p.cq + CAST(floor($damping * coalesce(c.s, 0) + 0.5) AS BIGINT) AS prq
   FROM pr${i - 1} p LEFT JOIN c$i c USING (doc_id)
 )"""
     }.mkString(", ")
     s"""
-, deg AS (SELECT doc_a AS doc_id, count(*) AS deg FROM edges GROUP BY doc_a),
+, deg AS MATERIALIZED (SELECT doc_a AS doc_id, count(*) AS deg FROM edges GROUP BY doc_a),
 nn AS (SELECT count(*) AS n FROM deg),
-pr0 AS (
+pr0 AS MATERIALIZED (
   SELECT doc_id, deg,
          CAST(floor(${(1.0 - damping) * 1e8} / n + 0.5) AS BIGINT) AS cq,
          CAST(floor(100000000.0 / n + 0.5) AS BIGINT) AS prq
@@ -1085,13 +1095,7 @@ SELECT doc_id, lang, reason, (reason = 'pass') AS keep FROM rs"""
     */
   def qd9(nPerm: Int = 16, bandRows: Int = 4): String = toksCte + shinglesCte(3, "sh3") + s"""
 , shd AS (SELECT DISTINCT doc_id, sh, ${h("sh")} AS bh FROM sh3),
-perms AS (
-  SELECT doc_id, bh, unnest(range($nPerm)) AS j FROM shd
-), hashed AS (
-  SELECT doc_id, j, ((j * 31 + 17) * bh + j * 7919) % 2147483647 AS hh FROM perms
-), minh AS (
-  SELECT doc_id, j, min(hh) AS mh FROM hashed GROUP BY doc_id, j
-), bands AS (
+${minhCte(nPerm).stripPrefix("\n")}, bands AS MATERIALIZED (
   SELECT doc_id, CAST(floor(j / $bandRows) AS BIGINT) AS band,
          sum(mh * ${bandCase(bandRows)}) AS sig
   FROM minh GROUP BY doc_id, CAST(floor(j / $bandRows) AS BIGINT)
@@ -1123,13 +1127,7 @@ FROM documents d WHERE d.doc_id % 5 = 0"""
   def qd13(nPerm: Int = 16, bandRows: Int = 4, n: Int = 3): String =
     toksCte + shinglesCte(n, "sh3") + s"""
 , shd AS (SELECT DISTINCT doc_id, sh, ${h("sh")} AS bh FROM sh3),
-perms AS (
-  SELECT doc_id, bh, unnest(range($nPerm)) AS j FROM shd
-), hashed AS (
-  SELECT doc_id, j, ((j * 31 + 17) * bh + j * 7919) % 2147483647 AS hh FROM perms
-), minh AS (
-  SELECT doc_id, j, min(hh) AS mh FROM hashed GROUP BY doc_id, j
-), bands AS (
+${minhCte(nPerm).stripPrefix("\n")}, bands AS MATERIALIZED (
   SELECT doc_id, CAST(floor(j / $bandRows) AS BIGINT) AS band,
          sum(mh * ${bandCase(bandRows)}) AS sig
   FROM minh GROUP BY doc_id, CAST(floor(j / $bandRows) AS BIGINT)

@@ -12,10 +12,10 @@ object TsOracle {
     s"(((1103515245 * (key * 1000 + $salt) + 12345) % 2147483648)::DOUBLE / 2147483648.0)"
 
   val prefix: String = s"""
-WITH ev AS (
+WITH ev AS MATERIALIZED (
   SELECT event_type AS series, CAST(floor(epoch(ts)/3600) AS BIGINT) AS hr, value FROM events
 ), t0 AS (SELECT min(hr) AS t0 FROM ev),
-grid AS (
+grid AS MATERIALIZED (
   SELECT series, hr - t0 AS t, count(*) AS n, floor((avg(value))*10000 + 0.5)/10000 AS v
   FROM ev, t0 GROUP BY series, hr - t0
 ),
@@ -37,14 +37,14 @@ filledsrc AS (
            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv
   FROM sp
 ),
-filled AS (
+filled AS MATERIALIZED (
   SELECT series, t, coalesce(v, pv, nv) AS v_filled,
          CASE WHEN v IS NOT NULL THEN 'obs'
               WHEN pv IS NOT NULL THEN 'lag'
               WHEN nv IS NOT NULL THEN 'lead' ELSE 'missing' END AS src
   FROM filledsrc
 ),
-day AS (
+day AS MATERIALIZED (
   SELECT series, CAST(floor(t / $DaySize) AS BIGINT) AS win, t % $DaySize AS pos,
          v_filled AS v
   FROM filled
@@ -52,7 +52,7 @@ day AS (
 wincomplete AS (
   SELECT series, win FROM day GROUP BY series, win HAVING count(v) = $DaySize
 ),
-daywin AS (
+daywin AS MATERIALIZED (
   SELECT d.series, d.win, d.pos, d.v FROM day d JOIN wincomplete USING (series, win)
 ),
 sidx AS (
@@ -137,7 +137,7 @@ feats AS (
   FROM scaled
   WINDOW wseq AS (PARTITION BY series, win ORDER BY pos)
 ),
-patches AS (
+patches AS MATERIALIZED (
   SELECT series, win, pos, is_anom,
     coalesce(lag(vs)    OVER w, 0.0) AS f0, vs   AS f1, coalesce(lead(vs)   OVER w, 0.0) AS f2,
     coalesce(lag(pstd)  OVER w, 0.0) AS f3, pstd AS f4, coalesce(lead(pstd) OVER w, 0.0) AS f5,
@@ -308,10 +308,10 @@ JOIN (
   FROM appts t JOIN rcoefs2 c USING (series, o)
 )
 SELECT series, count(*) AS n,
-  ${r4("avg(abs(v_orig - p))")} AS mae_learned,
-  ${r4("sqrt(avg((v_orig - p) * (v_orig - p)))")} AS rmse_learned,
-  ${r4("avg(abs(v_orig - xs))")} AS mae_seasonal,
-  ${r4("sqrt(avg((v_orig - xs) * (v_orig - xs)))")} AS rmse_seasonal
+  ${r4("sum(CAST(floor(abs(v_orig - p)*10000 + 0.5) AS BIGINT))/10000.0/count(*)")} AS mae_learned,
+  ${r4("sqrt(sum(CAST(floor((v_orig - p)*(v_orig - p)*10000 + 0.5) AS BIGINT))/10000.0/count(*))")} AS rmse_learned,
+  ${r4("sum(CAST(floor(abs(v_orig - xs)*10000 + 0.5) AS BIGINT))/10000.0/count(*)")} AS mae_seasonal,
+  ${r4("sqrt(sum(CAST(floor((v_orig - xs)*(v_orig - xs)*10000 + 0.5) AS BIGINT))/10000.0/count(*))")} AS rmse_seasonal
 FROM preds GROUP BY series"""
 
   /** q57: the reference pipeline's headline experiment run with the

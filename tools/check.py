@@ -48,6 +48,18 @@ def main():
         oracle = json.load(f)
 
     con = duckdb.connect()
+    # Large-SF soaks: the default config OOM'd (qc3) and filled the cwd
+    # disk with spill (qd14) at sf1. Insertion order is irrelevant here
+    # (canon() sorts rows), dropping it lets DuckDB stream large
+    # materializations; spill goes to GRAFT_DUCK_TMP if set (e.g. a
+    # volume with headroom); GRAFT_DUCK_MEM caps/raises the memory
+    # budget explicitly.
+    import os
+    con.execute("SET preserve_insertion_order=false")
+    if os.environ.get("GRAFT_DUCK_TMP"):
+        con.execute(f"SET temp_directory='{os.environ['GRAFT_DUCK_TMP']}'")
+    if os.environ.get("GRAFT_DUCK_MEM"):
+        con.execute(f"SET memory_limit='{os.environ['GRAFT_DUCK_MEM']}'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
