@@ -140,8 +140,13 @@ object Bench {
         (if (v < 9.95) num("%.1f", v) else num("%.0f", math.min(v, 999.0)))
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val runs = runTimes.map(m => num("%.1f", math.min(m.values.sum, 9999.9)))
-      .mkString("[", ",", "]")
+    // same adaptive width cap as the per-query values: 0.1 s precision
+    // under 100 s, whole seconds above (the spread signal survives; the
+    // 2000-byte window is the driver's hard truncation point)
+    val runs = runTimes.map { m =>
+      val t = m.values.sum
+      if (t < 99.95) num("%.1f", t) else num("%.0f", math.min(t, 9999.0))
+    }.mkString("[", ",", "]")
     val errs =
       if (failed.isEmpty) ""
       else failed.map(n => "\"" + n.takeWhile(_ != '_') + "\"")

@@ -107,6 +107,7 @@ object SparkEntry {
     "q38_cleaning_impact" -> ((s, d) => graft.timeseries.Forecast.cleaningImpact(s, d)),
     "qv4_ann_eval" -> ((s, d) => graft.vector.Similarity.annEval(s, d)),
     "qv17_probe_sweep" -> ((s, d) => graft.vector.Similarity.probeSweep(s, d)),
+    "qv18_hybrid_search" -> ((s, d) => graft.vector.Similarity.hybridSearch(s, d)),
     "qt8_langid_eval" -> ((s, d) => graft.text.TextOps.langIdEval(s, d)),
     "qd8_minhash_est" -> ((s, d) => graft.text.Dedup.minhashEstimate(s, d)),
     "qd9_incremental_dedup" -> ((s, d) => graft.text.Dedup.incrementalDedup(s, d)),
@@ -141,6 +142,7 @@ object SparkEntry {
     "qt21_domain_cap" -> ((s, d) => graft.text.TextOps.domainCap(s, d)),
     "qt22_dsir_weights" -> ((s, d) => graft.text.TextOps.dsirWeights(s, d)),
     "qt23_pii_redact" -> ((s, d) => graft.text.TextOps.piiRedact(s, d)),
+    "qt24_doc_chunks" -> ((s, d) => graft.text.TextOps.chunkDocs(s, d)),
     "qc1_corpus_build" -> ((s, d) => graft.text.TextOps.corpusBuild(s, d)),
     "qc2_epoch_shuffle" -> ((s, d) => graft.text.TextOps.epochShuffle(s, d)),
     "qc3_dataset_card" -> ((s, d) => graft.text.TextOps.datasetCard(s, d)),
@@ -267,6 +269,7 @@ object SparkEntry {
     "qv3_ivf_ann" -> graft.text.DocOracle.qv3(),
     "qv4_ann_eval" -> graft.text.DocOracle.qv4(),
     "qv17_probe_sweep" -> graft.text.DocOracle.qv17(),
+    "qv18_hybrid_search" -> graft.text.DocOracle.qv18(),
     "qt1_token_count" -> graft.text.DocOracle.qt1,
     "qt2_quality_score" -> graft.text.DocOracle.qt2,
     "qt3_lang_id" -> graft.text.DocOracle.qt3,
@@ -586,6 +589,7 @@ object SparkEntry {
     "qc1_corpus_build" -> graft.text.DocOracle.qc1(),
     "qt22_dsir_weights" -> graft.text.DocOracle.qt22(),
     "qt23_pii_redact" -> graft.text.DocOracle.qt23(),
+    "qt24_doc_chunks" -> graft.text.DocOracle.qt24(),
     "qc2_epoch_shuffle" -> graft.text.DocOracle.qc2(),
     "qc3_dataset_card" -> graft.text.DocOracle.qc3(),
     "qt21_domain_cap" -> """

@@ -1449,4 +1449,100 @@ k AS (
 SELECT epoch, doc_id, k % $nShards AS shard,
        CAST(row_number() OVER (PARTITION BY epoch, k % $nShards ORDER BY k, doc_id) AS BIGINT) AS pos
 FROM k"""
+
+  /** qt24 — mirrors TextOps.chunkDocs: whitespace tokens (empties
+    * dropped, order kept) sliced into chunkTok windows every stride
+    * tokens; md5 over the space-joined slice. Same int64 ceil algebra
+    * for the chunk count.
+    */
+  def qt24(chunkTok: Int = 64, stride: Int = 48): String = s"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+), c AS (
+  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tok,
+         1 + ((greatest(CAST(len(toks) AS BIGINT) - $chunkTok, 0) + ${stride - 1}) // $stride) AS n_chunks
+  FROM t WHERE len(toks) > 0
+), x AS (
+  SELECT doc_id, toks, n_tok, unnest(range(n_chunks)) AS chunk_id FROM c
+)
+SELECT doc_id, chunk_id, chunk_id * $stride AS start_tok,
+       least($chunkTok, n_tok - chunk_id * $stride) AS n_tok_chunk,
+       md5(array_to_string(list_slice(toks, chunk_id * $stride + 1, chunk_id * $stride + $chunkTok), ' ')) AS chunk_md5
+FROM x"""
+
+  /** qv18 — mirrors Similarity.hybridSearch: qt7's quantized TF-IDF
+    * ranking picks each query doc's terms; BM25 contributions are
+    * 1e-6-quantized then integer-summed (order-free); the dense
+    * branch is qv1's chain; RRF = Σ 1/(60+rank) as exact small-int
+    * divisions. Constants interpolate from Similarity's fields so the
+    * two engines can't drift.
+    */
+  def qv18(k: Int = 10, nTerms: Int = 3, depth: Int = 20,
+           maxQueries: Int = 1000): String = {
+    val k1 = graft.vector.Similarity.Bm25K1
+    val b = graft.vector.Similarity.Bm25B
+    val rk = graft.vector.Similarity.RrfK
+    toksCte + s"""
+, vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings
+), tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+dlen AS (SELECT doc_id, sum(tf) AS dlen FROM tf GROUP BY doc_id),
+dfr AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+stats AS (
+  SELECT n.n_docs, t.n_tok_total / n.n_docs AS avgdlen
+  FROM nd n CROSS JOIN (SELECT count(*) AS n_tok_total FROM toks) t
+), qt AS (
+  SELECT doc_id AS qid, tok, df FROM (
+    SELECT t.doc_id, t.tok, f.df,
+           row_number() OVER (PARTITION BY t.doc_id
+             ORDER BY ${r4("t.tf / d.dlen * ln(n.n_docs / f.df)")} DESC, t.tok) AS trm
+    FROM tf t JOIN dlen d USING (doc_id) JOIN dfr f USING (tok) CROSS JOIN nd n
+    WHERE t.doc_id % 100 = 0 AND t.doc_id < ${100L * maxQueries}
+  ) WHERE trm <= $nTerms
+), sc AS (
+  SELECT q.qid, t.doc_id,
+         sum(CAST(floor(
+           ln(CAST(1 AS DOUBLE) + (CAST(s.n_docs - q.df AS DOUBLE) + 0.5) / (CAST(q.df AS DOUBLE) + 0.5))
+           * ((CAST(t.tf AS DOUBLE) * ${k1 + 1}) / (t.tf + $k1 * (${1 - b} + $b * (d.dlen / s.avgdlen))))
+           * 1000000 + 0.5) AS BIGINT)) AS bm25q
+  FROM qt q JOIN tf t ON q.tok = t.tok AND t.doc_id <> q.qid
+  JOIN dlen d ON t.doc_id = d.doc_id CROSS JOIN stats s
+  GROUP BY q.qid, t.doc_id
+), lex AS (
+  SELECT qid, doc_id, lex_rank FROM (
+    SELECT qid, doc_id,
+           row_number() OVER (PARTITION BY qid ORDER BY bm25q DESC, doc_id) AS lex_rank
+    FROM sc
+  ) WHERE lex_rank <= $depth
+), vq AS (SELECT vec_id AS qid, v, nrm FROM vecs
+          WHERE vec_id % 100 = 0 AND vec_id < ${100L * maxQueries}),
+vsc AS (
+  SELECT q.qid, b.vec_id, list_dot_product(q.v, b.v) / (q.nrm * b.nrm) AS cos
+  FROM vq q JOIN vecs b ON q.qid <> b.vec_id
+), vr AS (
+  SELECT qid, vec_id AS doc_id, vec_rank FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS vec_rank
+    FROM vsc
+  ) WHERE vec_rank <= $depth
+), fused AS (
+  SELECT coalesce(l.qid, v.qid) AS qid, coalesce(l.doc_id, v.doc_id) AS doc_id,
+         l.lex_rank, v.vec_rank,
+         coalesce(CAST(1 AS DOUBLE) / ($rk + l.lex_rank), CAST(0 AS DOUBLE)) +
+         coalesce(CAST(1 AS DOUBLE) / ($rk + v.vec_rank), CAST(0 AS DOUBLE)) AS rrf
+  FROM lex l FULL JOIN vr v ON l.qid = v.qid AND l.doc_id = v.doc_id
+)
+SELECT qid, doc_id, coalesce(lex_rank, 0) AS lex_rank,
+       coalesce(vec_rank, 0) AS vec_rank,
+       floor(rrf * 1000000 + 0.5) / 1000000 AS rrf, rnk
+FROM (
+  SELECT qid, doc_id, lex_rank, vec_rank, rrf,
+         row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id) AS rnk
+  FROM fused
+) WHERE rnk <= $k"""
+  }
 }

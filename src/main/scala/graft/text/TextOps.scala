@@ -839,4 +839,43 @@ object TextOps {
         Window.partitionBy("epoch", "shard").orderBy("k", "doc_id")).cast("long"))
       .select("epoch", "doc_id", "shard", "pos")
   }
+
+  /** qt24: overlapping document chunking — the context-window prep
+    * step every training / RAG-indexing pipeline runs before
+    * tokenize-and-pack: each document splits into `chunkTok`-token
+    * windows advancing by `stride` tokens (overlap = chunkTok −
+    * stride), the final window always reaching the document's last
+    * token. Emits one row per (doc, chunk) with its token span and
+    * the md5 of the chunk text (the downstream chunk-level dedup /
+    * lineage key — cf. qt15's line-hash discipline).
+    *
+    * Scale shape: PURE per-row map work — tokens stay inside the
+    * row's array (split → slice → join; no explode of the token
+    * stream, no shuffle anywhere), so the plan is a single
+    * WholeStageCodegen project over the scan and throughput is the
+    * parquet read. The chunk fan-out (≈ n_tok/stride rows per doc)
+    * is generate-after-project, still shuffle-free.
+    */
+  def chunkDocs(spark: SparkSession, sfDir: String, chunkTok: Int = 64,
+                stride: Int = 48): DataFrame = {
+    require(chunkTok > 0 && stride > 0 && stride <= chunkTok,
+      s"need 0 < stride <= chunkTok, got chunkTok=$chunkTok stride=$stride")
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        filter(split(col("text"), " "), t => t =!= "").as("toks"))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .filter(col("n_tok") > 0)
+      // last chunk start = the smallest multiple of stride reaching the
+      // tail: ceil((n_tok - chunkTok)+ / stride) — exact int64 algebra
+      .withColumn("n_chunks", expr(
+        s"1 + ((greatest(n_tok - $chunkTok, CAST(0 AS BIGINT)) + ${stride - 1}) div $stride)"))
+      .select(col("doc_id"), col("toks"), col("n_tok"),
+        explode(expr("sequence(CAST(0 AS BIGINT), n_chunks - 1)")).as("chunk_id"))
+      .withColumn("start_tok", col("chunk_id") * stride)
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+        least(lit(chunkTok.toLong), col("n_tok") - col("start_tok")).as("n_tok_chunk"),
+        md5(array_join(
+          expr(s"slice(toks, CAST(chunk_id * $stride + 1 AS INT), $chunkTok)"), " "))
+          .as("chunk_md5"))
+  }
 }

@@ -844,4 +844,88 @@ object Similarity {
         Num.r4(sqrt(expr("graft_l2(av, bv)"))).as("l2_shift"),
         when(Num.r4(col("cos_ab")) < minCos, 1).otherwise(0).as("drifted"))
   }
+
+  /** BM25 constants (Robertson et al., the k1/b everyone ships). */
+  val Bm25K1: Double = 1.2
+  val Bm25B: Double = 0.75
+  /** RRF smoothing constant (Cormack et al. 2009's k=60). */
+  val RrfK: Int = 60
+
+  /** qv18: HYBRID retrieval — BM25 keyword search fused with dense
+    * cosine search by reciprocal-rank fusion (RRF, Cormack et al.
+    * 2009) — the lexical+dense fusion Elasticsearch / Vespa /
+    * OpenSearch ship as their RAG retrieval default. Queries are
+    * qv1's 1% doc sample (doc_id ≙ vec_id — the documents' own
+    * embeddings); each query's terms are its top-`nTerms` TF-IDF
+    * tokens (qt7's exact quantized ranking), so the whole thing runs
+    * from the two base tables with no free-text input.
+    *
+    * Lexical branch: candidates come ONLY from the query terms'
+    * posting lists (an equi-join on tok — never a scan of all pairs);
+    * per-term BM25 contributions are 1e-6-quantized and summed as
+    * exact int64 so the score is accumulation-order-free; rank ties
+    * break on doc_id. Dense branch: the qv1 chain at `depth`. Fusion:
+    * full-outer on (qid, doc) with rrf = Σ 1/(60+rank) over the lists
+    * that contain the doc — small-int divisions, bit-identical in
+    * both engines.
+    *
+    * Scale shape: query terms (≤ nTerms·|Q| rows with their df)
+    * broadcast into the posting join; posting volume is bounded by
+    * Σ df(term) — at 100 TB add qd18's df cap on eligible query
+    * terms (stop-words never surface: top TF-IDF terms are rare by
+    * construction). The dense branch swaps to qv3/qv6's IVF under
+    * the same fusion. Ref context: the reference has no retrieval
+    * module; this is engine scope (training-data curation /
+    * RAG-serving needs).
+    */
+  def hybridSearch(spark: SparkSession, sfDir: String, k: Int = 10,
+                   nTerms: Int = 3, depth: Int = 20,
+                   maxQueries: Int = MaxQueries): DataFrame = {
+    val toks = graft.text.TextCore.tokens(spark, sfDir)
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dlen = tf.groupBy("doc_id").agg(sum("tf").as("dlen"))
+    val dfr = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val nd = Tables.documents(spark, sfDir).agg(count(lit(1)).as("n_docs"))
+    // avgdlen from exact integer totals; int64/int64 → one double div
+    val stats = nd.crossJoin(toks.agg(count(lit(1)).as("n_tok_total")))
+      .select(col("n_docs"), (col("n_tok_total") / col("n_docs")).as("avgdlen"))
+    val qPred = col("doc_id") % 100 === 0 && col("doc_id") < lit(100L * maxQueries)
+    // qt7's exact ranking discipline (quantized score, tok-asc ties),
+    // restricted to query docs before the window
+    val wq = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("tok"))
+    val qterms = tf.filter(qPred).join(dlen, "doc_id").join(dfr, "tok")
+      .crossJoin(broadcast(nd))
+      .withColumn("tfidf",
+        Num.r4(col("tf") / col("dlen") * log(col("n_docs") / col("df"))))
+      .withColumn("trm", row_number().over(wq))
+      .filter(col("trm") <= nTerms)
+      .select(col("doc_id").as("qid"), col("tok"), col("df"))
+    val wl = Window.partitionBy("qid").orderBy(col("bm25q").desc, col("doc_id"))
+    val lex = tf.join(broadcast(qterms), "tok")
+      .filter(col("doc_id") =!= col("qid"))
+      .join(dlen, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("w", col("idf") * ((col("tf") * lit(Bm25K1 + 1)) /
+        (col("tf") + lit(Bm25K1) * (lit(1 - Bm25B) + lit(Bm25B) * (col("dlen") / col("avgdlen"))))))
+      .groupBy("qid", "doc_id")
+      .agg(sum(floor(col("w") * 1000000d + 0.5d).cast("long")).as("bm25q"))
+      .withColumn("lex_rank", row_number().over(wl))
+      .filter(col("lex_rank") <= depth)
+      .select(col("qid"), col("doc_id"), col("lex_rank"))
+    val dense = cosineTopK(spark, sfDir, depth, maxQueries)
+      .select(col("qid"), col("vec_id").as("doc_id"), col("rnk").as("vec_rank"))
+    val wf = Window.partitionBy("qid").orderBy(col("rrf").desc, col("doc_id"))
+    lex.join(dense, Seq("qid", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(RrfK) + col("lex_rank")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(RrfK) + col("vec_rank")), lit(0.0)))
+      .withColumn("rnk", row_number().over(wf))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("doc_id"),
+        coalesce(col("lex_rank"), lit(0)).as("lex_rank"),
+        coalesce(col("vec_rank"), lit(0)).as("vec_rank"),
+        (floor(col("rrf") * 1000000d + 0.5d) / 1000000d).as("rrf"), col("rnk"))
+  }
 }

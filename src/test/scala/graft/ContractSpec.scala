@@ -48,7 +48,7 @@ class ContractSpec extends AnyFunSuite {
     val worstErrs = keys.take(8).map(k => "\"" + k.takeWhile(_ != '_') + "\"")
       .mkString(""","errors":[""", ",", "]")
     val worstLine =
-      s"""{"metric":"total","value":99999.999,"unit":"sec","queries":$worstQueries,"reps":3,"runs":[9999.9,9999.9,9999.9]$worstErrs,"sf":"sf0.001"}"""
+      s"""{"metric":"total","value":99999.999,"unit":"sec","queries":$worstQueries,"reps":3,"runs":[9999,9999,9999]$worstErrs,"sf":"sf0.001"}"""
     assert(worstLine.length <= 2000,
       s"projected bench line ${worstLine.length} B — trim precision or keys before the 2000-B window truncates it")
   }

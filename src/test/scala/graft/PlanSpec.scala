@@ -393,4 +393,25 @@ class PlanSpec extends SparkSuite {
     assert("AS l1#".r.findAllIn(p60).size == 1,
       s"q60 must materialize its lag frame in one window pass:\n${p60.take(900)}")
   }
+
+  test("qt24 chunking is a shuffle-free per-row projection") {
+    val p = plan(graft.text.TextOps.chunkDocs(spark, Sf01))
+    assert(!p.contains("Exchange"),
+      s"qt24 must not shuffle — split/slice/join stay inside the row:\n${p.take(900)}")
+    assert(p.startsWith("*("), // the whole plan sits in codegen stages
+      p.take(400))
+  }
+
+  test("qv18 hybrid: posting join broadcasts the query terms, no cartesian blowup") {
+    val p = plan(graft.vector.Similarity.hybridSearch(spark, Sf01))
+    // the lexical branch must probe posting lists with a BROADCAST of
+    // the tiny query-term table — a shuffle join here means the whole
+    // tf table is exchanged per query batch
+    assert(p.contains("BroadcastHashJoin"),
+      s"query terms must broadcast into the posting join:\n${p.take(900)}")
+    // the only cartesians are the broadcast scalar/stat frames and
+    // qv1's bounded query fan — never two row-scale inputs
+    assert(!p.contains("CartesianProduct"),
+      s"unexpected cartesian in:\n${p.take(900)}")
+  }
 }

@@ -1224,4 +1224,70 @@ class TextSpec extends SparkSuite {
     assert(d.exceptAll(TextOps.epochShuffle(spark, Sf01, nShards, 2)).count() === 0)
     d.unpersist()
   }
+
+  test("qt24 chunking: spans tile every document, tail reached, md5 exact") {
+    val (cs, st) = (64, 48)
+    val d = TextOps.chunkDocs(spark, Sf01, cs, st).cache()
+    val docs = graft.util.Tables.documents(spark, Sf01)
+    // every non-empty doc is chunked; chunk_ids are 0..n-1 contiguous
+    val perDoc = d.groupBy("doc_id").agg(count(lit(1)).as("n"),
+      min("chunk_id").as("lo"), max("chunk_id").as("hi"),
+      max(col("start_tok") + col("n_tok_chunk")).as("covered"))
+    assert(perDoc.filter(col("lo") =!= 0L || col("hi") =!= col("n") - 1).count() === 0)
+    val nNonEmpty = docs.filter(length(trim(col("text"))) > 0).count()
+    assert(perDoc.count() === nNonEmpty)
+    // spans: start = chunk_id*stride, 1 <= len <= chunkTok, last chunk
+    // ends exactly at n_tok (the tail is always reached)
+    assert(d.filter(col("start_tok") =!= col("chunk_id") * st).count() === 0)
+    assert(d.filter(col("n_tok_chunk") < 1 || col("n_tok_chunk") > cs).count() === 0)
+    val nTok = docs.select(col("doc_id"),
+      size(filter(split(col("text"), " "), t => t =!= "")).cast("long").as("n_tok"))
+    assert(perDoc.join(nTok, "doc_id").filter(col("covered") =!= col("n_tok")).count() === 0)
+    // md5 is the hash of the actual token slice — recompute one doc locally
+    val row = docs.filter(length(col("text")) > 0).orderBy("doc_id").head
+    val toks = row.getAs[String]("text").split(" ").filter(_.nonEmpty)
+    val c1 = toks.slice(st, st + cs) // chunk_id=1 span, if it exists
+    if (toks.length > cs) {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(c1.mkString(" ").getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val got = d.filter(col("doc_id") === row.getAs[Long]("doc_id") && col("chunk_id") === 1L)
+        .head.getAs[String]("chunk_md5")
+      assert(got === md)
+    }
+    // single-chunk docs are exactly the short ones
+    assert(perDoc.join(nTok, "doc_id")
+      .filter((col("n") === 1L) =!= (col("n_tok") <= cs)).count() === 0)
+    d.unpersist()
+  }
+
+  test("qv18 hybrid search: rrf decomposes into its rank terms, branches agree") {
+    val (k, depth) = (10, 20)
+    val d = Similarity.hybridSearch(spark, Sf01, k = k, depth = depth).cache()
+    assert(d.count() > 0)
+    // per query: ranks 1..n contiguous, n <= k
+    val per = d.groupBy("qid").agg(count(lit(1)).as("n"),
+      min("rnk").as("lo"), max("rnk").as("hi"))
+    assert(per.filter(col("n") > k || col("lo") =!= 1 || col("hi") =!= col("n")).count() === 0)
+    // rrf == 1/(60+lex) + 1/(60+vec) with absent (0) ranks contributing 0
+    val recomputed = when(col("lex_rank") > 0, lit(1.0) / (lit(60) + col("lex_rank"))).otherwise(lit(0.0)) +
+      when(col("vec_rank") > 0, lit(1.0) / (lit(60) + col("vec_rank"))).otherwise(lit(0.0))
+    assert(d.filter(col("rrf") =!= floor(recomputed * 1000000d + 0.5d) / 1000000d).count() === 0)
+    // no row may lose both branches; ranks stay within depth
+    assert(d.filter(col("lex_rank") === 0 && col("vec_rank") === 0).count() === 0)
+    assert(d.filter(col("lex_rank") > depth || col("vec_rank") > depth).count() === 0)
+    // the dense branch IS qv1's ranking: every vec_rank matches cosineTopK
+    val dense = Similarity.cosineTopK(spark, Sf01, k = depth)
+      .select(col("qid"), col("vec_id").as("doc_id"), col("rnk").as("vr"))
+    val mism = d.filter(col("vec_rank") > 0)
+      .join(dense, Seq("qid", "doc_id"), "left")
+      .filter(col("vr").isNull || col("vr") =!= col("vec_rank"))
+    assert(mism.count() === 0)
+    // fusion favors dual-membership: a doc on both lists at rank r beats
+    // a doc on one list at the same r — monotonicity of rrf in rnk
+    val inv = d.withColumn("nxt", lead("rrf", 1).over(
+      org.apache.spark.sql.expressions.Window.partitionBy("qid").orderBy("rnk")))
+      .filter(col("nxt").isNotNull && col("nxt") > col("rrf"))
+    assert(inv.count() === 0, "rrf must be non-increasing in fused rank")
+    d.unpersist()
+  }
 }
