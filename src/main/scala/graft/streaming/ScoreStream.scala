@@ -539,6 +539,44 @@ object ScoreStream {
         graft.util.Num.r4(col("s.d2")).as("ad2"), (col("p") + 1).cast("int").as("rnk"))
   }
 
+  /** Streaming BM25 scorer over a SAVED lexical index — the serving
+    * twin of qv18's keyword branch: live queries (qid, ts,
+    * terms: array<string>) explode to terms, equi-join the persisted
+    * postings (ModelStore.saveBm25Index — corpus stats DENORMALIZED
+    * onto every posting row, so no static scalar cross-join the
+    * streaming planner would reject), and ONE watermarked aggregation
+    * sums the SHARED quantized int64 contribution
+    * (Similarity.bm25Contrib) per (window, qid, doc) — scores are
+    * bit-identical to the batch bm25ScoreOf sums on the same terms
+    * (StreamingSpec). Ranking stays downstream (a second streaming agg
+    * is both unsupported and unnecessary: the client or a batch
+    * compactor ranks the per-window scores). State = one row per
+    * in-flight (window, qid, candidate), watermark-evicted.
+    */
+  def bm25ScoreStream(spark: SparkSession, modelPath: String,
+                      queries: DataFrame, windowDur: String = "1 hour",
+                      watermark: String = "1 hour"): DataFrame = {
+    val post = graft.timeseries.ModelStore.bm25Postings(spark, modelPath)
+    queries.withWatermark("ts", watermark)
+      .select(col("qid"), col("ts"), explode(col("terms")).as("tok"))
+      .join(post, "tok")
+      .filter(col("doc_id") =!= col("qid"))
+      .groupBy(window(col("ts"), windowDur), col("qid"), col("doc_id"))
+      .agg(sum(graft.vector.Similarity.bm25Contrib).as("bm25q"))
+      .select(col("window.start").as("win_start"), col("qid"), col("doc_id"),
+        col("bm25q"))
+  }
+
+  /** Streaming twin of batch qt24 — documents chunk IN FLIGHT through
+    * the SAME chunk projection (TextOps.chunkFrom; bit-parity by
+    * construction): a stateless per-row map, so there is no watermark,
+    * no state, and no shuffle — the ingestion-pipeline shape where
+    * chunking runs as documents land, not as a later batch sweep.
+    */
+  def chunkStream(docs: DataFrame, chunkTok: Int = 64,
+                  stride: Int = 48): DataFrame =
+    graft.text.TextOps.chunkFrom(docs, chunkTok, stride, carry = Seq("ts"))
+
   /** Streaming twin of the BATCH detection scorer, wired to a
     * ModelStore artifact: patch-feature rows stream in (series, win,
     * pos, f0..f8 + event-time ts), each patch is scored against the

@@ -857,25 +857,36 @@ object TextOps {
     * is generate-after-project, still shuffle-free.
     */
   def chunkDocs(spark: SparkSession, sfDir: String, chunkTok: Int = 64,
-                stride: Int = 48): DataFrame = {
+                stride: Int = 48): DataFrame =
+    chunkFrom(Tables.documents(spark, sfDir), chunkTok, stride)
+
+  /** The chunk projection itself, over any (doc_id, text, …carry)
+    * frame — ONE definition read by batch qt24 and the streaming twin
+    * (bit-parity by construction; it is a stateless per-row map, so it
+    * runs unchanged on a stream). Extra columns listed in `carry`
+    * (e.g. the stream's event time) pass through per chunk.
+    */
+  private[graft] def chunkFrom(docs: DataFrame, chunkTok: Int, stride: Int,
+                               carry: Seq[String] = Nil): DataFrame = {
     require(chunkTok > 0 && stride > 0 && stride <= chunkTok,
       s"need 0 < stride <= chunkTok, got chunkTok=$chunkTok stride=$stride")
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"),
-        filter(split(col("text"), " "), t => t =!= "").as("toks"))
+    val cc = carry.map(col)
+    docs
+      .select(col("doc_id") +: cc :+
+        filter(split(col("text"), " "), t => t =!= "").as("toks"): _*)
       .withColumn("n_tok", size(col("toks")).cast("long"))
       .filter(col("n_tok") > 0)
       // last chunk start = the smallest multiple of stride reaching the
       // tail: ceil((n_tok - chunkTok)+ / stride) — exact int64 algebra
       .withColumn("n_chunks", expr(
         s"1 + ((greatest(n_tok - $chunkTok, CAST(0 AS BIGINT)) + ${stride - 1}) div $stride)"))
-      .select(col("doc_id"), col("toks"), col("n_tok"),
-        explode(expr("sequence(CAST(0 AS BIGINT), n_chunks - 1)")).as("chunk_id"))
+      .select(col("doc_id") +: cc ++: Seq(col("toks"), col("n_tok"),
+        explode(expr("sequence(CAST(0 AS BIGINT), n_chunks - 1)")).as("chunk_id")): _*)
       .withColumn("start_tok", col("chunk_id") * stride)
-      .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+      .select(col("doc_id") +: cc ++: Seq(col("chunk_id"), col("start_tok"),
         least(lit(chunkTok.toLong), col("n_tok") - col("start_tok")).as("n_tok_chunk"),
         md5(array_join(
           expr(s"slice(toks, CAST(chunk_id * $stride + 1 AS INT), $chunkTok)"), " "))
-          .as("chunk_md5"))
+          .as("chunk_md5")): _*)
   }
 }

@@ -152,6 +152,19 @@ object ModelStore {
     * the exact grid arithmetic). The packed one-row form
     * [[sq8Packed]] is what the streaming scorer broadcasts.
     */
+  /** BM25 lexical-index persistence — qv18's postings with their
+    * denormalized corpus stats, the artifact bm25ScoreStream serves
+    * from. At 100 TB this table is tok-bucketed so the serving join
+    * co-locates; the frame is the index (no pack step — posting lists
+    * are row-scale, never driver-side).
+    */
+  def saveBm25Index(spark: SparkSession, sfDir: String, path: String): Unit =
+    graft.vector.Similarity.bm25Postings(spark, sfDir)
+      .write.mode("overwrite").parquet(s"$path/bm25postings")
+
+  def bm25Postings(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/bm25postings")
+
   def saveSq8Index(spark: SparkSession, sfDir: String, path: String): Unit = {
     val (params, codes) = graft.vector.Similarity.sq8IndexFrames(spark, sfDir)
     params.write.mode("overwrite").parquet(s"$path/sq8params")

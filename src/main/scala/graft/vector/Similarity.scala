@@ -878,39 +878,76 @@ object Similarity {
     * module; this is engine scope (training-data curation /
     * RAG-serving needs).
     */
-  def hybridSearch(spark: SparkSession, sfDir: String, k: Int = 10,
-                   nTerms: Int = 3, depth: Int = 20,
-                   maxQueries: Int = MaxQueries): DataFrame = {
-    val toks = graft.text.TextCore.tokens(spark, sfDir)
-    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-    val dlen = tf.groupBy("doc_id").agg(sum("tf").as("dlen"))
-    val dfr = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-    val nd = Tables.documents(spark, sfDir).agg(count(lit(1)).as("n_docs"))
-    // avgdlen from exact integer totals; int64/int64 → one double div
-    val stats = nd.crossJoin(toks.agg(count(lit(1)).as("n_tok_total")))
-      .select(col("n_docs"), (col("n_tok_total") / col("n_docs")).as("avgdlen"))
-    val qPred = col("doc_id") % 100 === 0 && col("doc_id") < lit(100L * maxQueries)
-    // qt7's exact ranking discipline (quantized score, tok-asc ties),
-    // restricted to query docs before the window
+  /** The BM25 lexical index — postings carrying every stat the scorer
+    * reads (tf, dlen, df) with the two corpus constants DENORMALIZED
+    * onto each row (n_docs, avgdlen), so a serving join needs no side
+    * lookup (a streaming consumer can't cross-join a static scalar
+    * frame). ONE session-cached materialization feeds the query-term
+    * ranking and the posting join; ModelStore.saveBm25Index persists
+    * this exact frame as the serving artifact.
+    */
+  private[graft] def bm25Postings(spark: SparkSession, sfDir: String): DataFrame =
+    graft.util.StageCache.cached(spark, sfDir, "bm25post") {
+      val toks = graft.text.TextCore.tokens(spark, sfDir)
+      val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val dlen = tf.groupBy("doc_id").agg(sum("tf").as("dlen"))
+      val dfr = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val nd = Tables.documents(spark, sfDir).agg(count(lit(1)).as("n_docs"))
+      // avgdlen from exact integer totals; int64/int64 → one double div
+      val stats = nd.crossJoin(toks.agg(count(lit(1)).as("n_tok_total")))
+        .select(col("n_docs"), (col("n_tok_total") / col("n_docs")).as("avgdlen"))
+      tf.join(dlen, "doc_id").join(dfr, "tok").crossJoin(broadcast(stats))
+    }
+
+  /** ONE definition of the quantized per-term BM25 contribution (the
+    * int64 summand) — read by the batch ranker and the streaming
+    * scorer, so the two paths are bit-identical by construction.
+    * Expects a row with tf, dlen, df, n_docs, avgdlen (the postings
+    * schema).
+    */
+  private[graft] def bm25Contrib: Column = {
+    val idf =
+      log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val w = idf * ((col("tf") * lit(Bm25K1 + 1)) /
+      (col("tf") + lit(Bm25K1) * (lit(1 - Bm25B) + lit(Bm25B) * (col("dlen") / col("avgdlen")))))
+    floor(w * 1000000d + 0.5d).cast("long")
+  }
+
+  /** The qv18 query-term table: each query doc's top-nTerms tokens by
+    * qt7's exact quantized TF-IDF ranking — shared by hybridSearch and
+    * the streaming-parity spec (which replays these terms as the live
+    * query stream).
+    */
+  private[graft] def hybridQueryTerms(spark: SparkSession, sfDir: String,
+                                      nTerms: Int = 3,
+                                      maxQueries: Int = MaxQueries): DataFrame = {
     val wq = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("tok"))
-    val qterms = tf.filter(qPred).join(dlen, "doc_id").join(dfr, "tok")
-      .crossJoin(broadcast(nd))
+    bm25Postings(spark, sfDir)
+      .filter(col("doc_id") % 100 === 0 && col("doc_id") < lit(100L * maxQueries))
       .withColumn("tfidf",
         Num.r4(col("tf") / col("dlen") * log(col("n_docs") / col("df"))))
       .withColumn("trm", row_number().over(wq))
       .filter(col("trm") <= nTerms)
-      .select(col("doc_id").as("qid"), col("tok"), col("df"))
-    val wl = Window.partitionBy("qid").orderBy(col("bm25q").desc, col("doc_id"))
-    val lex = tf.join(broadcast(qterms), "tok")
+      .select(col("doc_id").as("qid"), col("tok"))
+  }
+
+  /** Per-(query, doc) exact int64 BM25 sums over the postings — the
+    * shared scoring join (batch ranks it; the stream twin runs the
+    * same join windowed).
+    */
+  private[graft] def bm25ScoreOf(postings: DataFrame, qterms: DataFrame): DataFrame =
+    postings.join(broadcast(qterms.select("qid", "tok")), "tok")
       .filter(col("doc_id") =!= col("qid"))
-      .join(dlen, "doc_id")
-      .crossJoin(broadcast(stats))
-      .withColumn("idf",
-        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
-      .withColumn("w", col("idf") * ((col("tf") * lit(Bm25K1 + 1)) /
-        (col("tf") + lit(Bm25K1) * (lit(1 - Bm25B) + lit(Bm25B) * (col("dlen") / col("avgdlen"))))))
       .groupBy("qid", "doc_id")
-      .agg(sum(floor(col("w") * 1000000d + 0.5d).cast("long")).as("bm25q"))
+      .agg(sum(bm25Contrib).as("bm25q"))
+
+  def hybridSearch(spark: SparkSession, sfDir: String, k: Int = 10,
+                   nTerms: Int = 3, depth: Int = 20,
+                   maxQueries: Int = MaxQueries): DataFrame = {
+    val post = bm25Postings(spark, sfDir)
+    val qterms = hybridQueryTerms(spark, sfDir, nTerms, maxQueries)
+    val wl = Window.partitionBy("qid").orderBy(col("bm25q").desc, col("doc_id"))
+    val lex = bm25ScoreOf(post, qterms)
       .withColumn("lex_rank", row_number().over(wl))
       .filter(col("lex_rank") <= depth)
       .select(col("qid"), col("doc_id"), col("lex_rank"))

@@ -891,4 +891,69 @@ class StreamingSpec extends SparkSuite {
     val out = ScoreStream.scoreStream(mem.toDF(), bank)
     assert(out.isStreaming)
   }
+
+  test("streaming chunker matches batch qt24 chunks across a batch split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val want = graft.text.TextOps.chunkDocs(spark, Sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(want.nonEmpty)
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val docs = spark.read.parquet(s"$Sf001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => Doc(t0, r.getLong(0), r.getString(1)))
+    val mem = MemoryStream[Doc]
+    val q = ScoreStream.chunkStream(mem.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("chunks").start()
+    try {
+      // stateless: split the corpus anyway to prove chunk identity is
+      // batch-boundary-free
+      val (h1, h2) = docs.splitAt(docs.length / 2)
+      mem.addData(h1.toSeq); q.processAllAvailable()
+      mem.addData(h2.toSeq); q.processAllAvailable()
+      val got = spark.table("chunks").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id")) ->
+          (r.getAs[Long]("start_tok"), r.getAs[Long]("n_tok_chunk"),
+            r.getAs[String]("chunk_md5"))).toMap
+    // ONE shared chunk projection (TextOps.chunkFrom) → exact equality
+      assert(got.size === want.size)
+      assert(got === want)
+    } finally q.stop()
+  }
+
+  case class QT(ts: Timestamp, qid: Long, terms: Array[String])
+
+  test("streaming BM25 scorer over a saved index matches batch qv18 lexical sums") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.timeseries.ModelStore
+    import graft.vector.Similarity
+    val path = java.nio.file.Files.createTempDirectory("graft-bm25").toString
+    ModelStore.saveBm25Index(spark, Sf001, path)
+    val qterms = Similarity.hybridQueryTerms(spark, Sf001)
+    val want = Similarity.bm25ScoreOf(Similarity.bm25Postings(spark, Sf001), qterms)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(want.nonEmpty)
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows = qterms.collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).map { case (qid, g) => QT(t0, qid, g.map(_._2)) }.toSeq
+    val mem = MemoryStream[QT]
+    val q = ScoreStream.bm25ScoreStream(spark, path, mem.toDF(), windowDur = "1 day")
+      .writeStream.outputMode("append").format("memory").queryName("bm25s").start()
+    try {
+      val (h1, h2) = rows.splitAt(rows.length / 2)
+      mem.addData(h1); q.processAllAvailable()
+      mem.addData(h2); q.processAllAvailable()
+      // advance the watermark past the window so append mode emits
+      mem.addData(QT(new Timestamp(t0.getTime + 10L * 86400000L), 999999L,
+        Array("no-such-token"))); q.processAllAvailable()
+      val got = spark.table("bm25s").collect()
+        .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("doc_id")) ->
+          r.getAs[Long]("bm25q")).toMap
+      // the SHARED bm25Contrib summand → exact int64 equality
+      assert(got.size === want.size)
+      assert(got === want)
+    } finally q.stop()
+  }
 }
