@@ -108,6 +108,7 @@ object SparkEntry {
     "qv4_ann_eval" -> ((s, d) => graft.vector.Similarity.annEval(s, d)),
     "qv17_probe_sweep" -> ((s, d) => graft.vector.Similarity.probeSweep(s, d)),
     "qv18_hybrid_search" -> ((s, d) => graft.vector.Similarity.hybridSearch(s, d)),
+    "qv19_rank_metrics" -> ((s, d) => graft.vector.Similarity.rankMetrics(s, d)),
     "qt8_langid_eval" -> ((s, d) => graft.text.TextOps.langIdEval(s, d)),
     "qd8_minhash_est" -> ((s, d) => graft.text.Dedup.minhashEstimate(s, d)),
     "qd9_incremental_dedup" -> ((s, d) => graft.text.Dedup.incrementalDedup(s, d)),
@@ -139,6 +140,7 @@ object SparkEntry {
     "q64_forecast_scorecard" -> ((s, d) => graft.timeseries.Forecast.forecastScorecard(s, d)),
     "qd17_dup_weight" -> ((s, d) => graft.text.Dedup.dupWeight(s, d)),
     "qd18_containment" -> ((s, d) => graft.text.Dedup.containment(s, d)),
+    "qd19_global_dup_spans" -> ((s, d) => graft.text.Dedup.globalDupSpans(s, d)),
     "qt21_domain_cap" -> ((s, d) => graft.text.TextOps.domainCap(s, d)),
     "qt22_dsir_weights" -> ((s, d) => graft.text.TextOps.dsirWeights(s, d)),
     "qt23_pii_redact" -> ((s, d) => graft.text.TextOps.piiRedact(s, d)),
@@ -270,6 +272,7 @@ object SparkEntry {
     "qv4_ann_eval" -> graft.text.DocOracle.qv4(),
     "qv17_probe_sweep" -> graft.text.DocOracle.qv17(),
     "qv18_hybrid_search" -> graft.text.DocOracle.qv18(),
+    "qv19_rank_metrics" -> graft.text.DocOracle.qv19(),
     "qt1_token_count" -> graft.text.DocOracle.qt1,
     "qt2_quality_score" -> graft.text.DocOracle.qt2,
     "qt3_lang_id" -> graft.text.DocOracle.qt3,
@@ -586,6 +589,7 @@ object SparkEntry {
     "q64_forecast_scorecard" -> graft.timeseries.TsOracle.q64,
     "qd17_dup_weight" -> graft.text.DocOracle.qd17(),
     "qd18_containment" -> graft.text.DocOracle.qd18(),
+    "qd19_global_dup_spans" -> graft.text.DocOracle.qd19(),
     "qc1_corpus_build" -> graft.text.DocOracle.qc1(),
     "qt22_dsir_weights" -> graft.text.DocOracle.qt22(),
     "qt23_pii_redact" -> graft.text.DocOracle.qt23(),

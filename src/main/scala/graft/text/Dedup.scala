@@ -660,4 +660,53 @@ object Dedup {
       .select(col("doc_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         col("n_hits").isNotNull.as("contaminated"))
   }
+
+  /** The qd19 span miner over any (doc_id, i, sh) shingle frame —
+    * separated so the spec can plant a known repeated sentence and
+    * assert the exact span.
+    */
+  private[graft] def globalDupSpansFrom(shingleRows: DataFrame, n: Int,
+                                        minSpan: Int): DataFrame = {
+    require(n >= 1 && minSpan >= n, s"need minSpan >= n >= 1, got n=$n minSpan=$minSpan")
+    val sh = shingleRows.select(col("doc_id"), col("i"), strHash60(col("sh")).as("h"))
+    // corpus-wide occurrence count per shingle hash: map-side-combined
+    // hash agg keyed by h — the ONLY row-scale exchange; the join back
+    // is co-partitioned on h (both sides just shuffled by it)
+    val occ = sh.groupBy("h").agg(count(lit(1)).as("occ")).filter(col("occ") >= 2)
+    val dup = sh.join(occ, "h")
+    val w = Window.partitionBy("doc_id").orderBy("i")
+    dup.withColumn("grp", col("i") - row_number().over(w))
+      .groupBy("doc_id", "grp")
+      .agg(min(col("i")).cast("long").as("start_tok"),
+        count(lit(1)).as("run"), max("occ").as("max_occ"))
+      .withColumn("span_toks", col("run") + lit(n - 1))
+      .filter(col("span_toks") >= minSpan)
+      .select(col("doc_id"), col("start_tok"), col("span_toks"), col("max_occ"))
+  }
+
+  /** qd19: corpus-GLOBAL duplicated-span mining — the Spark
+    * re-expression of suffix-array exact-substring dedup (Lee et al.
+    * 2022, arXiv:2107.06499 §3.1 "ExactSubstr"; public): a maximal
+    * span every one of whose overlapping n-gram shingles occurs ≥ 2
+    * times ANYWHERE in the corpus (a second occurrence in the same doc
+    * counts — self-repetition dedups too). qd13 only inspects LSH
+    * candidate PAIRS, so a passage repeated across many documents that
+    * never co-band is invisible to it; this pass sees every exact
+    * repeated region with NO candidate pairs at all.
+    *
+    * Scale shape: where the reference construction sorts a global
+    * suffix array, this needs exactly ONE hash shuffle — the
+    * occurrence count keyed by 60-bit shingle hash (map-side
+    * combinable: hot shingles collapse to one (h, count) row per map
+    * partition, so a 10^6-fold repeated boilerplate line costs the
+    * reduce side one row) — plus the co-partitioned join back and a
+    * per-doc gaps-and-islands window. Nothing is all-pairs, nothing is
+    * globally sorted, no posting list is ever materialized. Output
+    * rows: (doc_id, start_tok, span_toks, max_occ), span length in
+    * tokens = run + n − 1 (qd13's algebra), minSpan filters the
+    * single-shingle noise floor.
+    */
+  def globalDupSpans(spark: SparkSession, sfDir: String, n: Int = 3,
+                     minSpan: Int = 4): DataFrame =
+    globalDupSpansFrom(shingles(spark, sfDir, n), n, minSpan)
 }

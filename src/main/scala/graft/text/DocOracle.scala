@@ -984,6 +984,38 @@ SELECT count(*) AS n_exact,
        ${r4("sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END) / count(*)")} AS recall
 FROM exact e LEFT JOIN ivfk i ON i.qid = e.qid AND i.vec_id = e.vec_id""")
 
+  /** qv19: ranking-quality metrics of the IVF ranking vs the
+    * exact-cosine gold — mirrors Similarity.rankMetrics: same shared
+    * scaled-int discount literals (Similarity.ndcgDiscMicro), exact
+    * int64 DCG sums, integer-division MRR.
+    */
+  def qv19(nCells: Int = 16, nProbe: Int = 2, k: Int = 5): String = {
+    val disc = graft.vector.Similarity.ndcgDiscMicro(k)
+    val discCase = disc.zipWithIndex
+      .map { case (d, i) => s"WHEN ${i + 1} THEN $d" }.mkString(" ")
+    val idcg = graft.vector.Similarity.idcgMicro(k)
+    qv3(nCells, nProbe, k).replace(
+      s"SELECT qid, vec_id, ${r4("cos")} AS cos, rnk FROM ivfk",
+      s""", gold AS (
+  SELECT qid, vec_id, ${k + 1} - rnk AS rel FROM (
+    SELECT q.qid, b.vec_id,
+           row_number() OVER (PARTITION BY q.qid
+                              ORDER BY list_dot_product(q.v, b.v) / (q.nrm * b.nrm) DESC,
+                                       b.vec_id) AS rnk
+    FROM (SELECT vec_id AS qid, v, nrm FROM vecs WHERE vec_id % 100 = 0 AND vec_id < 100000) q
+    JOIN vecs b ON b.vec_id <> q.qid
+  ) WHERE rnk <= $k
+), scored19 AS (
+  SELECT i.qid, i.rnk, coalesce(g.rel, 0) AS rel
+  FROM ivfk i LEFT JOIN gold g ON g.qid = i.qid AND g.vec_id = i.vec_id
+)
+SELECT qid,
+       CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       ${r4(s"CAST(sum(rel * (CASE rnk $discCase ELSE 0 END)) AS BIGINT) / $idcg")} AS ndcg,
+       ${r4("max(CASE WHEN rel > 0 THEN 1000000 // rnk ELSE 0 END) / 1000000.0")} AS rr
+FROM scored19 GROUP BY qid""")
+  }
+
   val qt1: String = s"""
 SELECT doc_id,
   len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_ws,
@@ -1331,6 +1363,28 @@ SELECT d.doc_id, d.lang, coalesce(p.n_shingles, 0) AS n_shingles,
        coalesce(p.n_novel, 0) AS n_novel,
        coalesce(${r4("p.n_novel / CAST(p.n_shingles AS DOUBLE)")}, 0.0) AS novelty
 FROM documents d LEFT JOIN pd p USING (doc_id)"""
+
+  /** qd19: corpus-global duplicated spans — mirrors
+    * Dedup.globalDupSpans (occurrence count ≥ 2 per 60-bit shingle
+    * hash, gaps-and-islands per doc, span = run + n − 1).
+    */
+  def qd19(n: Int = 3, minSpan: Int = 4): String =
+    toksCte + shinglesCte(n, "shn") + s"""
+, occ19 AS (
+  SELECT ${h60("sh")} AS hq, count(*) AS occ FROM shn
+  GROUP BY 1 HAVING count(*) >= 2
+), dup19 AS (
+  SELECT s.doc_id, s.i, o.occ
+  FROM shn s JOIN occ19 o ON o.hq = ${h60("s.sh")}
+), isl19 AS (
+  SELECT doc_id, i, occ,
+         i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+  FROM dup19
+)
+SELECT doc_id, CAST(min(i) AS BIGINT) AS start_tok,
+       count(*) + ${n - 1} AS span_toks, max(occ) AS max_occ
+FROM isl19 GROUP BY doc_id, grp
+HAVING count(*) + ${n - 1} >= $minSpan"""
 
   /** Mirrors TextOps.charEntropy: same alphabet, same
     * length-of-replace counts, same 1e-6 pre-sum term quantization.

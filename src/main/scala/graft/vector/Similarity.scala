@@ -965,4 +965,64 @@ object Similarity {
         coalesce(col("vec_rank"), lit(0)).as("vec_rank"),
         (floor(col("rrf") * 1000000d + 0.5d) / 1000000d).as("rrf"), col("rnk"))
   }
+
+  /** 1e-6 scaled-int nDCG discount table 1/log2(i+1), i = 1..k —
+    * computed ONCE here (plan-build time) and injected into BOTH
+    * engines' plans as the same integer literals, so no per-row libm
+    * log2 ever runs in either engine: cross-engine ulp drift can't
+    * exist when the discounts are shared integers (q49's trig-table /
+    * bandPw discipline).
+    */
+  private[graft] def ndcgDiscMicro(k: Int): Seq[Long] =
+    (1 to k).map(i => math.floor(1e6 / (math.log(i + 1.0) / math.log(2.0)) + 0.5).toLong)
+
+  /** Ideal DCG in the same 1e-6 units: gold grades are rel = k+1-rank,
+    * so the ideal ordering scores Σ_{i=1..k} (k+1-i)·disc(i) — an exact
+    * integer constant per k.
+    */
+  private[graft] def idcgMicro(k: Int): Long =
+    ndcgDiscMicro(k).zipWithIndex.map { case (d, i) => (k - i).toLong * d }.sum
+
+  /** The qv19 eval core over any (sys: qid, vec_id, rnk) ranking vs a
+    * graded gold (qid, vec_id, rel) — separated so the spec can drive
+    * the identity case (a system ≡ gold scores ndcg = rr = 1 exactly).
+    */
+  private[graft] def rankMetricsOf(sys: DataFrame, gold: DataFrame, k: Int): DataFrame = {
+    val disc = ndcgDiscMicro(k)
+    val discCol = disc.zipWithIndex.foldLeft(lit(0L)) { case (acc, (d, i)) =>
+      when(col("rnk") === (i + 1), lit(d)).otherwise(acc)
+    }
+    sys.join(broadcast(gold), Seq("qid", "vec_id"), "left")
+      .withColumn("rel", coalesce(col("rel"), lit(0L)))
+      .groupBy("qid")
+      .agg(sum(col("rel") * discCol).as("dcg_micro"),
+        sum(when(col("rel") > 0, 1L).otherwise(0L)).as("n_hit"),
+        max(when(col("rel") > 0, expr("CAST(1000000 AS BIGINT) div rnk"))
+          .otherwise(0L)).as("rr_micro"))
+      .select(col("qid"), col("n_hit"),
+        Num.r4(col("dcg_micro") / lit(idcgMicro(k))).as("ndcg"),
+        Num.r4(col("rr_micro") / lit(1000000.0)).as("rr"))
+  }
+
+  /** qv19: retrieval ranking-QUALITY metrics — per-query nDCG@k, MRR
+    * and hit count of the IVF index's ranking against the exact-cosine
+    * gold standard (Järvelin & Kekäläinen 2002 nDCG / TREC MRR — the
+    * standard IR eval; public). qv4 asks "how many of the true top-k
+    * came back"; this asks "in what ORDER" — what a RAG serving stack
+    * actually tunes. Gold relevance is graded by exact rank
+    * (rel = k+1-rnk); DCG terms are rel × a shared scaled-int discount
+    * literal (exact int64 sums, order-free), nDCG one double division
+    * of exact integers, and MRR's reciprocal exact integer division
+    * (1e6 div first-hit rank — max over the monotone per-rank values).
+    * Reference's detection eval is metrics.py; this is its retrieval
+    * sibling over the shared qv1/qv3 stages. Both inputs are
+    * |queries|·k rows — eval-sized; the heavy lifting stays in the
+    * cached index stages.
+    */
+  def rankMetrics(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
+    val gold = cosineTopK(spark, sfDir, k)
+      .select(col("qid"), col("vec_id"), (lit(k + 1) - col("rnk")).cast("long").as("rel"))
+    val sys = ivfAnn(spark, sfDir, k = k).select("qid", "vec_id", "rnk")
+    rankMetricsOf(sys, gold, k)
+  }
 }

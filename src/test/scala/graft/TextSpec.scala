@@ -1290,4 +1290,99 @@ class TextSpec extends SparkSuite {
     assert(inv.count() === 0, "rrf must be non-increasing in fused rank")
     d.unpersist()
   }
+
+  test("qv19 rank metrics: gold scored against itself is perfect") {
+    val k = 5
+    val gold = Similarity.cosineTopK(spark, Sf001, k = k)
+      .select(col("qid"), col("vec_id"), (lit(k + 1) - col("rnk")).cast("long").as("rel"))
+    val sys = Similarity.cosineTopK(spark, Sf001, k = k)
+      .select(col("qid"), col("vec_id"), col("rnk"))
+    val m = Similarity.rankMetricsOf(sys, gold, k).collect()
+    assert(m.nonEmpty)
+    m.foreach { r =>
+      assert(r.getAs[Long]("n_hit") === k.toLong)
+      assert(r.getAs[Double]("ndcg") === 1.0)
+      assert(r.getAs[Double]("rr") === 1.0)
+    }
+  }
+
+  test("qv19 rank metrics: discount math exact on a planted reversal") {
+    import spark.implicits._
+    val k = 2
+    val disc = Similarity.ndcgDiscMicro(k) // (1000000, 630930)
+    assert(disc === Seq(1000000L, 630930L))
+    val gold = Seq((1L, 10L, 2L), (1L, 11L, 1L)).toDF("qid", "vec_id", "rel")
+    // system returns the two gold docs in REVERSED order
+    val sys = Seq((1L, 11L, 1), (1L, 10L, 2)).toDF("qid", "vec_id", "rnk")
+    val r = Similarity.rankMetricsOf(sys, gold, k).collect()
+    assert(r.length === 1)
+    val idcg = 2L * 1000000L + 1L * 630930L
+    val dcg = 1L * 1000000L + 2L * 630930L
+    val wantNdcg = math.floor(dcg.toDouble / idcg * 10000 + 0.5) / 10000
+    assert(r.head.getAs[Long]("n_hit") === 2L)
+    assert(r.head.getAs[Double]("ndcg") === wantNdcg)
+    assert(r.head.getAs[Double]("rr") === 1.0, "first hit at rank 1 even reversed")
+    // and a system that misses the top doc entirely: rr = 1/2, graded dcg
+    val sys2 = Seq((1L, 99L, 1), (1L, 11L, 2)).toDF("qid", "vec_id", "rnk")
+    val r2 = Similarity.rankMetricsOf(sys2, gold, k).collect().head
+    assert(r2.getAs[Long]("n_hit") === 1L)
+    assert(r2.getAs[Double]("rr") === 0.5)
+    assert(r2.getAs[Double]("ndcg") ===
+      math.floor((1L * 630930L).toDouble / idcg * 10000 + 0.5) / 10000)
+  }
+
+  test("qv19 rank metrics: IVF eval bounded and hit-consistent with qv4") {
+    val m = Similarity.rankMetrics(spark, Sf001).cache()
+    assert(m.count() > 0)
+    assert(m.filter(col("ndcg") < 0 || col("ndcg") > 1).count() === 0)
+    assert(m.filter(col("rr") < 0 || col("rr") > 1).count() === 0)
+    assert(m.filter(col("n_hit") < 0 || col("n_hit") > 5).count() === 0)
+    // a query with every gold doc returned in gold order has ndcg 1;
+    // any miss strictly lowers dcg below idcg → ndcg < 1 unless n_hit=k
+    assert(m.filter(col("ndcg") === 1.0 && col("n_hit") =!= 5).count() === 0)
+    // corpus hit total equals qv4's recall numerator on the same stages
+    val n4 = Similarity.annEval(spark, Sf001).collect().head.getAs[Long]("n_hit")
+    val nHit = m.agg(sum("n_hit")).collect().head.getLong(0)
+    assert(nHit === n4, "qv19 hits must equal qv4's n_hit on the shared stages")
+    m.unpersist()
+  }
+
+  test("qd19 planted repeated sentence yields the exact global span") {
+    import spark.implicits._
+    // doc 1: shingles at i=0..7, of which i=2,3,4 repeat in doc 2 at
+    // i=10,11,12; doc 3 carries ONE duplicated shingle (run 1 → span 3,
+    // filtered by minSpan=4); everything else unique
+    val rows = Seq(
+      (1L, 0L, "u1"), (1L, 1L, "u2"), (1L, 2L, "r1"), (1L, 3L, "r2"),
+      (1L, 4L, "r3"), (1L, 5L, "u3"), (1L, 6L, "u4"), (1L, 7L, "u5"),
+      (2L, 10L, "r1"), (2L, 11L, "r2"), (2L, 12L, "r3"), (2L, 13L, "u6"),
+      (3L, 0L, "u7"), (3L, 1L, "r1"), (3L, 2L, "u8")
+    ).toDF("doc_id", "i", "sh")
+    val got = Dedup.globalDupSpansFrom(rows, n = 3, minSpan = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // r1 occurs 3× corpus-wide; runs: doc1 i=2..4, doc2 i=10..12 (run 3
+    // → span 5); doc3's lone r1 (span 3) is below minSpan
+    assert(got === Set((1L, 2L, 5L), (2L, 10L, 5L)))
+  }
+
+  test("qd19 spans are disjoint islands within range at sf0.001") {
+    val s = Dedup.globalDupSpans(spark, Sf001).cache()
+    assert(s.count() > 0)
+    assert(s.filter(col("span_toks") < 4 || col("max_occ") < 2).count() === 0)
+    // islands: consecutive spans in a doc are separated by >= 1 shingle gap
+    // (span_toks = run + n - 1 with n = 3, so last shingle pos =
+    // start + run - 1 = start + span_toks - 3; a legal adjacent island
+    // may start at last + 2 = start + span_toks - 1)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("start_tok")
+    val runEnd = col("start_tok") + col("span_toks") - lit(3)
+    val overl = s.withColumn("nxt", lead("start_tok", 1).over(w))
+      .filter(col("nxt").isNotNull && col("nxt") <= runEnd + 1)
+    assert(overl.count() === 0, "spans must be maximal disjoint islands")
+    // every span fits inside its document's token count
+    val nTok = TextOps.tokenCount(spark, Sf001).select(col("doc_id"), col("n_ws"))
+    val oob = s.join(nTok, "doc_id")
+      .filter(col("start_tok") + col("span_toks") > col("n_ws"))
+    assert(oob.count() === 0, "span exceeds document length")
+    s.unpersist()
+  }
 }
