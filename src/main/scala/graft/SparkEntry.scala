@@ -145,6 +145,7 @@ object SparkEntry {
     "qt22_dsir_weights" -> ((s, d) => graft.text.TextOps.dsirWeights(s, d)),
     "qt23_pii_redact" -> ((s, d) => graft.text.TextOps.piiRedact(s, d)),
     "qt24_doc_chunks" -> ((s, d) => graft.text.TextOps.chunkDocs(s, d)),
+    "qt25_bpe_merges" -> ((s, d) => graft.text.TextOps.bpeMerges(s, d)),
     "qc1_corpus_build" -> ((s, d) => graft.text.TextOps.corpusBuild(s, d)),
     "qc2_epoch_shuffle" -> ((s, d) => graft.text.TextOps.epochShuffle(s, d)),
     "qc3_dataset_card" -> ((s, d) => graft.text.TextOps.datasetCard(s, d)),
@@ -594,6 +595,7 @@ object SparkEntry {
     "qt22_dsir_weights" -> graft.text.DocOracle.qt22(),
     "qt23_pii_redact" -> graft.text.DocOracle.qt23(),
     "qt24_doc_chunks" -> graft.text.DocOracle.qt24(),
+    "qt25_bpe_merges" -> graft.text.DocOracle.qt25(),
     "qc2_epoch_shuffle" -> graft.text.DocOracle.qc2(),
     "qc3_dataset_card" -> graft.text.DocOracle.qc3(),
     "qt21_domain_cap" -> """

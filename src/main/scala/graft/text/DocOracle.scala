@@ -1525,6 +1525,43 @@ SELECT doc_id, chunk_id, chunk_id * $stride AS start_tok,
        md5(array_to_string(list_slice(toks, chunk_id * $stride + 1, chunk_id * $stride + $chunkTok), ' ')) AS chunk_md5
 FROM x"""
 
+  /** qt25 — mirrors TextOps.bpeMerges: the same ␁-wrapped word
+    * encoding (chr(1) never occurs in the synthetic corpus), the same
+    * replace()-based greedy left-to-right merge (both engines scan
+    * forward past the replaced region), the same (freq DESC, lhs, rhs)
+    * winner order; rounds unrolled as CTE triples (the qv13/qd14
+    * discipline), word tables MATERIALIZED because each is read by both
+    * its round's pair count and the next round's rewrite.
+    */
+  def qt25(rounds: Int = 4): String = {
+    val S = "chr(1)"
+    val cte = new StringBuilder(toksCte + s"""
+, wf25 AS (SELECT tok, count(*) AS freq FROM toks GROUP BY tok),
+bw1 AS MATERIALIZED (
+  SELECT $S || array_to_string(string_split(tok, ''), $S || $S) || $S AS w, freq
+  FROM wf25)""")
+    for (r <- 1 to rounds) {
+      cte.append(s""",
+bp$r AS (
+  SELECT x.syms[x.i + 1] AS lhs, x.syms[x.i + 2] AS rhs,
+         CAST(sum(x.freq) AS BIGINT) AS freq
+  FROM (SELECT syms, freq, unnest(range(len(syms) - 1)) AS i
+        FROM (SELECT string_split(substr(w, 2, length(w) - 2), $S || $S) AS syms, freq
+              FROM bw$r)) x
+  GROUP BY 1, 2),
+bn$r AS MATERIALIZED (
+  SELECT lhs, rhs, freq FROM bp$r ORDER BY freq DESC, lhs, rhs LIMIT 1)""")
+      if (r < rounds) cte.append(s""",
+bw${r + 1} AS MATERIALIZED (
+  SELECT replace(w.w, $S || n.lhs || $S || $S || n.rhs || $S,
+                 $S || n.lhs || n.rhs || $S) AS w, w.freq
+  FROM bw$r w, bn$r n)""")
+    }
+    cte.toString + "\n" + (1 to rounds)
+      .map(r => s"SELECT $r AS merge_round, lhs, rhs, freq FROM bn$r")
+      .mkString("\nUNION ALL\n")
+  }
+
   /** qv18 — mirrors Similarity.hybridSearch: qt7's quantized TF-IDF
     * ranking picks each query doc's terms; BM25 contributions are
     * 1e-6-quantized then integer-summed (order-free); the dense

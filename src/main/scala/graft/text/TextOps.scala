@@ -889,4 +889,77 @@ object TextOps {
           expr(s"slice(toks, CAST(chunk_id * $stride + 1 AS INT), $chunkTok)"), " "))
           .as("chunk_md5")): _*)
   }
+
+  /** The qt25 merge miner over any (tok, freq) word-frequency frame —
+    * separated so the spec can drive a planted corpus with hand-computed
+    * merges and the exact lexicographic tie-break.
+    *
+    * Word encoding: every symbol is wrapped in \u0001 (␁) on BOTH sides
+    * ("ab" → ␁a␁␁b␁), so the adjacent pair (l, r) occurs exactly where
+    * the string ␁l␁␁r␁ does and `replace()` (left-to-right,
+    * non-overlapping in both engines — the same greedy order reference
+    * BPE implementations use) applies a merge with no token-boundary
+    * false positives. After a merge the fused symbol no longer equals
+    * either half, so overlapping occurrences ("aaa" under (a,a)) resolve
+    * exactly as the sequential algorithm would: [aa, a].
+    *
+    * Each round localCheckpoints the (vocabulary-scale) word table:
+    * the round's winner is derived FROM words and substituted INTO
+    * words, so without a cut the plan would double per round.
+    */
+  private[graft] def bpeMergesFrom(wordFreq: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 10, s"need 1 <= rounds <= 10, got $rounds")
+    val S = "\u0001"
+    var words = wordFreq.select(
+      concat(lit(S), array_join(split(col("tok"), ""), S + S), lit(S)).as("w"),
+      col("freq").cast("long").as("freq"))
+    val rows = (1 to rounds).map { r =>
+      // w carries exactly one ␁ at each end, so substring is the exact
+      // un-wrap (and avoids the deprecated two-param trim signature)
+      val win = words
+        .select(split(expr("substring(w, 2, length(w) - 2)"), S + S).as("syms"),
+          col("freq"))
+        .filter(size(col("syms")) >= 2) // sequence(1,0) would DESCEND in Spark
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), k -> " +
+            "struct(element_at(syms, k) AS l, element_at(syms, k + 1) AS r))")).as("p"))
+        .groupBy(col("p.l").as("lhs"), col("p.r").as("rhs"))
+        .agg(sum("freq").as("freq"))
+        .orderBy(col("freq").desc, col("lhs"), col("rhs"))
+        .limit(1)
+        .localCheckpoint() // 1 row; read twice (merge apply + report)
+      words = words
+        .crossJoin(broadcast(win.select(col("lhs").as("_l"), col("rhs").as("_r"))))
+        .withColumn("srch", concat(lit(S), col("_l"), lit(S + S), col("_r"), lit(S)))
+        .withColumn("repl", concat(lit(S), col("_l"), col("_r"), lit(S)))
+        .withColumn("w", expr("replace(w, srch, repl)"))
+        .select("w", "freq")
+        .localCheckpoint()
+      win.select(lit(r).as("merge_round"), col("lhs"), col("rhs"), col("freq"))
+    }
+    rows.reduce(_ unionAll _)
+  }
+
+  /** qt25: distributed BPE tokenizer TRAINING (Sennrich et al. 2016,
+    * arXiv:1508.07909 — the byte-pair-encoding merge-mining loop behind
+    * GPT/Llama vocabularies; public): `rounds` merge rules mined from
+    * the corpus, each = the globally most frequent adjacent symbol
+    * pair (ties broken lexicographically — deterministic), applied
+    * greedily left-to-right before the next count, weighted by word
+    * frequency with word boundaries never crossed (the standard
+    * word-level formulation).
+    *
+    * Scale shape: the ONLY corpus-scale operation is the word-frequency
+    * count — one map-side-combinable hash shuffle keyed by token (the
+    * qd19 discipline: a 10⁹-occurrence word reaches the reduce side as
+    * one row per map partition). Every merge round then runs on the
+    * VOCABULARY-scale word table — |distinct words| ≪ corpus size and
+    * essentially flat in corpus growth — so 100 TB costs the same
+    * per-round work as 100 GB plus the one counting pass. The winner
+    * row broadcasts into the merge application; nothing is all-pairs,
+    * nothing collects to the driver.
+    */
+  def bpeMerges(spark: SparkSession, sfDir: String, rounds: Int = 4): DataFrame =
+    bpeMergesFrom(
+      tokens(spark, sfDir).groupBy("tok").agg(count(lit(1)).as("freq")), rounds)
 }

@@ -1347,6 +1347,50 @@ class TextSpec extends SparkSuite {
     m.unpersist()
   }
 
+  test("qt25 planted corpus reproduces the hand-computed BPE merges") {
+    import spark.implicits._
+    // "aaab"x3, "ab"x2. Round 1: (a,a)=6 beats (a,b)=5 -> merge.
+    // Round 2: words [aa,a,b]x3, [a,b]x2 -> (a,b)=5 beats (aa,a)=3.
+    // Round 3: [aa,ab]x3, [ab]x2 -> (aa,ab)=3.
+    // Round 4: single-symbol words only -> no pairs, no row.
+    val wf = Seq(("aaab", 3L), ("ab", 2L)).toDF("tok", "freq")
+    val got = TextOps.bpeMergesFrom(wf, rounds = 4).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    assert(got === Set((1, "a", "a", 6L), (2, "a", "b", 5L), (3, "aa", "ab", 3L)))
+  }
+
+  test("qt25 ties break lexicographically and overlaps merge greedily") {
+    import spark.implicits._
+    // (x,y) and (a,b) both freq 2 -> (a,b) wins round 1
+    val tie = Seq(("xy", 2L), ("ab", 2L)).toDF("tok", "freq")
+    val w1 = TextOps.bpeMergesFrom(tie, rounds = 1).collect().head
+    assert((w1.getString(1), w1.getString(2)) === (("a", "b")))
+    // "aaaa" under (a,a): greedy left-to-right gives [aa, aa], so round 2
+    // sees (aa,aa)=1 — NOT (a,a) again and NOT a triple-merge artifact
+    val ovl = Seq(("aaaa", 1L)).toDF("tok", "freq")
+    val m = TextOps.bpeMergesFrom(ovl, rounds = 2).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    assert(m === Set((1, "a", "a", 3L), (2, "aa", "aa", 1L)))
+  }
+
+  test("qt25 winner frequency is non-increasing across rounds at sf0.001") {
+    val m = TextOps.bpeMerges(spark, Sf001).orderBy("merge_round").collect()
+    assert(m.nonEmpty)
+    val freqs = m.map(_.getAs[Long]("freq"))
+    assert(freqs.zip(freqs.tail).forall { case (a, b) => a >= b },
+      s"max pair frequency can only fall as merges consume occurrences: ${freqs.toSeq}")
+    // merged symbols chain: every round-r side is a char run or a
+    // previously produced merge
+    val produced = scala.collection.mutable.Set[String]()
+    m.foreach { r =>
+      Seq(r.getAs[String]("lhs"), r.getAs[String]("rhs")).foreach { s =>
+        assert(s.length == 1 || produced.contains(s),
+          s"symbol '$s' in round ${r.getInt(0)} is neither a char nor a prior merge")
+      }
+      produced += r.getAs[String]("lhs") + r.getAs[String]("rhs")
+    }
+  }
+
   test("qd19 planted repeated sentence yields the exact global span") {
     import spark.implicits._
     // doc 1: shingles at i=0..7, of which i=2,3,4 repeat in doc 2 at
