@@ -906,9 +906,13 @@ object TextOps {
     * Each round localCheckpoints the (vocabulary-scale) word table:
     * the round's winner is derived FROM words and substituted INTO
     * words, so without a cut the plan would double per round.
+    * `checkpoint = false` keeps the whole lineage in one inspectable
+    * plan — PlanSpec's window into the shapes the checkpoints hide.
     */
-  private[graft] def bpeMergesFrom(wordFreq: DataFrame, rounds: Int): DataFrame = {
+  private[graft] def bpeMergesFrom(wordFreq: DataFrame, rounds: Int,
+                                   checkpoint: Boolean = true): DataFrame = {
     require(rounds >= 1 && rounds <= 10, s"need 1 <= rounds <= 10, got $rounds")
+    def cut(df: DataFrame): DataFrame = if (checkpoint) df.localCheckpoint() else df
     val S = "\u0001"
     var words = wordFreq.select(
       concat(lit(S), array_join(split(col("tok"), ""), S + S), lit(S)).as("w"),
@@ -927,15 +931,14 @@ object TextOps {
         .agg(sum("freq").as("freq"))
         .orderBy(col("freq").desc, col("lhs"), col("rhs"))
         .limit(1)
-        .localCheckpoint() // 1 row; read twice (merge apply + report)
-      words = words
-        .crossJoin(broadcast(win.select(col("lhs").as("_l"), col("rhs").as("_r"))))
+      val winC = cut(win) // 1 row; read twice (merge apply + report)
+      words = cut(words
+        .crossJoin(broadcast(winC.select(col("lhs").as("_l"), col("rhs").as("_r"))))
         .withColumn("srch", concat(lit(S), col("_l"), lit(S + S), col("_r"), lit(S)))
         .withColumn("repl", concat(lit(S), col("_l"), col("_r"), lit(S)))
         .withColumn("w", expr("replace(w, srch, repl)"))
-        .select("w", "freq")
-        .localCheckpoint()
-      win.select(lit(r).as("merge_round"), col("lhs"), col("rhs"), col("freq"))
+        .select("w", "freq"))
+      winC.select(lit(r).as("merge_round"), col("lhs"), col("rhs"), col("freq"))
     }
     rows.reduce(_ unionAll _)
   }
@@ -960,6 +963,11 @@ object TextOps {
     * nothing collects to the driver.
     */
   def bpeMerges(spark: SparkSession, sfDir: String, rounds: Int = 4): DataFrame =
-    bpeMergesFrom(
-      tokens(spark, sfDir).groupBy("tok").agg(count(lit(1)).as("freq")), rounds)
+    bpeMergesFrom(bpeWordFreq(spark, sfDir), rounds)
+
+  /** The one corpus-scale stage of qt25, split out so PlanSpec can gate
+    * its shape composed with un-checkpointed merge rounds.
+    */
+  private[graft] def bpeWordFreq(spark: SparkSession, sfDir: String): DataFrame =
+    tokens(spark, sfDir).groupBy("tok").agg(count(lit(1)).as("freq"))
 }

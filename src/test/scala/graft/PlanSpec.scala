@@ -414,4 +414,42 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"),
       s"unexpected cartesian in:\n${p.take(900)}")
   }
+
+  test("qd19 global dup spans: one occurrence-count shuffle with partial agg, no sort-merge") {
+    val p = plan(graft.text.Dedup.globalDupSpans(spark, Sf01))
+    // the occ >= 2 count must partial-aggregate map-side — a hot
+    // shingle repeated 10^6 times reaches the reduce side as one row
+    // per map partition, which is what makes this viable at 100 TB
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      s"occurrence count lost its map-side combine:\n${p.take(900)}")
+    // the join back is co-partitioned on h (both sides hash by it):
+    // shuffle-hash or broadcast, never a third full sort pass of the
+    // row-scale shingle stream just to merge-join
+    assert(!p.contains("CartesianProduct"), p.take(900))
+  }
+
+  test("qv19 rank metrics: eval-sized gold broadcasts into the system ranking") {
+    val p = plan(graft.vector.Similarity.rankMetrics(spark, Sf01))
+    assert(p.contains("BroadcastHashJoin"),
+      s"|queries|*k gold rows must broadcast, not shuffle the ranking:\n${p.take(900)}")
+    assert(!p.contains("CartesianProduct"), p.take(900))
+  }
+
+  test("qt25 BPE: the corpus-scale word count partial-aggregates; rounds are vocab-scale") {
+    // checkpoint=false keeps the full 2-round lineage in ONE plan (the
+    // production checkpoints hide it behind an ExistingRDD scan): the
+    // round-2 winner subtree then contains round 1's rewrite join
+    val df = graft.text.TextOps.bpeMergesFrom(
+      graft.text.TextOps.bpeWordFreq(spark, Sf01), rounds = 2, checkpoint = false)
+    val p = plan(df)
+    // the ONLY corpus-scale op is the word-frequency hash agg — it must
+    // map-side combine (one row per hot word per map partition)
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      s"word count lost its map-side combine:\n${p.take(900)}")
+    // the winner row enters the merge rewrite as a broadcast, and the
+    // word table never cartesians against anything row-scale
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"winner must broadcast into the rewrite:\n${p.take(900)}")
+    assert(!p.contains("CartesianProduct"), p.take(900))
+  }
 }
