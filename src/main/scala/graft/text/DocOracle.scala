@@ -1533,12 +1533,18 @@ FROM x"""
     * discipline), word tables MATERIALIZED because each is read by both
     * its round's pair count and the next round's rewrite.
     */
-  def qt25(rounds: Int = 4): String = {
+  /** The shared BPE training chain (tok carried through every rewrite
+    * so the encoder can read the final segmentation): defines
+    * bn1..bn{rounds} (round winners) and, when `withFinalWords`,
+    * bw{rounds+1} (the word table after the LAST merge — qt26's
+    * vocabulary).
+    */
+  private def bpeCte(rounds: Int, withFinalWords: Boolean): String = {
     val S = "chr(1)"
     val cte = new StringBuilder(toksCte + s"""
 , wf25 AS (SELECT tok, count(*) AS freq FROM toks GROUP BY tok),
 bw1 AS MATERIALIZED (
-  SELECT $S || array_to_string(string_split(tok, ''), $S || $S) || $S AS w, freq
+  SELECT tok, $S || array_to_string(string_split(tok, ''), $S || $S) || $S AS w, freq
   FROM wf25)""")
     for (r <- 1 to rounds) {
       cte.append(s""",
@@ -1551,15 +1557,36 @@ bp$r AS (
   GROUP BY 1, 2),
 bn$r AS MATERIALIZED (
   SELECT lhs, rhs, freq FROM bp$r ORDER BY freq DESC, lhs, rhs LIMIT 1)""")
-      if (r < rounds) cte.append(s""",
+      if (r < rounds || withFinalWords) cte.append(s""",
 bw${r + 1} AS MATERIALIZED (
-  SELECT replace(w.w, $S || n.lhs || $S || $S || n.rhs || $S,
-                 $S || n.lhs || n.rhs || $S) AS w, w.freq
-  FROM bw$r w, bn$r n)""")
+  SELECT w.tok,
+         CASE WHEN n.lhs IS NULL THEN w.w
+              ELSE replace(w.w, $S || n.lhs || $S || $S || n.rhs || $S,
+                           $S || n.lhs || n.rhs || $S) END AS w, w.freq
+  FROM bw$r w LEFT JOIN bn$r n ON TRUE)""")
     }
-    cte.toString + "\n" + (1 to rounds)
+    cte.toString
+  }
+
+  def qt25(rounds: Int = 4): String =
+    bpeCte(rounds, withFinalWords = false) + "\n" + (1 to rounds)
       .map(r => s"SELECT $r AS merge_round, lhs, rhs, freq FROM bn$r")
       .mkString("\nUNION ALL\n")
+
+  /** qt26 — mirrors TextOps.bpeEncode: per-word subword count off the
+    * final segmented vocabulary, one tok-keyed join back to the token
+    * stream, per-doc integer sums, one double division of exact int64s.
+    */
+  def qt26(rounds: Int = 4): String = {
+    val S = "chr(1)"
+    bpeCte(rounds, withFinalWords = true) + s""",
+nsub AS (
+  SELECT tok, CAST(len(string_split(substr(w, 2, length(w) - 2), $S || $S)) AS BIGINT) AS n_sub
+  FROM bw${rounds + 1})
+SELECT t.doc_id, count(*) AS n_tok, CAST(sum(n.n_sub) AS BIGINT) AS n_subword,
+       ${r4("CAST(sum(n.n_sub) AS DOUBLE) / CAST(sum(length(t.tok)) AS DOUBLE)")} AS subword_per_char
+FROM toks t JOIN nsub n ON n.tok = t.tok
+GROUP BY t.doc_id"""
   }
 
   /** qv18 — mirrors Similarity.hybridSearch: qt7's quantized TF-IDF

@@ -910,11 +910,20 @@ object TextOps {
     * plan — PlanSpec's window into the shapes the checkpoints hide.
     */
   private[graft] def bpeMergesFrom(wordFreq: DataFrame, rounds: Int,
-                                   checkpoint: Boolean = true): DataFrame = {
+                                   checkpoint: Boolean = true): DataFrame =
+    bpeTrain(wordFreq, rounds, checkpoint)._1.reduce(_ unionAll _)
+
+  /** The full training result: per-round winner frames AND the final
+    * segmented word table (tok, w, freq) — qt25 reports the former,
+    * qt26's encoder reads the latter (every training word's final
+    * symbol segmentation, still vocabulary-scale).
+    */
+  private[graft] def bpeTrain(wordFreq: DataFrame, rounds: Int,
+                              checkpoint: Boolean = true): (Seq[DataFrame], DataFrame) = {
     require(rounds >= 1 && rounds <= 10, s"need 1 <= rounds <= 10, got $rounds")
     def cut(df: DataFrame): DataFrame = if (checkpoint) df.localCheckpoint() else df
     val S = "\u0001"
-    var words = wordFreq.select(
+    var words = wordFreq.select(col("tok"),
       concat(lit(S), array_join(split(col("tok"), ""), S + S), lit(S)).as("w"),
       col("freq").cast("long").as("freq"))
     val rows = (1 to rounds).map { r =>
@@ -932,15 +941,21 @@ object TextOps {
         .orderBy(col("freq").desc, col("lhs"), col("rhs"))
         .limit(1)
       val winC = cut(win) // 1 row; read twice (merge apply + report)
+      // LEFT join on true, not crossJoin: a round with no pairs left
+      // (tiny corpus fully merged) yields an EMPTY winner, and a cross
+      // join would silently erase the word table the encoder reads —
+      // the rewrite must be a no-op instead
       words = cut(words
-        .crossJoin(broadcast(winC.select(col("lhs").as("_l"), col("rhs").as("_r"))))
+        .join(broadcast(winC.select(col("lhs").as("_l"), col("rhs").as("_r"))),
+          lit(true), "left")
         .withColumn("srch", concat(lit(S), col("_l"), lit(S + S), col("_r"), lit(S)))
         .withColumn("repl", concat(lit(S), col("_l"), col("_r"), lit(S)))
-        .withColumn("w", expr("replace(w, srch, repl)"))
-        .select("w", "freq"))
+        .withColumn("w", when(col("_l").isNull, col("w"))
+          .otherwise(expr("replace(w, srch, repl)")))
+        .select("tok", "w", "freq"))
       winC.select(lit(r).as("merge_round"), col("lhs"), col("rhs"), col("freq"))
     }
-    rows.reduce(_ unionAll _)
+    (rows, words)
   }
 
   /** qt25: distributed BPE tokenizer TRAINING (Sennrich et al. 2016,
@@ -970,4 +985,35 @@ object TextOps {
     */
   private[graft] def bpeWordFreq(spark: SparkSession, sfDir: String): DataFrame =
     tokens(spark, sfDir).groupBy("tok").agg(count(lit(1)).as("freq"))
+
+  /** qt26: BPE ENCODING of the corpus with qt25's learned merges — the
+    * apply side of the tokenizer lifecycle (train qt25 → encode qt26 →
+    * pack qt11 / chunk qt24): per document, whitespace-token count,
+    * total subword count after all merges, and subwords-per-character
+    * (the compression a vocabulary actually buys, the number a
+    * tokenizer evaluation reports).
+    *
+    * Scale shape: the encoder does NOT re-segment every token
+    * occurrence — training already produced the final segmentation of
+    * every DISTINCT word (the vocabulary-scale (tok, w) table), so
+    * encoding is one tok-keyed equi-join of the token stream against
+    * that table plus a per-doc partial agg. The join key is the
+    * hash-partitioned token — no broadcast of the unbounded vocabulary,
+    * no per-row merge replay. Every training-corpus word is in the
+    * table by construction, so the inner join is lossless here; an
+    * out-of-corpus encoder would apply the k merge rules in-row
+    * instead (the streaming-twin shape).
+    */
+  def bpeEncode(spark: SparkSession, sfDir: String, rounds: Int = 4): DataFrame = {
+    val (_, vocab) = bpeTrain(bpeWordFreq(spark, sfDir), rounds)
+    val nsub = vocab.select(col("tok"),
+      size(split(expr("substring(w, 2, length(w) - 2)"), "\u0001\u0001"))
+        .cast("long").as("n_sub"))
+    tokens(spark, sfDir).join(nsub, "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"), sum("n_sub").as("n_subword"),
+        sum(length(col("tok"))).as("n_char"))
+      .select(col("doc_id"), col("n_tok"), col("n_subword"),
+        Num.r4(col("n_subword") / col("n_char")).as("subword_per_char"))
+  }
 }

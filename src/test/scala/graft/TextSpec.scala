@@ -1391,6 +1391,43 @@ class TextSpec extends SparkSuite {
     }
   }
 
+  test("qt26 encode: planted corpus subword counts match the merge algebra") {
+    import spark.implicits._
+    // same corpus as the qt25 spec; after 3 effective merges the final
+    // segmentations are "aaab" -> [aaab] (1 symbol), "ab" -> [ab] (1)
+    val wf = Seq(("aaab", 3L), ("ab", 2L)).toDF("tok", "freq")
+    val (_, vocab) = TextOps.bpeTrain(wf, rounds = 4)
+    val segs = vocab.collect().map { r =>
+      val w = r.getAs[String]("w")
+      r.getAs[String]("tok") -> w.substring(1, w.length - 1).split("\u0001\u0001").length
+    }.toMap
+    assert(segs === Map("aaab" -> 1, "ab" -> 1))
+    // one round only: "aaab" -> [aa,a,b] (3), "ab" -> [a,b] (2)
+    val seg1 = TextOps.bpeTrain(wf, rounds = 1)._2.collect().map { r =>
+      val w = r.getAs[String]("w")
+      r.getAs[String]("tok") -> w.substring(1, w.length - 1).split("\u0001\u0001").length
+    }.toMap
+    assert(seg1 === Map("aaab" -> 3, "ab" -> 2))
+  }
+
+  test("qt26 encode invariants at sf0.001: bounds, coverage, compression") {
+    val enc = TextOps.bpeEncode(spark, Sf001).cache()
+    val toks = TextOps.tokenCount(spark, Sf001).select(col("doc_id"), col("n_ws"))
+    // every doc with tokens is encoded, token counts agree with qt1
+    val j = enc.join(toks, "doc_id")
+    assert(j.filter(col("n_tok") =!= col("n_ws")).count() === 0,
+      "encoder must see every whitespace token exactly once")
+    assert(enc.count() === toks.filter(col("n_ws") > 0).count())
+    // 1 <= subwords-per-word; subwords never exceed characters
+    assert(enc.filter(col("n_subword") < col("n_tok")).count() === 0)
+    assert(enc.filter(col("subword_per_char") > 1.0 || col("subword_per_char") <= 0.0)
+      .count() === 0)
+    // merges actually compress: corpus-wide subwords < corpus-wide chars
+    val agg = enc.agg(sum("n_subword"), sum("n_tok")).collect().head
+    assert(agg.getLong(0) > 0 && agg.getLong(1) > 0)
+    enc.unpersist()
+  }
+
   test("qd19 planted repeated sentence yields the exact global span") {
     import spark.implicits._
     // doc 1: shingles at i=0..7, of which i=2,3,4 repeat in doc 2 at
