@@ -577,6 +577,43 @@ object ScoreStream {
                   stride: Int = 48): DataFrame =
     graft.text.TextOps.chunkFrom(docs, chunkTok, stride, carry = Seq("ts"))
 
+  /** Streaming twin of batch qt26 — BPE-ENCODE documents in flight with
+    * a persisted merge table (ModelStore.saveBpe). Where the batch
+    * encoder joins tokens against the trained vocabulary's final
+    * segmentations, the stream REPLAYS the ≤ rounds merge rules in-row
+    * (the rule list is the bounded artifact — collected once at stream
+    * build, compiled into a nested-replace expression): stateless
+    * per-row map work, no watermark, no state, no shuffle, and it
+    * encodes OUT-OF-VOCABULARY words the batch join never saw — the
+    * generalization a serving tokenizer must have. For training-corpus
+    * words the two paths are the SAME sequential merge process, so
+    * outputs are exactly equal (StreamingSpec asserts it).
+    */
+  def bpeEncodeStream(spark: SparkSession, modelPath: String,
+                      docs: DataFrame): DataFrame = {
+    val rules = graft.timeseries.ModelStore.bpeMergeRules(spark, modelPath)
+      .orderBy("merge_round").select("lhs", "rhs").collect()
+    def q(s: String) = s.replace("'", "''")
+    // symbol count of the ␁-wrapped encoding: split on the ␁␁ boundary
+    // WITHOUT trimming — "␁a␁␁b␁" → ["␁a","b␁"], size = symbol count
+    val wrapped = "concat(chr(1), array_join(split(t, ''), chr(1) || chr(1)), chr(1))"
+    val enc = rules.foldLeft(wrapped) { (acc, m) =>
+      val l = q(m.getString(0)); val r = q(m.getString(1))
+      s"replace($acc, chr(1) || '$l' || chr(1) || chr(1) || '$r' || chr(1)," +
+        s" chr(1) || '$l$r' || chr(1))"
+    }
+    docs
+      .withColumn("toks", filter(split(col("text"), " "), t => t =!= ""))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), col("ts"), size(col("toks")).cast("long").as("n_tok"),
+        expr(s"aggregate(transform(toks, t -> size(split($enc, chr(1) || chr(1)))), " +
+          "CAST(0 AS BIGINT), (a, x) -> a + CAST(x AS BIGINT))").as("n_subword"),
+        expr("aggregate(transform(toks, t -> length(t)), " +
+          "CAST(0 AS BIGINT), (a, x) -> a + CAST(x AS BIGINT))").as("n_char"))
+      .select(col("doc_id"), col("ts"), col("n_tok"), col("n_subword"),
+        graft.util.Num.r4(col("n_subword") / col("n_char")).as("subword_per_char"))
+  }
+
   /** Streaming twin of the BATCH detection scorer, wired to a
     * ModelStore artifact: patch-feature rows stream in (series, win,
     * pos, f0..f8 + event-time ts), each patch is scored against the

@@ -165,6 +165,18 @@ object ModelStore {
   def bm25Postings(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/bm25postings")
 
+  /** BPE tokenizer persistence — qt25's ordered merge table (the
+    * artifact a tokenizer IS: ≤ rounds rows). bpeEncodeStream replays
+    * these rules in-row over incoming documents.
+    */
+  def saveBpe(spark: SparkSession, sfDir: String, path: String,
+              rounds: Int = 4): Unit =
+    graft.text.TextOps.bpeMerges(spark, sfDir, rounds)
+      .write.mode("overwrite").parquet(s"$path/bpe_merges")
+
+  def bpeMergeRules(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/bpe_merges")
+
   def saveSq8Index(spark: SparkSession, sfDir: String, path: String): Unit = {
     val (params, codes) = graft.vector.Similarity.sq8IndexFrames(spark, sfDir)
     params.write.mode("overwrite").parquet(s"$path/sq8params")

@@ -922,6 +922,37 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming BPE encoder over a saved merge table matches batch qt26") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.timeseries.ModelStore
+    val path = java.nio.file.Files.createTempDirectory("graft-bpe").toString
+    ModelStore.saveBpe(spark, Sf001, path)
+    val want = graft.text.TextOps.bpeEncode(spark, Sf001).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_tok"),
+        r.getAs[Long]("n_subword"), r.getAs[Double]("subword_per_char"))).toMap
+    assert(want.nonEmpty)
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val docs = spark.read.parquet(s"$Sf001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => Doc(t0, r.getLong(0), r.getString(1)))
+    val mem = MemoryStream[Doc]
+    val q = ScoreStream.bpeEncodeStream(spark, path, mem.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("bpenc").start()
+    try {
+      val (h1, h2) = docs.splitAt(docs.length / 2)
+      mem.addData(h1.toSeq); q.processAllAvailable()
+      mem.addData(h2.toSeq); q.processAllAvailable()
+      val got = spark.table("bpenc").collect()
+        .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("n_tok"),
+          r.getAs[Long]("n_subword"), r.getAs[Double]("subword_per_char"))).toMap
+      // replaying the ordered rules in-row IS the sequential merge
+      // process the vocabulary segmentation came from → exact equality
+      assert(got.size === want.size)
+      assert(got === want)
+    } finally q.stop()
+  }
+
   case class QT(ts: Timestamp, qid: Long, terms: Array[String])
 
   test("streaming BM25 scorer over a saved index matches batch qv18 lexical sums") {
