@@ -163,6 +163,7 @@ object SparkEntry {
     "qt11_pack_shards" -> ((s, d) => graft.text.TextOps.packShards(s, d)),
     "qe6_transitions" -> ((s, d) => graft.analytics.Events.transitions(s, d)),
     "qe16_next_event" -> ((s, d) => graft.analytics.Events.nextEventEval(s, d)),
+    "qe17_cuped" -> ((s, d) => graft.analytics.Events.cuped(s, d)),
     "q45_cusum" -> ((s, d) => graft.timeseries.Intervals.cusum(s, d)),
     "q46_episodes" -> ((s, d) => graft.timeseries.Intervals.episodes(s, d)),
     "q47_median_filter" -> ((s, d) => graft.timeseries.Intervals.medianFilter(s, d)),
@@ -686,6 +687,45 @@ object SparkEntry {
       FROM st s CROSS JOIN rng LEFT JOIN model m USING (src)
       WHERE s.dtsec >= rng.tcut
       GROUP BY s.src, m.pred_dst""",
+    "qe17_cuped" -> """
+      WITH ev AS (
+        SELECT user_id, event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) AS tsec, value FROM events
+      ), b AS (
+        SELECT CAST(floor((min(tsec) + max(tsec)) / 2.0) AS BIGINT) AS tmid FROM ev
+      ), u AS (
+        SELECT event_type, user_id, user_id % 2 AS arm,
+          sum(CASE WHEN tsec < b.tmid THEN CAST(floor(value*10000 + 0.5) AS BIGINT) ELSE 0 END) AS xq,
+          sum(CASE WHEN tsec >= b.tmid THEN CAST(floor(value*10000 + 0.5) AS BIGINT) ELSE 0 END) AS yq
+        FROM ev, b GROUP BY event_type, user_id
+      ), m AS (
+        SELECT event_type, count(*) AS n,
+               sum(xq) / 10000.0 / count(*) AS mx,
+               sum(yq) / 10000.0 / count(*) AS my
+        FROM u GROUP BY event_type
+      ), s AS (
+        SELECT u.event_type, max(m.n) AS n,
+          sum(CAST(floor((u.xq/10000.0 - m.mx)*(u.xq/10000.0 - m.mx)*10000 + 0.5) AS BIGINT)) AS sxx,
+          sum(CAST(floor((u.xq/10000.0 - m.mx)*(u.yq/10000.0 - m.my)*10000 + 0.5) AS BIGINT)) AS sxy,
+          sum(CAST(floor((u.yq/10000.0 - m.my)*(u.yq/10000.0 - m.my)*10000 + 0.5) AS BIGINT)) AS syy,
+          sum(CASE WHEN u.arm = 1 THEN 1 ELSE 0 END) AS n1,
+          sum(CASE WHEN u.arm = 0 THEN u.xq ELSE 0 END) AS x0q,
+          sum(CASE WHEN u.arm = 1 THEN u.xq ELSE 0 END) AS x1q,
+          sum(CASE WHEN u.arm = 0 THEN u.yq ELSE 0 END) AS y0q,
+          sum(CASE WHEN u.arm = 1 THEN u.yq ELSE 0 END) AS y1q
+        FROM u JOIN m USING (event_type) GROUP BY u.event_type
+      )
+      SELECT event_type, CAST(n AS BIGINT) AS n, CAST(n1 AS BIGINT) AS n1,
+        floor((y1q/10000.0/n1 - y0q/10000.0/(n - n1))*10000 + 0.5)/10000 AS effect_raw,
+        floor(((y1q/10000.0/n1 - y0q/10000.0/(n - n1)) -
+               (CASE WHEN sxx > 0 THEN sxy / CAST(sxx AS DOUBLE) END) *
+               (x1q/10000.0/n1 - x0q/10000.0/(n - n1)))*10000 + 0.5)/10000 AS effect_cuped,
+        floor((CASE WHEN sxx > 0 THEN sxy / CAST(sxx AS DOUBLE) END)*10000 + 0.5)/10000 AS theta,
+        CASE WHEN sxx > 0 AND syy > 0 THEN
+          floor((CAST(sxy AS DOUBLE) * CAST(sxy AS DOUBLE) /
+                 (CAST(sxx AS DOUBLE) * CAST(syy AS DOUBLE)))*10000 + 0.5)/10000
+        END AS var_reduction
+      FROM s WHERE n1 > 0 AND n - n1 > 0""",
     "qa14_incremental_agg" -> """
       SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
              sum(CAST(floor((l_quantity)*10000 + 0.5) AS BIGINT)) / 10000.0 AS sum_qty,

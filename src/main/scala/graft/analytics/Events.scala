@@ -801,4 +801,88 @@ object Events {
         bucket(col("mon_q4"), mb).as("m_score"))
       .withColumn("rfm", col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
   }
+
+  /** qe17: A/B experiment readout with CUPED variance reduction (Deng,
+    * Xu, Kohavi & Walker, WSDM 2013 "Improving the Sensitivity of
+    * Online Controlled Experiments" — the industry-standard
+    * pre-experiment-covariate adjustment; public). Arms are the
+    * deterministic user_id % 2 split; the experiment window is the back
+    * half of the event time range, the covariate each user's
+    * SAME-metric activity in the front half. Per event_type: user
+    * counts per arm, raw difference-in-means, θ = cov(x,y)/var(x), the
+    * CUPED-adjusted effect (ȳ₁−ȳ₀) − θ(x̄₁−x̄₀), and the variance
+    * reduction (= pre/post correlation², the fraction of metric
+    * variance the covariate removes).
+    *
+    * Numeric discipline = qp8's correlation machinery: per-event values
+    * quantize to q4 int64 inside the per-user conditional sums (exact,
+    * order-free); the pooled means are one double division of exact
+    * ints, broadcast back; centered products re-quantize to q4 int64
+    * before summing, so every cross-user reduction is exact integer
+    * arithmetic and the few final divisions run on identical doubles in
+    * both engines. Per-user centered magnitudes ~1e4 natural → q4
+    * products ≤ ~1e12, int64 headroom past sf100.
+    *
+    * Plan shape: ONE (event_type, user) shuffle with map-side partials
+    * builds the per-user frame (session-cached — read by the means pass
+    * and the centered pass); both downstream aggs reduce to |types|
+    * rows with partial agg (5 hot keys never materialize per-key
+    * partitions: partials collapse map-side). The time midpoint is a
+    * 1-row broadcast. Nothing user-scale crosses the driver.
+    */
+  def cuped(spark: SparkSession, sfDir: String): DataFrame =
+    cupedFrom(epochSec(spark, sfDir),
+      df => graft.util.StageCache.cached(spark, sfDir, "cupedUsers")(df))
+
+  /** The qe17 core over any (user_id, event_type, tsec, value) frame —
+    * separated so the spec can plant a perfect covariate (y ≡ x ⇒
+    * θ = 1, variance reduction = 1, CUPED effect exactly 0). `cache`
+    * wraps the twice-read per-user frame (production: StageCache).
+    */
+  private[graft] def cupedFrom(ev: DataFrame,
+                               cache: DataFrame => DataFrame = identity): DataFrame = {
+    import graft.util.Num
+    val bounds = ev.agg(
+      floor((min("tsec") + max("tsec")) / 2.0).cast("long").as("tmid"))
+    def q4(c: Column): Column = floor(c * 10000d + 0.5d).cast("long")
+    val usr = cache(
+      ev.crossJoin(broadcast(bounds))
+        .groupBy("event_type", "user_id")
+        .agg(
+          sum(when(col("tsec") < col("tmid"), q4(col("value"))).otherwise(0L)).as("xq"),
+          sum(when(col("tsec") >= col("tmid"), q4(col("value"))).otherwise(0L)).as("yq"))
+        .withColumn("arm", (col("user_id") % 2).cast("int")))
+    val m = usr.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      (sum("xq") / 10000.0 / count(lit(1))).as("mx"),
+      (sum("yq") / 10000.0 / count(lit(1))).as("my"))
+    val ctrX = col("xq") / 10000d - col("mx")
+    val ctrY = col("yq") / 10000d - col("my")
+    val s = usr.join(broadcast(m), "event_type")
+      .groupBy("event_type")
+      .agg(max("n").as("n"),
+        sum(q4(ctrX * ctrX)).as("sxx"), sum(q4(ctrX * ctrY)).as("sxy"),
+        sum(q4(ctrY * ctrY)).as("syy"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("arm") === 0, col("xq")).otherwise(0L)).as("x0q"),
+        sum(when(col("arm") === 1, col("xq")).otherwise(0L)).as("x1q"),
+        sum(when(col("arm") === 0, col("yq")).otherwise(0L)).as("y0q"),
+        sum(when(col("arm") === 1, col("yq")).otherwise(0L)).as("y1q"))
+    val n0 = col("n") - col("n1")
+    val theta = when(col("sxx") > 0, col("sxy") / col("sxx").cast("double"))
+    val dy = col("y1q") / 10000d / col("n1") - col("y0q") / 10000d / n0
+    val dx = col("x1q") / 10000d / col("n1") - col("x0q") / 10000d / n0
+    s.filter(col("n1") > 0 && n0 > 0)
+      .select(col("event_type"), col("n"), col("n1"),
+        Num.r4(dy).as("effect_raw"),
+        Num.r4(dy - theta * dx).as("effect_cuped"),
+        Num.r4(theta).as("theta"),
+        // each int64 casts to double BEFORE multiplying: sxy² in long
+        // arithmetic overflows past ~3e9 (the ints are exact ≤ 2^53, so
+        // the double products are identical in both engines)
+        when(col("sxx") > 0 && col("syy") > 0,
+          Num.r4(col("sxy").cast("double") * col("sxy").cast("double") /
+            (col("sxx").cast("double") * col("syy").cast("double"))))
+          .as("var_reduction"))
+  }
 }

@@ -502,4 +502,38 @@ class EventsSpec extends SparkSuite {
     for ((a, b) <- pairs) assert(label(a) === label(b), s"pair ($a,$b) split")
     c.unpersist()
   }
+
+  test("qe17 CUPED: a perfect covariate gives theta 1, zero adjusted effect") {
+    import spark.implicits._
+    // users 0..9, one "m" event pre (tsec=u) and one post (tsec=1000+u),
+    // BOTH valued 10+u: y == x per user, so theta = 1, variance
+    // reduction = 1, and the CUPED effect cancels exactly while the raw
+    // difference-in-means is 1.0 (odd arm mean 15, even arm mean 14)
+    val ev = (0 until 10).flatMap { u =>
+      Seq((u.toLong, "m", u.toLong, 10.0 + u), (u.toLong, "m", 1000L + u, 10.0 + u))
+    }.toDF("user_id", "event_type", "tsec", "value")
+    val r = Events.cupedFrom(ev).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getAs[Long]("n") === 10L && row.getAs[Long]("n1") === 5L)
+    assert(row.getAs[Double]("effect_raw") === 1.0)
+    assert(row.getAs[Double]("theta") === 1.0)
+    assert(row.getAs[Double]("effect_cuped") === 0.0)
+    assert(row.getAs[Double]("var_reduction") === 1.0)
+  }
+
+  test("qe17 CUPED invariants at sf0.001") {
+    val r = Events.cuped(spark, Sf001).cache()
+    assert(r.count() > 0)
+    // arms partition the users; variance reduction is a squared
+    // correlation — bounded by 1 up to the per-term quantization
+    assert(r.filter(col("n1") <= 0 || col("n1") >= col("n")).count() === 0)
+    assert(r.filter(col("var_reduction") < 0 ||
+      col("var_reduction") > 1.001).count() === 0)
+    // CUPED only recenters: with theta from the pooled regression the
+    // adjusted effect must be finite wherever the raw one is
+    assert(r.filter(col("effect_raw").isNotNull &&
+      col("theta").isNotNull && col("effect_cuped").isNull).count() === 0)
+    r.unpersist()
+  }
 }
