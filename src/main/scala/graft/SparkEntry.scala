@@ -109,6 +109,7 @@ object SparkEntry {
     "qv17_probe_sweep" -> ((s, d) => graft.vector.Similarity.probeSweep(s, d)),
     "qv18_hybrid_search" -> ((s, d) => graft.vector.Similarity.hybridSearch(s, d)),
     "qv19_rank_metrics" -> ((s, d) => graft.vector.Similarity.rankMetrics(s, d)),
+    "qv20_dim_sweep" -> ((s, d) => graft.vector.Similarity.dimSweep(s, d)),
     "qt8_langid_eval" -> ((s, d) => graft.text.TextOps.langIdEval(s, d)),
     "qd8_minhash_est" -> ((s, d) => graft.text.Dedup.minhashEstimate(s, d)),
     "qd9_incremental_dedup" -> ((s, d) => graft.text.Dedup.incrementalDedup(s, d)),
@@ -276,6 +277,7 @@ object SparkEntry {
     "qv17_probe_sweep" -> graft.text.DocOracle.qv17(),
     "qv18_hybrid_search" -> graft.text.DocOracle.qv18(),
     "qv19_rank_metrics" -> graft.text.DocOracle.qv19(),
+    "qv20_dim_sweep" -> graft.text.DocOracle.qv20(),
     "qt1_token_count" -> graft.text.DocOracle.qt1,
     "qt2_quality_score" -> graft.text.DocOracle.qt2,
     "qt3_lang_id" -> graft.text.DocOracle.qt3,

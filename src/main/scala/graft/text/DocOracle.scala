@@ -1525,6 +1525,44 @@ SELECT doc_id, chunk_id, chunk_id * $stride AS start_tok,
        md5(array_to_string(list_slice(toks, chunk_id * $stride + 1, chunk_id * $stride + $chunkTok), ' ')) AS chunk_md5
 FROM x"""
 
+  /** qv20 — mirrors Similarity.dimSweep: same prefix-slice cosines
+    * (list slices + list_dot_product on identical doubles), same
+    * (cos DESC, vec_id) rank order, gold = qv1's exact full-dim chain;
+    * pairs materialized once because every level reads them.
+    */
+  def qv20(k: Int = 10, dims: Seq[Int] = Seq(4, 8, 16, 32, 64),
+           maxQueries: Int = 1000): String = vecsCte + s"""
+, q20 AS (SELECT vec_id AS qid, v, nrm FROM vecs
+          WHERE vec_id % 100 = 0 AND vec_id < ${100L * maxQueries}),
+pairs20 AS MATERIALIZED (
+  SELECT q.qid, b.vec_id, q.v AS av, b.v AS bv, q.nrm AS na, b.nrm AS nb
+  FROM q20 q JOIN vecs b ON q.qid <> b.vec_id
+), lv20 AS (
+  ${dims.map(d =>
+    s"""SELECT qid, vec_id, $d AS dim,
+       list_dot_product(av[1:$d], bv[1:$d]) /
+         (sqrt(list_dot_product(av[1:$d], av[1:$d])) *
+          sqrt(list_dot_product(bv[1:$d], bv[1:$d]))) AS cos
+     FROM pairs20""").mkString("\n  UNION ALL\n  ")}
+), rk20 AS (
+  SELECT dim, qid, vec_id,
+         row_number() OVER (PARTITION BY dim, qid ORDER BY cos DESC, vec_id) AS rnk
+  FROM lv20
+), gold20 AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY list_dot_product(av, bv) / (na * nb) DESC,
+                                       vec_id) AS rnk
+    FROM pairs20
+  ) WHERE rnk <= $k)
+SELECT dim, count(*) AS n,
+       CAST(sum(CASE WHEN g.qid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       ${r4("CAST(sum(CASE WHEN g.qid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 1.0 / count(*)")} AS recall
+FROM (SELECT * FROM rk20 WHERE rnk <= $k) t
+LEFT JOIN gold20 g ON g.qid = t.qid AND g.vec_id = t.vec_id
+GROUP BY dim"""
+
   /** qt25 — mirrors TextOps.bpeMerges: the same ␁-wrapped word
     * encoding (chr(1) never occurs in the synthetic corpus), the same
     * replace()-based greedy left-to-right merge (both engines scan

@@ -1025,4 +1025,51 @@ object Similarity {
     val sys = ivfAnn(spark, sfDir, k = k).select("qid", "vec_id", "rnk")
     rankMetricsOf(sys, gold, k)
   }
+
+  /** qv20: DIMENSION-truncation recall sweep — recall@k of cosine over
+    * the first d embedding components vs the full-dimension exact
+    * top-k, for every d in one plan (the Matryoshka-representation
+    * serving question, Kusupati et al. NeurIPS 2022 / the OpenAI
+    * text-embedding-3 "dimensions" parameter — public: how few stored
+    * dims buy how much recall, the index-size-vs-quality curve a
+    * deployment publishes next to qv17's probe-count curve).
+    *
+    * Shape: the broadcast query fan and the collection scan happen
+    * ONCE; every level slices the SAME in-row arrays (5 codegen
+    * graft_dot prefix products per pair — no per-level rescan), levels
+    * fan out through one explode, one (dim, qid) window ranks them
+    * all, and the |queries|·k gold top-k broadcasts into the hit join.
+    * The d = max(dims) level reproduces qv1's exact ranking
+    * bit-for-bit (same kernel on the full-length slice — spec anchor,
+    * recall exactly 1).
+    */
+  def dimSweep(spark: SparkSession, sfDir: String, k: Int = 10,
+               dims: Seq[Int] = Seq(4, 8, 16, 32, 64),
+               maxQueries: Int = MaxQueries): DataFrame = {
+    require(dims.nonEmpty && dims == dims.sorted && dims.distinct == dims &&
+      dims.head >= 1, s"dims must be distinct ascending positive: $dims")
+    val e = vecs(spark, sfDir)
+    val q = e.filter(col("vec_id") % 100 === 0 && col("vec_id") < lit(100L * maxQueries))
+      .select(col("vec_id").as("qid"), col("v").as("av"))
+    val b = e.select(col("vec_id"), col("v").as("bv"))
+    val levels = array(dims.map { d =>
+      struct(lit(d).as("dim"),
+        (expr(s"graft_dot(slice(av, 1, $d), slice(bv, 1, $d))") /
+          (sqrt(expr(s"graft_dot(slice(av, 1, $d), slice(av, 1, $d))")) *
+            sqrt(expr(s"graft_dot(slice(bv, 1, $d), slice(bv, 1, $d))")))).as("cos"))
+    }: _*)
+    val w = Window.partitionBy("dim", "qid").orderBy(col("cos").desc, col("vec_id"))
+    val ranked = b.crossJoin(broadcast(q)).filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"), explode(levels).as("lv"))
+      .select(col("qid"), col("vec_id"), col("lv.dim").as("dim"), col("lv.cos").as("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+    val gold = cosineTopK(spark, sfDir, k, maxQueries)
+      .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
+    ranked.join(broadcast(gold), Seq("qid", "vec_id"), "left")
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"), sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("dim"), col("n"), col("n_hit"),
+        Num.r4(col("n_hit") / col("n")).as("recall"))
+  }
 }

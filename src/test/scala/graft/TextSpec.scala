@@ -1347,6 +1347,27 @@ class TextSpec extends SparkSuite {
     m.unpersist()
   }
 
+  test("qv20 dim sweep: full-dim level is exact, recall bounded, counts uniform") {
+    val s = Similarity.dimSweep(spark, Sf001).cache()
+    val rows = s.collect().map(r => r.getAs[Int]("dim") ->
+      (r.getAs[Long]("n"), r.getAs[Long]("n_hit"), r.getAs[Double]("recall"))).toMap
+    assert(rows.keySet === Set(4, 8, 16, 32, 64))
+    // the d=64 slice is the full vector through the same kernel — its
+    // ranking IS qv1's, so recall is exactly 1
+    val (n64, h64, r64) = rows(64)
+    assert(h64 === n64 && r64 === 1.0, s"full-dim level must be exact: $rows")
+    // every level returns the same top-k row count; recall in [0, 1]
+    assert(rows.values.map(_._1).toSet.size === 1, "per-level counts must match")
+    rows.values.foreach { case (n, h, r) =>
+      assert(h >= 0 && h <= n && r >= 0.0 && r <= 1.0)
+    }
+    // truncation must cost something somewhere below full dim (a sweep
+    // where every level is perfect would be vacuous on real data)
+    assert(rows.exists { case (d, (_, _, r)) => d < 64 && r < 1.0 },
+      s"expected some truncation loss in $rows")
+    s.unpersist()
+  }
+
   test("qt25 planted corpus reproduces the hand-computed BPE merges") {
     import spark.implicits._
     // "aaab"x3, "ab"x2. Round 1: (a,a)=6 beats (a,b)=5 -> merge.
