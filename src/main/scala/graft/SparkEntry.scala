@@ -165,6 +165,7 @@ object SparkEntry {
     "qe6_transitions" -> ((s, d) => graft.analytics.Events.transitions(s, d)),
     "qe16_next_event" -> ((s, d) => graft.analytics.Events.nextEventEval(s, d)),
     "qe17_cuped" -> ((s, d) => graft.analytics.Events.cuped(s, d)),
+    "qp11_expectations" -> ((s, d) => graft.analytics.Events.expectations(s, d)),
     "q45_cusum" -> ((s, d) => graft.timeseries.Intervals.cusum(s, d)),
     "q46_episodes" -> ((s, d) => graft.timeseries.Intervals.episodes(s, d)),
     "q47_median_filter" -> ((s, d) => graft.timeseries.Intervals.medianFilter(s, d)),
@@ -689,6 +690,41 @@ object SparkEntry {
       FROM st s CROSS JOIN rng LEFT JOIN model m USING (src)
       WHERE s.dtsec >= rng.tcut
       GROUP BY s.src, m.pred_dst""",
+    "qp11_expectations" -> """
+      WITH r AS (
+        SELECT count(*) AS n,
+          sum(CASE WHEN l_returnflag IS NOT NULL THEN 1 ELSE 0 END) AS c1,
+          sum(CASE WHEN l_quantity >= 0 THEN 1 ELSE 0 END) AS c2,
+          sum(CASE WHEN l_discount BETWEEN 0.0 AND 0.1 THEN 1 ELSE 0 END) AS c3,
+          sum(CASE WHEN l_returnflag IN ('A','N','R') THEN 1 ELSE 0 END) AS c4,
+          sum(CASE WHEN l_extendedprice > 0 THEN 1 ELSE 0 END) AS c5,
+          sum(CASE WHEN l_quantity <= 40 THEN 1 ELSE 0 END) AS c6,
+          sum(CASE WHEN l_quantity <= 45 THEN 1 ELSE 0 END) AS c7
+        FROM lineitem
+      ), u AS (
+        SELECT count(*) AS n,
+               (SELECT count(*) FROM (SELECT DISTINCT l_orderkey, l_linenumber
+                                      FROM lineitem)) AS d
+        FROM lineitem
+      ), f AS (
+        SELECT count(*) AS n,
+               sum(CASE WHEN o.o_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS h
+        FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        ON l.l_orderkey = o.o_orderkey
+      ), allc AS (
+        SELECT 'complete_returnflag' AS check_name, floor((c1 * 1.0 / n)*10000 + 0.5)/10000 AS metric, 1.0 AS threshold FROM r
+        UNION ALL SELECT 'nonnegative_quantity', floor((c2 * 1.0 / n)*10000 + 0.5)/10000, 1.0 FROM r
+        UNION ALL SELECT 'range_discount', floor((c3 * 1.0 / n)*10000 + 0.5)/10000, 1.0 FROM r
+        UNION ALL SELECT 'members_returnflag', floor((c4 * 1.0 / n)*10000 + 0.5)/10000, 1.0 FROM r
+        UNION ALL SELECT 'positive_price', floor((c5 * 1.0 / n)*10000 + 0.5)/10000, 1.0 FROM r
+        UNION ALL SELECT 'quantity_le_40', floor((c6 * 1.0 / n)*10000 + 0.5)/10000, 1.0 FROM r
+        UNION ALL SELECT 'mostly_quantity_le_45', floor((c7 * 1.0 / n)*10000 + 0.5)/10000, 0.85 FROM r
+        UNION ALL SELECT 'unique_pk', floor((d * 1.0 / n)*10000 + 0.5)/10000, 1.0 FROM u
+        UNION ALL SELECT 'ref_orders', floor((h * 1.0 / n)*10000 + 0.5)/10000, 1.0 FROM f
+      )
+      SELECT check_name, metric, threshold,
+             CASE WHEN metric >= threshold THEN 1 ELSE 0 END AS passed
+      FROM allc""",
     "qe17_cuped" -> """
       WITH ev AS (
         SELECT user_id, event_type,

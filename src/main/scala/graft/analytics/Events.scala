@@ -802,6 +802,60 @@ object Events {
       .withColumn("rfm", col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
   }
 
+  /** qp11: declarative data-quality EXPECTATION suite (Schelter et al.
+    * VLDB 2018 "Automating Large-Scale Data Quality Verification" /
+    * AWS Deequ, and Great Expectations — public): constraints-as-data
+    * evaluated into a (check, metric, threshold, passed) scorecard —
+    * the "unit tests for data" gate a pipeline runs before promoting a
+    * snapshot. Three constraint classes, each in its cheapest plan:
+    * row-level predicates (completeness, non-negativity, value range,
+    * set membership, plus an intentionally strict quantity bound and a
+    * sub-1.0 "mostly" threshold) fold into ONE conditional-agg scan of
+    * lineitem; primary-key uniqueness is one exact distinct over the
+    * key columns; referential integrity (lineitem→orders) is one
+    * orderkey-shuffled left join counted as a hit fraction — the
+    * orders side deliberately NOT broadcast (at 100 TB it is
+    * data-scale; the equi-join shuffles both sides by the key).
+    * Metrics are exact int64 count ratios; `passed` = metric ≥
+    * threshold on the r4-quantized ratio in both engines.
+    */
+  def expectations(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.util.Num
+    val li = Tables.lineitem(spark, sfDir)
+    val rowChecks: Seq[(String, Column, Double)] = Seq(
+      ("complete_returnflag", col("l_returnflag").isNotNull, 1.0),
+      ("nonnegative_quantity", col("l_quantity") >= 0, 1.0),
+      ("range_discount", col("l_discount").between(0.0, 0.1), 1.0),
+      ("members_returnflag", col("l_returnflag").isin("A", "N", "R"), 1.0),
+      ("positive_price", col("l_extendedprice") > 0, 1.0),
+      ("quantity_le_40", col("l_quantity") <= 40, 1.0),
+      ("mostly_quantity_le_45", col("l_quantity") <= 45, 0.85))
+    val rowAgg = li.agg(count(lit(1)).as("n"),
+      rowChecks.map { case (nm, ind, _) =>
+        sum(when(ind, 1L).otherwise(0L)).as(s"c_$nm")
+      }: _*)
+    val rowOut = rowAgg.select(explode(array(rowChecks.map { case (nm, _, thr) =>
+      struct(lit(nm).as("check_name"),
+        Num.r4(col(s"c_$nm") / col("n")).as("metric"),
+        lit(thr).as("threshold"))
+    }: _*)).as("c")).select("c.*")
+    val uniq = li
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("l_orderkey"), col("l_linenumber")).as("d"))
+      .select(lit("unique_pk").as("check_name"),
+        Num.r4(col("d") / col("n")).as("metric"), lit(1.0).as("threshold"))
+    val ordKeys = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").as("k")).distinct().withColumn("hit", lit(1L))
+    val refi = li.select(col("l_orderkey").as("k"))
+      .join(ordKeys, Seq("k"), "left")
+      .agg(count(lit(1)).as("n"), sum(coalesce(col("hit"), lit(0L))).as("h"))
+      .select(lit("ref_orders").as("check_name"),
+        Num.r4(col("h") / col("n")).as("metric"), lit(1.0).as("threshold"))
+    rowOut.unionByName(uniq).unionByName(refi)
+      .withColumn("passed",
+        when(col("metric") >= col("threshold"), 1L).otherwise(0L))
+  }
+
   /** qe17: A/B experiment readout with CUPED variance reduction (Deng,
     * Xu, Kohavi & Walker, WSDM 2013 "Improving the Sensitivity of
     * Online Controlled Experiments" — the industry-standard

@@ -503,6 +503,30 @@ class EventsSpec extends SparkSuite {
     c.unpersist()
   }
 
+  test("qp11 expectations: verdict logic and the structural checks hold") {
+    val r = Events.expectations(spark, Sf001).collect()
+      .map(x => x.getAs[String]("check_name") ->
+        (x.getAs[Double]("metric"), x.getAs[Double]("threshold"),
+          x.getAs[Long]("passed"))).toMap
+    assert(r.size === 9)
+    r.values.foreach { case (m, t, p) =>
+      assert(m >= 0.0 && m <= 1.0 && (p == 1L) == (m >= t), s"verdict broken: $r")
+    }
+    // the synthetic lineitem is referentially clean but REUSES
+    // linenumbers — the scorecard catches a genuine PK violation (the
+    // exact failure class Deequ exists to surface)
+    assert(r("ref_orders") === ((1.0, 1.0, 1L)))
+    assert(r("unique_pk")._1 < 1.0 && r("unique_pk")._3 === 0L,
+      s"expected the PK-uniqueness violation to be reported: $r")
+    // TPC-H-ish quantity runs past 40, so the strict bound FAILS while
+    // the 0.85-threshold "mostly" variant of a looser bound passes —
+    // both verdict branches exercised on real data
+    assert(r("quantity_le_40")._3 === 0L, s"expected a failing check: $r")
+    assert(r("mostly_quantity_le_45")._2 === 0.85)
+    assert(r("mostly_quantity_le_45")._1 < 1.0 &&
+      r("mostly_quantity_le_45")._3 === 1L)
+  }
+
   test("qe17 CUPED: a perfect covariate gives theta 1, zero adjusted effect") {
     import spark.implicits._
     // users 0..9, one "m" event pre (tsec=u) and one post (tsec=1000+u),
