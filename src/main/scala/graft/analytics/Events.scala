@@ -819,26 +819,42 @@ object Events {
     * Metrics are exact int64 count ratios; `passed` = metric ≥
     * threshold on the r4-quantized ratio in both engines.
     */
-  def expectations(spark: SparkSession, sfDir: String): DataFrame = {
+  /** qp11's row-level constraint catalog — ONE definition read by the
+    * batch scorecard and the streaming gate (parity by construction).
+    */
+  val RowChecks: Seq[(String, Column, Double)] = Seq(
+    ("complete_returnflag", col("l_returnflag").isNotNull, 1.0),
+    ("nonnegative_quantity", col("l_quantity") >= 0, 1.0),
+    ("range_discount", col("l_discount").between(0.0, 0.1), 1.0),
+    ("members_returnflag", col("l_returnflag").isin("A", "N", "R"), 1.0),
+    ("positive_price", col("l_extendedprice") > 0, 1.0),
+    ("quantity_le_40", col("l_quantity") <= 40, 1.0),
+    ("mostly_quantity_le_45", col("l_quantity") <= 45, 0.85))
+
+  /** The row-level constraint evaluation over any lineitem-shaped
+    * frame: one conditional-agg pass + a stateless unpivot. `grp` adds
+    * grouping columns (the streaming twin groups by event-time window;
+    * batch passes none).
+    */
+  private[graft] def rowCheckFrame(rows: DataFrame, grp: Seq[Column] = Nil): DataFrame = {
     import graft.util.Num
-    val li = Tables.lineitem(spark, sfDir)
-    val rowChecks: Seq[(String, Column, Double)] = Seq(
-      ("complete_returnflag", col("l_returnflag").isNotNull, 1.0),
-      ("nonnegative_quantity", col("l_quantity") >= 0, 1.0),
-      ("range_discount", col("l_discount").between(0.0, 0.1), 1.0),
-      ("members_returnflag", col("l_returnflag").isin("A", "N", "R"), 1.0),
-      ("positive_price", col("l_extendedprice") > 0, 1.0),
-      ("quantity_le_40", col("l_quantity") <= 40, 1.0),
-      ("mostly_quantity_le_45", col("l_quantity") <= 45, 0.85))
-    val rowAgg = li.agg(count(lit(1)).as("n"),
-      rowChecks.map { case (nm, ind, _) =>
-        sum(when(ind, 1L).otherwise(0L)).as(s"c_$nm")
-      }: _*)
-    val rowOut = rowAgg.select(explode(array(rowChecks.map { case (nm, _, thr) =>
+    val agg = (if (grp.isEmpty) rows.groupBy() else rows.groupBy(grp: _*))
+      .agg(count(lit(1)).as("n"),
+        RowChecks.map { case (nm, ind, _) =>
+          sum(when(ind, 1L).otherwise(0L)).as(s"c_$nm")
+        }: _*)
+    val keep = agg.columns.filterNot(c => c == "n" || c.startsWith("c_")).map(col)
+    agg.select(keep :+ explode(array(RowChecks.map { case (nm, _, thr) =>
       struct(lit(nm).as("check_name"),
         Num.r4(col(s"c_$nm") / col("n")).as("metric"),
         lit(thr).as("threshold"))
-    }: _*)).as("c")).select("c.*")
+    }: _*)).as("c"): _*).select(keep :+ col("c.*"): _*)
+  }
+
+  def expectations(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.util.Num
+    val li = Tables.lineitem(spark, sfDir)
+    val rowOut = rowCheckFrame(li)
     val uniq = li
       .agg(count(lit(1)).as("n"),
         countDistinct(col("l_orderkey"), col("l_linenumber")).as("d"))

@@ -577,6 +577,28 @@ object ScoreStream {
                   stride: Int = 48): DataFrame =
     graft.text.TextOps.chunkFrom(docs, chunkTok, stride, carry = Seq("ts"))
 
+  /** Streaming twin of qp11's row-level constraint class — the
+    * data-quality GATE at ingestion: per event-time window, the same
+    * constraint catalog (Events.RowChecks — one definition, parity by
+    * construction) evaluates to a (window, check, metric, threshold,
+    * passed) scorecard as rows land, so a bad producer deploy trips a
+    * failing verdict within one window instead of at the next batch
+    * audit. ONE watermarked aggregation (conditional sums — partial
+    * aggs map-side) + a stateless unpivot. The uniqueness and
+    * referential checks stay batch-only by design: both need
+    * corpus-GLOBAL state (an unbounded distinct / a data-scale join)
+    * that a streaming gate shouldn't hold.
+    */
+  def expectationsStream(rows: DataFrame, windowDur: String = "1 day",
+                         watermark: String = "1 hour"): DataFrame =
+    graft.analytics.Events.rowCheckFrame(
+      rows.withWatermark("ts", watermark),
+      grp = Seq(window(col("ts"), windowDur)))
+      .select(col("window.start").as("win_start"), col("check_name"),
+        col("metric"), col("threshold"))
+      .withColumn("passed",
+        when(col("metric") >= col("threshold"), 1L).otherwise(0L))
+
   /** Streaming twin of batch qt26 — BPE-ENCODE documents in flight with
     * a persisted merge table (ModelStore.saveBpe). Where the batch
     * encoder joins tokens against the trained vocabulary's final

@@ -922,6 +922,45 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  case class Li(ts: Timestamp, l_returnflag: String, l_quantity: Double,
+                l_discount: Double, l_extendedprice: Double)
+
+  test("streaming expectation gate matches batch qp11 row-level checks") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rowNames = graft.analytics.Events.RowChecks.map(_._1).toSet
+    val want = graft.analytics.Events.expectations(spark, Sf001).collect()
+      .filter(r => rowNames.contains(r.getAs[String]("check_name")))
+      .map(r => r.getAs[String]("check_name") ->
+        (r.getAs[Double]("metric"), r.getAs[Double]("threshold"),
+          r.getAs[Long]("passed"))).toMap
+    assert(want.size === graft.analytics.Events.RowChecks.size)
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows = spark.read.parquet(s"$Sf001/lineitem.parquet")
+      .select("l_returnflag", "l_quantity", "l_discount", "l_extendedprice")
+      .collect()
+      .map(r => Li(t0, r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    val mem = MemoryStream[Li]
+    val q = ScoreStream.expectationsStream(mem.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("expect").start()
+    try {
+      val (h1, h2) = rows.splitAt(rows.length / 2)
+      mem.addData(h1.toSeq); q.processAllAvailable()
+      mem.addData(h2.toSeq); q.processAllAvailable()
+      // advance the watermark past the window so it emits
+      mem.addData(Seq(Li(Timestamp.valueOf("2024-01-03 00:00:00"), "A", 1.0, 0.0, 1.0)))
+      q.processAllAvailable()
+      val got = spark.table("expect")
+        .filter(col("win_start") === lit(t0))
+        .collect()
+        .map(r => r.getAs[String]("check_name") ->
+          (r.getAs[Double]("metric"), r.getAs[Double]("threshold"),
+            r.getAs[Long]("passed"))).toMap
+      // one shared constraint catalog + exact int ratios → equality
+      assert(got === want)
+    } finally q.stop()
+  }
+
   test("streaming BPE encoder over a saved merge table matches batch qt26") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
