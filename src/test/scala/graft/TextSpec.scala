@@ -1347,6 +1347,78 @@ class TextSpec extends SparkSuite {
     m.unpersist()
   }
 
+  test("qd19 matches a brute-force span miner on 20 random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    for (inst <- 1 to 20) {
+      val nDocs = 2 + rnd.nextInt(4)
+      // tiny shingle alphabet forces cross- and within-doc repeats
+      val docs = (1 to nDocs).map { d =>
+        d.toLong -> Array.fill(3 + rnd.nextInt(10))(s"s${rnd.nextInt(6)}")
+      }
+      val rows = docs.flatMap { case (d, sh) =>
+        sh.zipWithIndex.map { case (s, i) => (d, i.toLong, s) }
+      }.toDF("doc_id", "i", "sh")
+      val n = 3; val minSpan = 4
+      val got = Dedup.globalDupSpansFrom(rows, n, minSpan).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      // brute force: corpus-wide occurrence counts, per-doc islands
+      val occ = docs.flatMap(_._2).groupBy(identity).map { case (s, v) => s -> v.length.toLong }
+      val want = docs.flatMap { case (d, sh) =>
+        val dup = sh.zipWithIndex.filter { case (s, _) => occ(s) >= 2 }
+        val islands = dup.foldLeft(List.empty[List[(String, Int)]]) {
+          case (acc, (s, i)) => acc match {
+            case head :: tail if head.head._2 == i - 1 => ((s, i) :: head) :: tail
+            case _ => List((s, i)) :: acc
+          }
+        }
+        islands.map { isl =>
+          val run = isl.length.toLong
+          (d, isl.map(_._2).min.toLong, run + n - 1, isl.map(p => occ(p._1)).max)
+        }.filter(_._3 >= minSpan)
+      }.toSet
+      assert(got === want, s"instance $inst: $got vs $want")
+    }
+  }
+
+  test("qt25 matches a sequential BPE trainer on 10 random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(25)
+    def sequentialBpe(wf: Map[String, Long], rounds: Int): Seq[(Int, String, String, Long)] = {
+      var words: Map[List[String], Long] =
+        wf.groupMapReduce { case (w, _) => w.split("").toList } { case (_, f) => f }(_ + _)
+      (1 to rounds).flatMap { r =>
+        val pairCounts = words.toSeq.flatMap { case (syms, f) =>
+          syms.zip(syms.tail).map(p => p -> f)
+        }.groupMapReduce(_._1)(_._2)(_ + _)
+        if (pairCounts.isEmpty) None
+        else {
+          val ((l, rr), f) = pairCounts.minBy { case ((a, b), c) => (-c, a, b) }
+          def mergeGreedy(s: List[String]): List[String] = s match {
+            case a :: b :: rest if a == l && b == rr => (l + rr) :: mergeGreedy(rest)
+            case a :: rest => a :: mergeGreedy(rest)
+            case Nil => Nil
+          }
+          words = words.toSeq.map { case (syms, fr) => (mergeGreedy(syms), fr) }
+            .groupMapReduce(_._1)(_._2)(_ + _)
+          Some((r, l, rr, f))
+        }
+      }
+    }
+    for (inst <- 1 to 10) {
+      val alphabet = "abc"
+      val wf = (1 to (3 + rnd.nextInt(6))).map { _ =>
+        val w = Array.fill(1 + rnd.nextInt(6))(alphabet(rnd.nextInt(3))).mkString
+        w -> (1L + rnd.nextInt(5))
+      }.groupMapReduce(_._1)(_._2)(_ + _)
+      val rounds = 4
+      val got = TextOps.bpeMergesFrom(wf.toSeq.toDF("tok", "freq"), rounds).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+      val want = sequentialBpe(wf, rounds).toSet
+      assert(got === want, s"instance $inst over $wf: $got vs $want")
+    }
+  }
+
   test("qv20 dim sweep: full-dim level is exact, recall bounded, counts uniform") {
     val s = Similarity.dimSweep(spark, Sf001).cache()
     val rows = s.collect().map(r => r.getAs[Int]("dim") ->
