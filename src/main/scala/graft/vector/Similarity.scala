@@ -1049,14 +1049,22 @@ object Similarity {
     require(dims.nonEmpty && dims == dims.sorted && dims.distinct == dims &&
       dims.head >= 1, s"dims must be distinct ascending positive: $dims")
     val e = vecs(spark, sfDir)
-    val q = e.filter(col("vec_id") % 100 === 0 && col("vec_id") < lit(100L * maxQueries))
-      .select(col("vec_id").as("qid"), col("v").as("av"))
-    val b = e.select(col("vec_id"), col("v").as("bv"))
+    // prefix norms attach PER VECTOR (one pass per side), not per pair:
+    // the pair stream then pays one prefix dot per level instead of
+    // three — identical doubles either way (same sqrt of the same
+    // kernel dot), so the oracle computes them per pair unchanged
+    def withNorms(base: DataFrame, vc: String, pfx: String): DataFrame =
+      base.select(col("vec_id") +: col("v").as(vc) +: dims.map(d =>
+        sqrt(expr(s"graft_dot(slice($vc, 1, $d), slice($vc, 1, $d))"))
+          .as(s"${pfx}_$d")): _*)
+    val q = withNorms(
+      e.filter(col("vec_id") % 100 === 0 && col("vec_id") < lit(100L * maxQueries)),
+      "av", "na").withColumnRenamed("vec_id", "qid")
+    val b = withNorms(e, "bv", "nb")
     val levels = array(dims.map { d =>
       struct(lit(d).as("dim"),
         (expr(s"graft_dot(slice(av, 1, $d), slice(bv, 1, $d))") /
-          (sqrt(expr(s"graft_dot(slice(av, 1, $d), slice(av, 1, $d))")) *
-            sqrt(expr(s"graft_dot(slice(bv, 1, $d), slice(bv, 1, $d))")))).as("cos"))
+          (col(s"na_$d") * col(s"nb_$d"))).as("cos"))
     }: _*)
     val w = Window.partitionBy("dim", "qid").orderBy(col("cos").desc, col("vec_id"))
     val ranked = b.crossJoin(broadcast(q)).filter(col("qid") =!= col("vec_id"))
