@@ -615,7 +615,10 @@ object ScoreStream {
                       docs: DataFrame): DataFrame = {
     val rules = graft.timeseries.ModelStore.bpeMergeRules(spark, modelPath)
       .orderBy("merge_round").select("lhs", "rhs").collect()
-    def q(s: String) = s.replace("'", "''")
+    // escape for a Spark SQL string literal: backslash FIRST (the
+    // parser honors C-style escapes by default), then quote-doubling —
+    // merge symbols come from corpus tokens, so assume nothing
+    def q(s: String) = s.replace("\\", "\\\\").replace("'", "''")
     // symbol count of the ␁-wrapped encoding: split on the ␁␁ boundary
     // WITHOUT trimming — "␁a␁␁b␁" → ["␁a","b␁"], size = symbol count
     val wrapped = "concat(chr(1), array_join(split(t, ''), chr(1) || chr(1)), chr(1))"
