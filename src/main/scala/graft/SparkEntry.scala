@@ -166,6 +166,7 @@ object SparkEntry {
     "qe16_next_event" -> ((s, d) => graft.analytics.Events.nextEventEval(s, d)),
     "qe17_cuped" -> ((s, d) => graft.analytics.Events.cuped(s, d)),
     "qp11_expectations" -> ((s, d) => graft.analytics.Events.expectations(s, d)),
+    "qm10_resize" -> ((s, d) => graft.multimodal.BinaryMeta.resizePlanes(s, d)),
     "q45_cusum" -> ((s, d) => graft.timeseries.Intervals.cusum(s, d)),
     "q46_episodes" -> ((s, d) => graft.timeseries.Intervals.episodes(s, d)),
     "q47_median_filter" -> ((s, d) => graft.timeseries.Intervals.medianFilter(s, d)),
@@ -955,6 +956,7 @@ object SparkEntry {
     "qm7_frame_neardup" -> graft.multimodal.BinaryMeta.qm7OracleSql(),
     "qm8_media_clusters" -> graft.multimodal.BinaryMeta.qm8OracleSql(),
     "qm9_imageio_decode" -> graft.multimodal.BinaryMeta.qm9OracleSql(),
+    "qm10_resize" -> graft.multimodal.BinaryMeta.qm10OracleSql(),
     "qm4_shard_manifest" -> """
       WITH m AS (
         SELECT doc_id, 'text/' || lang AS media_type,

@@ -81,6 +81,77 @@ object BinaryMeta {
       .toDF()
   }
 
+  case class ResizedBucket(doc_id: Long, bucket: Int, n_bytes: Long,
+                           byte_sum: Long, mean_byte: Long)
+
+  /** The resize kernel: nearest-AREA (block-mean) downsample of a
+    * decoded byte plane to exactly `r` buckets — byte at 0-based
+    * position p lands in bucket ⌊p·r/L⌋ (the inverse of the standard
+    * area-resampling range split; defining the kernel by the inverse
+    * map is what makes the SQL mirror a one-expression GROUP BY). Per
+    * bucket: exact integer byte count, sum, and floor-mean — all-int
+    * arithmetic, so both engines agree bit for bit. Planes shorter
+    * than `r` leave their empty buckets absent (grouped semantics in
+    * both engines).
+    */
+  private[graft] def resizePlane(docId: Long, bytes: Array[Byte],
+                                 r: Int): Seq[ResizedBucket] = {
+    val L = bytes.length
+    if (L == 0) Seq.empty
+    else {
+      val sums = new Array[Long](r)
+      val cnts = new Array[Long](r)
+      var p = 0
+      while (p < L) {
+        val k = (p.toLong * r / L).toInt
+        sums(k) += bytes(p) & 0xff; cnts(k) += 1; p += 1
+      }
+      (0 until r).withFilter(cnts(_) > 0)
+        .map(i => ResizedBucket(docId, i, cnts(i), sums(i), sums(i) / cnts(i)))
+    }
+  }
+
+  /** qm10: media RESIZE — the normalize-before-featurize step every
+    * image/audio pipeline runs (thumbnailing / fixed-grid
+    * downsampling; here the 1-D analogue over the decoded byte plane,
+    * consistent with how qm1/qm9 treat payloads as planes): each item
+    * downsamples to `r` block-mean buckets through the SAME batched
+    * mapPartitions decode seam as qm1 — a real codec swaps in per
+    * batch (qm9 proved the seam) and this kernel consumes its pixel
+    * plane unchanged. Stateless per-row fan-out bounded by r; no
+    * shuffle; exact integer block sums/means so the output is
+    * SQL-checkable through the hex-walk oracle.
+    */
+  def resizePlanes(spark: SparkSession, sfDir: String, r: Int = 16,
+                   batchSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    require(r >= 1, s"r=$r")
+    mediaTable(spark, sfDir)
+      .mapPartitions(_.grouped(batchSize)
+        .flatMap(_.flatMap(row => resizePlane(row.doc_id, row.payload, r))))
+      .toDF()
+  }
+
+  /** qm10 oracle — the hex-walk byte extraction (qm1's) + the inverse
+    * bucket map as one GROUP BY expression; floor-div means on
+    * positive ints agree exactly across engines.
+    */
+  def qm10OracleSql(r: Int = 16): String = s"""
+      WITH m AS (
+        SELECT doc_id, hex(encode(text)) AS hx,
+               CAST(octet_length(encode(text)) AS BIGINT) AS len
+        FROM documents
+      ), bytes AS (
+        SELECT doc_id, len,
+               CAST((i - 1) AS BIGINT) AS p,
+               CAST(concat('0x', substr(hx, CAST((i - 1) * 2 + 1 AS INT), 2)) AS BIGINT) AS b
+        FROM m, unnest(range(1, len + 1)) AS u(i)
+      )
+      SELECT doc_id, CAST((p * $r) // len AS INT) AS bucket,
+             count(*) AS n_bytes, CAST(sum(b) AS BIGINT) AS byte_sum,
+             CAST(CAST(sum(b) AS BIGINT) // count(*) AS BIGINT) AS mean_byte
+      FROM bytes GROUP BY doc_id, CAST((p * $r) // len AS INT)"""
+
   case class ImageFeatures(doc_id: Long, width: Int, height: Int, n_pixels: Int,
                            byte_sum: Long, f0: Double, f1: Double, f2: Double, f3: Double)
 

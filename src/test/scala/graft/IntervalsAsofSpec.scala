@@ -277,6 +277,31 @@ class IntervalsAsofSpec extends SparkSuite {
     f.unpersist()
   }
 
+  test("qm10 resize: planted plane buckets exactly; corpus invariants hold") {
+    import graft.multimodal.BinaryMeta
+    // bytes 0..9 at r=4: bucket(p) = p*4/10 -> [0,0,0, 1,1, 2,2,2, 3,3]
+    val planted = BinaryMeta.resizePlane(1L, (0 until 10).map(_.toByte).toArray, 4)
+      .map(b => (b.bucket, b.n_bytes, b.byte_sum, b.mean_byte)).toSet
+    assert(planted === Set((0, 3L, 3L, 1L), (1, 2L, 7L, 3L),
+      (2, 3L, 18L, 6L), (3, 2L, 17L, 8L)))
+    // short plane: L < r leaves empty buckets absent, every byte kept
+    val short = BinaryMeta.resizePlane(2L, Array[Byte](100, 50), 4)
+    assert(short.map(_.n_bytes).sum === 2L && short.forall(_.n_bytes === 1L))
+    assert(BinaryMeta.resizePlane(3L, Array.empty[Byte], 4).isEmpty)
+    // corpus: buckets in range, byte conservation vs the payload length
+    val r = BinaryMeta.resizePlanes(spark, Sf001).cache()
+    assert(r.count() > 0)
+    assert(r.filter(col("bucket") < 0 || col("bucket") >= 16).count() === 0)
+    assert(r.filter(col("mean_byte") < 0 || col("mean_byte") > 255).count() === 0)
+    val tot = r.groupBy("doc_id").agg(sum("n_bytes").as("nb"))
+    val lens = graft.util.Tables.documents(spark, Sf001)
+      .select(col("doc_id"), // octet length: zh docs are multi-byte UTF-8
+        length(encode(col("text"), "UTF-8")).cast("long").as("len"))
+    assert(tot.join(lens, "doc_id").filter(col("nb") =!= col("len")).count() === 0,
+      "every payload byte lands in exactly one bucket")
+    r.unpersist()
+  }
+
   test("cleaning impact: imputed series forecasts better than contaminated (the reference's headline claim)") {
     val ci = Forecast.cleaningImpact(spark, Sf01).cache()
     val wide = ci.groupBy("series")
