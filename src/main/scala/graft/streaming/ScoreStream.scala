@@ -599,6 +599,26 @@ object ScoreStream {
       .withColumn("passed",
         when(col("metric") >= col("threshold"), 1L).otherwise(0L))
 
+  /** Streaming twin of batch qm10 — media RESIZE at ingestion (the
+    * first multimodal twin): incoming payloads block-mean downsample
+    * through the SAME kernel (BinaryMeta.resizePlane — one definition,
+    * parity by construction) inside a stateless per-row flatMap; no
+    * watermark, no state, no shuffle — normalization runs as media
+    * lands, with the event time carried per bucket so downstream
+    * windowed stages can keep their lateness semantics.
+    */
+  def resizeStream(spark: SparkSession, docs: DataFrame, r: Int = 16): DataFrame = {
+    import spark.implicits._
+    docs
+      .select(col("ts"), col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(java.sql.Timestamp, Long, Array[Byte])]
+      .flatMap { case (ts, docId, payload) =>
+        graft.multimodal.BinaryMeta.resizePlane(docId, payload, r)
+          .map(b => (ts, b.doc_id, b.bucket, b.n_bytes, b.byte_sum, b.mean_byte))
+      }
+      .toDF("ts", "doc_id", "bucket", "n_bytes", "byte_sum", "mean_byte")
+  }
+
   /** Streaming twin of batch qt26 — BPE-ENCODE documents in flight with
     * a persisted merge table (ModelStore.saveBpe). Where the batch
     * encoder joins tokens against the trained vocabulary's final

@@ -925,6 +925,34 @@ class StreamingSpec extends SparkSuite {
   case class Li(ts: Timestamp, l_returnflag: String, l_quantity: Double,
                 l_discount: Double, l_extendedprice: Double)
 
+  test("streaming media resize matches batch qm10 across a batch split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val want = graft.multimodal.BinaryMeta.resizePlanes(spark, Sf001).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getAs[Long]("n_bytes"), r.getAs[Long]("byte_sum"),
+          r.getAs[Long]("mean_byte"))).toMap
+    assert(want.nonEmpty)
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val docs = spark.read.parquet(s"$Sf001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => Doc(t0, r.getLong(0), r.getString(1)))
+    val mem = MemoryStream[Doc]
+    val q = ScoreStream.resizeStream(spark, mem.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("rsz").start()
+    try {
+      val (h1, h2) = docs.splitAt(docs.length / 2)
+      mem.addData(h1.toSeq); q.processAllAvailable()
+      mem.addData(h2.toSeq); q.processAllAvailable()
+      val got = spark.table("rsz").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("bucket")) ->
+          (r.getAs[Long]("n_bytes"), r.getAs[Long]("byte_sum"),
+            r.getAs[Long]("mean_byte"))).toMap
+      // ONE shared resize kernel → exact equality
+      assert(got === want)
+    } finally q.stop()
+  }
+
   test("streaming expectation gate matches batch qp11 row-level checks") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
