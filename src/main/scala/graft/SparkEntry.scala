@@ -148,6 +148,7 @@ object SparkEntry {
     "qt24_doc_chunks" -> ((s, d) => graft.text.TextOps.chunkDocs(s, d)),
     "qt25_bpe_merges" -> ((s, d) => graft.text.TextOps.bpeMerges(s, d)),
     "qt26_bpe_encode" -> ((s, d) => graft.text.TextOps.bpeEncode(s, d)),
+    "qt27_chunk_dedup" -> ((s, d) => graft.text.TextOps.chunkDedup(s, d)),
     "qc1_corpus_build" -> ((s, d) => graft.text.TextOps.corpusBuild(s, d)),
     "qc2_epoch_shuffle" -> ((s, d) => graft.text.TextOps.epochShuffle(s, d)),
     "qc3_dataset_card" -> ((s, d) => graft.text.TextOps.datasetCard(s, d)),
@@ -603,6 +604,7 @@ object SparkEntry {
     "qt24_doc_chunks" -> graft.text.DocOracle.qt24(),
     "qt25_bpe_merges" -> graft.text.DocOracle.qt25(),
     "qt26_bpe_encode" -> graft.text.DocOracle.qt26(),
+    "qt27_chunk_dedup" -> graft.text.DocOracle.qt27(),
     "qc2_epoch_shuffle" -> graft.text.DocOracle.qc2(),
     "qc3_dataset_card" -> graft.text.DocOracle.qc3(),
     "qt21_domain_cap" -> """

@@ -1627,6 +1627,30 @@ FROM toks t JOIN nsub n ON n.tok = t.tok
 GROUP BY t.doc_id"""
   }
 
+  /** qt27 — mirrors TextOps.chunkDedup: qt24's chunk CTE + an
+    * occurrence count keyed by chunk_md5 + the per-doc rollup.
+    */
+  def qt27(chunkTok: Int = 64, stride: Int = 48): String = s"""
+WITH t27 AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+), c27 AS (
+  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tok,
+         1 + ((greatest(CAST(len(toks) AS BIGINT) - $chunkTok, 0) + ${stride - 1}) // $stride) AS n_chunks
+  FROM t27 WHERE len(toks) > 0
+), ch27 AS (
+  SELECT doc_id,
+         md5(array_to_string(list_slice(toks, chunk_id * $stride + 1, chunk_id * $stride + $chunkTok), ' ')) AS chunk_md5
+  FROM (SELECT doc_id, toks, unnest(range(n_chunks)) AS chunk_id FROM c27)
+), occ27 AS (
+  SELECT chunk_md5, count(*) AS occ FROM ch27 GROUP BY chunk_md5
+)
+SELECT c.doc_id, count(*) AS n_chunks,
+       CAST(sum(CASE WHEN o.occ >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       ${r4("CAST(sum(CASE WHEN o.occ >= 2 THEN 1 ELSE 0 END) AS BIGINT) * 1.0 / count(*)")} AS dup_frac
+FROM ch27 c JOIN occ27 o USING (chunk_md5)
+GROUP BY c.doc_id"""
+
   /** qv18 — mirrors Similarity.hybridSearch: qt7's quantized TF-IDF
     * ranking picks each query doc's terms; BM25 contributions are
     * 1e-6-quantized then integer-summed (order-free); the dense

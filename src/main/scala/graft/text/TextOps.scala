@@ -860,6 +860,31 @@ object TextOps {
                 stride: Int = 48): DataFrame =
     chunkFrom(Tables.documents(spark, sfDir), chunkTok, stride)
 
+  /** qt27: CHUNK-level dedup audit — the lineage report a RAG-indexing
+    * pipeline runs over qt24's chunks before embedding them (duplicate
+    * chunks waste index space and skew retrieval; chunk_md5 is the
+    * chunk's dedup key by construction): per document, its chunk
+    * count, how many of its chunks occur ≥ 2 times ANYWHERE in the
+    * corpus (the qd19 occurrence-count discipline one level up — a
+    * chunk duplicated within one doc counts too), and the duplicate
+    * fraction. ONE map-side-combinable hash shuffle keyed by chunk_md5
+    * + a co-partitioned join back + a per-doc partial agg; the chunk
+    * stage itself stays the shuffle-free per-row projection qt24
+    * proved.
+    */
+  def chunkDedup(spark: SparkSession, sfDir: String, chunkTok: Int = 64,
+                 stride: Int = 48): DataFrame = {
+    val ch = chunkDocs(spark, sfDir, chunkTok, stride)
+      .select(col("doc_id"), col("chunk_md5"))
+    val occ = ch.groupBy("chunk_md5").agg(count(lit(1)).as("occ"))
+    ch.join(occ, "chunk_md5")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("occ") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("doc_id"), col("n_chunks"), col("n_dup"),
+        Num.r4(col("n_dup") / col("n_chunks")).as("dup_frac"))
+  }
+
   /** The chunk projection itself, over any (doc_id, text, …carry)
     * frame — ONE definition read by batch qt24 and the streaming twin
     * (bit-parity by construction; it is a stateless per-row map, so it

@@ -1347,6 +1347,24 @@ class TextSpec extends SparkSuite {
     m.unpersist()
   }
 
+  test("qt27 chunk dedup: counts agree with qt24, bounds hold, dups are real") {
+    val enc = TextOps.chunkDedup(spark, Sf001).cache()
+    val ch = TextOps.chunkDocs(spark, Sf001).cache()
+    // per-doc chunk counts must equal qt24's
+    val n24 = ch.groupBy("doc_id").agg(count(lit(1)).as("n24"))
+    assert(enc.join(n24, "doc_id").filter(col("n_chunks") =!= col("n24")).count() === 0)
+    assert(enc.count() === n24.count())
+    assert(enc.filter(col("n_dup") < 0 || col("n_dup") > col("n_chunks")).count() === 0)
+    assert(enc.filter(col("dup_frac") < 0 || col("dup_frac") > 1).count() === 0)
+    // cross-check the corpus total against the md5 occurrence table
+    val totDup = enc.agg(sum("n_dup")).collect().head.getLong(0)
+    val occDup = ch.groupBy("chunk_md5").agg(count(lit(1)).as("o"))
+      .filter(col("o") >= 2).agg(sum("o")).collect().head
+    assert(totDup === (if (occDup.isNullAt(0)) 0L else occDup.getLong(0)),
+      "every duplicated chunk occurrence counts exactly once")
+    enc.unpersist(); ch.unpersist()
+  }
+
   test("qd19 matches a brute-force span miner on 20 random corpora") {
     import spark.implicits._
     val rnd = new scala.util.Random(19)
