@@ -149,6 +149,7 @@ object SparkEntry {
     "qt25_bpe_merges" -> ((s, d) => graft.text.TextOps.bpeMerges(s, d)),
     "qt26_bpe_encode" -> ((s, d) => graft.text.TextOps.bpeEncode(s, d)),
     "qt27_chunk_dedup" -> ((s, d) => graft.text.TextOps.chunkDedup(s, d)),
+    "qc4_budget_plan" -> ((s, d) => graft.text.TextOps.budgetPlan(s, d)),
     "qc1_corpus_build" -> ((s, d) => graft.text.TextOps.corpusBuild(s, d)),
     "qc2_epoch_shuffle" -> ((s, d) => graft.text.TextOps.epochShuffle(s, d)),
     "qc3_dataset_card" -> ((s, d) => graft.text.TextOps.datasetCard(s, d)),
@@ -1031,6 +1032,38 @@ object SparkEntry {
                   THEN floor((CAST(pa_q AS DOUBLE) / z) / p_nat * 10000 + 0.5)/10000
              END AS oversample
       FROM sh, z""",
+    "qc4_budget_plan" -> """
+      WITH tk AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+      ), nt AS (
+        SELECT doc_id, count(*) AS nt FROM tk WHERE tok <> '' GROUP BY doc_id
+      ), per AS (
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(coalesce(nt, 0)) AS BIGINT) AS n_tok
+        FROM documents d LEFT JOIN nt USING (doc_id) GROUP BY source
+      ), tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS tot FROM per),
+      sh AS (
+        SELECT source, n_docs, n_tok, tot,
+               CAST(n_tok AS DOUBLE) / tot AS p_nat,
+               CAST(floor(pow(CAST(n_tok AS DOUBLE) / tot, 0.7) * 1000000 + 0.5) AS BIGINT) AS pa_q
+        FROM per, tot
+      ), z AS (SELECT CAST(sum(pa_q) AS BIGINT) AS z FROM sh),
+      plan4 AS (
+        SELECT source,
+               CAST(pa_q AS DOUBLE) / z AS w_raw,
+               n_tok,
+               CAST(floor((CAST(pa_q AS DOUBLE) / z) *
+                          CAST(CAST(floor(tot / 2.0) AS BIGINT) AS DOUBLE)) AS BIGINT) AS target_toks
+        FROM sh, z
+      )
+      SELECT source, floor(w_raw * 10000 + 0.5)/10000 AS w_mix,
+             target_toks, n_tok AS avail_toks,
+             least(n_tok, target_toks) AS alloc_toks,
+             CASE WHEN target_toks > 0 THEN
+               floor((least(n_tok, target_toks) * 1.0 / target_toks)*10000 + 0.5)/10000
+             END AS fill,
+             CASE WHEN least(n_tok, target_toks) < target_toks THEN 1 ELSE 0 END AS binding
+      FROM plan4""",
     "qe10_attribution" -> """
       WITH ev AS (
         SELECT event_id, user_id, event_type,

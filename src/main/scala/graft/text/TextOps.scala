@@ -563,7 +563,19 @@ object TextOps {
     * (map-side partials → |sources| rows) + two one-row scalar
     * broadcasts — nothing else moves.
     */
-  def mixWeights(spark: SparkSession, sfDir: String, alpha: Double = 0.7): DataFrame = {
+  def mixWeights(spark: SparkSession, sfDir: String, alpha: Double = 0.7): DataFrame =
+    mixShares(spark, sfDir, alpha)
+      .select(col("source"), col("n_docs"), col("n_tok"),
+        Num.r4(col("p_nat")).as("p_nat"),
+        Num.r4(col("pa_q").cast("double") / col("z")).as("w_mix"),
+        when(col("p_nat") > 0,
+          Num.r4((col("pa_q").cast("double") / col("z")) / col("p_nat"))).as("oversample"))
+
+  /** qt20's share frame with the raw quantities kept (pa_q, z, tot) —
+    * ONE definition read by the qt20 report and qc4's budget planner.
+    */
+  private[graft] def mixShares(spark: SparkSession, sfDir: String,
+                               alpha: Double): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha=$alpha: the mixing exponent flattens, not inverts")
     val nt = tokens(spark, sfDir).groupBy("doc_id").agg(count(lit(1)).as("nt"))
     val per = Tables.documents(spark, sfDir).select("doc_id", "source")
@@ -576,11 +588,41 @@ object TextOps {
       .withColumn("pa_q", floor(pow(col("p_nat"), alpha) * 1000000d + 0.5d).cast("long"))
     val z = sh.agg(sum("pa_q").as("z"))
     sh.crossJoin(broadcast(z))
-      .select(col("source"), col("n_docs"), col("n_tok"),
-        Num.r4(col("p_nat")).as("p_nat"),
-        Num.r4(col("pa_q").cast("double") / col("z")).as("w_mix"),
-        when(col("p_nat") > 0,
-          Num.r4((col("pa_q").cast("double") / col("z")) / col("p_nat"))).as("oversample"))
+  }
+
+  /** qc4: token-BUDGET feasibility plan — can the corpus actually fill
+    * a B-token training mix at qt20's temperature weights? (The
+    * planning pass run before materializing a mixture: a weight scheme
+    * that oversamples a small source past its volume either repeats
+    * data or starves the budget.) Per source: the mix weight, its
+    * token target w·B (B defaults to half the corpus — derived from
+    * the data, scale-free), the available volume, the bindable
+    * allocation min(avail, target), the fill rate and a binding flag.
+    * All |sources|-row arithmetic over the shared mixShares frame; the
+    * only data-scale work is qt20's own token count. Deterministic
+    * cross-engine: target = floor((pa_q/z)·B) on exact-int-derived
+    * doubles, identical operand order in the oracle.
+    */
+  def budgetPlan(spark: SparkSession, sfDir: String,
+                 alpha: Double = 0.7): DataFrame =
+    budgetPlanFrom(mixShares(spark, sfDir, alpha))
+
+  /** The qc4 plan projection over any (source, n_tok, pa_q, z, tot)
+    * share frame — separated so the spec can plant a SKEWED mix where
+    * a rare source actually binds (the synthetic corpus is too
+    * uniform to exercise that branch at alpha = 0.7).
+    */
+  private[graft] def budgetPlanFrom(sh: DataFrame): DataFrame = {
+    val wRaw = col("pa_q").cast("double") / col("z")
+    val budget = floor(col("tot") / 2.0).cast("long")
+    val target = floor(wRaw * budget.cast("double")).cast("long")
+    sh.select(col("source"), Num.r4(wRaw).as("w_mix"),
+        target.as("target_toks"), col("n_tok").as("avail_toks"),
+        least(col("n_tok"), target).as("alloc_toks"))
+      .withColumn("fill", when(col("target_toks") > 0,
+        Num.r4(col("alloc_toks") / col("target_toks"))))
+      .withColumn("binding",
+        when(col("alloc_toks") < col("target_toks"), 1L).otherwise(0L))
   }
 
   /** qc1: the corpus-build FUNNEL — the document pipeline's headline

@@ -1347,6 +1347,36 @@ class TextSpec extends SparkSuite {
     m.unpersist()
   }
 
+  test("qc4 budget plan: planted skewed mix binds the rare source; corpus invariants") {
+    import spark.implicits._
+    // hand mix: rare source has 10 tokens but a temperature weight of
+    // 0.5 (pa_q = z/2); budget = tot/2 = 505 -> target 252 >> avail 10
+    val sh = Seq(
+      ("rare", 10L, 500000L, 1000000L, 1010L),
+      ("big", 1000L, 500000L, 1000000L, 1010L)
+    ).toDF("source", "n_tok", "pa_q", "z", "tot")
+    val p = TextOps.budgetPlanFrom(sh).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("target_toks"),
+        r.getAs[Long]("alloc_toks"), r.getAs[Double]("fill"),
+        r.getAs[Long]("binding"))).toMap
+    assert(p("rare") === ((252L, 10L, math.floor(10.0 / 252 * 10000 + 0.5) / 10000, 1L)),
+      s"rare source must bind: $p")
+    assert(p("big") === ((252L, 252L, 1.0, 0L)))
+    // corpus: allocation never exceeds target or availability; fill in
+    // (0, 1]; weights sum to ~1
+    val r = TextOps.budgetPlan(spark, Sf001).cache()
+    assert(r.count() > 0)
+    assert(r.filter(col("alloc_toks") > col("target_toks") ||
+      col("alloc_toks") > col("avail_toks")).count() === 0)
+    assert(r.filter(col("fill") <= 0 || col("fill") > 1).count() === 0)
+    val wSum = r.agg(sum("w_mix")).collect().head.getDouble(0)
+    assert(math.abs(wSum - 1.0) < 0.01, s"weights must sum to ~1, got $wSum")
+    // binding consistency: binding == 1 exactly when alloc < target
+    assert(r.filter((col("binding") === 1L) =!= (col("alloc_toks") < col("target_toks")))
+      .count() === 0)
+    r.unpersist()
+  }
+
   test("qt27 chunk dedup: counts agree with qt24, bounds hold, dups are real") {
     val enc = TextOps.chunkDedup(spark, Sf001).cache()
     val ch = TextOps.chunkDocs(spark, Sf001).cache()
