@@ -150,17 +150,19 @@ object Bench {
     // 2000-byte window is the driver's hard truncation point)
     val runs = runTimes.map { m =>
       val t = m.values.sum
-      if (t < 99.95) num("%.1f", t) else num("%.0f", math.min(t, 9999.0))
+      if (t < 99.95) num("%.1f", t) else num("%.0f", math.min(t, 999.0))
     }.mkString("[", ",", "]")
-    // errors capped at 4 names + a total count — at 180 keys the full
-    // 8-name model overflowed the driver's 2000-byte window; `nerr`
-    // keeps the signal (how many failed) without the bytes. reps is
-    // derivable from the runs array length, so it isn't emitted.
+    // errors capped at 2 names + a total count — at 189 keys even the
+    // 4-name model overflowed the budget; `nerr` keeps the signal (how
+    // many failed) without the bytes. reps is derivable from the runs
+    // array length, so it isn't emitted.
     val errs =
       if (failed.isEmpty) ""
-      else failed.take(4).map(n => "\"" + n.takeWhile(_ != '_').drop(1) + "\"")
+      else failed.take(2).map(n => "\"" + n.takeWhile(_ != '_').drop(1) + "\"")
         .mkString(""","errors":[""", ",", s"""],"nerr":${failed.size}""")
     val sfTag = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
-    println(s"""{"metric":"total","value":${num("%.3f", total)},"unit":"sec","queries":$qs,"runs":$runs$errs,"sf":"$sfTag"}""")
+    val totalStr =
+      if (total < 999.9995) num("%.3f", total) else num("%.1f", math.min(total, 9999.9))
+    println(s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"runs":$runs$errs,"sf":"$sfTag"}""")
   }
 }

@@ -110,6 +110,7 @@ object SparkEntry {
     "qv18_hybrid_search" -> ((s, d) => graft.vector.Similarity.hybridSearch(s, d)),
     "qv19_rank_metrics" -> ((s, d) => graft.vector.Similarity.rankMetrics(s, d)),
     "qv20_dim_sweep" -> ((s, d) => graft.vector.Similarity.dimSweep(s, d)),
+    "qv21_index_upsert" -> ((s, d) => graft.vector.Similarity.indexUpsert(s, d)),
     "qt8_langid_eval" -> ((s, d) => graft.text.TextOps.langIdEval(s, d)),
     "qd8_minhash_est" -> ((s, d) => graft.text.Dedup.minhashEstimate(s, d)),
     "qd9_incremental_dedup" -> ((s, d) => graft.text.Dedup.incrementalDedup(s, d)),
@@ -282,6 +283,7 @@ object SparkEntry {
     "qv18_hybrid_search" -> graft.text.DocOracle.qv18(),
     "qv19_rank_metrics" -> graft.text.DocOracle.qv19(),
     "qv20_dim_sweep" -> graft.text.DocOracle.qv20(),
+    "qv21_index_upsert" -> graft.text.DocOracle.qv21(),
     "qt1_token_count" -> graft.text.DocOracle.qt1,
     "qt2_quality_score" -> graft.text.DocOracle.qt2,
     "qt3_lang_id" -> graft.text.DocOracle.qt3,

@@ -1563,6 +1563,37 @@ FROM (SELECT * FROM rk20 WHERE rnk <= $k) t
 LEFT JOIN gold20 g ON g.qid = t.qid AND g.vec_id = t.vec_id
 GROUP BY dim"""
 
+  /** qv21 — mirrors Similarity.indexUpsert: seeds from the BASE split
+    * only, every vector (base + delta) takes its nearest seed (L2,
+    * ties → lower cell), per-cell conditional counts.
+    */
+  def qv21(nCells: Int = 16, mod: Int = 10, rem: Int = 7): String = vecsCte + s"""
+, pos21 AS (
+  SELECT vec_id, unnest(range(len(v))) AS d, unnest(v) AS x FROM vecs
+), seedids21 AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cell
+  FROM (SELECT vec_id FROM vecs WHERE vec_id % $mod <> $rem
+        ORDER BY vec_id LIMIT $nCells)
+), seeds21 AS (
+  SELECT s.cell, p.d, p.x AS sx FROM pos21 p JOIN seedids21 s USING (vec_id)
+), asg21 AS (
+  SELECT vec_id, cell, vec_id % $mod = $rem AS is_delta FROM (
+    SELECT p.vec_id, s.cell,
+           row_number() OVER (PARTITION BY p.vec_id
+                              ORDER BY sum((p.x - s.sx) * (p.x - s.sx)), s.cell) AS rn
+    FROM pos21 p JOIN seeds21 s ON p.d = s.d
+    GROUP BY p.vec_id, s.cell
+  ) WHERE rn = 1
+)
+SELECT cell,
+       CAST(sum(CASE WHEN is_delta THEN 0 ELSE 1 END) AS BIGINT) AS n_base,
+       CAST(sum(CASE WHEN is_delta THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CASE WHEN sum(CASE WHEN is_delta THEN 0 ELSE 1 END) > 0 THEN
+         ${r4("CAST(sum(CASE WHEN is_delta THEN 1 ELSE 0 END) AS BIGINT) * 1.0 / CAST(sum(CASE WHEN is_delta THEN 0 ELSE 1 END) AS BIGINT)")}
+       END AS growth
+FROM asg21 GROUP BY cell"""
+
   /** qt25 — mirrors TextOps.bpeMerges: the same ␁-wrapped word
     * encoding (chr(1) never occurs in the synthetic corpus), the same
     * replace()-based greedy left-to-right merge (both engines scan

@@ -1026,6 +1026,43 @@ object Similarity {
     rankMetricsOf(sys, gold, k)
   }
 
+  /** qv21: index UPSERT audit — a delta batch of new vectors (the
+    * vec_id % `mod` = `rem` tenth, ~10%) assigns into the cells of an
+    * index trained WITHOUT them (seeds = the base split's own lowest
+    * ids), and the per-cell report says what the upsert did to the
+    * index: base size, arrivals, growth — the maintenance decision
+    * input every serving ANN deployment tracks (FAISS add() /
+    * pgvector INSERT path: new vectors take nearest-cell assignment
+    * without retraining; retrain/split triggers come from exactly
+    * this skew report). One broadcast packed-seed row + one
+    * stateless codegen argmin pass over the full collection + a
+    * |cells|-row partial agg; a cell with NO base members still
+    * reports its arrivals (growth null, not a crash).
+    */
+  def indexUpsert(spark: SparkSession, sfDir: String, nCells: Int = 16,
+                  mod: Int = 10, rem: Int = 7): DataFrame = {
+    require(nCells >= 1 && mod >= 2 && rem >= 0 && rem < mod,
+      s"nCells=$nCells mod=$mod rem=$rem")
+    val e = vecs(spark, sfDir)
+    val base = e.filter(col("vec_id") % mod =!= rem)
+    val seedIds = base.select("vec_id").orderBy("vec_id").limit(nCells)
+      .withColumn("cell", row_number().over(Window.orderBy("vec_id")) - 1)
+    val seeds = base.join(broadcast(seedIds), "vec_id")
+      .select(col("cell"), col("v").as("sv"))
+    val packed = seeds.select(struct(col("cell"), col("sv")).as("s"))
+      .agg(array_sort(collect_list(col("s"))).as("ps"))
+      .select(flatten(expr("transform(ps, x -> x.sv)")).as("sf"))
+    cellAssign(e, packed)
+      .withColumn("is_delta", (col("vec_id") % mod) === rem)
+      .groupBy("cell")
+      .agg(sum(when(col("is_delta"), 0L).otherwise(1L)).as("n_base"),
+        sum(when(col("is_delta"), 1L).otherwise(0L)).as("n_added"))
+      .select(col("cell"), col("n_base"), col("n_added"),
+        (col("n_base") + col("n_added")).as("n_total"),
+        when(col("n_base") > 0,
+          Num.r4(col("n_added") / col("n_base"))).as("growth"))
+  }
+
   /** qv20: DIMENSION-truncation recall sweep — recall@k of cosine over
     * the first d embedding components vs the full-dimension exact
     * top-k, for every d in one plan (the Matryoshka-representation

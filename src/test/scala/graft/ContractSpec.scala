@@ -42,18 +42,18 @@ class ContractSpec extends AnyFunSuite {
     // the sf basename, AND the capped errors tail (4 names + nerr,
     // modeled conservatively WITHOUT removing their per-query entries)
     // — truncation here is the BENCH_r03/r04 'parsed: null' failure
-    // mode, caught at build time instead of round end. The 4-widest
-    // names model Bench's take(4) upper bound (takeWhile('_') keys are
+    // mode, caught at build time instead of round end. The 2-widest
+    // names model Bench's take(2) upper bound (takeWhile('_') keys are
     // <= 4 chars).
     val keys = SparkEntry.queries.keySet.toSeq.sorted
     val worstQueries = keys
       .map(k => "\"" + k.takeWhile(_ != '_').drop(1) + "\":999")
       .mkString("{", ",", "}")
     val worstErrs = keys.map(k => "\"" + k.takeWhile(_ != '_').drop(1) + "\"")
-      .sortBy(-_.length).take(4)
+      .sortBy(-_.length).take(2)
       .mkString(""","errors":[""", ",", s"""],"nerr":${keys.size}""")
     val worstLine =
-      s"""{"metric":"total","value":99999.999,"unit":"sec","queries":$worstQueries,"runs":[9999,9999,9999]$worstErrs,"sf":"sf0.001"}"""
+      s"""{"metric":"total","value":9999.9,"unit":"sec","queries":$worstQueries,"runs":[999,999,999]$worstErrs,"sf":"sf0.001"}"""
     // budget is NOT the full 2000: sbt's trailing "[success] Total
     // time: ..." line (~80 B) lands in the same last-2000-bytes driver
     // capture AFTER the JSON line, so the line itself must leave room

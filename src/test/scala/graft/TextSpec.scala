@@ -1467,6 +1467,24 @@ class TextSpec extends SparkSuite {
     }
   }
 
+  test("qv21 index upsert: conservation, delta share, base-trained seeds") {
+    val u = Similarity.indexUpsert(spark, Sf001).cache()
+    assert(u.count() > 0 && u.count() <= 16)
+    // conservation: every vector (base + delta) lands in exactly one cell
+    val nVec = spark.read.parquet(s"$Sf001/embeddings.parquet").count()
+    val agg = u.agg(sum("n_total"), sum("n_added")).collect().head
+    assert(agg.getLong(0) === nVec)
+    // the delta split is the vec_id % 10 == 7 tenth, exactly
+    val nDelta = spark.read.parquet(s"$Sf001/embeddings.parquet")
+      .filter(col("vec_id") % 10 === 7).count()
+    assert(agg.getLong(1) === nDelta && nDelta > 0)
+    assert(u.filter(col("n_total") =!= col("n_base") + col("n_added")).count() === 0)
+    // growth is well-defined whenever the cell has base members
+    assert(u.filter(col("n_base") > 0 && col("growth").isNull).count() === 0)
+    assert(u.filter(col("growth") < 0).count() === 0)
+    u.unpersist()
+  }
+
   test("qv20 dim sweep: full-dim level is exact, recall bounded, counts uniform") {
     val s = Similarity.dimSweep(spark, Sf001).cache()
     val rows = s.collect().map(r => r.getAs[Int]("dim") ->
