@@ -150,6 +150,7 @@ object SparkEntry {
     "qt25_bpe_merges" -> ((s, d) => graft.text.TextOps.bpeMerges(s, d)),
     "qt26_bpe_encode" -> ((s, d) => graft.text.TextOps.bpeEncode(s, d)),
     "qt27_chunk_dedup" -> ((s, d) => graft.text.TextOps.chunkDedup(s, d)),
+    "qt28_bpe_vocab" -> ((s, d) => graft.text.TextOps.bpeMergesLocal(s, d)),
     "qc4_budget_plan" -> ((s, d) => graft.text.TextOps.budgetPlan(s, d)),
     "qc1_corpus_build" -> ((s, d) => graft.text.TextOps.corpusBuild(s, d)),
     "qc2_epoch_shuffle" -> ((s, d) => graft.text.TextOps.epochShuffle(s, d)),
@@ -607,6 +608,9 @@ object SparkEntry {
     "qt24_doc_chunks" -> graft.text.DocOracle.qt24(),
     "qt25_bpe_merges" -> graft.text.DocOracle.qt25(),
     "qt26_bpe_encode" -> graft.text.DocOracle.qt26(),
+    // qt28 = qt25's exact semantics at a production round count: the
+    // SAME unrolled-CTE mirror, 64 rounds
+    "qt28_bpe_vocab" -> graft.text.DocOracle.qt25(rounds = 64),
     "qt27_chunk_dedup" -> graft.text.DocOracle.qt27(),
     "qc2_epoch_shuffle" -> graft.text.DocOracle.qc2(),
     "qc3_dataset_card" -> graft.text.DocOracle.qc3(),
@@ -766,8 +770,8 @@ object SparkEntry {
                (x1q/10000.0/n1 - x0q/10000.0/(n - n1)))*10000 + 0.5)/10000 AS effect_cuped,
         floor((CASE WHEN sxx > 0 THEN sxy / CAST(sxx AS DOUBLE) END)*10000 + 0.5)/10000 AS theta,
         CASE WHEN sxx > 0 AND syy > 0 THEN
-          floor((CAST(sxy AS DOUBLE) * CAST(sxy AS DOUBLE) /
-                 (CAST(sxx AS DOUBLE) * CAST(syy AS DOUBLE)))*10000 + 0.5)/10000
+          floor((least(CAST(1 AS DOUBLE), CAST(sxy AS DOUBLE) * CAST(sxy AS DOUBLE) /
+                 (CAST(sxx AS DOUBLE) * CAST(syy AS DOUBLE))))*10000 + 0.5)/10000
         END AS var_reduction
       FROM s WHERE n1 > 0 AND n - n1 > 0""",
     "qa14_incremental_agg" -> """

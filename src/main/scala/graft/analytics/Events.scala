@@ -855,9 +855,13 @@ object Events {
     import graft.util.Num
     val li = Tables.lineitem(spark, sfDir)
     val rowOut = rowCheckFrame(li)
+    // distinct over a STRUCT of the key parts: struct(a, b) is non-null
+    // even when a field is, so NULL-containing keys count — matching the
+    // oracle's SELECT DISTINCT subquery (bare countDistinct(a, b) drops
+    // any row with a NULL part and understates d cross-engine).
     val uniq = li
       .agg(count(lit(1)).as("n"),
-        countDistinct(col("l_orderkey"), col("l_linenumber")).as("d"))
+        countDistinct(struct(col("l_orderkey"), col("l_linenumber"))).as("d"))
       .select(lit("unique_pk").as("check_name"),
         Num.r4(col("d") / col("n")).as("metric"), lit(1.0).as("threshold"))
     val ordKeys = Tables.orders(spark, sfDir)
@@ -950,9 +954,13 @@ object Events {
         // each int64 casts to double BEFORE multiplying: sxy² in long
         // arithmetic overflows past ~3e9 (the ints are exact ≤ 2^53, so
         // the double products are identical in both engines)
+        // least(1, ·): sxy²/(sxx·syy) can exceed 1 by a few q4 ulps (the
+        // centered products quantize before summing), and a reported
+        // "fraction of variance removed" must stay in [0, 1] — same
+        // clamp expression in the oracle.
         when(col("sxx") > 0 && col("syy") > 0,
-          Num.r4(col("sxy").cast("double") * col("sxy").cast("double") /
-            (col("sxx").cast("double") * col("syy").cast("double"))))
+          Num.r4(least(lit(1.0), col("sxy").cast("double") * col("sxy").cast("double") /
+            (col("sxx").cast("double") * col("syy").cast("double")))))
           .as("var_reduction"))
   }
 }

@@ -648,7 +648,11 @@ object ScoreStream {
         s" chr(1) || '$l$r' || chr(1))"
     }
     docs
-      .withColumn("toks", filter(split(col("text"), " "), t => t =!= ""))
+      // ␁-carrying tokens are excluded like the batch path (they are
+      // outside the trained vocabulary by bpeWordFreq's precondition
+      // filter, and replaying merges on them would corrupt boundaries)
+      .withColumn("toks", expr(
+        "filter(split(text, ' '), t -> t <> '' AND NOT contains(t, chr(1)))"))
       .filter(size(col("toks")) > 0)
       .select(col("doc_id"), col("ts"), size(col("toks")).cast("long").as("n_tok"),
         expr(s"aggregate(transform(toks, t -> size(split($enc, chr(1) || chr(1)))), " +

@@ -1611,7 +1611,8 @@ FROM asg21 GROUP BY cell"""
   private def bpeCte(rounds: Int, withFinalWords: Boolean): String = {
     val S = "chr(1)"
     val cte = new StringBuilder(toksCte + s"""
-, wf25 AS (SELECT tok, count(*) AS freq FROM toks GROUP BY tok),
+, wf25 AS (SELECT tok, count(*) AS freq FROM toks
+           WHERE NOT contains(tok, $S) GROUP BY tok),
 bw1 AS MATERIALIZED (
   SELECT tok, $S || array_to_string(string_split(tok, ''), $S || $S) || $S AS w, freq
   FROM wf25)""")

@@ -957,6 +957,13 @@ object TextOps {
           .as("chunk_md5")): _*)
   }
 
+  /** The BPE symbol-boundary sentinel of the wrapped-word encoding —
+    * one definition read by the trainer, the encoder, the local hybrid
+    * trainer and (as chr(1)) the oracle mirrors. Corpus tokens carrying
+    * it are excluded up front ([[bpeWordFreq]]).
+    */
+  private[graft] val BpeSentinel: String = "\u0001"
+
   /** The qt25 merge miner over any (tok, freq) word-frequency frame —
     * separated so the spec can drive a planted corpus with hand-computed
     * merges and the exact lexicographic tie-break.
@@ -987,9 +994,17 @@ object TextOps {
     */
   private[graft] def bpeTrain(wordFreq: DataFrame, rounds: Int,
                               checkpoint: Boolean = true): (Seq[DataFrame], DataFrame) = {
-    require(rounds >= 1 && rounds <= 10, s"need 1 <= rounds <= 10, got $rounds")
+    require(rounds >= 1 && rounds <= 10,
+      s"need 1 <= rounds <= 10, got $rounds (production round counts go " +
+        "through bpeTrainLocal - one collect per VOCABULARY, not one Spark job per round)")
     def cut(df: DataFrame): DataFrame = if (checkpoint) df.localCheckpoint() else df
-    val S = "\u0001"
+    // NOTE split(tok, "") is CODEPOINT-atomic in Spark (UTF8String-based:
+    // a supplementary char stays ONE element, of UTF-16 length 2), exactly
+    // matching DuckDB's string_split(tok, '') - no unpaired-surrogate
+    // symbols, no BMP-only assumption. TextSpec gates this with a planted
+    // U+1D306 token. (java.lang.String#split("") would be code-UNIT level;
+    // Spark's split is not that.)
+    val S = BpeSentinel
     var words = wordFreq.select(col("tok"),
       concat(lit(S), array_join(split(col("tok"), ""), S + S), lit(S)).as("w"),
       col("freq").cast("long").as("freq"))
@@ -1049,9 +1064,24 @@ object TextOps {
 
   /** The one corpus-scale stage of qt25, split out so PlanSpec can gate
     * its shape composed with un-checkpointed merge rounds.
+    *
+    * Tokens containing the  sentinel are EXCLUDED here (a pushed
+    * filter in the same scan, mirrored in the oracle's wf25 CTE): ␁ is
+    * the symbol-boundary marker of the wrapped-word encoding, so a
+    * corpus token carrying it would silently corrupt symbol boundaries
+    * and merge counts in training, encoding and the streaming encoder.
+    * Dropping such tokens (vanishingly rare — C0 control chars are not
+    * text) is the documented precondition of the whole bpe* API.
     */
   private[graft] def bpeWordFreq(spark: SparkSession, sfDir: String): DataFrame =
-    tokens(spark, sfDir).groupBy("tok").agg(count(lit(1)).as("freq"))
+    bpeWordFreqFrom(tokens(spark, sfDir))
+
+  /** The same count over any (…, tok) token frame — the spec's seam for
+    * the sentinel-exclusion precondition.
+    */
+  private[graft] def bpeWordFreqFrom(toks: DataFrame): DataFrame =
+    toks.filter(!col("tok").contains(BpeSentinel))
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
 
   /** qt26: BPE ENCODING of the corpus with qt25's learned merges — the
     * apply side of the tokenizer lifecycle (train qt25 → encode qt26 →
@@ -1082,5 +1112,128 @@ object TextOps {
         sum(length(col("tok"))).as("n_char"))
       .select(col("doc_id"), col("n_tok"), col("n_subword"),
         Num.r4(col("n_subword") / col("n_char")).as("subword_per_char"))
+  }
+
+  /** qt28: PRODUCTION-ROUND-COUNT BPE training — the documented hybrid
+    * for real vocabularies (a 32k-merge vocabulary is 32k merge rounds;
+    * one Spark job per round cannot scale in ROUND COUNT even though
+    * each round's work is tiny). The corpus-scale work stays exactly
+    * qt25's: ONE map-side-combinable word-frequency shuffle. The merge
+    * mining then runs over the VOCABULARY-scale (tok, freq) table held
+    * locally — |distinct words| ≪ corpus size and essentially flat in
+    * corpus growth (Heaps' law), the same table every practical BPE
+    * trainer (e.g. HuggingFace tokenizers, SentencePiece's BPE mode)
+    * holds in memory — so `rounds` costs zero additional Spark jobs.
+    *
+    * EXACT sequential semantics, bit-equal to qt25's distributed rounds
+    * and the DuckDB oracle at any shared round count (TextSpec gates
+    * equality on sf0.001 and on random corpora):
+    *   - pair counts over ALL adjacent symbol positions, word-frequency
+    *     weighted ("aaa" contributes (a,a) twice);
+    *   - winner = (freq DESC, lhs, rhs) with the tie-break compared in
+    *     UTF-8 BYTE order — what Spark's UTF8String and DuckDB both
+    *     sort by (java.lang.String#compareTo is UTF-16 code-unit order,
+    *     which diverges above the BMP, so it is NOT used);
+    *   - merge applied greedily left-to-right, non-overlapping — the
+    *     scan below IS what replace() does to the ␁-wrapped encoding;
+    *   - a round with no pairs left emits nothing, like the empty bn$r.
+    *
+    * Driver-side bounds, loud: the collect is capped at `maxVocabRows`
+    * (fail fast, never a silent truncation); `minFreq` is the standard
+    * prune valve for heavy-tailed 100 TB vocabularies (typo/URL words
+    * carry negligible pair mass) — it is part of the query semantics,
+    * so the oracle mirrors it whenever it binds (default 1 = off).
+    * Per-round recount is O(Σ word symbol lengths); an incremental
+    * pair-count delta (only words touched by the last merge) is the
+    * known next optimization if round counts reach 10⁵.
+    */
+  def bpeMergesLocal(spark: SparkSession, sfDir: String,
+                     rounds: Int = 64): DataFrame =
+    bpeTrainLocal(spark, bpeWordFreq(spark, sfDir), rounds)._1
+
+  /** The qt28 core over any (tok, freq) frame: returns (merges, final
+    * vocabulary segmentation) — the latter in qt25's exact ␁-wrapped
+    * (tok, w, freq) shape so [[bpeEncode]]'s join-side logic can reuse
+    * it unchanged.
+    */
+  private[graft] def bpeTrainLocal(spark: SparkSession, wordFreq: DataFrame,
+                                   rounds: Int, minFreq: Long = 1L,
+                                   maxVocabRows: Int = 5000000): (DataFrame, DataFrame) = {
+    require(rounds >= 1, s"rounds=$rounds")
+    val S = BpeSentinel
+    // limit(max+1) bounds driver memory BEFORE the require: when the
+    // vocabulary fits, the limit never binds and the collect is the
+    // complete deterministic table; when it does not, we fail loudly
+    // with the sizing valve named instead of OOMing or truncating.
+    val rows = wordFreq.filter(col("freq") >= minFreq)
+      .select(col("tok"), col("freq").cast("long").as("freq"))
+      .limit(maxVocabRows + 1).collect()
+    require(rows.length <= maxVocabRows,
+      s"bpeTrainLocal: vocabulary exceeds maxVocabRows=$maxVocabRows — " +
+        s"raise the bound or prune with minFreq (currently $minFreq)")
+    def cpSplit(tok: String): Array[String] =
+      tok.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+    // UTF-8 byte order = codepoint order = Spark/DuckDB string ORDER BY
+    def byteLt(a: String, b: String): Boolean = {
+      val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+      var i = 0
+      while (i < x.length && i < y.length) {
+        if (x(i) != y(i)) return (x(i) & 0xff) < (y(i) & 0xff)
+        i += 1
+      }
+      x.length < y.length
+    }
+    val words: Array[(String, Array[String], Long)] =
+      rows.map(r => (r.getString(0), cpSplit(r.getString(0)), r.getLong(1)))
+    val merges = Vector.newBuilder[(Int, String, String, Long)]
+    var round = 1
+    var done = false
+    while (round <= rounds && !done) {
+      val cnt = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (_, syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          cnt.update(k, cnt.getOrElse(k, 0L) + f)
+          i += 1
+        }
+      }
+      if (cnt.isEmpty) done = true
+      else {
+        var best: ((String, String), Long) = null
+        cnt.foreach { case (k, v) =>
+          if (best == null || v > best._2 ||
+            (v == best._2 && (byteLt(k._1, best._1._1) ||
+              (k._1 == best._1._1 && byteLt(k._2, best._1._2)))))
+            best = (k, v)
+        }
+        val ((l, r), f) = best
+        merges += ((round, l, r, f))
+        val fused = l + r
+        var wi = 0
+        while (wi < words.length) {
+          val (tok, syms, fr) = words(wi)
+          // greedy left-to-right non-overlapping — replace()'s scan
+          var i = 0
+          var touched = false
+          val out = Array.newBuilder[String]
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+              out += fused; touched = true; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          if (touched) words(wi) = (tok, out.result(), fr)
+          wi += 1
+        }
+      }
+      round += 1
+    }
+    import spark.implicits._
+    val mergesDf = merges.result()
+      .toDF("merge_round", "lhs", "rhs", "freq")
+    val vocabDf = words.toSeq
+      .map { case (tok, syms, f) => (tok, S + syms.mkString(S + S) + S, f) }
+      .toDF("tok", "w", "freq")
+    (mergesDf, vocabDf)
   }
 }

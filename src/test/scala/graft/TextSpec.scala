@@ -1569,6 +1569,78 @@ class TextSpec extends SparkSuite {
     assert(seg1 === Map("aaab" -> 3, "ab" -> 2))
   }
 
+  test("qt28 local trainer equals the distributed rounds on random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(28)
+    for (inst <- 1 to 10) {
+      val wf = (1 to (3 + rnd.nextInt(6))).map { _ =>
+        val w = Array.fill(1 + rnd.nextInt(6))("abc"(rnd.nextInt(3))).mkString
+        w -> (1L + rnd.nextInt(5))
+      }.groupMapReduce(_._1)(_._2)(_ + _).toSeq.toDF("tok", "freq")
+      val dist = TextOps.bpeMergesFrom(wf, rounds = 4).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+      val (locM, locV) = TextOps.bpeTrainLocal(spark, wf, rounds = 4)
+      val loc = locM.collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+      assert(loc === dist, s"instance $inst")
+      // the final segmentation table agrees too (qt26's input contract)
+      val distV = TextOps.bpeTrain(wf, rounds = 4)._2.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(locV.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .toSet === distV, s"instance $inst vocab")
+    }
+  }
+
+  test("qt28 at sf0.001: 64 rounds, prefix-consistent with qt25, chained symbols") {
+    val m = TextOps.bpeMergesLocal(spark, Sf001, rounds = 64)
+      .orderBy("merge_round").collect()
+    assert(m.nonEmpty && m.length <= 64)
+    // the first 4 rounds ARE qt25's merges (same algorithm, longer run)
+    val dist = TextOps.bpeMerges(spark, Sf001).orderBy("merge_round").collect()
+    assert(m.take(dist.length).map(r => (r.getInt(0), r.getString(1), r.getString(2),
+      r.getLong(3))).toSeq === dist.map(r => (r.getInt(0), r.getString(1),
+      r.getString(2), r.getLong(3))).toSeq)
+    // frequency monotone; every symbol is a char or a prior merge
+    val freqs = m.map(_.getAs[Long]("freq"))
+    assert(freqs.zip(freqs.tail).forall { case (a, b) => a >= b })
+    val produced = scala.collection.mutable.Set[String]()
+    m.foreach { r =>
+      Seq(r.getString(1), r.getString(2)).foreach { s =>
+        assert(s.codePointCount(0, s.length) == 1 || produced.contains(s))
+      }
+      produced += r.getString(1) + r.getString(2)
+    }
+  }
+
+  test("bpe symbols are codepoint-atomic: supplementary chars never split") {
+    import spark.implicits._
+    // U+1D306 (a surrogate PAIR in UTF-16) between ascii chars: both
+    // trainers must treat it as ONE symbol — java.lang.String#split("")
+    // would shear it into two unpaired surrogates
+    val sup = new String(Character.toChars(0x1D306))
+    val wf = Seq(("a" + sup + "b", 3L), ("a" + sup, 2L)).toDF("tok", "freq")
+    // round 1 pairs: (a,sup)=5, (sup,b)=3 -> winner (a,sup)
+    val d1 = TextOps.bpeMergesFrom(wf, rounds = 1).collect().head
+    assert((d1.getString(1), d1.getString(2), d1.getLong(3)) === (("a", sup, 5L)))
+    val l1 = TextOps.bpeTrainLocal(spark, wf, rounds = 1)._1.collect().head
+    assert((l1.getString(1), l1.getString(2), l1.getLong(3)) === (("a", sup, 5L)))
+    // round 2 on both: the fused "a<sup>" merges with b at freq 3
+    val d2 = TextOps.bpeMergesFrom(wf, rounds = 2).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    val l2 = TextOps.bpeTrainLocal(spark, wf, rounds = 2)._1.collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    assert(d2 === l2 && d2 === Set((1, "a", sup, 5L), (2, "a" + sup, "b", 3L)))
+  }
+
+  test("bpe precondition: sentinel-carrying tokens are excluded up front") {
+    import spark.implicits._
+    val toks = Seq((1L, "ab"), (1L, "a\u0001b"), (2L, "ab"), (2L, "\u0001"))
+      .toDF("doc_id", "tok")
+    val wf = TextOps.bpeWordFreqFrom(toks).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(wf === Map("ab" -> 2L), s"got $wf")
+  }
+
   test("qt26 encode invariants at sf0.001: bounds, coverage, compression") {
     val enc = TextOps.bpeEncode(spark, Sf001).cache()
     val toks = TextOps.tokenCount(spark, Sf001).select(col("doc_id"), col("n_ws"))
