@@ -108,6 +108,7 @@ object SparkEntry {
     "qv4_ann_eval" -> ((s, d) => graft.vector.Similarity.annEval(s, d)),
     "qv17_probe_sweep" -> ((s, d) => graft.vector.Similarity.probeSweep(s, d)),
     "qv18_hybrid_search" -> ((s, d) => graft.vector.Similarity.hybridSearch(s, d)),
+    "qv22_hybrid_ivf" -> ((s, d) => graft.vector.Similarity.hybridSearchIvf(s, d)),
     "qv19_rank_metrics" -> ((s, d) => graft.vector.Similarity.rankMetrics(s, d)),
     "qv20_dim_sweep" -> ((s, d) => graft.vector.Similarity.dimSweep(s, d)),
     "qv21_index_upsert" -> ((s, d) => graft.vector.Similarity.indexUpsert(s, d)),
@@ -282,6 +283,7 @@ object SparkEntry {
     "qv4_ann_eval" -> graft.text.DocOracle.qv4(),
     "qv17_probe_sweep" -> graft.text.DocOracle.qv17(),
     "qv18_hybrid_search" -> graft.text.DocOracle.qv18(),
+    "qv22_hybrid_ivf" -> graft.text.DocOracle.qv22(),
     "qv19_rank_metrics" -> graft.text.DocOracle.qv19(),
     "qv20_dim_sweep" -> graft.text.DocOracle.qv20(),
     "qv21_index_upsert" -> graft.text.DocOracle.qv21(),

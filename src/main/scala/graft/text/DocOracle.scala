@@ -1690,11 +1690,12 @@ GROUP BY c.doc_id"""
     * divisions. Constants interpolate from Similarity's fields so the
     * two engines can't drift.
     */
-  def qv18(k: Int = 10, nTerms: Int = 3, depth: Int = 20,
-           maxQueries: Int = 1000): String = {
+  /** The shared lexical + corpus-stat CTE prefix of qv18/qv22 (ends at
+    * `lex`; `vecs` is defined here because both dense branches read it).
+    */
+  private def hybridLexCte(nTerms: Int, depth: Int, maxQueries: Int): String = {
     val k1 = graft.vector.Similarity.Bm25K1
     val b = graft.vector.Similarity.Bm25B
-    val rk = graft.vector.Similarity.RrfK
     toksCte + s"""
 , vecs AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
@@ -1714,6 +1715,8 @@ stats AS (
              ORDER BY ${r4("t.tf / d.dlen * ln(n.n_docs / f.df)")} DESC, t.tok) AS trm
     FROM tf t JOIN dlen d USING (doc_id) JOIN dfr f USING (tok) CROSS JOIN nd n
     WHERE t.doc_id % 100 = 0 AND t.doc_id < ${100L * maxQueries}
+      AND f.df <= greatest(${graft.vector.Similarity.Bm25MaxDfFloor},
+                           n.n_docs // ${graft.vector.Similarity.Bm25MaxDfShare})
   ) WHERE trm <= $nTerms
 ), sc AS (
   SELECT q.qid, t.doc_id,
@@ -1730,18 +1733,15 @@ stats AS (
            row_number() OVER (PARTITION BY qid ORDER BY bm25q DESC, doc_id) AS lex_rank
     FROM sc
   ) WHERE lex_rank <= $depth
-), vq AS (SELECT vec_id AS qid, v, nrm FROM vecs
-          WHERE vec_id % 100 = 0 AND vec_id < ${100L * maxQueries}),
-vsc AS (
-  SELECT q.qid, b.vec_id, list_dot_product(q.v, b.v) / (q.nrm * b.nrm) AS cos
-  FROM vq q JOIN vecs b ON q.qid <> b.vec_id
-), vr AS (
-  SELECT qid, vec_id AS doc_id, vec_rank FROM (
-    SELECT qid, vec_id,
-           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS vec_rank
-    FROM vsc
-  ) WHERE vec_rank <= $depth
-), fused AS (
+)"""
+  }
+
+  /** The shared RRF fusion tail of qv18/qv22 (expects `lex` and a dense
+    * ranking `vr` (qid, doc_id, vec_rank) upstream).
+    */
+  private def hybridFusionSql(k: Int): String = {
+    val rk = graft.vector.Similarity.RrfK
+    s""", fused AS (
   SELECT coalesce(l.qid, v.qid) AS qid, coalesce(l.doc_id, v.doc_id) AS doc_id,
          l.lex_rank, v.vec_rank,
          coalesce(CAST(1 AS DOUBLE) / ($rk + l.lex_rank), CAST(0 AS DOUBLE)) +
@@ -1757,4 +1757,58 @@ FROM (
   FROM fused
 ) WHERE rnk <= $k"""
   }
+
+  def qv18(k: Int = 10, nTerms: Int = 3, depth: Int = 20,
+           maxQueries: Int = 1000): String =
+    hybridLexCte(nTerms, depth, maxQueries) + s""",
+vq AS (SELECT vec_id AS qid, v, nrm FROM vecs
+       WHERE vec_id % 100 = 0 AND vec_id < ${100L * maxQueries}),
+vsc AS (
+  SELECT q.qid, b.vec_id, list_dot_product(q.v, b.v) / (q.nrm * b.nrm) AS cos
+  FROM vq q JOIN vecs b ON q.qid <> b.vec_id
+), vr AS (
+  SELECT qid, vec_id AS doc_id, vec_rank FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS vec_rank
+    FROM vsc
+  ) WHERE vec_rank <= $depth
+)""" + hybridFusionSql(k)
+
+  /** qv22 — mirrors Similarity.hybridSearchIvf: the qv18 lexical chain
+    * with the dense branch swapped to qv3's IVF probe (the same
+    * assignCte/centroid/probe SQL qv3 is parity-checked on).
+    */
+  def qv22(k: Int = 10, nTerms: Int = 3, depth: Int = 20, nCells: Int = 16,
+           nProbe: Int = 2, maxQueries: Int = 1000): String =
+    hybridLexCte(nTerms, depth, maxQueries) + assignCte(nCells) + s""",
+centroids AS (
+  SELECT a.cell, p.d, avg(p.x) AS c
+  FROM pos p JOIN assigned a USING (vec_id) GROUP BY a.cell, p.d
+), qpos AS (
+  SELECT vec_id AS qid, d, x FROM pos
+  WHERE vec_id % 100 = 0 AND vec_id < ${100L * maxQueries}
+), probes AS (
+  SELECT qid, cell FROM (
+    SELECT qp.qid, c.cell,
+           row_number() OVER (PARTITION BY qp.qid
+                              ORDER BY sum((qp.x - c.c) * (qp.x - c.c)), c.cell) AS rn
+    FROM qpos qp JOIN centroids c ON qp.d = c.d
+    GROUP BY qp.qid, c.cell
+  ) WHERE rn <= $nProbe
+), vcands AS (
+  SELECT pr.qid, a.vec_id FROM probes pr JOIN assigned a USING (cell)
+  WHERE pr.qid <> a.vec_id
+), vsc AS (
+  SELECT cd.qid, cd.vec_id,
+         list_dot_product(q.v, b.v) / (q.nrm * b.nrm) AS cos
+  FROM vcands cd
+  JOIN vecs q ON q.vec_id = cd.qid
+  JOIN vecs b ON b.vec_id = cd.vec_id
+), vr AS (
+  SELECT qid, vec_id AS doc_id, vec_rank FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS vec_rank
+    FROM vsc
+  ) WHERE vec_rank <= $depth
+)""" + hybridFusionSql(k)
 }

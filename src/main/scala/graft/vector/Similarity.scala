@@ -850,6 +850,20 @@ object Similarity {
   val Bm25B: Double = 0.75
   /** RRF smoothing constant (Cormack et al. 2009's k=60). */
   val RrfK: Int = 60
+  /** qv18's stop-term valve (qd3/qd18's df-cap discipline, ON by
+    * default): a query term is ELIGIBLE for candidate generation only
+    * while df ≤ max(Bm25MaxDfFloor, n_docs / Bm25MaxDfShare) — exact
+    * integer arithmetic, identical in both engines. Sizing rule: each
+    * eligible term's posting list is then ≤ max(20, N/100) rows, so the
+    * posting equi-join output is ≤ |Q|·nTerms·max(20, N/100) — linear
+    * in corpus size with a 1% constant — even on a skewed corpus where
+    * a common token tops a document's TF-IDF. The floor keeps tiny
+    * corpora (N < 2000) from filtering everything; top-TF-IDF terms
+    * are rare by construction, so on natural corpora the cap is a
+    * safety valve, not a ranking change.
+    */
+  val Bm25MaxDfFloor: Long = 20L
+  val Bm25MaxDfShare: Long = 100L
 
   /** qv18: HYBRID retrieval — BM25 keyword search fused with dense
     * cosine search by reciprocal-rank fusion (RRF, Cormack et al.
@@ -871,12 +885,15 @@ object Similarity {
     *
     * Scale shape: query terms (≤ nTerms·|Q| rows with their df)
     * broadcast into the posting join; posting volume is bounded by
-    * Σ df(term) — at 100 TB add qd18's df cap on eligible query
-    * terms (stop-words never surface: top TF-IDF terms are rare by
-    * construction). The dense branch swaps to qv3/qv6's IVF under
-    * the same fusion. Ref context: the reference has no retrieval
-    * module; this is engine scope (training-data curation /
-    * RAG-serving needs).
+    * Σ df(term), and the WIRED stop-term valve (df ≤
+    * max(Bm25MaxDfFloor, n_docs/Bm25MaxDfShare), ON by default,
+    * oracle-mirrored, PlanSpec-gated) caps each term's contribution at
+    * max(20, N/100) rows — qd18's df-cap discipline, so even a skewed
+    * corpus where a common token tops a doc's TF-IDF cannot blow up
+    * candidate generation. The dense branch swaps to qv3/qv6's IVF
+    * under the same fusion ([[hybridSearchIvf]]). Ref context: the
+    * reference has no retrieval module; this is engine scope
+    * (training-data curation / RAG-serving needs).
     */
   /** The BM25 lexical index — postings carrying every stat the scorer
     * reads (tf, dlen, df) with the two corpus constants DENORMALIZED
@@ -924,6 +941,11 @@ object Similarity {
     val wq = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("tok"))
     bm25Postings(spark, sfDir)
       .filter(col("doc_id") % 100 === 0 && col("doc_id") < lit(100L * maxQueries))
+      // the stop-term valve: rank only ELIGIBLE terms (df within the
+      // cap), so every query still gets nTerms terms and every term's
+      // posting list is bounded — see Bm25MaxDfFloor's sizing rule
+      .filter(col("df") <= greatest(lit(Bm25MaxDfFloor),
+        floor(col("n_docs") / Bm25MaxDfShare).cast("long")))
       .withColumn("tfidf",
         Num.r4(col("tf") / col("dlen") * log(col("n_docs") / col("df"))))
       .withColumn("trm", row_number().over(wq))
@@ -944,15 +966,48 @@ object Similarity {
   def hybridSearch(spark: SparkSession, sfDir: String, k: Int = 10,
                    nTerms: Int = 3, depth: Int = 20,
                    maxQueries: Int = MaxQueries): DataFrame = {
-    val post = bm25Postings(spark, sfDir)
-    val qterms = hybridQueryTerms(spark, sfDir, nTerms, maxQueries)
+    val dense = cosineTopK(spark, sfDir, depth, maxQueries)
+      .select(col("qid"), col("vec_id").as("doc_id"), col("rnk").as("vec_rank"))
+    rrfFuse(hybridLex(spark, sfDir, nTerms, depth, maxQueries), dense, k)
+  }
+
+  /** qv22: qv18's hybrid retrieval with the dense branch swapped to the
+    * qv3 IVF index — the SERVING configuration (exact brute-force dense
+    * search is the eval gold standard, an IVF probe is what actually
+    * answers queries at scale). Same lexical branch, same RRF fusion;
+    * only the dense candidate generator changes: nProbe cells' inverted
+    * lists instead of the full collection, so the dense branch's scan is
+    * ~nProbe/nCells of the corpus per query. At nProbe = nCells every
+    * cell is probed and the IVF ranking IS the exact one — TextSpec
+    * anchors qv22(nProbe=nCells) ≡ qv18 exactly (qv17's discipline).
+    */
+  def hybridSearchIvf(spark: SparkSession, sfDir: String, k: Int = 10,
+                      nTerms: Int = 3, depth: Int = 20, nCells: Int = 16,
+                      nProbe: Int = 2): DataFrame = {
+    val dense = ivfAnn(spark, sfDir, nCells, nProbe, depth)
+      .select(col("qid"), col("vec_id").as("doc_id"), col("rnk").as("vec_rank"))
+    rrfFuse(hybridLex(spark, sfDir, nTerms, depth, MaxQueries), dense, k)
+  }
+
+  /** The shared lexical ranking branch of qv18/qv22: BM25-score the
+    * posting-join candidates, keep each query's top `depth`.
+    */
+  private[graft] def hybridLex(spark: SparkSession, sfDir: String,
+                               nTerms: Int, depth: Int,
+                               maxQueries: Int): DataFrame = {
     val wl = Window.partitionBy("qid").orderBy(col("bm25q").desc, col("doc_id"))
-    val lex = bm25ScoreOf(post, qterms)
+    bm25ScoreOf(bm25Postings(spark, sfDir),
+        hybridQueryTerms(spark, sfDir, nTerms, maxQueries))
       .withColumn("lex_rank", row_number().over(wl))
       .filter(col("lex_rank") <= depth)
       .select(col("qid"), col("doc_id"), col("lex_rank"))
-    val dense = cosineTopK(spark, sfDir, depth, maxQueries)
-      .select(col("qid"), col("vec_id").as("doc_id"), col("rnk").as("vec_rank"))
+  }
+
+  /** The shared RRF fusion of qv18/qv22 — full-outer on (qid, doc),
+    * rrf = Σ 1/(RrfK+rank) over the lists containing the doc, exact
+    * small-int divisions in both engines.
+    */
+  private[graft] def rrfFuse(lex: DataFrame, dense: DataFrame, k: Int): DataFrame = {
     val wf = Window.partitionBy("qid").orderBy(col("rrf").desc, col("doc_id"))
     lex.join(dense, Seq("qid", "doc_id"), "full_outer")
       .withColumn("rrf",

@@ -413,6 +413,26 @@ class PlanSpec extends SparkSuite {
     // qv1's bounded query fan — never two row-scale inputs
     assert(!p.contains("CartesianProduct"),
       s"unexpected cartesian in:\n${p.take(900)}")
+    // the stop-term valve is IN the executed plan (not just documented):
+    // eligible query terms carry df <= max(floor, n_docs/share), so each
+    // term's posting list is bounded at max(20, N/100) rows
+    assert(p.contains("greatest"),
+      s"qv18's df-cap stop-term filter is missing from the plan:\n${p.take(1500)}")
+  }
+
+  test("qv18 stop-term valve excludes real posting mass at sf0.1") {
+    import graft.vector.Similarity
+    val post = Similarity.bm25Postings(spark, Sf01)
+    val cap = greatest(lit(Similarity.Bm25MaxDfFloor),
+      floor(col("n_docs") / Similarity.Bm25MaxDfShare).cast("long"))
+    // the corpus DOES have over-cap terms (else the valve is vacuous)…
+    assert(post.filter(col("df") > cap).count() > 0,
+      "no stop terms at this scale — the valve gate is vacuous")
+    // …and every term the posting join will probe is under the cap
+    val over = Similarity.hybridQueryTerms(spark, Sf01)
+      .join(post.select(col("tok"), col("df"), cap.as("cap")).distinct(), "tok")
+      .filter(col("df") > col("cap")).count()
+    assert(over === 0, s"$over over-cap terms reached candidate generation")
   }
 
   test("qd19 global dup spans: one occurrence-count shuffle with partial agg, no sort-merge") {

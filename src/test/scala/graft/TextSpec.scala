@@ -1291,6 +1291,34 @@ class TextSpec extends SparkSuite {
     d.unpersist()
   }
 
+  test("qv22 hybrid-over-IVF: nProbe=nCells anchor equals the exact hybrid") {
+    // with every cell probed the IVF candidate set is the whole
+    // collection, so the dense ranking — and therefore the fusion — is
+    // exactly qv18's (qv17's anchor discipline)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3),
+        r.getDouble(4), r.getInt(5))).toSet
+    val exact = rows(Similarity.hybridSearch(spark, Sf001))
+    val allProbe = rows(Similarity.hybridSearchIvf(spark, Sf001,
+      nCells = 16, nProbe = 16))
+    assert(allProbe === exact)
+    // the registered nProbe=2 config: a real subset of candidates, same
+    // output contract (ranks contiguous from 1, within depth)
+    val d = Similarity.hybridSearchIvf(spark, Sf001).cache()
+    assert(d.count() > 0)
+    val per = d.groupBy("qid").agg(count(lit(1)).as("n"),
+      min("rnk").as("lo"), max("rnk").as("hi"))
+    assert(per.filter(col("n") > 10 || col("lo") =!= 1 || col("hi") =!= col("n")).count() === 0)
+    assert(d.filter(col("lex_rank") === 0 && col("vec_rank") === 0).count() === 0)
+    // the dense branch IS qv3's ranking at depth
+    val dense = Similarity.ivfAnn(spark, Sf001, k = 20)
+      .select(col("qid"), col("vec_id").as("doc_id"), col("rnk").as("vr"))
+    assert(d.filter(col("vec_rank") > 0)
+      .join(dense, Seq("qid", "doc_id"), "left")
+      .filter(col("vr").isNull || col("vr") =!= col("vec_rank")).count() === 0)
+    d.unpersist()
+  }
+
   test("qv19 rank metrics: gold scored against itself is perfect") {
     val k = 5
     val gold = Similarity.cosineTopK(spark, Sf001, k = k)
