@@ -709,4 +709,96 @@ object Dedup {
   def globalDupSpans(spark: SparkSession, sfDir: String, n: Int = 3,
                      minSpan: Int = 4): DataFrame =
     globalDupSpansFrom(shingles(spark, sfDir, n), n, minSpan)
+
+  /** The qd20 core over any (doc_id, text) frame — the spec's seam for
+    * planted boilerplate passages and the cleaned-corpus re-scan.
+    *
+    * Positions here are DENSE token ranks (row_number over the
+    * non-empty tokens), not the raw split indices qd19 reports:
+    * coverage and adjacency are properties of the token SEQUENCE, and
+    * dense ranks stay correct when text carries repeated whitespace.
+    */
+  private[graft] def dedupSpansFrom(docs: DataFrame, n: Int,
+                                    minSpan: Int): DataFrame = {
+    require(n >= 1 && minSpan >= n, s"need minSpan >= n >= 1, got n=$n minSpan=$minSpan")
+    val wD = Window.partitionBy("doc_id").orderBy("i")
+    val dtk = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("i", "tok")))
+      .filter(col("tok") =!= "")
+      .withColumn("p", row_number().over(wD))
+    val parts = (0 until n).map {
+      case 0 => col("tok")
+      case k => lead("tok", k).over(wD)
+    }
+    val shp = dtk
+      .withColumn("sh", concat_ws(" ", parts: _*))
+      .withColumn("lastTok", lead("tok", n - 1).over(wD))
+      .filter(col("lastTok").isNotNull)
+      .select(col("doc_id"), col("p"), strHash60(col("sh")).as("h"))
+    // ONE corpus-scale hash shuffle keyed by h (qd19's discipline, with
+    // the keeper attached): occurrence count + the first occurrence as
+    // an exact packed int64 (doc_id·2^31 + p — repack the width before
+    // doc ids cross 2^31; the oracle shares the same formula)
+    val fk = col("doc_id") * lit(2147483648L) + col("p")
+    val agg = shp.groupBy("h")
+      .agg(count(lit(1)).as("occ"), min(fk).as("first_key"))
+      .filter(col("occ") >= 2)
+    val dup = shp.join(agg, "h") // co-partitioned: both sides hashed by h
+    val wO = Window.partitionBy("doc_id").orderBy("p")
+    val wg = Window.partitionBy("doc_id", "grp")
+    val cuts = dup
+      .withColumn("grp", col("p") - row_number().over(wO))
+      .withColumn("run", count(lit(1)).over(wg))
+      .filter(col("run") + lit(n - 1) >= minSpan) // qd19's noise floor
+      .filter(fk =!= col("first_key")) // keep the first corpus occurrence
+      .select(col("doc_id"),
+        explode(sequence(col("p"), col("p") + lit(n - 1))).as("cp"))
+      .distinct()
+    val cutArr = cuts.groupBy("doc_id")
+      .agg(sort_array(collect_list("cp")).as("cut_ps"))
+    // rebuild each doc from its kept tokens in order; docs without cuts (and
+    // empty docs) pass through — the ONLY other shuffle is this doc_id
+    // join (the duplicate set is corpus-sized at 100 TB: not broadcast)
+    docs
+      .select(col("doc_id"),
+        filter(split(col("text"), " "), t => t =!= "").as("ws"))
+      .join(cutArr, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_tok"),
+        coalesce(size(col("cut_ps")), lit(0)).cast("long").as("n_cut"),
+        when(col("cut_ps").isNull, array_join(col("ws"), " "))
+          .otherwise(expr(
+            "array_join(filter(transform(ws, (t, idx) -> " +
+              "CASE WHEN array_contains(cut_ps, idx + 1) THEN NULL ELSE t END), " +
+              "x -> x IS NOT NULL), ' ')")).as("clean_text"))
+  }
+
+  /** qd20: ExactSubstr span REMOVAL — the rewrite qd19 only reports
+    * (Lee et al. 2022, arXiv:2107.06499 §3.1: "when a substring is
+    * duplicated, keep one occurrence and remove the rest"). Every
+    * duplicated shingle occurrence inside a qualifying (≥ minSpan)
+    * qd19 island is CUT unless it is that shingle's first corpus
+    * occurrence (min (doc_id, position) — ingestion order, qd1/qd15's
+    * keeper rule); each document is rebuilt from its kept tokens in
+    * order (qt15's rebuild machinery, at shingle rather than segment
+    * grain). Output: (doc_id, n_tok, n_cut, clean_text) for EVERY
+    * document — the cleaned corpus, not a report.
+    *
+    * First-occurrence keeps are decided per SHINGLE, so a passage
+    * repeated across k documents survives exactly once even when the
+    * copies' island extents differ. Removal can create new token
+    * adjacencies, so like the reference construction the guarantee is
+    * per-pass (DedupSpec re-scans the planted corpus clean); iterate
+    * to a fixpoint when hygiene demands it.
+    *
+    * Scale shape: qd19's ONE map-side-combinable h-shuffle (now also
+    * carrying the min packed (doc, pos) key), the co-partitioned join
+    * back, the per-doc islands window, then one doc_id-keyed join of
+    * the cut arrays against the corpus for the rebuild. Nothing
+    * all-pairs, nothing broadcast that scales with dup mass.
+    */
+  def dedupSpans(spark: SparkSession, sfDir: String, n: Int = 3,
+                 minSpan: Int = 4): DataFrame =
+    dedupSpansFrom(Tables.documents(spark, sfDir).select("doc_id", "text"),
+      n, minSpan)
 }

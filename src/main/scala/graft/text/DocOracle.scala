@@ -1386,6 +1386,54 @@ SELECT doc_id, CAST(min(i) AS BIGINT) AS start_tok,
 FROM isl19 GROUP BY doc_id, grp
 HAVING count(*) + ${n - 1} >= $minSpan"""
 
+  /** qd20 — mirrors Dedup.dedupSpans: dense token ranks, the same
+    * packed-int64 first-occurrence key (doc_id·2^31 + p), qd19's
+    * islands + noise floor, and a per-doc ordered rebuild of the kept
+    * tokens.
+    */
+  def qd20(n: Int = 3, minSpan: Int = 4): String = {
+    val parts = (0 until n).map {
+      case 0 => "tok"
+      case k => s"lead(tok, $k) OVER w20"
+    }.mkString(" || ' ' || ")
+    toksCte + s"""
+, dtk AS (
+  SELECT doc_id, tok, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS p
+  FROM toks
+), shp AS (
+  SELECT doc_id, p, ${h60("sh")} AS hq FROM (
+    SELECT doc_id, p, $parts AS sh, lead(tok, ${n - 1}) OVER w20 AS lastTok
+    FROM dtk WINDOW w20 AS (PARTITION BY doc_id ORDER BY p)
+  ) WHERE lastTok IS NOT NULL
+), agg20 AS (
+  SELECT hq, count(*) AS occ, min(doc_id * 2147483648 + p) AS first_key
+  FROM shp GROUP BY hq HAVING count(*) >= 2
+), isl20 AS (
+  SELECT s.doc_id, s.p, a.first_key,
+         s.p - row_number() OVER (PARTITION BY s.doc_id ORDER BY s.p) AS grp
+  FROM shp s JOIN agg20 a USING (hq)
+), qual20 AS (
+  SELECT doc_id, p, first_key FROM (
+    SELECT doc_id, p, first_key,
+           count(*) OVER (PARTITION BY doc_id, grp) AS run
+    FROM isl20
+  ) WHERE run + ${n - 1} >= $minSpan
+), cuts20 AS (
+  SELECT DISTINCT doc_id, p + off AS cp
+  FROM qual20, range(0, $n) t(off)
+  WHERE doc_id * 2147483648 + p <> first_key
+), kept20 AS (
+  SELECT t.doc_id, count(*) AS n_tok,
+         CAST(sum(CASE WHEN c.cp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_cut,
+         coalesce(string_agg(CASE WHEN c.cp IS NULL THEN t.tok END, ' ' ORDER BY t.p), '') AS clean_text
+  FROM dtk t LEFT JOIN cuts20 c ON c.doc_id = t.doc_id AND c.cp = t.p
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id, coalesce(k.n_tok, 0) AS n_tok, coalesce(k.n_cut, 0) AS n_cut,
+       coalesce(k.clean_text, '') AS clean_text
+FROM documents d LEFT JOIN kept20 k USING (doc_id)"""
+  }
+
   /** Mirrors TextOps.charEntropy: same alphabet, same
     * length-of-replace counts, same 1e-6 pre-sum term quantization.
     */

@@ -1687,6 +1687,61 @@ class TextSpec extends SparkSuite {
     enc.unpersist()
   }
 
+  test("qd20 planted boilerplate: first occurrence kept, later copies cut, re-scan clean") {
+    import spark.implicits._
+    val boiler = "b1 b2 b3 b4 b5 b6" // a 6-token passage shared by 3 docs
+    val docs = Seq(
+      (1L, s"u1 u2 $boiler u3 u4"),
+      (2L, s"v1 $boiler v2 v3 v4"),
+      (3L, s"$boiler w1 w2 w3 w4"),
+      (4L, "x1 x2 x3 x4 x5 x6 x7 x8")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupSpansFrom(docs, n = 3, minSpan = 4).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // doc 1 carries the passage's first corpus occurrence -> untouched;
+    // docs 2 and 3 lose exactly the 6 boilerplate tokens; doc 4 untouched
+    assert(out(1L) === ((10L, 0L, s"u1 u2 $boiler u3 u4")))
+    assert(out(2L) === ((10L, 6L, "v1 v2 v3 v4")))
+    assert(out(3L) === ((10L, 6L, "w1 w2 w3 w4")))
+    assert(out(4L) === ((8L, 0L, "x1 x2 x3 x4 x5 x6 x7 x8")))
+    // the cleaned corpus re-scans qd19-clean (per-pass guarantee)
+    val cleaned = Dedup.dedupSpansFrom(docs, n = 3, minSpan = 4)
+      .select(col("doc_id"), col("clean_text").as("text"))
+    val rescan = Dedup.dedupSpansFrom(cleaned, n = 3, minSpan = 4)
+    assert(rescan.agg(sum("n_cut")).collect().head.getLong(0) === 0L)
+  }
+
+  test("qd20 at sf0.001: conservation, coverage, and a clean re-scan") {
+    val d = Dedup.dedupSpans(spark, Sf001).cache()
+    val docs = spark.read.parquet(s"$Sf001/documents.parquet").count()
+    assert(d.count() === docs, "every document must appear in the rewrite")
+    // kept tokens = n_tok - n_cut, and the rebuilt text has exactly them
+    val bad = d.filter(
+      size(filter(split(col("clean_text"), " "), t => t =!= "")) =!=
+        (col("n_tok") - col("n_cut"))).count()
+    assert(bad === 0)
+    // qd19 found spans at this scale, so the rewrite must cut something
+    val firstCut = d.agg(sum("n_cut")).collect().head.getLong(0)
+    assert(firstCut > 0)
+    // removal creates new token adjacencies, so like the reference
+    // construction cleanliness is per-pass; iterating must converge to a
+    // span-free fixpoint, strictly monotone, within a few passes
+    var corpus = d.select(col("doc_id"), col("clean_text").as("text")).localCheckpoint()
+    var prev = firstCut
+    var pass = 1
+    while (prev != 0L && pass <= 6) {
+      val m = Dedup.dedupSpansFrom(corpus, n = 3, minSpan = 4).localCheckpoint()
+      val cut = m.agg(sum("n_cut")).collect().head.getLong(0)
+      info(s"re-scan pass $pass cut $cut tokens (previous $prev)")
+      assert(cut < prev, s"pass $pass did not shrink the dup mass: $cut >= $prev")
+      corpus = m.select(col("doc_id"), col("clean_text").as("text")).localCheckpoint()
+      prev = cut
+      pass += 1
+    }
+    assert(prev === 0L, s"no span-free fixpoint within $pass passes")
+    d.unpersist()
+  }
+
   test("qd19 planted repeated sentence yields the exact global span") {
     import spark.implicits._
     // doc 1: shingles at i=0..7, of which i=2,3,4 repeat in doc 2 at
