@@ -154,6 +154,7 @@ object SparkEntry {
     "qt27_chunk_dedup" -> ((s, d) => graft.text.TextOps.chunkDedup(s, d)),
     "qt28_bpe_vocab" -> ((s, d) => graft.text.TextOps.bpeMergesLocal(s, d)),
     "qc4_budget_plan" -> ((s, d) => graft.text.TextOps.budgetPlan(s, d)),
+    "qc5_chunk_index" -> ((s, d) => graft.text.TextOps.chunkIndex(s, d)),
     "qc1_corpus_build" -> ((s, d) => graft.text.TextOps.corpusBuild(s, d)),
     "qc2_epoch_shuffle" -> ((s, d) => graft.text.TextOps.epochShuffle(s, d)),
     "qc3_dataset_card" -> ((s, d) => graft.text.TextOps.datasetCard(s, d)),
@@ -1042,6 +1043,7 @@ object SparkEntry {
                   THEN floor((CAST(pa_q AS DOUBLE) / z) / p_nat * 10000 + 0.5)/10000
              END AS oversample
       FROM sh, z""",
+    "qc5_chunk_index" -> graft.text.DocOracle.qc5(),
     "qc4_budget_plan" -> """
       WITH tk AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents

@@ -1731,6 +1731,36 @@ SELECT c.doc_id, count(*) AS n_chunks,
 FROM ch27 c JOIN occ27 o USING (chunk_md5)
 GROUP BY c.doc_id"""
 
+  /** qc5 — mirrors TextOps.chunkIndex: qt27's chunk CTE, a keeper
+    * row_number on (doc_id, chunk_id) per chunk_md5, the qv3 cell
+    * assignment chain, one per-cell rollup.
+    */
+  def qc5(chunkTok: Int = 64, stride: Int = 48, nCells: Int = 16): String =
+    vecsCte + assignCte(nCells) + s""",
+t5 AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+), c5 AS (
+  SELECT doc_id, toks,
+         1 + ((greatest(CAST(len(toks) AS BIGINT) - $chunkTok, 0) + ${stride - 1}) // $stride) AS n_chunks
+  FROM t5 WHERE len(toks) > 0
+), ch5 AS (
+  SELECT doc_id, chunk_id,
+         md5(array_to_string(list_slice(toks, chunk_id * $stride + 1, chunk_id * $stride + $chunkTok), ' ')) AS chunk_md5
+  FROM (SELECT doc_id, toks, unnest(range(n_chunks)) AS chunk_id FROM c5)
+), fl5 AS (
+  SELECT doc_id, chunk_md5,
+         row_number() OVER (PARTITION BY chunk_md5 ORDER BY doc_id, chunk_id) AS rn
+  FROM ch5
+)
+SELECT CAST(a.cell AS BIGINT) AS cell,
+       CAST(sum(CASE WHEN f.rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_indexed,
+       CAST(sum(CASE WHEN f.rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       CAST(count(DISTINCT CASE WHEN f.rn = 1 THEN f.doc_id END) AS BIGINT) AS n_docs,
+       ${r4("sum(CASE WHEN f.rn > 1 THEN 1 ELSE 0 END) * 1.0 / count(*)")} AS drop_frac
+FROM fl5 f JOIN assigned a ON a.vec_id = f.doc_id
+GROUP BY a.cell"""
+
   /** qv18 — mirrors Similarity.hybridSearch: qt7's quantized TF-IDF
     * ranking picks each query doc's terms; BM25 contributions are
     * 1e-6-quantized then integer-summed (order-free); the dense

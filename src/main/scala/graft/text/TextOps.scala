@@ -927,6 +927,44 @@ object TextOps {
         Num.r4(col("n_dup") / col("n_chunks")).as("dup_frac"))
   }
 
+  /** qc5: chunk-dedup → ANN-index HANDOFF — the composition a RAG
+    * ingestion pipeline actually runs: qt24's chunks are deduplicated
+    * on their chunk_md5 lineage key (keep the first corpus occurrence —
+    * min (doc_id, chunk_id), qd1/qd20's keeper rule; qt27 only REPORTS
+    * the dup mass, this drops it) and only the kept chunks enter the
+    * vector index, each landing in its parent document's IVF cell (the
+    * embedding column is document-grain, so a chunk indexes under its
+    * doc's vector — the same qv3 cell assignment the ANN family
+    * serves from). Output per cell: chunks indexed, duplicate chunks
+    * dropped before embedding, distinct contributing docs, drop share —
+    * the capacity/skew audit an index build reports.
+    *
+    * Scale shape: the chunk stage is qt24's shuffle-free projection;
+    * dedup is ONE hash exchange keyed by chunk_md5 (qt27's key) with a
+    * per-key window over occurrence-sized groups; the cell attach is a
+    * doc_id equi-join against the SHARED cached qv3 assignment (size
+    * stats decide broadcast vs shuffle — the assignment is |vectors|
+    * rows, unbounded at 100 TB); one |cells|-row agg with map-side
+    * partials. Nothing all-pairs, nothing collected.
+    */
+  def chunkIndex(spark: SparkSession, sfDir: String, chunkTok: Int = 64,
+                 stride: Int = 48, nCells: Int = 16): DataFrame = {
+    val w = Window.partitionBy("chunk_md5").orderBy("doc_id", "chunk_id")
+    val flagged = chunkDocs(spark, sfDir, chunkTok, stride)
+      .select(col("doc_id"), col("chunk_id"), col("chunk_md5"))
+      .withColumn("rn", row_number().over(w))
+    val cells = graft.vector.Similarity.cellAssignment(spark, sfDir, nCells)
+      .select(col("vec_id").as("doc_id"), col("cell"))
+    flagged.join(cells, "doc_id")
+      .groupBy(col("cell").cast("long").as("cell"))
+      .agg(sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_indexed"),
+        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dropped"),
+        countDistinct(when(col("rn") === 1, col("doc_id"))).as("n_docs"))
+      .select(col("cell"), col("n_indexed"), col("n_dropped"), col("n_docs"),
+        Num.r4(col("n_dropped") / (col("n_indexed") + col("n_dropped")))
+          .as("drop_frac"))
+  }
+
   /** The chunk projection itself, over any (doc_id, text, …carry)
     * frame — ONE definition read by batch qt24 and the streaming twin
     * (bit-parity by construction; it is a stateless per-row map, so it

@@ -1742,6 +1742,26 @@ class TextSpec extends SparkSuite {
     d.unpersist()
   }
 
+  test("qc5 chunk->index handoff: conservation vs qt24/qt27, keeper per md5") {
+    val ix = TextOps.chunkIndex(spark, Sf001).cache()
+    assert(ix.count() > 0)
+    // conservation: indexed + dropped over all cells = every chunk whose
+    // doc has an embedding; indexed = distinct chunk_md5 among them
+    val ch = TextOps.chunkDocs(spark, Sf001)
+      .join(spark.read.parquet(s"$Sf001/embeddings.parquet")
+        .select(col("vec_id").as("doc_id")), "doc_id").cache()
+    val tot = ix.agg(sum("n_indexed"), sum("n_dropped")).collect().head
+    assert(tot.getLong(0) + tot.getLong(1) === ch.count())
+    assert(tot.getLong(0) === ch.select("chunk_md5").distinct().count(),
+      "indexed chunks must be exactly the distinct chunk lineage keys")
+    // dedup must actually drop something at this scale (qt27 found dups)
+    assert(tot.getLong(1) > 0)
+    // per-cell sanity: shares in [0,1], docs never exceed indexed chunks
+    assert(ix.filter(col("drop_frac") < 0 || col("drop_frac") > 1).count() === 0)
+    assert(ix.filter(col("n_docs") > col("n_indexed")).count() === 0)
+    ch.unpersist(); ix.unpersist()
+  }
+
   test("qd19 planted repeated sentence yields the exact global span") {
     import spark.implicits._
     // doc 1: shingles at i=0..7, of which i=2,3,4 repeat in doc 2 at
