@@ -140,11 +140,35 @@ object Bench {
     // the full prefixes plus sbt's trailing "[success] Total time"
     // line (which shares the driver's last-2000-bytes capture) left
     // zero margin. SURVEY §2 numbering = 'q' + bench key.
-    val qs = results.map { case (k, v) =>
+    // The stdout map is CAPPED at the 150 slowest queries (name-sorted
+    // for stable diffs; `"more":N` records the omission): at 193 keys
+    // the full map no longer fits the 2000-byte window with the
+    // envelope and the error tail. The omitted tail is the sub-0.1 s
+    // queries — zero regression signal at this precision — and the
+    // COMPLETE map lands in BENCH_DETAIL.json (ms precision, written
+    // below) for per-query round-over-round comparison.
+    val kept = results.sortBy { case (k, v) => (-v, k) }.take(150).sortBy(_._1)
+    val qs = kept.map { case (k, v) =>
       "\"" + k.takeWhile(_ != '_').drop(1) + "\":" +
         (if (v < 9.95) num("%.1f", v) else num("%.0f", math.min(v, 999.0)))
     }.mkString("{", ",", "}")
+    val more = if (results.size > kept.size) s""","more":${results.size - kept.size}""" else ""
     val total = results.map(_._2).sum
+    // full-precision sidecar: every query at ms precision + each rep's
+    // per-query time, for regression analysis past the stdout cap
+    val detail = new StringBuilder()
+    detail.append(s"""{"sf":"${sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)}",""")
+    detail.append(s""""total_min_profile":${num("%.3f", total)},""")
+    detail.append(results.sortBy(_._1).map { case (k, v) =>
+      "\"" + k + "\":" + num("%.3f", v)
+    }.mkString("\"queries\":{", ",", "},"))
+    detail.append(runTimes.map(m => num("%.3f", m.values.sum)).mkString("\"runs\":[", ",", "],"))
+    detail.append(s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")}}""")
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      (detail.toString + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] BENCH_DETAIL.json not written: ${e.getMessage}")
+    }
     // same adaptive width cap as the per-query values: 0.1 s precision
     // under 100 s, whole seconds above (the spread signal survives; the
     // 2000-byte window is the driver's hard truncation point)
@@ -163,6 +187,6 @@ object Bench {
     val sfTag = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
     val totalStr =
       if (total < 999.9995) num("%.3f", total) else num("%.1f", math.min(total, 9999.9))
-    println(s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"runs":$runs$errs,"sf":"$sfTag"}""")
+    println(s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs$more,"runs":$runs$errs,"sf":"$sfTag"}""")
   }
 }

@@ -1790,11 +1790,12 @@ stats AS (
   SELECT doc_id AS qid, tok, df FROM (
     SELECT t.doc_id, t.tok, f.df,
            row_number() OVER (PARTITION BY t.doc_id
-             ORDER BY ${r4("t.tf / d.dlen * ln(n.n_docs / f.df)")} DESC, t.tok) AS trm
+             ORDER BY (CASE WHEN f.df <= greatest(${graft.vector.Similarity.Bm25MaxDfFloor},
+                              n.n_docs // ${graft.vector.Similarity.Bm25MaxDfShare})
+                            THEN 1 ELSE 0 END) DESC,
+                      ${r4("t.tf / d.dlen * ln(n.n_docs / f.df)")} DESC, t.tok) AS trm
     FROM tf t JOIN dlen d USING (doc_id) JOIN dfr f USING (tok) CROSS JOIN nd n
     WHERE t.doc_id % 100 = 0 AND t.doc_id < ${100L * maxQueries}
-      AND f.df <= greatest(${graft.vector.Similarity.Bm25MaxDfFloor},
-                           n.n_docs // ${graft.vector.Similarity.Bm25MaxDfShare})
   ) WHERE trm <= $nTerms
 ), sc AS (
   SELECT q.qid, t.doc_id,

@@ -838,12 +838,19 @@ thrw AS (SELECT quantile_cont(wgt, ${1.0 - denoiseThr}) AS thrw FROM bw),
 keptb AS (
   SELECT b.*, w.wgt FROM bid b JOIN bw w USING (id, pos), thrw WHERE w.wgt <= thrw.thrw
 ), near AS (
-  SELECT t.series, t.win, t.pos, sqrt(${dist2("t", "k")}) AS d, k.wgt,
-         row_number() OVER (PARTITION BY t.series, t.win, t.pos
-                            ORDER BY sqrt(${dist2("t", "k")}), k.id, k.pos) AS rn
+  -- nearest kept patch via a STRUCT-MIN aggregation, not a row_number
+  -- window: the (test x kept-bank) stream is |testp|*|keptb| rows and a
+  -- per-partition window SORT of it is what blew the 900 s oracle
+  -- budget on the sf1 soak — the hash agg streams in O(pairs) with no
+  -- sort. Field order (d, id, pos) IS the old ORDER BY tie-break;
+  -- (id, pos) is unique so wgt never participates in the comparison.
+  SELECT t.series, t.win, t.pos,
+         min({'d': sqrt(${dist2("t", "k")}), 'id': k.id, 'pos': k.pos,
+              'wgt': k.wgt}) AS m
   FROM testp t CROSS JOIN keptb k
+  GROUP BY t.series, t.win, t.pos
 ), psc AS (
-  SELECT series, win, d * wgt AS pscore FROM near WHERE rn = 1
+  SELECT series, win, m.d * m.wgt AS pscore FROM near
 ), ws AS (
   SELECT series, win, max(pscore) AS score FROM psc GROUP BY series, win
 ), thrs AS (SELECT quantile_cont(score, ${1.0 - contamRate}) AS thrs FROM ws)

@@ -851,16 +851,23 @@ object Similarity {
   /** RRF smoothing constant (Cormack et al. 2009's k=60). */
   val RrfK: Int = 60
   /** qv18's stop-term valve (qd3/qd18's df-cap discipline, ON by
-    * default): a query term is ELIGIBLE for candidate generation only
-    * while df ≤ max(Bm25MaxDfFloor, n_docs / Bm25MaxDfShare) — exact
-    * integer arithmetic, identical in both engines. Sizing rule: each
-    * eligible term's posting list is then ≤ max(20, N/100) rows, so the
-    * posting equi-join output is ≤ |Q|·nTerms·max(20, N/100) — linear
-    * in corpus size with a 1% constant — even on a skewed corpus where
-    * a common token tops a document's TF-IDF. The floor keeps tiny
-    * corpora (N < 2000) from filtering everything; top-TF-IDF terms
-    * are rare by construction, so on natural corpora the cap is a
-    * safety valve, not a ranking change.
+    * default): a query term is ELIGIBLE for candidate generation while
+    * df ≤ max(Bm25MaxDfFloor, n_docs / Bm25MaxDfShare) — exact integer
+    * arithmetic, identical in both engines. Term selection PREFERS
+    * eligible terms (eligibility ranks above TF-IDF in the per-query
+    * ordering) and falls back to over-cap terms only when the query has
+    * fewer than nTerms eligible ones — a query made of stop words must
+    * still retrieve, the graceful degradation every lexical engine
+    * ships. Sizing rule: on a Zipfian corpus virtually every document
+    * has ≥ nTerms rare terms, so the posting equi-join output is
+    * ≤ |Q|·nTerms·max(20, N/100) — linear in corpus size with a 1%
+    * constant — and only degenerate all-stop-word queries pull a wide
+    * posting list (bounded by nTerms·|Q_degenerate|·N, with BM25's IDF
+    * already near-zeroing those terms' contributions). The floor keeps
+    * tiny corpora from demoting everything. The synthetic test corpus
+    * is the degenerate case BY CONSTRUCTION (31 near-universal tokens,
+    * min df = 5%·N), so it exercises exactly the fallback path while
+    * the planted-postings spec exercises the eligible path.
     */
   val Bm25MaxDfFloor: Long = 20L
   val Bm25MaxDfShare: Long = 100L
@@ -937,15 +944,28 @@ object Similarity {
     */
   private[graft] def hybridQueryTerms(spark: SparkSession, sfDir: String,
                                       nTerms: Int = 3,
-                                      maxQueries: Int = MaxQueries): DataFrame = {
-    val wq = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("tok"))
-    bm25Postings(spark, sfDir)
-      .filter(col("doc_id") % 100 === 0 && col("doc_id") < lit(100L * maxQueries))
-      // the stop-term valve: rank only ELIGIBLE terms (df within the
-      // cap), so every query still gets nTerms terms and every term's
-      // posting list is bounded — see Bm25MaxDfFloor's sizing rule
-      .filter(col("df") <= greatest(lit(Bm25MaxDfFloor),
-        floor(col("n_docs") / Bm25MaxDfShare).cast("long")))
+                                      maxQueries: Int = MaxQueries): DataFrame =
+    hybridQueryTermsFrom(
+      bm25Postings(spark, sfDir)
+        .filter(col("doc_id") % 100 === 0 && col("doc_id") < lit(100L * maxQueries)),
+      nTerms)
+
+  /** The qv18 term selector over any postings-shaped frame (doc_id,
+    * tok, tf, dlen, df, n_docs) — the spec's seam for planting mixed-df
+    * vocabularies that exercise the eligible path AND the fallback.
+    */
+  private[graft] def hybridQueryTermsFrom(post: DataFrame,
+                                          nTerms: Int = 3): DataFrame = {
+    // the stop-term valve: ELIGIBLE (under-cap) terms rank above any
+    // over-cap term regardless of TF-IDF; over-cap terms surface only
+    // when the query lacks nTerms eligible ones — Bm25MaxDfFloor's
+    // sizing rule and fallback contract
+    val elig = (col("df") <= greatest(lit(Bm25MaxDfFloor),
+      floor(col("n_docs") / Bm25MaxDfShare).cast("long"))).cast("int")
+    val wq = Window.partitionBy("doc_id")
+      .orderBy(col("elig").desc, col("tfidf").desc, col("tok"))
+    post
+      .withColumn("elig", elig)
       .withColumn("tfidf",
         Num.r4(col("tf") / col("dlen") * log(col("n_docs") / col("df"))))
       .withColumn("trm", row_number().over(wq))

@@ -420,19 +420,32 @@ class PlanSpec extends SparkSuite {
       s"qv18's df-cap stop-term filter is missing from the plan:\n${p.take(1500)}")
   }
 
-  test("qv18 stop-term valve excludes real posting mass at sf0.1") {
+  test("qv18 stop-term valve: eligible terms win, fallback only when starved") {
+    import spark.implicits._
     import graft.vector.Similarity
-    val post = Similarity.bm25Postings(spark, Sf01)
-    val cap = greatest(lit(Similarity.Bm25MaxDfFloor),
-      floor(col("n_docs") / Similarity.Bm25MaxDfShare).cast("long"))
-    // the corpus DOES have over-cap terms (else the valve is vacuous)…
-    assert(post.filter(col("df") > cap).count() > 0,
-      "no stop terms at this scale — the valve gate is vacuous")
-    // …and every term the posting join will probe is under the cap
-    val over = Similarity.hybridQueryTerms(spark, Sf01)
-      .join(post.select(col("tok"), col("df"), cap.as("cap")).distinct(), "tok")
-      .filter(col("df") > col("cap")).count()
-    assert(over === 0, s"$over over-cap terms reached candidate generation")
+    // n_docs=10000 -> cap = max(20, 100) = 100. Query doc 1 has three
+    // under-cap terms and a stop term with the HIGHEST tf/dlen — the
+    // valve must demote it below all eligible terms. Query doc 2 has
+    // only two eligible terms, so the best over-cap term backfills.
+    def row(doc: Long, tok: String, tf: Long, df: Long) =
+      (doc, tok, tf, 100L, df, 10000L, 50.0)
+    val post = Seq(
+      row(1, "rare1", 5, 50), row(1, "rare2", 4, 80), row(1, "rare3", 3, 99),
+      row(1, "stop1", 60, 5000),
+      row(2, "rareA", 5, 60), row(2, "rareB", 4, 70),
+      row(2, "stopA", 50, 4000), row(2, "stopB", 60, 6000)
+    ).toDF("doc_id", "tok", "tf", "dlen", "df", "n_docs", "avgdlen")
+    val got = Similarity.hybridQueryTermsFrom(post, nTerms = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === Set((1L, "rare1"), (1L, "rare2"), (1L, "rare3"),
+      (2L, "rareA"), (2L, "rareB"), (2L, "stopA")),
+      s"got $got")
+    // the real sf0.1 corpus is the degenerate all-stop-words case by
+    // construction (31 near-universal tokens): the fallback keeps the
+    // lexical branch ALIVE — queries still get nTerms terms each
+    val qt = Similarity.hybridQueryTerms(spark, Sf01)
+    assert(qt.groupBy("qid").count().filter(col("count") =!= 3).count() === 0)
+    assert(qt.count() > 0)
   }
 
   test("qd19 global dup spans: one occurrence-count shuffle with partial agg, no sort-merge") {
