@@ -153,6 +153,7 @@ object SparkEntry {
     "qt26_bpe_encode" -> ((s, d) => graft.text.TextOps.bpeEncode(s, d)),
     "qt27_chunk_dedup" -> ((s, d) => graft.text.TextOps.chunkDedup(s, d)),
     "qt28_bpe_vocab" -> ((s, d) => graft.text.TextOps.bpeMergesLocal(s, d)),
+    "qt29_bpe_encode64" -> ((s, d) => graft.text.TextOps.bpeEncodeLocal(s, d)),
     "qc4_budget_plan" -> ((s, d) => graft.text.TextOps.budgetPlan(s, d)),
     "qc5_chunk_index" -> ((s, d) => graft.text.TextOps.chunkIndex(s, d)),
     "qc1_corpus_build" -> ((s, d) => graft.text.TextOps.corpusBuild(s, d)),
@@ -613,9 +614,10 @@ object SparkEntry {
     "qt24_doc_chunks" -> graft.text.DocOracle.qt24(),
     "qt25_bpe_merges" -> graft.text.DocOracle.qt25(),
     "qt26_bpe_encode" -> graft.text.DocOracle.qt26(),
-    // qt28 = qt25's exact semantics at a production round count: the
-    // SAME unrolled-CTE mirror, 64 rounds
+    // qt28/qt29 = qt25/qt26's exact semantics at a production round
+    // count: the SAME unrolled-CTE mirrors, 64 rounds
     "qt28_bpe_vocab" -> graft.text.DocOracle.qt25(rounds = 64),
+    "qt29_bpe_encode64" -> graft.text.DocOracle.qt26(rounds = 64),
     "qt27_chunk_dedup" -> graft.text.DocOracle.qt27(),
     "qc2_epoch_shuffle" -> graft.text.DocOracle.qc2(),
     "qc3_dataset_card" -> graft.text.DocOracle.qc3(),

@@ -1189,6 +1189,29 @@ object TextOps {
                      rounds: Int = 64): DataFrame =
     bpeTrainLocal(spark, bpeWordFreq(spark, sfDir), rounds)._1
 
+  /** qt29: corpus ENCODING with qt28's production-round vocabulary —
+    * the apply side of the hybrid trainer (train qt28 → encode qt29 →
+    * serve bpeEncodeStream off ModelStore.saveBpeLocal): identical
+    * output contract to qt26, but the segmentation table comes from the
+    * locally-mined 64-round vocabulary (a vocabulary-scale local frame
+    * the tok-keyed join broadcasts by size stats; the corpus side never
+    * shuffles for it). Same oracle family as qt26 at the shared round
+    * count.
+    */
+  def bpeEncodeLocal(spark: SparkSession, sfDir: String,
+                     rounds: Int = 64): DataFrame = {
+    val (_, vocab) = bpeTrainLocal(spark, bpeWordFreq(spark, sfDir), rounds)
+    val nsub = vocab.select(col("tok"),
+      size(split(expr("substring(w, 2, length(w) - 2)"), BpeSentinel + BpeSentinel))
+        .cast("long").as("n_sub"))
+    tokens(spark, sfDir).join(nsub, "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"), sum("n_sub").as("n_subword"),
+        sum(length(col("tok"))).as("n_char"))
+      .select(col("doc_id"), col("n_tok"), col("n_subword"),
+        Num.r4(col("n_subword") / col("n_char")).as("subword_per_char"))
+  }
+
   /** The qt28 core over any (tok, freq) frame: returns (merges, final
     * vocabulary segmentation) — the latter in qt25's exact ␁-wrapped
     * (tok, w, freq) shape so [[bpeEncode]]'s join-side logic can reuse

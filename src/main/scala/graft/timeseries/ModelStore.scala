@@ -174,6 +174,15 @@ object ModelStore {
     graft.text.TextOps.bpeMerges(spark, sfDir, rounds)
       .write.mode("overwrite").parquet(s"$path/bpe_merges")
 
+  /** The production-round-count variant: persists qt28's locally-mined
+    * merge table (same schema, same replay contract — bpeEncodeStream
+    * compiles either artifact identically).
+    */
+  def saveBpeLocal(spark: SparkSession, sfDir: String, path: String,
+                   rounds: Int = 64): Unit =
+    graft.text.TextOps.bpeMergesLocal(spark, sfDir, rounds)
+      .write.mode("overwrite").parquet(s"$path/bpe_merges")
+
   def bpeMergeRules(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/bpe_merges")
 

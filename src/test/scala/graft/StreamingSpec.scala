@@ -1020,6 +1020,34 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming BPE encoder serves a PRODUCTION-round (qt28/qt29) saved model") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.timeseries.ModelStore
+    val path = java.nio.file.Files.createTempDirectory("graft-bpe64").toString
+    ModelStore.saveBpeLocal(spark, Sf001, path, rounds = 64)
+    val want = graft.text.TextOps.bpeEncodeLocal(spark, Sf001, rounds = 64).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_tok"),
+        r.getAs[Long]("n_subword"), r.getAs[Double]("subword_per_char"))).toMap
+    assert(want.nonEmpty)
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val docs = spark.read.parquet(s"$Sf001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => Doc(t0, r.getLong(0), r.getString(1)))
+    val mem = MemoryStream[Doc]
+    // the compiled expression nests one replace() per merge rule — 64
+    // here; plan-size headroom is what maxPlanStringLength is for
+    val q = ScoreStream.bpeEncodeStream(spark, path, mem.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("bpenc64").start()
+    try {
+      mem.addData(docs.toSeq); q.processAllAvailable()
+      val got = spark.table("bpenc64").collect()
+        .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("n_tok"),
+          r.getAs[Long]("n_subword"), r.getAs[Double]("subword_per_char"))).toMap
+      assert(got === want)
+    } finally q.stop()
+  }
+
   case class QT(ts: Timestamp, qid: Long, terms: Array[String])
 
   test("streaming BM25 scorer over a saved index matches batch qv18 lexical sums") {

@@ -1669,6 +1669,23 @@ class TextSpec extends SparkSuite {
     assert(wf === Map("ab" -> 2L), s"got $wf")
   }
 
+  test("qt29 local encode equals qt26 at the shared round count, compresses further at 64") {
+    // at rounds=4 the two encoders read EQUAL vocabularies (qt28's
+    // trainer ≡ qt25's) so the outputs are bit-equal
+    val a = TextOps.bpeEncode(spark, Sf001, rounds = 4).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val b = TextOps.bpeEncodeLocal(spark, Sf001, rounds = 4).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(a === b)
+    // 60 more merge rounds can only merge further: subword counts are
+    // pointwise non-increasing and strictly drop somewhere
+    val c = TextOps.bpeEncodeLocal(spark, Sf001, rounds = 64).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(c.keySet === b.keySet)
+    assert(c.forall { case (d, n) => n <= b(d)._2 })
+    assert(c.map(_._2).sum < b.values.map(_._2).sum)
+  }
+
   test("qt26 encode invariants at sf0.001: bounds, coverage, compression") {
     val enc = TextOps.bpeEncode(spark, Sf001).cache()
     val toks = TextOps.tokenCount(spark, Sf001).select(col("doc_id"), col("n_ws"))
