@@ -577,6 +577,22 @@ object ScoreStream {
                   stride: Int = 48): DataFrame =
     graft.text.TextOps.chunkFrom(docs, chunkTok, stride, carry = Seq("ts"))
 
+  /** Streaming twin of qc5's dedup gate — the index-INGESTION filter: a
+    * chunk passes downstream (to embedding + indexing) only if its
+    * chunk_md5 lineage key has not been seen before. Batch qc5 keeps
+    * the min-(doc_id, chunk_id) occurrence; on a stream "first" means
+    * FIRST ARRIVAL — the only causal keeper rule an online gate can
+    * implement — so when documents arrive in doc_id order the kept set
+    * is exactly qc5's (StreamingSpec proves it). State = one key per
+    * DISTINCT chunk ever admitted, the same cardinality the batch
+    * index itself stores; `withinWatermark` bounds it when the
+    * lineage-key horizon is finite.
+    */
+  def chunkDedupStream(docs: DataFrame, chunkTok: Int = 64,
+                       stride: Int = 48): DataFrame =
+    chunkStream(docs, chunkTok, stride)
+      .dropDuplicates("chunk_md5")
+
   /** Streaming twin of qp11's row-level constraint class — the
     * data-quality GATE at ingestion: per event-time window, the same
     * constraint catalog (Events.RowChecks — one definition, parity by

@@ -1020,6 +1020,37 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming chunk-dedup gate admits each lineage key exactly once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val docs = spark.read.parquet(s"$Sf001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => Doc(t0, r.getLong(0), r.getString(1))).sortBy(_.doc_id)
+    val batch = graft.text.TextOps.chunkDocs(spark, Sf001).cache()
+    val distinctMd5 = batch.select("chunk_md5").distinct().collect()
+      .map(_.getString(0)).toSet
+    val mem = MemoryStream[Doc]
+    val q = ScoreStream.chunkDedupStream(mem.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("chdd").start()
+    try {
+      val (h1, h2) = docs.splitAt(docs.length / 2)
+      mem.addData(h1.toSeq); q.processAllAvailable()
+      mem.addData(h2.toSeq); q.processAllAvailable()
+      val got = spark.table("chdd").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("chunk_md5")))
+      // exactly one admission per distinct lineage key — qc5's n_indexed
+      assert(got.length === distinctMd5.size)
+      assert(got.map(_._2).toSet === distinctMd5)
+      // first-arrival keeper: a key present in the first half can never
+      // be admitted from a second-half document
+      val h1Ids = h1.map(_.doc_id).toSet
+      val h1Md5 = batch.filter(col("doc_id").isin(h1Ids.toSeq: _*))
+        .select("chunk_md5").distinct().collect().map(_.getString(0)).toSet
+      assert(got.filter(g => h1Md5.contains(g._2)).forall(g => h1Ids.contains(g._1)))
+    } finally { q.stop(); batch.unpersist() }
+  }
+
   test("streaming BPE encoder serves a PRODUCTION-round (qt28/qt29) saved model") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
