@@ -141,6 +141,7 @@ object SparkEntry {
     "q62_refit_trigger" -> ((s, d) => graft.timeseries.Forecast.refitTrigger(s, d)),
     "q63_interval_score" -> ((s, d) => graft.timeseries.Forecast.intervalScore(s, d)),
     "q64_forecast_scorecard" -> ((s, d) => graft.timeseries.Forecast.forecastScorecard(s, d)),
+    "q65_trailing_forecast" -> ((s, d) => graft.timeseries.Forecast.trailingForecast(s, d)),
     "qd17_dup_weight" -> ((s, d) => graft.text.Dedup.dupWeight(s, d)),
     "qd18_containment" -> ((s, d) => graft.text.Dedup.containment(s, d)),
     "qd19_global_dup_spans" -> ((s, d) => graft.text.Dedup.globalDupSpans(s, d)),
@@ -604,6 +605,7 @@ object SparkEntry {
     "q62_refit_trigger" -> graft.timeseries.TsOracle.q62(),
     "q63_interval_score" -> graft.timeseries.TsOracle.q63(),
     "q64_forecast_scorecard" -> graft.timeseries.TsOracle.q64,
+    "q65_trailing_forecast" -> graft.timeseries.TsOracle.q65(),
     "qd17_dup_weight" -> graft.text.DocOracle.qd17(),
     "qd18_containment" -> graft.text.DocOracle.qd18(),
     "qd19_global_dup_spans" -> graft.text.DocOracle.qd19(),

@@ -604,8 +604,52 @@ object Forecast {
     * make row-lag wrong — q38's discipline), scaled-int error sums.
     */
   def decomposeForecast(spark: SparkSession, sfDir: String,
-                        half: Int = 12): DataFrame = {
-    val base = decomposeBase(spark, sfDir, half)
+                        half: Int = 12): DataFrame =
+    decomposeForecastFrom(spark, sfDir, decomposeBase(spark, sfDir, half))
+
+  /** q65: the LEAK-FREE decompose-then-forecast — q59 with the trend
+    * component rebuilt as a TRAILING (2·half+1)-point moving average:
+    * trend(t) reads actuals in (t−2·half, t] only, so the week-ahead
+    * predictor trend(t−168) + seasonal(pos) consumes NOTHING past the
+    * forecast origin — the information-advantage q59's centered trend
+    * carries (±half steps past t−168, scoped in its scaladoc and spec)
+    * is gone, and the decomposed-vs-direct comparison is now a pure
+    * model-structure effect. Same prefix-sum window discipline, same
+    * train-only seasonal profile, same exact error sums.
+    */
+  def trailingForecast(spark: SparkSession, sfDir: String,
+                       half: Int = 12): DataFrame =
+    decomposeForecastFrom(spark, sfDir, decomposeBaseTrailing(spark, sfDir, half))
+
+  /** q65's trailing (2·half+1)-point trend base: cum − lag(cum, w) over
+    * the filled series, emitted only where the trailing frame holds a
+    * full complement of observed values — the causal sibling of
+    * [[decomposeBase]]'s centered frame.
+    */
+  private[graft] def decomposeBaseTrailing(spark: SparkSession, sfDir: String,
+                                           half: Int): DataFrame = {
+    require(half >= 1, s"half=$half: trend frame half-width must be positive")
+    TsCore.cached(spark, sfDir, s"decbaset_$half") {
+      val w = 2 * half + 1
+      val ws = Window.partitionBy("series").orderBy("t")
+      val cumW = ws.rowsBetween(Window.unboundedPreceding, 0)
+      TsCore.filled(spark, sfDir)
+        .withColumn("cum", sum(coalesce(col("v_filled"), lit(0.0))).over(cumW))
+        .withColumn("cnt", count("v_filled").over(cumW))
+        .withColumn("fsum", col("cum") - coalesce(lag("cum", w).over(ws), lit(0.0)))
+        .withColumn("fn", col("cnt") - coalesce(lag("cnt", w).over(ws), lit(0L)))
+        .filter(col("v_filled").isNotNull && col("fn") === w)
+        .withColumn("trend", col("fsum") / w)
+        .withColumn("detr", col("v_filled") - col("trend"))
+        .select("series", "t", "v_filled", "trend", "detr")
+    }
+  }
+
+  /** The shared q59/q65 evaluation body over any (series, t, v_filled,
+    * trend, detr) decomposition base.
+    */
+  private def decomposeForecastFrom(spark: SparkSession, sfDir: String,
+                                    base: DataFrame): DataFrame = {
     val b = Joins.dimJoin(base, boundaryT(spark, sfDir), Seq("series"), None)
     // train-only seasonal profile of the detrended signal (q48's dseas
     // restricted to t < tsplit): quantized-int means, order-free

@@ -1642,8 +1642,22 @@ FROM g"""
     * train-only seasonal profile + two exact (series, t−168)
     * self-joins + scaled-int error sums.
     */
-  def q59(half: Int = 12): String = {
+  def q59(half: Int = 12): String = decomposeForecastSql(half, trailing = false)
+
+  /** q65 — q59 with the TRAILING trend frame (cum − lag(cum, w)):
+    * mirrors Forecast.trailingForecast / decomposeBaseTrailing.
+    */
+  def q65(half: Int = 12): String = decomposeForecastSql(half, trailing = true)
+
+  private def decomposeForecastSql(half: Int, trailing: Boolean): String = {
     val w = 2 * half + 1
+    val frame =
+      if (trailing) s"""
+    cum - coalesce(lag(cum, $w) OVER ws, 0.0) AS fsum,
+    cnt - coalesce(lag(cnt, $w) OVER ws, 0) AS fn"""
+      else s"""
+    lead(cum, $half) OVER ws - coalesce(lag(cum, ${half + 1}) OVER ws, 0.0) AS fsum,
+    lead(cnt, $half) OVER ws - coalesce(lag(cnt, ${half + 1}) OVER ws, 0) AS fn"""
     prefix + splitTCte + s"""
 , dcum AS (
   SELECT series, t, v_filled,
@@ -1652,9 +1666,7 @@ FROM g"""
   FROM filled
   WINDOW wc AS (PARTITION BY series ORDER BY t ROWS UNBOUNDED PRECEDING)
 ), dfrm AS (
-  SELECT series, t, v_filled,
-    lead(cum, $half) OVER ws - coalesce(lag(cum, ${half + 1}) OVER ws, 0.0) AS fsum,
-    lead(cnt, $half) OVER ws - coalesce(lag(cnt, ${half + 1}) OVER ws, 0) AS fn
+  SELECT series, t, v_filled,$frame
   FROM dcum WINDOW ws AS (PARTITION BY series ORDER BY t)
 ), dbase AS (
   SELECT series, t, v_filled, fsum / $w AS trend, v_filled - fsum / $w AS detr

@@ -97,6 +97,34 @@ class ForecastImputeSpec extends SparkSuite {
     piv.unpersist(); d.unpersist()
   }
 
+  test("q65 trailing trend is causal and exactly the (t-w, t] frame mean") {
+    // the trailing prefix-sum base must equal a naive full-complement
+    // frame average — proves the frame really is (t-w, t], i.e. trend
+    // at the forecast origin reads NOTHING past it
+    val half = 12; val w = 2 * half + 1
+    val ws = org.apache.spark.sql.expressions.Window
+      .partitionBy("series").orderBy("t").rowsBetween(-(w - 1), 0)
+    val naive = graft.timeseries.TsCore.filled(spark, Sf001)
+      .withColumn("ntr", avg("v_filled").over(ws))
+      .withColumn("ncnt", count("v_filled").over(ws))
+      .filter(col("v_filled").isNotNull && col("ncnt") === w)
+      .select(col("series"), col("t"), col("ntr"))
+    val base = Forecast.decomposeBaseTrailing(spark, Sf001, half)
+    val j = base.join(naive, Seq("series", "t"), "full_outer")
+    assert(j.filter(col("trend").isNull || col("ntr").isNull).count() === 0,
+      "trailing base and naive frame must cover the same points")
+    assert(j.filter(abs(col("trend") - col("ntr")) > 1e-9).count() === 0)
+    // and the registered q65 output is well-formed: both variants on
+    // shared eval points per series (sf0.1 — the sparse sf0.001 grid
+    // has no complete trailing-frame eval points, like q59's region)
+    val f = Forecast.trailingForecast(spark, Sf01).cache()
+    assert(f.select("series").distinct().count() > 0)
+    assert(f.groupBy("series").agg(countDistinct("n").as("nn"))
+      .filter(col("nn") =!= 1).count() === 0)
+    assert(f.groupBy("series").count().filter(col("count") =!= 2).count() === 0)
+    f.unpersist()
+  }
+
   test("q60 recursive forecast: h=1 is exactly q22; recursion converges geometrically") {
     val r = Forecast.recursiveForecast(spark, Sf01).cache()
     // h=1: one decode step = q22's prediction on q22's eval points.
