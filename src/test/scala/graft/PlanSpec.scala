@@ -448,6 +448,29 @@ class PlanSpec extends SparkSuite {
     assert(qt.count() > 0)
   }
 
+  test("qd20 span removal: map-side-combined packed-key agg, no cartesian") {
+    val p = plan(graft.text.Dedup.dedupSpans(spark, Sf01))
+    // the occurrence count AND the first-occurrence keeper ride ONE
+    // h-keyed exchange: the partial agg must carry partial_min of the
+    // packed (doc*2^31+p) key so hot shingles collapse map-side
+    assert(p.contains("partial_min") && (p.contains("partial_count") || p.contains("Partial")),
+      s"qd20's keeper key lost its map-side combine:\n${p.take(900)}")
+    assert(p.contains("2147483648"),
+      s"packed first-occurrence key missing from the plan:\n${p.take(900)}")
+    assert(!p.contains("CartesianProduct"), p.take(900))
+  }
+
+  test("qc5 chunk->index: one md5 exchange, no cartesian, shuffle-free chunk stage") {
+    val p = plan(graft.text.TextOps.chunkIndex(spark, Sf01))
+    // dedup is the chunk_md5 window's exchange; the chunk projection
+    // below it must not add its own (qt24's shuffle-free contract)
+    assert(p.contains("hashpartitioning(chunk_md5"),
+      s"qc5 lost its md5-keyed dedup exchange:\n${p.take(900)}")
+    assert(!p.contains("CartesianProduct"), p.take(900))
+    // the cell rollup partial-aggregates map-side
+    assert(p.contains("partial_count") || p.contains("Partial"), p.take(900))
+  }
+
   test("qd19 global dup spans: one occurrence-count shuffle with partial agg, no sort-merge") {
     val p = plan(graft.text.Dedup.globalDupSpans(spark, Sf01))
     // the occ >= 2 count must partial-aggregate map-side — a hot
