@@ -1728,6 +1728,52 @@ class TextSpec extends SparkSuite {
     assert(rescan.agg(sum("n_cut")).collect().head.getLong(0) === 0L)
   }
 
+  test("qd20 matches a brute-force keep-first span cutter on 20 random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20)
+    val (n, minSpan) = (2, 3)
+    for (inst <- 1 to 20) {
+      // tiny token alphabet forces heavy cross-doc shingle repeats
+      val docs = (1 to (2 + rnd.nextInt(4))).map { d =>
+        d.toLong -> Array.fill(2 + rnd.nextInt(10))(s"w${rnd.nextInt(4)}")
+      }
+      // brute force: all n-shingles with positions, global occ counts,
+      // keep-first per shingle VALUE, islands >= minSpan, cut coverage
+      val occAll = docs.flatMap { case (_, ws) =>
+        ws.sliding(n).filter(_.length == n).map(_.mkString(" "))
+      }.groupBy(identity).map { case (s, v) => s -> v.size }
+      val firstOf = scala.collection.mutable.Map[String, (Long, Int)]()
+      docs.foreach { case (d, ws) =>
+        ws.sliding(n).zipWithIndex.filter(_._1.length == n).foreach { case (sh, p) =>
+          val k = sh.mkString(" ")
+          if (!firstOf.contains(k)) firstOf(k) = (d, p)
+        }
+      }
+      val want = docs.map { case (d, ws) =>
+        val shs = ws.sliding(n).zipWithIndex.filter(_._1.length == n)
+          .map { case (sh, p) => (sh.mkString(" "), p) }.toSeq
+        val dup = shs.filter { case (s, _) => occAll(s) >= 2 }
+        // islands over consecutive dup positions
+        val islands = dup.foldLeft(List.empty[List[(String, Int)]]) {
+          case (h :: t, (s, p)) if h.head._2 == p - 1 => ((s, p) :: h) :: t
+          case (acc, (s, p)) => List((s, p)) :: acc
+        }.map(_.reverse)
+        val cut = scala.collection.mutable.Set[Int]()
+        islands.filter(_.size + n - 1 >= minSpan).foreach { isl =>
+          isl.foreach { case (s, p) =>
+            if (firstOf(s) != ((d, p))) (p until p + n).foreach(cut += _)
+          }
+        }
+        val keptToks = ws.zipWithIndex.filterNot { case (_, i) => cut(i) }.map(_._1)
+        d -> (ws.length.toLong, cut.size.toLong, keptToks.mkString(" "))
+      }.toMap
+      val df = docs.map { case (d, ws) => (d, ws.mkString(" ")) }.toDF("doc_id", "text")
+      val got = Dedup.dedupSpansFrom(df, n, minSpan).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+      assert(got === want, s"instance $inst over ${docs.map(_._2.mkString(" "))}")
+    }
+  }
+
   test("qd20 at sf0.001: conservation, coverage, and a clean re-scan") {
     val d = Dedup.dedupSpans(spark, Sf001).cache()
     val docs = spark.read.parquet(s"$Sf001/documents.parquet").count()
