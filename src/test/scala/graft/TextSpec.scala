@@ -1669,6 +1669,50 @@ class TextSpec extends SparkSuite {
     assert(wf === Map("ab" -> 2L), s"got $wf")
   }
 
+  test("qt28 incremental trainer equals a naive full-recount miner at vocabulary scale") {
+    import spark.implicits._
+    // 5000 random words, 300 merge rounds: the incremental pair-count
+    // engine (only touched words re-register) must produce the exact
+    // merge table a naive per-round full recount does — same winners,
+    // same freqs, same tie-breaks
+    val rnd = new scala.util.Random(2829)
+    val wf = (1 to 5000).map { _ =>
+      Array.fill(3 + rnd.nextInt(8))("abcdef"(rnd.nextInt(6))).mkString
+    }.groupBy(identity).map { case (w, g) => (w, g.size.toLong) }.toSeq
+    def naive(rounds: Int): Seq[(Int, String, String, Long)] = {
+      var words = wf.map { case (w, f) => (w.split("").toArray, f) }
+      (1 to rounds).iterator.map { r =>
+        val cnt = scala.collection.mutable.HashMap.empty[(String, String), Long]
+        words.foreach { case (s, f) =>
+          (0 until s.length - 1).foreach { i =>
+            val k = (s(i), s(i + 1)); cnt.update(k, cnt.getOrElse(k, 0L) + f)
+          }
+        }
+        if (cnt.isEmpty) None
+        else {
+          val ((l, rr), f) = cnt.minBy { case ((a, b), c) => (-c, a, b) }
+          words = words.map { case (s, fr) =>
+            val out = Array.newBuilder[String]; var i = 0
+            while (i < s.length) {
+              if (i < s.length - 1 && s(i) == l && s(i + 1) == rr) { out += l + rr; i += 2 }
+              else { out += s(i); i += 1 }
+            }
+            (out.result(), fr)
+          }
+          Some((r, l, rr, f))
+        }
+      }.takeWhile(_.isDefined).flatten.toSeq
+    }
+    val t0 = System.nanoTime()
+    val got = TextOps.bpeTrainLocal(spark, wf.toDF("tok", "freq"), rounds = 300)._1
+      .collect().map(x => (x.getInt(0), x.getString(1), x.getString(2), x.getLong(3))).toSeq
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(got.sortBy(_._1) === naive(300))
+    // the whole 300-round mine (plus the Spark collect round-trip) must
+    // be interactive-fast — the property that makes 32k rounds feasible
+    assert(secs < 60.0, s"300 rounds over 5k words took ${secs}s")
+  }
+
   test("qt29 local encode equals qt26 at the shared round count, compresses further at 64") {
     // at rounds=4 the two encoders read EQUAL vocabularies (qt28's
     // trainer ≡ qt25's) so the outputs are bit-equal
