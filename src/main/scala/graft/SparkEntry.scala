@@ -109,6 +109,7 @@ object SparkEntry {
     "qv17_probe_sweep" -> ((s, d) => graft.vector.Similarity.probeSweep(s, d)),
     "qv18_hybrid_search" -> ((s, d) => graft.vector.Similarity.hybridSearch(s, d)),
     "qv22_hybrid_ivf" -> ((s, d) => graft.vector.Similarity.hybridSearchIvf(s, d)),
+    "qv23_hybrid_eval" -> ((s, d) => graft.vector.Similarity.hybridEval(s, d)),
     "qv19_rank_metrics" -> ((s, d) => graft.vector.Similarity.rankMetrics(s, d)),
     "qv20_dim_sweep" -> ((s, d) => graft.vector.Similarity.dimSweep(s, d)),
     "qv21_index_upsert" -> ((s, d) => graft.vector.Similarity.indexUpsert(s, d)),
@@ -288,6 +289,7 @@ object SparkEntry {
     "qv17_probe_sweep" -> graft.text.DocOracle.qv17(),
     "qv18_hybrid_search" -> graft.text.DocOracle.qv18(),
     "qv22_hybrid_ivf" -> graft.text.DocOracle.qv22(),
+    "qv23_hybrid_eval" -> graft.text.DocOracle.qv23(),
     "qv19_rank_metrics" -> graft.text.DocOracle.qv19(),
     "qv20_dim_sweep" -> graft.text.DocOracle.qv20(),
     "qv21_index_upsert" -> graft.text.DocOracle.qv21(),

@@ -1815,10 +1815,10 @@ stats AS (
 )"""
   }
 
-  /** The shared RRF fusion tail of qv18/qv22 (expects `lex` and a dense
-    * ranking `vr` (qid, doc_id, vec_rank) upstream).
+  /** The shared RRF fusion of qv18/qv22/qv23 as a CTE `hyb` (expects
+    * `lex` and a dense ranking `vr` (qid, doc_id, vec_rank) upstream).
     */
-  private def hybridFusionSql(k: Int): String = {
+  private def hybridFusedCte(k: Int): String = {
     val rk = graft.vector.Similarity.RrfK
     s""", fused AS (
   SELECT coalesce(l.qid, v.qid) AS qid, coalesce(l.doc_id, v.doc_id) AS doc_id,
@@ -1826,16 +1826,20 @@ stats AS (
          coalesce(CAST(1 AS DOUBLE) / ($rk + l.lex_rank), CAST(0 AS DOUBLE)) +
          coalesce(CAST(1 AS DOUBLE) / ($rk + v.vec_rank), CAST(0 AS DOUBLE)) AS rrf
   FROM lex l FULL JOIN vr v ON l.qid = v.qid AND l.doc_id = v.doc_id
-)
+), hyb AS (
+  SELECT qid, doc_id, lex_rank, vec_rank, rrf, rnk FROM (
+    SELECT qid, doc_id, lex_rank, vec_rank, rrf,
+           row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id) AS rnk
+    FROM fused
+  ) WHERE rnk <= $k
+)"""
+  }
+
+  private def hybridFusionSql(k: Int): String = hybridFusedCte(k) + """
 SELECT qid, doc_id, coalesce(lex_rank, 0) AS lex_rank,
        coalesce(vec_rank, 0) AS vec_rank,
        floor(rrf * 1000000 + 0.5) / 1000000 AS rrf, rnk
-FROM (
-  SELECT qid, doc_id, lex_rank, vec_rank, rrf,
-         row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id) AS rnk
-  FROM fused
-) WHERE rnk <= $k"""
-  }
+FROM hyb"""
 
   def qv18(k: Int = 10, nTerms: Int = 3, depth: Int = 20,
            maxQueries: Int = 1000): String =
@@ -1857,9 +1861,12 @@ vsc AS (
     * with the dense branch swapped to qv3's IVF probe (the same
     * assignCte/centroid/probe SQL qv3 is parity-checked on).
     */
-  def qv22(k: Int = 10, nTerms: Int = 3, depth: Int = 20, nCells: Int = 16,
-           nProbe: Int = 2, maxQueries: Int = 1000): String =
-    hybridLexCte(nTerms, depth, maxQueries) + assignCte(nCells) + s""",
+  /** The qv22/qv23 shared IVF dense-branch CTE block (qv3's
+    * parity-checked chain at `depth`, producing `vr`).
+    */
+  private def hybridIvfDenseCte(depth: Int, nCells: Int, nProbe: Int,
+                                maxQueries: Int): String =
+    assignCte(nCells) + s""",
 centroids AS (
   SELECT a.cell, p.d, avg(p.x) AS c
   FROM pos p JOIN assigned a USING (vec_id) GROUP BY a.cell, p.d
@@ -1889,5 +1896,47 @@ centroids AS (
            row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS vec_rank
     FROM vsc
   ) WHERE vec_rank <= $depth
-)""" + hybridFusionSql(k)
+)"""
+
+  def qv22(k: Int = 10, nTerms: Int = 3, depth: Int = 20, nCells: Int = 16,
+           nProbe: Int = 2, maxQueries: Int = 1000): String =
+    hybridLexCte(nTerms, depth, maxQueries) +
+      hybridIvfDenseCte(depth, nCells, nProbe, maxQueries) + hybridFusionSql(k)
+
+  /** qv23 — mirrors Similarity.hybridEval: qv19's graded gold and
+    * scaled-int discount tail over TWO systems from the shared CTEs —
+    * the bare IVF ranking (`vr` at k) and the RRF-fused hybrid (`hyb`).
+    */
+  def qv23(k: Int = 5, nTerms: Int = 3, depth: Int = 20, nCells: Int = 16,
+           nProbe: Int = 2, maxQueries: Int = 1000): String = {
+    val disc = graft.vector.Similarity.ndcgDiscMicro(k)
+    val discCase = disc.zipWithIndex
+      .map { case (d, i) => s"WHEN ${i + 1} THEN $d" }.mkString(" ")
+    val idcg = graft.vector.Similarity.idcgMicro(k)
+    hybridLexCte(nTerms, depth, maxQueries) +
+      hybridIvfDenseCte(depth, nCells, nProbe, maxQueries) + hybridFusedCte(k) + s"""
+, gold AS (
+  SELECT qid, vec_id, ${k + 1} - rnk AS rel FROM (
+    SELECT q.qid, b.vec_id,
+           row_number() OVER (PARTITION BY q.qid
+                              ORDER BY list_dot_product(q.v, b.v) / (q.nrm * b.nrm) DESC,
+                                       b.vec_id) AS rnk
+    FROM (SELECT vec_id AS qid, v, nrm FROM vecs
+          WHERE vec_id % 100 = 0 AND vec_id < ${100L * maxQueries}) q
+    JOIN vecs b ON b.vec_id <> q.qid
+  ) WHERE rnk <= $k
+), s23 AS (
+  SELECT 'ivf' AS system, v.qid, v.vec_rank AS rnk, coalesce(g.rel, 0) AS rel
+  FROM (SELECT qid, doc_id, vec_rank FROM vr WHERE vec_rank <= $k) v
+  LEFT JOIN gold g ON g.qid = v.qid AND g.vec_id = v.doc_id
+  UNION ALL
+  SELECT 'hybrid' AS system, h.qid, h.rnk, coalesce(g.rel, 0) AS rel
+  FROM hyb h LEFT JOIN gold g ON g.qid = h.qid AND g.vec_id = h.doc_id
+)
+SELECT system, qid,
+       CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       ${r4(s"CAST(sum(rel * (CASE rnk $discCase ELSE 0 END)) AS BIGINT) / $idcg")} AS ndcg,
+       ${r4("max(CASE WHEN rel > 0 THEN 1000000 // rnk ELSE 0 END) / 1000000.0")} AS rr
+FROM s23 GROUP BY system, qid"""
+  }
 }

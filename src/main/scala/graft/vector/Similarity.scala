@@ -1101,6 +1101,29 @@ object Similarity {
     rankMetricsOf(sys, gold, k)
   }
 
+  /** qv23: the retrieval ABLATION a serving stack publishes before
+    * shipping hybrid — per-query nDCG@k / MRR / hits against the
+    * exact-cosine gold for BOTH the bare IVF probe (qv3's ranking,
+    * qv19's system) and the BM25-fused hybrid over the SAME index
+    * (qv22's ranking), in one output keyed by `system`. Answers "does
+    * the lexical branch recover ranking quality the IVF probe loses,
+    * or fight the dense signal?" — the go/no-go number for enabling
+    * fusion in production. Pure composition: the shared gold
+    * broadcasts into both eval joins (qv19's machinery, the
+    * plan-literal discount table — no per-row log2); both systems ride
+    * the session-cached qv3/qv18 stages.
+    */
+  def hybridEval(spark: SparkSession, sfDir: String, k: Int = 5,
+                 nCells: Int = 16, nProbe: Int = 2): DataFrame = {
+    val gold = cosineTopK(spark, sfDir, k)
+      .select(col("qid"), col("vec_id"), (lit(k + 1) - col("rnk")).cast("long").as("rel"))
+    val ivf = ivfAnn(spark, sfDir, nCells, nProbe, k).select("qid", "vec_id", "rnk")
+    val hyb = hybridSearchIvf(spark, sfDir, k = k, nCells = nCells, nProbe = nProbe)
+      .select(col("qid"), col("doc_id").as("vec_id"), col("rnk"))
+    rankMetricsOf(ivf, gold, k).withColumn("system", lit("ivf"))
+      .unionByName(rankMetricsOf(hyb, gold, k).withColumn("system", lit("hybrid")))
+  }
+
   /** qv21: index UPSERT audit — a delta batch of new vectors (the
     * vec_id % `mod` = `rem` tenth, ~10%) assigns into the cells of an
     * index trained WITHOUT them (seeds = the base split's own lowest

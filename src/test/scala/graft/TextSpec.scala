@@ -1319,6 +1319,30 @@ class TextSpec extends SparkSuite {
     d.unpersist()
   }
 
+  test("qv23 hybrid ablation: all-probe IVF is perfect, hybrid measures pure fusion drift") {
+    val e = Similarity.hybridEval(spark, Sf001, nProbe = 16).cache()
+    val bySys = e.collect().groupBy(_.getAs[String]("system"))
+    assert(bySys.keySet === Set("ivf", "hybrid"))
+    // with every cell probed the IVF ranking IS the gold ordering
+    bySys("ivf").foreach { r =>
+      assert(r.getAs[Double]("ndcg") === 1.0 && r.getAs[Double]("rr") === 1.0 &&
+        r.getAs[Long]("n_hit") === 5L)
+    }
+    // both systems evaluate the same query set; hybrid metrics bounded
+    assert(bySys("ivf").map(_.getAs[Long]("qid")).toSet ===
+      bySys("hybrid").map(_.getAs[Long]("qid")).toSet)
+    bySys("hybrid").foreach { r =>
+      val (n, g, rr) = (r.getAs[Long]("n_hit"), r.getAs[Double]("ndcg"), r.getAs[Double]("rr"))
+      assert(n >= 0 && n <= 5 && g >= 0 && g <= 1.0001 && rr >= 0 && rr <= 1.0)
+    }
+    e.unpersist()
+    // the registered config (nProbe=2): output well-formed, 2 rows/qid
+    val reg = Similarity.hybridEval(spark, Sf001).cache()
+    assert(reg.groupBy("qid").count().filter(col("count") =!= 2).count() === 0)
+    assert(reg.count() > 0)
+    reg.unpersist()
+  }
+
   test("qv19 rank metrics: gold scored against itself is perfect") {
     val k = 5
     val gold = Similarity.cosineTopK(spark, Sf001, k = k)
