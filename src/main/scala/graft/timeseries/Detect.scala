@@ -297,7 +297,13 @@ object Detect {
     val (bank, _) = TsCore.bankAndTest(spark, sfDir)
     val pw = pairwiseRef(bank, maxRef).withColumn("d", col("d") + 1e-6)
     val wNbr = Window.partitionBy("pos", "id").orderBy(col("d"), col("nid"))
+    // checkpointed: kdist, lrd AND lof all read the k-trimmed stream —
+    // without materialization each re-runs the FULL O(n·maxRef)
+    // pairwise scan (3× the quadratic work; 35 s of q11's sf1 bench
+    // line was exactly this). The materialized frame is k·|bank| rows —
+    // linear in bank size, bounded at any scale the bank itself is.
     val knn = pw.withColumn("rn", row_number().over(wNbr)).filter(col("rn") <= k)
+      .localCheckpoint(eager = false)
     val kdist = knn.groupBy("pos", "id").agg(max("d").as("kdist"))
     // reach(a,b) = max(d(a,b), kdist(b)); lrd(a) = k / sum_b reach(a,b)
     val lrd = knn
