@@ -147,6 +147,7 @@ object SparkEntry {
     "qd18_containment" -> ((s, d) => graft.text.Dedup.containment(s, d)),
     "qd19_global_dup_spans" -> ((s, d) => graft.text.Dedup.globalDupSpans(s, d)),
     "qd20_dedup_spans" -> ((s, d) => graft.text.Dedup.dedupSpans(s, d)),
+    "qd21_dedup_fixpoint" -> ((s, d) => graft.text.Dedup.dedupSpansFixpoint(s, d)),
     "qt21_domain_cap" -> ((s, d) => graft.text.TextOps.domainCap(s, d)),
     "qt22_dsir_weights" -> ((s, d) => graft.text.TextOps.dsirWeights(s, d)),
     "qt23_pii_redact" -> ((s, d) => graft.text.TextOps.piiRedact(s, d)),
@@ -612,6 +613,7 @@ object SparkEntry {
     "qd18_containment" -> graft.text.DocOracle.qd18(),
     "qd19_global_dup_spans" -> graft.text.DocOracle.qd19(),
     "qd20_dedup_spans" -> graft.text.DocOracle.qd20(),
+    "qd21_dedup_fixpoint" -> graft.text.DocOracle.qd21(),
     "qc1_corpus_build" -> graft.text.DocOracle.qc1(),
     "qt22_dsir_weights" -> graft.text.DocOracle.qt22(),
     "qt23_pii_redact" -> graft.text.DocOracle.qt23(),

@@ -737,9 +737,15 @@ object Dedup {
       .select(col("doc_id"), col("p"), strHash60(col("sh")).as("h"))
     // ONE corpus-scale hash shuffle keyed by h (qd19's discipline, with
     // the keeper attached): occurrence count + the first occurrence as
-    // an exact packed int64 (doc_id·2^31 + p — repack the width before
-    // doc ids cross 2^31; the oracle shares the same formula)
-    val fk = col("doc_id") * lit(2147483648L) + col("p")
+    // an exact packed int64 (doc_id·2^31 + p; p is a row_number int so
+    // p < 2^31 always, and doc_id < 2^32 keeps the product inside
+    // int64 — FAIL LOUDLY past that instead of wrapping silently; the
+    // oracle shares the formula and DuckDB errors on overflow natively)
+    val fk = when(col("doc_id").between(0L, 4294967295L),
+      col("doc_id") * lit(2147483648L) + col("p"))
+      .otherwise(raise_error(concat(
+        lit("qd20: doc_id outside packed-keeper range [0, 2^32): "),
+        col("doc_id"))))
     val agg = shp.groupBy("h")
       .agg(count(lit(1)).as("occ"), min(fk).as("first_key"))
       .filter(col("occ") >= 2)
@@ -766,11 +772,18 @@ object Dedup {
       .select(col("doc_id"),
         size(col("ws")).cast("long").as("n_tok"),
         coalesce(size(col("cut_ps")), lit(0)).cast("long").as("n_cut"),
+        // linear rebuild: kept positions = 1..n_tok minus the cut set.
+        // array_except hashes its right argument (one OpenHashSet per
+        // row), so a doc costs O(n_tok + n_cut) — NOT the O(n_tok ·
+        // n_cut) a per-token array_contains scan would pay on a long,
+        // heavily-boilerplated document — and it preserves the left
+        // array's order, so element_at reads the kept tokens in
+        // sequence. The cut_ps branch only runs when cuts exist, which
+        // implies n_tok >= minSpan >= 1, so sequence(1, size) ascends.
         when(col("cut_ps").isNull, array_join(col("ws"), " "))
           .otherwise(expr(
-            "array_join(filter(transform(ws, (t, idx) -> " +
-              "CASE WHEN array_contains(cut_ps, idx + 1) THEN NULL ELSE t END), " +
-              "x -> x IS NOT NULL), ' ')")).as("clean_text"))
+            "array_join(transform(array_except(sequence(1, size(ws)), cut_ps), " +
+              "p -> element_at(ws, p)), ' ')")).as("clean_text"))
   }
 
   /** qd20: ExactSubstr span REMOVAL — the rewrite qd19 only reports
@@ -801,4 +814,60 @@ object Dedup {
                  minSpan: Int = 4): DataFrame =
     dedupSpansFrom(Tables.documents(spark, sfDir).select("doc_id", "text"),
       n, minSpan)
+
+  /** Iterated qd20 passes over a corpus, each pass fed the previous
+    * pass's cleaned text (token removal creates new adjacencies, so one
+    * pass is only per-pass clean — Lee et al. 2022 §3.1's construction
+    * iterates too). Returns the final corpus plus the per-pass trace
+    * (pass, n_cut, docs_cut). Each pass is localCheckpoint-ed so the
+    * lineage stays one-pass deep; the per-pass stats are single-row
+    * aggregates (bounded driver scalars). With `stopWhenClean` the loop
+    * exits after the first pass that cuts nothing (the fixpoint
+    * witness); without it exactly `passes` passes run — the
+    * deterministic, oracle-mirrorable shape qd21 registers.
+    */
+  private[graft] def dedupSpansTrace(docs0: DataFrame, n: Int, minSpan: Int,
+      passes: Int, stopWhenClean: Boolean): (DataFrame, Seq[(Long, Long, Long)]) = {
+    require(passes >= 1, s"need passes >= 1, got $passes")
+    var docs = docs0
+    val trace = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    var k = 1
+    var clean = false
+    while (k <= passes && !clean) {
+      val out = dedupSpansFrom(docs, n, minSpan).localCheckpoint()
+      val st = out.agg(
+        coalesce(sum("n_cut"), lit(0L)).as("c"),
+        count(when(col("n_cut") > 0, lit(1))).as("d")).collect().head
+      trace += ((k.toLong, st.getLong(0), st.getLong(1)))
+      clean = stopWhenClean && st.getLong(0) == 0L
+      docs = out.select(col("doc_id"), col("clean_text").as("text"))
+      k += 1
+    }
+    (docs, trace.toSeq)
+  }
+
+  /** Iterate qd20 until a pass cuts nothing (span-free fixpoint) or
+    * `maxPasses` — the callable a user running corpus hygiene actually
+    * wants. Returns (cleaned corpus (doc_id, text), per-pass trace);
+    * when the trace's last n_cut is 0 the corpus is PROVEN clean (that
+    * pass re-scanned it).
+    */
+  def dedupSpansToFixpoint(docs: DataFrame, n: Int = 3, minSpan: Int = 4,
+      maxPasses: Int = 16): (DataFrame, Seq[(Long, Long, Long)]) =
+    dedupSpansTrace(docs, n, minSpan, maxPasses, stopWhenClean = true)
+
+  /** qd21: the per-pass convergence trace of iterated span removal at a
+    * FIXED pass count — (pass, n_cut, docs_cut) for passes 1..`passes`,
+    * pass k scanning pass k−1's rebuilt corpus. A fixed count (not
+    * run-until-clean) keeps the output shape data-independent so the
+    * DuckDB oracle can mirror it exactly by nesting the qd20 chain.
+    */
+  def dedupSpansFixpoint(spark: SparkSession, sfDir: String, n: Int = 3,
+      minSpan: Int = 4, passes: Int = 3): DataFrame = {
+    val (_, trace) = dedupSpansTrace(
+      Tables.documents(spark, sfDir).select("doc_id", "text"),
+      n, minSpan, passes, stopWhenClean = false)
+    import spark.implicits._
+    trace.toDF("pass", "n_cut", "docs_cut")
+  }
 }

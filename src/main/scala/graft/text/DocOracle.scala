@@ -1434,6 +1434,81 @@ SELECT d.doc_id, coalesce(k.n_tok, 0) AS n_tok, coalesce(k.n_cut, 0) AS n_cut,
 FROM documents d LEFT JOIN kept20 k USING (doc_id)"""
   }
 
+  /** One qd20 pass as a CTE chain reading (doc_id, text) from `src`,
+    * every name suffixed `$sfx` so passes nest in one WITH chain
+    * (window names included — DuckDB treats a repeated WINDOW name in
+    * one chain as a redefinition). Emits docs$sfx (the rebuilt corpus,
+    * the next pass's source) and stat$sfx (this pass's cut counts).
+    */
+  private def qd20PassCtes(src: String, sfx: String, passNo: Int,
+                           n: Int, minSpan: Int): String = {
+    val parts = (0 until n).map {
+      case 0 => "tok"
+      case k => s"lead(tok, $k) OVER w$sfx"
+    }.mkString(" || ' ' || ")
+    s""",
+tk$sfx AS (
+  SELECT doc_id, unnest(range(len(string_split(text, ' ')))) AS i,
+         unnest(string_split(text, ' ')) AS tok
+  FROM $src
+), toks$sfx AS (SELECT * FROM tk$sfx WHERE tok <> ''),
+dtk$sfx AS (
+  SELECT doc_id, tok, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS p
+  FROM toks$sfx
+), shp$sfx AS (
+  SELECT doc_id, p, ${h60("sh")} AS hq FROM (
+    SELECT doc_id, p, $parts AS sh, lead(tok, ${n - 1}) OVER w$sfx AS lastTok
+    FROM dtk$sfx WINDOW w$sfx AS (PARTITION BY doc_id ORDER BY p)
+  ) WHERE lastTok IS NOT NULL
+), agg$sfx AS (
+  SELECT hq, count(*) AS occ, min(doc_id * 2147483648 + p) AS first_key
+  FROM shp$sfx GROUP BY hq HAVING count(*) >= 2
+), isl$sfx AS (
+  SELECT s.doc_id, s.p, a.first_key,
+         s.p - row_number() OVER (PARTITION BY s.doc_id ORDER BY s.p) AS grp
+  FROM shp$sfx s JOIN agg$sfx a USING (hq)
+), qual$sfx AS (
+  SELECT doc_id, p, first_key FROM (
+    SELECT doc_id, p, first_key,
+           count(*) OVER (PARTITION BY doc_id, grp) AS run
+    FROM isl$sfx
+  ) WHERE run + ${n - 1} >= $minSpan
+), cuts$sfx AS (
+  SELECT DISTINCT doc_id, p + off AS cp
+  FROM qual$sfx, range(0, $n) t(off)
+  WHERE doc_id * 2147483648 + p <> first_key
+), kept$sfx AS (
+  SELECT t.doc_id, count(*) AS n_tok,
+         CAST(sum(CASE WHEN c.cp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_cut,
+         coalesce(string_agg(CASE WHEN c.cp IS NULL THEN t.tok END, ' ' ORDER BY t.p), '') AS clean_text
+  FROM dtk$sfx t LEFT JOIN cuts$sfx c ON c.doc_id = t.doc_id AND c.cp = t.p
+  GROUP BY t.doc_id
+), docs$sfx AS (
+  SELECT d.doc_id, coalesce(k.clean_text, '') AS text
+  FROM $src d LEFT JOIN kept$sfx k USING (doc_id)
+), stat$sfx AS (
+  SELECT CAST($passNo AS BIGINT) AS pass,
+         CAST(coalesce(sum(n_cut), 0) AS BIGINT) AS n_cut,
+         CAST(count(CASE WHEN n_cut > 0 THEN 1 END) AS BIGINT) AS docs_cut
+  FROM kept$sfx
+)"""
+  }
+
+  /** qd21 — mirrors Dedup.dedupSpansFixpoint: the qd20 chain nested
+    * `passes` times (pass k reads pass k−1's rebuilt corpus; documents
+    * with no tokens never enter kept and contribute 0 cuts on both
+    * sides), per-pass (pass, n_cut, docs_cut) unioned.
+    */
+  def qd21(n: Int = 3, minSpan: Int = 4, passes: Int = 3): String = {
+    val chains = (1 to passes).map { k =>
+      qd20PassCtes(if (k == 1) "documents" else s"docsp${k - 1}",
+        s"p$k", k, n, minSpan)
+    }.mkString
+    val union = (1 to passes).map(k => s"SELECT * FROM statp$k")
+      .mkString("\nUNION ALL ")
+    s"WITH q21seed AS (SELECT 1)$chains\n$union"
+  }
+
   /** Mirrors TextOps.charEntropy: same alphabet, same
     * length-of-replace counts, same 1e-6 pre-sum term quantization.
     */

@@ -1873,6 +1873,100 @@ class TextSpec extends SparkSuite {
     d.unpersist()
   }
 
+  test("qd21 fixed-pass trace: pass k re-scans pass k-1's rebuilt corpus") {
+    import spark.implicits._
+    // pass 1 cuts only doc 3's middle B-run (its u-halves are below the
+    // minSpan floor as 2-token islands); the cut FUSES "u1 u2"+"u3 u4"
+    // into doc 1's contiguous u-run, so pass 2 cuts the fused span, and
+    // pass 3 is clean — a planted 3-step convergence
+    val docs = Seq(
+      (1L, "u1 u2 u3 u4 s1 s2 s3 s4"),
+      (2L, "B1 B2 B3 B4 t1 t2 t3 t4"),
+      (3L, "u1 u2 B1 B2 B3 B4 u3 u4")
+    ).toDF("doc_id", "text")
+    val (_, trace) = Dedup.dedupSpansTrace(docs, n = 2, minSpan = 4,
+      passes = 3, stopWhenClean = false)
+    assert(trace.map(_._1) === Seq(1L, 2L, 3L))
+    assert(trace(0)._2 > 0L, "pass 1 must cut the planted boilerplate")
+    assert(trace(1)._2 > 0L, "pass 2 must cut the cut-created adjacency")
+    assert(trace(2)._2 === 0L, "pass 3 must re-scan clean")
+    // trace rows ARE per-pass qd20 runs: replay by hand and compare
+    var cur = docs
+    for ((p, nc, dc) <- trace) {
+      val out = Dedup.dedupSpansFrom(cur, n = 2, minSpan = 4)
+      val st = out.agg(coalesce(sum("n_cut"), lit(0L)),
+        count(when(col("n_cut") > 0, lit(1)))).collect().head
+      assert((st.getLong(0), st.getLong(1)) === ((nc, dc)), s"pass $p")
+      cur = out.select(col("doc_id"), col("clean_text").as("text"))
+    }
+    // the fixpoint API stops at the first clean pass and returns a
+    // corpus whose last trace row proves it span-free
+    val (cleanCorpus, fpTrace) = Dedup.dedupSpansToFixpoint(docs, n = 2, minSpan = 4)
+    assert(fpTrace.last._2 === 0L && fpTrace.length === 3)
+    val rescan = Dedup.dedupSpansFrom(cleanCorpus.withColumnRenamed("text", "text"),
+      n = 2, minSpan = 4)
+    assert(rescan.agg(sum("n_cut")).collect().head.getLong(0) === 0L)
+  }
+
+  test("qd21 at sf0.001: monotone decreasing trace, consistent with qd20 pass 1") {
+    val tr = Dedup.dedupSpansFixpoint(spark, Sf001, passes = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(tr.map(_._1).toSeq === Seq(1L, 2L, 3L))
+    assert(tr(0)._2 > tr(1)._2 && tr(1)._2 > tr(2)._2,
+      s"dup mass must shrink strictly while nonzero: $tr")
+    val pass1 = Dedup.dedupSpans(spark, Sf001)
+      .agg(sum("n_cut")).collect().head.getLong(0)
+    assert(tr(0)._2 === pass1, "trace pass 1 must equal a direct qd20 run")
+  }
+
+  test("qd20 long heavily-boilerplated doc: linear rebuild, no quadratic blowup") {
+    import spark.implicits._
+    // ~60k tokens, ~59k of them cut: the old per-token array_contains
+    // rebuild would pay ~3.5e9 comparisons on this one row; the
+    // array_except kernel is O(n_tok + n_cut)
+    val reps = 10000
+    val boiler = "p q r s t u"
+    val long1 = (s"head1x head2x " + Seq.fill(reps)(boiler).mkString(" ")) // first occurrence inside
+    val long2 = (s"tail1x tail2x " + Seq.fill(reps)(boiler).mkString(" "))
+    val docs = Seq((1L, long1), (2L, long2)).toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val out = Dedup.dedupSpansFrom(docs, n = 3, minSpan = 4).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    val secs = (System.nanoTime() - t0) / 1e9
+    // the repeated boilerplate forms one giant island per doc; doc 1
+    // owns the 6 distinct shingle phases' first corpus occurrences
+    // (positions 3..8), so it keeps its heads + one full period and
+    // cuts token positions 9..n_tok; doc 2 keeps only its heads
+    assert(out(1L)._1 === (2L + 6L * reps))
+    assert(out(2L)._1 === (2L + 6L * reps))
+    assert(out(1L)._2 === 6L * (reps - 1), "doc 1 cuts all but the first period")
+    assert(out(1L)._3 === "head1x head2x p q r s t u")
+    assert(out(2L)._2 === 6L * reps, "all of doc 2's boilerplate is cut")
+    assert(out(2L)._3 === "tail1x tail2x")
+    // generous wall gate: quadratic would take minutes, linear takes seconds
+    assert(secs < 60.0, f"rebuild took $secs%.1f s — quadratic kernel?")
+  }
+
+  test("qd20 packed keeper key fails loudly past doc_id 2^32") {
+    import spark.implicits._
+    val docs = Seq(
+      (4294967296L, "z1 z2 z3 z4 z5"),
+      (1L, "z1 z2 z3 z4 z5")
+    ).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Dedup.dedupSpansFrom(docs, n = 3, minSpan = 4).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("packed-keeper range")),
+      s"expected the loud overflow guard, got: ${e.getMessage}")
+    // the guard admits the full legal range: 2^32 - 1 still works
+    val ok = Dedup.dedupSpansFrom(
+      Seq((4294967295L, "z1 z2 z3 z4 z5"), (1L, "z1 z2 z3 z4 z5"))
+        .toDF("doc_id", "text"), n = 3, minSpan = 4).collect()
+    assert(ok.length === 2)
+  }
+
   test("qc5 chunk->index handoff: conservation vs qt24/qt27, keeper per md5") {
     val ix = TextOps.chunkIndex(spark, Sf001).cache()
     assert(ix.count() > 0)
