@@ -110,6 +110,8 @@ object SparkEntry {
     "qv18_hybrid_search" -> ((s, d) => graft.vector.Similarity.hybridSearch(s, d)),
     "qv22_hybrid_ivf" -> ((s, d) => graft.vector.Similarity.hybridSearchIvf(s, d)),
     "qv23_hybrid_eval" -> ((s, d) => graft.vector.Similarity.hybridEval(s, d)),
+    "qv24_hybrid_guarded" -> ((s, d) => graft.vector.Similarity.hybridSearch(s, d,
+      fallbackMaxDfShare = graft.vector.Similarity.Bm25FallbackMaxDfShare)),
     "qv19_rank_metrics" -> ((s, d) => graft.vector.Similarity.rankMetrics(s, d)),
     "qv20_dim_sweep" -> ((s, d) => graft.vector.Similarity.dimSweep(s, d)),
     "qv21_index_upsert" -> ((s, d) => graft.vector.Similarity.indexUpsert(s, d)),
@@ -291,6 +293,7 @@ object SparkEntry {
     "qv18_hybrid_search" -> graft.text.DocOracle.qv18(),
     "qv22_hybrid_ivf" -> graft.text.DocOracle.qv22(),
     "qv23_hybrid_eval" -> graft.text.DocOracle.qv23(),
+    "qv24_hybrid_guarded" -> graft.text.DocOracle.qv24(),
     "qv19_rank_metrics" -> graft.text.DocOracle.qv19(),
     "qv20_dim_sweep" -> graft.text.DocOracle.qv20(),
     "qv21_index_upsert" -> graft.text.DocOracle.qv21(),

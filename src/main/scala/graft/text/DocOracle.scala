@@ -1846,7 +1846,8 @@ GROUP BY a.cell"""
   /** The shared lexical + corpus-stat CTE prefix of qv18/qv22 (ends at
     * `lex`; `vecs` is defined here because both dense branches read it).
     */
-  private def hybridLexCte(nTerms: Int, depth: Int, maxQueries: Int): String = {
+  private def hybridLexCte(nTerms: Int, depth: Int, maxQueries: Int,
+                           fallbackShare: Long = 1L): String = {
     val k1 = graft.vector.Similarity.Bm25K1
     val b = graft.vector.Similarity.Bm25B
     toksCte + s"""
@@ -1871,6 +1872,9 @@ stats AS (
                       ${r4("t.tf / d.dlen * ln(n.n_docs / f.df)")} DESC, t.tok) AS trm
     FROM tf t JOIN dlen d USING (doc_id) JOIN dfr f USING (tok) CROSS JOIN nd n
     WHERE t.doc_id % 100 = 0 AND t.doc_id < ${100L * maxQueries}
+      AND f.df <= greatest(greatest(${graft.vector.Similarity.Bm25MaxDfFloor},
+                                    n.n_docs // ${graft.vector.Similarity.Bm25MaxDfShare}),
+                           n.n_docs // $fallbackShare)
   ) WHERE trm <= $nTerms
 ), sc AS (
   SELECT q.qid, t.doc_id,
@@ -1917,8 +1921,8 @@ SELECT qid, doc_id, coalesce(lex_rank, 0) AS lex_rank,
 FROM hyb"""
 
   def qv18(k: Int = 10, nTerms: Int = 3, depth: Int = 20,
-           maxQueries: Int = 1000): String =
-    hybridLexCte(nTerms, depth, maxQueries) + s""",
+           maxQueries: Int = 1000, fallbackShare: Long = 1L): String =
+    hybridLexCte(nTerms, depth, maxQueries, fallbackShare) + s""",
 vq AS (SELECT vec_id AS qid, v, nrm FROM vecs
        WHERE vec_id % 100 = 0 AND vec_id < ${100L * maxQueries}),
 vsc AS (
@@ -1974,9 +1978,19 @@ centroids AS (
 )"""
 
   def qv22(k: Int = 10, nTerms: Int = 3, depth: Int = 20, nCells: Int = 16,
-           nProbe: Int = 2, maxQueries: Int = 1000): String =
-    hybridLexCte(nTerms, depth, maxQueries) +
+           nProbe: Int = 2, maxQueries: Int = 1000,
+           fallbackShare: Long = 1L): String =
+    hybridLexCte(nTerms, depth, maxQueries, fallbackShare) +
       hybridIvfDenseCte(depth, nCells, nProbe, maxQueries) + hybridFusionSql(k)
+
+  /** qv24 — mirrors Similarity.hybridSearch with the fallback df
+    * ceiling engaged (share = Bm25FallbackMaxDfShare): qv18's SQL with
+    * the admission predicate's ceiling at n_docs/2.
+    */
+  def qv24(k: Int = 10, nTerms: Int = 3, depth: Int = 20,
+           maxQueries: Int = 1000): String =
+    qv18(k, nTerms, depth, maxQueries,
+      graft.vector.Similarity.Bm25FallbackMaxDfShare)
 
   /** qv23 — mirrors Similarity.hybridEval: qv19's graded gold and
     * scaled-int discount tail over TWO systems from the shared CTEs —

@@ -871,6 +871,19 @@ object Similarity {
     */
   val Bm25MaxDfFloor: Long = 20L
   val Bm25MaxDfShare: Long = 100L
+  /** qv24's fallback HARD CEILING divisor: when a query lacks eligible
+    * terms, over-cap terms may backfill only while df ≤ n_docs /
+    * Bm25FallbackMaxDfShare — terms hotter than that are REFUSED
+    * outright (the query's lexical branch degrades to fewer or zero
+    * candidates and the dense branch carries it), because joining a
+    * posting list that covers half the corpus per degenerate query is
+    * exactly the Σdf blowup the valve exists to prevent, and BM25's IDF
+    * has already near-zeroed such terms. Share=1 (ceiling = n_docs)
+    * admits everything — qv18/qv22's permissive default, which keeps
+    * retrieval alive on all-stop-word corpora; qv24 registers the
+    * guarded serving configuration with this divisor.
+    */
+  val Bm25FallbackMaxDfShare: Long = 2L
 
   /** qv18: HYBRID retrieval — BM25 keyword search fused with dense
     * cosine search by reciprocal-rank fusion (RRF, Cormack et al.
@@ -944,27 +957,39 @@ object Similarity {
     */
   private[graft] def hybridQueryTerms(spark: SparkSession, sfDir: String,
                                       nTerms: Int = 3,
-                                      maxQueries: Int = MaxQueries): DataFrame =
+                                      maxQueries: Int = MaxQueries,
+                                      fallbackMaxDfShare: Long = 1L): DataFrame =
     hybridQueryTermsFrom(
       bm25Postings(spark, sfDir)
         .filter(col("doc_id") % 100 === 0 && col("doc_id") < lit(100L * maxQueries)),
-      nTerms)
+      nTerms, fallbackMaxDfShare)
 
   /** The qv18 term selector over any postings-shaped frame (doc_id,
     * tok, tf, dlen, df, n_docs) — the spec's seam for planting mixed-df
     * vocabularies that exercise the eligible path AND the fallback.
     */
   private[graft] def hybridQueryTermsFrom(post: DataFrame,
-                                          nTerms: Int = 3): DataFrame = {
+                                          nTerms: Int = 3,
+                                          fallbackMaxDfShare: Long = 1L): DataFrame = {
+    require(fallbackMaxDfShare >= 1L,
+      s"fallbackMaxDfShare must be >= 1, got $fallbackMaxDfShare")
     // the stop-term valve: ELIGIBLE (under-cap) terms rank above any
     // over-cap term regardless of TF-IDF; over-cap terms surface only
     // when the query lacks nTerms eligible ones — Bm25MaxDfFloor's
-    // sizing rule and fallback contract
-    val elig = (col("df") <= greatest(lit(Bm25MaxDfFloor),
-      floor(col("n_docs") / Bm25MaxDfShare).cast("long"))).cast("int")
+    // sizing rule and fallback contract. The fallback band itself has a
+    // hard ceiling at n_docs/fallbackMaxDfShare (never below the
+    // eligible cap): at share=1 the ceiling is n_docs and every term is
+    // admissible (the permissive default); at qv24's share=2 a term
+    // covering over half the corpus is refused rather than joined.
+    val eligCap = greatest(lit(Bm25MaxDfFloor),
+      floor(col("n_docs") / Bm25MaxDfShare).cast("long"))
+    val elig = (col("df") <= eligCap).cast("int")
+    val ceil = greatest(eligCap,
+      floor(col("n_docs") / fallbackMaxDfShare).cast("long"))
     val wq = Window.partitionBy("doc_id")
       .orderBy(col("elig").desc, col("tfidf").desc, col("tok"))
     post
+      .filter(col("df") <= ceil)
       .withColumn("elig", elig)
       .withColumn("tfidf",
         Num.r4(col("tf") / col("dlen") * log(col("n_docs") / col("df"))))
@@ -985,10 +1010,12 @@ object Similarity {
 
   def hybridSearch(spark: SparkSession, sfDir: String, k: Int = 10,
                    nTerms: Int = 3, depth: Int = 20,
-                   maxQueries: Int = MaxQueries): DataFrame = {
+                   maxQueries: Int = MaxQueries,
+                   fallbackMaxDfShare: Long = 1L): DataFrame = {
     val dense = cosineTopK(spark, sfDir, depth, maxQueries)
       .select(col("qid"), col("vec_id").as("doc_id"), col("rnk").as("vec_rank"))
-    rrfFuse(hybridLex(spark, sfDir, nTerms, depth, maxQueries), dense, k)
+    rrfFuse(hybridLex(spark, sfDir, nTerms, depth, maxQueries, fallbackMaxDfShare),
+      dense, k)
   }
 
   /** qv22: qv18's hybrid retrieval with the dense branch swapped to the
@@ -1003,10 +1030,20 @@ object Similarity {
     */
   def hybridSearchIvf(spark: SparkSession, sfDir: String, k: Int = 10,
                       nTerms: Int = 3, depth: Int = 20, nCells: Int = 16,
-                      nProbe: Int = 2): DataFrame = {
+                      nProbe: Int = 2, maxQueries: Int = MaxQueries,
+                      fallbackMaxDfShare: Long = 1L): DataFrame = {
+    // the ANN family's qFilter contract caps the sample at MaxQueries;
+    // within it, per-query IVF retrieval is independent across qids, so
+    // restricting the dense branch's OUTPUT by qid is identical to
+    // restricting its query set — and keeps the shared cell-assignment
+    // and probe stages cache-reusable across maxQueries settings
+    require(maxQueries <= MaxQueries,
+      s"maxQueries=$maxQueries exceeds the ANN family cap $MaxQueries")
     val dense = ivfAnn(spark, sfDir, nCells, nProbe, depth)
+      .filter(col("qid") < lit(100L * maxQueries))
       .select(col("qid"), col("vec_id").as("doc_id"), col("rnk").as("vec_rank"))
-    rrfFuse(hybridLex(spark, sfDir, nTerms, depth, MaxQueries), dense, k)
+    rrfFuse(hybridLex(spark, sfDir, nTerms, depth, maxQueries, fallbackMaxDfShare),
+      dense, k)
   }
 
   /** The shared lexical ranking branch of qv18/qv22: BM25-score the
@@ -1014,10 +1051,11 @@ object Similarity {
     */
   private[graft] def hybridLex(spark: SparkSession, sfDir: String,
                                nTerms: Int, depth: Int,
-                               maxQueries: Int): DataFrame = {
+                               maxQueries: Int,
+                               fallbackMaxDfShare: Long = 1L): DataFrame = {
     val wl = Window.partitionBy("qid").orderBy(col("bm25q").desc, col("doc_id"))
     bm25ScoreOf(bm25Postings(spark, sfDir),
-        hybridQueryTerms(spark, sfDir, nTerms, maxQueries))
+        hybridQueryTerms(spark, sfDir, nTerms, maxQueries, fallbackMaxDfShare))
       .withColumn("lex_rank", row_number().over(wl))
       .filter(col("lex_rank") <= depth)
       .select(col("qid"), col("doc_id"), col("lex_rank"))

@@ -448,6 +448,38 @@ class PlanSpec extends SparkSuite {
     assert(qt.count() > 0)
   }
 
+  test("qv24 fallback ceiling: over-half-corpus terms refused even when starved") {
+    import spark.implicits._
+    import graft.vector.Similarity
+    // n_docs=10000 -> eligible cap 100, share-2 ceiling max(100, 5000).
+    // Doc 2 is starved of eligible terms: stopA (df 4000) may backfill,
+    // stopB (df 6000) is over the ceiling and must be REFUSED. Doc 3
+    // has ONLY ultra-hot terms — under the guard its lexical branch
+    // goes (loudly, by contract) empty; permissive share=1 admits both.
+    def row(doc: Long, tok: String, tf: Long, df: Long) =
+      (doc, tok, tf, 100L, df, 10000L, 50.0)
+    val post = Seq(
+      row(2, "rareA", 5, 60), row(2, "rareB", 4, 70),
+      row(2, "stopA", 50, 4000), row(2, "stopB", 60, 6000),
+      row(3, "hot1", 10, 6000), row(3, "hot2", 20, 7000)
+    ).toDF("doc_id", "tok", "tf", "dlen", "df", "n_docs", "avgdlen")
+    val guarded = Similarity.hybridQueryTermsFrom(post, nTerms = 3,
+        fallbackMaxDfShare = Similarity.Bm25FallbackMaxDfShare).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(guarded === Set((2L, "rareA"), (2L, "rareB"), (2L, "stopA")),
+      s"got $guarded")
+    val permissive = Similarity.hybridQueryTermsFrom(post, nTerms = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(permissive === guarded ++ Set((3L, "hot1"), (3L, "hot2")),
+      s"got $permissive")
+    // a refused lexical branch degrades, not breaks: the fused result
+    // still answers from the dense branch (registered qv24's contract)
+    val d = Similarity.hybridSearch(spark, Sf001,
+      fallbackMaxDfShare = Similarity.Bm25FallbackMaxDfShare)
+    assert(d.count() > 0)
+    assert(d.filter(col("vec_rank") > 0).count() > 0)
+  }
+
   test("qd20 span removal: map-side-combined packed-key agg, no cartesian") {
     val p = plan(graft.text.Dedup.dedupSpans(spark, Sf01))
     // the occurrence count AND the first-occurrence keeper ride ONE
