@@ -164,10 +164,18 @@ object Bench {
     }.mkString("\"queries\":{", ",", "},"))
     detail.append(runTimes.map(m => num("%.3f", m.values.sum)).mkString("\"runs\":[", ",", "],"))
     detail.append(s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")}}""")
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
-      (detail.toString + "\n").getBytes("UTF-8"))
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] BENCH_DETAIL.json not written: ${e.getMessage}")
+    // sf-tagged filename so an sf0.001 smoke run can't silently
+    // overwrite sf1 soak evidence; the untagged name stays as the
+    // driver-facing copy ONLY for the canonical bench sf (sf0.1)
+    val detailSf = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse("sf")
+    val detailPaths = Seq(s"BENCH_DETAIL_$detailSf.json") ++
+      (if (detailSf == "sf0.1") Seq("BENCH_DETAIL.json") else Nil)
+    detailPaths.foreach { p =>
+      try java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        (detail.toString + "\n").getBytes("UTF-8"))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $p not written: ${e.getMessage}")
+      }
     }
     // same adaptive width cap as the per-query values: 0.1 s precision
     // under 100 s, whole seconds above (the spread signal survives; the

@@ -589,9 +589,22 @@ object ScoreStream {
     * lineage-key horizon is finite.
     */
   def chunkDedupStream(docs: DataFrame, chunkTok: Int = 64,
-                       stride: Int = 48): DataFrame =
-    chunkStream(docs, chunkTok, stride)
-      .dropDuplicates("chunk_md5")
+                       stride: Int = 48,
+                       dedupWatermark: Option[String] = None): DataFrame = {
+    val chunks = chunkStream(docs, chunkTok, stride)
+    dedupWatermark match {
+      // finite lineage-key horizon declared: evict admitted keys past
+      // the event-time watermark (dropDuplicatesWithinWatermark), so
+      // state is bounded by the horizon's key arrival rate instead of
+      // every distinct chunk ever admitted. Admission semantics inside
+      // the horizon are identical; a key re-arriving AFTER eviction is
+      // re-admitted — exactly the contract the caller opts into by
+      // declaring the horizon.
+      case Some(wm) => chunks.withWatermark("ts", wm)
+        .dropDuplicatesWithinWatermark("chunk_md5")
+      case None => chunks.dropDuplicates("chunk_md5")
+    }
+  }
 
   /** Streaming twin of qp11's row-level constraint class — the
     * data-quality GATE at ingestion: per event-time window, the same

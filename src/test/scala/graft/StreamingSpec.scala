@@ -1051,6 +1051,37 @@ class StreamingSpec extends SparkSuite {
     } finally { q.stop(); batch.unpersist() }
   }
 
+  test("streaming chunk-dedup gate with a declared horizon bounds state via watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(m: Int) = Timestamp.valueOf(s"2024-01-01 0${m / 60}:${"%02d".format(m % 60)}:00")
+    val mem = MemoryStream[Doc]
+    val q = ScoreStream.chunkDedupStream(mem.toDF(), dedupWatermark = Some("1 hour"))
+      .writeStream.outputMode("append").format("memory").queryName("chddwm").start()
+    try {
+      // within the horizon: duplicate suppressed exactly like the
+      // unbounded gate
+      mem.addData(Doc(t(0), 1L, "k1 k2 k3"), Doc(t(10), 2L, "k1 k2 k3"))
+      q.processAllAvailable()
+      // push the watermark past the first key's event time (+3h with a
+      // 1h delay -> watermark 02:00 > 00:00): its state is evictable
+      mem.addData(Doc(t(180), 3L, "other words here"))
+      q.processAllAvailable()
+      // the SAME lineage key re-arrives AFTER eviction: re-admitted —
+      // the bounded-state contract the caller opted into
+      mem.addData(Doc(t(181), 4L, "k1 k2 k3"))
+      q.processAllAvailable()
+      val got = spark.table("chddwm").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("chunk_md5")))
+      val byDoc = got.groupBy(_._1)
+      assert(byDoc.contains(1L) && !byDoc.contains(2L),
+        s"in-horizon duplicate must be suppressed: $got")
+      assert(byDoc.contains(3L))
+      assert(byDoc.contains(4L),
+        s"post-eviction re-arrival must be re-admitted: $got")
+    } finally q.stop()
+  }
+
   test("streaming BPE encoder serves a PRODUCTION-round (qt28/qt29) saved model") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
