@@ -567,6 +567,132 @@ object ScoreStream {
         col("bm25q"))
   }
 
+  /** Streaming HYBRID retrieval over a SAVED index — qv22's serving
+    * configuration in flight (VERDICT r12 missing #3): live queries
+    * carry their keyword terms AND their dense vector; the lexical
+    * branch equi-joins the tok-PACKED persisted postings
+    * (ModelStore.bm25PostingsPacked) and expands each term's posting
+    * list to quantized int64 BM25 contributions IN-ROW; the dense
+    * branch picks its nProbe cells in-row against the ONE-row packed
+    * centroid table, equi-joins the probed cells' PACKED inverted lists
+    * (partition-pruned shards at scale) and scores candidates in-row
+    * with the same sequential-fold dot product as the graft_dot kernel;
+    * ONE watermarked aggregation then collects both branches' candidate
+    * entries per (window, qid) and the whole qv22 pipeline — per-doc
+    * int64 BM25 sums, (score desc, id) rankings at `depth`, RRF fusion
+    * 1/(60+rank), top-k — runs as a stateless in-row epilogue, so the
+    * emitted rows are BIT-IDENTICAL to batch hybridSearchIvf on the
+    * same queries (StreamingSpec, across a batch split).
+    *
+    * Query contract: (ts, qid, terms array<string>, av array<double>,
+    * na double). Terms may be split across rows (contributions sum in
+    * the window state like bm25ScoreStream); the dense vector must
+    * arrive on exactly ONE row per (window, qid) — rows with av NULL
+    * contribute terms only (re-sending a vector would duplicate its
+    * cell candidates, which is a producer contract violation, not
+    * something the gate can repair).
+    *
+    * State = one row per in-flight (window, qid, candidate entry) —
+    * bounded by the df valve on the lexical side and nProbe/nCells of
+    * the collection on the dense side; watermark-evicted.
+    */
+  def hybridServeStream(spark: SparkSession, modelPath: String,
+                        queries: DataFrame, windowDur: String = "1 hour",
+                        watermark: String = "1 hour", k: Int = 10,
+                        depth: Int = 20, nProbe: Int = 2): DataFrame = {
+    import graft.timeseries.ModelStore
+    import graft.vector.Similarity
+    require(k >= 1 && depth >= 1 && nProbe >= 1, s"k=$k depth=$depth nProbe=$nProbe")
+    // constants interpolate from Similarity's fields via Double.toString
+    // (shortest-roundtrip), so the compiled plan's doubles are
+    // bit-identical to the batch Column expressions'
+    val k1 = Similarity.Bm25K1
+    val k1p1 = Similarity.Bm25K1 + 1
+    val b = Similarity.Bm25B
+    val oneMb = 1 - Similarity.Bm25B
+    val rrfK = Similarity.RrfK
+    val wmq = queries.withWatermark("ts", watermark)
+    val post = ModelStore.bm25PostingsPacked(spark, modelPath)
+    // the shared candidate-entry shape: lex rows carry scl (int64 BM25
+    // summand), dense rows carry scd (raw cosine) — union-compatible
+    val lex = wmq
+      .select(col("qid"), col("ts"), explode(col("terms")).as("tok"))
+      .join(post, "tok")
+      .select(col("qid"), col("ts"), expr(
+        s"""filter(transform(doc_ids, (d, i) -> named_struct(
+              'id', d,
+              'scl', CAST(floor(
+                ln(1.0D + (n_docs - df + 0.5D) / (df + 0.5D))
+                * ((element_at(tfs, i+1) * ${k1p1}D) /
+                   (element_at(tfs, i+1) + ${k1}D * (${oneMb}D + ${b}D *
+                     (element_at(dlens, i+1) / avgdlen))))
+                * 1000000D + 0.5D) AS BIGINT),
+              'scd', CAST(NULL AS DOUBLE))),
+            e -> e.id != qid)""").as("entries"))
+    val cents = ModelStore.ivfCentroidsPacked(spark, modelPath)
+    val lists = ModelStore.ivfListsPacked(spark, modelPath)
+    val den = wmq
+      .filter(col("av").isNotNull)
+      .crossJoin(broadcast(cents))
+      .select(col("qid"), col("ts"), col("av"), col("na"), explode(expr(
+        s"""transform(slice(array_sort(transform(cents, c -> named_struct(
+              'd2', aggregate(zip_with(av, c.cv, (x, y) -> (x - y) * (x - y)),
+                              0.0D, (a, x) -> a + x),
+              'cell', c.cell))), 1, $nProbe), p -> p.cell)""")).as("cell"))
+      .join(lists, "cell")
+      .select(col("qid"), col("ts"), expr(
+        s"""filter(transform(ids, (id, i) -> named_struct(
+              'id', id,
+              'scl', CAST(NULL AS BIGINT),
+              'scd', aggregate(zip_with(av, element_at(vecs, i+1), (x, y) -> x * y),
+                               0.0D, (a, x) -> a + x) / (na * element_at(nrms, i+1)))),
+            e -> e.id != qid)""").as("entries"))
+    lex.unionByName(den)
+      .groupBy(window(col("ts"), windowDur), col("qid"))
+      .agg(collect_list(col("entries")).as("bundles"))
+      // stateless in-row epilogue: the exact qv22 pipeline over the
+      // window's collected candidates
+      .withColumn("flat", expr("flatten(bundles)"))
+      .withColumn("lexe", expr("filter(flat, e -> e.scl IS NOT NULL)"))
+      .withColumn("dene", expr("filter(flat, e -> e.scd IS NOT NULL)"))
+      .withColumn("lexTop", expr(
+        s"""slice(array_sort(
+              transform(array_distinct(transform(lexe, e -> e.id)), d -> named_struct(
+                's', aggregate(filter(lexe, e -> e.id = d), CAST(0 AS BIGINT),
+                               (a, e) -> a + e.scl),
+                'id', d)),
+              (l, r) -> CASE WHEN l.s > r.s THEN -1 WHEN l.s < r.s THEN 1
+                             WHEN l.id < r.id THEN -1 WHEN l.id > r.id THEN 1
+                             ELSE 0 END), 1, $depth)"""))
+      .withColumn("denTop", expr(
+        s"""slice(array_sort(dene,
+              (l, r) -> CASE WHEN l.scd > r.scd THEN -1 WHEN l.scd < r.scd THEN 1
+                             WHEN l.id < r.id THEN -1 WHEN l.id > r.id THEN 1
+                             ELSE 0 END), 1, $depth)"""))
+      .withColumn("fused", expr(
+        s"""transform(
+              array_union(transform(lexTop, x -> x.id), transform(denTop, x -> x.id)),
+              d -> named_struct('id', d,
+                'lr', array_position(transform(lexTop, x -> x.id), d),
+                'vr', array_position(transform(denTop, x -> x.id), d)))"""))
+      .withColumn("scored", expr(
+        s"""transform(fused, f -> named_struct('id', f.id, 'lr', f.lr, 'vr', f.vr,
+              'rrf', (CASE WHEN f.lr > 0 THEN 1.0D / ($rrfK + f.lr) ELSE 0.0D END) +
+                     (CASE WHEN f.vr > 0 THEN 1.0D / ($rrfK + f.vr) ELSE 0.0D END)))"""))
+      .withColumn("top", expr(
+        s"""slice(array_sort(scored,
+              (l, r) -> CASE WHEN l.rrf > r.rrf THEN -1 WHEN l.rrf < r.rrf THEN 1
+                             WHEN l.id < r.id THEN -1 WHEN l.id > r.id THEN 1
+                             ELSE 0 END), 1, $k)"""))
+      .select(col("window.start").as("win_start"), col("qid"),
+        posexplode(col("top")).as(Seq("p", "s")))
+      .select(col("win_start"), col("qid"), col("s.id").as("doc_id"),
+        col("s.lr").cast("int").as("lex_rank"),
+        col("s.vr").cast("int").as("vec_rank"),
+        (floor(col("s.rrf") * 1000000d + 0.5d) / 1000000d).as("rrf"),
+        (col("p") + 1).cast("int").as("rnk"))
+  }
+
   /** Streaming twin of batch qt24 — documents chunk IN FLIGHT through
     * the SAME chunk projection (TextOps.chunkFrom; bit-parity by
     * construction): a stateless per-row map, so there is no watermark,

@@ -256,6 +256,57 @@ object ModelStore {
       .select(col("qid"), col("vec_id"), Num.r4(col("cos")).as("cos"), col("rnk"))
   }
 
+  /** Hybrid serving artifact (qv22's configuration in flight): the BM25
+    * postings AND the IVF centroid/cell-list tables under one path —
+    * everything hybridServeStream probes.
+    */
+  def saveHybridIndex(spark: SparkSession, sfDir: String, path: String,
+                      nCells: Int = 16): Unit = {
+    saveBm25Index(spark, sfDir, path)
+    saveIvfIndex(spark, sfDir, path, nCells)
+  }
+
+  /** Tok-PACKED posting lists from the saved BM25 index: one row per
+    * term carrying parallel doc/tf/dlen arrays plus the denormalized
+    * corpus stats — the stream-static equi-join side of
+    * hybridServeStream (a term's whole posting list moves as one row,
+    * so the per-query lexical scoring runs in-row with no further
+    * shuffle). At 100 TB this table is tok-bucketed like the row form;
+    * the df-cap valve bounds any row's array length.
+    */
+  def bm25PostingsPacked(spark: SparkSession, path: String): DataFrame =
+    bm25Postings(spark, path)
+      .groupBy("tok", "df", "n_docs", "avgdlen")
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("tf"), col("dlen"))))
+        .as("ps"))
+      .select(col("tok"), col("df"), col("n_docs"), col("avgdlen"),
+        expr("transform(ps, x -> x.doc_id)").as("doc_ids"),
+        expr("transform(ps, x -> x.tf)").as("tfs"),
+        expr("transform(ps, x -> x.dlen)").as("dlens"))
+
+  /** Cell-PACKED inverted lists from the saved IVF index: one row per
+    * cell (ids/vecs/nrms sorted by vec_id) — the stream-static
+    * equi-join side of hybridServeStream's dense probe. Per-SHARD rows
+    * at 100 TB (a probed cell is read as its shard set), exactly like
+    * sq8Packed's serving shape.
+    */
+  def ivfListsPacked(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/ivflists")
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("vec_id"), col("v"), col("nrm"))))
+        .as("xs"))
+      .select(col("cell"),
+        expr("transform(xs, x -> x.vec_id)").as("ids"),
+        expr("transform(xs, x -> x.v)").as("vecs"),
+        expr("transform(xs, x -> x.nrm)").as("nrms"))
+
+  /** The centroid table packed into ONE broadcastable row (sorted by
+    * cell) — the in-row probe table.
+    */
+  def ivfCentroidsPacked(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/ivfcentroids")
+      .agg(array_sort(collect_list(struct(col("cell"), col("cv")))).as("cents"))
+
   /** DSIR model persistence — qt22's trained artifact: the DENSE
     * per-bucket quantized log-ratio table (every bucket defined, so a
     * streaming doc hashing a novel feature into a corpus-unseen bucket

@@ -1,0 +1,172 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Heavy-tailed (Zipfian) replacement corpus for the `documents` table
+  * (VERDICT r12 "next #1"): the driver's synthetic corpus draws from 31
+  * near-uniform tokens (measured 27,165 tokens / 31 distinct at
+  * sf0.01, min df = 5%·N), so every document-frequency-gated branch —
+  * qv18/qv22/qv24's eligible-term path, qt13's df≥5% boilerplate gate,
+  * qd18's rare-shingle postings, qt12's OOV counts, qt14/qt17's
+  * unseen-token smoothing — is parity-green but never exercised on its
+  * design path. Real text is Zipf-distributed by nature (the shape
+  * every df-gated operator exists to survive); this generator rewrites
+  * ONLY the `text`/`n_chars` columns, keeping doc_id/lang/source so
+  * all label-joined structure is preserved, with:
+  *
+  *   - a ~3000-word Zipfian (s=1.07) content vocabulary of 6-char
+  *     syllable words (cannot collide with any ≤4-char stopword);
+  *   - per-language stopword HEADS: ~35% of draws come from the doc's
+  *     language's own stopword pool (TextOps.Stopwords — one shared
+  *     definition), so qt3/qt8 language-ID sees real signal and en
+  *     stop_ratio drives qt2 quality;
+  *   - near-dup structure: every 50th doc is its predecessor's text
+  *     with every 20th token replaced (3-shingle Jaccard ≈ 0.74 —
+  *     inside MinHash-LSH's detection band);
+  *   - cross-doc boilerplate: every 8th doc carries one of TWO fixed
+  *     12-token passages (each lands in ~1/16 of docs — above qt13's
+  *     5% df gate, and real spans for qd13/qd19/qd20).
+  *
+  * Everything is a pure function of doc_id (seeded java.util.Random
+  * per doc), so output is deterministic under any partitioning.
+  * Output layout matches the driver's (one parquet FILE per table);
+  * non-document tables are copied verbatim unless --docs-only.
+  */
+object GenZipf {
+  val VocabSize = 3000
+  val ZipfS = 1.07
+  /** 75 consonant-vowel syllables; word(i) = 3 syllables = 6 chars. */
+  private val Syll: Array[String] =
+    (for (c <- "bcdfghjklmnprst"; v <- "aeiou") yield s"$c$v").toArray
+
+  def word(i: Int): String =
+    Syll(i % 75) + Syll((i / 75) % 75) + Syll((i / 5625) % 75)
+
+  /** Cumulative Zipf weights over ranks 1..VocabSize. */
+  private val cum: Array[Double] = {
+    val a = new Array[Double](VocabSize)
+    var t = 0.0
+    var r = 0
+    while (r < VocabSize) { t += 1.0 / math.pow(r + 1.0, ZipfS); a(r) = t; r += 1 }
+    a
+  }
+
+  private def drawZipf(u: Double): Int = {
+    val x = u * cum(VocabSize - 1)
+    var lo = 0; var hi = VocabSize - 1
+    while (lo < hi) { val m = (lo + hi) >>> 1; if (cum(m) < x) lo = m + 1 else hi = m }
+    lo
+  }
+
+  private def rngFor(docId: Long, salt: Long): java.util.Random =
+    new java.util.Random(docId * 2654435761L + salt)
+
+  /** Base text: Zipfian content draws with per-language stopword heads. */
+  def genBase(docId: Long, lang: String): String = {
+    val rng = rngFor(docId, 0x9E3779B9L)
+    val stop = graft.text.TextOps.Stopwords.getOrElse(lang,
+      graft.text.TextOps.Stopwords("en"))
+    val n = 10 + rng.nextInt(90)
+    val sb = new StringBuilder
+    var i = 0
+    while (i < n) {
+      if (i > 0) sb.append(' ')
+      if (rng.nextDouble() < 0.35)
+        sb.append(stop(math.min(stop.size - 1, drawZipf(rng.nextDouble()) % stop.size)))
+      else sb.append(word(drawZipf(rng.nextDouble())))
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Near-dup: every 20th token of `prev` replaced with a fresh draw —
+    * a replaced token kills its 3 overlapping 3-shingles, so 5% token
+    * churn keeps shingle-level Jaccard ≈ 0.74, inside MinHash-LSH's
+    * (16 perms, 4-row bands) detection range.
+    */
+  def perturb(docId: Long, prev: String): String = {
+    val rng = rngFor(docId, 0xC0FFEEL)
+    prev.split(" ").zipWithIndex.map { case (t, i) =>
+      if (i % 20 == 19) word(drawZipf(rng.nextDouble())) else t
+    }.mkString(" ")
+  }
+
+  /** Two fixed 12-token passages from the cold tail (ranks 2600+). */
+  val Passages: Seq[String] =
+    (0 until 2).map(p => (0 until 12).map(j => word(2600 + p * 12 + j)).mkString(" "))
+
+  def insertPassage(docId: Long, text: String): String = {
+    val toks = text.split(" ")
+    val at = math.min(5, toks.length)
+    val p = Passages(((docId / 8) % Passages.length).toInt)
+    (toks.take(at) ++ Array(p) ++ toks.drop(at)).mkString(" ")
+  }
+
+  /** The rewritten documents frame for any driver-layout documents
+    * table — the shared seam GenZipf's main and the specs both use.
+    */
+  def zipfDocuments(docs: DataFrame): DataFrame = {
+    val baseU = udf((id: Long, lang: String) => genBase(id, lang))
+    val pertU = udf((id: Long, prev: String) => perturb(id, prev))
+    val passU = udf((id: Long, t: String) => insertPassage(id, t))
+    // near-dups read the PREDECESSOR's base text via lag inside
+    // 50-blocks (doc_id%50==49 always has doc_id-1 in its block), so
+    // generation stays parallel and deterministic
+    val w = Window.partitionBy(floor(col("doc_id") / 50)).orderBy("doc_id")
+    val withBase = docs.withColumn("zbase", baseU(col("doc_id"), col("lang")))
+      .withColumn("zprev", lag("zbase", 1).over(w))
+      .withColumn("znear",
+        when(col("doc_id") % 50 === 49 && col("zprev").isNotNull,
+          pertU(col("doc_id"), col("zprev"))).otherwise(col("zbase")))
+      .withColumn("ztext",
+        when(col("doc_id") % 8 === 5, passU(col("doc_id"), col("znear")))
+          .otherwise(col("znear")))
+    withBase.select(
+      docs.columns.map {
+        case "text" => col("ztext").as("text")
+        case "n_chars" => length(col("ztext")).cast("long").as("n_chars")
+        case c => col(c)
+      }: _*)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
+    val dst = if (args.length > 1) args(1) else "/root/repo/target/testdata/zipf0.01"
+    val docsOnly = args.contains("--docs-only")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def rd(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
+    // single FILE per table — the driver's layout (tools/check.py's
+    // DuckDB views read '<dir>/<t>.parquet' as one file)
+    def wr(df: DataFrame, t: String): Unit = {
+      val tmp = s"$dst/_tmp_$t"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val dir = new java.io.File(tmp)
+      val part = dir.listFiles().find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(s"$dst/$t.parquet").toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+    wr(zipfDocuments(rd("documents")).orderBy("doc_id"), "documents")
+    if (!docsOnly)
+      Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "embeddings").foreach(t => wr(rd(t), t))
+    // corpus shape evidence: distinct vocabulary + df profile
+    val toks = spark.read.parquet(s"$dst/documents.parquet")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val dfr = toks.distinct().groupBy("tok").agg(count(lit(1)).as("df"))
+    val st = dfr.agg(count(lit(1)), min("df"), expr("median(df)"), max("df")).collect().head
+    println(s"wrote zipf corpus: $src -> $dst  " +
+      s"vocab=${st.getLong(0)} df(min/med/max)=${st.getLong(1)}/${st.getDouble(2)}/${st.getLong(3)}")
+    spark.stop()
+  }
+}

@@ -19,7 +19,7 @@ object Similarity {
     * through the native codegen'd kernel (graft.functions.DotProduct) —
     * same ascending-index summation as the DuckDB oracle.
     */
-  private def vecs(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def vecs(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.VectorExprs.register(spark)
     Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))

@@ -1112,6 +1112,49 @@ class StreamingSpec extends SparkSuite {
 
   case class QT(ts: Timestamp, qid: Long, terms: Array[String])
 
+  case class HQ(ts: Timestamp, qid: Long, terms: Array[String],
+                av: Array[Double], na: Double)
+
+  test("streaming hybrid serve over a saved index is bit-identical to batch qv22") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.timeseries.ModelStore
+    import graft.vector.Similarity
+    val path = java.nio.file.Files.createTempDirectory("graft-hyb").toString
+    ModelStore.saveHybridIndex(spark, Sf01, path)
+    def key(r: org.apache.spark.sql.Row, o: Int) =
+      (r.getLong(o), r.getLong(o + 1)) ->
+        (r.getInt(o + 2), r.getInt(o + 3), r.getDouble(o + 4), r.getInt(o + 5))
+    val want = Similarity.hybridSearchIvf(spark, Sf01).collect().map(key(_, 0)).toMap
+    assert(want.nonEmpty)
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val terms = Similarity.hybridQueryTerms(spark, Sf01).collect()
+      .map(r => (r.getLong(0), r.getString(1))).groupBy(_._1)
+      .map { case (q, g) => q -> g.map(_._2) }
+    val qvecs = Similarity.vecs(spark, Sf01)
+      .filter(col("vec_id") % 100 === 0 && col("vec_id") < 100L * Similarity.MaxQueries)
+      .select("vec_id", "v", "nrm").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    val rows = qvecs.map { case (q, v, n) =>
+      HQ(t0, q, terms.getOrElse(q, Array.empty[String]), v, n)
+    }.sortBy(_.qid)
+    val mem = MemoryStream[HQ]
+    val q = ScoreStream.hybridServeStream(spark, path, mem.toDF(), windowDur = "1 day")
+      .writeStream.outputMode("append").format("memory").queryName("hybs").start()
+    try {
+      // queries split across TWO batches — the window state must fuse
+      // them identically to one batch
+      val (h1, h2) = rows.splitAt(rows.length / 2)
+      mem.addData(h1.toSeq); q.processAllAvailable()
+      mem.addData(h2.toSeq); q.processAllAvailable()
+      mem.addData(HQ(new Timestamp(t0.getTime + 10L * 86400000L), 999999L,
+        Array("no-such-token"), null, 0.0)); q.processAllAvailable()
+      val got = spark.table("hybs").collect().map(key(_, 1)).toMap
+      assert(got.size === want.size)
+      assert(got === want)
+    } finally q.stop()
+  }
+
   test("streaming BM25 scorer over a saved index matches batch qv18 lexical sums") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.tools.GenZipf
+
+/** The degenerate-vocabulary blind spot (VERDICT r12 "what's wrong #1"):
+  * on the driver's 31-token corpus every df-gated branch ran its
+  * fallback/degenerate path, so parity could not see a bug in the
+  * design path. These specs pin the heavy-tailed replacement corpus's
+  * SHAPE and prove the gated branches actually fire on it:
+  * qv18's ELIGIBLE term path (fallback inactive), qt13's df gate
+  * excluding rare bigrams while catching the planted passages, qt12's
+  * nonzero OOV, qd18's rare-shingle postings, and qd2's LSH catching
+  * the planted near-dup pairs.
+  */
+class ZipfCorpusSpec extends SparkSuite {
+  import graft.vector.Similarity
+
+  /** One generated corpus dir (from the sf0.01 base = 500 docs — large
+    * enough for stable df signal), shared across the suite.
+    */
+  lazy val zdir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-zipf").toString
+    GenZipf.zipfDocuments(spark.read.parquet(s"$Sf01/documents.parquet"))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("zipf corpus shape: heavy-tailed vocabulary, labels preserved") {
+    val docs = spark.read.parquet(s"$zdir/documents.parquet")
+    val base = spark.read.parquet(s"$Sf01/documents.parquet")
+    assert(docs.count() === base.count())
+    // doc_id/lang/source survive verbatim (all label-joined structure)
+    assert(docs.select("doc_id", "lang", "source").except(
+      base.select("doc_id", "lang", "source")).count() === 0)
+    val dfr = graft.text.TextCore.tokens(spark, zdir)
+      .select("doc_id", "tok").distinct()
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    val st = dfr.agg(count(lit(1)).as("v"), expr("median(df)").as("med"),
+      max("df").as("mx")).collect().head
+    assert(st.getLong(0) > 500, s"vocabulary must be large, got ${st.getLong(0)}")
+    assert(st.getDouble(1) <= 5.0, s"median df must sit in the tail, got ${st.getDouble(1)}")
+    assert(st.getLong(2) > 100, s"heads must be hot, got ${st.getLong(2)}")
+    // determinism: regeneration is bit-identical
+    val again = GenZipf.zipfDocuments(base)
+    assert(docs.except(again).count() === 0 && again.except(docs).count() === 0)
+  }
+
+  test("qv18 eligible branch fires: every selected query term is under the df cap") {
+    val post = Similarity.bm25Postings(spark, zdir)
+    val nDocs = spark.read.parquet(s"$zdir/documents.parquet").count()
+    val cap = math.max(Similarity.Bm25MaxDfFloor, nDocs / Similarity.Bm25MaxDfShare)
+    val qt = Similarity.hybridQueryTerms(spark, zdir)
+      .join(post.select("tok", "df").distinct(), "tok")
+    assert(qt.count() > 0, "query sample must select terms")
+    val overCap = qt.filter(col("df") > cap).count()
+    assert(overCap === 0,
+      s"fallback must be INACTIVE on a Zipfian corpus: $overCap over-cap terms selected (cap=$cap)")
+    // and the valve genuinely had something to reject: hot terms exist
+    assert(post.select("tok", "df").distinct().filter(col("df") > cap).count() > 0)
+  }
+
+  test("qt13 df gate excludes rare bigrams and catches the planted passages") {
+    val nDocs = spark.read.parquet(s"$zdir/documents.parquet").count()
+    val out = graft.text.TextOps.boilerplate(spark, zdir).cache()
+    // planted carriers (doc_id%8==5) must show boilerplate coverage
+    val carriers = out.filter(col("doc_id") % 8 === 5)
+    assert(carriers.filter(col("n_boiler") > 0).count() === carriers.count(),
+      "every passage carrier must be flagged")
+    // frequent stop-bigrams legitimately qualify (real text has them
+    // too), but the planted passages must still SEPARATE: carriers'
+    // boilerplate coverage sits clearly above the background
+    val carAvg = carriers.agg(avg(col("n_boiler") / col("n_bg")))
+      .collect().head.getDouble(0)
+    val bgAvg = out.filter(col("doc_id") % 8 =!= 5)
+      .agg(avg(col("n_boiler") / col("n_bg"))).collect().head.getDouble(0)
+    assert(carAvg > bgAvg + 0.1,
+      f"passage carriers must stand out: carrier avg $carAvg%.3f vs background $bgAvg%.3f")
+    out.unpersist()
+    // the candidate set itself is small vs the bigram vocabulary
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("i")
+    val bgs = graft.text.TextCore.tokens(spark, zdir)
+      .withColumn("nxt", lead("tok", 1).over(w)).filter(col("nxt").isNotNull)
+      .withColumn("bg", concat_ws(" ", col("tok"), col("nxt")))
+      .select("doc_id", "bg").distinct()
+    val byDf = bgs.groupBy("bg").agg(count(lit(1)).as("df"))
+    val qualifying = byDf.filter(col("df") >= math.ceil(0.05 * nDocs)).count()
+    val total = byDf.count()
+    assert(qualifying > 0 && qualifying < total / 10,
+      s"gate must separate head from tail: $qualifying of $total bigrams qualify")
+  }
+
+  test("qt12 OOV and qd18 rare-shingle postings are live on the zipf corpus") {
+    val vc = graft.text.TextOps.vocabCoverage(spark, zdir)
+    assert(vc.agg(sum("n_oov")).collect().head.getLong(0) > 0,
+      "a 32-token vocab over a 2000+-word corpus must leave OOV tokens")
+    val cont = graft.text.Dedup.containment(spark, zdir)
+    assert(cont.count() > 0,
+      "planted near-dups share >=3 rare shingles — postings must pair them")
+  }
+
+  test("qd2 LSH catches the planted near-dup pairs") {
+    val cand = graft.text.Dedup.minhashLsh(spark, zdir)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.nonEmpty, "near-dup structure must produce LSH candidates")
+    // at Jaccard ~0.75 most planted (id-1, id) pairs land in a band
+    val planted = (0 until 10).map(b => (b * 50 + 48L, b * 50 + 49L))
+    val caught = planted.count(cand.contains)
+    assert(caught >= planted.size / 2,
+      s"only $caught of ${planted.size} planted near-dup pairs caught: $cand")
+  }
+}
