@@ -33,7 +33,13 @@ def main():
             results[name] = line[0] if line else f"NO-OUTPUT rc={p.returncode}"
         except subprocess.TimeoutExpired:
             results[name] = f"ORACLE-TIMEOUT >{timeout}s"
-        print(f"{results[name].split()[0]:>14}  {name}", flush=True)
+        verdict = results[name].split()[0]
+        print(f"{verdict:>14}  {name}", flush=True)
+        if verdict != "PASS":
+            # keep the WHY (first differing cell / exception / rc) — a
+            # transient oracle OOM under load looks identical to a real
+            # mismatch without it
+            print(f"                detail: {results[name][:400]}", flush=True)
     counts = {}
     for v in results.values():
         counts[v.split()[0]] = counts.get(v.split()[0], 0) + 1
