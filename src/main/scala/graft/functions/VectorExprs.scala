@@ -358,6 +358,110 @@ case class SortedInterCount(left: Expression, right: Expression) extends BinaryE
     copy(left = newLeft, right = newRight)
 }
 
+/** Packed k-nearest-neighbour scan (graft_knn): against a bank of
+  * m = flat.len/q.len points (row-major flattened, candidate ids in the
+  * PARALLEL sorted `ids` array), return the k nearest to `q` as an
+  * array<struct<nid string, d double>> ordered by (d asc, nid asc),
+  * where d = sqrt(Σ(q_j − c_j)²) + eps and candidates whose id equals
+  * `qid` are skipped (the pairwise join's a_id ≠ b_id guard).
+  *
+  * Exact-parity contract (q11/q12's pairwise semantics): the summation
+  * is ascending-index (Detect.dist2's left fold), eps is added to the
+  * sqrt BEFORE selection — so selection order is identical to the old
+  * `row_number() OVER (ORDER BY d+eps, nid)` on the materialized pair
+  * stream, including the float-equality ties eps can create — and nid
+  * ties compare in UTF8String binary order (what Spark's string sort
+  * uses). Replaces an O(n·m)-ROW shuffle + 26M-row window sort with an
+  * O(n)-row broadcast probe of |positions| packed rows: the FLOPs are
+  * identical, the exchanged rows drop by ~m×. Selection keeps a sorted
+  * k-buffer (k is small: insertion beats a heap).
+  *
+  * Eval-based (CodegenFallback-style via eval): the projection evaluates
+  * once per PATCH (n rows), not per pair — interpretation overhead is
+  * n × k-insert work, noise next to the in-loop distance math; a
+  * struct-array-producing handwritten codegen buys nothing here.
+  */
+case class KnnDist(children: Seq[Expression]) extends Expression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(children.length == 6, "graft_knn(qid, q, ids, flat, k, eps) takes 6 args")
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val Seq(qid, q, ids, flat, k, eps) = children
+    val ok = qid.dataType == org.apache.spark.sql.types.StringType &&
+      (q.dataType match { case ArrayType(DoubleType, _) => true; case _ => false }) &&
+      (ids.dataType match {
+        case ArrayType(org.apache.spark.sql.types.StringType, _) => true; case _ => false }) &&
+      (flat.dataType match { case ArrayType(DoubleType, _) => true; case _ => false }) &&
+      k.dataType == org.apache.spark.sql.types.IntegerType && k.foldable &&
+      eps.dataType == DoubleType && eps.foldable
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "graft_knn requires (string, array<double>, array<string>, array<double>, int literal, double literal)")
+  }
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("nid", org.apache.spark.sql.types.StringType, false),
+      org.apache.spark.sql.types.StructField("d", DoubleType, false))), false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_knn"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val qidA = children(0).eval(input)
+    val qA = children(1).eval(input)
+    val idsA = children(2).eval(input)
+    val flatA = children(3).eval(input)
+    val kA = children(4).eval(input)
+    val epsA = children(5).eval(input)
+    if (qidA == null || qA == null || idsA == null || flatA == null ||
+        kA == null || epsA == null) return null
+    val eps = epsA.asInstanceOf[Double]
+    val qid = qidA.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    val q = qA.asInstanceOf[ArrayData]
+    val ids = idsA.asInstanceOf[ArrayData]
+    val flat = flatA.asInstanceOf[ArrayData]
+    val k = kA.asInstanceOf[Int]
+    if (k <= 0) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val dim = q.numElements()
+    val m = if (dim == 0) 0 else flat.numElements() / dim
+    if (ids.numElements() != m) return null
+    val ds = new Array[Double](k)
+    val ns = new Array[org.apache.spark.unsafe.types.UTF8String](k)
+    var cnt = 0
+    var i = 0
+    while (i < m) {
+      val nid = ids.getUTF8String(i)
+      if (nid.compareTo(qid) != 0) {
+        var s = 0.0
+        var j = 0
+        val off = i * dim
+        while (j < dim) { val d = q.getDouble(j) - flat.getDouble(off + j); s += d * d; j += 1 }
+        val dv = math.sqrt(s) + eps
+        if (cnt < k || dv < ds(cnt - 1) ||
+            (dv == ds(cnt - 1) && nid.compareTo(ns(cnt - 1)) < 0)) {
+          // insertion position by (d, nid)
+          var p = if (cnt < k) cnt else k - 1
+          while (p > 0 && (dv < ds(p - 1) ||
+              (dv == ds(p - 1) && nid.compareTo(ns(p - 1)) < 0))) {
+            ds(p) = ds(p - 1); ns(p) = ns(p - 1); p -= 1
+          }
+          ds(p) = dv; ns(p) = nid
+          if (cnt < k) cnt += 1
+        }
+      }
+      i += 1
+    }
+    val out = new Array[Any](cnt)
+    var r = 0
+    while (r < cnt) {
+      out(r) = org.apache.spark.sql.catalyst.InternalRow(ns(r), ds(r)); r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
+}
+
 object VectorExprs {
   val DotInfo = new ExpressionInfo(classOf[DotProduct].getName, "graft_dot")
   val L2Info = new ExpressionInfo(classOf[L2Dist2].getName, "graft_l2")
@@ -377,6 +481,8 @@ object VectorExprs {
       "graft_argmin_dist2", exprs => ArgMinDist2(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction(
       "graft_sorted_inter", exprs => SortedInterCount(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "graft_knn", exprs => KnnDist(exprs), "scala_udf")
     // Spark's own runtime-filter bloom expressions, exposed as SQL
     // functions: bloom_agg(xxhash64(key), nItems, nBits) builds the
     // merge-combinable sketch; might_contain(bloom, xxhash64(key)) is

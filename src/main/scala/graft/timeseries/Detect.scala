@@ -158,39 +158,70 @@ object Detect {
     * pairwise (DetectSpec asserts bit-equality), so the oracle stays
     * the exact mirror at test scales.
     */
-  private def pairwiseRef(bank: DataFrame, maxRef: Int): DataFrame = {
+  /** The capped reference side with the LOUD truncation guard (one tiny
+    * agg on the roster): the registered q11/q12 stay bit-identical to
+    * their exact-uncapped DuckDB oracles ONLY while no position exceeds
+    * maxRef windows — if a scale bump ever trips the cap, a parity
+    * break must point HERE, not at the pairwise logic.
+    */
+  private def cappedRef(withId: DataFrame, maxRef: Int): DataFrame =
+    if (maxRef == Int.MaxValue) withId
+    else {
+      // the candidate roster is the bank's own (pos, id) set — tiny
+      // relative to the pair stream; rank it, keep the first maxRef
+      val wRef = Window.partitionBy("pos").orderBy("id")
+      val roster = withId.select("pos", "id").distinct()
+      val over = roster.groupBy("pos").count()
+        .filter(col("count") > maxRef).count()
+      if (over > 0)
+        Console.err.println(
+          s"[graft] pairwiseRef: cap maxRef=$maxRef TRUNCATES $over " +
+            "position(s) — capped result now diverges from the exact " +
+            "pairwise (and its oracle) by design")
+      val refIds = roster
+        .withColumn("rr", row_number().over(wRef)).filter(col("rr") <= maxRef)
+        .select("pos", "id")
+      withId.join(refIds, Seq("pos", "id"))
+    }
+
+  private[graft] def pairwiseRef(bank: DataFrame, maxRef: Int): DataFrame = {
     val pid = concat_ws("#", col("series"), col("win"))
     val withId = bank.withColumn("id", pid)
-    val bref =
-      if (maxRef == Int.MaxValue) withId
-      else {
-        // the candidate roster is the bank's own (pos, id) set — tiny
-        // relative to the pair stream; rank it, keep the first maxRef
-        val wRef = Window.partitionBy("pos").orderBy("id")
-        val roster = withId.select("pos", "id").distinct()
-        // LOUD truncation guard (one tiny agg on the roster, built once
-        // per session under TsCore.cached): the registered q11/q12 stay
-        // bit-identical to their exact-uncapped DuckDB oracles ONLY
-        // while no position exceeds maxRef windows — if a scale bump
-        // ever trips the cap, a parity break must point HERE, not at
-        // the pairwise logic
-        val over = roster.groupBy("pos").count()
-          .filter(col("count") > maxRef).count()
-        if (over > 0)
-          Console.err.println(
-            s"[graft] pairwiseRef: cap maxRef=$maxRef TRUNCATES $over " +
-              "position(s) — capped result now diverges from the exact " +
-              "pairwise (and its oracle) by design")
-        val refIds = roster
-          .withColumn("rr", row_number().over(wRef)).filter(col("rr") <= maxRef)
-          .select("pos", "id")
-        withId.join(refIds, Seq("pos", "id"))
-      }
     val a = renamed(withId, "a_")
-    val b = renamed(bref, "b_")
+    val b = renamed(cappedRef(withId, maxRef), "b_")
     a.join(b, col("a_pos") === col("b_pos") && col("a_id") =!= col("b_id"))
       .select(col("a_pos").as("pos"), col("a_id").as("id"), col("b_id").as("nid"),
         sqrt(dist2("a_", "b_")).as("d"))
+  }
+
+  /** The k-trimmed neighbour stream (pos, id, nid, d) via the PACKED
+    * graft_knn kernel: each position's capped reference set packs into
+    * ONE broadcast row (ids sorted + row-major features, ≤ maxRef·9
+    * doubles), every patch probes it in-row, and only the k winners
+    * materialize. Bit-identical to trimming [[pairwiseRef]] with
+    * `row_number() OVER (PARTITION BY pos, id ORDER BY d+eps, nid) <= k`
+    * — same ascending-index distance fold, eps added to the sqrt before
+    * selection, UTF8 binary nid tie-break (DetectSpec asserts equality)
+    * — but the n·maxRef pair rows never exist: at sf1 this removed a
+    * 26M-row shuffle + window sort that was 60% of q11's wall time.
+    */
+  private[graft] def knnRef(spark: SparkSession, bank: DataFrame, maxRef: Int,
+                            k: Int, eps: Double): DataFrame = {
+    graft.functions.VectorExprs.register(spark)
+    val pid = concat_ws("#", col("series"), col("win"))
+    val withId = bank.withColumn("id", pid)
+    val packed = cappedRef(withId, maxRef)
+      .select(col("pos"),
+        struct(col("id"), array(FeatCols.map(col): _*).as("fs")).as("s"))
+      .groupBy("pos").agg(array_sort(collect_list(col("s"))).as("ps"))
+      .select(col("pos"), expr("transform(ps, x -> x.id)").as("nids"),
+        flatten(expr("transform(ps, x -> x.fs)")).as("bf"))
+    withId.join(broadcast(packed), "pos")
+      .select(col("pos"), col("id"),
+        explode(call_function("graft_knn", col("id"),
+          array(FeatCols.map(col): _*), col("nids"), col("bf"),
+          lit(k), lit(eps))).as("s"))
+      .select(col("pos"), col("id"), col("s.nid").as("nid"), col("s.d").as("d"))
   }
 
   /** q12: nearest-neighbour distance patch weight ("nearest" method, ref
@@ -203,7 +234,9 @@ object Detect {
                         maxRef: Int = 10000): DataFrame =
     TsCore.cached(spark, sfDir, s"nnweight_$maxRef") {
       val (bank, _) = TsCore.bankAndTest(spark, sfDir)
-      pairwiseRef(bank, maxRef)
+      // k=1, eps=0: the kernel's single winner IS min(raw d) — sqrt+0.0
+      // is bit-identical to sqrt on IEEE doubles
+      knnRef(spark, bank, maxRef, k = 1, eps = 0.0)
         .groupBy("pos", "id")
         .agg(Num.r4(min("d")).as("w_nearest"))
         .select(col("id"), col("pos"), col("w_nearest"))
@@ -295,14 +328,11 @@ object Detect {
   def lofWeightCapped(spark: SparkSession, sfDir: String, k: Int = 6,
                       maxRef: Int = 10000): DataFrame = {
     val (bank, _) = TsCore.bankAndTest(spark, sfDir)
-    val pw = pairwiseRef(bank, maxRef).withColumn("d", col("d") + 1e-6)
-    val wNbr = Window.partitionBy("pos", "id").orderBy(col("d"), col("nid"))
-    // checkpointed: kdist, lrd AND lof all read the k-trimmed stream —
-    // without materialization each re-runs the FULL O(n·maxRef)
-    // pairwise scan (3× the quadratic work; 35 s of q11's sf1 bench
-    // line was exactly this). The materialized frame is k·|bank| rows —
-    // linear in bank size, bounded at any scale the bank itself is.
-    val knn = pw.withColumn("rn", row_number().over(wNbr)).filter(col("rn") <= k)
+    // the packed kernel emits the k-trimmed stream directly (d already
+    // +1e-6, the reference's pre-top-k epsilon); still checkpointed:
+    // kdist, lrd AND lof all read it — k·|bank| rows, linear in bank
+    // size, and the kernel scan runs once instead of three times.
+    val knn = knnRef(spark, bank, maxRef, k, eps = 1e-6)
       .localCheckpoint(eager = false)
     val kdist = knn.groupBy("pos", "id").agg(max("d").as("kdist"))
     // reach(a,b) = max(d(a,b), kdist(b)); lrd(a) = k / sum_b reach(a,b)

@@ -64,6 +64,24 @@ class DetectSpec extends SparkSuite {
       "capped(maxRef >= n) must be exactly the uncapped nearest-dist weight")
   }
 
+  test("packed graft_knn kernel is bit-identical to the pairwise window trim") {
+    import org.apache.spark.sql.expressions.Window
+    val (bank, _) = TsCore.bankAndTest(spark, Sf01)
+    for ((k, eps, maxRef) <- Seq((6, 1e-6, 10000), (1, 0.0, 10000), (6, 1e-6, 40))) {
+      // the reference implementation: materialize the full pair stream,
+      // add eps, window-trim to k by (d, nid) — exactly what q11/q12
+      // shipped before the kernel
+      val pw = Detect.pairwiseRef(bank, maxRef).withColumn("d", col("d") + eps)
+      val wN = Window.partitionBy("pos", "id").orderBy(col("d"), col("nid"))
+      val want = pw.withColumn("rn", row_number().over(wN)).filter(col("rn") <= k)
+        .select("pos", "id", "nid", "d")
+      val got = Detect.knnRef(spark, bank, maxRef, k, eps)
+      assert(got.count() === want.count(), s"(k=$k eps=$eps maxRef=$maxRef)")
+      assert(got.except(want).count() === 0 && want.except(got).count() === 0,
+        s"kernel k-NN stream diverged from the window trim (k=$k eps=$eps maxRef=$maxRef)")
+    }
+  }
+
   test("capped LOF approximates uncapped and bounds the reference set") {
     val full = Detect.lofWeightExact(spark, Sf01)
     val capped = Detect.lofWeightCapped(spark, Sf01, maxRef = 40)
