@@ -82,6 +82,34 @@ class DetectSpec extends SparkSuite {
     }
   }
 
+  test("graft_knn planted exact ties: equal distances break on UTF8 nid order") {
+    import spark.implicits._
+    // five candidates, four at IDENTICAL distance from the probe (same
+    // feature row) — selection at k=3 must keep the lexicographically
+    // smallest nids; also covers the k-boundary replace-on-tie branch.
+    // Windows live in one position; series names chosen so UTF8 order
+    // differs from arrival order.
+    def row(series: String, v: Double) =
+      (series, 1L, 0L, v, v, v, v, v, v, v, v, v)
+    val bank = Seq(
+      row("zz", 1.0), row("aa", 1.0), row("mm", 1.0), row("bb", 1.0),
+      row("probe", 0.0)
+    ).toDF("series", "win", "pos", "f0", "f1", "f2", "f3", "f4", "f5", "f6", "f7", "f8")
+    val got = Detect.knnRef(spark, bank, maxRef = Int.MaxValue, k = 3, eps = 1e-6)
+      .filter(col("id") === "probe#1")
+      .orderBy("d", "nid").collect().map(r => r.getString(2))
+    assert(got.toSeq === Seq("aa#1", "bb#1", "mm#1"),
+      s"tie-break must keep the smallest nids: ${got.toSeq}")
+    // and the window-trim reference implementation agrees exactly
+    val pw = Detect.pairwiseRef(bank, Int.MaxValue).withColumn("d", col("d") + 1e-6)
+    val wN = org.apache.spark.sql.expressions.Window
+      .partitionBy("pos", "id").orderBy(col("d"), col("nid"))
+    val want = pw.withColumn("rn", row_number().over(wN)).filter(col("rn") <= 3)
+      .filter(col("id") === "probe#1")
+      .orderBy("d", "nid").collect().map(r => r.getString(2))
+    assert(want.toSeq === got.toSeq)
+  }
+
   test("capped LOF approximates uncapped and bounds the reference set") {
     val full = Detect.lofWeightExact(spark, Sf01)
     val capped = Detect.lofWeightCapped(spark, Sf01, maxRef = 40)
