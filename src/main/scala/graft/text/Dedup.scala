@@ -812,8 +812,12 @@ object Dedup {
     */
   def dedupSpans(spark: SparkSession, sfDir: String, n: Int = 3,
                  minSpan: Int = 4): DataFrame =
-    dedupSpansFrom(Tables.documents(spark, sfDir).select("doc_id", "text"),
-      n, minSpan)
+    // session-cached: qd21's pass 1 IS this frame — one materialization
+    // serves both (and the fixpoint's pass-2 input reads it directly)
+    graft.util.StageCache.cached(spark, sfDir, s"qd20_${n}_$minSpan") {
+      dedupSpansFrom(Tables.documents(spark, sfDir).select("doc_id", "text"),
+        n, minSpan)
+    }
 
   /** Iterated qd20 passes over a corpus, each pass fed the previous
     * pass's cleaned text (token removal creates new adjacencies, so one
@@ -827,14 +831,17 @@ object Dedup {
     * deterministic, oracle-mirrorable shape qd21 registers.
     */
   private[graft] def dedupSpansTrace(docs0: DataFrame, n: Int, minSpan: Int,
-      passes: Int, stopWhenClean: Boolean): (DataFrame, Seq[(Long, Long, Long)]) = {
+      passes: Int, stopWhenClean: Boolean,
+      firstPass: Option[DataFrame] = None): (DataFrame, Seq[(Long, Long, Long)]) = {
     require(passes >= 1, s"need passes >= 1, got $passes")
     var docs = docs0
     val trace = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
     var k = 1
     var clean = false
     while (k <= passes && !clean) {
-      val out = dedupSpansFrom(docs, n, minSpan).localCheckpoint()
+      val out =
+        if (k == 1 && firstPass.isDefined) firstPass.get
+        else dedupSpansFrom(docs, n, minSpan).localCheckpoint()
       val st = out.agg(
         coalesce(sum("n_cut"), lit(0L)).as("c"),
         count(when(col("n_cut") > 0, lit(1))).as("d")).collect().head
@@ -866,7 +873,9 @@ object Dedup {
       minSpan: Int = 4, passes: Int = 3): DataFrame = {
     val (_, trace) = dedupSpansTrace(
       Tables.documents(spark, sfDir).select("doc_id", "text"),
-      n, minSpan, passes, stopWhenClean = false)
+      n, minSpan, passes, stopWhenClean = false,
+      // pass 1 is exactly qd20's session-cached frame — shared, not recomputed
+      firstPass = Some(dedupSpans(spark, sfDir, n, minSpan)))
     import spark.implicits._
     trace.toDF("pass", "n_cut", "docs_cut")
   }
