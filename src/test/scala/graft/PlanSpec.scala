@@ -481,7 +481,12 @@ class PlanSpec extends SparkSuite {
   }
 
   test("qd20 span removal: map-side-combined packed-key agg, no cartesian") {
-    val p = plan(graft.text.Dedup.dedupSpans(spark, Sf01))
+    // the registered qd20 is session-cached (a flat LogicalRDD once
+    // checkpointed) — gate the BUILDER's plan, which is what executes
+    // on the first materialization
+    val p = plan(graft.text.Dedup.dedupSpansFrom(
+      spark.read.parquet(s"$Sf01/documents.parquet").select("doc_id", "text"),
+      n = 3, minSpan = 4))
     // the occurrence count AND the first-occurrence keeper ride ONE
     // h-keyed exchange: the partial agg must carry partial_min of the
     // packed (doc*2^31+p) key so hot shingles collapse map-side
