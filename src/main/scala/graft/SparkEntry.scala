@@ -112,6 +112,11 @@ object SparkEntry {
     "qv23_hybrid_eval" -> ((s, d) => graft.vector.Similarity.hybridEval(s, d)),
     "qv24_hybrid_guarded" -> ((s, d) => graft.vector.Similarity.hybridSearch(s, d,
       fallbackMaxDfShare = graft.vector.Similarity.Bm25FallbackMaxDfShare)),
+    // the GUARDED SERVING configuration (what hybridServeStream mirrors):
+    // IVF dense branch + qv24's fallback df ceiling, registered so the
+    // thing that serves is the thing that's oracled and benched
+    "qv25_hybrid_ivf_guarded" -> ((s, d) => graft.vector.Similarity.hybridSearchIvf(s, d,
+      fallbackMaxDfShare = graft.vector.Similarity.Bm25FallbackMaxDfShare)),
     "qv19_rank_metrics" -> ((s, d) => graft.vector.Similarity.rankMetrics(s, d)),
     "qv20_dim_sweep" -> ((s, d) => graft.vector.Similarity.dimSweep(s, d)),
     "qv21_index_upsert" -> ((s, d) => graft.vector.Similarity.indexUpsert(s, d)),
@@ -294,6 +299,8 @@ object SparkEntry {
     "qv22_hybrid_ivf" -> graft.text.DocOracle.qv22(),
     "qv23_hybrid_eval" -> graft.text.DocOracle.qv23(),
     "qv24_hybrid_guarded" -> graft.text.DocOracle.qv24(),
+    "qv25_hybrid_ivf_guarded" -> graft.text.DocOracle.qv22(
+      fallbackShare = graft.vector.Similarity.Bm25FallbackMaxDfShare),
     "qv19_rank_metrics" -> graft.text.DocOracle.qv19(),
     "qv20_dim_sweep" -> graft.text.DocOracle.qv20(),
     "qv21_index_upsert" -> graft.text.DocOracle.qv21(),

@@ -585,21 +585,37 @@ object ScoreStream {
     * same queries (StreamingSpec, across a batch split).
     *
     * Query contract: (ts, qid, terms array<string>, av array<double>,
-    * na double). Terms may be split across rows (contributions sum in
-    * the window state like bm25ScoreStream); the dense vector must
-    * arrive on exactly ONE row per (window, qid) — rows with av NULL
-    * contribute terms only (re-sending a vector would duplicate its
-    * cell candidates, which is a producer contract violation, not
-    * something the gate can repair).
+    * na double). Terms may be SPLIT across rows (contributions sum in
+    * the window state like bm25ScoreStream), but each distinct term
+    * must be delivered exactly ONCE per (window, qid): a duplicated or
+    * replayed term row double-counts its BM25 contribution, exactly as
+    * a re-sent dense vector duplicates its cell candidates — both are
+    * producer contract violations (use an exactly-once source or dedup
+    * upstream), not something the gate can repair.
     *
-    * State = one row per in-flight (window, qid, candidate entry) —
-    * bounded by the df valve on the lexical side and nProbe/nCells of
-    * the collection on the dense side; watermark-evicted.
+    * State = one row per in-flight (window, qid, candidate entry).
+    * The LEXICAL side is bounded by the df valve WIRED HERE: the
+    * posting join runs against ModelStore.bm25PostingsPacked at
+    * `fallbackMaxDfShare` (default qv24's Bm25FallbackMaxDfShare), so
+    * a live term with df over greatest(eligCap,
+    * n_docs/fallbackMaxDfShare) is REFUSED — its posting row does not
+    * exist in the served index, it joins to nothing, and no O(n_docs)
+    * entry array can ever enter window state (a stop-word query
+    * degrades to fewer/zero lexical candidates and the dense branch
+    * carries it; ModelStore.bm25RefusedTerms is the audit channel —
+    * a serving stream must degrade, not die, so refusal is a
+    * zero-candidate outcome, never a raised error). The DENSE side is
+    * bounded by nProbe/nCells of the collection. Both watermark-evict.
+    * This is batch hybridSearchIvf(fallbackMaxDfShare) in flight —
+    * bit-identical on the same queries (StreamingSpec anchors the
+    * GUARDED configuration, share = 2).
     */
   def hybridServeStream(spark: SparkSession, modelPath: String,
                         queries: DataFrame, windowDur: String = "1 hour",
                         watermark: String = "1 hour", k: Int = 10,
-                        depth: Int = 20, nProbe: Int = 2): DataFrame = {
+                        depth: Int = 20, nProbe: Int = 2,
+                        fallbackMaxDfShare: Long =
+                          graft.vector.Similarity.Bm25FallbackMaxDfShare): DataFrame = {
     import graft.timeseries.ModelStore
     import graft.vector.Similarity
     require(k >= 1 && depth >= 1 && nProbe >= 1, s"k=$k depth=$depth nProbe=$nProbe")
@@ -612,7 +628,7 @@ object ScoreStream {
     val oneMb = 1 - Similarity.Bm25B
     val rrfK = Similarity.RrfK
     val wmq = queries.withWatermark("ts", watermark)
-    val post = ModelStore.bm25PostingsPacked(spark, modelPath)
+    val post = ModelStore.bm25PostingsPacked(spark, modelPath, fallbackMaxDfShare)
     // the shared candidate-entry shape: lex rows carry scl (int64 BM25
     // summand), dense rows carry scd (raw cosine) — union-compatible
     val lex = wmq
@@ -651,39 +667,51 @@ object ScoreStream {
       .groupBy(window(col("ts"), windowDur), col("qid"))
       .agg(collect_list(col("entries")).as("bundles"))
       // stateless in-row epilogue: the exact qv22 pipeline over the
-      // window's collected candidates
-      .withColumn("flat", expr("flatten(bundles)"))
-      .withColumn("lexe", expr("filter(flat, e -> e.scl IS NOT NULL)"))
-      .withColumn("dene", expr("filter(flat, e -> e.scd IS NOT NULL)"))
-      .withColumn("lexTop", expr(
-        s"""slice(array_sort(
-              transform(array_distinct(transform(lexe, e -> e.id)), d -> named_struct(
-                's', aggregate(filter(lexe, e -> e.id = d), CAST(0 AS BIGINT),
-                               (a, e) -> a + e.scl),
-                'id', d)),
-              (l, r) -> CASE WHEN l.s > r.s THEN -1 WHEN l.s < r.s THEN 1
-                             WHEN l.id < r.id THEN -1 WHEN l.id > r.id THEN 1
-                             ELSE 0 END), 1, $depth)"""))
-      .withColumn("denTop", expr(
-        s"""slice(array_sort(dene,
+      // window's collected candidates. Every intermediate array binds
+      // ONCE as a higher-order-function lambda variable — the
+      // element_at(transform(array(X), v -> body), 1) idiom — because a
+      // chained withColumn reference INLINES its producing expression
+      // at every use site, and interpreted HOF evaluation recomputes an
+      // inlined subtree per element access (the sort would re-run per
+      // element, quadratic-or-worse — the r13 shape this replaces).
+      // Per-doc BM25 sums are O(C log C): ONE array_sort by id, run
+      // boundaries by adjacent inequality, each run aggregating its own
+      // slice (total sliced length = C) — never a per-distinct-id
+      // aggregate(filter). Same structs, same comparators →
+      // bit-identical output to batch hybridSearchIvf.
+      .withColumn("top", expr(
+        s"""element_at(transform(array(flatten(bundles)), flat ->
+    element_at(transform(array(array_sort(filter(flat, e -> e.scl IS NOT NULL))), lexs ->
+      element_at(transform(array(filter(transform(lexs, (e, i) -> i), i ->
+          CASE WHEN i = 0 THEN true
+               ELSE element_at(lexs, i).id != element_at(lexs, i + 1).id END)), runs ->
+        element_at(transform(array(slice(array_sort(
+            transform(runs, (s, j) -> named_struct(
+              's', aggregate(
+                     slice(lexs, s + 1,
+                       (CASE WHEN j + 2 <= size(runs) THEN element_at(runs, j + 2)
+                             ELSE size(lexs) END) - s),
+                     CAST(0 AS BIGINT), (a, e) -> a + e.scl),
+              'id', element_at(lexs, s + 1).id)),
+            (l, r) -> CASE WHEN l.s > r.s THEN -1 WHEN l.s < r.s THEN 1
+                           WHEN l.id < r.id THEN -1 WHEN l.id > r.id THEN 1
+                           ELSE 0 END), 1, $depth)), lexTop ->
+          element_at(transform(array(slice(array_sort(filter(flat, e -> e.scd IS NOT NULL),
               (l, r) -> CASE WHEN l.scd > r.scd THEN -1 WHEN l.scd < r.scd THEN 1
                              WHEN l.id < r.id THEN -1 WHEN l.id > r.id THEN 1
-                             ELSE 0 END), 1, $depth)"""))
-      .withColumn("fused", expr(
-        s"""transform(
-              array_union(transform(lexTop, x -> x.id), transform(denTop, x -> x.id)),
-              d -> named_struct('id', d,
-                'lr', array_position(transform(lexTop, x -> x.id), d),
-                'vr', array_position(transform(denTop, x -> x.id), d)))"""))
-      .withColumn("scored", expr(
-        s"""transform(fused, f -> named_struct('id', f.id, 'lr', f.lr, 'vr', f.vr,
-              'rrf', (CASE WHEN f.lr > 0 THEN 1.0D / ($rrfK + f.lr) ELSE 0.0D END) +
-                     (CASE WHEN f.vr > 0 THEN 1.0D / ($rrfK + f.vr) ELSE 0.0D END)))"""))
-      .withColumn("top", expr(
-        s"""slice(array_sort(scored,
-              (l, r) -> CASE WHEN l.rrf > r.rrf THEN -1 WHEN l.rrf < r.rrf THEN 1
-                             WHEN l.id < r.id THEN -1 WHEN l.id > r.id THEN 1
-                             ELSE 0 END), 1, $k)"""))
+                             ELSE 0 END), 1, $depth)), denTop ->
+            element_at(transform(array(transform(
+                array_union(transform(lexTop, x -> x.id), transform(denTop, x -> x.id)),
+                d -> named_struct('id', d,
+                  'lr', array_position(transform(lexTop, x -> x.id), d),
+                  'vr', array_position(transform(denTop, x -> x.id), d)))), fused ->
+              slice(array_sort(
+                transform(fused, f -> named_struct('id', f.id, 'lr', f.lr, 'vr', f.vr,
+                  'rrf', (CASE WHEN f.lr > 0 THEN 1.0D / ($rrfK + f.lr) ELSE 0.0D END) +
+                         (CASE WHEN f.vr > 0 THEN 1.0D / ($rrfK + f.vr) ELSE 0.0D END))),
+                (l, r) -> CASE WHEN l.rrf > r.rrf THEN -1 WHEN l.rrf < r.rrf THEN 1
+                               WHEN l.id < r.id THEN -1 WHEN l.id > r.id THEN 1
+                               ELSE 0 END), 1, $k)), 1)), 1)), 1)), 1)), 1)), 1)"""))
       .select(col("window.start").as("win_start"), col("qid"),
         posexplode(col("top")).as(Seq("p", "s")))
       .select(col("win_start"), col("qid"), col("s.id").as("doc_id"),

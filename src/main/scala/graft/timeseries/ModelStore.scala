@@ -271,11 +271,23 @@ object ModelStore {
     * corpus stats — the stream-static equi-join side of
     * hybridServeStream (a term's whole posting list moves as one row,
     * so the per-query lexical scoring runs in-row with no further
-    * shuffle). At 100 TB this table is tok-bucketed like the row form;
-    * the df-cap valve bounds any row's array length.
+    * shuffle). At 100 TB this table is tok-bucketed like the row form.
+    *
+    * The df valve is applied HERE (the saved row form keeps every
+    * posting — it also serves the permissive bm25ScoreStream): terms
+    * with df > greatest(eligCap, n_docs/fallbackMaxDfShare) — qv24's
+    * fallback HARD CEILING over the batch eligibility cap — are
+    * dropped BEFORE packing, so an over-cap term's O(n_docs) posting
+    * array is never built, never joined, and can never enter a
+    * streaming consumer's window state. share=1 is the permissive
+    * legacy shape (ceiling = n_docs, everything packed); serving
+    * passes Similarity.Bm25FallbackMaxDfShare. [[bm25RefusedTerms]]
+    * is the audit channel for what a given ceiling refuses.
     */
-  def bm25PostingsPacked(spark: SparkSession, path: String): DataFrame =
+  def bm25PostingsPacked(spark: SparkSession, path: String,
+                         fallbackMaxDfShare: Long = 1L): DataFrame =
     bm25Postings(spark, path)
+      .filter(col("df") <= packedDfCeiling(fallbackMaxDfShare))
       .groupBy("tok", "df", "n_docs", "avgdlen")
       .agg(array_sort(collect_list(struct(col("doc_id"), col("tf"), col("dlen"))))
         .as("ps"))
@@ -283,6 +295,34 @@ object ModelStore {
         expr("transform(ps, x -> x.doc_id)").as("doc_ids"),
         expr("transform(ps, x -> x.tf)").as("tfs"),
         expr("transform(ps, x -> x.dlen)").as("dlens"))
+
+  /** The packed-postings admission ceiling as a Column over the saved
+    * row form (df, n_docs): greatest(batch eligibility cap,
+    * n_docs/share) — exactly hybridQueryTermsFrom's fallback ceiling,
+    * so the serving index admits precisely the terms batch term
+    * selection could ever emit at the same share.
+    */
+  private def packedDfCeiling(fallbackMaxDfShare: Long): org.apache.spark.sql.Column = {
+    require(fallbackMaxDfShare >= 1L,
+      s"fallbackMaxDfShare must be >= 1, got $fallbackMaxDfShare")
+    val eligCap = greatest(lit(graft.vector.Similarity.Bm25MaxDfFloor),
+      floor(col("n_docs") / graft.vector.Similarity.Bm25MaxDfShare).cast("long"))
+    greatest(eligCap, floor(col("n_docs") / fallbackMaxDfShare).cast("long"))
+  }
+
+  /** The REFUSAL audit for a serving ceiling: every vocabulary term the
+    * packed index at this share will NOT serve (tok, df, n_docs) — the
+    * loud channel for refusals. A live query term that matches neither
+    * the packed postings nor this table is simply out-of-vocabulary; a
+    * term found here was refused BY POLICY (df over the ceiling), and
+    * an operator can alert on refusal rates without the serving stream
+    * ever materializing the hot posting list it exists to avoid.
+    */
+  def bm25RefusedTerms(spark: SparkSession, path: String,
+                       fallbackMaxDfShare: Long): DataFrame =
+    bm25Postings(spark, path)
+      .filter(col("df") > packedDfCeiling(fallbackMaxDfShare))
+      .select("tok", "df", "n_docs").distinct()
 
   /** Cell-PACKED inverted lists from the saved IVF index: one row per
     * cell (ids/vecs/nrms sorted by vec_id) — the stream-static

@@ -1115,7 +1115,7 @@ class StreamingSpec extends SparkSuite {
   case class HQ(ts: Timestamp, qid: Long, terms: Array[String],
                 av: Array[Double], na: Double)
 
-  test("streaming hybrid serve over a saved index is bit-identical to batch qv22") {
+  test("streaming hybrid serve is bit-identical to batch qv25 (GUARDED hybridSearchIvf)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     import graft.timeseries.ModelStore
@@ -1125,10 +1125,15 @@ class StreamingSpec extends SparkSuite {
     def key(r: org.apache.spark.sql.Row, o: Int) =
       (r.getLong(o), r.getLong(o + 1)) ->
         (r.getInt(o + 2), r.getInt(o + 3), r.getDouble(o + 4), r.getInt(o + 5))
-    val want = Similarity.hybridSearchIvf(spark, Sf01).collect().map(key(_, 0)).toMap
+    // the SERVING anchor: the stream's default share IS the guarded
+    // configuration, so the batch side must be qv25's exact shape
+    val share = Similarity.Bm25FallbackMaxDfShare
+    val want = Similarity.hybridSearchIvf(spark, Sf01, fallbackMaxDfShare = share)
+      .collect().map(key(_, 0)).toMap
     assert(want.nonEmpty)
     val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
-    val terms = Similarity.hybridQueryTerms(spark, Sf01).collect()
+    val terms = Similarity.hybridQueryTerms(spark, Sf01, fallbackMaxDfShare = share)
+      .collect()
       .map(r => (r.getLong(0), r.getString(1))).groupBy(_._1)
       .map { case (q, g) => q -> g.map(_._2) }
     val qvecs = Similarity.vecs(spark, Sf01)
@@ -1151,6 +1156,122 @@ class StreamingSpec extends SparkSuite {
         Array("no-such-token"), null, 0.0)); q.processAllAvailable()
       val got = spark.table("hybs").collect().map(key(_, 1)).toMap
       assert(got.size === want.size)
+      assert(got === want)
+    } finally q.stop()
+  }
+
+  test("hybrid serve REFUSES over-cap live terms: hot posting never enters state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.timeseries.ModelStore
+    import graft.vector.Similarity
+    val path = java.nio.file.Files.createTempDirectory("graft-hybref").toString
+    ModelStore.saveHybridIndex(spark, Sf001, path)
+    val share = 2L
+    // the degenerate corpus has near-universal tokens — pick the
+    // hottest (df > n_docs/share ⇒ over the serving ceiling) and any
+    // admissible mid-df token
+    val post = ModelStore.bm25Postings(spark, path)
+      .select("tok", "df", "n_docs").distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val nDocs = post.head._3
+    val ceil = math.max(math.max(Similarity.Bm25MaxDfFloor, nDocs / Similarity.Bm25MaxDfShare),
+      nDocs / share)
+    val hot = post.filter(_._2 > ceil).maxBy(_._2)._1
+    val mid = post.filter(_._2 <= ceil).minBy(t => (t._2, t._1))._1
+    // 1) STRUCTURAL: the guarded packed index contains NO over-cap row —
+    //    the hot term's O(n_docs) posting array is never even built
+    val packed = ModelStore.bm25PostingsPacked(spark, path, share)
+    assert(packed.filter(col("df") > ceil).count() === 0L)
+    assert(packed.filter(col("tok") === hot).count() === 0L)
+    // 2) the refusal is LOUD on the audit channel
+    val refused = ModelStore.bm25RefusedTerms(spark, path, share)
+      .collect().map(_.getString(0)).toSet
+    assert(refused.contains(hot))
+    assert(!refused.contains(mid))
+    // 3) BEHAVIORAL: a live query carrying the hot term is served
+    //    exactly as if the term were absent (qids beyond the doc-id
+    //    range so the e.id != qid filter is inert for both)
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val mem = MemoryStream[HQ]
+    val q = ScoreStream.hybridServeStream(spark, path, mem.toDF(),
+      windowDur = "1 day", fallbackMaxDfShare = share)
+      .writeStream.outputMode("append").format("memory").queryName("hybref").start()
+    try {
+      mem.addData(
+        HQ(t0, 900001L, Array(hot, mid), null, 0.0),
+        HQ(t0, 900002L, Array(mid), null, 0.0))
+      q.processAllAvailable()
+      mem.addData(HQ(new Timestamp(t0.getTime + 10L * 86400000L), 999999L,
+        Array("no-such-token"), null, 0.0)); q.processAllAvailable()
+      val rows = spark.table("hybref").collect()
+        .map(r => r.getAs[Long]("qid") ->
+          (r.getAs[Long]("doc_id"), r.getAs[Int]("lex_rank"),
+            r.getAs[Int]("vec_rank"), r.getAs[Double]("rrf"),
+            r.getAs[Int]("rnk")))
+      val withHot = rows.filter(_._1 == 900001L).map(_._2).sortBy(_._5)
+      val midOnly = rows.filter(_._1 == 900002L).map(_._2).sortBy(_._5)
+      assert(midOnly.nonEmpty, "the admissible term must retrieve")
+      assert(withHot === midOnly,
+        "an over-cap term must contribute NOTHING (refused, not scored)")
+    } finally q.stop()
+  }
+
+  test("hybrid serve epilogue folds a WIDE candidate window (3.5k entries, run sums)") {
+    // the linearized per-doc scoring kernel (ONE array_sort by id +
+    // run-boundary slice sums — O(C log C), replacing the r13
+    // aggregate(filter) per distinct id that was O(C²) in one task) on
+    // a PLANTED index wide enough that runs matter: tok 'w' posts to
+    // 3000 docs, tok 'x' to docs 0..499, so one (window, qid) collects
+    // 3500 entries with docs 0..499 as length-2 runs whose summands
+    // must fold together. Expected ranking comes from the SHARED batch
+    // scorer (bm25ScoreOf) over the same planted frame.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.timeseries.ModelStore
+    import graft.vector.Similarity
+    val path = java.nio.file.Files.createTempDirectory("graft-hybwide").toString
+    val nDocs = 9000L
+    val avgdlen = 50.0
+    def prow(tok: String, d: Long, df: Long) =
+      (d, tok, 1L + d % 7L, 100L + d % 13L, df, nDocs, avgdlen)
+    val post = ((0L until 3000L).map(prow("w", _, 3000L)) ++
+      (0L until 500L).map(prow("x", _, 500L)))
+      .toDF("doc_id", "tok", "tf", "dlen", "df", "n_docs", "avgdlen")
+    post.write.mode("overwrite").parquet(s"$path/bm25postings")
+    // minimal dense-side artifacts (the stream plans both branches)
+    Seq((0, Array(0.0, 0.0))).toDF("cell", "cv")
+      .write.mode("overwrite").parquet(s"$path/ivfcentroids")
+    Seq((1L, Array(1.0, 0.0), 1.0, 0)).toDF("vec_id", "v", "nrm", "cell")
+      .write.mode("overwrite").parquet(s"$path/ivflists")
+    val qid = 900001L
+    val depth = 20
+    val k = 10
+    val qterms = Seq((qid, "w"), (qid, "x")).toDF("qid", "tok")
+    // lexical-only window (av null) ⇒ fused ranking = lex ranking, so
+    // the emitted top-k is the first k of the depth-deep BM25 ordering
+    val want = Similarity.bm25ScoreOf(post, qterms).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+      .sortBy { case (d, s) => (-s, d) }.take(k).zipWithIndex
+      .map { case ((d, _), i) =>
+        val rrf = 1.0 / (Similarity.RrfK + (i + 1))
+        (d, i + 1, 0, math.floor(rrf * 1000000d + 0.5d) / 1000000d, i + 1) }
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val mem = MemoryStream[HQ]
+    val q = ScoreStream.hybridServeStream(spark, path, mem.toDF(),
+      windowDur = "1 day", depth = depth)
+      .writeStream.outputMode("append").format("memory").queryName("hybwide").start()
+    try {
+      mem.addData(HQ(t0, qid, Array("w", "x"), null, 0.0))
+      q.processAllAvailable()
+      mem.addData(HQ(new Timestamp(t0.getTime + 10L * 86400000L), 999999L,
+        Array("no-such-token"), null, 0.0)); q.processAllAvailable()
+      val got = spark.table("hybwide").collect()
+        .filter(_.getAs[Long]("qid") == qid)
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("lex_rank"),
+          r.getAs[Int]("vec_rank"), r.getAs[Double]("rrf"),
+          r.getAs[Int]("rnk"))).sortBy(_._5)
+      assert(got.length === k)
       assert(got === want)
     } finally q.stop()
   }
