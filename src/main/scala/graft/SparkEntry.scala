@@ -15,6 +15,31 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Relational.pricingSummary(spark, "/root/testdata/sf0.001")
 
+  /** The committed heavy-tailed gate corpus (GenZipf output over the
+    * sf0.01 documents table: vocab 2,151, df min/med/max = 1/2/484 vs
+    * n_docs 500 — real Zipf shape). The driver's synthetic corpus is
+    * degenerate (31 near-universal tokens), so every df-gated design
+    * path — eligible-term selection, boilerplate/OOV gates,
+    * rare-shingle postings, LSH near-dup bands — passes parity there
+    * without ever RUNNING. The qz* keys below pin those paths in the
+    * OFFICIAL correctness gate by running on this corpus regardless of
+    * the sf dir the driver passes (ZipfCorpusSpec anchors the
+    * committed parquet bit-for-bit to the generator).
+    */
+  val ZipfDir = "/root/repo/zipfdata"
+
+  /** Point an oracle at the zipf corpus: DuckDB resolves CTE names
+    * before views, so leading `documents`/`embeddings` CTEs shadow the
+    * driver's sf-dir views for the whole statement.
+    */
+  private def onZipf(sql: String): String = {
+    val cte = s"documents AS (SELECT * FROM read_parquet('$ZipfDir/documents.parquet')), " +
+      s"embeddings AS (SELECT * FROM read_parquet('$ZipfDir/embeddings.parquet'))"
+    val t = sql.trim
+    if (t.regionMatches(true, 0, "WITH", 0, 4)) s"WITH $cte, ${t.drop(4).trim}"
+    else s"WITH $cte $t"
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qa1_pricing_summary" -> ((s, d) => Relational.pricingSummary(s, d)),
     "qa2_revenue_join" -> ((s, d) => Relational.revenueByNation(s, d)),
@@ -117,6 +142,15 @@ object SparkEntry {
     // thing that serves is the thing that's oracled and benched
     "qv25_hybrid_ivf_guarded" -> ((s, d) => graft.vector.Similarity.hybridSearchIvf(s, d,
       fallbackMaxDfShare = graft.vector.Similarity.Bm25FallbackMaxDfShare)),
+    // the heavy-tailed OFFICIAL gate (see ZipfDir): df-gated design
+    // paths running on a corpus whose shape actually engages them
+    "qz1_hybrid_eligible" -> ((s, _) => graft.vector.Similarity.hybridSearch(s, ZipfDir)),
+    "qz2_hybrid_ivf_guarded" -> ((s, _) => graft.vector.Similarity.hybridSearchIvf(s, ZipfDir,
+      fallbackMaxDfShare = graft.vector.Similarity.Bm25FallbackMaxDfShare)),
+    "qz3_containment" -> ((s, _) => graft.text.Dedup.containment(s, ZipfDir)),
+    "qz4_boilerplate" -> ((s, _) => graft.text.TextOps.boilerplate(s, ZipfDir)),
+    "qz5_vocab_coverage" -> ((s, _) => graft.text.TextOps.vocabCoverage(s, ZipfDir)),
+    "qz6_minhash_lsh" -> ((s, _) => graft.text.Dedup.minhashLsh(s, ZipfDir)),
     "qv19_rank_metrics" -> ((s, d) => graft.vector.Similarity.rankMetrics(s, d)),
     "qv20_dim_sweep" -> ((s, d) => graft.vector.Similarity.dimSweep(s, d)),
     "qv21_index_upsert" -> ((s, d) => graft.vector.Similarity.indexUpsert(s, d)),
@@ -301,6 +335,13 @@ object SparkEntry {
     "qv24_hybrid_guarded" -> graft.text.DocOracle.qv24(),
     "qv25_hybrid_ivf_guarded" -> graft.text.DocOracle.qv22(
       fallbackShare = graft.vector.Similarity.Bm25FallbackMaxDfShare),
+    "qz1_hybrid_eligible" -> onZipf(graft.text.DocOracle.qv18()),
+    "qz2_hybrid_ivf_guarded" -> onZipf(graft.text.DocOracle.qv22(
+      fallbackShare = graft.vector.Similarity.Bm25FallbackMaxDfShare)),
+    "qz3_containment" -> onZipf(graft.text.DocOracle.qd18()),
+    "qz4_boilerplate" -> onZipf(graft.text.DocOracle.qt13()),
+    "qz5_vocab_coverage" -> onZipf(graft.text.DocOracle.qt12()),
+    "qz6_minhash_lsh" -> onZipf(graft.text.DocOracle.qd2()),
     "qv19_rank_metrics" -> graft.text.DocOracle.qv19(),
     "qv20_dim_sweep" -> graft.text.DocOracle.qv20(),
     "qv21_index_upsert" -> graft.text.DocOracle.qv21(),

@@ -26,6 +26,20 @@ class ZipfCorpusSpec extends SparkSuite {
     d
   }
 
+  test("the COMMITTED gate corpus (SparkEntry.ZipfDir) is the generator's output") {
+    // the qz* keys in the OFFICIAL correctness gate read this committed
+    // parquet; if the generator or the artifact drifts, this breaks
+    val committed = spark.read.parquet(s"${SparkEntry.ZipfDir}/documents.parquet")
+    val regen = GenZipf.zipfDocuments(spark.read.parquet(s"$Sf01/documents.parquet"))
+    assert(committed.except(regen).count() === 0 &&
+      regen.except(committed).count() === 0)
+    // embeddings ride along verbatim (the dense branch of qz1/qz2)
+    val emb = spark.read.parquet(s"${SparkEntry.ZipfDir}/embeddings.parquet")
+    val base = spark.read.parquet(s"$Sf01/embeddings.parquet")
+    assert(emb.count() === base.count())
+    assert(emb.select("vec_id").except(base.select("vec_id")).count() === 0)
+  }
+
   test("zipf corpus shape: heavy-tailed vocabulary, labels preserved") {
     val docs = spark.read.parquet(s"$zdir/documents.parquet")
     val base = spark.read.parquet(s"$Sf01/documents.parquet")
