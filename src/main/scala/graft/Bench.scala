@@ -2,6 +2,11 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
 
+  /** The driver's bench scale (TESTDATA.md): the basename whose runs
+    * update the untagged driver-facing BENCH_DETAIL.json.
+    */
+  private val CanonicalBenchSf = "sf0.1"
+
   private def newSession(sfDir: String, cpus: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -166,10 +171,16 @@ object Bench {
     detail.append(s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")}}""")
     // sf-tagged filename so an sf0.001 smoke run can't silently
     // overwrite sf1 soak evidence; the untagged name stays as the
-    // driver-facing copy ONLY for the canonical bench sf (sf0.1)
+    // driver-facing copy ONLY for the canonical bench sf — and the skip
+    // is LOGGED so a renamed bench dir can't quietly strand stale
+    // evidence under the untagged name (ADVICE r13)
     val detailSf = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse("sf")
     val detailPaths = Seq(s"BENCH_DETAIL_$detailSf.json") ++
-      (if (detailSf == "sf0.1") Seq("BENCH_DETAIL.json") else Nil)
+      (if (detailSf == CanonicalBenchSf) Seq("BENCH_DETAIL.json") else {
+        System.err.println(s"[bench] sf dir '$detailSf' != canonical " +
+          s"'$CanonicalBenchSf' — BENCH_DETAIL.json (untagged) intentionally not updated")
+        Nil
+      })
     detailPaths.foreach { p =>
       try java.nio.file.Files.write(java.nio.file.Paths.get(p),
         (detail.toString + "\n").getBytes("UTF-8"))

@@ -421,9 +421,23 @@ case class KnnDist(children: Seq[Expression]) extends Expression
     val flat = flatA.asInstanceOf[ArrayData]
     val k = kA.asInstanceOf[Int]
     if (k <= 0) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    // fail-LOUD on packing bugs: a null here would be silently dropped
+    // by the downstream explode(), so a dim/parallel-array mismatch
+    // would read as "fewer neighbours" instead of an error
     val dim = q.numElements()
-    val m = if (dim == 0) 0 else flat.numElements() / dim
-    if (ids.numElements() != m) return null
+    if (dim == 0 && (ids.numElements() != 0 || flat.numElements() != 0))
+      throw new IllegalStateException(
+        s"graft_knn: zero-dim query against a nonempty bank " +
+          s"(ids=${ids.numElements()}, flat=${flat.numElements()})")
+    if (dim == 0) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    if (flat.numElements() % dim != 0)
+      throw new IllegalStateException(
+        s"graft_knn: flat bank length ${flat.numElements()} is not a multiple of dim $dim")
+    val m = flat.numElements() / dim
+    if (ids.numElements() != m)
+      throw new IllegalStateException(
+        s"graft_knn: ids length ${ids.numElements()} != bank size $m " +
+          s"(flat=${flat.numElements()}, dim=$dim)")
     val ds = new Array[Double](k)
     val ns = new Array[org.apache.spark.unsafe.types.UTF8String](k)
     var cnt = 0

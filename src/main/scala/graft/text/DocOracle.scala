@@ -1439,6 +1439,16 @@ FROM documents d LEFT JOIN kept20 k USING (doc_id)"""
     * (window names included — DuckDB treats a repeated WINDOW name in
     * one chain as a redefinition). Emits docs$sfx (the rebuilt corpus,
     * the next pass's source) and stat$sfx (this pass's cut counts).
+    *
+    * The multiply-referenced stages (dtk feeds shp+kept, shp feeds
+    * agg+isl, kept feeds docs+stat) and the pass-boundary corpus
+    * (docs) are pinned `AS MATERIALIZED`: qd21 nests three of these
+    * chains in ONE statement, and leaving materialization to the
+    * optimizer let the heaviest soak oracle re-expand upstream passes
+    * under memory pressure — the zipf-sf1 soak's one contention
+    * failure (VERDICT r13 next #6). Materialized, the statement
+    * degrades to slow-but-correct (spilling per stage) instead of
+    * erroring; results are identical either way.
     */
   private def qd20PassCtes(src: String, sfx: String, passNo: Int,
                            n: Int, minSpan: Int): String = {
@@ -1452,10 +1462,10 @@ tk$sfx AS (
          unnest(string_split(text, ' ')) AS tok
   FROM $src
 ), toks$sfx AS (SELECT * FROM tk$sfx WHERE tok <> ''),
-dtk$sfx AS (
+dtk$sfx AS MATERIALIZED (
   SELECT doc_id, tok, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS p
   FROM toks$sfx
-), shp$sfx AS (
+), shp$sfx AS MATERIALIZED (
   SELECT doc_id, p, ${h60("sh")} AS hq FROM (
     SELECT doc_id, p, $parts AS sh, lead(tok, ${n - 1}) OVER w$sfx AS lastTok
     FROM dtk$sfx WINDOW w$sfx AS (PARTITION BY doc_id ORDER BY p)
@@ -1477,13 +1487,13 @@ dtk$sfx AS (
   SELECT DISTINCT doc_id, p + off AS cp
   FROM qual$sfx, range(0, $n) t(off)
   WHERE doc_id * 2147483648 + p <> first_key
-), kept$sfx AS (
+), kept$sfx AS MATERIALIZED (
   SELECT t.doc_id, count(*) AS n_tok,
          CAST(sum(CASE WHEN c.cp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_cut,
          coalesce(string_agg(CASE WHEN c.cp IS NULL THEN t.tok END, ' ' ORDER BY t.p), '') AS clean_text
   FROM dtk$sfx t LEFT JOIN cuts$sfx c ON c.doc_id = t.doc_id AND c.cp = t.p
   GROUP BY t.doc_id
-), docs$sfx AS (
+), docs$sfx AS MATERIALIZED (
   SELECT d.doc_id, coalesce(k.clean_text, '') AS text
   FROM $src d LEFT JOIN kept$sfx k USING (doc_id)
 ), stat$sfx AS (

@@ -205,11 +205,36 @@ object Detect {
     * — but the n·maxRef pair rows never exist: at sf1 this removed a
     * 26M-row shuffle + window sort that was 60% of q11's wall time.
     */
+  /** Packed-broadcast ceiling for [[knnRef]] (ADVICE r13): the packed
+    * table is |positions| rows of ≤ maxRef·9 doubles (~720 KB/row at
+    * maxRef=10000) — sized for the patch-bank geometry, but a caller
+    * whose position count grows could silently exceed executor/driver
+    * broadcast limits. One cheap per-position count bounds the exact
+    * packed payload up front; past the ceiling knnRef falls back
+    * (loudly) to the bit-identical pairwise+window-trim plan.
+    */
+  private[graft] val KnnBroadcastMaxBytes: Long = 1L << 30
+
   private[graft] def knnRef(spark: SparkSession, bank: DataFrame, maxRef: Int,
-                            k: Int, eps: Double): DataFrame = {
+                            k: Int, eps: Double,
+                            maxBroadcastBytes: Long = KnnBroadcastMaxBytes): DataFrame = {
     graft.functions.VectorExprs.register(spark)
     val pid = concat_ws("#", col("series"), col("win"))
     val withId = bank.withColumn("id", pid)
+    // exact packed payload: Σ_pos min(|pos|, maxRef) features × 9 × 8 B
+    // (a |positions|-row partial agg — trivial next to the scan itself)
+    val estBytes = withId.groupBy("pos").agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(least(col("c"), lit(maxRef.toLong))), lit(0L)))
+      .first().getLong(0) * FeatCols.length * 8L
+    if (estBytes > maxBroadcastBytes) {
+      System.err.println(s"[detect] knnRef packed table ~$estBytes B exceeds " +
+        s"$maxBroadcastBytes B — falling back to the pairwise+trim plan")
+      val trimW = Window.partitionBy("pos", "id").orderBy(col("d"), col("nid"))
+      return pairwiseRef(bank, maxRef)
+        .withColumn("d", col("d") + eps)
+        .withColumn("rn", row_number().over(trimW)).filter(col("rn") <= k)
+        .select("pos", "id", "nid", "d")
+    }
     val packed = cappedRef(withId, maxRef)
       .select(col("pos"),
         struct(col("id"), array(FeatCols.map(col): _*).as("fs")).as("s"))

@@ -82,6 +82,19 @@ class DetectSpec extends SparkSuite {
     }
   }
 
+  test("knnRef broadcast guard: past the byte ceiling it falls back, bit-identical") {
+    // force the fallback with a 1-byte ceiling (ADVICE r13: a growing
+    // position count must not silently exceed broadcast limits) — the
+    // pairwise+trim plan must emit the exact kernel stream
+    val (bank, _) = TsCore.bankAndTest(spark, Sf01)
+    val kernel = Detect.knnRef(spark, bank, maxRef = 10000, k = 6, eps = 1e-6)
+    val fb = Detect.knnRef(spark, bank, maxRef = 10000, k = 6, eps = 1e-6,
+      maxBroadcastBytes = 1L)
+    assert(fb.count() === kernel.count())
+    assert(fb.except(kernel).count() === 0 && kernel.except(fb).count() === 0,
+      "guard fallback diverged from the packed kernel")
+  }
+
   test("graft_knn planted exact ties: equal distances break on UTF8 nid order") {
     import spark.implicits._
     // five candidates, four at IDENTICAL distance from the probe (same

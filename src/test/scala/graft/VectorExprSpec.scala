@@ -124,6 +124,30 @@ class VectorExprSpec extends SparkSuite {
     assert(df.isNullAt(5), "graft_l2 null element: NULL")
   }
 
+  test("graft_knn fails LOUDLY on packing bugs (parallel-array / dim mismatch)") {
+    // a null return would be silently dropped by the downstream explode,
+    // reading as "fewer neighbours" (ADVICE r13) — these must throw
+    VectorExprs.register(spark)
+    val one = spark.range(1)
+    def boom(sql: String): Unit = {
+      val e = intercept[Exception](one.selectExpr(sql).collect())
+      def hasState(t: Throwable): Boolean =
+        t != null && (t.isInstanceOf[IllegalStateException] || hasState(t.getCause))
+      assert(hasState(e), s"expected IllegalStateException, got $e")
+    }
+    // ids length != flat.len/dim
+    boom("graft_knn('q', array(1.0d, 2.0d), array('a', 'b'), array(1.0d, 2.0d), 1, 0.0d)")
+    // flat not a multiple of dim
+    boom("graft_knn('q', array(1.0d, 2.0d), array('a'), array(1.0d, 2.0d, 3.0d), 1, 0.0d)")
+    // zero-dim query against a nonempty bank
+    boom("graft_knn('q', cast(array() as array<double>), array('a'), array(1.0d), 1, 0.0d)")
+    // and the legal empty-bank case still yields an empty result
+    val ok = one.selectExpr(
+      "graft_knn('q', array(1.0d), cast(array() as array<string>), " +
+        "cast(array() as array<double>), 1, 0.0d) AS r").collect()
+    assert(ok.head.getSeq[Any](0).isEmpty)
+  }
+
   test("bank-scan kernels return null on an empty bank") {
     VectorExprs.register(spark)
     import spark.implicits._

@@ -60,6 +60,11 @@ def main():
         con.execute(f"SET temp_directory='{os.environ['GRAFT_DUCK_TMP']}'")
     if os.environ.get("GRAFT_DUCK_MEM"):
         con.execute(f"SET memory_limit='{os.environ['GRAFT_DUCK_MEM']}'")
+    # soak runs launch one DuckDB per query on a shared box — capping
+    # threads keeps the heaviest oracle (qd21's nested 3-pass chain)
+    # from amplifying contention into an error
+    if os.environ.get("GRAFT_DUCK_THREADS"):
+        con.execute(f"SET threads={int(os.environ['GRAFT_DUCK_THREADS'])}")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 

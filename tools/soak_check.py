@@ -10,6 +10,7 @@ results must already be dumped by graft.Verify.
 usage: soak_check.py <outDir> <sfDir> [timeoutSec] [query ...]
 """
 import json
+import os
 import subprocess
 import sys
 
@@ -22,12 +23,18 @@ def main():
         names = sorted(json.load(f).keys())
     if only:
         names = [n for n in names if n in only]
+    # degrade-not-error defaults for the per-query DuckDB (overridable):
+    # bounded threads + memory so the heaviest oracle spills under box
+    # contention instead of erroring (r13's one zipf-sf1 soak failure)
+    env = dict(os.environ)
+    env.setdefault("GRAFT_DUCK_THREADS", "8")
+    env.setdefault("GRAFT_DUCK_MEM", "24GB")
     results = {}
     for name in names:
         try:
             p = subprocess.run(
                 [sys.executable, "tools/check.py", out_dir, sf_dir, name],
-                capture_output=True, text=True, timeout=timeout)
+                capture_output=True, text=True, timeout=timeout, env=env)
             line = [l for l in p.stdout.splitlines()
                     if l.startswith(("PASS", "FAIL", "SKIP"))]
             results[name] = line[0] if line else f"NO-OUTPUT rc={p.returncode}"
