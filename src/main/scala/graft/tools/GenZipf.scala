@@ -44,18 +44,25 @@ object GenZipf {
   def word(i: Int): String =
     Syll(i % 75) + Syll((i / 75) % 75) + Syll((i / 5625) % 75)
 
-  /** Cumulative Zipf weights over ranks 1..VocabSize. */
-  private val cum: Array[Double] = {
-    val a = new Array[Double](VocabSize)
-    var t = 0.0
-    var r = 0
-    while (r < VocabSize) { t += 1.0 / math.pow(r + 1.0, ZipfS); a(r) = t; r += 1 }
-    a
-  }
+  /** Cumulative Zipf weights over ranks 1..vocabSize — memoized per
+    * size (the default-3000 committed corpus and the one-off
+    * large-vocabulary BPE corpus share this machinery; at the default
+    * size every draw is bit-identical to the pre-parametrized code).
+    */
+  private val cumCache = new java.util.concurrent.ConcurrentHashMap[Int, Array[Double]]()
+  private def cumFor(vocabSize: Int): Array[Double] =
+    cumCache.computeIfAbsent(vocabSize, v => {
+      val a = new Array[Double](v)
+      var t = 0.0
+      var r = 0
+      while (r < v) { t += 1.0 / math.pow(r + 1.0, ZipfS); a(r) = t; r += 1 }
+      a
+    })
 
-  private def drawZipf(u: Double): Int = {
-    val x = u * cum(VocabSize - 1)
-    var lo = 0; var hi = VocabSize - 1
+  private def drawZipf(u: Double, vocabSize: Int): Int = {
+    val cum = cumFor(vocabSize)
+    val x = u * cum(vocabSize - 1)
+    var lo = 0; var hi = vocabSize - 1
     while (lo < hi) { val m = (lo + hi) >>> 1; if (cum(m) < x) lo = m + 1 else hi = m }
     lo
   }
@@ -64,7 +71,7 @@ object GenZipf {
     new java.util.Random(docId * 2654435761L + salt)
 
   /** Base text: Zipfian content draws with per-language stopword heads. */
-  def genBase(docId: Long, lang: String): String = {
+  def genBase(docId: Long, lang: String, vocabSize: Int = VocabSize): String = {
     val rng = rngFor(docId, 0x9E3779B9L)
     val stop = graft.text.TextOps.Stopwords.getOrElse(lang,
       graft.text.TextOps.Stopwords("en"))
@@ -74,8 +81,8 @@ object GenZipf {
     while (i < n) {
       if (i > 0) sb.append(' ')
       if (rng.nextDouble() < 0.35)
-        sb.append(stop(math.min(stop.size - 1, drawZipf(rng.nextDouble()) % stop.size)))
-      else sb.append(word(drawZipf(rng.nextDouble())))
+        sb.append(stop(math.min(stop.size - 1, drawZipf(rng.nextDouble(), vocabSize) % stop.size)))
+      else sb.append(word(drawZipf(rng.nextDouble(), vocabSize)))
       i += 1
     }
     sb.toString
@@ -86,10 +93,10 @@ object GenZipf {
     * churn keeps shingle-level Jaccard ≈ 0.74, inside MinHash-LSH's
     * (16 perms, 4-row bands) detection range.
     */
-  def perturb(docId: Long, prev: String): String = {
+  def perturb(docId: Long, prev: String, vocabSize: Int = VocabSize): String = {
     val rng = rngFor(docId, 0xC0FFEEL)
     prev.split(" ").zipWithIndex.map { case (t, i) =>
-      if (i % 20 == 19) word(drawZipf(rng.nextDouble())) else t
+      if (i % 20 == 19) word(drawZipf(rng.nextDouble(), vocabSize)) else t
     }.mkString(" ")
   }
 
@@ -107,9 +114,9 @@ object GenZipf {
   /** The rewritten documents frame for any driver-layout documents
     * table — the shared seam GenZipf's main and the specs both use.
     */
-  def zipfDocuments(docs: DataFrame): DataFrame = {
-    val baseU = udf((id: Long, lang: String) => genBase(id, lang))
-    val pertU = udf((id: Long, prev: String) => perturb(id, prev))
+  def zipfDocuments(docs: DataFrame, vocabSize: Int = VocabSize): DataFrame = {
+    val baseU = udf((id: Long, lang: String) => genBase(id, lang, vocabSize))
+    val pertU = udf((id: Long, prev: String) => perturb(id, prev, vocabSize))
     val passU = udf((id: Long, t: String) => insertPassage(id, t))
     // near-dups read the PREDECESSOR's base text via lag inside
     // 50-blocks (doc_id%50==49 always has doc_id-1 in its block), so
@@ -135,6 +142,11 @@ object GenZipf {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
     val dst = if (args.length > 1) args(1) else "/root/repo/target/testdata/zipf0.01"
     val docsOnly = args.contains("--docs-only")
+    // one-off large-vocabulary corpora (e.g. --vocab=50000 for the
+    // 32k-round BPE measurement); the committed gate corpus stays at
+    // the default
+    val vocab = args.collectFirst { case a if a.startsWith("--vocab=") =>
+      a.stripPrefix("--vocab=").toInt }.getOrElse(VocabSize)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
@@ -155,7 +167,7 @@ object GenZipf {
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       dir.listFiles().foreach(_.delete()); dir.delete()
     }
-    wr(zipfDocuments(rd("documents")).orderBy("doc_id"), "documents")
+    wr(zipfDocuments(rd("documents"), vocab).orderBy("doc_id"), "documents")
     if (!docsOnly)
       Seq("region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "events", "embeddings").foreach(t => wr(rd(t), t))

@@ -1795,6 +1795,29 @@ class TextSpec extends SparkSuite {
     assert(e1024 < e64, s"1024-round encoding must compress further: $e1024 vs $e64")
   }
 
+  test("qt28 at 32,768 rounds: no exhaustion, prefix-consistent with 1,024") {
+    import spark.implicits._
+    // the committed zipf corpus's ~3k vocabulary exhausts at ~3.2k
+    // merges, so the 32k-round claim needs a vocabulary that doesn't
+    // (VERDICT r13 next #5): a synthetic heavy-tailed word-frequency
+    // table over GenZipf's 6-char syllable words — bpeTrainLocal mines
+    // from (tok, freq) directly, so this isolates the miner at true
+    // production depth (the corpus-scale half is qt28's own spec; the
+    // measured wall split on a 127,719-word corpus is in SURVEY §13).
+    val wf = spark.range(40000)
+      .select(udf((i: Long) => graft.tools.GenZipf.word(i.toInt)).apply(col("id")).as("tok"),
+        greatest(lit(1L), (lit(1000000L) / (col("id") + 1)).cast("long")).as("freq"))
+    val m1k = TextOps.bpeTrainLocal(spark, wf, rounds = 1024)._1.collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val m32k = TextOps.bpeTrainLocal(spark, wf, rounds = 32768)._1.collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(m32k.length === 32768, s"vocabulary must not exhaust: ${m32k.length}")
+    assert(m1k.length === 1024)
+    assert(m32k.take(1024).toSeq === m1k.toSeq,
+      "deeper mining must reproduce the shallower sequence as a verbatim prefix")
+    assert(m32k.forall(_._4 > 0))
+  }
+
   test("qd20 planted boilerplate: first occurrence kept, later copies cut, re-scan clean") {
     import spark.implicits._
     val boiler = "b1 b2 b3 b4 b5 b6" // a 6-token passage shared by 3 docs
