@@ -151,6 +151,8 @@ object SparkEntry {
     "qz4_boilerplate" -> ((s, _) => graft.text.TextOps.boilerplate(s, ZipfDir)),
     "qz5_vocab_coverage" -> ((s, _) => graft.text.TextOps.vocabCoverage(s, ZipfDir)),
     "qz6_minhash_lsh" -> ((s, _) => graft.text.Dedup.minhashLsh(s, ZipfDir)),
+    "qz7_unigram_nll" -> ((s, _) => graft.text.TextOps.unigramNll(s, ZipfDir)),
+    "qz8_dsir_weights" -> ((s, _) => graft.text.TextOps.dsirWeights(s, ZipfDir)),
     "qv19_rank_metrics" -> ((s, d) => graft.vector.Similarity.rankMetrics(s, d)),
     "qv20_dim_sweep" -> ((s, d) => graft.vector.Similarity.dimSweep(s, d)),
     "qv21_index_upsert" -> ((s, d) => graft.vector.Similarity.indexUpsert(s, d)),
@@ -342,6 +344,8 @@ object SparkEntry {
     "qz4_boilerplate" -> onZipf(graft.text.DocOracle.qt13()),
     "qz5_vocab_coverage" -> onZipf(graft.text.DocOracle.qt12()),
     "qz6_minhash_lsh" -> onZipf(graft.text.DocOracle.qd2()),
+    "qz7_unigram_nll" -> onZipf(graft.text.DocOracle.qt14),
+    "qz8_dsir_weights" -> onZipf(graft.text.DocOracle.qt22()),
     "qv19_rank_metrics" -> graft.text.DocOracle.qv19(),
     "qv20_dim_sweep" -> graft.text.DocOracle.qv20(),
     "qv21_index_upsert" -> graft.text.DocOracle.qv21(),
