@@ -555,8 +555,16 @@ object ScoreStream {
     */
   def bm25ScoreStream(spark: SparkSession, modelPath: String,
                       queries: DataFrame, windowDur: String = "1 hour",
-                      watermark: String = "1 hour"): DataFrame = {
+                      watermark: String = "1 hour",
+                      fallbackMaxDfShare: Long = 1L): DataFrame = {
+    // share=1 keeps the permissive legacy contract (every term scored);
+    // share>1 applies the same df ceiling the packed serving index uses
+    // (greatest(eligCap, n_docs/share)) to the ROW-form postings, so an
+    // over-cap live term joins to nothing instead of fanning O(n_docs)
+    // state rows — hybridServeStream's refusal semantics, row-form twin
     val post = graft.timeseries.ModelStore.bm25Postings(spark, modelPath)
+      .filter(col("df") <=
+        graft.timeseries.ModelStore.packedDfCeiling(fallbackMaxDfShare))
     queries.withWatermark("ts", watermark)
       .select(col("qid"), col("ts"), explode(col("terms")).as("tok"))
       .join(post, "tok")

@@ -302,7 +302,7 @@ object ModelStore {
     * so the serving index admits precisely the terms batch term
     * selection could ever emit at the same share.
     */
-  private def packedDfCeiling(fallbackMaxDfShare: Long): org.apache.spark.sql.Column = {
+  private[graft] def packedDfCeiling(fallbackMaxDfShare: Long): org.apache.spark.sql.Column = {
     require(fallbackMaxDfShare >= 1L,
       s"fallbackMaxDfShare must be >= 1, got $fallbackMaxDfShare")
     val eligCap = greatest(lit(graft.vector.Similarity.Bm25MaxDfFloor),

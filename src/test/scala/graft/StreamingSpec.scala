@@ -1215,6 +1215,22 @@ class StreamingSpec extends SparkSuite {
       assert(withHot === midOnly,
         "an over-cap term must contribute NOTHING (refused, not scored)")
     } finally q.stop()
+    // the ROW-form twin honors the same ceiling: the hot term's qid
+    // emits nothing, the admissible term's qid scores
+    val mem2 = MemoryStream[QT]
+    val q2 = ScoreStream.bm25ScoreStream(spark, path, mem2.toDF(),
+      windowDur = "1 day", fallbackMaxDfShare = share)
+      .writeStream.outputMode("append").format("memory").queryName("bm25ref").start()
+    try {
+      mem2.addData(QT(t0, 900001L, Array(hot)), QT(t0, 900002L, Array(mid)))
+      q2.processAllAvailable()
+      mem2.addData(QT(new Timestamp(t0.getTime + 10L * 86400000L), 999999L,
+        Array("no-such-token")))
+      q2.processAllAvailable()
+      val qids = spark.table("bm25ref").collect().map(_.getAs[Long]("qid")).toSet
+      assert(!qids.contains(900001L), "row-form: over-cap term must score nothing")
+      assert(qids.contains(900002L), "row-form: admissible term must score")
+    } finally q2.stop()
   }
 
   test("hybrid serve epilogue folds a WIDE candidate window (3.5k entries, run sums)") {
