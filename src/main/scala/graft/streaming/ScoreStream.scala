@@ -613,7 +613,11 @@ object ScoreStream {
     * carries it; ModelStore.bm25RefusedTerms is the audit channel —
     * a serving stream must degrade, not die, so refusal is a
     * zero-candidate outcome, never a raised error). The DENSE side is
-    * bounded by nProbe/nCells of the collection. Both watermark-evict.
+    * bounded at nProbe·depth entries per (window, qid): each probed
+    * cell/shard row pre-trims to its top-`depth` candidates IN-ROW
+    * under the exact denTop total order before anything enters state
+    * (global top-depth ≡ top-depth of per-row top-depths, so the trim
+    * is bit-exact). Both sides watermark-evict.
     * This is batch hybridSearchIvf(fallbackMaxDfShare) in flight —
     * bit-identical on the same queries (StreamingSpec anchors the
     * GUARDED configuration, share = 2).
@@ -664,13 +668,24 @@ object ScoreStream {
                               0.0D, (a, x) -> a + x),
               'cell', c.cell))), 1, $nProbe), p -> p.cell)""")).as("cell"))
       .join(lists, "cell")
+      // per-cell top-`depth` PRE-TRIM before anything reaches window
+      // state: the epilogue's denTop comparator (scd desc, id asc) is a
+      // TOTAL order, so the global top-depth equals the top-depth of
+      // per-cell top-depths — bit-identical output, and dense state per
+      // (window, qid) drops from O(nProbe·cellSize) to nProbe·depth
+      // (at 100 TB a cell/shard row carries millions of candidates; only
+      // the depth winners of each probed row may enter state)
       .select(col("qid"), col("ts"), expr(
-        s"""filter(transform(ids, (id, i) -> named_struct(
-              'id', id,
-              'scl', CAST(NULL AS BIGINT),
-              'scd', aggregate(zip_with(av, element_at(vecs, i+1), (x, y) -> x * y),
-                               0.0D, (a, x) -> a + x) / (na * element_at(nrms, i+1)))),
-            e -> e.id != qid)""").as("entries"))
+        s"""slice(array_sort(
+              filter(transform(ids, (id, i) -> named_struct(
+                'id', id,
+                'scl', CAST(NULL AS BIGINT),
+                'scd', aggregate(zip_with(av, element_at(vecs, i+1), (x, y) -> x * y),
+                                 0.0D, (a, x) -> a + x) / (na * element_at(nrms, i+1)))),
+              e -> e.id != qid),
+              (l, r) -> CASE WHEN l.scd > r.scd THEN -1 WHEN l.scd < r.scd THEN 1
+                             WHEN l.id < r.id THEN -1 WHEN l.id > r.id THEN 1
+                             ELSE 0 END), 1, $depth)""").as("entries"))
     lex.unionByName(den)
       .groupBy(window(col("ts"), windowDur), col("qid"))
       .agg(collect_list(col("entries")).as("bundles"))
