@@ -463,11 +463,16 @@ object BinaryMeta {
       .select(col("doc_id"), col("sig"), col("ch.c").as("c"), col("ch.cv").as("cv"))
     val a = chunks.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"), col("c"), col("cv"))
     val b = chunks.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"), col("c"), col("cv"))
+    // hamming BEFORE distinct: bit_count is codegen'd per candidate row,
+    // so the multi-chunk dedup exchange carries only the ham<=maxHam
+    // survivors (near-dups are rare) instead of the full candidate
+    // stream — the widest shuffle in the old plan. Same output set:
+    // (doc_a, doc_b) determines both sigs, hence ham.
     a.join(b, Seq("c", "cv")).filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sig_a", "sig_b").distinct()
       .withColumn("ham", expr("bit_count(sig_a ^ sig_b)"))
       .filter(col("ham") <= maxHam)
       .select(col("doc_a"), col("doc_b"), col("ham").cast("int").as("ham"))
+      .distinct()
   }
 
   /** DuckDB mirror of [[phashNearDup]]: the hex walk → integer block

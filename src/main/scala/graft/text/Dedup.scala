@@ -233,11 +233,16 @@ object Dedup {
       }
     val a = chunks.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("c"), col("cv"))
     val b = chunks.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("c"), col("cv"))
+    // hamming BEFORE distinct: bit_count is codegen'd per candidate row,
+    // so the multi-chunk dedup exchange carries only the ham<=maxHam
+    // survivors instead of the full candidate stream (the widest
+    // shuffle in the old plan). Same output set: (doc_a, doc_b)
+    // determines both fingerprints, hence the hamming distance.
     a.join(b, Seq("c", "cv")).filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sh_a", "sh_b").distinct()
       .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)"))
       .filter(col("hamming") <= maxHam)
       .select("doc_a", "doc_b", "hamming")
+      .distinct()
   }
 
   /** qd6: duplicate-cluster resolution — connected components over the

@@ -930,9 +930,16 @@ object Similarity {
       val dlen = tf.groupBy("doc_id").agg(sum("tf").as("dlen"))
       val dfr = tf.groupBy("tok").agg(count(lit(1)).as("df"))
       val nd = Tables.documents(spark, sfDir).agg(count(lit(1)).as("n_docs"))
-      // avgdlen from exact integer totals; int64/int64 → one double div
+      // avgdlen from exact integer totals; int64/int64 → one double div.
+      // nullif guards the EMPTY corpus: count() is 0 (not null) there, so
+      // a bare 0/0 throws under ANSI — and only SOMETIMES surfaces,
+      // because this broadcast subquery races AQE's empty-relation
+      // propagation of the posting join it feeds (flaky EmptyInputSpec
+      // failure). avgdlen=null on an empty corpus is fine: there are no
+      // posting rows for it to score.
       val stats = nd.crossJoin(toks.agg(count(lit(1)).as("n_tok_total")))
-        .select(col("n_docs"), (col("n_tok_total") / col("n_docs")).as("avgdlen"))
+        .select(col("n_docs"),
+          (col("n_tok_total") / nullif(col("n_docs"), lit(0L))).as("avgdlen"))
       tf.join(dlen, "doc_id").join(dfr, "tok").crossJoin(broadcast(stats))
     }
 
