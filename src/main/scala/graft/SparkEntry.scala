@@ -191,6 +191,8 @@ object SparkEntry {
     "qd19_global_dup_spans" -> ((s, d) => graft.text.Dedup.globalDupSpans(s, d)),
     "qd20_dedup_spans" -> ((s, d) => graft.text.Dedup.dedupSpans(s, d)),
     "qd21_dedup_fixpoint" -> ((s, d) => graft.text.Dedup.dedupSpansFixpoint(s, d)),
+    "qd22_lsh_star_edges" -> ((s, d) => graft.text.Dedup.lshStarEdges(s, d)),
+    "qd23_star_clusters" -> ((s, d) => graft.text.Dedup.starClusters(s, d)),
     "qt21_domain_cap" -> ((s, d) => graft.text.TextOps.domainCap(s, d)),
     "qt22_dsir_weights" -> ((s, d) => graft.text.TextOps.dsirWeights(s, d)),
     "qt23_pii_redact" -> ((s, d) => graft.text.TextOps.piiRedact(s, d)),
@@ -669,6 +671,10 @@ object SparkEntry {
     "qd19_global_dup_spans" -> graft.text.DocOracle.qd19(),
     "qd20_dedup_spans" -> graft.text.DocOracle.qd20(),
     "qd21_dedup_fixpoint" -> graft.text.DocOracle.qd21(),
+    "qd22_lsh_star_edges" -> graft.text.DocOracle.qd22(),
+    // qd23's oracle is LITERALLY qd6's clique-edge closure: the gate
+    // itself proves the star reduction preserves every cluster.
+    "qd23_star_clusters" -> graft.text.DocOracle.qd6(),
     "qc1_corpus_build" -> graft.text.DocOracle.qc1(),
     "qt22_dsir_weights" -> graft.text.DocOracle.qt22(),
     "qt23_pii_redact" -> graft.text.DocOracle.qt23(),

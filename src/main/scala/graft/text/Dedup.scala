@@ -93,6 +93,57 @@ object Dedup {
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_bands"))
   }
 
+  /** qd22: STAR candidate edges — the 100 TB shape of LSH candidate
+    * generation. qd2's within-bucket self-join emits the full CLIQUE of
+    * every (band, sig) bucket: a bucket of m co-signed documents (a
+    * boilerplate cluster, a mirrored page, a template — the NORM in a
+    * web crawl, where the largest exact-dup clusters run to millions)
+    * costs m(m−1)/2 pairs, and one hot bucket is a dead job. For the
+    * downstream consumers that only need CONNECTIVITY (qd6's connected
+    * components, qd7's cluster stats, qd16/qd17's cluster-keyed picks),
+    * the clique is pure waste: a star — every bucket member joined to
+    * the bucket's min doc_id hub — has identical transitive closure at
+    * O(m) edges per bucket (any clique pair (a,b) shares its bucket's
+    * hub h, so a−h−b connects them; conversely star edges never leave a
+    * bucket). [[starClusters]] (qd23) runs the SAME ccFrom over these
+    * edges and is oracle-gated to bit-match qd6's labels.
+    *
+    * Plan shape: the session-cached band table aggregates to one hub
+    * row per bucket (map-side combinable min+count on the (band, sig)
+    * key) and joins back on the same key — the exchange is reused, no
+    * self-join of the full band table, and the pair stream is Σ(m−1)
+    * instead of Σ m(m−1)/2. n_bands mirrors qd2's semantics: the number
+    * of bands in which the (hub, member) pair co-signed.
+    */
+  def lshStarEdges(spark: SparkSession, sfDir: String,
+                   nPerm: Int = 16, bandRows: Int = 4): DataFrame =
+    graft.util.StageCache.cached(spark, sfDir, s"lshstar_${nPerm}_$bandRows") {
+      val bands = bandSignatures(spark, sfDir, nPerm, bandRows)
+      val hubs = bands.groupBy("band", "sig")
+        .agg(min("doc_id").as("hub"), count(lit(1)).as("m"))
+        .filter(col("m") >= 2)
+        .select("band", "sig", "hub")
+      bands.join(hubs, Seq("band", "sig"))
+        .filter(col("doc_id") =!= col("hub"))
+        .groupBy(col("hub").as("doc_a"), col("doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_bands"))
+    }
+
+  /** qd23: duplicate clusters over the STAR edge list — the scalable
+    * end-to-end dedup path: qd22's O(Σm) candidate edges fed through
+    * the same pointer-doubling connected components as qd6. The oracle
+    * is LITERALLY qd6's (clique-edge recursive closure in DuckDB), so
+    * the correctness gate itself proves the star reduction loses no
+    * cluster: same node set (a doc has a candidate partner iff it sits
+    * in a bucket of size ≥ 2), same components, same min-id labels.
+    */
+  def starClusters(spark: SparkSession, sfDir: String, maxIter: Int = 20): DataFrame =
+    graft.util.StageCache.cached(spark, sfDir, s"starlabels_$maxIter") {
+      val e = lshStarEdges(spark, sfDir).select("doc_a", "doc_b")
+      ccFrom(e.unionByName(
+        e.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))), maxIter)
+    }
+
   /** qd9: incremental dedup — a new shard checked against the existing
     * corpus, the shape a production ingest actually runs (the full
     * self-join qd2 is the backfill job; every daily increment is THIS

@@ -278,6 +278,25 @@ per AS (
               WHEN top_frac > $maxTopFrac THEN 'top_token'
               ELSE 'pass' END"""
 
+  /** Mirrors Dedup.lshStarEdges: the qd2 band CTE chain, then one hub
+    * (min doc_id) per ≥2-member (band, sig) bucket and the (hub →
+    * member) star edges with their co-signing band count.
+    */
+  def qd22(nPerm: Int = 16, bandRows: Int = 4): String =
+    toksCte + shinglesCte(3, "sh3") + s"""
+, shd AS (SELECT DISTINCT doc_id, sh, ${h("sh")} AS bh FROM sh3),
+${minhCte(nPerm)}, bands AS MATERIALIZED (
+  SELECT doc_id, CAST(floor(j / $bandRows) AS BIGINT) AS band,
+         sum(mh * ${bandCase(bandRows)}) AS sig
+  FROM minh GROUP BY doc_id, CAST(floor(j / $bandRows) AS BIGINT)
+), hubs AS (
+  SELECT band, sig, min(doc_id) AS hub FROM bands
+  GROUP BY band, sig HAVING count(*) >= 2
+)
+SELECT h.hub AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
+FROM bands b JOIN hubs h ON b.band = h.band AND b.sig = h.sig AND b.doc_id <> h.hub
+GROUP BY h.hub, b.doc_id"""
+
   def qd6(nPerm: Int = 16, bandRows: Int = 4): String = {
     val base = (toksCte + shinglesCte(3, "sh3") + lshEdgesCte(nPerm, bandRows) + ccCte + """
 SELECT doc_id, cluster_id FROM lab""")
