@@ -739,11 +739,32 @@ object Similarity {
     * stay bounded (the paper's k-means plays the seeded assignment's
     * role), and the output is the per-vector keep/drop verdict a
     * training-data pipeline filters the corpus by.
+    *
+    * Hot-cell guard: the within-cell join is Σ|cell|² — a skewed
+    * embedding distribution (mass-duplicated vectors, a collapsed
+    * encoder) concentrating a cell past `maxCell` would go quadratic
+    * in ONE task group, so the call FAILS LOUDLY (one tiny agg over
+    * the cached assignment — |cells| rows) naming the two remedies
+    * (more cells, i.e. SemDeDup's own knob, or an explicit higher cap)
+    * instead of silently dying hours into the join. qv10 is the
+    * matching post-build audit (share/skew per cell).
     */
   def semanticDedup(spark: SparkSession, sfDir: String, nCells: Int = 16,
-                    thr: Double = 0.3): DataFrame = {
+                    thr: Double = 0.3, maxCell: Long = 1L << 20): DataFrame = {
+    require(maxCell >= 1, s"maxCell=$maxCell")
     val e = vecs(spark, sfDir)
-    val withV = cellAssignment(spark, sfDir, nCells)
+    val assign = cellAssignment(spark, sfDir, nCells)
+    val hot = assign.groupBy("cell").agg(count(lit(1)).as("m"))
+      .filter(col("m") > maxCell)
+      .orderBy(col("m").desc).limit(1).collect()
+    require(hot.isEmpty, {
+      val r = hot.head
+      s"semanticDedup: hot cell ${r.get(0)} holds ${r.getLong(1)} vectors " +
+        s"(> maxCell=$maxCell); the within-cell pairwise join would be " +
+        s"quadratic in it. Raise nCells (currently $nCells — SemDeDup's " +
+        s"cluster-count knob) or pass a higher maxCell explicitly."
+    })
+    val withV = assign
       .join(e.select(col("vec_id"), col("v"), col("nrm")), "vec_id")
     val a = withV.select(col("cell"), col("vec_id").as("vec_a"), col("v").as("av"), col("nrm").as("na"))
     val b = withV.select(col("cell"), col("vec_id").as("vec_b"), col("v").as("bv"), col("nrm").as("nb"))

@@ -541,6 +541,16 @@ class TextSpec extends SparkSuite {
     }
   }
 
+  test("qd11 hot-cell guard fails loudly, naming both remedies") {
+    // nCells=1 funnels every sf0.001 vector into one cell; maxCell=1
+    // makes that cell hot by construction.
+    val e = intercept[IllegalArgumentException](
+      Similarity.semanticDedup(spark, Sf001, nCells = 1, maxCell = 1L))
+    assert(e.getMessage.contains("hot cell"))
+    assert(e.getMessage.contains("nCells"))
+    assert(e.getMessage.contains("maxCell"))
+  }
+
   test("qt12 vocab coverage == driver recompute over top-32 vocab") {
     def r4(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
     val out = TextOps.vocabCoverage(spark, Sf001).collect()
