@@ -118,16 +118,23 @@ object Dedup {
   def lshStarEdges(spark: SparkSession, sfDir: String,
                    nPerm: Int = 16, bandRows: Int = 4): DataFrame =
     graft.util.StageCache.cached(spark, sfDir, s"lshstar_${nPerm}_$bandRows") {
-      val bands = bandSignatures(spark, sfDir, nPerm, bandRows)
-      val hubs = bands.groupBy("band", "sig")
-        .agg(min("doc_id").as("hub"), count(lit(1)).as("m"))
-        .filter(col("m") >= 2)
-        .select("band", "sig", "hub")
-      bands.join(hubs, Seq("band", "sig"))
-        .filter(col("doc_id") =!= col("hub"))
-        .groupBy(col("hub").as("doc_a"), col("doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("n_bands"))
+      lshStarEdgesFrom(bandSignatures(spark, sfDir, nPerm, bandRows))
     }
+
+  /** qd22 core over an explicit (doc_id, band, sig) band table — the
+    * uncached builder PlanSpec gates and specs drive with synthetic
+    * bucket layouts.
+    */
+  private[graft] def lshStarEdgesFrom(bands: DataFrame): DataFrame = {
+    val hubs = bands.groupBy("band", "sig")
+      .agg(min("doc_id").as("hub"), count(lit(1)).as("m"))
+      .filter(col("m") >= 2)
+      .select("band", "sig", "hub")
+    bands.join(hubs, Seq("band", "sig"))
+      .filter(col("doc_id") =!= col("hub"))
+      .groupBy(col("hub").as("doc_a"), col("doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_bands"))
+  }
 
   /** qd23: duplicate clusters over the STAR edge list — the scalable
     * end-to-end dedup path: qd22's O(Σm) candidate edges fed through

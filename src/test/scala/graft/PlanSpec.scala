@@ -497,6 +497,22 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), p.take(900))
   }
 
+  test("qd22 star edges: map-side-combined hub agg, equi-join only") {
+    // the registered qd22 is session-cached — gate the BUILDER's plan
+    val bands = spark.read.parquet(s"$Sf01/documents.parquet")
+      .select(col("doc_id"), (col("doc_id") % 7).as("band"), (col("n_chars") % 13).as("sig"))
+    val p = plan(graft.text.Dedup.lshStarEdgesFrom(bands))
+    // ONE (band, sig) exchange computes hub + bucket size with map-side
+    // partials; the edge agg is likewise partial+final
+    assert(p.contains("partial_min") && p.contains("partial_count"),
+      s"hub aggregate lost its map-side combine:\n${p.take(900)}")
+    // hubs meet the band table on an equi-key (broadcast at test scale,
+    // co-partitioned with exchange reuse at 100 TB) — never a
+    // cartesian/theta join, and no band-table self-join anywhere
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      p.take(900))
+  }
+
   test("qc5 chunk->index: one md5 exchange, no cartesian, shuffle-free chunk stage") {
     val p = plan(graft.text.TextOps.chunkIndex(spark, Sf01))
     // dedup is the chunk_md5 window's exchange; the chunk projection
