@@ -64,6 +64,33 @@ object Bench {
     spark
   }
 
+  /** Fixed synthetic calibration workload — PURE ENGINE WORK
+    * (codegen'd hash agg + count-distinct, per-key sort window, a 1:1
+    * sort-merge join), data-independent and identical every run, timed
+    * AFTER the warmers in each rep's fresh session. Its wall time is a
+    * host-speed probe: the bench box swings ~2× across sessions for
+    * identical code (r14: suite totals 47→91→47 s with per-key mins
+    * reproducing exactly), so cross-session per-key comparisons divide
+    * by the calib ratio first — see TESTDATA.md §bench-calibration for
+    * the normalization rule. Deliberately NOT a registered query and
+    * NOT derived from any table: it must move only when the HOST does.
+    */
+  private def calibrate(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    val r = spark.range(8000000L).selectExpr("id",
+      "id % 9973 as k", "cast((id * 2654435761) % 1000003 as double) as v")
+    r.groupBy("k")
+      .agg(org.apache.spark.sql.functions.sum("v"),
+        org.apache.spark.sql.functions.countDistinct("v"))
+      .selectExpr("max(k)").collect()
+    r.selectExpr("k", "sum(v) over (partition by k order by v, id " +
+        "rows between 100 preceding and current row) as rs")
+      .selectExpr("max(rs)").collect()
+    r.as("a").join(r.selectExpr("id", "v as v2").as("b"), "id")
+      .selectExpr("max(v + v2)").collect()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // Default to every core on the box: the driver may not export
@@ -93,8 +120,10 @@ object Bench {
     // which sibling pays a build.
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    val calibs = scala.collection.mutable.ArrayBuffer.empty[Double]
     val runTimes = (1 to reps).map { rep =>
       val spark = newSession(sfDir, cpus)
+      calibs += calibrate(spark)
       import org.apache.spark.sql.functions.{col, xxhash64}
       val times = names.flatMap { case (name, fn) =>
         val t0 = System.nanoTime()
@@ -168,6 +197,9 @@ object Bench {
       "\"" + k + "\":" + num("%.3f", v)
     }.mkString("\"queries\":{", ",", "},"))
     detail.append(runTimes.map(m => num("%.3f", m.values.sum)).mkString("\"runs\":[", ",", "],"))
+    // per-rep host-speed probes (calibrate() above): the normalizer for
+    // cross-session per-key deltas — rule in TESTDATA.md
+    detail.append(calibs.map(c => num("%.3f", c)).mkString("\"calib\":[", ",", "],"))
     detail.append(s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")}}""")
     // sf-tagged filename so an sf0.001 smoke run can't silently
     // overwrite sf1 soak evidence; the untagged name stays as the
@@ -206,6 +238,13 @@ object Bench {
     val sfTag = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
     val totalStr =
       if (total < 999.9995) num("%.3f", total) else num("%.1f", math.min(total, 9999.9))
-    println(s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs$more,"runs":$runs$errs,"sf":"$sfTag"}""")
+    // min-of-reps calib on the driver-facing line too (same 3-char
+    // width bands as the per-query values), so a BENCH_r{N}.json is
+    // host-normalizable even without the BENCH_DETAIL sidecar
+    val calibStr = {
+      val c = calibs.min
+      if (c < 9.95) num("%.1f", c) else num("%.0f", math.min(c, 999.0))
+    }
+    println(s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs$more,"runs":$runs,"calib":$calibStr$errs,"sf":"$sfTag"}""")
   }
 }

@@ -36,7 +36,11 @@ object SparkEntry {
     val cte = s"documents AS (SELECT * FROM read_parquet('$ZipfDir/documents.parquet')), " +
       s"embeddings AS (SELECT * FROM read_parquet('$ZipfDir/embeddings.parquet'))"
     val t = sql.trim
-    if (t.regionMatches(true, 0, "WITH", 0, 4)) s"WITH $cte, ${t.drop(4).trim}"
+    // RECURSIVE must stay glued to WITH (DuckDB, like Postgres, allows
+    // it only there; non-recursive CTEs are fine under it)
+    if (t.regionMatches(true, 0, "WITH RECURSIVE", 0, 14))
+      s"WITH RECURSIVE $cte, ${t.drop(14).trim}"
+    else if (t.regionMatches(true, 0, "WITH", 0, 4)) s"WITH $cte, ${t.drop(4).trim}"
     else s"WITH $cte $t"
   }
 
@@ -153,6 +157,15 @@ object SparkEntry {
     "qz6_minhash_lsh" -> ((s, _) => graft.text.Dedup.minhashLsh(s, ZipfDir)),
     "qz7_unigram_nll" -> ((s, _) => graft.text.TextOps.unigramNll(s, ZipfDir)),
     "qz8_dsir_weights" -> ((s, _) => graft.text.TextOps.dsirWeights(s, ZipfDir)),
+    // r15: the dedup GRAPH on the heavy-tailed corpus — star candidate
+    // edges, the (now-default) star cluster chain, and the one-sided
+    // incremental band probe, driver-official instead of builder-run
+    "qz9_star_edges" -> ((s, _) => graft.text.Dedup.lshStarEdges(s, ZipfDir)),
+    "qz10_star_clusters" -> ((s, _) => graft.text.Dedup.starClusters(s, ZipfDir)),
+    // incMod=2: the zipf planted pairs are (…8, …9) ids — a %5 split
+    // can never separate one, so it would gate a structurally empty set
+    "qz11_incremental_dedup" -> ((s, _) => graft.text.Dedup.incrementalDedup(s, ZipfDir,
+      incMod = 2L)),
     "qv19_rank_metrics" -> ((s, d) => graft.vector.Similarity.rankMetrics(s, d)),
     "qv20_dim_sweep" -> ((s, d) => graft.vector.Similarity.dimSweep(s, d)),
     "qv21_index_upsert" -> ((s, d) => graft.vector.Similarity.indexUpsert(s, d)),
@@ -348,6 +361,11 @@ object SparkEntry {
     "qz6_minhash_lsh" -> onZipf(graft.text.DocOracle.qd2()),
     "qz7_unigram_nll" -> onZipf(graft.text.DocOracle.qt14),
     "qz8_dsir_weights" -> onZipf(graft.text.DocOracle.qt22()),
+    "qz9_star_edges" -> onZipf(graft.text.DocOracle.qd22()),
+    // qd23 ≡ qd6 closure — on the zipf corpus too, the parity gate
+    // itself proves the star reduction loses no cluster
+    "qz10_star_clusters" -> onZipf(graft.text.DocOracle.qd6()),
+    "qz11_incremental_dedup" -> onZipf(graft.text.DocOracle.qd9(incMod = 2)),
     "qv19_rank_metrics" -> graft.text.DocOracle.qv19(),
     "qv20_dim_sweep" -> graft.text.DocOracle.qv20(),
     "qv21_index_upsert" -> graft.text.DocOracle.qv21(),

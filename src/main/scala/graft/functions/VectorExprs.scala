@@ -485,6 +485,14 @@ object VectorExprs {
   /** Idempotent per-session registration; use `expr("graft_dot(a, b)")`. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    // Idempotent per session: every operator that uses a graft_* kernel
+    // calls register() defensively, and re-registering logs a WARN
+    // ("replaced a previously registered function") PER FUNCTION PER
+    // CALL — hundreds of lines burying real warnings in the bench /
+    // verify log tails. The registration set is static, so one marker
+    // function existing means they all do.
+    if (reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"))) return
     reg.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction(

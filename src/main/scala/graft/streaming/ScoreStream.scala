@@ -548,7 +548,8 @@ object ScoreStream {
     * sums the SHARED quantized int64 contribution
     * (Similarity.bm25Contrib) per (window, qid, doc) — scores are
     * bit-identical to the batch bm25ScoreOf sums on the same terms
-    * (StreamingSpec). Ranking stays downstream (a second streaming agg
+    * over the same df-ceilinged postings (StreamingSpec anchors the
+    * guarded default). Ranking stays downstream (a second streaming agg
     * is both unsupported and unnecessary: the client or a batch
     * compactor ranks the per-window scores). State = one row per
     * in-flight (window, qid, candidate), watermark-evicted.
@@ -556,12 +557,16 @@ object ScoreStream {
   def bm25ScoreStream(spark: SparkSession, modelPath: String,
                       queries: DataFrame, windowDur: String = "1 hour",
                       watermark: String = "1 hour",
-                      fallbackMaxDfShare: Long = 1L): DataFrame = {
-    // share=1 keeps the permissive legacy contract (every term scored);
-    // share>1 applies the same df ceiling the packed serving index uses
-    // (greatest(eligCap, n_docs/share)) to the ROW-form postings, so an
-    // over-cap live term joins to nothing instead of fanning O(n_docs)
-    // state rows — hybridServeStream's refusal semantics, row-form twin
+                      fallbackMaxDfShare: Long =
+                        graft.vector.Similarity.Bm25FallbackMaxDfShare): DataFrame = {
+    // GUARDED by default (r15) — the same df ceiling the packed serving
+    // index and hybridServeStream apply (greatest(eligCap,
+    // n_docs/share)), on the ROW-form postings: an over-cap live term
+    // joins to nothing instead of fanning O(n_docs) state rows, and
+    // ModelStore.bm25RefusedTerms audits what the ceiling refuses.
+    // share=1 is the explicit PERMISSIVE opt-in (ceiling = n_docs,
+    // every term scored) — a caller must ask for the unvalved shape,
+    // never fall into it.
     val post = graft.timeseries.ModelStore.bm25Postings(spark, modelPath)
       .filter(col("df") <=
         graft.timeseries.ModelStore.packedDfCeiling(fallbackMaxDfShare))

@@ -33,13 +33,34 @@ object Dedup {
     Seq.iterate(1L, bandRows)(_ * 31L)
   }
 
+  /** qd2's default hot-bucket cap. The within-bucket clique join emits
+    * m(m−1)/2 pairs per (band, sig) bucket, so capping bucket size at
+    * maxBucket bounds any bucket's pair product at maxBucket²/2 ≈
+    * 5·10⁷ comparisons — the same sizing discipline as qd3's
+    * [[SimhashMaxDf]]. Pair consumers that trip it either raise
+    * nPerm/bandRows (buckets split), take the O(Σm) star path
+    * ([[lshStarEdges]]) if they only need connectivity, or pass a
+    * higher cap explicitly.
+    */
+  val LshMaxBucket: Long = 10000L
+
   /** qd2: MinHash + LSH candidate pairs — 16 permutations (md5-derived),
     * 4 bands × 4 rows; pairs share ≥1 band. Shuffles only
     * (band, signature) tuples.
+    *
+    * This is the PAIR-form candidate graph — what qd4/qd8/qd13's
+    * per-pair audits and qd14's PageRank need. Connectivity consumers
+    * (qd6/qd7/qd16/qd17, qc1's funnel) ride [[lshStarEdges]] instead.
+    * The build is guarded by `maxBucket` (see [[LshMaxBucket]]): a hot
+    * bucket fails LOUDLY up front — one tiny agg over the cached band
+    * table — instead of dying quadratically mid-join. The guard runs
+    * once per session (the result is stage-cached under
+    * (nPerm, bandRows)); pass `Long.MaxValue` to disable it.
     */
-  def minhashLsh(spark: SparkSession, sfDir: String, nPerm: Int = 16, bandRows: Int = 4): DataFrame =
+  def minhashLsh(spark: SparkSession, sfDir: String, nPerm: Int = 16, bandRows: Int = 4,
+                 maxBucket: Long = LshMaxBucket): DataFrame =
     graft.util.StageCache.cached(spark, sfDir, s"lshpairs_${nPerm}_$bandRows") {
-      minhashLshBuild(spark, sfDir, nPerm, bandRows)
+      minhashLshFrom(bandSignatures(spark, sfDir, nPerm, bandRows), maxBucket)
     }
 
   /** Per-(doc, permutation) MinHash signatures. One md5 per shingle;
@@ -85,8 +106,29 @@ object Dedup {
         .groupBy("doc_id", "band").agg(sum("term").as("sig"))
     }
 
-  private def minhashLshBuild(spark: SparkSession, sfDir: String, nPerm: Int, bandRows: Int): DataFrame = {
-    val bands = bandSignatures(spark, sfDir, nPerm, bandRows)
+  /** qd2 core over an explicit (doc_id, band, sig) band table — the
+    * seam specs drive with planted hot buckets. The guard is qd11's
+    * pattern: ONE tiny agg (≤ |buckets| rows, map-side combined on the
+    * same key the join shuffles on) collects at most one offender, so
+    * a skewed corpus fails in seconds naming its remedies instead of
+    * hours into a Σ m(m−1)/2 self-join.
+    */
+  private[graft] def minhashLshFrom(bands: DataFrame, maxBucket: Long = LshMaxBucket): DataFrame = {
+    require(maxBucket >= 1, s"maxBucket=$maxBucket")
+    if (maxBucket != Long.MaxValue) {
+      val hot = bands.groupBy("band", "sig").agg(count(lit(1)).as("m"))
+        .filter(col("m") > maxBucket)
+        .orderBy(col("m").desc).limit(1).collect()
+      require(hot.isEmpty, {
+        val r = hot.head
+        s"minhashLsh: hot (band, sig) bucket (band=${r.get(0)}) holds " +
+          s"${r.getLong(2)} co-signed documents (> maxBucket=$maxBucket); " +
+          "the within-bucket clique join would emit ~m²/2 pairs in one " +
+          "task group. Raise nPerm/bandRows so buckets split, use the " +
+          "O(Σm) star path (lshStarEdges/starClusters) if you only " +
+          "need connectivity, or pass a higher maxBucket explicitly."
+      })
+    }
     val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
     val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("sig"))
     a.join(b, Seq("band", "sig")).filter(col("doc_a") < col("doc_b"))
@@ -108,12 +150,21 @@ object Dedup {
     * bucket). [[starClusters]] (qd23) runs the SAME ccFrom over these
     * edges and is oracle-gated to bit-match qd6's labels.
     *
+    * Since r15 this IS the edge source of the default cluster chain:
+    * [[dupClusters]] (qd6) builds from these edges, so qd7/qd16/qd17
+    * and qc1's funnel ride the O(Σm) path by default; qd23's oracle
+    * (literally qd6's clique closure) keeps proving the reduction
+    * loses no cluster every round.
+    *
     * Plan shape: the session-cached band table aggregates to one hub
     * row per bucket (map-side combinable min+count on the (band, sig)
     * key) and joins back on the same key — the exchange is reused, no
     * self-join of the full band table, and the pair stream is Σ(m−1)
-    * instead of Σ m(m−1)/2. n_bands mirrors qd2's semantics: the number
-    * of bands in which the (hub, member) pair co-signed.
+    * instead of Σ m(m−1)/2. n_bands counts the bands in which the
+    * member co-signed a bucket whose hub (min doc_id) is doc_a — for a
+    * pair that also co-signs buckets anchored by a smaller doc this is
+    * a LOWER bound on qd2's pair band count (connectivity, and hence
+    * qd23's labels, are unaffected).
     */
   def lshStarEdges(spark: SparkSession, sfDir: String,
                    nPerm: Int = 16, bandRows: Int = 4): DataFrame =
@@ -136,20 +187,17 @@ object Dedup {
       .agg(count(lit(1)).as("n_bands"))
   }
 
-  /** qd23: duplicate clusters over the STAR edge list — the scalable
-    * end-to-end dedup path: qd22's O(Σm) candidate edges fed through
-    * the same pointer-doubling connected components as qd6. The oracle
-    * is LITERALLY qd6's (clique-edge recursive closure in DuckDB), so
-    * the correctness gate itself proves the star reduction loses no
-    * cluster: same node set (a doc has a candidate partner iff it sits
-    * in a bucket of size ≥ 2), same components, same min-id labels.
+  /** qd23: duplicate clusters over the STAR edge list — since r15 this
+    * IS [[dupClusters]] (qd6): the default chain builds from qd22's
+    * O(Σm) edges, so the two registrations share one cached CC build.
+    * The oracle is LITERALLY qd6's (clique-edge recursive closure in
+    * DuckDB), so the correctness gate itself proves the star reduction
+    * loses no cluster: same node set (a doc has a candidate partner iff
+    * it sits in a bucket of size ≥ 2), same components, same min-id
+    * labels.
     */
   def starClusters(spark: SparkSession, sfDir: String, maxIter: Int = 20): DataFrame =
-    graft.util.StageCache.cached(spark, sfDir, s"starlabels_$maxIter") {
-      val e = lshStarEdges(spark, sfDir).select("doc_a", "doc_b")
-      ccFrom(e.unionByName(
-        e.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))), maxIter)
-    }
+    dupClusters(spark, sfDir, maxIter)
 
   /** qd9: incremental dedup — a new shard checked against the existing
     * corpus, the shape a production ingest actually runs (the full
@@ -160,13 +208,18 @@ object Dedup {
     * corpus meetings survive, never corpus × corpus — so the shuffle is
     * O(increment bands) against a persisted (ideally bucketed) corpus
     * band table, and re-running yesterday's corpus is never paid again.
+    * `incMod` picks the deterministic split (the zipf gate uses 2: the
+    * committed corpus's planted pairs are (…8, …9) ids, never ≡0 mod 5,
+    * so the default split would structurally find nothing there).
     */
   def incrementalDedup(spark: SparkSession, sfDir: String,
-                       nPerm: Int = 16, bandRows: Int = 4): DataFrame = {
+                       nPerm: Int = 16, bandRows: Int = 4,
+                       incMod: Long = 5L): DataFrame = {
+    require(incMod >= 2, s"incMod=$incMod: incMod=1 would make EVERY doc the increment")
     val bands = bandSignatures(spark, sfDir, nPerm, bandRows)
-    val inc = bands.filter(col("doc_id") % 5 === 0)
+    val inc = bands.filter(col("doc_id") % incMod === 0)
       .select(col("doc_id").as("doc_new"), col("band"), col("sig"))
-    val corp = bands.filter(col("doc_id") % 5 =!= 0)
+    val corp = bands.filter(col("doc_id") % incMod =!= 0)
       .select(col("doc_id").as("doc_old"), col("band"), col("sig"))
     inc.join(corp, Seq("band", "sig"))
       .groupBy("doc_new", "doc_old").agg(count(lit(1)).as("n_bands"))
@@ -304,16 +357,26 @@ object Dedup {
   }
 
   /** qd6: duplicate-cluster resolution — connected components over the
-    * MinHash-LSH candidate graph via iterative min-label propagation
-    * with pointer doubling: each round a node takes the min of its own
+    * LSH candidate graph via iterative min-label propagation with
+    * pointer doubling: each round a node takes the min of its own
     * label, its neighbours' labels, AND its label's label (path
     * shortcutting), so convergence is O(log diameter) rounds instead of
     * O(diameter). Each round is one materializing job (localCheckpoint)
     * plus a cheap count on the materialized result. The scalable
     * alternative to driver-side union-find.
+    *
+    * Edge source (r15): qd22's STAR edges — O(Σm) per-bucket edges to
+    * the min-doc_id hub, with transitive closure identical to qd2's
+    * clique pairs — so one hot boilerplate bucket can no longer kill
+    * the default dedup chain (qd6/qd7/qd16/qd17, qc1's funnel) with a
+    * Σ m(m−1)/2 self-join. qd23 registers the same frame under its
+    * star-path name; its oracle (qd6's clique closure in DuckDB)
+    * re-proves label equality every round.
     */
-  /** Symmetric (doc_a → doc_b) edge list of the LSH candidate graph —
-    * shared by qd6's connected components and qd14's PageRank.
+  /** Symmetric (doc_a → doc_b) edge list of the CLIQUE candidate-pair
+    * graph — qd14's PageRank (and through it qd16's rank column) is
+    * defined over the pair graph, so it keeps the clique form; the
+    * cluster-label chain itself rides [[clusterEdges]].
     */
   private[graft] def symEdges(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = minhashLsh(spark, sfDir).select("doc_a", "doc_b")
@@ -323,12 +386,24 @@ object Dedup {
     }
   }
 
+  /** Symmetrized star edges — the default cluster chain's edge source.
+    * Star edges are already distinct (one (hub, member) row per pair,
+    * hub < member), so symmetrization is a union with the flipped
+    * projection, no dedup exchange.
+    */
+  private[graft] def clusterEdges(spark: SparkSession, sfDir: String): DataFrame =
+    graft.util.StageCache.cached(spark, sfDir, "staredges_sym") {
+      val e = lshStarEdges(spark, sfDir).select("doc_a", "doc_b")
+      e.unionByName(e.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    }
+
   def dupClusters(spark: SparkSession, sfDir: String, maxIter: Int = 20): DataFrame =
-    // session-cached: qd6, qd7 and any other label consumer otherwise
-    // re-drive the whole multi-job CC loop (its iterations run eagerly
-    // at build time — the loop cannot hide behind a lazy plan)
+    // session-cached: qd6, qd7, qd23 and any other label consumer
+    // otherwise re-drive the whole multi-job CC loop (its iterations
+    // run eagerly at build time — the loop cannot hide behind a lazy
+    // plan)
     graft.util.StageCache.cached(spark, sfDir, s"cclabels_$maxIter") {
-      ccFrom(symEdges(spark, sfDir), maxIter)
+      ccFrom(clusterEdges(spark, sfDir), maxIter)
     }
 
   /** qd14: PageRank over the LSH candidate graph — centrality of each
@@ -409,6 +484,16 @@ object Dedup {
       labels = next.select("doc_id", "cluster_id")
       iter += 1
     }
+    // Convergence is PROVEN (a round that changed nothing), never
+    // assumed: pointer doubling covers component diameters to ~2^maxIter,
+    // so today's corpora converge long before 20 rounds — but a
+    // pathological chain-shaped component at web scale would otherwise
+    // return partially-propagated (WRONG) labels with no signal.
+    require(converged,
+      s"ccFrom: min-label propagation did not converge within maxIter=$maxIter " +
+        "pointer-doubling rounds — a component's diameter exceeds ~2^maxIter " +
+        "and the labels are still moving. Raise maxIter; returning here " +
+        "would silently mislabel the largest clusters.")
     labels
   }
 

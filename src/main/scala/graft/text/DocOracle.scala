@@ -1142,9 +1142,14 @@ FROM documents d LEFT JOIN ts t USING (doc_id) LEFT JOIN gs g USING (doc_id)"""
 SELECT doc_id, lang, reason, (reason = 'pass') AS keep FROM rs"""
 
   /** Mirrors Dedup.incrementalDedup — qd2's band build with the
-    * one-sided increment(×5=0) vs corpus join.
+    * one-sided increment(×incMod=0) vs corpus join. incMod=5 is the
+    * sf registration; the zipf gate (qz11) uses incMod=2 because the
+    * committed corpus's planted near-dup pairs are (…8, …9) ids —
+    * never ≡0 (mod 5) — so a %5 split structurally yields zero rows
+    * there and would gate nothing.
     */
-  def qd9(nPerm: Int = 16, bandRows: Int = 4): String = toksCte + shinglesCte(3, "sh3") + s"""
+  def qd9(nPerm: Int = 16, bandRows: Int = 4, incMod: Int = 5): String =
+    toksCte + shinglesCte(3, "sh3") + s"""
 , shd AS (SELECT DISTINCT doc_id, sh, ${h("sh")} AS bh FROM sh3),
 ${minhCte(nPerm).stripPrefix("\n")}, bands AS MATERIALIZED (
   SELECT doc_id, CAST(floor(j / $bandRows) AS BIGINT) AS band,
@@ -1153,7 +1158,7 @@ ${minhCte(nPerm).stripPrefix("\n")}, bands AS MATERIALIZED (
 )
 SELECT a.doc_id AS doc_new, b.doc_id AS doc_old, count(*) AS n_bands
 FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
-WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+WHERE a.doc_id % $incMod = 0 AND b.doc_id % $incMod <> 0
 GROUP BY a.doc_id, b.doc_id"""
 
   /** Mirrors Dedup.bloomIncrementalDedup's EXACT semantics — the Bloom

@@ -32,6 +32,14 @@ object StageCache {
     }
   }
 
+  /** Test probe: has this stage been built in this session? Lets specs
+    * assert NEGATIVE structure — e.g. that the default cluster chain
+    * never builds the clique pair stage — which a plan string cannot
+    * show once stages checkpoint to LogicalRDDs.
+    */
+  private[graft] def contains(spark: SparkSession, sfDir: String, name: String): Boolean =
+    cache.containsKey((spark, sfDir, name))
+
   def cached(spark: SparkSession, sfDir: String, name: String)
             (build: => DataFrame): DataFrame = {
     sweepStopped()

@@ -750,7 +750,17 @@ object Similarity {
     * matching post-build audit (share/skew per cell).
     */
   def semanticDedup(spark: SparkSession, sfDir: String, nCells: Int = 16,
-                    thr: Double = 0.3, maxCell: Long = 1L << 20): DataFrame = {
+                    thr: Double = 0.3, maxCell: Long = 1L << 20): DataFrame =
+    // session-cached (qd6/qd14's discipline): the hot-cell guard is an
+    // eager Spark action at builder time, so without the cache EVERY
+    // caller — including one that only wants the plan — pays the guard
+    // job; with it the guard (and the build) run once per session
+    graft.util.StageCache.cached(spark, sfDir, s"semdedup_${nCells}_${thr}_$maxCell") {
+      semanticDedupBuild(spark, sfDir, nCells, thr, maxCell)
+    }
+
+  private def semanticDedupBuild(spark: SparkSession, sfDir: String, nCells: Int,
+                                 thr: Double, maxCell: Long): DataFrame = {
     require(maxCell >= 1, s"maxCell=$maxCell")
     val e = vecs(spark, sfDir)
     val assign = cellAssignment(spark, sfDir, nCells)

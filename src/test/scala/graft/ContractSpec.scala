@@ -55,7 +55,7 @@ class ContractSpec extends AnyFunSuite {
       .sortBy(-_.length).take(2)
       .mkString(""","errors":[""", ",", s"""],"nerr":${keys.size}""")
     val worstLine =
-      s"""{"metric":"total","value":9999.9,"unit":"sec","queries":$worstQueries,"more":${keys.size},"runs":[999,999,999]$worstErrs,"sf":"sf0.001"}"""
+      s"""{"metric":"total","value":9999.9,"unit":"sec","queries":$worstQueries,"more":${keys.size},"runs":[999,999,999],"calib":999$worstErrs,"sf":"sf0.001"}"""
     // budget is NOT the full 2000: sbt's trailing "[success] Total
     // time: ..." line (~80 B) lands in the same last-2000-bytes driver
     // capture AFTER the JSON line, so the line itself must leave room

@@ -513,6 +513,27 @@ class PlanSpec extends SparkSuite {
       p.take(900))
   }
 
+  test("qd6 default edge source: star hub reduction both union arms, no band self-join") {
+    // the default cluster chain's edge builder (clusterEdges ∘
+    // lshStarEdgesFrom, gated uncached — the registered qd6 checkpoints
+    // its stages to LogicalRDDs): every path from the band table to an
+    // edge must pass through the map-side-combined hub aggregate; the
+    // clique's bands⋈bands self-join has no aggregate between scan and
+    // join. DedupStarSpec adds the behavioral half: building qd6 and
+    // qc1's funnel on a fresh corpus never instantiates the clique
+    // pair stage at all.
+    val bands = spark.read.parquet(s"$Sf01/documents.parquet")
+      .select(col("doc_id"), (col("doc_id") % 7).as("band"), (col("n_chars") % 13).as("sig"))
+    val e = graft.text.Dedup.lshStarEdgesFrom(bands).select("doc_a", "doc_b")
+    val p = plan(e.unionByName(
+      e.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))))
+    assert(p.contains("partial_min") && p.contains("partial_count"),
+      s"hub aggregate lost its map-side combine:\n${p.take(900)}")
+    assert(p.contains("Union"), p.take(900))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      p.take(900))
+  }
+
   test("qc5 chunk->index: one md5 exchange, no cartesian, shuffle-free chunk stage") {
     val p = plan(graft.text.TextOps.chunkIndex(spark, Sf01))
     // dedup is the chunk_md5 window's exchange; the chunk projection

@@ -1215,11 +1215,16 @@ class StreamingSpec extends SparkSuite {
       assert(withHot === midOnly,
         "an over-cap term must contribute NOTHING (refused, not scored)")
     } finally q.stop()
-    // the ROW-form twin honors the same ceiling: the hot term's qid
-    // emits nothing, the admissible term's qid scores
+    // the ROW-form twin honors the same ceiling BY DEFAULT (r15: both
+    // lexical serving entry points default to the guarded share — a
+    // user reaching for the BM25-only stream no longer falls into the
+    // unvalved shape): the hot term's qid emits nothing, the admissible
+    // term's qid scores
+    assert(share === Similarity.Bm25FallbackMaxDfShare,
+      "this test anchors the DEFAULT guarded share")
     val mem2 = MemoryStream[QT]
     val q2 = ScoreStream.bm25ScoreStream(spark, path, mem2.toDF(),
-      windowDur = "1 day", fallbackMaxDfShare = share)
+      windowDur = "1 day")
       .writeStream.outputMode("append").format("memory").queryName("bm25ref").start()
     try {
       mem2.addData(QT(t0, 900001L, Array(hot)), QT(t0, 900002L, Array(mid)))
@@ -1300,7 +1305,12 @@ class StreamingSpec extends SparkSuite {
     val path = java.nio.file.Files.createTempDirectory("graft-bm25").toString
     ModelStore.saveBm25Index(spark, Sf001, path)
     val qterms = Similarity.hybridQueryTerms(spark, Sf001)
-    val want = Similarity.bm25ScoreOf(Similarity.bm25Postings(spark, Sf001), qterms)
+    // the stream's GUARDED default ceiling, mirrored on the batch side:
+    // parity is vs the df-ceilinged postings the stream actually serves
+    val want = Similarity.bm25ScoreOf(
+      Similarity.bm25Postings(spark, Sf001).filter(col("df") <=
+        ModelStore.packedDfCeiling(Similarity.Bm25FallbackMaxDfShare)),
+      qterms)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(want.nonEmpty)
     val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
