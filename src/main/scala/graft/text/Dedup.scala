@@ -564,6 +564,16 @@ object Dedup {
           (col("sza") + col("szb") - coalesce(col("inter"), lit(0L)))).as("exact_jaccard"))
   }
 
+  /** qd4's default hot-block cap — same discipline as [[LshMaxBucket]]:
+    * a (lang, n_chars/20) block of m same-length documents (a
+    * boilerplate/template cluster — near-dups often share their exact
+    * length) cliques into m(m−1)/2 candidate pairs, each paying an
+    * exact array intersection. The ±1 block widening bounds the blast
+    * radius at 3 adjacent blocks, so capping single-block size bounds
+    * any pair product at ~3·maxBlock²/2.
+    */
+  val NgramMaxBlock: Long = 10000L
+
   /** qd4: 3-gram Jaccard similarity over blocked candidate pairs
     * (block = (lang, n_chars/20), widened to the neighbouring blocks so
     * a near-dup pair straddling a 20-char boundary is not missed).
@@ -572,11 +582,17 @@ object Dedup {
     * blk-1, blk, blk+1 (a 3× explode of a 3-column projection) and the
     * build side keeps its single blk, so each qualifying pair meets on
     * exactly one key — no theta-join, no post-hoc distinct.
+    *
+    * Guarded by `maxBlock` (see [[NgramMaxBlock]]): one tiny agg over
+    * the block projection fails LOUDLY on a hot block before the
+    * within-block clique join can run away — qd2/qd11's up-front
+    * refusal pattern. Long.MaxValue disables.
     */
-  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame =
+  def ngramJaccard(spark: SparkSession, sfDir: String,
+                   maxBlock: Long = NgramMaxBlock): DataFrame =
     ngramJaccardFromArr(
       Tables.documents(spark, sfDir),
-      shArr60(spark, sfDir, 3))
+      shArr60(spark, sfDir, 3), maxBlock)
 
   /** Distinct (doc_id, 60-bit shingle hash) — session-cached: qd4's
     * packed arrays and qd18's rare-shingle postings both start here.
@@ -602,17 +618,34 @@ object Dedup {
     * shingleRows: doc_id/sh) — separated so specs can drive synthetic
     * corpora through the exact operator plan.
     */
-  private[graft] def ngramJaccardFrom(docsIn: DataFrame, shingleRows: DataFrame): DataFrame =
+  private[graft] def ngramJaccardFrom(docsIn: DataFrame, shingleRows: DataFrame,
+                                      maxBlock: Long = NgramMaxBlock): DataFrame =
     ngramJaccardFromArr(docsIn,
       shingleRows.select(col("doc_id"), strHash60(col("sh")).as("shh")).distinct()
         .groupBy("doc_id")
         .agg(sort_array(collect_list("shh")).as("shs"), count(lit(1)).as("sz"))
-        .localCheckpoint(eager = false))
+        .localCheckpoint(eager = false), maxBlock)
 
-  private def ngramJaccardFromArr(docsIn: DataFrame, shArr: DataFrame): DataFrame = {
+  private def ngramJaccardFromArr(docsIn: DataFrame, shArr: DataFrame,
+                                  maxBlock: Long = NgramMaxBlock): DataFrame = {
+    require(maxBlock >= 1, s"maxBlock=$maxBlock")
     graft.functions.VectorExprs.register(shArr.sparkSession)
     val docs = docsIn
       .select(col("doc_id"), col("lang"), floor(col("n_chars") / 20).as("blk"))
+    if (maxBlock != Long.MaxValue) {
+      val hot = docs.groupBy("lang", "blk").agg(count(lit(1)).as("m"))
+        .filter(col("m") > maxBlock)
+        .orderBy(col("m").desc).limit(1).collect()
+      require(hot.isEmpty, {
+        val r = hot.head
+        s"ngramJaccard: hot (lang, blk) block (lang=${r.get(0)}, blk=${r.get(1)}) " +
+          s"holds ${r.getLong(2)} same-length documents (> maxBlock=$maxBlock); " +
+          "the within-block pair join would emit ~m²/2 candidates, each " +
+          "paying an exact array intersection. Narrow the blocking " +
+          "(smaller char bucket), mine containment via rare-shingle " +
+          "postings (qd18) instead, or pass a higher maxBlock explicitly."
+      })
+    }
     val probes = docs
       .withColumn("blk", explode(array(col("blk") - 1, col("blk"), col("blk") + 1)))
     val cand = docs.select(col("doc_id").as("doc_a"), col("lang"), col("blk"))

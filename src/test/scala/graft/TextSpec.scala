@@ -111,6 +111,26 @@ class TextSpec extends SparkSuite {
     assert(math.abs(r.getDouble(2) - 0.75) < 1e-9, "3 shared / 4 union")
   }
 
+  test("qd4 fails loudly on a hot same-length block, naming the remedies") {
+    import spark.implicits._
+    // 12 docs of identical length land in ONE (lang, blk) block — the
+    // boilerplate-cluster shape whose within-block pair join goes
+    // quadratic; two other-length docs stay admissible
+    val docs = ((1L to 12L).map(i => (i, "en", 40L)) ++
+      Seq((100L, "en", 400L), (101L, "en", 500L))).toDF("doc_id", "lang", "n_chars")
+    val shingleRows = docs.select(col("doc_id"), lit("a b c").as("sh"))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.ngramJaccardFrom(docs, shingleRows, maxBlock = 10L)
+    }
+    assert(e.getMessage.contains("hot (lang, blk) block"))
+    assert(e.getMessage.contains("maxBlock=10"))
+    assert(e.getMessage.contains("12 same-length documents"))
+    assert(e.getMessage.contains("qd18"), "the containment remedy must be named")
+    // boundary admission: m == maxBlock passes, and the full clique of
+    // the block (all docs share the one shingle) comes out
+    assert(Dedup.ngramJaccardFrom(docs, shingleRows, maxBlock = 12L).count() >= 12L * 11 / 2)
+  }
+
   test("token counts consistent with text") {
     val t = TextOps.tokenCount(spark, Sf001).cache()
     assert(t.filter(col("n_ws") <= 0).count() === 0)
