@@ -35,13 +35,23 @@ object SparkEntry {
   private def onZipf(sql: String): String = {
     val cte = s"documents AS (SELECT * FROM read_parquet('$ZipfDir/documents.parquet')), " +
       s"embeddings AS (SELECT * FROM read_parquet('$ZipfDir/embeddings.parquet'))"
-    val t = sql.trim
     // RECURSIVE must stay glued to WITH (DuckDB, like Postgres, allows
-    // it only there; non-recursive CTEs are fine under it)
-    if (t.regionMatches(true, 0, "WITH RECURSIVE", 0, 14))
-      s"WITH RECURSIVE $cte, ${t.drop(14).trim}"
-    else if (t.regionMatches(true, 0, "WITH", 0, 4)) s"WITH $cte, ${t.drop(4).trim}"
-    else s"WITH $cte $t"
+    // it only there; non-recursive CTEs are fine under it). Keywords
+    // are matched at a WHITESPACE word boundary so a CTE named e.g.
+    // "recursive_x" (or "withx") can never be mis-split, and any
+    // whitespace (space/newline) after the keyword is accepted.
+    def eatKeyword(s: String, kw: String): Option[String] =
+      if (s.length > kw.length && s.regionMatches(true, 0, kw, 0, kw.length) &&
+          s.charAt(kw.length).isWhitespace) Some(s.drop(kw.length).trim)
+      else None
+    val t = sql.trim
+    eatKeyword(t, "WITH") match {
+      case Some(rest) => eatKeyword(rest, "RECURSIVE") match {
+        case Some(body) => s"WITH RECURSIVE $cte, $body"
+        case None => s"WITH $cte, $rest"
+      }
+      case None => s"WITH $cte $t"
+    }
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -48,18 +48,20 @@ object Dedup {
     * 4 bands × 4 rows; pairs share ≥1 band. Shuffles only
     * (band, signature) tuples.
     *
-    * This is the PAIR-form candidate graph — what qd4/qd8/qd13's
-    * per-pair audits and qd14's PageRank need. Connectivity consumers
-    * (qd6/qd7/qd16/qd17, qc1's funnel) ride [[lshStarEdges]] instead.
-    * The build is guarded by `maxBucket` (see [[LshMaxBucket]]): a hot
-    * bucket fails LOUDLY up front — one tiny agg over the cached band
-    * table — instead of dying quadratically mid-join. The guard runs
-    * once per session (the result is stage-cached under
-    * (nPerm, bandRows)); pass `Long.MaxValue` to disable it.
+    * This is the PAIR-form candidate graph — what qd8/qd13's per-pair
+    * audits and qd14's PageRank (and through its rank column, qd16)
+    * need. The cluster-LABEL chain (qd6/qd7/qd17, qc1's funnel, and
+    * qd16's labels) rides [[lshStarEdges]] instead. The build is
+    * guarded by `maxBucket` (see [[LshMaxBucket]]): a hot bucket fails
+    * LOUDLY up front — one tiny agg over the cached band table —
+    * instead of dying quadratically mid-join. maxBucket is part of the
+    * cache key, so a permissive first caller can never hand a later
+    * guarded caller an unguarded cached frame (or vice versa); pass
+    * `Long.MaxValue` to disable the guard.
     */
   def minhashLsh(spark: SparkSession, sfDir: String, nPerm: Int = 16, bandRows: Int = 4,
                  maxBucket: Long = LshMaxBucket): DataFrame =
-    graft.util.StageCache.cached(spark, sfDir, s"lshpairs_${nPerm}_$bandRows") {
+    graft.util.StageCache.cached(spark, sfDir, s"lshpairs_${nPerm}_${bandRows}_$maxBucket") {
       minhashLshFrom(bandSignatures(spark, sfDir, nPerm, bandRows), maxBucket)
     }
 
@@ -151,10 +153,12 @@ object Dedup {
     * edges and is oracle-gated to bit-match qd6's labels.
     *
     * Since r15 this IS the edge source of the default cluster chain:
-    * [[dupClusters]] (qd6) builds from these edges, so qd7/qd16/qd17
-    * and qc1's funnel ride the O(Σm) path by default; qd23's oracle
-    * (literally qd6's clique closure) keeps proving the reduction
-    * loses no cluster every round.
+    * [[dupClusters]] (qd6) builds from these edges, so qd7/qd17,
+    * qc1's funnel, and qd16's cluster labels ride the O(Σm) path by
+    * default (qd16's PageRank rank column alone still rides the
+    * guarded clique — pair-graph centrality is qd14's semantics);
+    * qd23's oracle (literally qd6's clique closure) keeps proving the
+    * reduction loses no cluster every round.
     *
     * Plan shape: the session-cached band table aggregates to one hub
     * row per bucket (map-side combinable min+count on the (band, sig)
@@ -368,10 +372,13 @@ object Dedup {
     * Edge source (r15): qd22's STAR edges — O(Σm) per-bucket edges to
     * the min-doc_id hub, with transitive closure identical to qd2's
     * clique pairs — so one hot boilerplate bucket can no longer kill
-    * the default dedup chain (qd6/qd7/qd16/qd17, qc1's funnel) with a
-    * Σ m(m−1)/2 self-join. qd23 registers the same frame under its
-    * star-path name; its oracle (qd6's clique closure in DuckDB)
-    * re-proves label equality every round.
+    * the LABEL chain (qd6/qd7/qd17, qc1's funnel, qd16's cluster
+    * column) with a Σ m(m−1)/2 self-join. qd16's PageRank RANK column
+    * is the one label-chain input still defined over the pair graph
+    * (qd14's semantics) — it keeps the clique build, behind
+    * [[minhashLsh]]'s hot-bucket guard. qd23 registers the same frame
+    * under its star-path name; its oracle (qd6's clique closure in
+    * DuckDB) re-proves label equality every round.
     */
   /** Symmetric (doc_a → doc_b) edge list of the CLIQUE candidate-pair
     * graph — qd14's PageRank (and through it qd16's rank column) is
@@ -586,13 +593,40 @@ object Dedup {
     * Guarded by `maxBlock` (see [[NgramMaxBlock]]): one tiny agg over
     * the block projection fails LOUDLY on a hot block before the
     * within-block clique join can run away — qd2/qd11's up-front
-    * refusal pattern. Long.MaxValue disables.
+    * refusal pattern. The block-stats frame is session-cached, so
+    * repeated calls (or plan-only consumers) re-read a materialized
+    * |blocks|-row stage instead of re-scanning the corpus per call.
+    * Long.MaxValue disables.
     */
   def ngramJaccard(spark: SparkSession, sfDir: String,
-                   maxBlock: Long = NgramMaxBlock): DataFrame =
-    ngramJaccardFromArr(
-      Tables.documents(spark, sfDir),
-      shArr60(spark, sfDir, 3), maxBlock)
+                   maxBlock: Long = NgramMaxBlock): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    if (maxBlock != Long.MaxValue)
+      requireNoHotBlock(
+        graft.util.StageCache.cached(spark, sfDir, "qd4blocks") {
+          blockStats(docs)
+        }, maxBlock)
+    ngramJaccardFromArr(docs, shArr60(spark, sfDir, 3))
+  }
+
+  private def blockStats(docsIn: DataFrame): DataFrame =
+    docsIn.select(col("doc_id"), col("lang"), floor(col("n_chars") / 20).as("blk"))
+      .groupBy("lang", "blk").agg(count(lit(1)).as("m"))
+
+  private def requireNoHotBlock(stats: DataFrame, maxBlock: Long): Unit = {
+    require(maxBlock >= 1, s"maxBlock=$maxBlock")
+    val hot = stats.filter(col("m") > maxBlock)
+      .orderBy(col("m").desc).limit(1).collect()
+    require(hot.isEmpty, {
+      val r = hot.head
+      s"ngramJaccard: hot (lang, blk) block (lang=${r.get(0)}, blk=${r.get(1)}) " +
+        s"holds ${r.getLong(2)} same-length documents (> maxBlock=$maxBlock); " +
+        "the within-block pair join would emit ~m²/2 candidates, each " +
+        "paying an exact array intersection. Narrow the blocking " +
+        "(smaller char bucket), mine containment via rare-shingle " +
+        "postings (qd18) instead, or pass a higher maxBlock explicitly."
+    })
+  }
 
   /** Distinct (doc_id, 60-bit shingle hash) — session-cached: qd4's
     * packed arrays and qd18's rare-shingle postings both start here.
@@ -619,33 +653,19 @@ object Dedup {
     * corpora through the exact operator plan.
     */
   private[graft] def ngramJaccardFrom(docsIn: DataFrame, shingleRows: DataFrame,
-                                      maxBlock: Long = NgramMaxBlock): DataFrame =
+                                      maxBlock: Long = NgramMaxBlock): DataFrame = {
+    if (maxBlock != Long.MaxValue) requireNoHotBlock(blockStats(docsIn), maxBlock)
     ngramJaccardFromArr(docsIn,
       shingleRows.select(col("doc_id"), strHash60(col("sh")).as("shh")).distinct()
         .groupBy("doc_id")
         .agg(sort_array(collect_list("shh")).as("shs"), count(lit(1)).as("sz"))
-        .localCheckpoint(eager = false), maxBlock)
+        .localCheckpoint(eager = false))
+  }
 
-  private def ngramJaccardFromArr(docsIn: DataFrame, shArr: DataFrame,
-                                  maxBlock: Long = NgramMaxBlock): DataFrame = {
-    require(maxBlock >= 1, s"maxBlock=$maxBlock")
+  private def ngramJaccardFromArr(docsIn: DataFrame, shArr: DataFrame): DataFrame = {
     graft.functions.VectorExprs.register(shArr.sparkSession)
     val docs = docsIn
       .select(col("doc_id"), col("lang"), floor(col("n_chars") / 20).as("blk"))
-    if (maxBlock != Long.MaxValue) {
-      val hot = docs.groupBy("lang", "blk").agg(count(lit(1)).as("m"))
-        .filter(col("m") > maxBlock)
-        .orderBy(col("m").desc).limit(1).collect()
-      require(hot.isEmpty, {
-        val r = hot.head
-        s"ngramJaccard: hot (lang, blk) block (lang=${r.get(0)}, blk=${r.get(1)}) " +
-          s"holds ${r.getLong(2)} same-length documents (> maxBlock=$maxBlock); " +
-          "the within-block pair join would emit ~m²/2 candidates, each " +
-          "paying an exact array intersection. Narrow the blocking " +
-          "(smaller char bucket), mine containment via rare-shingle " +
-          "postings (qd18) instead, or pass a higher maxBlock explicitly."
-      })
-    }
     val probes = docs
       .withColumn("blk", explode(array(col("blk") - 1, col("blk"), col("blk") + 1)))
     val cand = docs.select(col("doc_id").as("doc_a"), col("lang"), col("blk"))

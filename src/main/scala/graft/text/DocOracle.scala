@@ -1148,7 +1148,11 @@ SELECT doc_id, lang, reason, (reason = 'pass') AS keep FROM rs"""
     * never ≡0 (mod 5) — so a %5 split structurally yields zero rows
     * there and would gate nothing.
     */
-  def qd9(nPerm: Int = 16, bandRows: Int = 4, incMod: Int = 5): String =
+  def qd9(nPerm: Int = 16, bandRows: Int = 4, incMod: Int = 5): String = {
+    // mirror the Spark twin's validation: incMod=1 would make EVERY doc
+    // the increment and the predicate pair always-false — an empty
+    // oracle that could mask a misconfiguration instead of failing
+    require(incMod >= 2, s"incMod=$incMod: incMod=1 would make EVERY doc the increment")
     toksCte + shinglesCte(3, "sh3") + s"""
 , shd AS (SELECT DISTINCT doc_id, sh, ${h("sh")} AS bh FROM sh3),
 ${minhCte(nPerm).stripPrefix("\n")}, bands AS MATERIALIZED (
@@ -1160,6 +1164,7 @@ SELECT a.doc_id AS doc_new, b.doc_id AS doc_old, count(*) AS n_bands
 FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
 WHERE a.doc_id % $incMod = 0 AND b.doc_id % $incMod <> 0
 GROUP BY a.doc_id, b.doc_id"""
+  }
 
   /** Mirrors Dedup.bloomIncrementalDedup's EXACT semantics — the Bloom
     * filter is a pruning device only (false positives removed by the

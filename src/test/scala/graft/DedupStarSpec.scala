@@ -95,7 +95,8 @@ class DedupStarSpec extends SparkSuite {
     assert(funnel.count() >= 1L)
     assert(graft.util.StageCache.contains(spark, dir, "staredges_sym"),
       "the cluster chain must ride the symmetrized star edges")
-    assert(!graft.util.StageCache.contains(spark, dir, "lshpairs_16_4"),
+    assert(!graft.util.StageCache.contains(spark, dir,
+        s"lshpairs_16_4_${Dedup.LshMaxBucket}"),
       "qd2's clique pair stage must NOT be built by the default chain")
     assert(!graft.util.StageCache.contains(spark, dir, "ccedges"),
       "the clique symmetrization must NOT be built by the default chain")
