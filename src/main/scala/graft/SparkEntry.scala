@@ -176,6 +176,11 @@ object SparkEntry {
     // can never separate one, so it would gate a structurally empty set
     "qz11_incremental_dedup" -> ((s, _) => graft.text.Dedup.incrementalDedup(s, ZipfDir,
       incMod = 2L)),
+    // r15: the other two guarded pair-blockers on heavy-tailed text —
+    // qd4's length blocks and qd3's stop-chunk df cap, live on a corpus
+    // whose length/fingerprint distributions actually skew
+    "qz12_ngram_jaccard" -> ((s, _) => graft.text.Dedup.ngramJaccard(s, ZipfDir)),
+    "qz13_simhash" -> ((s, _) => graft.text.Dedup.simhash(s, ZipfDir)),
     "qv19_rank_metrics" -> ((s, d) => graft.vector.Similarity.rankMetrics(s, d)),
     "qv20_dim_sweep" -> ((s, d) => graft.vector.Similarity.dimSweep(s, d)),
     "qv21_index_upsert" -> ((s, d) => graft.vector.Similarity.indexUpsert(s, d)),
@@ -376,6 +381,8 @@ object SparkEntry {
     // itself proves the star reduction loses no cluster
     "qz10_star_clusters" -> onZipf(graft.text.DocOracle.qd6()),
     "qz11_incremental_dedup" -> onZipf(graft.text.DocOracle.qd9(incMod = 2)),
+    "qz12_ngram_jaccard" -> onZipf(graft.text.DocOracle.qd4),
+    "qz13_simhash" -> onZipf(graft.text.DocOracle.qd3()),
     "qv19_rank_metrics" -> graft.text.DocOracle.qv19(),
     "qv20_dim_sweep" -> graft.text.DocOracle.qv20(),
     "qv21_index_upsert" -> graft.text.DocOracle.qv21(),
