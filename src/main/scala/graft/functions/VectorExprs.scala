@@ -482,44 +482,44 @@ object VectorExprs {
   val MinDist2Info = new ExpressionInfo(classOf[MinDist2].getName, "graft_min_dist2")
   val ArgMinDist2Info = new ExpressionInfo(classOf[ArgMinDist2].getName, "graft_argmin_dist2")
 
+  /** The full kernel set, name → builder — one list so registration
+    * can never drift from the set of names operators resolve.
+    * graft_bloom_agg / graft_might_contain expose Spark's own
+    * runtime-filter bloom expressions as addressable SQL functions:
+    * bloom_agg(xxhash64(key), nItems, nBits) builds the
+    * merge-combinable sketch; might_contain(bloom, xxhash64(key)) is
+    * the no-false-negative probe — the same machinery Catalyst injects
+    * for InjectRuntimeFilter, here explicit for bloom-prefiltered
+    * operators (Dedup.bloomIncrementalDedup).
+    */
+  private val Registrations: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_dot" -> (exprs => DotProduct(exprs(0), exprs(1))),
+    "graft_l2" -> (exprs => L2Dist2(exprs(0), exprs(1))),
+    "graft_min_dist2" -> (exprs => MinDist2(exprs(0), exprs(1))),
+    "graft_argmin_dist2" -> (exprs => ArgMinDist2(exprs(0), exprs(1))),
+    "graft_sorted_inter" -> (exprs => SortedInterCount(exprs(0), exprs(1))),
+    "graft_knn" -> (exprs => KnnDist(exprs)),
+    "graft_bloom_agg" ->
+      (exprs => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        exprs(0), exprs(1), exprs(2))),
+    "graft_might_contain" ->
+      (exprs => org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        exprs(0), exprs(1))))
+
   /** Idempotent per-session registration; use `expr("graft_dot(a, b)")`. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    // Idempotent per session: every operator that uses a graft_* kernel
-    // calls register() defensively, and re-registering logs a WARN
-    // ("replaced a previously registered function") PER FUNCTION PER
-    // CALL — hundreds of lines burying real warnings in the bench /
-    // verify log tails. The registration set is static, so one marker
-    // function existing means they all do.
-    if (reg.functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"))) return
-    reg.createOrReplaceTempFunction(
-      "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
-    reg.createOrReplaceTempFunction(
-      "graft_l2", exprs => L2Dist2(exprs(0), exprs(1)), "scala_udf")
-    reg.createOrReplaceTempFunction(
-      "graft_min_dist2", exprs => MinDist2(exprs(0), exprs(1)), "scala_udf")
-    reg.createOrReplaceTempFunction(
-      "graft_argmin_dist2", exprs => ArgMinDist2(exprs(0), exprs(1)), "scala_udf")
-    reg.createOrReplaceTempFunction(
-      "graft_sorted_inter", exprs => SortedInterCount(exprs(0), exprs(1)), "scala_udf")
-    reg.createOrReplaceTempFunction(
-      "graft_knn", exprs => KnnDist(exprs), "scala_udf")
-    // Spark's own runtime-filter bloom expressions, exposed as SQL
-    // functions: bloom_agg(xxhash64(key), nItems, nBits) builds the
-    // merge-combinable sketch; might_contain(bloom, xxhash64(key)) is
-    // the no-false-negative probe. Same machinery Catalyst injects for
-    // InjectRuntimeFilter — here addressable for explicit
-    // bloom-prefiltered operators (Dedup.bloomIncrementalDedup).
-    reg.createOrReplaceTempFunction(
-      "graft_bloom_agg",
-      exprs => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
-        exprs(0), exprs(1), exprs(2)),
-      "scala_udf")
-    reg.createOrReplaceTempFunction(
-      "graft_might_contain",
-      exprs => org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-        exprs(0), exprs(1)),
-      "scala_udf")
+    // Idempotent PER NAME (not via a single marker function): every
+    // operator that uses a graft_* kernel calls register() defensively,
+    // and blind re-registration logs a WARN ("replaced a previously
+    // registered function") per function per call — hundreds of lines
+    // burying real warnings in the bench / verify log tails. Probing
+    // each name individually means a session where one name already
+    // exists (user-registered, or set drift across versions) still gets
+    // every MISSING kernel registered instead of silently none.
+    Registrations.foreach { case (name, builder) =>
+      if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
   }
 }

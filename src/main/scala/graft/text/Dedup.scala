@@ -123,7 +123,7 @@ object Dedup {
         .orderBy(col("m").desc).limit(1).collect()
       require(hot.isEmpty, {
         val r = hot.head
-        s"minhashLsh: hot (band, sig) bucket (band=${r.get(0)}) holds " +
+        s"minhashLsh: hot (band, sig) bucket (band=${r.get(0)}, sig=${r.get(1)}) holds " +
           s"${r.getLong(2)} co-signed documents (> maxBucket=$maxBucket); " +
           "the within-bucket clique join would emit ~m²/2 pairs in one " +
           "task group. Raise nPerm/bandRows so buckets split, use the " +
@@ -199,6 +199,11 @@ object Dedup {
     * loses no cluster: same node set (a doc has a candidate partner iff
     * it sits in a bucket of size ≥ 2), same components, same min-id
     * labels.
+    *
+    * `maxIter` contract (r15, see [[ccFrom]]): if the propagation has
+    * not PROVABLY converged — a round that changes nothing — within
+    * `maxIter` rounds, the call throws IllegalArgumentException rather
+    * than returning partially-propagated labels.
     */
   def starClusters(spark: SparkSession, sfDir: String, maxIter: Int = 20): DataFrame =
     dupClusters(spark, sfDir, maxIter)
@@ -404,6 +409,11 @@ object Dedup {
       e.unionByName(e.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
     }
 
+  /** qd6 cluster labels. `maxIter` contract: throws (never returns
+    * partial labels) unless a proven no-change round lands within
+    * `maxIter` — see [[ccFrom]]; raise `maxIter` for graphs of larger
+    * log-diameter.
+    */
   def dupClusters(spark: SparkSession, sfDir: String, maxIter: Int = 20): DataFrame =
     // session-cached: qd6, qd7, qd23 and any other label consumer
     // otherwise re-drive the whole multi-job CC loop (its iterations

@@ -38,9 +38,47 @@ object Similarity {
   private def qFilter: Column =
     col("vec_id") % 100 === 0 && col("vec_id") < lit(100L * MaxQueries)
 
-  /** qd5: embedding-cosine near-duplicate pairs, blocked by label. */
-  def embedNearDup(spark: SparkSession, sfDir: String, thr: Double = 0.25): DataFrame = {
+  /** Hot-label cap for [[embedNearDup]]'s blocked self-join — the
+    * qd2/qd4/qd11 sizing rule: 10⁴² = 10⁸ pairs is the largest
+    * within-block clique one task group absorbs in minutes, and at
+    * 100 TB a majority-class label (the NORM for labeled corpora) would
+    * otherwise go quadratic silently.
+    */
+  val EmbedMaxLabel: Long = 10000L
+
+  /** qd5: embedding-cosine near-duplicate pairs, blocked by label.
+    *
+    * Hot-label guard (qd11's refusal pattern): the within-label join is
+    * Σ|label|² — one tiny agg over the label counts (|labels| rows,
+    * map-side combined on the join's own key) fails LOUDLY past
+    * `maxLabel` naming the remedies, instead of dying hours into the
+    * self-join. Session-cached so the eager guard action runs once per
+    * (session, dir, thr, maxLabel); `Long.MaxValue` disables the guard
+    * (no guard job, same pairs).
+    */
+  def embedNearDup(spark: SparkSession, sfDir: String, thr: Double = 0.25,
+                   maxLabel: Long = EmbedMaxLabel): DataFrame =
+    graft.util.StageCache.cached(spark, sfDir, s"embedneardup_${thr}_$maxLabel") {
+      embedNearDupBuild(spark, sfDir, thr, maxLabel)
+    }
+
+  private def embedNearDupBuild(spark: SparkSession, sfDir: String, thr: Double,
+                                maxLabel: Long): DataFrame = {
+    require(maxLabel >= 1, s"maxLabel=$maxLabel")
     val e = vecs(spark, sfDir)
+    if (maxLabel != Long.MaxValue) {
+      val hot = e.groupBy("label").agg(count(lit(1)).as("m"))
+        .filter(col("m") > maxLabel)
+        .orderBy(col("m").desc).limit(1).collect()
+      require(hot.isEmpty, {
+        val r = hot.head
+        s"embedNearDup: hot label ${r.get(0)} holds ${r.getLong(1)} vectors " +
+          s"(> maxLabel=$maxLabel); the within-label pairwise join would be " +
+          "quadratic in it. Use the IVF-celled semantic path " +
+          "(semanticDedup, qd11 — cells grow with the collection so " +
+          "blocks stay bounded) or pass a higher maxLabel explicitly."
+      })
+    }
     val a = e.select(col("vec_id").as("vec_a"), col("label"), col("v").as("av"), col("nrm").as("na"))
     val b = e.select(col("vec_id").as("vec_b"), col("label"), col("v").as("bv"), col("nrm").as("nb"))
     a.join(b, Seq("label")).filter(col("vec_a") < col("vec_b"))
@@ -992,6 +1030,14 @@ object Similarity {
     * qt7's exact quantized TF-IDF ranking — shared by hybridSearch and
     * the streaming-parity spec (which replays these terms as the live
     * query stream).
+    *
+    * Default asymmetry note (r15): BATCH entry points (this one,
+    * hybridSearch, hybridSearchIvf) default to the permissive
+    * `fallbackMaxDfShare = 1`; the STREAMING twin
+    * `ScoreStream.bm25ScoreStream` defaults to the GUARDED
+    * [[Bm25FallbackMaxDfShare]] serving ceiling. A batch-vs-stream
+    * comparison must pass the same share on both sides (qv24/qv25 are
+    * the guarded batch registrations; StreamingSpec anchors the pair).
     */
   private[graft] def hybridQueryTerms(spark: SparkSession, sfDir: String,
                                       nTerms: Int = 3,

@@ -571,6 +571,23 @@ class TextSpec extends SparkSuite {
     assert(e.getMessage.contains("maxCell"))
   }
 
+  test("qd5 hot-label guard fails loudly, naming both remedies") {
+    // every sf0.001 label holds ≥2 vectors, so maxLabel=1 makes each
+    // hot by construction — the planted majority-class shape
+    val e = intercept[IllegalArgumentException](
+      Similarity.embedNearDup(spark, Sf001, maxLabel = 1L))
+    assert(e.getMessage.contains("hot label"))
+    assert(e.getMessage.contains("maxLabel=1"))
+    assert(e.getMessage.contains("semanticDedup"), "the IVF-celled scale remedy must be named")
+    // boundary is admission: the biggest sf0.001 label holds 63
+    // vectors, so maxLabel=63 passes and emits the same pairs as the
+    // disabled guard (and the default EmbedMaxLabel=10⁴ registration)
+    val atCap = Similarity.embedNearDup(spark, Sf001, maxLabel = 63L).count()
+    assert(atCap === Similarity.embedNearDup(spark, Sf001, maxLabel = Long.MaxValue).count())
+    assert(atCap === Similarity.embedNearDup(spark, Sf001).count())
+    assert(atCap > 0L)
+  }
+
   test("qt12 vocab coverage == driver recompute over top-32 vocab") {
     def r4(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
     val out = TextOps.vocabCoverage(spark, Sf001).collect()
