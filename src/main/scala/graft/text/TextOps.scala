@@ -641,9 +641,10 @@ object TextOps {
     *
     * Scale shape: pure composition of the session-cached stages the
     * individual operators own (tokens, shingles, CC labels) + one
-    * doc_id join spine, one cluster keeper agg, one per-source running
-    * count, one rollup. Nothing here adds a shuffle the stages didn't
-    * already pay.
+    * doc_id join spine, one cluster keeper agg, one group-limited
+    * per-source cap threshold ([[perSourceCapThreshold]] — r16: no
+    * more full per-source running rank), one rollup. Nothing here adds
+    * a shuffle the stages didn't already pay.
     */
   /** The per-document staged keep flags of the corpus-build funnel —
     * qc1 rolls them up per source, qc3's datasheet describes the final
@@ -659,8 +660,8 @@ object TextOps {
       corpusFlagsBuild(spark, sfDir, cap, evalMod)
     }
 
-  private def corpusFlagsBuild(spark: SparkSession, sfDir: String, cap: Int,
-                               evalMod: Long): DataFrame = {
+  private[graft] def corpusFlagsBuild(spark: SparkSession, sfDir: String, cap: Int,
+                                      evalMod: Long): DataFrame = {
     require(cap >= 1, s"cap=$cap")
     val docs = Tables.documents(spark, sfDir).select("doc_id", "source", "lang", "n_chars")
     val q = qualityFilter(spark, sfDir).select(col("doc_id"), col("keep").as("q_keep"))
@@ -675,13 +676,44 @@ object TextOps {
       .withColumn("c_keep", col("q_keep") && col("clean"))
     val keepers = st.filter(col("c_keep"))
       .groupBy("cluster_id").agg(min("doc_id").as("keeper"))
-    val wCap = Window.partitionBy("source").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, 0)
-    st.join(keepers, Seq("cluster_id"), "left")
+    // two consumers below (the threshold probe and the final
+    // projection) — checkpoint the staged flags once, like datasetCard
+    val flagged = st.join(keepers, Seq("cluster_id"), "left")
       .withColumn("d_keep", col("c_keep") && col("doc_id") === col("keeper"))
-      .withColumn("crank", sum(when(col("d_keep"), 1L).otherwise(0L)).over(wCap))
-      .withColumn("final_keep", col("d_keep") && col("crank") <= cap)
+      .localCheckpoint(eager = false)
+    // per-source cap via threshold selection, NOT a running rank over
+    // each source's full row set (r15 weak #2): the cap smallest kept
+    // doc_ids per source reduce to ONE scalar threshold per source,
+    // then final_keep is a stateless comparison. A source with no kept
+    // docs has no threshold row (left join → null → never final-kept,
+    // and d_keep is false there anyway).
+    val thr = perSourceCapThreshold(flagged.filter(col("d_keep")), cap)
+    flagged.join(broadcast(thr), Seq("source"), "left")
+      .withColumn("final_keep",
+        col("d_keep") && col("doc_id") <= coalesce(col("cap_thr"), lit(Long.MinValue)))
+      .drop("cap_thr")
   }
+
+  /** The per-source cap threshold: the cap-th smallest doc_id per
+    * source (the max kept doc_id when a source holds fewer than cap)
+    * over `kept` rows — qc1's funnel cap and qt21's domain cap both
+    * ride it. The rn<=cap filter sits ADJACENT to the row_number so
+    * Catalyst's InferWindowGroupLimit inserts a PARTIAL
+    * WindowGroupLimit BELOW the exchange: every map task truncates to
+    * ≤cap rows per source before shuffling, so a 100 TB mega-source
+    * (domain skew is the real distribution: a handful of giant crawls)
+    * ships O(cap × tasks) rows into its reducer — never its full
+    * sorted self, which is what the old per-source running rank paid.
+    * Output is |sources| rows, broadcast back for a stateless
+    * `doc_id <= cap_thr` comparison. PlanSpec pins the group-limit
+    * shape.
+    */
+  private[graft] def perSourceCapThreshold(kept: DataFrame, cap: Int): DataFrame =
+    kept.select("source", "doc_id")
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("source").orderBy("doc_id")))
+      .filter(col("rn") <= cap)
+      .groupBy("source").agg(max("doc_id").as("cap_thr"))
 
   def corpusBuild(spark: SparkSession, sfDir: String, cap: Int = 20,
                   evalMod: Long = 50L): DataFrame =
@@ -737,22 +769,24 @@ object TextOps {
     * audit a corpus build reviews before materializing the kept set:
     * doc and char counts on both sides of the cap.
     *
-    * Scale shape: one hash partition by source + per-source rank
-    * window, one aggregation — all-integer, exact. Domain skew is the
-    * REAL distribution here (a handful of giant crawls): at 100 TB the
-    * rank window on a mega-domain becomes a single-reducer sort, so
-    * the scale path replaces row_number with the cap-th-smallest
-    * doc_id threshold computed by a two-phase salted top-K (each salt
-    * keeps its local cap smallest ids — Skew.scala's discipline), then
-    * a threshold comparison; the audit aggregates are unchanged.
+    * Scale shape (r16): the cap-th-smallest doc_id per source comes
+    * from [[perSourceCapThreshold]]'s group-limited rank (partial
+    * WindowGroupLimit below the exchange — each map task pre-truncates
+    * to cap rows per source), and kept/dropped is then a stateless
+    * threshold comparison inside one hash aggregation. Domain skew is
+    * the REAL distribution here (a handful of giant crawls): the old
+    * per-source running rank sorted a mega-domain in ONE reducer; the
+    * threshold form never moves more than O(cap × tasks) rows per
+    * source.
     */
   def domainCap(spark: SparkSession, sfDir: String, cap: Int = 20): DataFrame = {
     require(cap >= 1, s"cap=$cap")
-    val kept = col("rn") <= cap
-    Tables.documents(spark, sfDir)
+    val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"), col("n_chars"))
-      .withColumn("rn",
-        row_number().over(Window.partitionBy("source").orderBy("doc_id")))
+    // every source has >= 1 doc, so rn=1 <= cap always lands a
+    // threshold row — the inner join drops nothing
+    val kept = col("doc_id") <= col("cap_thr")
+    docs.join(broadcast(perSourceCapThreshold(docs, cap)), Seq("source"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(when(kept, 1L).otherwise(0L)).as("n_kept"),

@@ -582,4 +582,35 @@ class PlanSpec extends SparkSuite {
       s"winner must broadcast into the rewrite:\n${p.take(900)}")
     assert(!p.contains("CartesianProduct"), p.take(900))
   }
+
+  /** r16: the per-source cap (qc1's funnel stage + qt21) rides a
+    * group-limited rank — a partial WindowGroupLimit BELOW the exchange
+    * truncates every map task to cap rows per source, so a mega-domain
+    * never concentrates its full row set into one sorted partition (the
+    * r15 weak #2 scale-killer). No per-source window may run any other
+    * function (the old shape was a running SUM over each source's
+    * entire row set).
+    */
+  private def assertGroupLimitedSourceCap(p: String, who: String): Unit = {
+    assert(p.contains("WindowGroupLimit"),
+      s"$who: cap threshold must be a group-limited rank:\n${p.take(1200)}")
+    assert(p.contains(", Partial"),
+      s"$who: the map-side partial group limit is the scale property:\n${p.take(1200)}")
+    val srcWindows = p.split("\n").filter(_.contains("windowspecdefinition(source"))
+    assert(srcWindows.nonEmpty && srcWindows.forall(_.contains("row_number()")),
+      s"$who: every per-source window must be the group-limited row_number, got:\n" +
+        srcWindows.mkString("\n"))
+  }
+
+  test("qt21/qc1 per-source cap: partial group-limit below the exchange, no running rank") {
+    assertGroupLimitedSourceCap(
+      plan(graft.text.TextOps.domainCap(spark, Sf01)), "qt21")
+    // the funnel's cached/checkpointed registration hides its build
+    // plan behind an ExistingRDD scan, so assert on the builder itself
+    assertGroupLimitedSourceCap(
+      plan(graft.text.TextOps.corpusFlagsBuild(spark, Sf01, 20, 50L)), "qc1")
+    // and the threshold side enters the flags/audit join as a broadcast
+    assert(plan(graft.text.TextOps.domainCap(spark, Sf01)).contains("BroadcastHashJoin"),
+      "the |sources|-row threshold must broadcast")
+  }
 }
