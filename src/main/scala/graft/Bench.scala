@@ -30,6 +30,9 @@ object Bench {
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel(sys.env.getOrElse("SPARK_GRAFT_LOG", "WARN"))
+    // evidence-tail hygiene (idempotent per JVM; must run after Spark's
+    // own log4j2 init or the filter is dropped — see LogHygiene)
+    graft.util.LogHygiene.suppressKnownBenignWindowWarn()
     // Warm up the JVM/codegen paths and parquet footers before timing —
     // session fixed costs, not query work; no query stage is precomputed.
     // All warmers run over synthetic range() data with plans unrelated
@@ -245,6 +248,10 @@ object Bench {
       val c = calibs.min
       if (c < 9.95) num("%.1f", c) else num("%.0f", math.min(c, 999.0))
     }
+    // stderr, not stdout: the driver contract is ONE JSON line on stdout
+    val suppressed = graft.util.LogHygiene.suppressKnownBenignWindowWarn()
+    if (suppressed.get > 0)
+      System.err.println(graft.util.LogHygiene.summaryLine(suppressed))
     println(s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs$more,"runs":$runs,"calib":$calibStr$errs,"sf":"$sfTag"}""")
   }
 }

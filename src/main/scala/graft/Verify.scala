@@ -24,6 +24,12 @@ object Verify {
       .config("spark.sql.maxPlanStringLength", "1048576")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // evidence-tail hygiene (see LogHygiene): collapse the deliberate
+    // bounded-window WARN flood to one summary line at exit. Installed
+    // AFTER the session exists — Spark (re)initializes the log4j2
+    // configuration during its own startup, which would drop a filter
+    // added to the pre-init configuration object.
+    val suppressed = graft.util.LogHygiene.suppressKnownBenignWindowWarn()
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       if (only.nonEmpty && !only.contains(name)) ()
@@ -48,6 +54,8 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    if (suppressed.get > 0)
+      System.err.println(graft.util.LogHygiene.summaryLine(suppressed))
     spark.stop()
   }
 }
