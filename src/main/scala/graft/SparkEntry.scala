@@ -181,6 +181,13 @@ object SparkEntry {
     // whose length/fingerprint distributions actually skew
     "qz12_ngram_jaccard" -> ((s, _) => graft.text.Dedup.ngramJaccard(s, ZipfDir)),
     "qz13_simhash" -> ((s, _) => graft.text.Dedup.simhash(s, ZipfDir)),
+    // r16: the EMBEDDING-space pair-blockers on the corpus shape they
+    // exist for — zipf labels (majority class = 37% of vectors) and
+    // archetype-clustered vectors (within-archetype cos ≈ 0.98, top
+    // seeded cell ≈ 4× uniform occupancy). qd11's cell guard and qd5's
+    // label guard both run LIVE here (skew present, caps non-binding).
+    "qz14_semantic_dedup" -> ((s, _) => graft.vector.Similarity.semanticDedup(s, ZipfDir)),
+    "qz15_embed_neardup" -> ((s, _) => graft.vector.Similarity.embedNearDup(s, ZipfDir)),
     "qv19_rank_metrics" -> ((s, d) => graft.vector.Similarity.rankMetrics(s, d)),
     "qv20_dim_sweep" -> ((s, d) => graft.vector.Similarity.dimSweep(s, d)),
     "qv21_index_upsert" -> ((s, d) => graft.vector.Similarity.indexUpsert(s, d)),
@@ -383,6 +390,8 @@ object SparkEntry {
     "qz11_incremental_dedup" -> onZipf(graft.text.DocOracle.qd9(incMod = 2)),
     "qz12_ngram_jaccard" -> onZipf(graft.text.DocOracle.qd4),
     "qz13_simhash" -> onZipf(graft.text.DocOracle.qd3()),
+    "qz14_semantic_dedup" -> onZipf(graft.text.DocOracle.qd11()),
+    "qz15_embed_neardup" -> onZipf(graft.text.DocOracle.qd5()),
     "qv19_rank_metrics" -> graft.text.DocOracle.qv19(),
     "qv20_dim_sweep" -> graft.text.DocOracle.qv20(),
     "qv21_index_upsert" -> graft.text.DocOracle.qv21(),

@@ -138,6 +138,52 @@ object GenZipf {
       }: _*)
   }
 
+  /** Heavy-tailed replacement for the `embeddings` table (VERDICT r15
+    * "next #3"): the driver's synthetic embeddings are near-isotropic
+    * with near-uniform labels, so the embedding-space pair-blockers —
+    * qd11's cell guard, qd5's label guard — stay parity-green without
+    * ever seeing the skew they exist for. Real embedding collections
+    * are the opposite: labels are Zipfian (a majority class is the
+    * norm) and vectors mass-duplicate around a few archetypes
+    * (template documents, collapsed encoder modes). Per vec_id (pure
+    * function → deterministic under any partitioning):
+    *   - label: Zipf(s=1.07) rank over the base table's 10 labels
+    *     (rank 0 = the majority class);
+    *   - vector: with prob 1/2 a Zipf-drawn ARCHETYPE (one of
+    *     [[NumArchetypes]] fixed gaussian vectors) plus small gaussian
+    *     noise (σ=0.15 → within-archetype cosine ≈ 0.98: real near-dup
+    *     mass for qd5/qd11, skewed occupancy for qv3's seeded cells),
+    *     otherwise an isotropic gaussian (cosine ≈ 0 background).
+    * vec_id and dimensionality are preserved; values stay float32.
+    */
+  val NumArchetypes = 6
+
+  private def archetype(a: Int, dim: Int): Array[Double] = {
+    val rng = rngFor(-1000L - a, 0xA5C3E7L)
+    Array.fill(dim)(rng.nextGaussian())
+  }
+
+  def genVec(vecId: Long, dim: Int): (Array[Float], Int) = {
+    val rng = rngFor(vecId, 0x5EEDFACEL)
+    val label = drawZipf(rng.nextDouble(), 10)
+    val vec =
+      if (rng.nextDouble() < 0.5) {
+        val base = archetype(drawZipf(rng.nextDouble(), NumArchetypes), dim)
+        Array.tabulate(dim)(i => (base(i) + 0.15 * rng.nextGaussian()).toFloat)
+      } else Array.fill(dim)(rng.nextGaussian().toFloat)
+    (vec, label)
+  }
+
+  /** The rewritten embeddings frame for any driver-layout embeddings
+    * table — same seam shape as [[zipfDocuments]].
+    */
+  def zipfEmbeddings(emb: DataFrame): DataFrame = {
+    val genU = udf((id: Long, dim: Int) => genVec(id, dim))
+    emb.withColumn("z", genU(col("vec_id"), size(col("embedding"))))
+      .select(col("vec_id"), col("z._1").as("embedding"),
+        col("z._2").cast("int").as("label"))
+  }
+
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
     val dst = if (args.length > 1) args(1) else "/root/repo/target/testdata/zipf0.01"
@@ -168,9 +214,11 @@ object GenZipf {
       dir.listFiles().foreach(_.delete()); dir.delete()
     }
     wr(zipfDocuments(rd("documents"), vocab).orderBy("doc_id"), "documents")
-    if (!docsOnly)
+    if (!docsOnly) {
+      wr(zipfEmbeddings(rd("embeddings")).orderBy("vec_id"), "embeddings")
       Seq("region", "nation", "customer", "supplier", "part", "orders",
-        "lineitem", "events", "embeddings").foreach(t => wr(rd(t), t))
+        "lineitem", "events").foreach(t => wr(rd(t), t))
+    }
     // corpus shape evidence: distinct vocabulary + df profile
     val toks = spark.read.parquet(s"$dst/documents.parquet")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))

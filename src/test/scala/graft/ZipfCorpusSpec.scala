@@ -23,6 +23,8 @@ class ZipfCorpusSpec extends SparkSuite {
     val d = java.nio.file.Files.createTempDirectory("graft-zipf").toString
     GenZipf.zipfDocuments(spark.read.parquet(s"$Sf01/documents.parquet"))
       .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    GenZipf.zipfEmbeddings(spark.read.parquet(s"$Sf01/embeddings.parquet"))
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
     d
   }
 
@@ -33,11 +35,41 @@ class ZipfCorpusSpec extends SparkSuite {
     val regen = GenZipf.zipfDocuments(spark.read.parquet(s"$Sf01/documents.parquet"))
     assert(committed.except(regen).count() === 0 &&
       regen.except(committed).count() === 0)
-    // embeddings ride along verbatim (the dense branch of qz1/qz2)
+    // embeddings: since r16 ALSO generator output (zipf labels +
+    // archetype-clustered vectors — qz14/qz15's corpus), pinned the
+    // same way. Array equality via posexplode (DataFrame.except can't
+    // compare array columns by value across all types reliably).
     val emb = spark.read.parquet(s"${SparkEntry.ZipfDir}/embeddings.parquet")
-    val base = spark.read.parquet(s"$Sf01/embeddings.parquet")
-    assert(emb.count() === base.count())
-    assert(emb.select("vec_id").except(base.select("vec_id")).count() === 0)
+    val regenE = GenZipf.zipfEmbeddings(spark.read.parquet(s"$Sf01/embeddings.parquet"))
+    def flat(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
+    assert(emb.count() === regenE.count())
+    assert(flat(emb).except(flat(regenE)).count() === 0 &&
+      flat(regenE).except(flat(emb)).count() === 0)
+  }
+
+  test("zipf embeddings: majority-class labels, archetype near-dup mass, skewed cells") {
+    val emb = spark.read.parquet(s"$zdir/embeddings.parquet")
+    val n = emb.count()
+    // label skew: the head label is a MAJORITY-class shape (>25% of
+    // vectors), vs ~10% uniform in the driver's corpus
+    val top = emb.groupBy("label").count().orderBy(desc("count"))
+      .limit(1).collect().head.getLong(1)
+    assert(top > n / 4, s"head label must dominate: $top of $n")
+    // archetype mass: qd5 finds real near-dup pairs, and some are
+    // near-identical (cos > 0.9 — the mass-duplicated shape)
+    val nd = Similarity.embedNearDup(spark, zdir)
+    assert(nd.count() > 100, "within-label near-dup pairs must be plentiful")
+    assert(nd.filter(col("cos") > 0.9).count() > 0, "archetype twins must exist")
+    // cell skew: qv3's seeded cells see the uneven occupancy the cell
+    // guard exists for — head cell ≥ 2× the uniform share — while the
+    // default maxCell cap stays non-binding (the gate must stay green)
+    val sd = Similarity.semanticDedup(spark, zdir)
+    val cells = sd.groupBy("cell").count().collect().map(_.getLong(1))
+    assert(cells.max >= 2L * n / 16, s"head cell must be hot: ${cells.max} of $n in 16 cells")
+    // and the semantic dedup is LIVE: a substantial drop fraction
+    val drops = sd.filter(!col("keep")).count()
+    assert(drops > n / 10, s"semantic dups must be present: $drops of $n dropped")
   }
 
   test("zipf corpus shape: heavy-tailed vocabulary, labels preserved") {
