@@ -226,6 +226,11 @@ object SparkEntry {
     "qd19_global_dup_spans" -> ((s, d) => graft.text.Dedup.globalDupSpans(s, d)),
     "qd20_dedup_spans" -> ((s, d) => graft.text.Dedup.dedupSpans(s, d)),
     "qd21_dedup_fixpoint" -> ((s, d) => graft.text.Dedup.dedupSpansFixpoint(s, d)),
+    // r16, rows-only: the PRODUCTION run-until-clean span hygiene (the
+    // callable a build materializes) — pass count is data-dependent, so
+    // no fixed SQL mirrors it; qd21's fixed trace is the oracle twin and
+    // TextSpec pins the proven-clean re-scan contract
+    "qd24_span_fixpoint" -> ((s, d) => graft.text.Dedup.dedupSpansClean(s, d)),
     "qd22_lsh_star_edges" -> ((s, d) => graft.text.Dedup.lshStarEdges(s, d)),
     "qd23_star_clusters" -> ((s, d) => graft.text.Dedup.starClusters(s, d)),
     "qt21_domain_cap" -> ((s, d) => graft.text.TextOps.domainCap(s, d)),

@@ -1074,6 +1074,32 @@ object Dedup {
       maxPasses: Int = 16): (DataFrame, Seq[(Long, Long, Long)]) =
     dedupSpansTrace(docs, n, minSpan, maxPasses, stopWhenClean = true)
 
+  /** qd24: the PRODUCTION span-hygiene callable — qd20 iterated to the
+    * PROVEN span-free fixpoint (run-until-clean): the cleaned corpus a
+    * pipeline actually materializes, where the final pass is a re-scan
+    * that cut nothing. Registered rows-only: the pass count is
+    * data-dependent, so no fixed SQL can mirror it (qd21's fixed-count
+    * trace is the oracle-mirrorable twin; TextSpec pins this callable's
+    * proven-clean contract). ccFrom's discipline applies: if `maxPasses`
+    * binds before a clean re-scan, the call THROWS rather than
+    * returning a corpus that may still carry spans. Pass 1 rides qd20's
+    * session-cached frame; the whole result is session-cached (qd24's
+    * consumers read the materialized table, as a real build would).
+    */
+  def dedupSpansClean(spark: SparkSession, sfDir: String, n: Int = 3,
+      minSpan: Int = 4, maxPasses: Int = 16): DataFrame =
+    graft.util.StageCache.cached(spark, sfDir, s"spanclean_${n}_${minSpan}_$maxPasses") {
+      val (docs, trace) = dedupSpansTrace(
+        Tables.documents(spark, sfDir).select("doc_id", "text"),
+        n, minSpan, maxPasses, stopWhenClean = true,
+        firstPass = Some(dedupSpans(spark, sfDir, n, minSpan)))
+      require(trace.last._2 == 0L,
+        s"dedupSpansClean: no span-free fixpoint within maxPasses=$maxPasses " +
+          s"(last pass still cut ${trace.last._2} tokens); raise maxPasses — " +
+          "returning an unproven corpus would silently ship duplicated spans.")
+      docs
+    }
+
   /** qd21: the per-pass convergence trace of iterated span removal at a
     * FIXED pass count — (pass, n_cut, docs_cut) for passes 1..`passes`,
     * pass k scanning pass k−1's rebuilt corpus. A fixed count (not

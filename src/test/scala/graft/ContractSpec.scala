@@ -16,12 +16,14 @@ class ContractSpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracle entries without a query: $orphans")
   }
 
-  test("the rows-only set is exactly the declared q13/q26/q61") {
-    // q13's greedy k-center, q26's MLlib solver internals and q61's
-    // boosted-tree split search are the only computations with no SQL
-    // analogue; all three are spec-verified
+  test("the rows-only set is exactly the declared q13/q26/q61/qd24") {
+    // q13's greedy k-center, q26's MLlib solver internals, q61's
+    // boosted-tree split search, and qd24's data-dependent fixpoint
+    // pass count are the only computations with no SQL analogue; all
+    // four are spec-verified (qd24's oracle-mirrorable twin is qd21)
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly === Set("q13_coreset", "q26_mllib_forecast", "q61_gbt_forecast"),
+    assert(rowsOnly === Set("q13_coreset", "q26_mllib_forecast", "q61_gbt_forecast",
+        "qd24_span_fixpoint"),
       "a query lost (or gained) its oracle without the declaration moving")
   }
 

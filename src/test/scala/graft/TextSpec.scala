@@ -2001,6 +2001,37 @@ class TextSpec extends SparkSuite {
     assert(rescan.agg(sum("n_cut")).collect().head.getLong(0) === 0L)
   }
 
+  test("qd24 dedupSpansClean: proven span-free fixpoint, loud when maxPasses binds") {
+    import spark.implicits._
+    // the qd21 planted 3-step convergence, as an on-disk corpus so the
+    // registered sfDir callable runs end to end
+    val dir = java.nio.file.Files.createTempDirectory("graft-spanfix").toString
+    Seq(
+      (1L, "u1 u2 u3 u4 s1 s2 s3 s4"),
+      (2L, "B1 B2 B3 B4 t1 t2 t3 t4"),
+      (3L, "u1 u2 B1 B2 B3 B4 u3 u4")
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("spec"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val clean = Dedup.dedupSpansClean(spark, dir, n = 2, minSpan = 4)
+    assert(clean.count() === 3L, "every doc survives (spans cut, docs kept)")
+    // the contract: the returned corpus re-scans PROVEN clean
+    val rescan = Dedup.dedupSpansFrom(clean, n = 2, minSpan = 4)
+    assert(rescan.agg(sum("n_cut")).collect().head.getLong(0) === 0L)
+    // maxPasses=1 cannot reach a proven-clean re-scan on this corpus
+    // (pass 1 cuts, and no clean pass follows): throw, never return
+    val e = intercept[IllegalArgumentException](
+      Dedup.dedupSpansClean(spark, dir, n = 2, minSpan = 4, maxPasses = 1))
+    assert(e.getMessage.contains("maxPasses=1"))
+    assert(e.getMessage.contains("span-free fixpoint"))
+    // and on the real corpus the registered default converges clean
+    val sf = Dedup.dedupSpansClean(spark, Sf001)
+    assert(sf.count() === spark.read.parquet(s"$Sf001/documents.parquet").count())
+    assert(Dedup.dedupSpansFrom(sf, 3, 4)
+      .agg(sum("n_cut")).collect().head.getLong(0) === 0L)
+  }
+
   test("qd21 at sf0.001: monotone decreasing trace, consistent with qd20 pass 1") {
     val tr = Dedup.dedupSpansFixpoint(spark, Sf001, passes = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
