@@ -39,7 +39,7 @@ object Similarity {
     col("vec_id") % 100 === 0 && col("vec_id") < lit(100L * MaxQueries)
 
   /** Hot-label cap for [[embedNearDup]]'s blocked self-join — the
-    * qd2/qd4/qd11 sizing rule: 10⁴² = 10⁸ pairs is the largest
+    * qd2/qd4/qd11 sizing rule: (10⁴)² = 10⁸ pairs is the largest
     * within-block clique one task group absorbs in minutes, and at
     * 100 TB a majority-class label (the NORM for labeled corpora) would
     * otherwise go quadratic silently.
