@@ -612,5 +612,13 @@ class PlanSpec extends SparkSuite {
     // and the threshold side enters the flags/audit join as a broadcast
     assert(plan(graft.text.TextOps.domainCap(spark, Sf01)).contains("BroadcastHashJoin"),
       "the |sources|-row threshold must broadcast")
+    // qa3's top-N per segment is the same low-cardinality-key shape
+    // (5 segments, customers data-scaled): the adjacent rnk<=N filter
+    // must keep compiling to the partial group limit — a refactor that
+    // separates filter from window would silently restore the
+    // single-reducer-per-segment sort
+    val pa3 = plan(Relational.topCustomersPerSegment(spark, Sf01))
+    assert(pa3.contains("WindowGroupLimit") && pa3.contains(", Partial"),
+      s"qa3 lost its partial group limit:\n${pa3.take(1200)}")
   }
 }
