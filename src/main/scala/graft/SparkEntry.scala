@@ -188,6 +188,14 @@ object SparkEntry {
     // label guard both run LIVE here (skew present, caps non-binding).
     "qz14_semantic_dedup" -> ((s, _) => graft.vector.Similarity.semanticDedup(s, ZipfDir)),
     "qz15_embed_neardup" -> ((s, _) => graft.vector.Similarity.embedNearDup(s, ZipfDir)),
+    // r16: the embedding-index AUDITS on the distribution they audit
+    // for — qv10's hot flag (cell skew > 2x uniform) actually FIRES on
+    // the archetype-clustered cells (head cell 3.5x), and qv8's
+    // centroid-outlier scan runs over majority-class label centroids;
+    // on the driver's isotropic corpus both audits are parity-green
+    // but structurally idle
+    "qz16_index_stats" -> ((s, _) => graft.vector.Similarity.indexStats(s, ZipfDir)),
+    "qz17_centroid_outlier" -> ((s, _) => graft.vector.Similarity.centroidOutlier(s, ZipfDir)),
     "qv19_rank_metrics" -> ((s, d) => graft.vector.Similarity.rankMetrics(s, d)),
     "qv20_dim_sweep" -> ((s, d) => graft.vector.Similarity.dimSweep(s, d)),
     "qv21_index_upsert" -> ((s, d) => graft.vector.Similarity.indexUpsert(s, d)),
@@ -397,6 +405,8 @@ object SparkEntry {
     "qz13_simhash" -> onZipf(graft.text.DocOracle.qd3()),
     "qz14_semantic_dedup" -> onZipf(graft.text.DocOracle.qd11()),
     "qz15_embed_neardup" -> onZipf(graft.text.DocOracle.qd5()),
+    "qz16_index_stats" -> onZipf(graft.text.DocOracle.qv10()),
+    "qz17_centroid_outlier" -> onZipf(graft.text.DocOracle.qv8()),
     "qv19_rank_metrics" -> graft.text.DocOracle.qv19(),
     "qv20_dim_sweep" -> graft.text.DocOracle.qv20(),
     "qv21_index_upsert" -> graft.text.DocOracle.qv21(),

@@ -72,6 +72,17 @@ class ZipfCorpusSpec extends SparkSuite {
     assert(drops > n / 10, s"semantic dups must be present: $drops of $n dropped")
   }
 
+  test("qv10's hot-cell audit flag actually FIRES on the skewed cells (qz16's design path)") {
+    // on the driver's isotropic corpus no cell clears hotFactor=2 — the
+    // audit is parity-green but structurally idle; the archetype
+    // clustering is exactly what it exists to catch
+    val st = Similarity.indexStats(spark, zdir)
+    assert(st.filter(col("hot") === 1).count() >= 1,
+      "at least one archetype-concentrated cell must flag hot (skew > 2x uniform)")
+    assert(Similarity.indexStats(spark, Sf01).filter(col("hot") === 1).count() === 0,
+      "the isotropic base corpus must stay idle — the zipf corpus is the design-path gate")
+  }
+
   test("zipf corpus shape: heavy-tailed vocabulary, labels preserved") {
     val docs = spark.read.parquet(s"$zdir/documents.parquet")
     val base = spark.read.parquet(s"$Sf01/documents.parquet")
