@@ -332,16 +332,20 @@ object BinaryMeta {
     * sequential constraint) + a partial-agg'd |shards|-row rollup.
     * Oversized single payloads get their own shard (floor of the
     * exclusive prefix) rather than splitting — the tar-shard rule.
+    *
+    * Scale shape (r17): the per-media_type running byte count rides
+    * [[graft.util.PrefixSum.runningSum]]'s two-pass distributed prefix
+    * sum (qt11's rewrite — media_type has cardinality ~3, so the old
+    * unbounded-frame window folded ALL media rows of a modality in one
+    * sorted task at 100 TB); bit-identical output, bounded window
+    * partitions, PlanSpec-pinned.
     */
   def shardManifest(spark: SparkSession, sfDir: String, budgetBytes: Long = 4096L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(budgetBytes >= 1, s"budgetBytes=$budgetBytes")
-    val w = Window.partitionBy("media_type").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, 0)
-    mediaTable(spark, sfDir).toDF()
+    val base = mediaTable(spark, sfDir).toDF()
       .select(col("doc_id"), col("media_type"),
         octet_length(col("payload")).cast("long").as("n_bytes"))
-      .withColumn("cum", sum("n_bytes").over(w))
+    graft.util.PrefixSum.runningSum(base, Seq("media_type"), "doc_id", "n_bytes", "cum")
       .withColumn("shard", floor((col("cum") - col("n_bytes")) / lit(budgetBytes)).cast("long"))
       .groupBy("media_type", "shard")
       .agg(count(lit(1)).as("n_items"), sum("n_bytes").as("total_bytes"),

@@ -260,20 +260,25 @@ object TextOps {
     * order; a doc's shard is its EXCLUSIVE prefix token count div
     * budget, so shards are contiguous runs that may overflow by at most
     * one document (deterministic, single-pass — unlike greedy
-    * reset-on-overflow packing, which is inherently sequential). The
-    * running sum partitions by (source, lang): at 100 TB the packing
-    * axis is per-stream (source × language × date in production), never
-    * one global window — each group's cumsum is an independent
-    * window partition.
+    * reset-on-overflow packing, which is inherently sequential).
+    *
+    * Scale shape (r17): the per-(source, lang) running token count is
+    * [[graft.util.PrefixSum.runningSum]]'s two-pass distributed prefix
+    * sum — doc_id range buckets, one partial-agg pass to a
+    * |groups|·|buckets|-row rollup, the sequential exclusive prefix
+    * over THAT, broadcast back, local cumsum per bucket. The old form
+    * (`sum.over(partitionBy(source, lang).orderBy(doc_id))`, unbounded
+    * frame) concentrated a mega-source's entire doc stream into ONE
+    * sorted window task at 100 TB; now no window partition exceeds
+    * ~1/nBuckets of its group, and output is bit-identical (PlanSpec
+    * pins the bucketed shape).
     */
   def packShards(spark: SparkSession, sfDir: String, budget: Long = 2048L): DataFrame = {
     require(budget >= 1, s"budget=$budget: shard token budget must be positive")
-    val w = Window.partitionBy("source", "lang").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, 0)
-    Tables.documents(spark, sfDir)
+    val base = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"), col("lang"),
         size(filter(split(col("text"), " "), t => t =!= "")).cast("long").as("n_toks"))
-      .withColumn("cum", sum("n_toks").over(w))
+    graft.util.PrefixSum.runningSum(base, Seq("source", "lang"), "doc_id", "n_toks", "cum")
       .select(col("doc_id"), col("source"), col("lang"), col("n_toks"),
         floor((col("cum") - col("n_toks")) / lit(budget)).cast("long").as("shard"))
   }

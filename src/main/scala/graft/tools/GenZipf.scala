@@ -163,12 +163,23 @@ object GenZipf {
     Array.fill(dim)(rng.nextGaussian())
   }
 
+  /** The NumArchetypes × dim archetype table, built once per dim
+    * (ADVICE r16: archetype() is a pure function of (a, dim), so
+    * recomputing dim Gaussian draws per archetype-branch ROW doubled
+    * the rewrite's RNG work for 6 distinct vectors; output unchanged).
+    */
+  private val archCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Double]]]()
+  private def archetypes(dim: Int): Array[Array[Double]] =
+    archCache.computeIfAbsent(dim,
+      d => Array.tabulate(NumArchetypes)(a => archetype(a, d)))
+
   def genVec(vecId: Long, dim: Int): (Array[Float], Int) = {
     val rng = rngFor(vecId, 0x5EEDFACEL)
     val label = drawZipf(rng.nextDouble(), 10)
     val vec =
       if (rng.nextDouble() < 0.5) {
-        val base = archetype(drawZipf(rng.nextDouble(), NumArchetypes), dim)
+        val base = archetypes(dim)(drawZipf(rng.nextDouble(), NumArchetypes))
         Array.tabulate(dim)(i => (base(i) + 0.15 * rng.nextGaussian()).toFloat)
       } else Array.fill(dim)(rng.nextGaussian().toFloat)
     (vec, label)

@@ -71,10 +71,15 @@ object HotGuardProbe {
       .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
     println(f"[hotprobe] generated in ${(System.nanoTime() - t0) / 1e9}%.1f s")
 
+    // a guard that fails to fire must FAIL the scripted evidence run
+    // (tools/run_main.sh piped to a log records exit status), not just
+    // print — ADVICE r16
+    var anyGuardSilent = false
     def probe(name: String)(f: => DataFrame): Unit = {
       val t = System.nanoTime()
       try {
         f.count()
+        anyGuardSilent = true
         println(s"[hotprobe] $name: NO REFUSAL — guard failed to fire (BUG)")
       } catch {
         case e: IllegalArgumentException =>
@@ -96,5 +101,6 @@ object HotGuardProbe {
       graft.vector.Similarity.semanticDedup(spark, dst, maxCell = 10000L)
     }
     spark.stop()
+    if (anyGuardSilent) sys.exit(1)
   }
 }

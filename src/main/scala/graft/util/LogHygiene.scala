@@ -29,20 +29,49 @@ object LogHygiene {
   private val BenignWindowWarn = "No Partition Defined for Window operation"
 
   // one filter per JVM: Bench calls per-rep (fresh sessions share the
-  // log4j2 context), and double-installing would double-count
-  private val installed = new java.util.concurrent.atomic.AtomicReference[AtomicLong]()
+  // log4j2 context), and double-installing would double-count. The
+  // COUNTER is the JVM-once latch; the filter itself is re-checked
+  // against the LIVE configuration on every call (ADVICE r16): a
+  // Configurator.reconfigure / config reload replaces the
+  // Configuration object and silently drops context filters, so
+  // idempotence keyed solely on this reference would return a stale
+  // counter while the WARN flood returns.
+  private val installed =
+    new java.util.concurrent.atomic.AtomicReference[(AtomicLong, Filter)]()
+
+  /** The filter is present on the CURRENT configuration — reinstalling
+    * on the live one if a reconfigure dropped it. addFilter wraps into
+    * a CompositeFilter (an Iterable), so presence is an identity scan.
+    */
+  private def ensureInstalled(f: Filter): Unit =
+    LogManager.getContext(false) match {
+      case ctx: LoggerContext =>
+        val cfg = ctx.getConfiguration
+        val present = cfg.getFilter match {
+          case null => false
+          case cf: org.apache.logging.log4j.core.filter.CompositeFilter =>
+            var found = false
+            val it = cf.iterator()
+            while (!found && it.hasNext) found = it.next() eq f
+            found
+          case other => other eq f
+        }
+        if (!present) cfg.addFilter(f)
+      case _ => // non-core logging backend: nothing to install, warn stays
+    }
 
   /** Install the deny-filter on the live log4j2 context; returns the
     * suppressed-message counter (read it at exit for the summary line).
-    * Idempotent per JVM (repeat calls return the same counter). Call it
-    * AFTER the first SparkSession exists: Spark (re)initializes the
+    * Idempotent per JVM (repeat calls return the same counter, but
+    * re-verify the filter survives on the current Configuration). Call
+    * it AFTER the first SparkSession exists: Spark (re)initializes the
     * log4j2 configuration during startup, which drops filters added to
     * the pre-init configuration object. No-ops (returning a dead
     * counter) if logging is not log4j2-core.
     */
   def suppressKnownBenignWindowWarn(): AtomicLong = {
     val prior = installed.get()
-    if (prior != null) return prior
+    if (prior != null) { ensureInstalled(prior._2); return prior._1 }
     val n = new AtomicLong(0L)
     // NEUTRAL on both constructor defaults: the overloads below are the
     // only deciders; any filter path we did not override passes through.
@@ -68,13 +97,14 @@ object LogHygiene {
           marker: Marker, msg: String, params: Object*): Filter.Result =
         check(logger.getName, msg)
     }
-    if (installed.compareAndSet(null, n)) {
-      LogManager.getContext(false) match {
-        case ctx: LoggerContext => ctx.getConfiguration.addFilter(f)
-        case _ => // non-core logging backend: nothing to clean, warn stays
-      }
+    if (installed.compareAndSet(null, (n, f))) {
+      ensureInstalled(f)
       n
-    } else installed.get()
+    } else {
+      val p = installed.get()
+      ensureInstalled(p._2)
+      p._1
+    }
   }
 
   /** The one-line replacement for the suppressed flood. */

@@ -621,4 +621,31 @@ class PlanSpec extends SparkSuite {
     assert(pa3.contains("WindowGroupLimit") && pa3.contains(", Partial"),
       s"qa3 lost its partial group limit:\n${pa3.take(1200)}")
   }
+
+  /** r17: qt11/qm4's running sums are the two-pass distributed prefix
+    * sum (PrefixSum.runningSum) — the r16 weak marks. The single-window
+    * form partitioned a data-scaled child by the BARE low-cardinality
+    * key (source×lang / media_type), folding a mega-group in one sorted
+    * task; now every window over those keys must also carry the range
+    * bucket (the rollup's exclusive prefix orders by it, the local
+    * cumsum partitions by it), and the |groups|·|buckets|-row prefix
+    * table must broadcast back, never shuffle the corpus.
+    */
+  private def assertBucketedRunningSum(p: String, partHead: String, who: String): Unit = {
+    val wins = p.split("\n").filter(_.contains(s"windowspecdefinition($partHead"))
+    assert(wins.nonEmpty,
+      s"$who: expected prefix-sum windows keyed by $partHead:\n${p.take(1200)}")
+    wins.foreach(l => assert(l.contains("__bkt"),
+      s"$who: a running window partitions by the bare low-cardinality key " +
+        s"(the single-task-per-group r16 shape):\n$l"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"$who: the bucket-prefix rollup must broadcast back:\n${p.take(1200)}")
+  }
+
+  test("qt11/qm4 shard packing: two-pass prefix sum, no data-scaled sequential window") {
+    assertBucketedRunningSum(
+      plan(graft.text.TextOps.packShards(spark, Sf01)), "source", "qt11")
+    assertBucketedRunningSum(
+      plan(graft.multimodal.BinaryMeta.shardManifest(spark, Sf01)), "media_type", "qm4")
+  }
 }
