@@ -199,6 +199,10 @@ object SparkEntry {
     "qv19_rank_metrics" -> ((s, d) => graft.vector.Similarity.rankMetrics(s, d)),
     "qv20_dim_sweep" -> ((s, d) => graft.vector.Similarity.dimSweep(s, d)),
     "qv21_index_upsert" -> ((s, d) => graft.vector.Similarity.indexUpsert(s, d)),
+    "qv26_hot_cell_split" -> ((s, d) => graft.vector.Similarity.hotCellSplit(s, d)),
+    // qz21: the split on the corpus whose head cell actually FIRES
+    // qv10's hot flag (qz16) — ≥1 split row by construction
+    "qz21_hot_cell_split" -> ((s, _) => graft.vector.Similarity.hotCellSplit(s, ZipfDir)),
     "qt8_langid_eval" -> ((s, d) => graft.text.TextOps.langIdEval(s, d)),
     "qd8_minhash_est" -> ((s, d) => graft.text.Dedup.minhashEstimate(s, d)),
     "qd9_incremental_dedup" -> ((s, d) => graft.text.Dedup.incrementalDedup(s, d)),
@@ -407,6 +411,7 @@ object SparkEntry {
     "qz15_embed_neardup" -> onZipf(graft.text.DocOracle.qd5()),
     "qz16_index_stats" -> onZipf(graft.text.DocOracle.qv10()),
     "qz17_centroid_outlier" -> onZipf(graft.text.DocOracle.qv8()),
+    "qz21_hot_cell_split" -> onZipf(graft.text.DocOracle.qv26()),
     "qv19_rank_metrics" -> graft.text.DocOracle.qv19(),
     "qv20_dim_sweep" -> graft.text.DocOracle.qv20(),
     "qv21_index_upsert" -> graft.text.DocOracle.qv21(),
@@ -963,6 +968,7 @@ object SparkEntry {
     "q50_anomaly_mask" -> graft.timeseries.TsOracle.q50(),
     "qd15_novelty" -> graft.text.DocOracle.qd15(),
     "qv10_index_stats" -> graft.text.DocOracle.qv10(),
+    "qv26_hot_cell_split" -> graft.text.DocOracle.qv26(),
     "qd16_canonical" -> graft.text.DocOracle.qd16(),
     "q51_point_adjust" -> graft.timeseries.TsOracle.q51(),
     "qt18_source_scorecard" -> graft.text.DocOracle.qt18,

@@ -673,6 +673,60 @@ SELECT CAST(cell AS BIGINT) AS cell, n_vecs,
        CASE WHEN ${r4(s"n_vecs * $nCells / CAST(total AS DOUBLE)")} > $hotFactor THEN 1 ELSE 0 END AS hot
 FROM counts, tot"""
 
+  /** qv26: mirrors Similarity.hotCellSplit — qv10's r4-rounded hot rule
+    * selects the split set over the shared assignment CTE, sub-seeds
+    * are the nSplit lowest member vec_ids per hot cell, one
+    * within-cell L2 argmin (d2 then j tie-break = the kernel's
+    * first-index rule), child numbering nCells + hrank·(nSplit−1) +
+    * (j−1), untouched cells ride through, share/skew against the
+    * post-split occupied-cell count.
+    */
+  def qv26(nCells: Int = 16, hotFactor: Double = 2.0, nSplit: Int = 2): String =
+    vecsCte + assignCte(nCells) + s"""
+, counts AS (SELECT cell, count(*) AS n_vecs FROM assigned GROUP BY cell),
+tot0 AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS total FROM counts),
+hot AS (
+  SELECT cell, row_number() OVER (ORDER BY cell) - 1 AS hrank
+  FROM counts, tot0
+  WHERE ${r4(s"n_vecs * $nCells / CAST(total AS DOUBLE)")} > $hotFactor
+), members AS (
+  SELECT a.vec_id, a.cell, h.hrank FROM assigned a JOIN hot h USING (cell)
+), subseeds AS (
+  SELECT cell, vec_id,
+         row_number() OVER (PARTITION BY cell ORDER BY vec_id) - 1 AS j
+  FROM members QUALIFY j < $nSplit
+), seedpos AS (
+  SELECT s.cell, s.j, p.d, p.x AS sx FROM pos p JOIN subseeds s USING (vec_id)
+), mpos AS (
+  SELECT m.cell, m.hrank, m.vec_id, p.d, p.x FROM pos p JOIN members m USING (vec_id)
+), subassign AS (
+  SELECT cell, hrank, vec_id, j FROM (
+    SELECT m.cell, m.hrank, m.vec_id, s.j,
+           row_number() OVER (PARTITION BY m.cell, m.vec_id
+                              ORDER BY sum((m.x - s.sx) * (m.x - s.sx)), s.j) AS rn
+    FROM mpos m JOIN seedpos s ON m.cell = s.cell AND m.d = s.d
+    GROUP BY m.cell, m.hrank, m.vec_id, s.j
+  ) WHERE rn = 1
+), children AS (
+  SELECT CAST(cell AS BIGINT) AS old_cell,
+         CAST(CASE WHEN j = 0 THEN cell
+              ELSE $nCells + hrank * ($nSplit - 1) + j - 1 END AS BIGINT) AS new_cell,
+         count(*) AS n_vecs
+  FROM subassign GROUP BY 1, 2
+), untouched AS (
+  SELECT CAST(c.cell AS BIGINT) AS old_cell, CAST(c.cell AS BIGINT) AS new_cell,
+         c.n_vecs
+  FROM counts c WHERE c.cell NOT IN (SELECT cell FROM hot)
+), post AS (
+  SELECT * FROM children UNION ALL SELECT * FROM untouched
+), tot AS (
+  SELECT CAST(sum(n_vecs) AS BIGINT) AS total, count(*) AS n_cells_post FROM post
+)
+SELECT new_cell AS cell, old_cell, CAST(n_vecs AS BIGINT) AS n_vecs,
+       ${r4("n_vecs / CAST(total AS DOUBLE)")} AS share,
+       ${r4("n_vecs * n_cells_post / CAST(total AS DOUBLE)")} AS skew
+FROM post, tot"""
+
   def qv3(nCells: Int = 16, nProbe: Int = 2, k: Int = 5): String =
     vecsCte + assignCte(nCells) + s"""
 , centroids AS (

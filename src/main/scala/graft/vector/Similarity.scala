@@ -888,6 +888,82 @@ object Similarity {
       .withColumn("hot", when(col("skew") > hotFactor, 1).otherwise(0))
   }
 
+  /** qv26: hot-cell SPLIT — the index-maintenance operator qv10's
+    * audit exists to TRIGGER (FAISS IndexIVF's split/re-add lifecycle,
+    * public; every guard refusal in this repo names "the IVF-celled
+    * path / raise nCells" as the remedy — this is that remedy as an
+    * executable op). A cell whose occupancy clears `hotFactor` under
+    * qv10's own r4-rounded skew rule (the split set is EXACTLY the
+    * audit's hot set) is split in place: `nSplit` sub-seeds are the
+    * cell's own lowest vec_ids (qv3's deterministic seeding applied
+    * WITHIN the cell), every member takes one Lloyd assignment to its
+    * nearest sub-seed (L2, first-index tie-break — the shared codegen
+    * argmin kernel), child 0 keeps the old cell id and child j lands at
+    * nCells + hotRank·(nSplit−1) + (j−1) — FAISS add-list numbering:
+    * existing cells never renumber, so probes/routing for cold cells
+    * stay valid. Output is the POST-SPLIT occupancy report — one row
+    * per occupied cell (untouched cells ride through with
+    * old_cell = cell), share and skew recomputed against the
+    * post-split cell count: directly comparable to qv10's pre-split
+    * audit and the input to qv21's next growth review.
+    *
+    * Scale shape: hot detection is qv10's |cells|-row rollup over the
+    * SHARED cached assignment; members join the ≤|cells|-row hot table
+    * by broadcast; the sub-seed pick is a group-limited rank
+    * (row_number with ADJACENT rn ≤ nSplit — qt21/qa3's partial
+    * WindowGroupLimit discipline, so a 10⁸-member hot cell ships
+    * O(nSplit × tasks) rows to its reducer, never its sorted self);
+    * the packed per-cell sub-seed rows broadcast (≤ |hot|·nSplit
+    * vectors) and reassignment is ONE stateless codegen argmin pass
+    * over the hot cells' members. Nothing pairwise, nothing
+    * data-scaled crosses the wire beyond the members' own re-keying.
+    * A child whose Voronoi half captures no member is absent from the
+    * report (occupancy = occupied cells).
+    */
+  def hotCellSplit(spark: SparkSession, sfDir: String, nCells: Int = 16,
+                   hotFactor: Double = 2.0, nSplit: Int = 2): DataFrame = {
+    require(nSplit >= 2, s"nSplit=$nSplit: a split needs at least 2 children")
+    val stats = indexStats(spark, sfDir, nCells, hotFactor)
+    // hot set = EXACTLY qv10's flag; hrank numbers hot cells by id over
+    // the ≤|cells|-row audit (bounded window, same discipline as the
+    // seed numbering in cellAssignment)
+    val hot = stats.filter(col("hot") === 1)
+      .select(col("cell").cast("int").as("cell"))
+      .withColumn("hrank", row_number().over(Window.orderBy("cell")) - 1)
+    val e = vecs(spark, sfDir)
+    val members = e.select("vec_id", "v")
+      .join(cellAssignment(spark, sfDir, nCells), "vec_id")
+      .join(broadcast(hot), Seq("cell"))
+    val wSeed = Window.partitionBy("cell").orderBy("vec_id")
+    val subSeeds = members.select("cell", "vec_id")
+      .withColumn("rn", row_number().over(wSeed))
+      .filter(col("rn") <= nSplit)
+      .select(col("cell"), col("vec_id"), (col("rn") - 1).as("j"))
+    // one packed sub-seed row per hot cell (cellAssign's flattened-row
+    // trick, per cell instead of global) — broadcast into the members
+    val seedVecs = subSeeds.join(e.select("vec_id", "v"), "vec_id")
+      .select(col("cell"), struct(col("j"), col("v").as("sv")).as("s"))
+      .groupBy("cell")
+      .agg(array_sort(collect_list(col("s"))).as("ps"))
+      .select(col("cell"), flatten(expr("transform(ps, x -> x.sv)")).as("sf"))
+    val children = members.join(broadcast(seedVecs), Seq("cell"))
+      .select(col("cell"), col("hrank"),
+        expr("int(graft_argmin_dist2(sf, v))").as("j"))
+      .withColumn("new_cell",
+        when(col("j") === 0, col("cell").cast("long"))
+          .otherwise(lit(nCells.toLong) + col("hrank") * (nSplit - 1) + col("j") - 1))
+      .groupBy(col("cell").cast("long").as("old_cell"), col("new_cell"))
+      .agg(count(lit(1)).as("n_vecs"))
+    val untouched = stats.filter(col("hot") === 0)
+      .select(col("cell").as("old_cell"), col("cell").as("new_cell"), col("n_vecs"))
+    val post = children.unionByName(untouched)
+    val tot = post.agg(sum("n_vecs").as("total"), count(lit(1)).as("n_cells_post"))
+    post.crossJoin(broadcast(tot))
+      .select(col("new_cell").as("cell"), col("old_cell"), col("n_vecs"),
+        Num.r4(col("n_vecs") / col("total")).as("share"),
+        Num.r4(col("n_vecs") * col("n_cells_post") / col("total")).as("skew"))
+  }
+
   /** qv9: embedding drift monitor — per label, the centroid of the
     * "old" snapshot (even vec_ids) vs the "new" one (odd vec_ids):
     * cosine between the two centroids + the L2 mean-shift norm, the

@@ -83,6 +83,33 @@ class ZipfCorpusSpec extends SparkSuite {
       "the isotropic base corpus must stay idle — the zipf corpus is the design-path gate")
   }
 
+  test("qv26 hot-cell split: max occupancy strictly drops on the zipf head cell, identity on base") {
+    val pre = Similarity.indexStats(spark, zdir).cache()
+    val preMax = pre.agg(max("n_vecs")).collect().head.getLong(0)
+    val post = Similarity.hotCellSplit(spark, zdir).cache()
+    // the split is LIVE (qz16's hot flag fires → ≥1 child cell) and it
+    // WORKS: the post-split maximum occupancy is strictly below the
+    // pre-split head cell — the maintenance op qv10's audit triggers
+    val postMax = post.agg(max("n_vecs")).collect().head.getLong(0)
+    assert(postMax < preMax, s"split must reduce the head cell: $postMax !< $preMax")
+    // no member lost or duplicated across the re-keying
+    val n = spark.read.parquet(s"$zdir/embeddings.parquet").count()
+    assert(post.agg(sum("n_vecs")).collect().head.getLong(0) === n)
+    // only qv10-hot cells split; every other cell rides through intact
+    val hotCells = pre.filter(col("hot") === 1)
+      .collect().map(_.getLong(0)).toSet
+    val childRows = post.filter(col("cell") =!= col("old_cell")).collect()
+    assert(childRows.nonEmpty && childRows.forall(r => hotCells.contains(r.getLong(1))),
+      s"children must come from the audit's hot set $hotCells")
+    assert(post.filter(col("cell") === col("old_cell") && !col("old_cell").isin(hotCells.toSeq: _*))
+      .join(pre, Seq("cell", "n_vecs")).count() === pre.count() - hotCells.size)
+    post.unpersist(); pre.unpersist()
+    // the isotropic base corpus has no hot cell (qz16's idle pin) →
+    // the report is exactly qv10's occupancy, nothing re-keyed
+    assert(Similarity.hotCellSplit(spark, Sf01)
+      .filter(col("cell") =!= col("old_cell")).count() === 0)
+  }
+
   test("zipf corpus shape: heavy-tailed vocabulary, labels preserved") {
     val docs = spark.read.parquet(s"$zdir/documents.parquet")
     val base = spark.read.parquet(s"$Sf01/documents.parquet")
