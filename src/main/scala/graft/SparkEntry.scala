@@ -34,7 +34,8 @@ object SparkEntry {
     */
   private def onZipf(sql: String): String = {
     val cte = s"documents AS (SELECT * FROM read_parquet('$ZipfDir/documents.parquet')), " +
-      s"embeddings AS (SELECT * FROM read_parquet('$ZipfDir/embeddings.parquet'))"
+      s"embeddings AS (SELECT * FROM read_parquet('$ZipfDir/embeddings.parquet')), " +
+      s"events AS (SELECT * FROM read_parquet('$ZipfDir/events.parquet'))"
     // RECURSIVE must stay glued to WITH (DuckDB, like Postgres, allows
     // it only there; non-recursive CTEs are fine under it). Keywords
     // are matched at a WHITESPACE word boundary so a CTE named e.g.
@@ -196,6 +197,14 @@ object SparkEntry {
     // but structurally idle
     "qz16_index_stats" -> ((s, _) => graft.vector.Similarity.indexStats(s, ZipfDir)),
     "qz17_centroid_outlier" -> ((s, _) => graft.vector.Similarity.centroidOutlier(s, ZipfDir)),
+    // qz18-qz20 (r17): the EVENTS side of the heavy-tailed gate — the
+    // zipf events table (Zipf types, Zipf user activity with a ~20%
+    // bot head) makes qp5's skew profiler, qe15's rate-limit flag and
+    // qe1's dense-stream sessionization run their design paths
+    // (ZipfCorpusSpec pins fires-on-zipf / idle-on-base)
+    "qz18_skew_profile" -> ((s, _) => graft.analytics.Events.skewProfile(s, ZipfDir)),
+    "qz19_burst_rate" -> ((s, _) => graft.analytics.Events.burstRate(s, ZipfDir)),
+    "qz20_sessionize" -> ((s, _) => graft.analytics.Events.sessionize(s, ZipfDir)),
     "qv19_rank_metrics" -> ((s, d) => graft.vector.Similarity.rankMetrics(s, d)),
     "qv20_dim_sweep" -> ((s, d) => graft.vector.Similarity.dimSweep(s, d)),
     "qv21_index_upsert" -> ((s, d) => graft.vector.Similarity.indexUpsert(s, d)),
@@ -318,6 +327,56 @@ object SparkEntry {
     "qt15_line_dedup" -> ((s, d) => graft.text.TextOps.lineDedup(s, d)),
   )
 
+  /** Shared with the qz18/qz19/qz20 zipf-events twins (one SQL
+    * definition per operator — the qz gate re-points it at the
+    * heavy-tailed corpus, never forks it).
+    */
+  private val Qp5Sql = """
+      WITH ev AS (
+        SELECT user_id FROM events
+      ), counts AS (
+        SELECT user_id, count(*) AS cnt FROM ev GROUP BY user_id
+      ), totals AS (
+        SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS n_keys FROM counts
+      )
+      SELECT user_id, cnt,
+             floor((cnt * 1.0 / total)*10000 + 0.5)/10000 AS pct,
+             floor((cnt * 1.0 * n_keys / total)*10000 + 0.5)/10000 AS skew
+      FROM (SELECT * FROM counts ORDER BY cnt DESC, user_id LIMIT 10), totals"""
+
+  private val Qe15Sql = """
+      WITH ev AS (
+        SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec FROM events
+      ), c AS (
+        SELECT user_id,
+               count(*) OVER (PARTITION BY user_id ORDER BY tsec
+                              RANGE BETWEEN 86399 PRECEDING AND CURRENT ROW) AS nw
+        FROM ev
+      )
+      SELECT user_id, count(*) AS n_events, CAST(max(nw) AS BIGINT) AS peak_rate,
+             CAST(CASE WHEN max(nw) >= 8 THEN 1 ELSE 0 END AS BIGINT) AS flagged
+      FROM c GROUP BY user_id"""
+
+  private val Qe1Sql = """
+      WITH ev AS (
+        SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec FROM events
+      ), lagd AS (
+        SELECT user_id, event_id, tsec,
+               lag(tsec) OVER (PARTITION BY user_id ORDER BY tsec, event_id) AS prev
+        FROM ev
+      ), flagged AS (
+        SELECT *, CASE WHEN prev IS NULL OR tsec - prev > 1800 THEN 1 ELSE 0 END AS ns
+        FROM lagd
+      ), sess AS (
+        SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY tsec, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        FROM flagged
+      )
+      SELECT user_id, session_id, count(*) AS n_events,
+             min(tsec) AS start_epoch, max(tsec) AS end_epoch,
+             max(tsec) - min(tsec) AS duration_s
+      FROM sess GROUP BY user_id, session_id"""
+
   def oracleSql: Map[String, String] = Map(
     "qa1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -411,6 +470,9 @@ object SparkEntry {
     "qz15_embed_neardup" -> onZipf(graft.text.DocOracle.qd5()),
     "qz16_index_stats" -> onZipf(graft.text.DocOracle.qv10()),
     "qz17_centroid_outlier" -> onZipf(graft.text.DocOracle.qv8()),
+    "qz18_skew_profile" -> onZipf(Qp5Sql),
+    "qz19_burst_rate" -> onZipf(Qe15Sql),
+    "qz20_sessionize" -> onZipf(Qe1Sql),
     "qz21_hot_cell_split" -> onZipf(graft.text.DocOracle.qv26()),
     "qv19_rank_metrics" -> graft.text.DocOracle.qv19(),
     "qv20_dim_sweep" -> graft.text.DocOracle.qv20(),
@@ -478,25 +540,7 @@ object SparkEntry {
       FROM part
       WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
       GROUP BY p_brand""",
-    "qe1_sessionize" -> """
-      WITH ev AS (
-        SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec FROM events
-      ), lagd AS (
-        SELECT user_id, event_id, tsec,
-               lag(tsec) OVER (PARTITION BY user_id ORDER BY tsec, event_id) AS prev
-        FROM ev
-      ), flagged AS (
-        SELECT *, CASE WHEN prev IS NULL OR tsec - prev > 1800 THEN 1 ELSE 0 END AS ns
-        FROM lagd
-      ), sess AS (
-        SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY tsec, event_id
-                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
-        FROM flagged
-      )
-      SELECT user_id, session_id, count(*) AS n_events,
-             min(tsec) AS start_epoch, max(tsec) AS end_epoch,
-             max(tsec) - min(tsec) AS duration_s
-      FROM sess GROUP BY user_id, session_id""",
+    "qe1_sessionize" -> Qe1Sql,
     "qe2_funnel" -> """
       WITH ev AS (
         SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS tsec FROM events
@@ -533,18 +577,7 @@ object SparkEntry {
              count(DISTINCT l_tax),
              floor((min(l_tax))*10000 + 0.5)/10000,
              floor((max(l_tax))*10000 + 0.5)/10000 FROM lineitem"""),
-    "qe15_burst_rate" -> """
-      WITH ev AS (
-        SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec FROM events
-      ), c AS (
-        SELECT user_id,
-               count(*) OVER (PARTITION BY user_id ORDER BY tsec
-                              RANGE BETWEEN 86399 PRECEDING AND CURRENT ROW) AS nw
-        FROM ev
-      )
-      SELECT user_id, count(*) AS n_events, CAST(max(nw) AS BIGINT) AS peak_rate,
-             CAST(CASE WHEN max(nw) >= 8 THEN 1 ELSE 0 END AS BIGINT) AS flagged
-      FROM c GROUP BY user_id""",
+    "qe15_burst_rate" -> Qe15Sql,
     "qe14_dau_mau" -> s"""
       WITH ev AS (
         SELECT CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 86400) AS BIGINT) AS day,
@@ -784,18 +817,7 @@ object SparkEntry {
         FROM r WHERE rn <= 3 GROUP BY user_id
       ), c AS (SELECT path, count(*) AS n_users FROM p GROUP BY path)
       SELECT path, n_users FROM c ORDER BY n_users DESC, path LIMIT 10""",
-    "qp5_skew_profile" -> """
-      WITH ev AS (
-        SELECT user_id FROM events
-      ), counts AS (
-        SELECT user_id, count(*) AS cnt FROM ev GROUP BY user_id
-      ), totals AS (
-        SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS n_keys FROM counts
-      )
-      SELECT user_id, cnt,
-             floor((cnt * 1.0 / total)*10000 + 0.5)/10000 AS pct,
-             floor((cnt * 1.0 * n_keys / total)*10000 + 0.5)/10000 AS skew
-      FROM (SELECT * FROM counts ORDER BY cnt DESC, user_id LIMIT 10), totals""",
+    "qp5_skew_profile" -> Qp5Sql,
     "qt11_pack_shards" -> graft.text.DocOracle.qt11(),
     "qe6_transitions" -> """
       WITH ev AS (

@@ -195,6 +195,52 @@ object GenZipf {
         col("z._2").cast("int").as("label"))
   }
 
+  /** Heavy-tailed replacement for the `events` table (VERDICT r16
+    * "next #3"): the driver's events are near-uniform over users and
+    * event types (top user 86 of 10k events at sf0.01 — skew ≈ 1.3),
+    * so qp5's skew profiler and qe15's burst/rate-limit flag are
+    * parity-green but structurally idle — the exact blind spot qz16
+    * closed for qv10. Real event streams are the opposite: user
+    * activity is Zipfian with a bot/crawler head (one principal
+    * holding a double-digit share of all traffic is the norm in any
+    * web/API log) and event types are Zipf-distributed. Per event_id
+    * (pure function → deterministic under any partitioning):
+    *
+    *   - user_id: Zipf(s=1.07) rank over the base table's own user
+    *     range — rank 0 IS the bot (~20% of all events at 150 users);
+    *   - event_type: Zipf(s=1.07) over the base table's distinct
+    *     types (sorted — deterministic rank order).
+    *
+    * event_id/ts/value/props are preserved, so the time axis (and the
+    * session/burst structure qe1/qe15 derive from it) stays the
+    * driver's: the bot's ~20% share lands on every day of the span,
+    * which is what makes its trailing-window peak clear qe15's
+    * rate-limit threshold while staying a REAL stream shape.
+    */
+  def genEvent(eventId: Long, nUsers: Int, types: IndexedSeq[String]): (Long, String) = {
+    val rng = rngFor(eventId, 0xB07B07L)
+    (drawZipf(rng.nextDouble(), nUsers).toLong,
+      types(drawZipf(rng.nextDouble(), types.size)))
+  }
+
+  /** The rewritten events frame for any driver-layout events table —
+    * same seam shape as [[zipfDocuments]]/[[zipfEmbeddings]]. The user
+    * range and type set come from the base table (two bounded driver
+    * reads: |types| is categorical, the user range is one scalar agg).
+    */
+  def zipfEvents(ev: DataFrame): DataFrame = {
+    val types = ev.select("event_type").distinct().orderBy("event_type")
+      .collect().map(_.getString(0)).toIndexedSeq
+    val nUsers = ev.agg(max("user_id")).collect().head.getLong(0).toInt + 1
+    val genU = udf((id: Long) => genEvent(id, nUsers, types))
+    ev.withColumn("z", genU(col("event_id")))
+      .select(ev.columns.map {
+        case "user_id" => col("z._1").as("user_id")
+        case "event_type" => col("z._2").as("event_type")
+        case c => col(c)
+      }: _*)
+  }
+
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
     val dst = if (args.length > 1) args(1) else "/root/repo/target/testdata/zipf0.01"
@@ -227,8 +273,9 @@ object GenZipf {
     wr(zipfDocuments(rd("documents"), vocab).orderBy("doc_id"), "documents")
     if (!docsOnly) {
       wr(zipfEmbeddings(rd("embeddings")).orderBy("vec_id"), "embeddings")
+      wr(zipfEvents(rd("events")).orderBy("event_id"), "events")
       Seq("region", "nation", "customer", "supplier", "part", "orders",
-        "lineitem", "events").foreach(t => wr(rd(t), t))
+        "lineitem").foreach(t => wr(rd(t), t))
     }
     // corpus shape evidence: distinct vocabulary + df profile
     val toks = spark.read.parquet(s"$dst/documents.parquet")

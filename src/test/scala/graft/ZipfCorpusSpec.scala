@@ -25,6 +25,8 @@ class ZipfCorpusSpec extends SparkSuite {
       .write.mode("overwrite").parquet(s"$d/documents.parquet")
     GenZipf.zipfEmbeddings(spark.read.parquet(s"$Sf01/embeddings.parquet"))
       .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    GenZipf.zipfEvents(spark.read.parquet(s"$Sf01/events.parquet"))
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
     d
   }
 
@@ -46,6 +48,42 @@ class ZipfCorpusSpec extends SparkSuite {
     assert(emb.count() === regenE.count())
     assert(flat(emb).except(flat(regenE)).count() === 0 &&
       flat(regenE).except(flat(emb)).count() === 0)
+    // events: since r17 ALSO generator output (zipf types + zipf user
+    // activity with the bot head — qz18/qz19/qz20's corpus)
+    val evs = spark.read.parquet(s"${SparkEntry.ZipfDir}/events.parquet")
+    val regenV = GenZipf.zipfEvents(spark.read.parquet(s"$Sf01/events.parquet"))
+    assert(evs.except(regenV).count() === 0 &&
+      regenV.except(evs).count() === 0)
+  }
+
+  test("zipf events: the bot head fires qp5's skew and qe15's rate limit (idle on base)") {
+    import graft.analytics.Events
+    val evs = spark.read.parquet(s"$zdir/events.parquet")
+    val n = evs.count()
+    // the bot (zipf rank 0) holds a double-digit share of ALL events
+    val bot = evs.filter(col("user_id") === 0).count()
+    assert(bot > n / 10, s"bot must dominate: $bot of $n")
+    // qp5: the profiler's top key IS the bot, at a skew no uniform
+    // stream produces; the base corpus never clears a 2x skew — the
+    // diagnostic that decides salting is structurally idle there
+    val topZ = Events.skewProfile(spark, zdir).orderBy(desc("skew")).limit(1).collect().head
+    assert(topZ.getLong(topZ.fieldIndex("user_id")) === 0L)
+    assert(topZ.getDouble(topZ.fieldIndex("skew")) >= 5.0,
+      s"bot skew must be unmistakable: ${topZ.getDouble(topZ.fieldIndex("skew"))}")
+    val topB = Events.skewProfile(spark, Sf01).agg(max("skew")).collect().head.getDouble(0)
+    assert(topB < 2.0, s"base corpus must stay idle, got skew $topB")
+    // qe15: the bot's trailing-day peak clears the rate-limit
+    // threshold by an order of magnitude — the abuse screen is LIVE
+    val br = Events.burstRate(spark, zdir).filter(col("user_id") === 0).collect().head
+    assert(br.getLong(br.fieldIndex("flagged")) === 1L)
+    assert(br.getLong(br.fieldIndex("peak_rate")) >= 40L,
+      s"bot peak must dwarf thr=8: ${br.getLong(br.fieldIndex("peak_rate"))}")
+    // qe1: the bot's stream is DENSE — sub-gap arrivals chain into
+    // long sessions (the per-user state bound qe15/qe1 document is
+    // exercised by a real hot partition, not a 3-event session)
+    val botSess = Events.sessionize(spark, zdir).filter(col("user_id") === 0)
+    assert(botSess.agg(max("n_events")).collect().head.getLong(0) >= 20L,
+      "the bot must chain dense multi-event sessions")
   }
 
   test("zipf embeddings: majority-class labels, archetype near-dup mass, skewed cells") {
