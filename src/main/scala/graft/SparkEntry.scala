@@ -28,14 +28,21 @@ object SparkEntry {
     */
   val ZipfDir = "/root/repo/zipfdata"
 
-  /** Point an oracle at the zipf corpus: DuckDB resolves CTE names
-    * before views, so leading `documents`/`embeddings` CTEs shadow the
-    * driver's sf-dir views for the whole statement.
+  /** The committed planted-hot-group corpus (tools.GenHot) — qh2 runs
+    * the guard-family report on it so the over-cap detection
+    * arithmetic is oracle-checked every round (HotReportSpec anchors
+    * the parquet to the generator).
     */
-  private def onZipf(sql: String): String = {
-    val cte = s"documents AS (SELECT * FROM read_parquet('$ZipfDir/documents.parquet')), " +
-      s"embeddings AS (SELECT * FROM read_parquet('$ZipfDir/embeddings.parquet')), " +
-      s"events AS (SELECT * FROM read_parquet('$ZipfDir/events.parquet'))"
+  val HotDir = "/root/repo/hotdata"
+
+  /** Point an oracle at a committed corpus dir: DuckDB resolves CTE
+    * names before views, so leading table CTEs shadow the driver's
+    * sf-dir views for the whole statement.
+    */
+  private def onCorpus(dir: String, tables: Seq[String])(sql: String): String = {
+    val cte = tables
+      .map(t => s"$t AS (SELECT * FROM read_parquet('$dir/$t.parquet'))")
+      .mkString(", ")
     // RECURSIVE must stay glued to WITH (DuckDB, like Postgres, allows
     // it only there; non-recursive CTEs are fine under it). Keywords
     // are matched at a WHITESPACE word boundary so a CTE named e.g.
@@ -54,6 +61,12 @@ object SparkEntry {
       case None => s"WITH $cte $t"
     }
   }
+
+  private def onZipf(sql: String): String =
+    onCorpus(ZipfDir, Seq("documents", "embeddings", "events"))(sql)
+
+  private def onHot(sql: String): String =
+    onCorpus(HotDir, Seq("documents", "embeddings"))(sql)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qa1_pricing_summary" -> ((s, d) => Relational.pricingSummary(s, d)),
@@ -205,6 +218,13 @@ object SparkEntry {
     "qz18_skew_profile" -> ((s, _) => graft.analytics.Events.skewProfile(s, ZipfDir)),
     "qz19_burst_rate" -> ((s, _) => graft.analytics.Events.burstRate(s, ZipfDir)),
     "qz20_sessionize" -> ((s, _) => graft.analytics.Events.sessionize(s, ZipfDir)),
+    // qh1/qh2 (r17): the guard family's report-mode pre-flight,
+    // oracle-checked on BOTH committed corpora — clean on zipf at
+    // production caps (0 rows), firing on hotdata's planted 100-strong
+    // groups at tightened caps (>= 7 rows by construction)
+    "qh1_hot_report" -> ((s, _) => graft.text.HotReport.hotBlockReport(s, ZipfDir)),
+    "qh2_hot_report_fires" -> ((s, _) => graft.text.HotReport.hotBlockReport(s, HotDir,
+      maxBucket = 50, maxBlock = 50, maxLabel = 70, maxCell = 70)),
     "qv19_rank_metrics" -> ((s, d) => graft.vector.Similarity.rankMetrics(s, d)),
     "qv20_dim_sweep" -> ((s, d) => graft.vector.Similarity.dimSweep(s, d)),
     "qv21_index_upsert" -> ((s, d) => graft.vector.Similarity.indexUpsert(s, d)),
@@ -473,6 +493,10 @@ object SparkEntry {
     "qz18_skew_profile" -> onZipf(Qp5Sql),
     "qz19_burst_rate" -> onZipf(Qe15Sql),
     "qz20_sessionize" -> onZipf(Qe1Sql),
+    "qh1_hot_report" -> onZipf(graft.text.DocOracle.qhot(
+      graft.text.Dedup.LshMaxBucket, graft.text.Dedup.NgramMaxBlock,
+      graft.vector.Similarity.EmbedMaxLabel, 1L << 20)),
+    "qh2_hot_report_fires" -> onHot(graft.text.DocOracle.qhot(50, 50, 70, 70)),
     "qz21_hot_cell_split" -> onZipf(graft.text.DocOracle.qv26()),
     "qv19_rank_metrics" -> graft.text.DocOracle.qv19(),
     "qv20_dim_sweep" -> graft.text.DocOracle.qv20(),

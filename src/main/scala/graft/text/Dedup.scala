@@ -619,7 +619,7 @@ object Dedup {
     ngramJaccardFromArr(docs, shArr60(spark, sfDir, 3))
   }
 
-  private def blockStats(docsIn: DataFrame): DataFrame =
+  private[graft] def blockStats(docsIn: DataFrame): DataFrame =
     docsIn.select(col("doc_id"), col("lang"), floor(col("n_chars") / 20).as("blk"))
       .groupBy("lang", "blk").agg(count(lit(1)).as("m"))
 

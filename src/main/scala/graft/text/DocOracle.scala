@@ -50,6 +50,50 @@ ${name}_raw AS (
   val qd1: String =
     "SELECT md5(text) AS h, count(*) AS n_dups, min(doc_id) AS keeper FROM documents GROUP BY md5(text)"
 
+  /** qh1/qh2: mirrors HotReport.hotBlockReport — per guarded family,
+    * the over-cap groups with their member count and would-be clique
+    * pair product. The four group definitions are the guards' own:
+    * qd2's (band, sig) buckets (same minhash/band chain as [[qd2]]),
+    * qd4's (lang, n_chars/20) blocks, qd5's labels, qd11's seeded
+    * cells (same assignment chain as [[qd11]]).
+    */
+  def qhot(maxBucket: Long, maxBlock: Long, maxLabel: Long, maxCell: Long,
+           nCells: Int = 16, nPerm: Int = 16, bandRows: Int = 4): String =
+    toksCte + shinglesCte(3, "sh3") + s"""
+, shd AS (SELECT DISTINCT doc_id, sh, ${h("sh")} AS bh FROM sh3),
+${minhCte(nPerm)}, bands AS MATERIALIZED (
+  SELECT doc_id, CAST(floor(j / $bandRows) AS BIGINT) AS band,
+         sum(mh * ${bandCase(bandRows)}) AS sig
+  FROM minh GROUP BY doc_id, CAST(floor(j / $bandRows) AS BIGINT)
+), vecs AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+)${assignCte(nCells)}
+, lshhot AS (
+  SELECT 'qd2_lsh_bucket' AS family,
+         concat(CAST(band AS VARCHAR), ':', CAST(sig AS VARCHAR)) AS block_key,
+         CAST(count(*) AS BIGINT) AS m
+  FROM bands GROUP BY band, sig HAVING count(*) > $maxBucket
+), blkhot AS (
+  SELECT 'qd4_len_block' AS family,
+         concat(lang, ':', CAST(CAST(floor(n_chars / 20) AS BIGINT) AS VARCHAR)) AS block_key,
+         CAST(count(*) AS BIGINT) AS m
+  FROM documents GROUP BY lang, CAST(floor(n_chars / 20) AS BIGINT)
+  HAVING count(*) > $maxBlock
+), labhot AS (
+  SELECT 'qd5_label' AS family, CAST(label AS VARCHAR) AS block_key,
+         CAST(count(*) AS BIGINT) AS m
+  FROM embeddings GROUP BY label HAVING count(*) > $maxLabel
+), cellhot AS (
+  SELECT 'qd11_ivf_cell' AS family, CAST(cell AS VARCHAR) AS block_key,
+         CAST(count(*) AS BIGINT) AS m
+  FROM assigned GROUP BY cell HAVING count(*) > $maxCell
+), allhot AS (
+  SELECT * FROM lshhot UNION ALL SELECT * FROM blkhot
+  UNION ALL SELECT * FROM labhot UNION ALL SELECT * FROM cellhot
+)
+SELECT family, block_key, m, CAST(m * (m - 1) / 2 AS BIGINT) AS would_pairs
+FROM allhot"""
+
   /** shd → minh(doc_id, j, mh): the nPerm permutation minima as nPerm
     * min-aggregates in ONE pass over shd, zip-unnested back to rows —
     * row-for-row identical to the old perms/hashed nPerm× fan-out
