@@ -1041,13 +1041,17 @@ object ScoreStream {
 
   /** Streaming twin of qt21's per-source document cap — ADMISSION
     * CONTROL in flight: each source admits its first `cap` documents
-    * and rejects the rest, ONE Long of state per source. The batch gate
-    * keeps the cap LOWEST doc_ids; a stream cannot see future arrivals,
-    * so its semantic is first-COME — identical to the batch verdicts
-    * exactly when arrival order is ingestion (doc_id) order, which is
-    * the batch tie-break's rationale (StreamingSpec feeds ordered
-    * batches and asserts per-doc equality). Within a micro-batch rows
-    * sort by doc_id, so replays of the same batch are deterministic.
+    * and rejects the rest, ONE Long of state per source. The batch
+    * gate (r16's `perSourceCapThreshold`) keeps doc_id ≤ cap_thr where
+    * cap_thr is the cap-th lowest doc_id per source — under ordered
+    * (ingestion = doc_id) arrival, first-COME admits exactly that
+    * threshold's kept set, so the two semantics coincide precisely
+    * when the batch tie-break's rationale holds. StreamingSpec
+    * reconciles per-doc verdicts against the SHARED threshold builder
+    * itself (kept ⇔ doc_id ≤ cap_thr), so a drift in the batch
+    * rewrite breaks the twin's spec, not just qt21's oracle. Within a
+    * micro-batch rows sort by doc_id, so replays of the same batch are
+    * deterministic.
     */
   def domainCapStream(docs: org.apache.spark.sql.Dataset[(String, Long, Long)],
                       cap: Int = 20): org.apache.spark.sql.Dataset[CapVerdict] = {

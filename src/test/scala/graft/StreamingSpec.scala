@@ -189,10 +189,15 @@ class StreamingSpec extends SparkSuite {
       val got = spark.table("cap_stream").as[ScoreStream.CapVerdict].collect()
       assert(got.length === docs.length)
       // ordered arrival ⇒ first-come == lowest-doc_id: per-doc verdicts
-      // equal the batch gate's kept set (the 20 lowest ids per source)
-      val keptBatch = docs.groupBy(_._1).valuesIterator
-        .flatMap(ds => ds.sortBy(_._2).take(20).map(_._2)).toSet
-      assert(got.forall(v => v.kept === keptBatch.contains(v.docId)))
+      // equal the BATCH RULE ITSELF — perSourceCapThreshold's
+      // group-limited cap_thr (r16's rewrite), kept ⇔ doc_id ≤ cap_thr.
+      // Anchoring on the shared threshold builder (not a spec-local
+      // re-derivation) means a drift in the batch rewrite breaks this
+      // reconciliation, not just qt21's oracle.
+      val thr = graft.text.TextOps.perSourceCapThreshold(
+        spark.read.parquet(s"$Sf001/documents.parquet").select("source", "doc_id"), 20)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got.forall(v => v.kept === (v.docId <= thr(v.source))))
       // and the per-source admit counts reconcile with qt21's audit
       val gotCounts = got.filter(_.kept).groupBy(_.source).map { case (s, vs) => s -> vs.length.toLong }
       val batchCounts = graft.text.TextOps.domainCap(spark, Sf001, cap = 20).collect()
