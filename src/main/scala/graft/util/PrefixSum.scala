@@ -56,25 +56,44 @@ object PrefixSum {
     // of orderCol (per-group ranges would need a |groups|-row join —
     // same plan shape, not needed while ids are dense-ish).
     val bounds = df.agg(min(col(orderCol)).as("__lo"), max(col(orderCol)).as("__hi"))
+    // the explicit isNotNull mirrors what the downstream equi-join
+    // would infer on ONE side only — stated here it lands identically
+    // in BOTH consumers' subtrees, which is what lets AQE canonicalize
+    // the two exchanges to one reused shuffle stage (orderCol is an id:
+    // a null would break running-sum determinism anyway)
     val bucketed = df.crossJoin(broadcast(bounds))
       .withColumn("__bkt",
         floor((col(orderCol) - col("__lo")) * nBuckets /
           (col("__hi") - col("__lo") + 1)).cast("long"))
+      .filter(col("__bkt").isNotNull)
       .drop("__lo", "__hi")
-    // pass 1: per-(group, bucket) totals — map-side combined hash agg
-    val partials = bucketed.groupBy(pc :+ col("__bkt"): _*)
-      .agg(sum(col(valCol)).as("__bsum"))
+    // LOCAL cumsum first, inside each (group, bucket) partition — the
+    // one data-scaled exchange. The per-bucket totals then aggregate
+    // over the SAME (group, bucket) partitioning (superset-key hash
+    // agg → no second exchange; Spark reuses the exchange across the
+    // join's two sides), so the whole construction pays exactly one
+    // corpus-scale shuffle — the same price as the single-window form —
+    // plus one |groups|·|buckets|-row rollup exchange.
+    val wLoc = Window.partitionBy(pc :+ col("__bkt"): _*).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val localCum = bucketed.withColumn("__lcum", sum(col(valCol)).over(wLoc))
+    // per-bucket total = the LAST row's local cumsum (orderCol is
+    // unique, so max_by is exact for any value sign). Reading the
+    // WINDOW's output — not re-aggregating valCol from the scan —
+    // keeps this subtree bit-identical to the join's probe side up
+    // through the exchange, so AQE reuses the one corpus-scale shuffle
+    // stage across both sides (one scan, one data-scaled exchange —
+    // the same price the single-window form paid).
+    val partials = localCum.groupBy(pc :+ col("__bkt"): _*)
+      .agg(max_by(col("__lcum"), col(orderCol)).as("__bsum"))
     // sequential exclusive prefix over the BOUNDED rollup only
     val wBkt = Window.partitionBy(pc: _*).orderBy("__bkt")
       .rowsBetween(Window.unboundedPreceding, -1)
     val prefix = partials
       .withColumn("__pre", coalesce(sum("__bsum").over(wBkt), lit(0L)))
       .select(pc :+ col("__bkt") :+ col("__pre"): _*)
-    // pass 2: local cumsum inside each (group, bucket) partition
-    val wLoc = Window.partitionBy(pc :+ col("__bkt"): _*).orderBy(orderCol)
-      .rowsBetween(Window.unboundedPreceding, 0)
-    bucketed.join(broadcast(prefix), partCols :+ "__bkt")
-      .withColumn(cumCol, col("__pre") + sum(col(valCol)).over(wLoc))
-      .drop("__bkt", "__pre")
+    localCum.join(broadcast(prefix), partCols :+ "__bkt")
+      .withColumn(cumCol, col("__pre") + col("__lcum"))
+      .drop("__bkt", "__pre", "__lcum")
   }
 }
