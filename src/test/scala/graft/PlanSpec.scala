@@ -664,6 +664,22 @@ class PlanSpec extends SparkSuite {
       s"$who: the bucket-prefix rollup must broadcast back:\n${p.take(1200)}")
   }
 
+  /** r17: qv26's sub-seed pick must stay the group-limited rank (a
+    * 10⁸-member hot cell ships O(nSplit × tasks) rows, never its
+    * sorted self) and the reassignment must ride the codegen argmin
+    * kernel over broadcast packed seeds — qt21/qa3's discipline
+    * applied to the split operator.
+    */
+  test("qv26 split: partial group-limited sub-seed pick + broadcast argmin reassignment") {
+    val p = plan(graft.vector.Similarity.hotCellSplit(spark, Sf01))
+    assert(p.contains("WindowGroupLimit") && p.contains(", Partial"),
+      s"qv26 sub-seed pick lost its partial group limit:\n${p.take(1200)}")
+    assert(p.contains("graft_argmin_dist2"),
+      s"qv26 reassignment must use the codegen kernel:\n${p.take(1200)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"hot set / packed sub-seeds must broadcast:\n${p.take(1200)}")
+  }
+
   test("qt11/qm4 shard packing: two-pass prefix sum, no data-scaled sequential window") {
     assertBucketedRunningSum(
       plan(graft.text.TextOps.packShards(spark, Sf01)), "source", "qt11")

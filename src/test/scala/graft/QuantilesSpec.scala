@@ -58,4 +58,44 @@ class QuantilesSpec extends AnyFunSuite with SparkSuite {
     val df = Seq[Option[Double]](Some(1.0), None, Some(3.0), None, Some(2.0)).toDF("v")
     assert(Quantiles.exactOne(df, "v", 0.5).contains(2.0))
   }
+
+  /** util.PrefixSum backs qt11/qm4's shard packing (r17): the two-pass
+    * bucketed form must equal the naive single-window running sum
+    * bit-for-bit for ANY group shape, bucket count (incl. buckets ≫
+    * rows and buckets = 1, the degenerate single-window case), gappy
+    * ids, and NEGATIVE values (the per-bucket total reads the window's
+    * last row via max_by, which must stay exact when cumsums are not
+    * monotone).
+    */
+  test("PrefixSum.runningSum equals the single-window running sum (40 random instances)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new Random(17)
+    for (i <- 1 to 40) {
+      val n = 1 + rnd.nextInt(120)
+      val nGroups = 1 + rnd.nextInt(4)
+      val nBuckets = Seq(1, 2, 7, 64, 1000)(rnd.nextInt(5))
+      // gappy, shuffled ids; values can be negative
+      val ids = rnd.shuffle((0 until 3 * n).toList).take(n)
+      val rows = ids.map(id =>
+        (s"g${rnd.nextInt(nGroups)}", id.toLong, (rnd.nextInt(401) - 100).toLong))
+      val df = rows.toDF("g", "id", "v").repartition(1 + rnd.nextInt(5))
+      val got = graft.util.PrefixSum.runningSum(df, Seq("g"), "id", "v", "cum", nBuckets)
+        .select("g", "id", "cum").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val w = Window.partitionBy("g").orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val want = df.withColumn("cum", sum("v").over(w))
+        .select("g", "id", "cum").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got === want, s"instance $i (n=$n groups=$nGroups buckets=$nBuckets)")
+    }
+  }
+
+  test("PrefixSum.runningSum on empty input stays empty") {
+    import spark.implicits._
+    val df = Seq.empty[(String, Long, Long)].toDF("g", "id", "v")
+    assert(graft.util.PrefixSum.runningSum(df, Seq("g"), "id", "v", "cum").count() === 0)
+  }
 }
