@@ -91,7 +91,7 @@ ${minhCte(nPerm)}, bands AS MATERIALIZED (
   SELECT * FROM lshhot UNION ALL SELECT * FROM blkhot
   UNION ALL SELECT * FROM labhot UNION ALL SELECT * FROM cellhot
 )
-SELECT family, block_key, m, CAST(m * (m - 1) / 2 AS BIGINT) AS would_pairs
+SELECT family, block_key, m, CAST(m * (m - 1) // 2 AS BIGINT) AS would_pairs
 FROM allhot"""
 
   /** shd → minh(doc_id, j, mh): the nPerm permutation minima as nPerm

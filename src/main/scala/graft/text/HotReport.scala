@@ -31,9 +31,10 @@ import org.apache.spark.sql.functions._
 object HotReport {
 
   /** m members clique into m(m−1)/2 would-be pairs — the number every
-    * refusal message quotes; exact in double for any m < 2²⁶·√2.
+    * refusal message quotes. Integer division end-to-end (m(m−1) is
+    * even): exact int64 for any m up to ~3·10⁹, far past every cap.
     */
-  private def wouldPairs(m: Column): Column = (m * (m - 1) / 2).cast("long")
+  private def wouldPairs(m: Column): Column = expr("m * (m - 1) div 2")
 
   private def over(df: DataFrame, family: String, key: Column, cap: Long): DataFrame =
     df.filter(col("m") > cap)
