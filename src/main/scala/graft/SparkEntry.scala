@@ -222,6 +222,14 @@ object SparkEntry {
     // oracle-checked on BOTH committed corpora — clean on zipf at
     // production caps (0 rows), firing on hotdata's planted 100-strong
     // groups at tightened caps (>= 7 rows by construction)
+    // qz22/qz23 (r17): the remaining structurally-idle families on
+    // skew — qe13's overlap matrix SATURATES on the driver's uniform
+    // events (every user touches all 5 types → every jaccard ≈ 1);
+    // zipf types differentiate it. qm3's pHash pigeonhole had no zipf
+    // row at all; the corpus's perturbed near-dups and passage
+    // carriers give it real byte-level collisions.
+    "qz22_audience_overlap" -> ((s, _) => graft.analytics.Events.audienceOverlap(s, ZipfDir)),
+    "qz23_phash_neardup" -> ((s, _) => graft.multimodal.BinaryMeta.phashNearDup(s, ZipfDir)),
     "qh1_hot_report" -> ((s, _) => graft.text.HotReport.hotBlockReport(s, ZipfDir)),
     "qh2_hot_report_fires" -> ((s, _) => graft.text.HotReport.hotBlockReport(s, HotDir,
       maxBucket = 50, maxBlock = 50, maxLabel = 70, maxCell = 70)),
@@ -397,6 +405,32 @@ object SparkEntry {
              max(tsec) - min(tsec) AS duration_s
       FROM sess GROUP BY user_id, session_id"""
 
+  private val Qe13Sql: String = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val maskCols = types.map(t =>
+      s"max(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS b_$t").mkString(",\n               ")
+    val pairs = for { a <- types; b <- types if a < b } yield (a, b)
+    val pairSelects = pairs.map { case (a, b) =>
+      s"""SELECT '$a' AS type_a, '$b' AS type_b,
+               CAST(sum(b_$a) AS BIGINT) AS n_a, CAST(sum(b_$b) AS BIGINT) AS n_b,
+               CAST(sum(b_$a * b_$b) AS BIGINT) AS n_both FROM masks"""
+    }.mkString("\n      UNION ALL\n      ")
+    s"""
+      WITH masks AS (
+        SELECT user_id,
+               $maskCols
+        FROM events GROUP BY user_id
+      ), prs AS (
+      $pairSelects
+      )
+      SELECT type_a, type_b, n_a, n_b, n_both,
+             n_a + n_b - n_both AS n_either,
+             CASE WHEN n_a + n_b - n_both <> 0
+                  THEN floor(CAST(n_both AS DOUBLE) / (n_a + n_b - n_both) * 10000 + 0.5) / 10000
+             END AS jaccard
+      FROM prs"""
+  }
+
   def oracleSql: Map[String, String] = Map(
     "qa1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -493,6 +527,8 @@ object SparkEntry {
     "qz18_skew_profile" -> onZipf(Qp5Sql),
     "qz19_burst_rate" -> onZipf(Qe15Sql),
     "qz20_sessionize" -> onZipf(Qe1Sql),
+    "qz22_audience_overlap" -> onZipf(Qe13Sql),
+    "qz23_phash_neardup" -> onZipf(graft.multimodal.BinaryMeta.qm3OracleSql()),
     "qh1_hot_report" -> onZipf(graft.text.DocOracle.qhot(
       graft.text.Dedup.LshMaxBucket, graft.text.Dedup.NgramMaxBlock,
       graft.vector.Similarity.EmbedMaxLabel, 1L << 20)),
@@ -1021,31 +1057,7 @@ object SparkEntry {
     "q52_strength" -> graft.timeseries.TsOracle.q52(),
     "q53_reconcile" -> graft.timeseries.TsOracle.q53,
     "q54_refit_backtest" -> graft.timeseries.TsOracle.q54(),
-    "qe13_audience_overlap" -> {
-      val types = Seq("click", "error", "purchase", "signup", "view")
-      val maskCols = types.map(t =>
-        s"max(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS b_$t").mkString(",\n               ")
-      val pairs = for { a <- types; b <- types if a < b } yield (a, b)
-      val pairSelects = pairs.map { case (a, b) =>
-        s"""SELECT '$a' AS type_a, '$b' AS type_b,
-               CAST(sum(b_$a) AS BIGINT) AS n_a, CAST(sum(b_$b) AS BIGINT) AS n_b,
-               CAST(sum(b_$a * b_$b) AS BIGINT) AS n_both FROM masks"""
-      }.mkString("\n      UNION ALL\n      ")
-      s"""
-      WITH masks AS (
-        SELECT user_id,
-               $maskCols
-        FROM events GROUP BY user_id
-      ), prs AS (
-      $pairSelects
-      )
-      SELECT type_a, type_b, n_a, n_b, n_both,
-             n_a + n_b - n_both AS n_either,
-             CASE WHEN n_a + n_b - n_both <> 0
-                  THEN floor(CAST(n_both AS DOUBLE) / (n_a + n_b - n_both) * 10000 + 0.5) / 10000
-             END AS jaccard
-      FROM prs"""
-    },
+    "qe13_audience_overlap" -> Qe13Sql,
     "qe12_survival" -> """
       WITH ev AS (
         SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS tsec FROM events

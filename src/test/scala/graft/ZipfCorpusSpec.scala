@@ -148,6 +148,27 @@ class ZipfCorpusSpec extends SparkSuite {
       .filter(col("cell") =!= col("old_cell")).count() === 0)
   }
 
+  test("qz22/qz23: overlap matrix differentiates, pHash catches planted dups (idle on base)") {
+    import graft.analytics.Events
+    // qe13 on the driver's uniform events is SATURATED — every user
+    // touches all 5 types, every pair's jaccard is exactly 1.0, so the
+    // matrix can't distinguish anything (structurally idle); the zipf
+    // types pull the tail type's audience well below the head's
+    val base = Events.audienceOverlap(spark, Sf01)
+    assert(base.agg(min("jaccard")).collect().head.getDouble(0) === 1.0,
+      "uniform events must saturate the matrix — that's the blind spot")
+    val z = Events.audienceOverlap(spark, zdir)
+    assert(z.agg(min("jaccard")).collect().head.getDouble(0) < 0.9,
+      "zipf types must differentiate the audience matrix")
+    // qm3's byte-level pigeonhole pairs the planted perturbed
+    // near-dups (doc_id%50==49 is its predecessor's text at 5% token
+    // churn — pHash-close payloads)
+    val pairs = graft.multimodal.BinaryMeta.phashNearDup(spark, zdir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.exists(p => p._2 == p._1 + 1 && p._2 % 50 == 49),
+      s"planted (id-1, id%%50==49) near-dups must collide in pHash space: $pairs")
+  }
+
   test("zipf corpus shape: heavy-tailed vocabulary, labels preserved") {
     val docs = spark.read.parquet(s"$zdir/documents.parquet")
     val base = spark.read.parquet(s"$Sf01/documents.parquet")
