@@ -31,10 +31,14 @@ import org.apache.spark.sql.functions._
 object HotReport {
 
   /** m members clique into m(m−1)/2 would-be pairs — the number every
-    * refusal message quotes. Integer division end-to-end (m(m−1) is
-    * even): exact int64 for any m up to ~3·10⁹, far past every cap.
+    * refusal message quotes. Integer arithmetic end-to-end (m(m−1) is
+    * even, so the shift is an exact halving): exact int64 for any m up
+    * to ~3·10⁹, far past every cap. Built from the passed Column —
+    * not a name-captured `expr` — so it is correct under any aliasing
+    * at the call site (ADVICE r17).
     */
-  private def wouldPairs(m: Column): Column = expr("m * (m - 1) div 2")
+  private def wouldPairs(m: Column): Column =
+    shiftright((m * (m - lit(1L))).cast("long"), 1)
 
   private def over(df: DataFrame, family: String, key: Column, cap: Long): DataFrame =
     df.filter(col("m") > cap)

@@ -42,8 +42,12 @@ object LogHygiene {
   /** The filter is present on the CURRENT configuration — reinstalling
     * on the live one if a reconfigure dropped it. addFilter wraps into
     * a CompositeFilter (an Iterable), so presence is an identity scan.
+    * `synchronized` because check-then-add is not atomic (ADVICE r17):
+    * two threads racing through the first suppressKnownBenignWindowWarn
+    * call could both miss the scan and addFilter twice, double-counting
+    * every suppressed WARN.
     */
-  private def ensureInstalled(f: Filter): Unit =
+  private def ensureInstalled(f: Filter): Unit = synchronized {
     LogManager.getContext(false) match {
       case ctx: LoggerContext =>
         val cfg = ctx.getConfiguration
@@ -59,6 +63,7 @@ object LogHygiene {
         if (!present) cfg.addFilter(f)
       case _ => // non-core logging backend: nothing to install, warn stays
     }
+  }
 
   /** Install the deny-filter on the live log4j2 context; returns the
     * suppressed-message counter (read it at exit for the summary line).

@@ -54,19 +54,45 @@ object PrefixSum {
     // global order-column bounds: one scalar agg, broadcast. Bucketing
     // on the GLOBAL range keeps the bucket id a pure monotone function
     // of orderCol (per-group ranges would need a |groups|-row join —
-    // same plan shape, not needed while ids are dense-ish).
+    // same plan shape, not needed while ids are dense-ish). The bucket
+    // WIDTH is (hi−lo) div nBuckets + 1 and the id is a single integer
+    // division (ord−lo) div width — never a multiplication, so ids
+    // anywhere in Long's range (snowflake/hash ids) bucket exactly; the
+    // old (ord−lo)·nBuckets product wrapped for ranges > 2⁶³/nBuckets
+    // and silently broke bucket monotonicity (ADVICE r17). The one
+    // remaining impossibility — the RANGE itself exceeding
+    // Long.MaxValue — raises in-plan, detected EXACTLY in halved space
+    // (hi = 2·(hi>>1) + (hi&1) for any long, so hi−lo = 2·d + c with
+    // d = (hi>>1)−(lo>>1) ∈ [0, 2⁶³) and c ∈ {−1,0,1}; it exceeds
+    // Long.MaxValue = 2·2⁶² − 1 iff d > 2⁶² or (d = 2⁶² and c ≥ 0) —
+    // no subtraction in the test can overflow, and a range of exactly
+    // Long.MaxValue still buckets).
     val bounds = df.agg(min(col(orderCol)).as("__lo"), max(col(orderCol)).as("__hi"))
-    // the explicit isNotNull mirrors what the downstream equi-join
-    // would infer on ONE side only — stated here it lands identically
-    // in BOTH consumers' subtrees, which is what lets AQE canonicalize
-    // the two exchanges to one reused shuffle stage (orderCol is an id:
-    // a null would break running-sum determinism anyway)
+      .select(col("__lo"), {
+        val d = expr("(__hi >> 1) - (__lo >> 1)")
+        val c = expr("(__hi & 1) - (__lo & 1)")
+        val q = lit(1L << 62)
+        when(d > q || (d === q && c >= 0),
+          raise_error(lit("PrefixSum.runningSum: order-column range exceeds " +
+            "Long.MaxValue; rebase the order column")).cast("long"))
+          .otherwise(expr(s"(__hi - __lo) div ${nBuckets}L + 1L")).as("__w")
+      })
+    // a null order column would silently lose its row's place in the
+    // total order (the single-window form sorts nulls first; an id
+    // column should never be null) — raise instead of choosing either
+    // semantic. The trailing isNotNull filter is then a no-op on data
+    // but mirrors what the downstream equi-join would infer on ONE
+    // side only — stated here it lands identically in BOTH consumers'
+    // subtrees, which is what lets AQE canonicalize the two exchanges
+    // to one reused shuffle stage.
     val bucketed = df.crossJoin(broadcast(bounds))
       .withColumn("__bkt",
-        floor((col(orderCol) - col("__lo")) * nBuckets /
-          (col("__hi") - col("__lo") + 1)).cast("long"))
+        when(col(orderCol).isNotNull,
+          expr(s"(`$orderCol` - __lo) div __w"))
+          .otherwise(raise_error(lit(s"PrefixSum.runningSum: null in order " +
+            s"column '$orderCol' (running sum needs a total order)")).cast("long")))
       .filter(col("__bkt").isNotNull)
-      .drop("__lo", "__hi")
+      .drop("__lo", "__w")
     // LOCAL cumsum first, inside each (group, bucket) partition — the
     // one data-scaled exchange. The per-bucket totals then aggregate
     // over the SAME (group, bucket) partitioning (superset-key hash

@@ -98,4 +98,43 @@ class QuantilesSpec extends AnyFunSuite with SparkSuite {
     val df = Seq.empty[(String, Long, Long)].toDF("g", "id", "v")
     assert(graft.util.PrefixSum.runningSum(df, Seq("g"), "id", "v", "cum").count() === 0)
   }
+
+  /** ADVICE r17: the old bucket id multiplied (ord−lo)·nBuckets, which
+    * wraps for id ranges > 2⁶³/nBuckets (sparse snowflake/hash ids) —
+    * silently breaking bucket monotonicity. The width-division form
+    * must stay exact with ids pinned against Long.MaxValue (range ≈
+    * 2⁶²·3, far past the old overflow point) and with a single-row
+    * group riding along.
+    */
+  test("PrefixSum.runningSum is exact for ids near Long.MaxValue (old form overflowed)") {
+    import spark.implicits._
+    val big = Long.MaxValue
+    val rows = Seq(
+      ("a", big - 4L, 10L), ("a", big - 2L, -3L), ("a", big, 7L),
+      ("a", big / 2, 5L), ("a", 42L, 1L),
+      ("solo", big - 1L, 99L))
+    val df = rows.toDF("g", "id", "v").repartition(3)
+    val got = graft.util.PrefixSum.runningSum(df, Seq("g"), "id", "v", "cum", 64)
+      .select("g", "id", "cum").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === Map(
+      ("a", 42L) -> 1L, ("a", big / 2) -> 6L, ("a", big - 4L) -> 16L,
+      ("a", big - 2L) -> 13L, ("a", big) -> 20L, ("solo", big - 1L) -> 99L))
+  }
+
+  /** ADVICE r17: a null order id used to be silently DROPPED (the
+    * single-window form keeps it, nulls-first) — the contract is now a
+    * loud failure, never a divergent row count.
+    */
+  test("PrefixSum.runningSum raises on a null order column") {
+    import spark.implicits._
+    val df = Seq[(String, Option[Long], Long)](("a", Some(1L), 1L), ("a", None, 2L))
+      .toDF("g", "id", "v")
+    val ex = intercept[Exception] {
+      graft.util.PrefixSum.runningSum(df, Seq("g"), "id", "v", "cum").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("null in order column")))
+  }
 }
