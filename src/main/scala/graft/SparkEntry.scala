@@ -65,6 +65,13 @@ object SparkEntry {
   private def onZipf(sql: String): String =
     onCorpus(ZipfDir, Seq("documents", "embeddings", "events"))(sql)
 
+  /** The relational side of the zipf gate (r18): qz24/qz25 shadow the
+    * fact tables (rewritten — mega-order/mega-customer) and the dims
+    * they join (committed verbatim).
+    */
+  private def onZipfFacts(sql: String): String =
+    onCorpus(ZipfDir, Seq("lineitem", "orders", "customer", "nation", "region"))(sql)
+
   private def onHot(sql: String): String =
     onCorpus(HotDir, Seq("documents", "embeddings"))(sql)
 
@@ -233,6 +240,16 @@ object SparkEntry {
     "qh1_hot_report" -> ((s, _) => graft.text.HotReport.hotBlockReport(s, ZipfDir)),
     "qh2_hot_report_fires" -> ((s, _) => graft.text.HotReport.hotBlockReport(s, HotDir,
       maxBucket = 50, maxBlock = 50, maxLabel = 70, maxCell = 70)),
+    // qz24/qz25 (r18): the RELATIONAL side of the heavy-tailed gate —
+    // the committed zipf facts carry a mega-order (~13% of all
+    // lineitem rows on ONE l_orderkey) and a mega-customer (~16% of
+    // orders), so qa11's salted two-phase agg finally runs where the
+    // salt fan-out MATTERS (qz24: hot group ~2000× the median) and
+    // qa2's lineitem⋈orders leg is a genuinely skewed fact-fact join
+    // (qz25: AQE's skew-join split engages — ZipfCorpusSpec pins the
+    // split present on zipf / absent on base).
+    "qz24_salted_agg" -> ((s, _) => Relational.saltedLineAgg(s, ZipfDir)),
+    "qz25_skew_fact_join" -> ((s, _) => Relational.revenueByNation(s, ZipfDir)),
     "qv19_rank_metrics" -> ((s, d) => graft.vector.Similarity.rankMetrics(s, d)),
     "qv20_dim_sweep" -> ((s, d) => graft.vector.Similarity.dimSweep(s, d)),
     "qv21_index_upsert" -> ((s, d) => graft.vector.Similarity.indexUpsert(s, d)),
@@ -359,6 +376,20 @@ object SparkEntry {
     * definition per operator — the qz gate re-points it at the
     * heavy-tailed corpus, never forks it).
     */
+  /** Shared with qz25 (one SQL definition per operator — the zipf gate
+    * re-points qa2's star join at the skewed committed facts).
+    */
+  private val Qa2Sql =
+    """SELECT r_name, n_name,
+       floor((sum(CAST(floor((l_extendedprice * (1.0 - l_discount))*10000 + 0.5) AS BIGINT)) / 10000.0)*10000 + 0.5)/10000 AS revenue,
+       count(*) AS n_items
+       FROM lineitem
+       JOIN orders   ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       JOIN nation   ON c_nationkey = n_nationkey
+       JOIN region   ON n_regionkey = r_regionkey
+       GROUP BY r_name, n_name"""
+
   private val Qp5Sql = """
       WITH ev AS (
         SELECT user_id FROM events
@@ -443,16 +474,7 @@ object SparkEntry {
          floor((sum(CAST(floor((l_discount)*10000 + 0.5) AS BIGINT)) / 10000.0 / count(*))*10000 + 0.5)/10000 AS avg_disc,
          count(*) AS count_order
          FROM lineitem GROUP BY l_returnflag, l_linestatus""",
-    "qa2_revenue_join" ->
-      """SELECT r_name, n_name,
-         floor((sum(CAST(floor((l_extendedprice * (1.0 - l_discount))*10000 + 0.5) AS BIGINT)) / 10000.0)*10000 + 0.5)/10000 AS revenue,
-         count(*) AS n_items
-         FROM lineitem
-         JOIN orders   ON l_orderkey = o_orderkey
-         JOIN customer ON o_custkey = c_custkey
-         JOIN nation   ON c_nationkey = n_nationkey
-         JOIN region   ON n_regionkey = r_regionkey
-         GROUP BY r_name, n_name""",
+    "qa2_revenue_join" -> Qa2Sql,
     "qa3_top_n" ->
       """SELECT c_mktsegment, rnk, c_custkey, c_name, total_spend FROM (
            SELECT c_mktsegment, c_custkey, c_name,
@@ -529,6 +551,11 @@ object SparkEntry {
     "qz20_sessionize" -> onZipf(Qe1Sql),
     "qz22_audience_overlap" -> onZipf(Qe13Sql),
     "qz23_phash_neardup" -> onZipf(graft.multimodal.BinaryMeta.qm3OracleSql()),
+    "qz24_salted_agg" -> onZipfFacts("""
+      SELECT l_orderkey, count(*) AS n_items,
+             CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey"""),
+    "qz25_skew_fact_join" -> onZipfFacts(Qa2Sql),
     "qh1_hot_report" -> onZipf(graft.text.DocOracle.qhot(
       graft.text.Dedup.LshMaxBucket, graft.text.Dedup.NgramMaxBlock,
       graft.vector.Similarity.EmbedMaxLabel, 1L << 20)),

@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.util.{Num, Tables}
@@ -214,22 +214,43 @@ object Relational {
         Num.r4(col("msq4") / 10000d / col("n_rows")).as("avg_qty"))
   }
 
-  /** qa11: salted two-phase aggregation — the skew-safe form of a
-    * grouped agg when a handful of hot keys would overload single
-    * reducers: phase 1 partial-aggregates on (key, salt) spreading each
-    * hot key over `salts` reducers, phase 2 combines the partials.
-    * Integer measures keep the two-phase sum bit-exact vs the plain
-    * one-phase oracle.
+  /** The shared salted two-phase aggregation kernel — the skew-safe
+    * form of a grouped agg when a handful of hot keys would overload
+    * single reducers: phase 1 partial-aggregates on (key, salt),
+    * spreading each hot key over `salts` reducers, phase 2 combines
+    * the partials on the key alone. Integer measures keep the
+    * two-phase sum bit-exact vs the plain one-phase oracle. One
+    * definition serves both registrations: qa11 on the driver's
+    * uniform events and qz24 on the committed zipf facts, where the
+    * mega-order (~13% of all lineitem rows on ONE key) is the shape
+    * this kernel exists for (VERDICT r17 "next #1" — on uniform keys
+    * the two phases are structurally identical).
     */
-  def saltedAgg(spark: SparkSession, sfDir: String, salts: Int = 8): DataFrame = {
-    val raw = Tables.events(spark, sfDir)
-    raw.select(col("event_type"), pmod(col("event_id"), lit(salts)).as("salt"),
-        floor(col("value")).cast("long").as("fv"))
-      .groupBy("event_type", "salt")
+  private[analytics] def saltedTwoPhase(df: DataFrame, key: String, salt: Column,
+      measure: Column, nName: String, sName: String): DataFrame =
+    df.select(col(key), salt.as("salt"), measure.as("fv"))
+      .groupBy(key, "salt")
       .agg(count(lit(1)).as("pn"), sum("fv").as("ps"))
-      .groupBy("event_type")
-      .agg(sum("pn").as("n_events"), sum("ps").as("sum_floor_v"))
-  }
+      .groupBy(key)
+      .agg(sum("pn").as(nName), sum("ps").as(sName))
+
+  /** qa11: salted two-phase agg over events (uniform-key base gate). */
+  def saltedAgg(spark: SparkSession, sfDir: String, salts: Int = 8): DataFrame =
+    saltedTwoPhase(Tables.events(spark, sfDir), "event_type",
+      pmod(col("event_id"), lit(salts)), floor(col("value")).cast("long"),
+      "n_events", "sum_floor_v")
+
+  /** qz24: the SAME kernel over the zipf lineitem keyed by l_orderkey —
+    * the mega-order's rows spread across `salts` phase-1 reducers
+    * (l_partkey varies freely within an order, so pmod(l_partkey, s)
+    * salts evenly), phase 2 combines |orders|·salts partials. This is
+    * the registration where salting is LIVE: the hot key's group is
+    * ~2000× the median group.
+    */
+  def saltedLineAgg(spark: SparkSession, sfDir: String, salts: Int = 8): DataFrame =
+    saltedTwoPhase(Tables.lineitem(spark, sfDir), "l_orderkey",
+      pmod(col("l_partkey"), lit(salts)), floor(col("l_quantity")).cast("long"),
+      "n_items", "sum_qty")
 
   /** qa9: CUBE — all 2^k subtotal combinations in one pass (vs qa4's
     * ROLLUP hierarchy); grouping-set expansion happens map-side, so the

@@ -27,6 +27,14 @@ class ZipfCorpusSpec extends SparkSuite {
       .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
     GenZipf.zipfEvents(spark.read.parquet(s"$Sf01/events.parquet"))
       .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val (zli, zord) = GenZipf.zipfFacts(
+      spark.read.parquet(s"$Sf01/lineitem.parquet"),
+      spark.read.parquet(s"$Sf01/orders.parquet"))
+    zli.write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    zord.write.mode("overwrite").parquet(s"$d/orders.parquet")
+    Seq("customer", "nation", "region").foreach(t =>
+      spark.read.parquet(s"$Sf01/$t.parquet")
+        .write.mode("overwrite").parquet(s"$d/$t.parquet"))
     d
   }
 
@@ -54,6 +62,23 @@ class ZipfCorpusSpec extends SparkSuite {
     val regenV = GenZipf.zipfEvents(spark.read.parquet(s"$Sf01/events.parquet"))
     assert(evs.except(regenV).count() === 0 &&
       regenV.except(evs).count() === 0)
+    // facts: since r18 ALSO generator output (mega-order lineitem +
+    // mega-customer orders — qz24/qz25's corpus), pinned the same way
+    val (regenLi, regenOrd) = GenZipf.zipfFacts(
+      spark.read.parquet(s"$Sf01/lineitem.parquet"),
+      spark.read.parquet(s"$Sf01/orders.parquet"))
+    val li = spark.read.parquet(s"${SparkEntry.ZipfDir}/lineitem.parquet")
+    val ord = spark.read.parquet(s"${SparkEntry.ZipfDir}/orders.parquet")
+    assert(li.count() === regenLi.count() &&
+      li.except(regenLi).count() === 0 && regenLi.except(li).count() === 0)
+    assert(ord.except(regenOrd).count() === 0 &&
+      regenOrd.except(ord).count() === 0)
+    // the dims qz25 joins ride through verbatim
+    Seq("customer", "nation", "region").foreach { t =>
+      val com = spark.read.parquet(s"${SparkEntry.ZipfDir}/$t.parquet")
+      val base = spark.read.parquet(s"$Sf01/$t.parquet")
+      assert(com.except(base).count() === 0 && base.except(com).count() === 0, t)
+    }
   }
 
   test("zipf events: the bot head fires qp5's skew and qe15's rate limit (idle on base)") {
@@ -84,6 +109,79 @@ class ZipfCorpusSpec extends SparkSuite {
     val botSess = Events.sessionize(spark, zdir).filter(col("user_id") === 0)
     assert(botSess.agg(max("n_events")).collect().head.getLong(0) >= 20L,
       "the bot must chain dense multi-event sessions")
+  }
+
+  test("zipf facts: mega-order and mega-customer dominate (idle on base)") {
+    // qz24's design path: the hot l_orderkey group is the one a salted
+    // two-phase agg exists to spread — double-digit share of ALL lines
+    val li = spark.read.parquet(s"$zdir/lineitem.parquet")
+    val nLi = li.count()
+    val hotLines = li.filter(col("l_orderkey") === 0).count()
+    assert(hotLines > nLi / 10, s"mega-order must dominate: $hotLines of $nLi")
+    // base: the biggest order is ~7 lines — no key is a reducer risk
+    val baseLi = spark.read.parquet(s"$Sf01/lineitem.parquet")
+    val baseMax = baseLi.groupBy("l_orderkey").count()
+      .agg(max("count")).collect().head.getLong(0)
+    assert(baseMax < nLi / 1000, s"base corpus must stay idle: max group $baseMax")
+    // qz25's probe side: the mega-customer holds a double-digit share
+    // of orders (the fact-fact join's build side stays per-order)
+    val ord = spark.read.parquet(s"$zdir/orders.parquet")
+    val nOrd = ord.count()
+    val hotOrd = ord.filter(col("o_custkey") === 0).count()
+    assert(hotOrd > nOrd / 10, s"mega-customer must dominate: $hotOrd of $nOrd")
+    // and the salted kernel's phase-1 really fans the hot key out: all
+    // `salts` partials exist for the mega-order (pmod(l_partkey, 8))
+    val fanout = li.filter(col("l_orderkey") === 0)
+      .select(pmod(col("l_partkey"), lit(8))).distinct().count()
+    assert(fanout === 8L, s"phase-1 salt fan-out must cover all salts: $fanout")
+  }
+
+  test("qz25: AQE's skew-join split engages on the zipf facts (absent on base)") {
+    // qa2's lineitem⋈orders leg is an unhinted shuffle join (the dims
+    // broadcast by hint). Local partitions are KBs, so the split is
+    // exercised at proportionally scaled thresholds — the DETECTION
+    // (hot partition > factor × median AND > threshold) and the split
+    // rewrite are the same code path a 100 TB run takes with the
+    // production defaults (256 MB / 5×). Both corpora are rewritten to
+    // an 8-file layout first: AQE splits a skewed reduce partition by
+    // MAPPER block ranges, so a single-file (one row group → one map
+    // task) table is unsplittable however hot its key — exactly why a
+    // 100 TB fact table must never be one giant unsplittable blob.
+    // The A/B is layout-matched: only the key distribution differs.
+    def skewFires(src: String): Boolean = {
+      val d = java.nio.file.Files.createTempDirectory("graft-skewjoin").toString
+      Seq("lineitem", "orders", "customer", "nation", "region").foreach { t =>
+        spark.read.parquet(s"$src/$t.parquet").repartition(8)
+          .write.mode("overwrite").parquet(s"$d/$t.parquet")
+      }
+      val c = spark.conf
+      try {
+        c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        c.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        c.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        c.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+        c.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+        c.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+        c.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+        c.set("spark.sql.shuffle.partitions", "64")
+        val df = graft.analytics.Relational.revenueByNation(spark, d)
+        df.collect()
+        df.queryExecution.executedPlan.toString.contains("skew=true")
+      } finally {
+        Seq("spark.sql.autoBroadcastJoinThreshold",
+          "spark.sql.adaptive.autoBroadcastJoinThreshold",
+          "spark.sql.adaptive.coalescePartitions.enabled",
+          "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+          "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+          "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+          "spark.sql.adaptive.forceOptimizeSkewedJoin").foreach(c.unset)
+        c.set("spark.sql.shuffle.partitions", "4")
+      }
+    }
+    assert(skewFires(SparkEntry.ZipfDir),
+      "the mega-order partition must be detected and split on the committed zipf facts")
+    assert(!skewFires(Sf01),
+      "no skew split may appear on the uniform base corpus")
   }
 
   test("zipf embeddings: majority-class labels, archetype near-dup mass, skewed cells") {
