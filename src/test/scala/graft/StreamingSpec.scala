@@ -1339,4 +1339,144 @@ class StreamingSpec extends SparkSuite {
       assert(got === want)
     } finally q.stop()
   }
+
+  // ───── the serving twins on the committed ZIPF events (VERDICT r17
+  // next #2): the batch halves qz19/qz20 run on the bot-headed corpus
+  // every round, but the twins' bounded-state claims — burstRate's
+  // "state ≤ the densest window", session-window eviction — are
+  // exactly what a 20%-head stream stresses. These replay the
+  // committed zipfdata/events.parquet through the twins across a
+  // mid-stream batch split and assert batch parity AND the state
+  // bounds, read back from the checkpoint via the state data source.
+
+  test("zipf streaming burst rate: batch parity + state bounded by the bot's densest window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-zburst").toString
+    val raw = spark.read.parquet(s"${SparkEntry.ZipfDir}/events.parquet")
+    val evs = raw.select(col("user_id"), graft.util.Ts.sec(raw).as("tsec"))
+      .as[(Long, Long)].collect().sortBy(e => (e._2, e._1))
+    var cut = evs.length / 2
+    while (cut < evs.length && evs(cut) == evs(cut - 1)) cut += 1
+    val mem = MemoryStream[(Long, Long)]
+    val q = ScoreStream.burstRateStream(mem.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("zipf_burst").option("checkpointLocation", ckpt).start()
+    try {
+      val (h1, h2) = evs.splitAt(cut)
+      mem.addData(h1.toSeq); q.processAllAvailable()
+      mem.addData(h2.toSeq); q.processAllAvailable()
+      // parity: per-user (n_events, peak) equals batch qe15 on the
+      // SAME corpus (qz19's oracle side), across the batch split
+      val got = spark.table("zipf_burst").as[ScoreStream.RateVerdict].collect()
+      assert(got.length === evs.length, "one verdict per event")
+      val gotPeak = got.groupBy(_.userId)
+        .map { case (u, vs) => u -> (vs.length.toLong, vs.map(_.nw).max) }
+      val batch = graft.analytics.Events.burstRate(spark, SparkEntry.ZipfDir)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(gotPeak === batch)
+      // the bot IS flagged in flight (the rate limiter is live)
+      assert(got.filter(_.userId == 0L).exists(_.flagged))
+      // STATE BOUND, observed (not claimed): one state row per USER —
+      // 150 keys for 10,000 events — and the bot's retained times are
+      // its trailing-window cohort at its last arrival, never its
+      // 2,026-event history. Bound: its own batch peak_rate (the
+      // densest window).
+      assert(q.lastProgress.stateOperators.map(_.numRowsTotal).sum ===
+        evs.map(_._1).distinct.length.toLong)
+      val st = spark.read.format("statestore").load(ckpt)
+        .select(col("key.value").as("user"),
+          size(col("value.groupState.times")).as("n_state"))
+        .as[(Long, Int)].collect().toMap
+      val botTimes = evs.filter(_._1 == 0L).map(_._2)
+      val botLast = botTimes.max
+      val botInWindow = botTimes.count(t => t > botLast - 86400L && t <= botLast)
+      assert(st(0L) === botInWindow, "bot state = exactly the in-window cohort")
+      assert(st(0L) <= batch(0L)._2, "bot state bounded by its densest window (peak_rate)")
+      assert(st(0L).toLong < batch(0L)._1 / 5, "bot state is a small fraction of its history")
+    } finally q.stop()
+  }
+
+  test("zipf streaming session windows: batch qe1 parity + closed-session state eviction") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val raw = spark.read.parquet(s"${SparkEntry.ZipfDir}/events.parquet")
+    val evs = raw.select(col("user_id"), graft.util.Ts.sec(raw).as("tsec"))
+      .as[(Long, Long)].collect().sortBy(e => (e._2, e._1))
+    // second-floored event times keep the boundary semantics exact:
+    // session_window merges INCLUSIVELY at the gap (abutting windows
+    // merge — verified against this corpus's adjacent gaps of exactly
+    // 1800 s and 1801 s), which coincides with batch qe1's break rule
+    // (new session iff diff > 1800 s) at gap = 30 minutes precisely.
+    val mem = MemoryStream[UEv]
+    val q = ScoreStream.sessionStream(mem.toDF(), gap = "30 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("zipf_sessions").start()
+    try {
+      val mid = (evs.head._2 + evs.last._2) / 2
+      val (h1, h2) = evs.partition(_._2 <= mid)
+      def rows(es: Array[(Long, Long)]) =
+        es.map { case (u, t) => UEv(new Timestamp(t * 1000L), u) }.toSeq
+      mem.addData(rows(h1)); q.processAllAvailable()
+      mem.addData(rows(h2)); q.processAllAvailable()
+      // sentinel far past the horizon: the watermark passes every real
+      // session, so append mode emits them ALL (the sentinel's own
+      // session stays open and is never emitted)
+      mem.addData(UEv(new Timestamp((evs.last._2 + 30L * 86400L) * 1000L), -1L))
+      q.processAllAvailable()
+      val got = spark.table("zipf_sessions")
+        .select(col("user_id"), col("s_start").cast("long").as("s0"),
+          (col("s_end").cast("long") - 1800L).as("s1"), col("n_events"))
+        .as[(Long, Long, Long, Long)].collect()
+        .map(r => (r._1, r._2, r._3, r._4)).sorted.toSeq
+      val batch = graft.analytics.Events.sessionize(spark, SparkEntry.ZipfDir)
+        .select(col("user_id"), col("start_epoch"), col("end_epoch"), col("n_events"))
+        .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+      assert(got === batch,
+        s"stream sessions (${got.size}) must equal batch qe1 (${batch.size})")
+      // the bot's dense chains (qz20: ≥20-event sessions) closed and
+      // left the store: remaining state is the open sentinel session
+      // only — eviction keeps state at the in-horizon session count,
+      // not the corpus's session history
+      assert(got.count(_._1 == 0L) >= 2, "the bot closes multiple sessions")
+      assert(got.filter(_._1 == 0L).map(_._4).max >= 20L, "dense bot sessions")
+      assert(q.lastProgress.stateOperators.map(_.numRowsTotal).sum <= 2L,
+        "closed sessions must be evicted; only the sentinel's open session may remain")
+    } finally q.stop()
+  }
+
+  test("zipf streaming attribution matches the batch qe10 rollup across a batch split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    val evRaw = spark.read.parquet(s"${SparkEntry.ZipfDir}/events.parquet")
+    val evs = evRaw
+      .select(col("user_id"), graft.util.Ts.sec(evRaw).as("tsec"),
+        col("event_id"), col("event_type"), col("value"))
+      .as[(Long, Long, Long, String, Double)].collect()
+    val mem = MemoryStream[(Long, Long, Long, String, Double)]
+    val out = ScoreStream.attributionStream(mem.toDS())
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("zipf_attr").start()
+    try {
+      val mid = evs.map(_._2).max / 2
+      mem.addData(evs.filter(_._2 <= mid).toSeq)
+      q.processAllAvailable()
+      mem.addData(evs.filter(_._2 > mid).toSeq)
+      q.processAllAvailable()
+      val got = spark.table("zipf_attr").as[ScoreStream.AttributedConv].collect()
+      val gotRoll = got.groupBy(_.channel).map { case (ch, rows) =>
+        val gaps = rows.map(_.gapS).filter(_ >= 0)
+        ch -> (rows.length.toLong,
+          r4(rows.map(r => math.floor(r.value * 10000 + 0.5).toLong).sum / 10000.0),
+          if (gaps.isEmpty) null else r4(gaps.map(_.toDouble).sum / rows.length))
+      }
+      val batch = graft.analytics.Events.attribution(spark, SparkEntry.ZipfDir)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+          if (r.isNullAt(3)) null else r.getDouble(3))).toMap
+      assert(gotRoll.keySet === batch.keySet)
+      for ((ch, v) <- batch) assert(gotRoll(ch) === v, s"channel $ch")
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
 }
