@@ -539,6 +539,66 @@ object ScoreStream {
         graft.util.Num.r4(col("s.d2")).as("ad2"), (col("p") + 1).cast("int").as("rnk"))
   }
 
+  /** Streaming IVF retrieval over a SAVED index — the celled sibling of
+    * [[annStream]]'s flat SQ8 scan and the serving half of qv26's
+    * lifecycle: because ModelStore.saveSplitIvfIndex persists a
+    * rebalanced index under the SAME layout, this twin serves a split
+    * index with zero structural knowledge of the split (StreamingSpec
+    * pins it against batch ModelStore.ivfServe on the same saved split
+    * index, across a batch split). Per query row: the nProbe nearest
+    * packed centroids pick the cells IN-ROW ((d2, cell) struct order =
+    * batch's (d2, cell) probe rank), the probed cells' PACKED inverted
+    * lists equi-join (partition-pruned shards at 100 TB), candidates
+    * score in-row with the same sequential-fold dot/L2 arithmetic as
+    * the graft kernels, and each probed row keeps only its top-k
+    * BEFORE anything reaches window state (the (cos desc, id) order is
+    * total, so the merge of per-cell top-ks is exactly the global
+    * top-k) — state per (window, qid) is nProbe·k structs, never a
+    * cell's contents. ONE watermarked aggregation merges the probed
+    * rows; ranks, quantization and tie-breaks are bit-identical to the
+    * batch server.
+    */
+  def ivfServeStream(spark: SparkSession, modelPath: String, queries: DataFrame,
+                     nProbe: Int = 2, k: Int = 5,
+                     windowDur: String = "1 hour",
+                     watermark: String = "1 hour"): DataFrame = {
+    import graft.timeseries.ModelStore
+    require(nProbe >= 1 && k >= 1, s"nProbe=$nProbe k=$k")
+    graft.functions.VectorExprs.register(spark)
+    val cents = ModelStore.ivfCentroidsPacked(spark, modelPath)
+    val lists = ModelStore.ivfListsPacked(spark, modelPath)
+    queries.withWatermark("ts", watermark)
+      .crossJoin(broadcast(cents))
+      .select(col("qid"), col("ts"), col("av"), col("na"), explode(expr(
+        s"""transform(slice(array_sort(transform(cents, c -> named_struct(
+              'd2', aggregate(zip_with(av, c.cv, (x, y) -> (x - y) * (x - y)),
+                              0.0D, (a, x) -> a + x),
+              'cell', c.cell))), 1, $nProbe), p -> p.cell)""")).as("cell"))
+      .join(lists, "cell")
+      .select(col("qid"), col("ts"), expr(
+        s"""slice(array_sort(
+              filter(transform(ids, (id, i) -> named_struct(
+                'id', id,
+                'cos', aggregate(zip_with(av, element_at(vecs, i+1), (x, y) -> x * y),
+                                 0.0D, (a, x) -> a + x) / (na * element_at(nrms, i+1)))),
+              e -> e.id != qid),
+              (l, r) -> CASE WHEN l.cos > r.cos THEN -1 WHEN l.cos < r.cos THEN 1
+                             WHEN l.id < r.id THEN -1 WHEN l.id > r.id THEN 1
+                             ELSE 0 END), 1, $k)""").as("entries"))
+      .groupBy(window(col("ts"), windowDur), col("qid"))
+      .agg(collect_list(col("entries")).as("bundles"))
+      .withColumn("topk", expr(
+        s"""slice(array_sort(flatten(bundles),
+              (l, r) -> CASE WHEN l.cos > r.cos THEN -1 WHEN l.cos < r.cos THEN 1
+                             WHEN l.id < r.id THEN -1 WHEN l.id > r.id THEN 1
+                             ELSE 0 END), 1, $k)"""))
+      .select(col("window.start").as("win_start"), col("qid"),
+        posexplode(col("topk")).as(Seq("p", "s")))
+      .select(col("win_start"), col("qid"), col("s.id").as("vec_id"),
+        (floor(col("s.cos") * 10000d + 0.5d) / 10000d).as("cos"),
+        (col("p") + 1).cast("int").as("rnk"))
+  }
+
   /** Streaming BM25 scorer over a SAVED lexical index — the serving
     * twin of qv18's keyword branch: live queries (qid, ts,
     * terms: array<string>) explode to terms, equi-join the persisted

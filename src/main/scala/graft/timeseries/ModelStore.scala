@@ -227,6 +227,36 @@ object ModelStore {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/ivflists")
   }
 
+  /** The same IVF layout persisted from an EXPLICIT assignment — the
+    * serving half of qv26's lifecycle: centroids are rebuilt from the
+    * assignment through the one shared centroid arithmetic
+    * (Similarity.centroidsFromAssign), lists lay out cell-partitioned
+    * exactly like [[saveIvfIndex]], so ivfServe / ivfServeStream read a
+    * split index with zero structural knowledge of the split.
+    */
+  def saveIvfIndexFrom(spark: SparkSession, sfDir: String, path: String,
+                       assign: org.apache.spark.sql.DataFrame): Unit = {
+    val e = graft.vector.Similarity.vecs(spark, sfDir)
+    graft.vector.Similarity.centroidsFromAssign(e, assign)
+      .write.mode("overwrite").parquet(s"$path/ivfcentroids")
+    e.join(assign.select("vec_id", "cell"), "vec_id")
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/ivflists")
+  }
+
+  /** Run qv26's split to a clean audit and persist the result — the
+    * maintenance round-trip: audit flags → splitToClean rebalances →
+    * the balanced index SERVES from disk (ModelStoreSpec pins saved
+    * answers ≡ the in-session post-split probe; StreamingSpec pins the
+    * streaming server against the batch one on the same saved index).
+    */
+  def saveSplitIvfIndex(spark: SparkSession, sfDir: String, path: String,
+                        nCells: Int = 16, hotFactor: Double = 2.0,
+                        nSplit: Int = 2, maxRounds: Int = 8): Unit =
+    saveIvfIndexFrom(spark, sfDir, path,
+      graft.vector.Similarity.splitToClean(spark, sfDir, nCells, hotFactor,
+        nSplit, maxRounds))
+
   /** Serve top-k cosine lookups from a SAVED IVF index: queries
     * (qid, av, na) probe the nProbe nearest saved centroids, then rank
     * only the probed cells' inverted-list rows — the same probe/rank

@@ -331,16 +331,22 @@ object Similarity {
     * saveIvfIndex), so a saved index can never drift from the live one.
     */
   private[graft] def ivfCentroids(spark: SparkSession, sfDir: String,
-                                  nCells: Int): DataFrame = {
-    val e = vecs(spark, sfDir)
-    val assign = cellAssignment(spark, sfDir, nCells)
+                                  nCells: Int): DataFrame =
+    centroidsFromAssign(vecs(spark, sfDir), cellAssignment(spark, sfDir, nCells))
+
+  /** The per-cell centroid build over an EXPLICIT assignment — the
+    * seam [[ivfCentroids]] (seeded assignment) and the post-split
+    * lifecycle ([[splitToClean]]'s final assignment, ModelStore's
+    * split-index persistence) share, so a split index's centroids are
+    * by construction the same arithmetic as the live ones.
+    */
+  private[graft] def centroidsFromAssign(e: DataFrame, assign: DataFrame): DataFrame =
     e.select(col("vec_id"), posexplode(col("v")).as(Seq("d", "x")))
-      .join(broadcast(assign), "vec_id")
+      .join(broadcast(assign.select("vec_id", "cell")), "vec_id")
       .groupBy("cell", "d").agg(avg("x").as("c"))
       .groupBy("cell")
       .agg(array_sort(collect_list(struct(col("d"), col("c")))).as("dc"))
       .select(col("cell"), expr("transform(dc, s -> s.c)").as("cv"))
-  }
 
   /** The collection with its cell assignment attached — what
     * saveIvfIndex lays out cell-partitioned (the inverted lists).
@@ -931,8 +937,35 @@ object Similarity {
       .select(col("cell").cast("int").as("cell"))
       .withColumn("hrank", row_number().over(Window.orderBy("cell")) - 1)
     val e = vecs(spark, sfDir)
+    val children =
+      splitMembers(e, cellAssignment(spark, sfDir, nCells), hot, nCells.toLong, nSplit)
+      .groupBy(col("cell").cast("long").as("old_cell"), col("new_cell"))
+      .agg(count(lit(1)).as("n_vecs"))
+    val untouched = stats.filter(col("hot") === 0)
+      .select(col("cell").as("old_cell"), col("cell").as("new_cell"), col("n_vecs"))
+    val post = children.unionByName(untouched)
+    val tot = post.agg(sum("n_vecs").as("total"), count(lit(1)).as("n_cells_post"))
+    post.crossJoin(broadcast(tot))
+      .select(col("new_cell").as("cell"), col("old_cell"), col("n_vecs"),
+        Num.r4(col("n_vecs") / col("total")).as("share"),
+        Num.r4(col("n_vecs") * col("n_cells_post") / col("total")).as("skew"))
+  }
+
+  /** The split ROUND kernel shared by qv26's one-shot report and the
+    * [[splitToClean]] fixpoint: for the members of the `hot` cells
+    * ((cell, hrank) — a bounded broadcast), pick nSplit sub-seeds (the
+    * cell's lowest vec_ids via a group-limited rank — partial
+    * WindowGroupLimit, never a sorted mega-cell), broadcast the packed
+    * per-cell sub-seed rows, and take ONE stateless codegen argmin
+    * pass. Child 0 keeps the old cell id; child j lands at
+    * base + hrank·(nSplit−1) + (j−1) — FAISS add-list numbering, so
+    * existing cells never renumber. Returns one row per hot member:
+    * (vec_id, cell = old, hrank, j, new_cell).
+    */
+  private def splitMembers(e: DataFrame, assign: DataFrame, hot: DataFrame,
+                           base: Long, nSplit: Int): DataFrame = {
     val members = e.select("vec_id", "v")
-      .join(cellAssignment(spark, sfDir, nCells), "vec_id")
+      .join(assign.select("vec_id", "cell"), "vec_id")
       .join(broadcast(hot), Seq("cell"))
     val wSeed = Window.partitionBy("cell").orderBy("vec_id")
     val subSeeds = members.select("cell", "vec_id")
@@ -946,22 +979,126 @@ object Similarity {
       .groupBy("cell")
       .agg(array_sort(collect_list(col("s"))).as("ps"))
       .select(col("cell"), flatten(expr("transform(ps, x -> x.sv)")).as("sf"))
-    val children = members.join(broadcast(seedVecs), Seq("cell"))
-      .select(col("cell"), col("hrank"),
+    members.join(broadcast(seedVecs), Seq("cell"))
+      .select(col("vec_id"), col("cell"), col("hrank"),
         expr("int(graft_argmin_dist2(sf, v))").as("j"))
       .withColumn("new_cell",
         when(col("j") === 0, col("cell").cast("long"))
-          .otherwise(lit(nCells.toLong) + col("hrank") * (nSplit - 1) + col("j") - 1))
-      .groupBy(col("cell").cast("long").as("old_cell"), col("new_cell"))
-      .agg(count(lit(1)).as("n_vecs"))
-    val untouched = stats.filter(col("hot") === 0)
-      .select(col("cell").as("old_cell"), col("cell").as("new_cell"), col("n_vecs"))
-    val post = children.unionByName(untouched)
-    val tot = post.agg(sum("n_vecs").as("total"), count(lit(1)).as("n_cells_post"))
-    post.crossJoin(broadcast(tot))
-      .select(col("new_cell").as("cell"), col("old_cell"), col("n_vecs"),
-        Num.r4(col("n_vecs") / col("total")).as("share"),
-        Num.r4(col("n_vecs") * col("n_cells_post") / col("total")).as("skew"))
+          .otherwise(lit(base) + col("hrank") * (nSplit - 1) + col("j") - 1))
+  }
+
+  /** qv26's LIFECYCLE closed (VERDICT r17 next #3b): iterate the hot-cell
+    * split until qv10's audit is CLEAN or `maxRounds` is exhausted —
+    * qd24/ccFrom's run-until-clean discipline applied to index
+    * maintenance (FAISS split/re-add until balanced). Returns the final
+    * ASSIGNMENT (vec_id, cell): the artifact the serving path consumes
+    * (ModelStore.saveSplitIvfIndex persists its centroids + inverted
+    * lists; [[annEvalFrom]] evaluates its recall).
+    *
+    * Round arithmetic: EVERY round's hot set is qv10's rule (skew =
+    * r4(n·nCells/total) > hotFactor) against the CONFIGURED cell
+    * count — an absolute max-occupancy bound (no cell above
+    * hotFactor× the original uniform share), which is FAISS's split
+    * criterion and the only rule under which the fixpoint terminates:
+    * auditing against the growing post-split cell count (the
+    * descriptive denominator [[hotCellSplit]]'s one-shot report
+    * publishes) would shrink the threshold with every split and chase
+    * its own children. Round 1's hot set is therefore EXACTLY qv10's
+    * flag. New children append after the current max cell id (cold
+    * ids stable across every round). Each round's audit is a |cells|-row rollup
+    * (bounded driver read — the model table the audit IS); the data-
+    * scaled work per round is one broadcast argmin pass over the hot
+    * cells' members only. A split that stops converging (a cell of
+    * near-identical vectors splits into one full + empty child — the
+    * duplicate-mass case qd5/semanticDedup exist to drain first) fails
+    * LOUDLY after maxRounds instead of looping.
+    */
+  def splitToClean(spark: SparkSession, sfDir: String, nCells: Int = 16,
+                   hotFactor: Double = 2.0, nSplit: Int = 2,
+                   maxRounds: Int = 8): DataFrame = {
+    require(nSplit >= 2 && maxRounds >= 1, s"nSplit=$nSplit maxRounds=$maxRounds")
+    import spark.implicits._
+    val e = vecs(spark, sfDir)
+    var assign = cellAssignment(spark, sfDir, nCells)
+      .select(col("vec_id"), col("cell").cast("long").as("cell"))
+    def r4(x: Double): Double = math.floor(x * 10000d + 0.5d) / 10000d
+    var round = 0
+    while (round <= maxRounds) {
+      val counts = assign.groupBy("cell").agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+      val total = counts.map(_._2).sum.toDouble
+      val hotIds = counts.filter { case (_, n) => r4(n * nCells / total) > hotFactor }
+        .map(_._1).sorted
+      if (hotIds.isEmpty) return assign
+      if (round == maxRounds)
+        throw new IllegalStateException(
+          s"splitToClean: ${hotIds.length} cell(s) still hot after $maxRounds rounds " +
+            s"(cells ${hotIds.take(5).mkString(",")}…) — duplicate-mass cells cannot " +
+            "be balanced by splitting; drain near-dups (qd5/semanticDedup) or raise nCells")
+      val base = math.max(counts.map(_._1).max + 1L, nCells.toLong)
+      val hotDf = hotIds.zipWithIndex.map { case (c, i) => (c, i) }.toSeq
+        .toDF("cell", "hrank")
+      val moved = splitMembers(e, assign, hotDf, base, nSplit)
+        .select(col("vec_id"), col("new_cell").as("cell"))
+      assign = assign.join(hotDf.select("cell"), Seq("cell"), "left_anti")
+        .select("vec_id", "cell")
+        .unionByName(moved)
+        .localCheckpoint()
+      round += 1
+    }
+    assign // unreachable
+  }
+
+  /** IVF probe/rank over an EXPLICIT assignment — qv3's exact probe and
+    * rank arithmetic (same kernels, same tie-breaks) parameterized by
+    * the cell table, so the post-split index answers queries through
+    * the identical code shape the pre-split one did.
+    */
+  private[graft] def ivfProbesFrom(spark: SparkSession, sfDir: String,
+                                   assign: DataFrame, nProbe: Int): DataFrame = {
+    val e = vecs(spark, sfDir)
+    val centArr = centroidsFromAssign(e, assign)
+    val q = e.filter(qFilter)
+    val wP = Window.partitionBy("qid").orderBy(col("d2"), col("cell"))
+    q.select(col("vec_id").as("qid"), col("v"))
+      .crossJoin(broadcast(centArr))
+      .withColumn("d2", expr("graft_l2(v, cv)"))
+      .withColumn("crank", row_number().over(wP)).filter(col("crank") <= nProbe)
+      .select("qid", "cell")
+  }
+
+  private[graft] def ivfAnnFrom(spark: SparkSession, sfDir: String,
+                                assign: DataFrame, nProbe: Int, k: Int): DataFrame = {
+    val e = vecs(spark, sfDir)
+    val q = e.filter(qFilter)
+    val probes = ivfProbesFrom(spark, sfDir, assign, nProbe)
+    val cands = probes.join(assign.select("vec_id", "cell"), "cell")
+      .filter(col("qid") =!= col("vec_id"))
+    val qv = q.select(col("vec_id").as("qid"), col("v").as("av"), col("nrm").as("na"))
+    val bv = e.select(col("vec_id"), col("v").as("bv"), col("nrm").as("nb"))
+    val wR = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    cands.join(broadcast(qv), "qid").join(bv, "vec_id")
+      .withColumn("cos", dotAB / (col("na") * col("nb")))
+      .withColumn("rnk", row_number().over(wR))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("vec_id"), Num.r4(col("cos")).as("cos"), col("rnk"))
+  }
+
+  /** Recall@k of an explicit-assignment probe against the exact top-k —
+    * qv4's eval parameterized the same way; the spec gate for "the
+    * split index SERVES": post-split recall at equal nProbe must not
+    * drop below the pre-split probe (the point of splitting).
+    */
+  private[graft] def annEvalFrom(spark: SparkSession, sfDir: String,
+                                 assign: DataFrame, nProbe: Int = 2,
+                                 k: Int = 5): DataFrame = {
+    val exact = cosineTopK(spark, sfDir, k).select(col("qid"), col("vec_id"))
+    val approx = ivfAnnFrom(spark, sfDir, assign, nProbe, k)
+      .select(col("qid"), col("vec_id"), lit(1).as("hit"))
+    exact.join(approx, Seq("qid", "vec_id"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+      .withColumn("recall", Num.r4(col("n_hit") / col("n_exact")))
   }
 
   /** qv9: embedding drift monitor — per label, the centroid of the

@@ -130,6 +130,31 @@ class ModelStoreSpec extends SparkSuite {
     assert(got === want)
   }
 
+  test("split IVF index save/serve reproduces the in-session post-split probe exactly") {
+    import graft.vector.Similarity
+    val path = Files.createTempDirectory("graft-ivfsplit").toString
+    val zd = SparkEntry.ZipfDir
+    // qv26's lifecycle round-trip: audit → splitToClean → persist →
+    // serve. The saved index is genuinely split (more cells than
+    // configured) yet ivfServe reads it with zero structural knowledge
+    // of the split — same layout, same probe/rank arithmetic.
+    ModelStore.saveSplitIvfIndex(spark, zd, path)
+    assert(spark.read.parquet(s"$path/ivfcentroids").count() > 16L,
+      "the persisted zipf index must carry the split cells")
+    val assign = Similarity.splitToClean(spark, zd)
+    val want = Similarity.ivfAnnFrom(spark, zd, assign, 2, 5).collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(want.nonEmpty)
+    graft.functions.VectorExprs.register(spark)
+    val q = spark.read.parquet(s"$zd/embeddings.parquet")
+      .filter(col("vec_id") % 100 === 0 && col("vec_id") < 100000L)
+      .select(col("vec_id").as("qid"), col("embedding").cast("array<double>").as("av"))
+      .withColumn("na", sqrt(expr("graft_dot(av, av)")))
+    val got = ModelStore.ivfServe(spark, path, q).collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got === want)
+  }
+
   test("orc round-trip preserves the grid") {
     val path = Files.createTempDirectory("graft-orc").toString
     val grid = TsCore.hourlyGrid(spark, Sf001)

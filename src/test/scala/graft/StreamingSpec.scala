@@ -1445,6 +1445,46 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  case class IQ(ts: Timestamp, qid: Long, av: Array[Double], na: Double)
+
+  test("streaming IVF serving over the saved SPLIT index matches batch ivfServe across a batch split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.timeseries.ModelStore
+    // (c) of qv26's lifecycle: the rebalanced index round-trips through
+    // ModelStore and the STREAMING server answers from it — the split
+    // is invisible to serving (same layout, same arithmetic)
+    val path = java.nio.file.Files.createTempDirectory("graft-zivf").toString
+    ModelStore.saveSplitIvfIndex(spark, SparkEntry.ZipfDir, path)
+    graft.functions.VectorExprs.register(spark)
+    val q = spark.read.parquet(s"${SparkEntry.ZipfDir}/embeddings.parquet")
+      .filter(col("vec_id") % 100 === 0 && col("vec_id") < 100000L)
+      .select(col("vec_id").as("qid"), col("embedding").cast("array<double>").as("av"))
+      .withColumn("na", sqrt(expr("graft_dot(av, av)")))
+    val want = ModelStore.ivfServe(spark, path, q).collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(want.nonEmpty)
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows = q.collect().map(r =>
+      IQ(t0, r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    val mem = MemoryStream[IQ]
+    val sq = ScoreStream.ivfServeStream(spark, path, mem.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("zivf").start()
+    try {
+      val (h1, h2) = rows.splitAt(rows.length / 2)
+      mem.addData(h1.toSeq); sq.processAllAvailable()
+      mem.addData(h2.toSeq); sq.processAllAvailable()
+      // sentinel far past the window+watermark closes the hour window
+      mem.addData(IQ(new Timestamp(t0.getTime + 10L * 86400000L), -1L, null, 0.0))
+      sq.processAllAvailable()
+      val got = spark.table("zivf").collect()
+        .map(r => (r.getLong(1), r.getInt(4)) -> (r.getLong(2), r.getDouble(3))).toMap
+      // same probe order, same fold arithmetic, same tie-breaks and
+      // quantization → bit-identical to the batch server
+      assert(got === want)
+    } finally sq.stop()
+  }
+
   test("zipf streaming attribution matches the batch qe10 rollup across a batch split") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -246,6 +246,96 @@ class ZipfCorpusSpec extends SparkSuite {
       .filter(col("cell") =!= col("old_cell")).count() === 0)
   }
 
+  test("qv26 lifecycle: splitToClean converges on zipf, cold cells stable, the split index SERVES") {
+    def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    val zd = SparkEntry.ZipfDir
+    // (b) run-until-clean: the final assignment passes qv10's audit
+    // rule — the absolute max-occupancy bound at the CONFIGURED cell
+    // count (no cell above hotFactor× the original uniform share)
+    val assign = Similarity.splitToClean(spark, zd).cache()
+    val counts = assign.groupBy("cell").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum.toDouble
+    assert(counts.forall { case (_, n) => r4(n * 16 / total) <= 2.0 },
+      s"post-fixpoint audit must be clean: ${counts.toSeq.sortBy(-_._2).take(3)}")
+    // the fixpoint did real work: more cells than configured, and mass
+    // is conserved exactly
+    assert(counts.size > 16, s"the zipf head cell must have split: ${counts.size} cells")
+    assert(counts.values.sum === spark.read.parquet(s"$zd/embeddings.parquet").count())
+    // cold cells NEVER renumber across rounds: every vector whose
+    // pre-split cell is not in qv10's hot set keeps its assignment
+    val hotCells = Similarity.indexStats(spark, zd).filter(col("hot") === 1)
+      .collect().map(_.getLong(0)).toSet
+    val pre = Similarity.cellAssignment(spark, zd, 16)
+      .select(col("vec_id"), col("cell").cast("long").as("pre_cell"))
+    val moved = assign.join(pre, "vec_id")
+      .filter(!col("pre_cell").isin(hotCells.toSeq: _*) &&
+        col("cell") =!= col("pre_cell")).count()
+    assert(moved === 0L, s"$moved cold vectors re-keyed")
+    // (a) the split index SERVES — two measured wins, not claims:
+    //   · TAIL: at EQUAL nProbe, the worst query's scanned-candidate
+    //     count DROPS — pre-split, any query probing the hot cell pays
+    //     its 3.5× occupancy; post-split no probe can (that is what a
+    //     hot cell does to serving latency, and what the split fixes);
+    //   · BUDGET-MATCHED RECALL: some post-split probe level reaches
+    //     the pre-split nProbe=3 recall at no more total scanned
+    //     candidates — the recall-per-cost frontier does not degrade
+    //     (FAISS's rule: after a split you probe more, smaller cells).
+    val preAssign = pre.withColumnRenamed("pre_cell", "cell")
+    def profile(a: org.apache.spark.sql.DataFrame, nProbe: Int): (Double, Long, Long) = {
+      val sizes = a.groupBy("cell").agg(count(lit(1)).as("csz"))
+      val s = Similarity.ivfProbesFrom(spark, zd, a, nProbe)
+        .join(sizes, "cell").groupBy("qid").agg(sum("csz").as("sc"))
+        .agg(sum("sc"), max("sc")).collect().head
+      val rec = Similarity.annEvalFrom(spark, zd, a, nProbe)
+        .collect().head.getAs[Double]("recall")
+      (rec, s.getLong(0), s.getLong(1))
+    }
+    val (preRec2, _, preMaxScan2) = profile(preAssign, 2)
+    val (_, postTot2, postMaxScan2) = profile(assign, 2)
+    assert(postMaxScan2 < preMaxScan2,
+      s"equal-nProbe tail scan must drop: $postMaxScan2 !< $preMaxScan2")
+    assert(postTot2 > 0 && preRec2 > 0) // both probes live
+    val (preRec3, preTot3, _) = profile(preAssign, 3)
+    val matched = (2 to 8).view.map(p => p -> profile(assign, p))
+      .find { case (_, (rec, tot, _)) => rec >= preRec3 && tot <= preTot3 }
+    assert(matched.isDefined,
+      s"no post-split probe level matches pre-split recall $preRec3 within scan $preTot3")
+    assign.unpersist()
+    // base corpus: no hot cell → the fixpoint is the identity in round 0
+    val baseAssign = Similarity.splitToClean(spark, Sf01)
+    val baseDiff = baseAssign.join(
+      Similarity.cellAssignment(spark, Sf01, 16)
+        .select(col("vec_id"), col("cell").cast("long").as("c0")), "vec_id")
+      .filter(col("cell") =!= col("c0")).count()
+    assert(baseDiff === 0L)
+  }
+
+  test("splitToClean fails loudly on duplicate-mass cells instead of looping") {
+    import spark.implicits._
+    // 41 IDENTICAL vectors in one cell: both sub-seeds coincide, the
+    // argmin's first-index tie-break sends every member to child 0,
+    // occupancy never drops — the case splitting CANNOT fix (drain
+    // near-dups first). The fixpoint must throw, not spin.
+    val d = java.nio.file.Files.createTempDirectory("graft-dupmass").toString
+    val a = Array(1f, 0f, 0f, 0f); val b = Array(0f, 1f, 0f, 0f)
+    val c = Array(0f, 0f, 1f, 0f); val e4 = Array(0f, 0f, 0f, 1f)
+    val rows = (0L until 64L).map { i =>
+      val v = i match {
+        case 0 => a; case 1 => b; case 2 => c; case 3 => e4
+        case i2 if i2 <= 43 => a
+        case i2 => Seq(b, c, e4)((i2 % 3).toInt)
+      }
+      (i, 0, v)
+    }
+    rows.toDF("vec_id", "label", "embedding")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val ex = intercept[IllegalStateException] {
+      Similarity.splitToClean(spark, d, nCells = 4, maxRounds = 2)
+    }
+    assert(ex.getMessage.contains("still hot after 2 rounds"))
+  }
+
   test("qz22/qz23: overlap matrix differentiates, pHash catches planted dups (idle on base)") {
     import graft.analytics.Events
     // qe13 on the driver's uniform events is SATURATED — every user
