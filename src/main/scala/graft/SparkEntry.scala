@@ -75,6 +75,19 @@ object SparkEntry {
   private def onHot(sql: String): String =
     onCorpus(HotDir, Seq("documents", "embeddings"))(sql)
 
+  /** qc6/qc7: qc1's funnel manifest with the qh pre-flight verdict
+    * attached — both halves composed as independently-scoped
+    * subqueries (each keeps its own WITH chain), the pre-flight
+    * reduced to one scalar row exactly like the Spark side's broadcast.
+    */
+  private def preflightSql(funnel: String, hot: String): String =
+    s"""SELECT f.*, h.hot_groups, h.hot_families
+        FROM ($funnel) f CROSS JOIN
+        (SELECT CAST(count(*) AS BIGINT) AS hot_groups,
+                coalesce(string_agg(DISTINCT family, ',' ORDER BY family), '')
+                  AS hot_families
+         FROM ($hot) hh) h"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qa1_pricing_summary" -> ((s, d) => Relational.pricingSummary(s, d)),
     "qa2_revenue_join" -> ((s, d) => Relational.revenueByNation(s, d)),
@@ -250,6 +263,14 @@ object SparkEntry {
     // split present on zipf / absent on base).
     "qz24_salted_agg" -> ((s, _) => Relational.saltedLineAgg(s, ZipfDir)),
     "qz25_skew_fact_join" -> ((s, _) => Relational.revenueByNation(s, ZipfDir)),
+    // qc6/qc7 (r18): the funnel manifest with the guard family's
+    // pre-flight verdict attached — report-then-build as one keyed op;
+    // clean at production caps on the driver corpus (qc6), all four
+    // families surfaced on the planted hotdata corpus at qh2's caps
+    // while the build itself still runs (qc7)
+    "qc6_build_preflight" -> ((s, d) => graft.text.TextOps.corpusBuildPreflight(s, d)),
+    "qc7_preflight_fires" -> ((s, _) => graft.text.TextOps.corpusBuildPreflight(s, HotDir,
+      maxBucket = 50, maxBlock = 50, maxLabel = 70, maxCell = 70)),
     "qv19_rank_metrics" -> ((s, d) => graft.vector.Similarity.rankMetrics(s, d)),
     "qv20_dim_sweep" -> ((s, d) => graft.vector.Similarity.dimSweep(s, d)),
     "qv21_index_upsert" -> ((s, d) => graft.vector.Similarity.indexUpsert(s, d)),
@@ -556,6 +577,12 @@ object SparkEntry {
              CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
       FROM lineitem GROUP BY l_orderkey"""),
     "qz25_skew_fact_join" -> onZipfFacts(Qa2Sql),
+    "qc6_build_preflight" -> preflightSql(graft.text.DocOracle.qc1(),
+      graft.text.DocOracle.qhot(graft.text.Dedup.LshMaxBucket,
+        graft.text.Dedup.NgramMaxBlock,
+        graft.vector.Similarity.EmbedMaxLabel, 1L << 20)),
+    "qc7_preflight_fires" -> onHot(preflightSql(graft.text.DocOracle.qc1(),
+      graft.text.DocOracle.qhot(50, 50, 70, 70))),
     "qh1_hot_report" -> onZipf(graft.text.DocOracle.qhot(
       graft.text.Dedup.LshMaxBucket, graft.text.Dedup.NgramMaxBlock,
       graft.vector.Similarity.EmbedMaxLabel, 1L << 20)),

@@ -731,6 +731,40 @@ object TextOps {
         sum(when(col("final_keep"), 1L).otherwise(0L)).as("n_final"),
         sum(when(col("final_keep"), col("n_chars")).otherwise(0L)).as("final_chars"))
 
+  /** qc6/qc7: the corpus build with its PRE-FLIGHT attached (VERDICT
+    * r17 next #5) — the report-then-build operational pattern qh1/qh2
+    * exist for, as ONE keyed op: before a corpus operator schedules the
+    * funnel's guarded dedup stage, it consults
+    * [[HotReport.hotBlockReport]] and the manifest every row ships
+    * carries the verdict — `hot_groups` (over-cap group count across
+    * all four guarded families) and `hot_families` (the sorted family
+    * list), the go/no-go a build reviews next to where-the-mass-goes.
+    * Empty verdict (0, "") ⟺ every guarded build in the funnel's
+    * universe runs clean at these caps.
+    *
+    * Scale shape: qc1's manifest rollup + the pre-flight's |groups|-row
+    * rollups (each the session-cached table its guard already pays),
+    * reduced to ONE broadcast scalar row — no new data-scaled work.
+    * Registered twice: qc6 at production caps on the driver corpus
+    * (clean), qc7 at tightened caps on the committed `hotdata/` corpus,
+    * where the planted cliques surface all four families in the
+    * manifest while the build itself still runs (the caps are the
+    * pre-flight's knobs, not the build's).
+    */
+  def corpusBuildPreflight(spark: SparkSession, sfDir: String, cap: Int = 20,
+                           evalMod: Long = 50L,
+                           maxBucket: Long = Dedup.LshMaxBucket,
+                           maxBlock: Long = Dedup.NgramMaxBlock,
+                           maxLabel: Long = graft.vector.Similarity.EmbedMaxLabel,
+                           maxCell: Long = 1L << 20): DataFrame = {
+    val manifest = corpusBuild(spark, sfDir, cap, evalMod)
+    val pf = HotReport.hotBlockReport(spark, sfDir, maxBucket, maxBlock,
+        maxLabel, maxCell)
+      .agg(count(lit(1)).as("hot_groups"),
+        array_join(array_sort(collect_set(col("family"))), ",").as("hot_families"))
+    manifest.crossJoin(broadcast(pf))
+  }
+
   /** qc3: the DATASHEET of the curated corpus — the data-composition
     * table a model card ships (Datasheets for Datasets, Gebru et al.
     * arXiv:1803.09010 §3.2; the "training data" section of every LLM

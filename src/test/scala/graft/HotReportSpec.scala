@@ -69,4 +69,24 @@ class HotReportSpec extends SparkSuite {
       graft.vector.Similarity.semanticDedup(spark, SparkEntry.HotDir, maxCell = 70L).count()
     }
   }
+
+  test("qc6/qc7: the funnel manifest carries the pre-flight verdict (report-then-build)") {
+    import org.apache.spark.sql.functions._
+    // planted corpus at qh2's caps: every manifest row surfaces ALL
+    // FOUR would-be-hot families — and the build half still ran (the
+    // caps are the pre-flight's knobs, not the build's: at production
+    // caps the same funnel builds clean)
+    val firing = graft.text.TextOps.corpusBuildPreflight(spark, SparkEntry.HotDir,
+      maxBucket = 50, maxBlock = 50, maxLabel = 70, maxCell = 70).collect()
+    assert(firing.nonEmpty && firing.forall(r =>
+      r.getAs[String]("hot_families") ===
+        "qd11_ivf_cell,qd2_lsh_bucket,qd4_len_block,qd5_label" &&
+      r.getAs[Long]("hot_groups") === 8L))
+    assert(firing.map(r => r.getAs[Long]("n_docs")).sum > 0,
+      "the funnel itself must have run to a live manifest")
+    // the committed zipf gate corpus at PRODUCTION caps: verdict clean
+    val clean = graft.text.TextOps.corpusBuildPreflight(spark, SparkEntry.ZipfDir).collect()
+    assert(clean.nonEmpty && clean.forall(r =>
+      r.getAs[Long]("hot_groups") === 0L && r.getAs[String]("hot_families") === ""))
+  }
 }
