@@ -318,6 +318,10 @@ object SparkEntry {
     // no fixed SQL mirrors it; qd21's fixed trace is the oracle twin and
     // TextSpec pins the proven-clean re-scan contract
     "qd24_span_fixpoint" -> ((s, d) => graft.text.Dedup.dedupSpansClean(s, d)),
+    // qd25 (r18): qd21's sibling — the pass-3 rebuilt TEXT itself,
+    // oracle-mirrored by the same nested chain, covering qd24's output
+    // wherever the fixpoint lands within 3 passes (TextSpec pins ≡)
+    "qd25_span_corpus" -> ((s, d) => graft.text.Dedup.dedupSpansCorpus(s, d)),
     "qd22_lsh_star_edges" -> ((s, d) => graft.text.Dedup.lshStarEdges(s, d)),
     "qd23_star_clusters" -> ((s, d) => graft.text.Dedup.starClusters(s, d)),
     "qt21_domain_cap" -> ((s, d) => graft.text.TextOps.domainCap(s, d)),
@@ -882,6 +886,7 @@ object SparkEntry {
     "qd19_global_dup_spans" -> graft.text.DocOracle.qd19(),
     "qd20_dedup_spans" -> graft.text.DocOracle.qd20(),
     "qd21_dedup_fixpoint" -> graft.text.DocOracle.qd21(),
+    "qd25_span_corpus" -> graft.text.DocOracle.qd25(),
     "qd22_lsh_star_edges" -> graft.text.DocOracle.qd22(),
     // qd23's oracle is LITERALLY qd6's clique-edge closure: the gate
     // itself proves the star reduction preserves every cluster.

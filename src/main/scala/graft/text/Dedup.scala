@@ -1100,6 +1100,25 @@ object Dedup {
       docs
     }
 
+  /** qd25: the REBUILT corpus after a FIXED pass count — qd21's sibling
+    * exposing the other half of the same iterated chain (VERDICT r17
+    * next #6): qd21 oracle-checks the per-pass COUNTS, this checks the
+    * pass-N cleaned TEXT itself, so the production callable qd24's
+    * output is oracle-covered wherever the fixpoint lands within
+    * `passes` (TextSpec pins qd24 ≡ qd25 on exactly that condition).
+    * The fixed count keeps the shape data-independent for the nested
+    * DuckDB mirror; pass 1 rides qd20's session-cached frame.
+    */
+  def dedupSpansCorpus(spark: SparkSession, sfDir: String, n: Int = 3,
+      minSpan: Int = 4, passes: Int = 3): DataFrame =
+    graft.util.StageCache.cached(spark, sfDir, s"spancorpus_${n}_${minSpan}_$passes") {
+      val (docs, _) = dedupSpansTrace(
+        Tables.documents(spark, sfDir).select("doc_id", "text"),
+        n, minSpan, passes, stopWhenClean = false,
+        firstPass = Some(dedupSpans(spark, sfDir, n, minSpan)))
+      docs.select(col("doc_id"), col("text").as("clean_text"))
+    }
+
   /** qd21: the per-pass convergence trace of iterated span removal at a
     * FIXED pass count — (pass, n_cut, docs_cut) for passes 1..`passes`,
     * pass k scanning pass k−1's rebuilt corpus. A fixed count (not

@@ -1646,6 +1646,19 @@ dtk$sfx AS MATERIALIZED (
     s"WITH q21seed AS (SELECT 1)$chains\n$union"
   }
 
+  /** qd25 — mirrors Dedup.dedupSpansCorpus: the same nested qd20 chain
+    * as [[qd21]], selecting pass `passes`'s rebuilt corpus instead of
+    * the per-pass stats.
+    */
+  def qd25(n: Int = 3, minSpan: Int = 4, passes: Int = 3): String = {
+    val chains = (1 to passes).map { k =>
+      qd20PassCtes(if (k == 1) "documents" else s"docsp${k - 1}",
+        s"p$k", k, n, minSpan)
+    }.mkString
+    s"WITH q21seed AS (SELECT 1)$chains\n" +
+      s"SELECT doc_id, text AS clean_text FROM docsp$passes"
+  }
+
   /** Mirrors TextOps.charEntropy: same alphabet, same
     * length-of-replace counts, same 1e-6 pre-sum term quantization.
     */

@@ -2032,6 +2032,32 @@ class TextSpec extends SparkSuite {
       .agg(sum("n_cut")).collect().head.getLong(0) === 0L)
   }
 
+  test("qd25 covers qd24's output where the fixpoint lands within the fixed count") {
+    import spark.implicits._
+    // same planted 3-step corpus as the qd24 gate: the fixpoint lands
+    // within 4 passes, so the FIXED-count rebuilt text (qd25's
+    // oracle-mirrored shape) must equal the run-until-clean corpus —
+    // the production callable's output is oracle-covered here
+    val dir = java.nio.file.Files.createTempDirectory("graft-spancorp").toString
+    Seq(
+      (1L, "u1 u2 u3 u4 s1 s2 s3 s4"),
+      (2L, "B1 B2 B3 B4 t1 t2 t3 t4"),
+      (3L, "u1 u2 B1 B2 B3 B4 u3 u4")
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("spec"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val clean = Dedup.dedupSpansClean(spark, dir, n = 2, minSpan = 4)
+      .select(col("doc_id"), col("text").as("clean_text"))
+    val fixed = Dedup.dedupSpansCorpus(spark, dir, n = 2, minSpan = 4, passes = 4)
+    assert(fixed.count() === 3L)
+    assert(fixed.except(clean).count() === 0 && clean.except(fixed).count() === 0)
+    // and pass 1 of the fixed chain IS qd20's rebuilt text
+    val p1 = Dedup.dedupSpansCorpus(spark, Sf001, passes = 1)
+    val q20 = Dedup.dedupSpans(spark, Sf001).select("doc_id", "clean_text")
+    assert(p1.except(q20).count() === 0 && q20.except(p1).count() === 0)
+  }
+
   test("qd21 at sf0.001: monotone decreasing trace, consistent with qd20 pass 1") {
     val tr = Dedup.dedupSpansFixpoint(spark, Sf001, passes = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
