@@ -686,4 +686,20 @@ class PlanSpec extends SparkSuite {
     assertBucketedRunningSum(
       plan(graft.multimodal.BinaryMeta.shardManifest(spark, Sf01)), "media_type", "qm4")
   }
+
+  test("qz24 salted agg: phase 1 exchanges on (key, salt) — the hot key fans out") {
+    // the two-phase kernel's whole point: the FIRST exchange hashes on
+    // (l_orderkey, salt), spreading a mega-order over `salts` reducers
+    // with map-side partials; the second combines |keys|·salts partial
+    // rows on the key alone. Lose the salt from the first exchange and
+    // the hot key serializes again.
+    val p = plan(Relational.saltedLineAgg(spark, SparkEntry.ZipfDir))
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p.take(1500))
+    val saltedEx = "hashpartitioning\\(l_orderkey#\\d+L?, salt#\\d+".r
+    val keyEx = "hashpartitioning\\(l_orderkey#\\d+L?, \\d+\\)".r
+    assert(saltedEx.findFirstIn(p).isDefined,
+      s"phase-1 exchange must carry the salt:\n${p.take(2000)}")
+    assert(keyEx.findFirstIn(p).isDefined,
+      s"phase-2 exchange must combine on the bare key:\n${p.take(2000)}")
+  }
 }
