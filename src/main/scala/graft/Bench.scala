@@ -28,6 +28,16 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_CHECKSUM", "false"))
       .config("spark.storage.memoryMapThreshold", "134217728")
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      // AQE coalescing targets max(stageBytes/parallelism, minPartitionSize);
+      // the 1m default collapses small-byte CPU-DENSE shuffle stages
+      // (minhash/shingle hashing, per-pair array intersections) to 1-3
+      // tasks, idling the other cores (measured r18: qd18's candidate
+      // build ran 3.7 s in ONE task at 1m). 64k only binds for stages
+      // under parallelism×1 MB — at production scale bytes/parallelism
+      // dominates and the knob is inert, so the production value is the
+      // same (see OPTIMIZATION_r18.md §config).
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MINPART", "64k"))
       .getOrCreate()
     spark.sparkContext.setLogLevel(sys.env.getOrElse("SPARK_GRAFT_LOG", "WARN"))
     // evidence-tail hygiene (idempotent per JVM; must run after Spark's

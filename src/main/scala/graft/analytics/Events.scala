@@ -167,7 +167,13 @@ object Events {
       // buffer attribute — blows past JIT limits (2.9 MiB task binary,
       // ~4 s of Janino compile for this one stage; measured r5).
       approx_count_distinct(col(c), 0.04).as(s"${c}_approx"))
-    val approxRow = li.agg(approxAggs.head, approxAggs.tail: _*).head()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // the two passes are independent — overlap them (guide §2.6); the
+    // FIFO scheduler back-fills the HLL pass's tail with the distinct
+    // pass's map tasks (r18 — they used to run serially)
+    val approxFut = Future(li.agg(approxAggs.head, approxAggs.tail: _*).head())
     // One unioned pass for ALL exact distincts: tag each value with its
     // column name and distinct-count the (name, value) pairs — a single
     // partial-distinct → shuffle → count job instead of one
@@ -178,6 +184,7 @@ object Events {
       .reduce(_ unionByName _)
     val exact = unioned.distinct().groupBy("column_name").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approxRow = Await.result(approxFut, Duration.Inf)
     cols.map { c =>
       // empty table → no (column_name) groups at all; distinct of
       // nothing is 0, not a missing-key crash
@@ -218,14 +225,19 @@ object Events {
     val li = Tables.lineitem(spark, sfDir).select(cols.map(col): _*)
     val approxAggs = cols.map(c =>
       expr(s"approx_percentile($c, array(${qs.mkString(",")}), 10000)").as(s"${c}_approx"))
-    val approxRow = li.agg(approxAggs.head, approxAggs.tail: _*).head()
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
+    // ALL driver actions overlapped (guide §2.6): the GK-sketch pass and
+    // each column's exact range-select chain are independent jobs; FIFO
+    // scheduling back-fills the tail of one with the next (r18 — the
+    // sketch head used to run serially before the exact futures)
+    val approxFut = Future(li.agg(approxAggs.head, approxAggs.tail: _*).head())
     // exact values via the shared distributed range-sort + zipWithIndex
     // (util.Quantiles) — only boundary order statistics reach the driver
     val exact = cols.map(c => c -> Future(graft.util.Quantiles.exact(li, c, qs))).toMap
       .map { case (c, f) => c -> Await.result(f, Duration.Inf) }
+    val approxRow = Await.result(approxFut, Duration.Inf)
     val rows = cols.flatMap { c =>
       // approx_percentile yields NULL (not an empty list) on empty
       // input — surface it as NaN so the gate simply fails closed
@@ -789,11 +801,19 @@ object Events {
         col("frequency"), col("mon_q4"))
       .cache()
     val qs = Seq(0.2, 0.4, 0.6, 0.8)
-    def bounds(c: String): Seq[Double] =
-      graft.util.Quantiles.exact(per, c, qs).toSeq.sortBy(_._1).flatMap(_._2)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // the three dimensions' range-select chains are independent job
+    // sequences over the same cached rollup — overlap them (guide §2.6;
+    // r18: they ran serially, three full chain latencies end to end)
+    def bounds(c: String): Future[Seq[Double]] =
+      Future(graft.util.Quantiles.exact(per, c, qs).toSeq.sortBy(_._1).flatMap(_._2))
     def bucket(c: Column, bs: Seq[Double]): Column =
       bs.foldLeft(lit(1))((acc, b) => acc + when(c > lit(b), 1).otherwise(0))
-    val (rb, fb, mb) = (bounds("recency_d"), bounds("frequency"), bounds("mon_q4"))
+    val futs = (bounds("recency_d"), bounds("frequency"), bounds("mon_q4"))
+    val (rb, fb, mb) = (Await.result(futs._1, Duration.Inf),
+      Await.result(futs._2, Duration.Inf), Await.result(futs._3, Duration.Inf))
     per.select(col("o_custkey"), col("recency_d"), col("frequency"),
         Num.r4(col("mon_q4") / 10000d).as("monetary"),
         (lit(6) - bucket(col("recency_d"), rb)).as("r_score"),

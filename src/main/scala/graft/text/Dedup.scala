@@ -466,7 +466,12 @@ object Dedup {
         .select(col("doc_id"), col("deg"), col("cq"),
           (col("cq") + floor(lit(damping) * coalesce(col("s"), lit(0L)) + 0.5).cast("long"))
             .as("prq"))
-        .localCheckpoint()
+        // lazy: the plan stays a flat per-round LogicalRDD chain, but the
+        // rounds materialize inside the first consumer's job instead of
+        // one eager scheduler round-trip per round (r18); each round's
+        // frame is still cached after first compute, so the two reads
+        // the next round makes (contrib join + carry-through) share it
+        .localCheckpoint(eager = false)
     }
     pr.select(col("doc_id"), col("deg"), (col("prq") / 100000000d).as("pr"))
   }
@@ -496,8 +501,12 @@ object Dedup {
         // the mk=1 self-probe's lu is v's OLD label — carried through the
         // same aggregation so the convergence check is a cheap filter
         .agg(min("lu").as("cluster_id"), max(when(col("mk") === 1, col("lu"))).as("old"))
-        .localCheckpoint() // one job; the convergence check below reads it
-      converged = next.filter(col("cluster_id") =!= col("old")).isEmpty
+        // LAZY checkpoint + full-pass count: the convergence check IS the
+        // materializing action, so each round is ONE job instead of the
+        // old eager-checkpoint-then-isEmpty pair — one scheduler
+        // round-trip saved per round, same rounds, same labels (r18)
+        .localCheckpoint(eager = false)
+      converged = next.filter(col("cluster_id") =!= col("old")).count() == 0L
       labels = next.select("doc_id", "cluster_id")
       iter += 1
     }

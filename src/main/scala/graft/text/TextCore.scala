@@ -41,27 +41,66 @@ object TextCore {
     s"CAST(conv(substring(md5($e), 1, 15), 16, 10) AS BIGINT)"
 
   /** (doc_id, i, tok) — whitespace tokens with their original index.
-    * Session-cached: six text operators start from this explode.
+    * Session-cached: six text operators start from this explode. The
+    * documents scan is spread first (Tables.spread): the split+explode
+    * is the text family's hottest per-row work and the test corpora are
+    * single-row-group files whose scan cannot split.
     */
   def tokens(spark: SparkSession, sfDir: String): DataFrame =
     graft.util.StageCache.cached(spark, sfDir, "tokens") {
-      Tables.documents(spark, sfDir)
+      Tables.spread(Tables.documents(spark, sfDir), "doc_id")
         .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("i", "tok")))
         .filter(col("tok") =!= "")
     }
 
-  /** (doc_id, i, sh) — word n-gram shingles via window lead. */
+  /** (doc_id, i, sh) — word n-gram shingles; `i` is the leading token's
+    * raw split index (posexplode numbering, empties counted).
+    *
+    * r18: built NARROW from the documents scan via array slices instead
+    * of the old lead-window over [[tokens]] — same rows bit for bit
+    * (TextSpec property-gates the two forms), but the per-doc
+    * exchange + sort the window paid is gone: shingle construction is
+    * now a stateless projection, so the only shuffles left in any
+    * shingle consumer are its own aggregations. [[shinglesWindowed]]
+    * keeps the reference form for the gate.
+    */
   def shingles(spark: SparkSession, sfDir: String, n: Int = 3): DataFrame =
     graft.util.StageCache.cached(spark, sfDir, s"shingles$n") {
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("i")
-      val parts = (0 until n).map {
-        case 0 => col("tok")
-        case k => lead("tok", k).over(w)
-      }
-      tokens(spark, sfDir)
-        .withColumn("sh", concat_ws(" ", parts: _*))
-        .withColumn("lastTok", lead("tok", n - 1).over(w))
-        .filter(col("lastTok").isNotNull)
-        .select("doc_id", "i", "sh")
+      shinglesNarrow(Tables.spread(Tables.documents(spark, sfDir), "doc_id"), n)
     }
+
+  /** The narrow shingle projection over any (doc_id, text) frame. */
+  private[graft] def shinglesNarrow(docs: DataFrame, n: Int): DataFrame = {
+    require(n >= 1, s"n=$n")
+    docs
+      // kept tokens (with raw split positions) as one ordered array
+      .select(col("doc_id"), expr(
+        "filter(transform(split(text, ' '), (t, p) -> struct(p as i, t as tok))," +
+          " s -> s.tok != '')").as("kept"))
+      .select(col("doc_id"), explode(expr(
+        s"""CASE WHEN size(kept) >= $n THEN
+              transform(sequence(0, size(kept) - $n), k ->
+                struct(kept[k].i as i,
+                       array_join(transform(slice(kept, k + 1, $n), s -> s.tok), ' ') as sh))
+            ELSE CAST(array() AS array<struct<i: int, sh: string>>) END""")).as("s"))
+      .select(col("doc_id"), col("s.i").as("i"), col("s.sh").as("sh"))
+  }
+
+  /** The pre-r18 window-lead shingle builder — kept ONLY as the
+    * reference implementation TextSpec property-gates [[shinglesNarrow]]
+    * against (bit-identical rows on random corpora); no query path
+    * reads it.
+    */
+  private[graft] def shinglesWindowed(toks: DataFrame, n: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("i")
+    val parts = (0 until n).map {
+      case 0 => col("tok")
+      case k => lead("tok", k).over(w)
+    }
+    toks
+      .withColumn("sh", concat_ws(" ", parts: _*))
+      .withColumn("lastTok", lead("tok", n - 1).over(w))
+      .filter(col("lastTok").isNotNull)
+      .select("doc_id", "i", "sh")
+  }
 }

@@ -1109,6 +1109,13 @@ object TextOps {
       s"need 1 <= rounds <= 10, got $rounds (production round counts go " +
         "through bpeTrainLocal - one collect per VOCABULARY, not one Spark job per round)")
     def cut(df: DataFrame): DataFrame = if (checkpoint) df.localCheckpoint() else df
+    // the word table's per-round cut stays a plan barrier but materializes
+    // LAZILY: round r's winner job computes (and caches) words_{r-1} on
+    // the way, so each merge round costs ONE eager job (the 1-row winner)
+    // instead of two (r18; same rows — the cut is unchanged, only when it
+    // runs moves)
+    def cutLazy(df: DataFrame): DataFrame =
+      if (checkpoint) df.localCheckpoint(eager = false) else df
     // NOTE split(tok, "") is CODEPOINT-atomic in Spark (UTF8String-based:
     // a supplementary char stays ONE element, of UTF-16 length 2), exactly
     // matching DuckDB's string_split(tok, '') - no unpaired-surrogate
@@ -1138,7 +1145,7 @@ object TextOps {
       // (tiny corpus fully merged) yields an EMPTY winner, and a cross
       // join would silently erase the word table the encoder reads —
       // the rewrite must be a no-op instead
-      words = cut(words
+      words = cutLazy(words
         .join(broadcast(winC.select(col("lhs").as("_l"), col("rhs").as("_r"))),
           lit(true), "left")
         .withColumn("srch", concat(lit(S), col("_l"), lit(S + S), col("_r"), lit(S)))

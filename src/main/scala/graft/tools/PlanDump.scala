@@ -1,0 +1,52 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Optimization-round evidence tool: dump `.explain("formatted")` for the
+  * named queries to plans/<tag>/<query>_<suffix>.txt (the judge checks
+  * plan claims against these files — it cannot run Spark itself).
+  *
+  * usage: PlanDump <tag> <suffix> <query> [query ...]
+  *   e.g. PlanDump r18 before qc1_corpus_build qd18_containment
+  * env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.01),
+  *      SPARK_GRAFT_CPUS (default all cores — match the bench session).
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val tag = args(0)
+    val suffix = args(1)
+    val names = args.drop(2)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.maxPlanStringLength", "1048576")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = Paths.get(s"plans/$tag")
+    Files.createDirectories(dir)
+    names.foreach { name =>
+      try {
+        val df = graft.SparkEntry.queries(name)(spark, sfDir)
+        val txt = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        // literal sketches (inlined bloom filters) dump hundreds of KB of
+        // hex — cap each line so the evidence file stays reviewable
+        val capped = txt.split("\n", -1).map(l =>
+          if (l.length > 600) l.take(600) + s"...(+${l.length - 600} chars)" else l
+        ).mkString("\n")
+        Files.writeString(dir.resolve(s"${name}_$suffix.txt"), capped)
+        println(s"[plandump] wrote plans/$tag/${name}_$suffix.txt")
+      } catch { case e: Throwable =>
+        System.err.println(s"[plandump] $name FAILED: ${e.getMessage}")
+      }
+    }
+    spark.stop()
+  }
+}

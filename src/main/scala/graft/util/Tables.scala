@@ -13,6 +13,25 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Spread an UNDER-SPLIT scan across the cluster before CPU-dense
+    * per-row work (guide §2.5 "input skew: one huge unsplittable
+    * file... repartition immediately after the read"). The test corpora
+    * are single-row-group parquet files, so every scan is ONE task no
+    * matter the split config — tokenization/hash-heavy builds that
+    * follow would run on one core of 32 (measured r18: the qd20 span
+    * stage spent 8.4 s of task time on 2 tasks). Conditional: when the
+    * scan already yields at least the session's parallelism (the normal
+    * case at cluster scale, where inputs split by row group), this is a
+    * NO-OP — no shuffle is added. The repartition hashes on the row key,
+    * so it is deterministic under retry (guide §2.5 rand-repartition
+    * caveat) and downstream same-key aggregations reuse the exchange.
+    */
+  def spread(df: DataFrame, keys: String*): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(target, keys.map(org.apache.spark.sql.functions.col): _*)
+  }
+
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "orders")
   def customer(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "customer")

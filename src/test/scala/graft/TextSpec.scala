@@ -2175,4 +2175,42 @@ class TextSpec extends SparkSuite {
     assert(oob.count() === 0, "span exceeds document length")
     s.unpersist()
   }
+
+  test("r18 narrow shingles ≡ window-lead reference, bit for bit") {
+    import spark.implicits._
+    // adversarial corpus: empty text, all-space text, single token,
+    // exactly n tokens, n-1 tokens, runs of multiple spaces (empty split
+    // cells shift the raw index), leading/trailing spaces
+    val rnd = new scala.util.Random(1819)
+    val words = Vector("a", "bb", "ccc", "dd", "e", "ff", "g7", "hh", "i", "jj")
+    val synth = (0L until 120L).map { id =>
+      val nTok = rnd.nextInt(9) // 0..8
+      val toks = Seq.fill(nTok)(words(rnd.nextInt(words.size)))
+      val sep = () => " " * (1 + rnd.nextInt(3)) // multi-space runs
+      val body = toks.foldLeft("")((acc, t) => acc + sep() + t)
+      val text = if (rnd.nextBoolean()) body.trim else body + sep()
+      (id, text)
+    } ++ Seq((900L, ""), (901L, "   "), (902L, "solo"), (903L, "x y z"))
+    val docs = synth.toDF("doc_id", "text")
+    val toks = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("i", "tok")))
+      .filter(col("tok") =!= "")
+    for (n <- Seq(1, 2, 3, 5)) {
+      val a = TextCore.shinglesNarrow(docs, n)
+      val b = TextCore.shinglesWindowed(toks, n)
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        s"n=$n: narrow and windowed shingles differ")
+    }
+    // and on the real corpus at the two registered widths
+    val real = spark.read.parquet(s"$Sf001/documents.parquet").select("doc_id", "text")
+    val realToks = real
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("i", "tok")))
+      .filter(col("tok") =!= "")
+    for (n <- Seq(3, 5)) {
+      val a = TextCore.shinglesNarrow(real, n)
+      val b = TextCore.shinglesWindowed(realToks, n)
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        s"sf0.001 n=$n: narrow and windowed shingles differ")
+    }
+  }
 }
