@@ -21,10 +21,15 @@ object BinaryMeta {
   case class MediaFeatures(doc_id: Long, n_bytes: Int, byte_sum: Long,
                            f0: Double, f1: Double, f2: Double, f3: Double)
 
-  /** Documents re-cast as opaque binary payloads with typed metadata. */
+  /** Documents re-cast as opaque binary payloads with typed metadata.
+    * The scan is spread first (Tables.spread, r18): every consumer runs
+    * a per-row CPU-heavy decode seam (qm9 a REAL PNG encode+ImageIO
+    * decode per row), and the single-row-group test file would pin all
+    * of it to one task; no-op when the scan already splits.
+    */
   def mediaTable(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
     import spark.implicits._
-    Tables.documents(spark, sfDir)
+    Tables.spread(Tables.documents(spark, sfDir), "doc_id")
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
         concat(lit("text/"), col("lang")).as("media_type"), col("n_chars"))
       .as[MediaRow]

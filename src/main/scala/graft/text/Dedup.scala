@@ -1061,7 +1061,10 @@ object Dedup {
     while (k <= passes && !clean) {
       val out =
         if (k == 1 && firstPass.isDefined) firstPass.get
-        else dedupSpansFrom(docs, n, minSpan).localCheckpoint()
+        // LAZY: the per-pass stats collect below is a full pass and
+        // materializes the checkpoint — 1 job per pass, not 2 (r18,
+        // ccFrom's discipline)
+        else dedupSpansFrom(docs, n, minSpan).localCheckpoint(eager = false)
       val st = out.agg(
         coalesce(sum("n_cut"), lit(0L)).as("c"),
         count(when(col("n_cut") > 0, lit(1))).as("d")).collect().head

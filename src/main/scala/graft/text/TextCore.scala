@@ -69,7 +69,17 @@ object TextCore {
       shinglesNarrow(Tables.spread(Tables.documents(spark, sfDir), "doc_id"), n)
     }
 
-  /** The narrow shingle projection over any (doc_id, text) frame. */
+  /** The narrow shingle projection over any (doc_id, text) frame.
+    *
+    * Shape note: the per-doc kept-token array is built with ONE
+    * filter(transform(...)) pass (higher-order functions are
+    * interpreted — CodegenFallback — so they run once per DOC, O(L)),
+    * and the per-SHINGLE work is a codegen posexplode + n−1
+    * GetArrayItem lookups + concat_ws. The first cut of this builder
+    * nested transform/slice/array_join HOFs per shingle and paid ~1 ms
+    * of interpreted eval per row (27 s of task CPU to shingle 600
+    * docs); this form is the same rows at codegen speed.
+    */
   private[graft] def shinglesNarrow(docs: DataFrame, n: Int): DataFrame = {
     require(n >= 1, s"n=$n")
     docs
@@ -77,13 +87,13 @@ object TextCore {
       .select(col("doc_id"), expr(
         "filter(transform(split(text, ' '), (t, p) -> struct(p as i, t as tok))," +
           " s -> s.tok != '')").as("kept"))
-      .select(col("doc_id"), explode(expr(
-        s"""CASE WHEN size(kept) >= $n THEN
-              transform(sequence(0, size(kept) - $n), k ->
-                struct(kept[k].i as i,
-                       array_join(transform(slice(kept, k + 1, $n), s -> s.tok), ' ') as sh))
-            ELSE CAST(array() AS array<struct<i: int, sh: string>>) END""")).as("s"))
-      .select(col("doc_id"), col("s.i").as("i"), col("s.sh").as("sh"))
+      .select(col("doc_id"), col("kept"), posexplode(col("kept")).as(Seq("k", "s")))
+      .filter(col("k") + (n - 1) < size(col("kept")))
+      .select(col("doc_id"), col("s.i").as("i"),
+        concat_ws(" ", (0 until n).map {
+          case 0 => col("s.tok")
+          case j => col("kept")(col("k") + j)("tok")
+        }: _*).as("sh"))
   }
 
   /** The pre-r18 window-lead shingle builder — kept ONLY as the

@@ -31,9 +31,26 @@ object PlanDump {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = Paths.get(s"plans/$tag")
     Files.createDirectories(dir)
+    // pseudo-entries for session-cached stage BUILDS whose plans the
+    // registered queries hide behind localCheckpoint LogicalRDDs
+    def stagePlans(n: String): Option[org.apache.spark.sql.DataFrame] = n match {
+      case "_tokens_build" => Some(
+        graft.util.Tables.spread(graft.util.Tables.documents(spark, sfDir), "doc_id")
+          .select(org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.posexplode(
+              org.apache.spark.sql.functions.split(
+                org.apache.spark.sql.functions.col("text"), " ")).as(Seq("i", "tok")))
+          .filter(org.apache.spark.sql.functions.col("tok") =!= ""))
+      case "_shingles3_narrow" => Some(graft.text.TextCore.shinglesNarrow(
+        graft.util.Tables.spread(graft.util.Tables.documents(spark, sfDir), "doc_id"), 3))
+      case "_shingles3_windowed" => Some(graft.text.TextCore.shinglesWindowed(
+        graft.text.TextCore.tokens(spark, sfDir), 3))
+      case _ => None
+    }
     names.foreach { name =>
       try {
-        val df = graft.SparkEntry.queries(name)(spark, sfDir)
+        val df = stagePlans(name).getOrElse(
+          graft.SparkEntry.queries(name)(spark, sfDir))
         val txt = df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
         // literal sketches (inlined bloom filters) dump hundreds of KB of

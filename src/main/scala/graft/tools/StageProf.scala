@@ -42,9 +42,16 @@ object StageProf {
     case class St(id: Int, name: String, wallMs: Long, taskMs: Long,
                   srMB: Double, swMB: Double, recIn: Long, tasks: Int)
     val stages = scala.collection.mutable.ArrayBuffer.empty[St]
+    val jobSites = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
     var jobs = 0
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(js: SparkListenerJobStart): Unit = jobs += 1
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        jobs += 1
+        jobSites += ((js.time,
+          Option(js.properties).flatMap(p => Option(p.getProperty("callSite.short")))
+            .getOrElse(js.stageInfos.headOption.map(_.name.split("\n")(0)).getOrElse("?"))
+            .take(100)))
+      }
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo
         val wall = (for {s <- si.submissionTime; c <- si.completionTime} yield c - s).getOrElse(-1L)
@@ -72,6 +79,15 @@ object StageProf {
       }
       val wallSum = stages.map(_.wallMs).sum
       println(f"stage wall sum: ${wallSum / 1000.0}%.3f s (overlap possible); gaps = driver/planning time")
+      if (sys.env.contains("SPARK_GRAFT_PROF_JOBS")) {
+        println("-- jobs (start-to-start deltas) --")
+        val js = jobSites.toSeq.sortBy(_._1)
+        js.zipWithIndex.foreach { case ((t, site), i) =>
+          val d = if (i + 1 < js.size) js(i + 1)._1 - t else -1L
+          println(f"$i%4d ${d}%7d ms  $site")
+        }
+      }
+      jobSites.clear()
     }
     spark.stop()
   }
