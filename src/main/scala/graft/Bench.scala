@@ -38,6 +38,14 @@ object Bench {
       // same (see OPTIMIZATION_r18.md §config).
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
         sys.env.getOrElse("SPARK_GRAFT_AQE_MINPART", "64k"))
+      // Janino codegen cache (STATIC conf, JVM-wide from the first
+      // session): the default 100 entries thrash across this suite's
+      // 233 queries — every rep recompiled nearly every generated class
+      // (~50-300 ms each, driver-side). A production driver running a
+      // query fleet wants the same headroom; entries are compiled
+      // classes, tens of KB each.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "5000"))
       .getOrCreate()
     spark.sparkContext.setLogLevel(sys.env.getOrElse("SPARK_GRAFT_LOG", "WARN"))
     // evidence-tail hygiene (idempotent per JVM; must run after Spark's

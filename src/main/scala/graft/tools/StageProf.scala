@@ -67,7 +67,19 @@ object StageProf {
     for (rep <- 1 to reps; name <- nameList) {
       stages.clear(); jobs = 0
       val t0 = System.nanoTime()
-      val df = graft.SparkEntry.queries(name)(spark, sfDir)
+      import org.apache.spark.sql.functions.{posexplode, split}
+      def docs = graft.util.Tables.spread(
+        graft.util.Tables.documents(spark, sfDir), "doc_id")
+      def toks = docs
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          posexplode(split(org.apache.spark.sql.functions.col("text"), " ")).as(Seq("i", "tok")))
+        .filter(org.apache.spark.sql.functions.col("tok") =!= "")
+      val df = name match {
+        case "_sh3_narrow" => graft.text.TextCore.shinglesNarrow(docs, 3)
+        case "_sh3_windowed" => graft.text.TextCore.shinglesWindowed(toks, 3)
+        case "_tokens" => toks
+        case _ => graft.SparkEntry.queries(name)(spark, sfDir)
+      }
       import org.apache.spark.sql.functions.{col, xxhash64}
       df.select(xxhash64(df.columns.map(col): _*).as("h")).agg(Map("h" -> "max")).count()
       val tot = (System.nanoTime() - t0) / 1e9
