@@ -144,9 +144,41 @@ object Events {
     * 100 TB profiling path where exact distinct is a full shuffle but
     * the sketch is a fixed-size mergeable register set.
     */
+  /** qp2's profiled column set — shared by the HLL pass and the exact
+    * pass so the two frames can never drift.
+    */
+  private val ApproxDistinctCols =
+    Seq("l_partkey", "l_suppkey", "l_quantity", "l_extendedprice")
+
+  /** qp2's exact-distinct pass as ONE lineitem scan (r19, guide §6):
+    * the old form unioned four single-column selects — four scan nodes
+    * over the same file inside one job; this explodes a (name → value)
+    * map per row instead, so the plan has exactly one lineitem scan
+    * feeding the same (name, value) partial-distinct → count shape.
+    * Same rows: map() preserves null values and explode emits them, so
+    * the distinct/count semantics are unchanged. Separated (uncached)
+    * so PlanDump can show the single-scan plan.
+    */
+  private[graft] def approxDistinctExactPlan(spark: SparkSession, sfDir: String): DataFrame = {
+    val cols = ApproxDistinctCols
+    // spread BEFORE the explode (guide §2.5): the single-scan form runs
+    // the partial-distinct hash of |rows|×4 exploded pairs, and the
+    // test lineitem is one unsplittable file — without the spread that
+    // whole pass sat on 1-2 tasks (measured at sf1: 4.5 → 12 s against
+    // the unioned form, whose four scans at least ran 4 tasks). The
+    // spread shuffles the 4 projected columns once (|rows|, not the 4×
+    // exploded pairs) and is a no-op when the scan splits.
+    val li = Tables.spread(
+      Tables.lineitem(spark, sfDir).select(cols.map(col): _*), cols: _*)
+    li.select(explode(map(
+        cols.flatMap(c => Seq(lit(c), col(c).cast("double"))): _*))
+      .as(Seq("column_name", "v")))
+      .distinct().groupBy("column_name").count()
+  }
+
   def approxDistinct(spark: SparkSession, sfDir: String, tol: Double = 0.05): DataFrame = {
     import spark.implicits._
-    val cols = Seq("l_partkey", "l_suppkey", "l_quantity", "l_extendedprice")
+    val cols = ApproxDistinctCols
     // Exact distincts and HLL sketches in SEPARATE plans: mixing them
     // makes Catalyst plan the multi-DISTINCT expand through a
     // sort-based aggregate, which copies the ~21KB HLL register buffer
@@ -167,24 +199,20 @@ object Events {
       // buffer attribute — blows past JIT limits (2.9 MiB task binary,
       // ~4 s of Janino compile for this one stage; measured r5).
       approx_count_distinct(col(c), 0.04).as(s"${c}_approx"))
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
     // the two passes are independent — overlap them (guide §2.6); the
     // FIFO scheduler back-fills the HLL pass's tail with the distinct
-    // pass's map tasks (r18 — they used to run serially)
-    val approxFut = Future(li.agg(approxAggs.head, approxAggs.tail: _*).head())
-    // One unioned pass for ALL exact distincts: tag each value with its
-    // column name and distinct-count the (name, value) pairs — a single
-    // partial-distinct → shuffle → count job instead of one
-    // scan+distinct job per column. All four columns cast losslessly to
-    // double (keys < 2^53), so per-column distinct counts are preserved.
-    val unioned = cols.map(c =>
-        li.select(lit(c).as("column_name"), col(c).cast("double").as("v")))
-      .reduce(_ unionByName _)
-    val exact = unioned.distinct().groupBy("column_name").count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val approxRow = Await.result(approxFut, Duration.Inf)
+    // pass's map tasks (r18 — they used to run serially; r19 — the
+    // overlap runs under one cancellable job group, see util.Overlap).
+    // The exact pass is ONE SINGLE-SCAN job (r19): explode each row
+    // into its (column_name, value) pairs and distinct-count them —
+    // one lineitem scan + one partial-distinct → shuffle → count job
+    // instead of four unioned single-column scans. All four columns
+    // cast losslessly to double (keys < 2^53), so per-column distinct
+    // counts are preserved.
+    val (approxRow, exact) = graft.util.Overlap.pair(spark, "qp2")(
+      li.agg(approxAggs.head, approxAggs.tail: _*).head(),
+      approxDistinctExactPlan(spark, sfDir)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
     cols.map { c =>
       // empty table → no (column_name) groups at all; distinct of
       // nothing is 0, not a missing-key crash
@@ -225,19 +253,19 @@ object Events {
     val li = Tables.lineitem(spark, sfDir).select(cols.map(col): _*)
     val approxAggs = cols.map(c =>
       expr(s"approx_percentile($c, array(${qs.mkString(",")}), 10000)").as(s"${c}_approx"))
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
     // ALL driver actions overlapped (guide §2.6): the GK-sketch pass and
     // each column's exact range-select chain are independent jobs; FIFO
     // scheduling back-fills the tail of one with the next (r18 — the
-    // sketch head used to run serially before the exact futures)
-    val approxFut = Future(li.agg(approxAggs.head, approxAggs.tail: _*).head())
+    // sketch head used to run serially before the exact futures; r19 —
+    // the overlap runs under one cancellable job group, util.Overlap).
     // exact values via the shared distributed range-sort + zipWithIndex
     // (util.Quantiles) — only boundary order statistics reach the driver
-    val exact = cols.map(c => c -> Future(graft.util.Quantiles.exact(li, c, qs))).toMap
-      .map { case (c, f) => c -> Await.result(f, Duration.Inf) }
-    val approxRow = Await.result(approxFut, Duration.Inf)
+    val results = graft.util.Overlap.all[Any](spark, "qp3")(
+      (() => li.agg(approxAggs.head, approxAggs.tail: _*).head()) +:
+        cols.map(c => () => graft.util.Quantiles.exact(li, c, qs)))
+    val approxRow = results.head.asInstanceOf[org.apache.spark.sql.Row]
+    val exact = cols.zip(results.tail
+      .map(_.asInstanceOf[Map[Double, Option[Double]]])).toMap
     val rows = cols.flatMap { c =>
       // approx_percentile yields NULL (not an empty list) on empty
       // input — surface it as NaN so the gate simply fails closed
@@ -801,19 +829,16 @@ object Events {
         col("frequency"), col("mon_q4"))
       .cache()
     val qs = Seq(0.2, 0.4, 0.6, 0.8)
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
     // the three dimensions' range-select chains are independent job
     // sequences over the same cached rollup — overlap them (guide §2.6;
-    // r18: they ran serially, three full chain latencies end to end)
-    def bounds(c: String): Future[Seq[Double]] =
-      Future(graft.util.Quantiles.exact(per, c, qs).toSeq.sortBy(_._1).flatMap(_._2))
+    // r18: they ran serially, three full chain latencies end to end;
+    // r19: under one cancellable job group, see util.Overlap)
+    def bounds(c: String): () => Seq[Double] =
+      () => graft.util.Quantiles.exact(per, c, qs).toSeq.sortBy(_._1).flatMap(_._2)
     def bucket(c: Column, bs: Seq[Double]): Column =
       bs.foldLeft(lit(1))((acc, b) => acc + when(c > lit(b), 1).otherwise(0))
-    val futs = (bounds("recency_d"), bounds("frequency"), bounds("mon_q4"))
-    val (rb, fb, mb) = (Await.result(futs._1, Duration.Inf),
-      Await.result(futs._2, Duration.Inf), Await.result(futs._3, Duration.Inf))
+    val Seq(rb, fb, mb) = graft.util.Overlap.all(spark, "qe9")(
+      Seq(bounds("recency_d"), bounds("frequency"), bounds("mon_q4")))
     per.select(col("o_custkey"), col("recency_d"), col("frequency"),
         Num.r4(col("mon_q4") / 10000d).as("monetary"),
         (lit(6) - bucket(col("recency_d"), rb)).as("r_score"),

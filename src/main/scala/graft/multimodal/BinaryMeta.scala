@@ -22,14 +22,23 @@ object BinaryMeta {
                            f0: Double, f1: Double, f2: Double, f3: Double)
 
   /** Documents re-cast as opaque binary payloads with typed metadata.
-    * The scan is spread first (Tables.spread, r18): every consumer runs
-    * a per-row CPU-heavy decode seam (qm9 a REAL PNG encode+ImageIO
-    * decode per row), and the single-row-group test file would pin all
-    * of it to one task; no-op when the scan already splits.
+    *
+    * `spreadIn` (r19): the r18 round spread the scan UNCONDITIONALLY
+    * for all ten consumers, which taxed the cheap metadata rollups
+    * (qm4 0.71×, qm7 0.88× — the round's only regressions) with an
+    * Exchange that moves the full payload bytes they never decode
+    * (guide §2.3 "project before the exchange"). Now only the
+    * consumers that run a WHOLE-PAYLOAD per-row decode (qm1/qm3/qm9/
+    * qm10 — qm9 a REAL PNG encode+ImageIO decode per row) ask for the
+    * spread; the metadata/frame consumers keep the unspread scan and
+    * pick up parallelism at their own aggregation exchanges. Still a
+    * no-op when the scan already splits (cluster scale).
     */
-  def mediaTable(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
+  def mediaTable(spark: SparkSession, sfDir: String,
+                 spreadIn: Boolean = false): Dataset[MediaRow] = {
     import spark.implicits._
-    Tables.spread(Tables.documents(spark, sfDir), "doc_id")
+    val docs = Tables.documents(spark, sfDir)
+    (if (spreadIn) Tables.spread(docs, "doc_id") else docs)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
         concat(lit("text/"), col("lang")).as("media_type"), col("n_chars"))
       .as[MediaRow]
@@ -81,7 +90,7 @@ object BinaryMeta {
   /** qm1: batched partition-local featurization over the media table. */
   def mediaFeatures(spark: SparkSession, sfDir: String, batchSize: Int = 64): DataFrame = {
     import spark.implicits._
-    mediaTable(spark, sfDir)
+    mediaTable(spark, sfDir, spreadIn = true)
       .mapPartitions(_.grouped(batchSize).flatMap(decodeBatch))
       .toDF()
   }
@@ -131,7 +140,7 @@ object BinaryMeta {
                    batchSize: Int = 64): DataFrame = {
     import spark.implicits._
     require(r >= 1, s"r=$r")
-    mediaTable(spark, sfDir)
+    mediaTable(spark, sfDir, spreadIn = true)
       .mapPartitions(_.grouped(batchSize)
         .flatMap(_.flatMap(row => resizePlane(row.doc_id, row.payload, r))))
       .toDF()
@@ -241,7 +250,7 @@ object BinaryMeta {
                       batchSize: Int = 64, side: Int = 16): DataFrame = {
     import spark.implicits._
     require(side >= 1, s"side=$side")
-    mediaTable(spark, sfDir).mapPartitions { it =>
+    mediaTable(spark, sfDir, spreadIn = true).mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
       it.grouped(batchSize).flatMap { batch =>
         batch.map { r =>
@@ -464,7 +473,7 @@ object BinaryMeta {
     import spark.implicits._
     require(maxHam >= 0 && maxHam < 4,
       s"maxHam=$maxHam: the 4-chunk pigeonhole is exact only below 4")
-    val sigs = mediaTable(spark, sfDir)
+    val sigs = mediaTable(spark, sfDir, spreadIn = true)
       .mapPartitions(_.grouped(batchSize).flatMap(sigBatch)).toDF()
     val chunks = sigs.select(col("doc_id"), col("sig"),
       explode(array((0 until 4).map(c =>

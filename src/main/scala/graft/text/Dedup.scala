@@ -685,29 +685,38 @@ object Dedup {
     graft.functions.VectorExprs.register(shArr.sparkSession)
     val docs = docsIn
       .select(col("doc_id"), col("lang"), floor(col("n_chars") / 20).as("blk"))
-    val probes = docs
-      .withColumn("blk", explode(array(col("blk") - 1, col("blk"), col("blk") + 1)))
-    val cand = docs.select(col("doc_id").as("doc_a"), col("lang"), col("blk"))
-      .join(probes.select(col("doc_id").as("doc_b"), col("lang"), col("blk")), Seq("lang", "blk"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
     // Intersect on a 60-bit shingle hash, not the shingle string (hash
     // collisions conflate shingles identically in both engines; 60 bits
-    // keeps the collision rate negligible at 100 TB). Each doc's
-    // distinct hashes pack into ONE sorted array row, and the
-    // intersection is a map-side array_intersect per candidate pair —
-    // two narrow joins on doc ids instead of shuffling |pairs|×|doc
-    // shingles| exploded rows through an equi-join + count groupBy
-    // (~50M rows × 2 shuffles at sf0.1; the array form moves each
-    // pair's two ~0.4 KB arrays exactly once, and the per-doc array
-    // table is small enough to broadcast until the corpus is huge).
-    // shuffle-hash, not sort-merge: the pair stream carries the ~0.4 KB
-    // arrays after the first join, and SMJ would SORT that wide stream
-    // on doc_b (memory churn ≫ the join itself); SHJ hashes the small
-    // per-doc array table and streams the pairs through unsorted.
-    cand
-      .join(shArr.select(col("doc_id").as("doc_a"), col("shs").as("sa"), col("sz").as("sza")).hint("shuffle_hash"), Seq("doc_a"))
-      .join(shArr.select(col("doc_id").as("doc_b"), col("shs").as("sb"), col("sz").as("szb")).hint("shuffle_hash"), Seq("doc_b"))
+    // keeps the collision rate negligible at 100 TB).
+    //
+    // r19 restructure (guide §8 "move heavy bytes once, decide after"):
+    // the r18 shape generated the (doc_a, doc_b) candidate stream first
+    // and then attached each side's packed array through two
+    // pair-keyed shuffle-hash joins — so the PAIR stream, m²-sized per
+    // block, crossed an exchange CARRYING a ~0.4 KB array per row
+    // (at sf1: 37.6M pairs ≈ 15 GB through the doc_b exchange, measured
+    // from block occupancy; the array table itself is 20 MB). Now each
+    // doc's array is attached ONCE, keyed by its (lang, blk) block,
+    // and the pair fan-out happens AFTER the block exchange, inside
+    // the join's output iterator: the intersect + jaccard projection
+    // consumes the wide pair rows in the same stage and only the
+    // (doc_a, doc_b, jaccard) survivors ever materialize. Shuffled
+    // bytes are |docs| arrays ×1 on the build side and ×3 on the
+    // ±1-widened probe side — linear in the corpus, never in pairs.
+    // The checkpoint keeps the doc_id attach join from running twice
+    // (it feeds both sides of the block join).
+    val base = docs.join(shArr, "doc_id").localCheckpoint(eager = false)
+    val arrA = base.select(col("doc_id").as("doc_a"), col("lang"), col("blk"),
+      col("shs").as("sa"), col("sz").as("sza"))
+    val arrB = base
+      .withColumn("blk", explode(array(col("blk") - 1, col("blk"), col("blk") + 1)))
+      .select(col("doc_id").as("doc_b"), col("lang"), col("blk"),
+        col("shs").as("sb"), col("sz").as("szb"))
+    // The ±1 widening stays an equi-join (each qualifying pair meets on
+    // exactly one key — no theta-join, no post-hoc distinct), and the
+    // maxBlock guard above bounds any single block's m² task.
+    arrA.join(arrB, Seq("lang", "blk"))
+      .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         // merge-walk kernel over the sorted hash arrays — see
         // functions.SortedInterCount for why not array_intersect
@@ -740,10 +749,16 @@ object Dedup {
     require(maxDf >= 2 && minShared >= 1, s"maxDf=$maxDf minShared=$minShared")
     graft.functions.VectorExprs.register(spark)
     val shd = shd60(spark, sfDir, n)
+    // rare checkpoints first (keptFrames' discipline, r19): it sits on
+    // BOTH sides of the candidate pair join below, and without
+    // materialization the df groupBy + filter join ran twice — the
+    // before-plan (plans/r19/qd18_containment_before.txt) shows the
+    // same HashAggregate/Exchange df chain duplicated at nodes (6-8)
+    // and (19-21).
     val rare = shd.join(
       shd.groupBy("shh").agg(count(lit(1)).as("df"))
         .filter(col("df") <= maxDf).select("shh"),
-      "shh")
+      "shh").localCheckpoint(eager = false)
     val cand = rare.select(col("doc_id").as("doc_a"), col("shh"))
       .join(rare.select(col("doc_id").as("doc_b"), col("shh")), "shh")
       .filter(col("doc_a") < col("doc_b"))
@@ -1052,28 +1067,65 @@ object Dedup {
     */
   private[graft] def dedupSpansTrace(docs0: DataFrame, n: Int, minSpan: Int,
       passes: Int, stopWhenClean: Boolean,
-      firstPass: Option[DataFrame] = None): (DataFrame, Seq[(Long, Long, Long)]) = {
+      firstPass: Option[DataFrame] = None,
+      needTrace: Boolean = true): (DataFrame, Seq[(Long, Long, Long)]) = {
     require(passes >= 1, s"need passes >= 1, got $passes")
     var docs = docs0
-    val trace = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
-    var k = 1
-    var clean = false
-    while (k <= passes && !clean) {
-      val out =
-        if (k == 1 && firstPass.isDefined) firstPass.get
-        // LAZY: the per-pass stats collect below is a full pass and
-        // materializes the checkpoint — 1 job per pass, not 2 (r18,
-        // ccFrom's discipline)
-        else dedupSpansFrom(docs, n, minSpan).localCheckpoint(eager = false)
-      val st = out.agg(
-        coalesce(sum("n_cut"), lit(0L)).as("c"),
-        count(when(col("n_cut") > 0, lit(1))).as("d")).collect().head
-      trace += ((k.toLong, st.getLong(0), st.getLong(1)))
-      clean = stopWhenClean && st.getLong(0) == 0L
-      docs = out.select(col("doc_id"), col("clean_text").as("text"))
-      k += 1
+    def passOut(k: Int): DataFrame =
+      if (k == 1 && firstPass.isDefined) firstPass.get
+      // LAZY: the materializing action below computes the checkpoint
+      // inline — no standalone materialization job (r18, ccFrom's
+      // discipline)
+      else dedupSpansFrom(docs, n, minSpan).localCheckpoint(eager = false)
+    def statsOf(out: DataFrame, k: Int): DataFrame = out
+      .agg(coalesce(sum("n_cut"), lit(0L)).as("c"),
+        count(when(col("n_cut") > 0, lit(1))).as("d"))
+      .select(lit(k.toLong).as("pass"), col("c"), col("d"))
+    if (!stopWhenClean && !needTrace) {
+      // FIXED pass count with the trace UNUSED (qd25): the per-pass
+      // stats never gate control flow and nobody reads them, so NO
+      // per-pass action runs at all — the chain stays lazy and the
+      // caller's first consumer materializes pass 1..N sequentially
+      // inside its own job (each checkpoint computes exactly once:
+      // pass k+1's stages depend on pass k's RDD, a linear stage
+      // chain, so no sibling-stage race can duplicate a pass). A
+      // unioned one-job stats collect was tried and REJECTED: its
+      // per-pass stats branches are siblings of the next pass's map
+      // stages, and concurrent stages racing on the same lazy
+      // checkpoint recompute its partitions (r19, measured at sf1).
+      (1 to passes).foreach { k =>
+        docs = passOut(k).select(col("doc_id"), col("clean_text").as("text"))
+      }
+      (docs, Seq.empty)
+    } else if (!stopWhenClean) {
+      // FIXED pass count, trace READ (qd21): one collect per pass — the
+      // collect is itself the materializing action for that pass's
+      // checkpoint (1 job per pass, ccFrom's r18 discipline), and the
+      // strict per-pass sequencing means each checkpoint is computed
+      // exactly once before anything downstream touches it.
+      val trace = (1 to passes).map { k =>
+        val out = passOut(k)
+        docs = out.select(col("doc_id"), col("clean_text").as("text"))
+        val st = statsOf(out, k).collect().head
+        (st.getLong(0), st.getLong(1), st.getLong(2))
+      }
+      (docs, trace)
+    } else {
+      val trace = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      var k = 1
+      var clean = false
+      while (k <= passes && !clean) {
+        // run-until-clean: each pass's n_cut DECIDES whether another
+        // pass runs, so one collect per pass is inherent (1 job/pass)
+        val out = passOut(k)
+        val st = statsOf(out, k).collect().head
+        trace += ((st.getLong(0), st.getLong(1), st.getLong(2)))
+        clean = st.getLong(1) == 0L
+        docs = out.select(col("doc_id"), col("clean_text").as("text"))
+        k += 1
+      }
+      (docs, trace.toSeq)
     }
-    (docs, trace.toSeq)
   }
 
   /** Iterate qd20 until a pass cuts nothing (span-free fixpoint) or
@@ -1127,7 +1179,11 @@ object Dedup {
       val (docs, _) = dedupSpansTrace(
         Tables.documents(spark, sfDir).select("doc_id", "text"),
         n, minSpan, passes, stopWhenClean = false,
-        firstPass = Some(dedupSpans(spark, sfDir, n, minSpan)))
+        firstPass = Some(dedupSpans(spark, sfDir, n, minSpan)),
+        // the trace is discarded here: passing needTrace=false drops
+        // the per-pass stats jobs entirely (r19) — the cached corpus
+        // materializes the whole pass chain in its consumer's one job
+        needTrace = false)
       docs.select(col("doc_id"), col("text").as("clean_text"))
     }
 

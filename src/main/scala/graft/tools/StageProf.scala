@@ -24,8 +24,14 @@ object StageProf {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.maxPlanStringLength", "1048576")
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      // share the BENCH session defaults (ADVICE r18: the profiler
+      // claims to replicate the bench session, so its AQE floor and
+      // codegen cache must match Bench.newSession or evidence is
+      // measured under the wrong config)
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_AQE_MINPART", "1m"))
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MINPART", "64k"))
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "5000"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // bench-equivalent warmers (subset): JIT/codegen machinery

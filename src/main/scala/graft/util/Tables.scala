@@ -27,9 +27,34 @@ object Tables {
     * caveat) and downstream same-key aggregations reuse the exchange.
     */
   def spread(df: DataFrame, keys: String*): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    if (probeNumPartitions(df) >= target) df
     else df.repartition(target, keys.map(org.apache.spark.sql.functions.col): _*)
+  }
+
+  /** The no-op guard's scan-parallelism probe, MEMOIZED per (session,
+    * canonicalized plan) — `df.rdd.getNumPartitions` forces a physical
+    * planning pass on the driver, and ~10 call sites re-probed the same
+    * documents scan every build (ADVICE r18). A semanticHash collision
+    * could only reuse another plan's probed count, i.e. a wrong
+    * spread/no-op decision — a performance nuance, never a correctness
+    * one. Known limit (documented, accepted): the probe counts
+    * byte-range file splits, not row groups, so a single-row-group file
+    * larger than parallelism × maxPartitionBytes would count as "split
+    * enough" while only one split yields rows; none of the driver
+    * corpora or production row-group sizings (≤ 1 GB) get near that
+    * regime.
+    */
+  private val probed =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, Int), Integer]()
+
+  private def probeNumPartitions(df: DataFrame): Int = {
+    val it = probed.keySet().iterator()
+    while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
+    probed.computeIfAbsent(
+      (df.sparkSession, df.queryExecution.logical.canonicalized.semanticHash()),
+      _ => df.rdd.getNumPartitions).intValue()
   }
 
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "lineitem")

@@ -1207,23 +1207,45 @@ object Similarity {
     */
   private[graft] def bm25Postings(spark: SparkSession, sfDir: String): DataFrame =
     graft.util.StageCache.cached(spark, sfDir, "bm25post") {
-      val toks = graft.text.TextCore.tokens(spark, sfDir)
-      val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-      val dlen = tf.groupBy("doc_id").agg(sum("tf").as("dlen"))
-      val dfr = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-      val nd = Tables.documents(spark, sfDir).agg(count(lit(1)).as("n_docs"))
-      // avgdlen from exact integer totals; int64/int64 → one double div.
-      // nullif guards the EMPTY corpus: count() is 0 (not null) there, so
-      // a bare 0/0 throws under ANSI — and only SOMETIMES surfaces,
-      // because this broadcast subquery races AQE's empty-relation
-      // propagation of the posting join it feeds (flaky EmptyInputSpec
-      // failure). avgdlen=null on an empty corpus is fine: there are no
-      // posting rows for it to score.
-      val stats = nd.crossJoin(toks.agg(count(lit(1)).as("n_tok_total")))
-        .select(col("n_docs"),
-          (col("n_tok_total") / nullif(col("n_docs"), lit(0L))).as("avgdlen"))
-      tf.join(dlen, "doc_id").join(dfr, "tok").crossJoin(broadcast(stats))
+      bm25PostingsPlan(spark, sfDir)
     }
+
+  /** The raw (uncached) postings build — separated so PlanDump can show
+    * its physical plan, which the cached frame hides behind a
+    * LogicalRDD.
+    */
+  private[graft] def bm25PostingsPlan(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = graft.text.TextCore.tokens(spark, sfDir)
+    // ONE tf aggregation (r19; guide §2.4). The old build derived dlen
+    // and df from `tf` as separate DataFrame subtrees, and because the
+    // cached tokens sit behind a LogicalRDD the planner saw three
+    // INDEPENDENT agg chains: the (doc_id, tok) aggregation ran three
+    // times (6 Exchanges; plans/r19/_bm25post_build_before.txt). The
+    // checkpoint materializes tf once for its two consumers below.
+    // dlen rides a per-doc window over the SAME rows instead of an
+    // agg + join — window groups are bounded by document length, so
+    // (unlike a per-token window) this cannot buffer a stop word's
+    // corpus-wide posting list at 100 TB. df stays an agg + join on
+    // tok: the join STREAMS the hot token's postings through the
+    // probe side instead of buffering them (and broadcasts locally).
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = false)
+    val withDlen = tf.withColumn("dlen",
+      sum("tf").over(Window.partitionBy("doc_id")))
+    val dfr = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val nd = Tables.documents(spark, sfDir).agg(count(lit(1)).as("n_docs"))
+    // avgdlen from exact integer totals; int64/int64 → one double div.
+    // nullif guards the EMPTY corpus: count() is 0 (not null) there, so
+    // a bare 0/0 throws under ANSI — and only SOMETIMES surfaces,
+    // because this broadcast subquery races AQE's empty-relation
+    // propagation of the posting join it feeds (flaky EmptyInputSpec
+    // failure). avgdlen=null on an empty corpus is fine: there are no
+    // posting rows for it to score.
+    val stats = nd.crossJoin(toks.agg(count(lit(1)).as("n_tok_total")))
+      .select(col("n_docs"),
+        (col("n_tok_total") / nullif(col("n_docs"), lit(0L))).as("avgdlen"))
+    withDlen.join(dfr, "tok").crossJoin(broadcast(stats))
+  }
 
   /** ONE definition of the quantized per-term BM25 contribution (the
     * int64 summand) — read by the batch ranker and the streaming

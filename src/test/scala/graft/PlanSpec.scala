@@ -105,11 +105,20 @@ class PlanSpec extends SparkSuite {
       s"qd4 lost the sorted-intersection kernel:\n${pd4.take(1200)}")
   }
 
-  test("qd4 array joins are shuffle-hash — the wide pair stream is never sorted") {
-    // after the first join every pair row carries a ~0.4 KB hash array;
-    // SMJ would sort that stream on doc_b (memory churn ≫ the join).
+  test("qd4 pair stream never crosses an exchange — arrays attach by block (r19)") {
+    // r18 attached each side's packed array through PAIR-keyed joins, so
+    // the m²-sized candidate stream crossed an exchange carrying ~0.4 KB
+    // of array per row (15 GB at sf1). r19 keys the arrays by their
+    // (lang, blk) block and explodes pairs AFTER that exchange: no
+    // doc_a/doc_b-keyed exchange may reappear in the plan — only the
+    // block-keyed (or broadcast) attach moves array bytes, linear in
+    // docs.
     val p = plan(graft.text.Dedup.ngramJaccard(spark, Sf01))
-    assert(p.contains("ShuffledHashJoin"), s"qd4 lost the shuffle-hash hint:\n${p.take(1200)}")
+    assert(!p.contains("hashpartitioning(doc_a") && !p.contains("hashpartitioning(doc_b"),
+      s"qd4 re-grew a pair-keyed exchange (arrays shuffled per pair):\n${p.take(1600)}")
+    // and the kernel must consume the join output in the same stage —
+    // the wide (sa, sb) pair rows exist only inside the iterator
+    assert(p.contains("graft_sorted_inter"), s"qd4 lost the kernel:\n${p.take(1200)}")
   }
 
   test("qv3 cell assignment is a packed-kernel projection — no fan-out, no groupBy shuffle") {
